@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every implemented operator family:
+  *   - graft.operators.RelationalQueries — SURVEY §2.4/§2.5 SQL inventory
+  *   - graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal} —
+  *     large-scale training-data pipeline extensions (SURVEY §7.2 item 8)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-style pricing summary (SURVEY §2.4 Q2/Q3 class).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.RelationalQueries.queries("q15_pricing_summary")(
+      spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.RelationalQueries.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Multimodal.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    operators.RelationalQueries.oracleSql ++
+      operators.Dedup.oracleSql ++
+      operators.Similarity.oracleSql ++
+      operators.TextAnalysis.oracleSql ++
+      operators.Multimodal.oracleSql
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog of the driver's parquet test tables (TESTDATA.md).
+  *
+  * Mirrors the reference's "register tables, then query" model
+  * (`/root/reference/ksql.js:128-135,215-216,235`) re-expressed Spark-first:
+  * each table is a parquet scan registered as a temp view, so Catalyst keeps
+  * predicate pushdown + column pruning into the scan (no materialized copy,
+  * no cache — at 100 TB a blanket cache() would be wrong; the scan itself is
+  * the storage layer).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** One parquet-backed DataFrame; pushdown-friendly (no cache).
+    *
+    * `events.ts` is nanosecond-precision parquet, which Spark's reader
+    * rejects (PARQUET_TYPE_ILLEGAL). We read it as raw long nanos
+    * (legacy.parquet.nanosAsLong) and convert to a micros TimestampType
+    * with integer division — double math would corrupt 1.7e18-scale
+    * nanos (2^53 mantissa).
+    */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register all tables as temp views for spark.sql(...) queries.
+    * Equivalent of the reference's create_tables + .data assignment
+    * (`ksql.js:130-135,215-216`), but lazy: a view over a parquet scan.
+    * Idempotent and cheap — createOrReplaceTempView only touches the
+    * session catalog.
+    */
+  def register(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+}

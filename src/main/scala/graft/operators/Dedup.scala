@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (builder mandate + SURVEY §7.2 item 8). No reference counterpart
+  * (`/root/reference` has no dedup surface) — these are the extensions a
+  * 100 TB corpus pipeline needs.
+  *
+  * Scale design notes:
+  *   - exact dedup = hash-aggregate on the text (or its fingerprint): one
+  *     shuffle keyed by content hash; at 100 TB shuffle the 64-bit
+  *     fingerprint, never the full text, and resolve collisions per-bucket;
+  *   - MinHash-LSH = per-row signature computation (pure codegen'd
+  *     expressions, no shuffle), then ONE shuffle on (band, band_hash) to
+  *     bucket candidates — the standard way to avoid the O(n²) pairwise
+  *     join. Candidate verification re-joins only the bucketed survivors;
+  *   - SimHash = per-row 64-bit fingerprint (custom codegen Expression),
+  *     near-dup candidates = equal fingerprint (or banded prefixes) —
+  *     again one shuffle on a long key.
+  *
+  * To make near-dup behavior deterministic and non-vacuous on the driver's
+  * synthetic corpus (all `documents.text` values are distinct), dedup
+  * demos run over a "re-crawl" corpus: documents UNION ALL a mutated copy
+  * (doc_id offset by 10^7; text with its first token dropped → a true
+  * near-duplicate, exact duplicate when the text has one token).
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val COPY_OFFSET = 10000000L
+
+  /** documents ∪ near-duplicate mutated copy (simulated re-crawl). */
+  def recrawl(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val mutated = docs.select(
+      (col("doc_id") + COPY_OFFSET).as("doc_id"),
+      // drop the first token; single-token texts stay identical
+      when(instr(col("text"), " ") > 0,
+        expr("substring(text, instr(text, ' ') + 1)"))
+        .otherwise(col("text")).as("text"))
+    docs.unionAll(mutated)
+  }
+
+  /** 3-token shingles of a text column (arrays stay inside codegen). */
+  def shingleExpr: String =
+    """CASE WHEN size(split(text, ' ')) < 3 THEN array(text)
+      |ELSE transform(sequence(0, size(split(text, ' ')) - 3),
+      |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
+      |END""".stripMargin
+
+  /** dd01: exact dedup on the raw corpus — group on the full text, keep the
+    * smallest doc_id as representative. SQL-expressible → DuckDB oracle.
+    */
+  private val dd01Exact: Q = (s, d) =>
+    t(s, d, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** dd02: exact dedup on the re-crawl corpus via content fingerprint
+    * (md5 here so DuckDB can mirror it; at scale the shuffle key is the
+    * 128-bit digest, not the text). Every single-token doc collides with
+    * its mutated copy → n_copies exercises >1 paths.
+    */
+  private val dd02ExactHash: Q = (s, d) =>
+    recrawl(s, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "fp", "n_copies")
+      .orderBy("doc_id")
+
+  /** dd03: MinHash signatures — k=16 permutations via seeded xxhash64 over
+    * the shingle set; output one row per doc with the signature array's
+    * first/last lanes (stable summary). Pure per-row computation.
+    */
+  private val dd03MinhashSig: Q = (s, d) =>
+    recrawl(s, d)
+      .withColumn("shingles", expr(shingleExpr))
+      .withColumn("sig", expr(
+        """transform(sequence(0, 15),
+          |  k -> array_min(transform(shingles, sh -> xxhash64(sh, k))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("sig")(0).as("sig0"),
+        col("sig")(15).as("sig15"), size(col("shingles")).as("n_shingles"))
+      .orderBy("doc_id")
+
+  /** dd04: full MinHash-LSH near-dup pipeline: 16 minhash lanes → 4 bands
+    * × 4 rows → explode bands → ONE shuffle on (band, band_hash) → candidate
+    * pairs → exact Jaccard verification → pairs ≥ 0.5. The mutated copies
+    * guarantee true positives.
+    */
+  private val dd04MinhashLsh: Q = (s, d) => {
+    val sigs = recrawl(s, d)
+      .withColumn("shingles", expr(shingleExpr))
+      .withColumn("sig", expr(
+        """transform(sequence(0, 15),
+          |  k -> array_min(transform(shingles, sh -> xxhash64(sh, k))))"""
+          .stripMargin))
+    val banded = sigs.select(
+      col("doc_id"), col("shingles"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** dd05: SimHash fingerprints via the custom codegen Expression
+    * (graft.functions.SimHash64); candidates = identical fingerprint.
+    */
+  private val dd05Simhash: Q = (s, d) =>
+    recrawl(s, d)
+      .withColumn("simhash", GraftFunctions.simhash64(col("text")))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  /** dd06: n-gram Jaccard near-dup on the re-crawl corpus, blocked by a
+    * cheap key (first token + token-count bucket) instead of O(n²): the
+    * mutated copy shares its block with the original whenever the second
+    * token equals the first... so block on length bucket only — coarse but
+    * bounded: pairs are verified with exact 3-gram Jaccard ≥ 0.6.
+    */
+  private val dd06NgramJaccard: Q = (s, d) => {
+    val docs = recrawl(s, d)
+      .withColumn("shingles", expr(shingleExpr))
+      .withColumn("block", (size(split(col("text"), " ")) / 8).cast("int"))
+    val a = docs.select(col("block"), col("doc_id").as("doc_a"),
+      col("shingles").as("sh_a"))
+    val b = docs.select(col("block"), col("doc_id").as("doc_b"),
+      col("shingles").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** dd07: embedding near-dup — cosine ≥ threshold over a re-ingested copy
+    * of the embeddings table (vec_id offset), joined blockwise via a
+    * sign-LSH bucket so the join is NOT all-pairs. Exact cosine verifies.
+    */
+  private val dd07EmbeddingNearDup: Q = (s, d) => {
+    val base = t(s, d, "embeddings").select("vec_id", "embedding")
+    val dup = base.select((col("vec_id") + COPY_OFFSET).as("vec_id"),
+      col("embedding"))
+    val all = base.unionAll(dup)
+      .withColumn("norm", sqrt(expr(
+        "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+      .withColumn("bucket", Similarity.signBucket(col("embedding")))
+    val a = all.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = all.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        Similarity.dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b")), 4))
+      .filter(col("cosine") >= 0.99)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dd01_dedup_exact" -> dd01Exact,
+    "dd02_dedup_exact_hash" -> dd02ExactHash,
+    "dd03_minhash_signatures" -> dd03MinhashSig,
+    "dd04_minhash_lsh_pairs" -> dd04MinhashLsh,
+    "dd05_simhash" -> dd05Simhash,
+    "dd06_ngram_jaccard_pairs" -> dd06NgramJaccard,
+    "dd07_embedding_neardup" -> dd07EmbeddingNearDup,
+  )
+
+  /** The re-crawl corpus in DuckDB terms, for oracle-expressible entries. */
+  private val recrawlSql: String =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 10000000 AS doc_id,
+      |        CASE WHEN instr(text, ' ') > 0
+      |             THEN substring(text, instr(text, ' ') + 1)
+      |             ELSE text END AS text
+      | FROM documents) recrawl""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dd01_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dd02_dedup_exact_hash" ->
+      s"""SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
+         |FROM $recrawlSql GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    // dd03-dd07 use xxhash64 / custom expressions — not DuckDB-expressible;
+    // the driver records rows-only checks for them.
+  )
+}

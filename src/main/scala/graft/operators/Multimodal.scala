@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Multimodal-column plumbing (builder mandate; no reference counterpart).
+  *
+  * Images/audio/video are opaque `binary` columns plus a typed metadata
+  * struct. The actual media decode is STUBBED — this container has no
+  * image/audio codecs — with a deterministic fake (hash-derived features),
+  * clearly marked below. Everything Spark-side is real: schema, batch
+  * shape, partitioning, frame sampling, and feature extraction all run as
+  * codegen'd expressions over binary, exactly as a real decoder UDF would
+  * slot in.
+  *
+  * Scale notes: binary payloads ride in the row; at 100 TB the pattern is
+  * unchanged — per-row decode is shuffle-free, and frame explosion
+  * multiplies rows BEFORE any aggregation, so downstream ops see a
+  * well-partitioned frame table without repartitioning.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Synthetic media ingest: the documents' UTF-8 bytes stand in for an
+    * encoded media payload (deterministic, no codec needed).
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(col("text")).cast("bigint").as("nbytes"),
+        col("source").as("origin")).as(("meta")))
+
+  /** mm01: ingest + metadata projection + STUB feature extraction.
+    * REAL: binary column, metadata struct, byte-length accounting.
+    * STUB: `feature64` — a real pipeline calls an image/audio decoder
+    * here; we substitute xxhash64(content) as the deterministic fake.
+    */
+  private val mm01IngestMeta: Q = (s, d) =>
+    mediaTable(s, d).select(
+      col("media_id"),
+      col("meta.mime").as("mime"),
+      col("meta.nbytes").as("nbytes"),
+      xxhash64(col("content")).as("feature64") // STUB decode (see scaladoc)
+    ).orderBy("media_id")
+
+  /** mm02: frame sampling — split the payload into fixed 32-byte "frames",
+    * keep every 4th (the video-keyframe pattern); per-frame STUB feature.
+    * posexplode keeps frame index; substring on binary is codegen'd.
+    */
+  private val mm02FrameSample: Q = (s, d) =>
+    mediaTable(s, d)
+      .withColumn("n_frames",
+        ceil(col("meta.nbytes").cast("double") / 32.0).cast("int"))
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4)))
+          .as("frame_idx"))
+      .select(
+        col("media_id"), col("frame_idx"),
+        octet_length(substring(col("content"), col("frame_idx") * 32 + 1,
+          lit(32))).cast("bigint").as("frame_bytes"),
+        xxhash64(substring(col("content"), col("frame_idx") * 32 + 1,
+          lit(32))).as("frame_feature64") // STUB decode
+      )
+      .orderBy("media_id", "frame_idx")
+
+  /** mm03: batched "decode-resize" shape — the mapInPandas/mapInArrow
+    * analogue in Scala: mapPartitions over typed rows, emitting fixed-size
+    * feature vectors. The decode body is the STUB (deterministic bytes →
+    * fake 8-dim feature); the partition-batch shape is the real contract.
+    */
+  private val mm03BatchDecode: Q = (s, d) => {
+    import s.implicits._
+    val rows = mediaTable(s, d)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+    rows.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // STUB decode: real impl would decode media and pool pixels;
+        // the fake derives 8 deterministic doubles from byte sums.
+        val feat = Array.tabulate(8) { i =>
+          var acc = 0L
+          var j = i
+          while (j < bytes.length) { acc += (bytes(j) & 0xff); j += 8 }
+          acc.toDouble
+        }
+        (id, feat)
+      }
+    }.toDF("media_id", "feature")
+      .select(col("media_id"),
+        round(aggregate(col("feature"), lit(0.0), (a, x) => a + x), 2)
+          .as("feature_sum"))
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm01_media_ingest" -> mm01IngestMeta,
+    "mm02_frame_sample" -> mm02FrameSample,
+    "mm03_batch_decode" -> mm03BatchDecode,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // mm01's nbytes accounting is DuckDB-mirrorable; feature64 is not —
+    // keep the oracle-checked projection to the portable columns? The
+    // driver compares ALL columns, so mm01 stays rows-only like mm02/mm03.
+  )
+}

@@ -1,0 +1,567 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** The relational operator inventory from SURVEY.md §2.4 (demonstrated README
+  * surface, Q1-Q10) and §2.5 (delegated AlaSQL dialect classes), re-expressed
+  * over the driver's TPC-H-ish tables so each class is DuckDB-oracle-checkable.
+  *
+  * Reference grounding: every SQL string the reference can run flows through a
+  * single delegation point (`/root/reference/ksql.js:159,298`); the README
+  * queries (`/root/reference/README.md:20-35`) demonstrate projection, COUNT,
+  * GROUP BY, LIKE, AND, truthiness-NOT, JOIN/LEFT JOIN USING, and `->` nested
+  * access. Here each class maps to stock Catalyst plans — no custom operator
+  * is needed (SURVEY §4): hash aggregates get map-side partial aggregation,
+  * equi-joins pick broadcast vs shuffle via AQE, filters/projections push into
+  * the parquet scan.
+  *
+  * Determinism discipline (driver hash-compares vs DuckDB at sf0.01):
+  *   - every query has a total ORDER BY (unique key tiebreak) with explicit
+  *     NULLS FIRST semantics on nullable keys (Spark asc = nulls first;
+  *     DuckDB needs the explicit modifier);
+  *   - double aggregates are round(_, 2): different summation order between
+  *     engines perturbs low bits only;
+  *   - no transcendental functions (libm last-ulp differences); sqrt/abs/
+  *     floor are IEEE-exact;
+  *   - casts avoid double->int (Spark truncates, DuckDB rounds) — go through
+  *     floor() first;
+  *   - date-part functions cast to BIGINT (DuckDB returns BIGINT, Spark INT).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q1 (README.md:30): SELECT projection with qualified refs + filter. */
+  private val q01Project: Q = (s, d) =>
+    t(s, d, "orders")
+      .filter(col("o_totalprice") > 100000)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Q2 (README.md:21): COUNT(*) scalar aggregate, no GROUP BY. */
+  private val q02CountStar: Q = (s, d) =>
+    t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /** Q3 (README.md:26): GROUP BY key + count alongside grouping key. */
+  private val q03GroupCount: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** Q4 (README.md:21,26): WHERE with LIKE 'prefix%' — pushed to parquet. */
+  private val q04Like: Q = (s, d) =>
+    t(s, d, "part")
+      .filter(col("p_name").like("large%"))
+      .select("p_partkey", "p_name", "p_type")
+      .orderBy("p_partkey")
+
+  /** Q5 (README.md:34): AND / OR conjunctions. */
+  private val q05AndOr: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter((col("l_returnflag") === "R" && col("l_discount") > 0.05) ||
+        col("l_tax") < 0.01)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q6 (README.md:34): truthiness NOT — `not x` over a nullable field maps
+    * to coalesce(x,'')='' (SURVEY §2.4 Q6 translation; JS falsiness, not SQL
+    * three-valued logic). Demonstrated here as both polarities counted.
+    */
+  private val q06Truthiness: Q = (s, d) =>
+    t(s, d, "customer")
+      .agg(
+        sum(when(coalesce(col("c_mktsegment"), lit("")) === "", 1L)
+          .otherwise(0L)).as("n_falsy"),
+        sum(when(coalesce(col("c_mktsegment"), lit("")) =!= "", 1L)
+          .otherwise(0L)).as("n_truthy"))
+
+  /** Q7 (README.md:30): inner equi-join + aggregate. Small dim (customer)
+    * joins fact (orders): AQE broadcasts the dim side; grouped aggregate is
+    * partial+final hash agg.
+    */
+  private val q07JoinInner: Q = (s, d) =>
+    t(s, d, "orders")
+      .join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_nationkey")
+
+  /** Q8 (README.md:34): LEFT JOIN preserving unmatched left rows. */
+  private val q08JoinLeft: Q = (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Q9 (README.md:30,34): nested access — the `->` analogue over the JSON
+    * `events.props` column (SURVEY §1.6: get_json_object as escape hatch).
+    */
+  private val q09Json: Q = (s, d) =>
+    t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .filter(col("k") > 50)
+      .orderBy("event_id")
+
+  /** Q10 (README.md:30): unqualified column resolution across a join. */
+  private val q10Unqualified: Q = (s, d) =>
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_totalprice") > 180000)
+      .select("o_orderkey", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey")
+
+  /** §2.5: BETWEEN / IN predicates. */
+  private val q11BetweenIn: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_quantity").between(10, 20) &&
+        col("l_returnflag").isin("A", "R"))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** §2.5: ORDER BY / LIMIT / OFFSET (top-k: Spark plans TakeOrderedAndProject
+    * — no global sort materialization).
+    */
+  private val q12OrderLimitOffset: Q = (s, d) =>
+    t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(10).limit(50)
+      .select("o_orderkey", "o_totalprice")
+
+  /** §2.5: DISTINCT (hash aggregate under the hood). */
+  private val q13Distinct: Q = (s, d) =>
+    t(s, d, "customer")
+      .select("c_mktsegment", "c_nationkey").distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** §2.5: HAVING (post-aggregation filter). */
+  private val q14Having: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 3)
+      .orderBy("l_partkey")
+
+  /** §2.5 + flagship: TPC-H Q1-style pricing summary — SUM/AVG/MIN/MAX,
+    * multi-key GROUP BY. One shuffle on the two low-cardinality keys; all
+    * arithmetic inside whole-stage codegen.
+    */
+  private val q15PricingSummary: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(min("l_discount"), 2).as("min_disc"),
+        round(max("l_tax"), 2).as("max_tax"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** §2.5: UNION (set semantics → dedup). */
+  private val q16Union: Q = (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+
+  /** §2.5: UNION ALL (bag semantics, no shuffle). */
+  private val q17UnionAll: Q = (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .groupBy("nk").agg(count(lit(1)).as("cnt"))
+      .orderBy("nk")
+
+  /** §2.5: INTERSECT. */
+  private val q18Intersect: Q = (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  /** §2.5: EXCEPT. */
+  private val q19Except: Q = (s, d) =>
+    t(s, d, "nation").select(col("n_nationkey").as("nk"))
+      .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  /** §2.5: IN subquery → Catalyst rewrites to left-semi join. */
+  private val q20InSubquery: Q = (s, d) => {
+    val rich = t(s, d, "customer")
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    t(s, d, "orders")
+      .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** §2.5: scalar subquery (uncorrelated) — broadcast single-row compare. */
+  private val q21ScalarSubquery: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    s.sql(
+      """SELECT count(*) AS cnt FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin)
+  }
+
+  /** §2.5: EXISTS (correlated) → left-semi join with extra predicate. */
+  private val q22Exists: Q = (s, d) => {
+    val big = t(s, d, "orders").filter(col("o_totalprice") > 200000)
+    t(s, d, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** §2.5: CASE WHEN + CAST (floor() first: double->int cast truncates in
+    * Spark but rounds in DuckDB).
+    */
+  private val q23CaseCast: Q = (s, d) =>
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 150000, "big")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("small").as("bucket"),
+        floor(col("o_totalprice")).cast("bigint").as("price_floor"))
+      .orderBy("o_orderkey")
+
+  /** §2.5: string + math scalar functions (IEEE-exact ops only). */
+  private val q24StringMath: Q = (s, d) =>
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        length(col("o_orderpriority")).cast("bigint").as("pri_len"),
+        abs(col("o_totalprice") - 100000.0).as("dist"),
+        sqrt(col("o_totalprice")).as("price_sqrt"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
+          .as("tagged"))
+      .filter(col("o_orderkey") <= 5000)
+      .orderBy("o_orderkey")
+
+  /** §2.5: CROSS JOIN (cartesian, small×small only — never on facts). */
+  private val q25CrossJoin: Q = (s, d) =>
+    t(s, d, "region").crossJoin(t(s, d, "nation"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** §2.5: RIGHT OUTER JOIN (ON-condition theta form). */
+  private val q26RightJoin: Q = (s, d) =>
+    t(s, d, "supplier")
+      .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"),
+        "right")
+      .select(col("n_nationkey"),
+        coalesce(col("s_name"), lit("none")).as("s_name_or_none"))
+      .orderBy("n_nationkey", "s_name_or_none")
+
+  /** §2.5: FULL OUTER JOIN. */
+  private val q27FullJoin: Q = (s, d) =>
+    t(s, d, "nation")
+      .join(t(s, d, "supplier"), col("s_nationkey") === col("n_nationkey"),
+        "full")
+      .select(col("n_nationkey"), col("s_suppkey"))
+      .orderBy(asc_nulls_first("n_nationkey"), asc_nulls_first("s_suppkey"))
+
+  /** §2.5: GROUP BY ROLLUP. */
+  private val q28Rollup: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  /** §2.5: GROUP BY CUBE. */
+  private val q29Cube: Q = (s, d) =>
+    t(s, d, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** §2.5: GROUPING SETS (SQL form; Catalyst expands to Expand + hash agg). */
+  private val q30GroupingSets: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin)
+  }
+
+  /** Beyond AlaSQL (SURVEY §2.6): ranking window — top-3 accounts per nation.
+    * Single shuffle on the partition key; rank pushdown via WindowGroupLimit.
+    */
+  private val q31WindowRank: Q = (s, d) => {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, d, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** Beyond AlaSQL: running-total window frame over event time. */
+  private val q32WindowRunning: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .withColumn("running_value", round(sum("value").over(w), 2))
+      .filter(col("user_id") < 50)
+      .select("user_id", "event_id", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** §2.5 date handling (reference leaves timestamps as strings, SURVEY
+    * §1.3; we treat them temporally — documented improvement).
+    */
+  private val q33DateFuncs: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("y"),
+        month(col("o_orderdate")).cast("bigint").as("m"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("rev"))
+      .orderBy("y", "m")
+
+  /** Flagship 3-way join (TPC-H Q3 shape): dims filtered then broadcast,
+    * fact scanned once, rounded-revenue ordering is tie-broken by key so
+    * top-10 is deterministic across engines.
+    */
+  private val q34TopRevenue: Q = (s, d) => {
+    val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, d, "orders")
+    val li = t(s, d, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Tumbling 1-hour event-time window aggregation (batch analogue of the
+    * Structured Streaming path in graft.streaming). Output day+hour (not the
+    * raw timestamp: events.ts is nanosecond-precision parquet; Spark reads
+    * micros, DuckDB nanos — casting to date+hour sidesteps the precision
+    * mismatch in the oracle compare).
+    */
+  private val q35TumblingWindow: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast("bigint").as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("day", "hr", "event_type")
+
+  val queries: Map[String, Q] = Map(
+    "q01_project_filter" -> q01Project,
+    "q02_count_star" -> q02CountStar,
+    "q03_group_count" -> q03GroupCount,
+    "q04_like" -> q04Like,
+    "q05_and_or" -> q05AndOr,
+    "q06_truthiness_not" -> q06Truthiness,
+    "q07_join_inner" -> q07JoinInner,
+    "q08_join_left" -> q08JoinLeft,
+    "q09_json_access" -> q09Json,
+    "q10_unqualified_join" -> q10Unqualified,
+    "q11_between_in" -> q11BetweenIn,
+    "q12_order_limit_offset" -> q12OrderLimitOffset,
+    "q13_distinct" -> q13Distinct,
+    "q14_having" -> q14Having,
+    "q15_pricing_summary" -> q15PricingSummary,
+    "q16_union" -> q16Union,
+    "q17_union_all" -> q17UnionAll,
+    "q18_intersect" -> q18Intersect,
+    "q19_except" -> q19Except,
+    "q20_in_subquery" -> q20InSubquery,
+    "q21_scalar_subquery" -> q21ScalarSubquery,
+    "q22_exists" -> q22Exists,
+    "q23_case_cast" -> q23CaseCast,
+    "q24_string_math" -> q24StringMath,
+    "q25_cross_join" -> q25CrossJoin,
+    "q26_right_join" -> q26RightJoin,
+    "q27_full_join" -> q27FullJoin,
+    "q28_rollup" -> q28Rollup,
+    "q29_cube" -> q29Cube,
+    "q30_grouping_sets" -> q30GroupingSets,
+    "q31_window_rank" -> q31WindowRank,
+    "q32_window_running" -> q32WindowRunning,
+    "q33_date_funcs" -> q33DateFuncs,
+    "q34_top_revenue" -> q34TopRevenue,
+    "q35_tumbling_window" -> q35TumblingWindow,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_project_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 100000 ORDER BY o_orderkey""".stripMargin,
+    "q02_count_star" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q03_group_count" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q04_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE 'large%' ORDER BY p_partkey""".stripMargin,
+    "q05_and_or" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE (l_returnflag = 'R' AND l_discount > 0.05) OR l_tax < 0.01
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q06_truthiness_not" ->
+      """SELECT
+        |  sum(CASE WHEN coalesce(c_mktsegment, '') = '' THEN 1 ELSE 0 END) AS n_falsy,
+        |  sum(CASE WHEN coalesce(c_mktsegment, '') <> '' THEN 1 ELSE 0 END) AS n_truthy
+        |FROM customer""".stripMargin,
+    "q07_join_inner" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q08_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q09_json_access" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
+    "q10_unqualified_join" ->
+      """SELECT o_orderkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 180000 ORDER BY o_orderkey""".stripMargin,
+    "q11_between_in" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q12_order_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 10""".stripMargin,
+    "q13_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q14_having" ->
+      """SELECT l_partkey, count(*) AS cnt FROM lineitem
+        |GROUP BY l_partkey HAVING count(*) > 3 ORDER BY l_partkey""".stripMargin,
+    "q15_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(min(l_discount), 2) AS min_disc,
+        |  round(max(l_tax), 2) AS max_tax,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q16_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "q17_union_all" ->
+      """SELECT nk, count(*) AS cnt FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey AS nk FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+    "q18_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "q19_except" ->
+      """SELECT n_nationkey AS nk FROM nation
+        |EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "q20_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q21_scalar_subquery" ->
+      """SELECT count(*) AS cnt FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+    "q22_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q23_case_cast" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 150000 THEN 'big'
+        |       WHEN o_totalprice > 50000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q24_string_math" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  substr(o_orderpriority, 1, 1) AS pri_code,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+        |  abs(o_totalprice - 100000.0) AS dist,
+        |  sqrt(o_totalprice) AS price_sqrt,
+        |  o_orderstatus || '-' || o_orderpriority AS tagged
+        |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin,
+    "q25_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q26_right_join" ->
+      """SELECT n_nationkey, coalesce(s_name, 'none') AS s_name_or_none
+        |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_nationkey, s_name_or_none""".stripMargin,
+    "q27_full_join" ->
+      """SELECT n_nationkey, s_suppkey
+        |FROM nation FULL JOIN supplier ON s_nationkey = n_nationkey
+        |ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""".stripMargin,
+    "q28_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q29_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q30_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q31_window_rank" ->
+      """SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "q32_window_running" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events WHERE user_id < 50
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q33_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "q34_top_revenue" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q35_tumbling_window" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |       CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3 ORDER BY day, hr, event_type""".stripMargin,
+  )
+}

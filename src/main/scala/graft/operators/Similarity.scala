@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Approximate-nearest-neighbor similarity search over the `embeddings`
+  * table (builder mandate; no reference counterpart).
+  *
+  * Scale design: brute-force top-k is the correctness baseline — a
+  * broadcast of the (small) query set against a full scan of the corpus,
+  * one pass, no shuffle of the corpus side, TakeOrdered per query. The
+  * scale path is sign-LSH (random hyperplanes): per-row signature (pure
+  * expression, no shuffle), bucket join on banded signature bits — corpus
+  * is shuffled once by bucket key instead of compared all-pairs. At 100 TB
+  * the bucketed variant is the only viable one; both share the exact-cosine
+  * rerank.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dot product of two float-array columns, accumulated in double.
+    * zip_with + aggregate stay inside codegen — no UDF boxing.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(c: Column): Column =
+    sqrt(aggregate(c, lit(0.0), (acc, x) =>
+      acc + x.cast("double") * x.cast("double")))
+
+  /** Deterministic random hyperplanes: NB_PLANES × dims weights derived
+    * from a fixed-seed splitmix stream (graft.functions.GraftHashes.mix64),
+    * materialized as a literal so every executor sees the same planes with
+    * zero shuffle/broadcast cost.
+    */
+  val NB_PLANES = 16
+  val DIMS = 64
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(NB_PLANES, DIMS) { (p, d) =>
+      val h = graft.functions.GraftHashes.mix64(p.toLong * 131071L + d)
+      // map to [-1, 1)
+      (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+
+  /** 16-bit sign-LSH bucket of an embedding column: bit p = sign of the
+    * projection onto plane p; the bucket is the packed bit vector. All
+    * plain array expressions — codegen'd, zero shuffle.
+    */
+  def signBucket(emb: Column): Column =
+    (0 until NB_PLANES).map { p =>
+      when(aggregate(zip_with(emb, typedLit(planes(p).toSeq), (x, w) =>
+        x.cast("double") * w), lit(0.0), (acc, v) => acc + v) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  val queries: Map[String, Q] = Map(
+    "ss01_topk_bruteforce" -> ((s, d) => topkBrute(s, d)),
+    "ss02_topk_lsh" -> ((s, d) => topkLsh(s, d)),
+  )
+
+  /** ss01: exact cosine top-5 neighbors for the first 10 vectors. */
+  def topkBrute(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+    val queriesDf = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
+    corpus.crossJoin(broadcast(queriesDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** ss02: sign-LSH bucketed ANN — 4 bands × 4 bits, OR-amplified: a
+    * corpus vector is a candidate if ANY band matches the query's band.
+    * One shuffle on (band, value); exact cosine rerank of candidates.
+    */
+  def topkLsh(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planeLit = typedLit(planes.map(_.toSeq).toSeq)
+    val sigged = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .withColumn("planes", planeLit)
+      .withColumn("bits", expr(
+        s"""transform(sequence(0, ${NB_PLANES - 1}), p ->
+           |  CASE WHEN aggregate(zip_with(embedding, planes[p],
+           |      (x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v) >= 0
+           |  THEN 1 ELSE 0 END)""".stripMargin))
+      .withColumn("bands", expr(
+        """transform(sequence(0, 3), b ->
+          |  bits[4*b] + 2*bits[4*b+1] + 4*bits[4*b+2] + 8*bits[4*b+3])"""
+          .stripMargin))
+      .drop("planes", "bits")
+    val exploded = sigged.select(col("vec_id"), col("embedding"), col("norm"),
+      posexplode(col("bands"))).withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bval")
+    val qs = exploded.filter(col("vec_id") < 10)
+      .select(col("band"), col("bval"), col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val cands = exploded.join(qs, Seq("band", "bval"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("vec_id").as("neighbor_id"), col("embedding"), col("norm"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
+    cands
+      .withColumn("cosine_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  // Cosine over float lists is DuckDB-expressible (list_cosine_similarity)
+  // but float32-vs-double accumulation makes hash parity fragile; the
+  // driver records rows-only checks for ss01/ss02.
+  val oracleSql: Map[String, String] = Map()
+}

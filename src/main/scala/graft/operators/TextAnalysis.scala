@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators over the `documents` table (builder mandate;
+  * no reference counterpart — `/root/reference` treats all values as opaque
+  * strings, SURVEY §1.3).
+  *
+  * Every operator here is a per-row projection — no shuffle, scales
+  * linearly with the corpus, stays inside whole-stage codegen (built-in
+  * string/array functions + the custom codegen expressions in
+  * graft.functions).
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace token count via a length-difference formula chosen because
+    * DuckDB evaluates the identical expression identically (oracle parity):
+    * tokens = chars - chars_without_spaces + 1 for space-separated text.
+    */
+  private def tokenCount(c: org.apache.spark.sql.Column) =
+    (length(c) - length(regexp_replace(c, " ", "")) + 1).cast("bigint")
+
+  /** tx01: token counting. */
+  private val tx01Tokens: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** tx02: quality scoring — length, token stats, stopword ratio, alpha
+    * ratio. Simple deterministic heuristics of the C4/Gopher-rules flavor.
+    */
+  private val tx02Quality: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("n_stop", size(filter(split(col("text"), " "),
+        tk => tk.isin("the", "a", "of", "to", "and"))).cast("bigint"))
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      col("n_tokens"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        col("n_tokens"), 4).as("avg_token_len"),
+      round(col("n_stop").cast("double") / col("n_tokens"), 4)
+        .as("stopword_ratio"),
+      (col("n_tokens") >= 10 && col("n_chars") >= 50).as("passes_min_len"))
+      .orderBy("doc_id")
+  }
+
+  /** tx03: language ID — n-gram/stopword-profile heuristic: score each
+    * candidate language by its marker-token hit count, pick the argmax
+    * (deterministic tie-break on language order). A real pipeline plugs a
+    * model in; the Spark shape (per-row scoring, no shuffle) is identical.
+    */
+  private val tx03LangId: Q = (s, d) => {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and"),
+      "es" -> Seq("el", "la", "de", "y"),
+      "de" -> Seq("der", "die", "und", "ein"),
+      "fr" -> Seq("le", "la", "et", "un"))
+    val toks = split(col("text"), " ")
+    val scored = profiles.map { case (lang, markers) =>
+      struct(size(filter(toks, tk => tk.isin(markers: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        sort_array(array(scored: _*), asc = false)(0).getField("lang")
+          .as("pred_lang"),
+        sort_array(array(scored: _*), asc = false)(0).getField("score")
+          .as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** tx04: md5 content fingerprint (DuckDB-mirrorable). */
+  private val tx04FingerprintMd5: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  /** tx05: rolling-hash fingerprint via the custom codegen Expression
+    * (graft.functions.RollingHash64) + SimHash — the scale-path fingerprints
+    * (64-bit keys shuffle 16× lighter than md5 strings).
+    */
+  private val tx05FingerprintRolling: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.rolling_hash64(col("text")).as("fp64"),
+        GraftFunctions.simhash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** tx06: BPE-ish subword token estimate: whitespace tokens + a regex
+    * split on letter/digit boundaries, ~4-chars-per-subword heuristic for
+    * long tokens (deterministic, model-free token count estimate).
+    */
+  private val tx06TokenEstimate: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_words"),
+        aggregate(col("toks"), lit(0L), (acc, tk) =>
+          acc + ceil(length(tk).cast("double") / 4.0).cast("long"))
+          .as("n_subwords_est"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "tx01_token_count" -> tx01Tokens,
+    "tx02_quality_score" -> tx02Quality,
+    "tx03_lang_id" -> tx03LangId,
+    "tx04_fingerprint_md5" -> tx04FingerprintMd5,
+    "tx05_fingerprint_hash64" -> tx05FingerprintRolling,
+    "tx06_token_estimate" -> tx06TokenEstimate,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "tx01_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx02_quality_score" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / (length(text) - length(replace(text, ' ', '')) + 1), 4)
+        |    AS avg_token_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |      tk -> tk IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+        |    / (length(text) - length(replace(text, ' ', '')) + 1), 4)
+        |    AS stopword_ratio,
+        |  (length(text) - length(replace(text, ' ', '')) + 1 >= 10
+        |     AND n_chars >= 50) AS passes_min_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx04_fingerprint_md5" ->
+      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    // tx03 (heuristic argmax), tx05 (custom 64-bit hashes), tx06 (subword
+    // estimate) are not DuckDB-expressible → rows-only checks.
+  )
+}
