@@ -1,0 +1,66 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+import graft.dialect.KsqlDialect
+import graft.sinks.Render
+import graft.sources.K8sSnapshot
+
+/** Main entry point — the Spark-native equivalent of `node ksql.js [www]`
+  * (SURVEY §3): load the snapshot, register the four tables, then serve a
+  * REPL on stdin and (with `www`) the HTTP API + web terminal on 8090.
+  *
+  * Usage: runMain graft.server.Ksql <fixtureDir> [www] [port]
+  *   fixtureDir must contain pods.json / nodes.json / services.json
+  *   (K8s list-response shape — see FIXTURES.md §A). A live-cluster
+  *   loader would slot in at K8sSnapshot.load without touching anything
+  *   downstream.
+  */
+object Ksql {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.error("usage: Ksql <fixtureDir> [www] [port]"))
+    val www = args.contains("www")
+    val port = args.drop(1).filter(_.forall(_.isDigit))
+      .headOption.map(_.toInt).getOrElse(8090)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-ksql")
+      .config("spark.sql.shuffle.partitions", "4") // snapshot-sized data
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    K8sSnapshot.load(spark, dir)
+
+    if (www) {
+      val srv = new KsqlServer(spark, port)
+      srv.start()
+      println(s"listening on $port")
+    }
+
+    repl(spark)
+  }
+
+  /** REPL loop (ksql.js:156-188): print ASCII table, `[]` on empty,
+    * errors to stdout, prompt `> `.
+    */
+  def repl(spark: SparkSession): Unit = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(System.in))
+    print("> "); Console.flush()
+    var line = in.readLine()
+    while (line != null) {
+      handleLine(spark, line)
+      print("> "); Console.flush()
+      line = in.readLine()
+    }
+    println("shutting down.")
+  }
+
+  def handleLine(spark: SparkSession, line: String): Unit =
+    if (line != null && line.trim.nonEmpty) {
+      try println(Render.toAscii(Render.process(KsqlDialect.sql(spark, line))))
+      catch { case e: Exception => println(e) }
+    }
+}
