@@ -47,6 +47,71 @@ object GraftHashes {
     mix64(h)
   }
 
+  /** Hashes of all whitespace tokens in one byte pass (no String
+    * allocation, no split array).
+    */
+  private def tokenHashes(bytes: Array[Byte]): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](16)
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        if (i > start) out += tokenHash(bytes, start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Hashes of all 3-token shingles: shingle hash = mix of the three
+    * token hashes (order-sensitive). Texts with <3 tokens hash as one
+    * whole-text shingle. One pass; O(tokens) — the string-shingle
+    * equivalent (concat + rehash per shingle per lane) is O(chars·k).
+    */
+  def shingleHashes64(s: UTF8String): Array[Long] = {
+    val th = tokenHashes(s.getBytes)
+    if (th.length < 3)
+      return Array(mix64(tokenHash(s.getBytes, 0, s.getBytes.length)))
+    val out = new Array[Long](th.length - 2)
+    var i = 2
+    while (i < th.length) {
+      out(i - 2) = mix64(th(i - 2) * 0x9e3779b97f4a7c15L ^
+        th(i - 1) * 0xc2b2ae3d27d4eb4fL ^ th(i))
+      i += 1
+    }
+    out
+  }
+
+  /** k-lane MinHash signature over the shingle hashes, all lanes in one
+    * pass: lane j's permutation is mix64(shingle ^ seed_j). This is the
+    * per-row (shuffle-free) half of MinHash-LSH dedup; cost O(shingles·k)
+    * cheap mixes instead of k full re-hashes of each shingle string.
+    */
+  def minhashSig(s: UTF8String, k: Int, seedBase: Long): Array[Long] = {
+    val sh = shingleHashes64(s)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var j = 0
+      while (j < k) {
+        val h = mix64(sh(i) ^ (seedBase + j * 0x9e3779b97f4a7c15L))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  // ArrayData wrappers for codegen static calls
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  def shingleHashesData(s: UTF8String): ArrayData =
+    new GenericArrayData(shingleHashes64(s))
+  def minhashSigData(s: UTF8String, k: Int, seedBase: Long): ArrayData =
+    new GenericArrayData(minhashSig(s, k, seedBase))
+
   /** 64-bit SimHash over whitespace-delimited tokens: each token votes its
     * hash bits +1/-1; the sign vector is the fingerprint. Near-duplicate
     * docs land within small Hamming distance. Single pass over the bytes,
@@ -123,6 +188,37 @@ case class SimHash64(child: Expression) extends HashExpr {
       : Expression = copy(child = newChild)
 }
 
+/** All 3-token shingle hashes of a text (array<bigint>). Basis for
+  * MinHash-LSH dedup and n-gram Jaccard (SURVEY §7.2 item 8).
+  */
+case class ShingleHashes64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "shingle_hashes64"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashes.shingleHashesData(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.shingleHashesData($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** k-lane MinHash signature (array<bigint>) of a text's shingle set. */
+case class MinHashSig(child: Expression, k: Int, seedBase: Long)
+    extends UnaryExpression {
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashes.minhashSigData(input.asInstanceOf[UTF8String], k, seedBase)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.minhashSigData($c, $k, ${seedBase}L)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration for the custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.GraftShim
@@ -131,6 +227,10 @@ object GraftFunctions {
     GraftShim.column(RollingHash64(GraftShim.expression(c)))
   def simhash64(c: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(c)))
+  def shingle_hashes64(c: Column): Column =
+    GraftShim.column(ShingleHashes64(GraftShim.expression(c)))
+  def minhash_sig(c: Column, k: Int, seedBase: Long = 0L): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(c), k, seedBase))
 
   /** Make the functions callable from spark.sql text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -45,13 +45,6 @@ object Dedup {
     docs.unionAll(mutated)
   }
 
-  /** 3-token shingles of a text column (arrays stay inside codegen). */
-  def shingleExpr: String =
-    """CASE WHEN size(split(text, ' ')) < 3 THEN array(text)
-      |ELSE transform(sequence(0, size(split(text, ' ')) - 3),
-      |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
-      |END""".stripMargin
-
   /** dd01: exact dedup on the raw corpus — group on the full text, keep the
     * smallest doc_id as representative. SQL-expressible → DuckDB oracle.
     */
@@ -74,19 +67,18 @@ object Dedup {
       .select("doc_id", "fp", "n_copies")
       .orderBy("doc_id")
 
-  /** dd03: MinHash signatures — k=16 permutations via seeded xxhash64 over
-    * the shingle set; output one row per doc with the signature array's
-    * first/last lanes (stable summary). Pure per-row computation.
+  /** dd03: MinHash signatures via the single-pass custom codegen
+    * expression (graft.functions.MinHashSig): one tokenize, shingle
+    * hashes combined from token hashes, all 16 lanes in one loop —
+    * O(shingles·k) cheap mixes instead of k full string re-hashes.
+    * Pure per-row computation, zero shuffle.
     */
   private val dd03MinhashSig: Q = (s, d) =>
     recrawl(s, d)
-      .withColumn("shingles", expr(shingleExpr))
-      .withColumn("sig", expr(
-        """transform(sequence(0, 15),
-          |  k -> array_min(transform(shingles, sh -> xxhash64(sh, k))))"""
-          .stripMargin))
+      .withColumn("sig", GraftFunctions.minhash_sig(col("text"), 16))
       .select(col("doc_id"), col("sig")(0).as("sig0"),
-        col("sig")(15).as("sig15"), size(col("shingles")).as("n_shingles"))
+        col("sig")(15).as("sig15"),
+        size(GraftFunctions.shingle_hashes64(col("text"))).as("n_shingles"))
       .orderBy("doc_id")
 
   /** dd04: full MinHash-LSH near-dup pipeline: 16 minhash lanes → 4 bands
@@ -95,32 +87,45 @@ object Dedup {
     * guarantee true positives.
     */
   private val dd04MinhashLsh: Q = (s, d) => {
-    val sigs = recrawl(s, d)
-      .withColumn("shingles", expr(shingleExpr))
-      .withColumn("sig", expr(
-        """transform(sequence(0, 15),
-          |  k -> array_min(transform(shingles, sh -> xxhash64(sh, k))))"""
-          .stripMargin))
-    val banded = sigs.select(
-      col("doc_id"), col("shingles"),
-      posexplode(expr(
+    val shingled = recrawl(s, d)
+      .withColumn("shingles",
+        GraftFunctions.shingle_hashes64(col("text")))
+      .select("doc_id", "shingles")
+    // Banding: 16 lanes → 4 bands × 4 rows; only (band, band_hash, doc_id)
+    // is shuffled — shingle arrays stay out of the candidate join (they
+    // re-enter via two key joins after pair dedup; at 100 TB this keeps
+    // the wide payload off the hot shuffle).
+    val banded = recrawl(s, d)
+      .withColumn("sig", GraftFunctions.minhash_sig(col("text"), 16))
+      .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 3), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val pairs = banded.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_b")), Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(pairs, shingled, 0.5)
+  }
+
+  /** Join shingle sets back onto candidate pairs and keep those with
+    * exact Jaccard ≥ threshold (shared verify stage for dd04/dd06).
+    */
+  private def verifyJaccard(pairs: DataFrame, shingled: DataFrame,
+      threshold: Double): DataFrame =
+    pairs
+      .join(shingled.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
-  }
 
   /** dd05: SimHash fingerprints via the custom codegen Expression
     * (graft.functions.SimHash64); candidates = identical fingerprint.
@@ -131,28 +136,29 @@ object Dedup {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
-  /** dd06: n-gram Jaccard near-dup on the re-crawl corpus, blocked by a
-    * cheap key (first token + token-count bucket) instead of O(n²): the
-    * mutated copy shares its block with the original whenever the second
-    * token equals the first... so block on length bucket only — coarse but
-    * bounded: pairs are verified with exact 3-gram Jaccard ≥ 0.6.
+  /** dd06: n-gram Jaccard near-dup with single-minhash blocking: block key
+    * = min shingle hash under two seeds (k=1 minhash, OR-amplified ×2).
+    * Docs sharing most shingles almost surely share a min — high-recall,
+    * and bucket sizes stay bounded by shingle popularity rather than
+    * O(corpus). Exact 3-gram Jaccard ≥ 0.6 verifies candidates.
     */
   private val dd06NgramJaccard: Q = (s, d) => {
-    val docs = recrawl(s, d)
-      .withColumn("shingles", expr(shingleExpr))
-      .withColumn("block", (size(split(col("text"), " ")) / 8).cast("int"))
-    val a = docs.select(col("block"), col("doc_id").as("doc_a"),
-      col("shingles").as("sh_a"))
-    val b = docs.select(col("block"), col("doc_id").as("doc_b"),
-      col("shingles").as("sh_b"))
-    a.join(b, Seq("block"))
+    val shingled = recrawl(s, d)
+      .withColumn("shingles",
+        GraftFunctions.shingle_hashes64(col("text")))
+      .select("doc_id", "shingles")
+    val blocked = recrawl(s, d)
+      .select(col("doc_id"), posexplode(
+        GraftFunctions.minhash_sig(col("text"), 2, seedBase = 7777L)))
+      .withColumnRenamed("pos", "seed")
+      .withColumnRenamed("col", "block")
+    val pairs = blocked.select(col("seed"), col("block"),
+        col("doc_id").as("doc_a"))
+      .join(blocked.select(col("seed"), col("block"),
+        col("doc_id").as("doc_b")), Seq("seed", "block"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .filter(col("jaccard") >= 0.6)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(pairs, shingled, 0.6)
   }
 
   /** dd07: embedding near-dup — cosine ≥ threshold over a re-ingested copy
@@ -167,12 +173,18 @@ object Dedup {
       .withColumn("norm", sqrt(expr(
         "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
       .withColumn("bucket", Similarity.signBucket(col("embedding")))
-    val a = all.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("norm").as("norm_a"))
-    val b = all.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    a.join(b, Seq("bucket"))
+    // Bucket join on ids only; embeddings rejoin for the cosine verify.
+    val pairs = all.select(col("bucket"), col("vec_id").as("id_a"))
+      .join(all.select(col("bucket"), col("vec_id").as("id_b")),
+        Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = all.select("vec_id", "embedding", "norm")
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b")), Seq("id_b"))
       .withColumn("cosine", round(
         Similarity.dot(col("emb_a"), col("emb_b")) /
           (col("norm_a") * col("norm_b")), 4))

@@ -83,9 +83,12 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** ss02: sign-LSH bucketed ANN — 4 bands × 4 bits, OR-amplified: a
-    * corpus vector is a candidate if ANY band matches the query's band.
-    * One shuffle on (band, value); exact cosine rerank of candidates.
+  /** ss02: sign-LSH bucketed ANN — 2 bands × 8 bits (256 buckets per
+    * band), OR-amplified: a corpus vector is a candidate if ANY band
+    * matches the query's band. One shuffle on (band, value); exact
+    * cosine rerank of candidates. Band width trades recall vs candidate
+    * count — 8 bits keeps buckets ~corpus/256, which is what survives a
+    * 100× scale-up (4-bit bands degenerate to near-brute-force).
     */
   def topkLsh(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -100,24 +103,32 @@ object Similarity {
            |      (x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v) >= 0
            |  THEN 1 ELSE 0 END)""".stripMargin))
       .withColumn("bands", expr(
-        """transform(sequence(0, 3), b ->
-          |  bits[4*b] + 2*bits[4*b+1] + 4*bits[4*b+2] + 8*bits[4*b+3])"""
+        """transform(sequence(0, 1), b -> aggregate(sequence(0, 7),
+          |  0, (acc, i) -> acc + shiftleft(bits[8*b + i], i)))"""
           .stripMargin))
       .drop("planes", "bits")
-    val exploded = sigged.select(col("vec_id"), col("embedding"), col("norm"),
-      posexplode(col("bands"))).withColumnRenamed("pos", "band")
+    // Candidate generation shuffles only (band, bval, id) — embeddings
+    // rejoin after pair dedup (wide payload off the hot shuffle; at 100 TB
+    // the id-pair distinct is the only corpus-sized exchange).
+    val vecs = sigged.select("vec_id", "embedding", "norm")
+    val exploded = sigged.select(col("vec_id"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bval")
-    val qs = exploded.filter(col("vec_id") < 10)
-      .select(col("band"), col("bval"), col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"), col("norm").as("q_norm"))
-    val cands = exploded.join(qs, Seq("band", "bval"))
+    val candPairs = exploded
+      .join(exploded.filter(col("vec_id") < 10)
+        .select(col("band"), col("bval"), col("vec_id").as("query_id")),
+        Seq("band", "bval"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("q_norm"),
-        col("vec_id").as("neighbor_id"), col("embedding"), col("norm"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_raw").desc, col("neighbor_id"))
-    cands
+    candPairs
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("norm")), Seq("neighbor_id"))
+      .join(broadcast(vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"))), Seq("query_id"))
       .withColumn("cosine_raw",
         dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
       .withColumn("rank", row_number().over(w))

@@ -45,4 +45,27 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(0) == GraftHashes.simhash64(UTF8String.fromString("a b c")))
     assert(r.getLong(1) == GraftHashes.rollingHash64(UTF8String.fromString("abc")))
   }
+
+  test("minhash_sig: identical texts share all lanes; near-dups share most") {
+    def sig(t: String) = GraftHashes.minhashSig(UTF8String.fromString(t), 16, 0L).toSeq
+    val base = "a b c d e f g h i j k l m n o p q r s t u v w x y z"
+    assert(sig(base) == sig(base))
+    val nearDup = base.split(" ").drop(1).mkString(" ")
+    val shared = sig(base).zip(sig(nearDup)).count { case (x, y) => x == y }
+    assert(shared >= 12, s"near-dup shared only $shared/16 lanes")
+    val other = "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15"
+    assert(sig(base).zip(sig(other)).count { case (x, y) => x == y } <= 4)
+  }
+
+  test("shingle_hashes64: n-2 shingles, short text collapses to one") {
+    def sh(t: String) = GraftHashes.shingleHashes64(UTF8String.fromString(t))
+    assert(sh("a b c d e").length == 3)
+    assert(sh("a b").length == 1)
+    // codegen path matches kernel
+    import org.apache.spark.sql.functions.col
+    val got = Seq("a b c d e").toDF("t")
+      .select(GraftFunctions.shingle_hashes64(col("t"))).as[Seq[Long]]
+      .collect()(0)
+    assert(got == sh("a b c d e").toSeq)
+  }
 }
