@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      streaming.EventsStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.TextAnalysis.oracleSql ++
-      operators.Multimodal.oracleSql
+      operators.Multimodal.oracleSql ++
+      streaming.EventsStreaming.oracleSql
 }

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the `events` stream shape
+  * (builder mandate; the reference is strictly batch-snapshot — SURVEY
+  * §1.5/§2.6 — so this is extension surface, not parity).
+  *
+  * Both operators are defined source-agnostically (DataFrame in →
+  * DataFrame out) so the same code runs from `readStream` (kafka/files)
+  * or a batch DataFrame: streaming scale-out falls out of partitioning
+  * by key exactly like the batch ops.
+  */
+object EventsStreaming {
+
+  /** Tumbling 5-minute windowed counts/sums per event_type with a
+    * 10-minute watermark — late rows beyond the watermark are dropped,
+    * state is bounded (the 100 TB/day concern: without the watermark,
+    * window state grows forever).
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Sessionization: per-user sessions closed after a 30-minute event-time
+    * gap, via flatMapGroupsWithState (event-time timeout). State per key is
+    * three longs — bounded, partitioned by user_id, scales horizontally.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch-equivalent sessionization (oracle for the streaming path and a
+    * useful operator in its own right): gap-start flags → running session
+    * index per user → per-session aggregate. Two window functions over one
+    * shuffle on user_id.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMs = 30L * 60 * 1000
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            gapMs * 1000).cast("int"))
+      .withColumn("session_idx", sum("new_session")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("session_idx")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** st01: batch sessionization over the events table (driver-checkable
+    * face of the streaming operator pair above).
+    */
+  private val st01Sessionize: Q = (s, d) =>
+    sessionizeBatch(graft.Tables.t(s, d, "events"))
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  val queries: Map[String, Q] = Map("st01_sessionize" -> st01Sessionize)
+
+  val oracleSql: Map[String, String] = Map(
+    "st01_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.{Event, SessionOut}
+
+/** Structured Streaming specs: the streaming windowed agg and the
+  * stateful sessionization must agree with their batch equivalents on
+  * the same rows (MemoryStream drives the micro-batches synchronously).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val rows = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(3), 1, "click", 2.0),
+    Event(3, ts(4), 2, "view", 3.0),
+    Event(4, ts(40), 1, "click", 4.0), // 37-min gap → new session for user 1
+    Event(5, ts(41), 2, "view", 5.0),
+    Event(6, ts(44), 1, "click", 6.0))
+
+  test("streaming windowedAgg matches batch groupBy on the same data") {
+    val input = MemoryStream[Event](spark)
+    input.addData(rows)
+    val q = EventsStreaming.windowedAgg(input.toDF())
+      .writeStream.format("memory").queryName("win")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("win")
+      .select("window_start", "event_type", "cnt", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = EventsStreaming.windowedAgg(rows.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("stateful sessionize agrees with sessionizeBatch after flush") {
+    val input = MemoryStream[Event](spark)
+    input.addData(rows)
+    val q = EventsStreaming.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past every session's timeout so all
+      // open sessions flush (sentinel user 999 is excluded from compare)
+      input.addData(Event(99, ts(600), 999, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(100, ts(1200), 999, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess").as[SessionOut].collect()
+      .filter(_.user_id != 999)
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+      .toSet
+    val want = EventsStreaming.sessionizeBatch(rows.toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got == want)
+    // user 1: two sessions (gap 37 min), user 2: two sessions
+    assert(got.map(_._1).toSeq.sorted == Seq(1L, 2L) ||
+      got.size >= 3)
+  }
+}
