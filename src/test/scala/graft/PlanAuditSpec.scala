@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.RelationalQueries
+
+/** Physical-plan audits (builder mandate: "explain the plan and iterate
+  * until it's the plan you'd want"). These assertions pin the properties
+  * that matter at 100 TB: filters/columns reach the parquet scan, small
+  * dims broadcast instead of shuffling the fact table, aggregates are
+  * partial+final, and the hot path stays in whole-stage codegen.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Plan string after execution so AQE has finalized (a side-channel
+    * write would execute a different QueryExecution — collect on the df
+    * itself is what finalizes ITS adaptive plan). Whole-stage codegen
+    * spans print as "*(n)" prefixes in this form.
+    */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def optimizedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan (q01)") {
+    val plan = optimizedPlan("q01_project_filter")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,100000.0)]"), plan)
+    // column pruning: only the three selected columns are read
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint," +
+      "o_custkey:bigint,o_totalprice:double>"), plan)
+  }
+
+  test("LIKE prefix pushes down as StringStartsWith (q04)") {
+    val plan = optimizedPlan("q04_like")
+    assert(plan.contains("StringStartsWith(p_name,large)"), plan)
+  }
+
+  test("dim side of fact⋈dim broadcasts — no fact shuffle (q07)") {
+    val plan = executedPlan("q07_join_inner")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("3-way star join broadcasts both dims (q34)") {
+    val plan = executedPlan("q34_top_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected 2 broadcast joins:\n$plan")
+  }
+
+  test("aggregate is partial+final hash agg inside codegen (q15)") {
+    val plan = executedPlan("q15_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("*("), plan) // whole-stage codegen span marker
+  }
+
+  test("top-k order+limit plans TakeOrderedAndProject, not global sort (q12)") {
+    val plan = optimizedPlan("q12_order_limit_offset")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("semi-join rewrite for IN subquery (q20)") {
+    val plan = executedPlan("q20_in_subquery")
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("custom hash expressions stay inside whole-stage codegen (tx05)") {
+    val df = SparkEntry.queries("tx05_fingerprint_hash64")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan) // whole-stage codegen span marker
+    // and they are not wrapped in a fallback/interpreted projection
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+}
