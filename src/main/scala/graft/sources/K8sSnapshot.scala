@@ -84,13 +84,27 @@ object K8sSnapshot {
   /** Load all four tables and register temp views — the equivalent of
     * create_tables + load + .data assignment (ksql.js:249-265). Returns
     * the table map for direct DataFrame use.
+    *
+    * Default path goes through the DataSource V2 connector
+    * (graft.sources.v2.K8sSnapshotSource) so column pruning reaches the
+    * JSON→row conversion; the `from_json`-based readers above remain as
+    * the independent implementation the DSv2 spec cross-checks against.
     */
-  def load(spark: SparkSession, dir: String): Map[String, DataFrame] = {
-    val p = pods(spark, s"$dir/pods.json")
+  def load(spark: SparkSession, dir: String,
+      useV2: Boolean = true): Map[String, DataFrame] = {
+    def read(kind: String): DataFrame =
+      if (useV2) spark.read.format("k8s-snapshot").option("kind", kind)
+        .load(s"$dir/$kind.json")
+      else kind match {
+        case "pods" => pods(spark, s"$dir/pods.json")
+        case "nodes" => nodes(spark, s"$dir/nodes.json")
+        case "services" => services(spark, s"$dir/services.json")
+      }
+    val p = read("pods")
     val all = Map(
       "pods" -> p,
-      "nodes" -> nodes(spark, s"$dir/nodes.json"),
-      "services" -> services(spark, s"$dir/services.json"),
+      "nodes" -> read("nodes"),
+      "services" -> read("services"),
       "containers" -> containers(p))
     all.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     all
