@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
+      operators.Skew.queries ++
       streaming.EventsStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.Similarity.oracleSql ++
       operators.TextAnalysis.oracleSql ++
       operators.Multimodal.oracleSql ++
+      operators.Skew.oracleSql ++
       streaming.EventsStreaming.oracleSql
 }

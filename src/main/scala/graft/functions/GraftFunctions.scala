@@ -112,6 +112,39 @@ object GraftHashes {
   def minhashSigData(s: UTF8String, k: Int, seedBase: Long): ArrayData =
     new GenericArrayData(minhashSig(s, k, seedBase))
 
+  /** Deterministic random hyperplanes for sign-LSH: 32 planes × 64 dims,
+    * derived from a fixed splitmix stream, mapped to [-1, 1). Held as a
+    * JVM constant — an expression-tree encoding of the same planes (32
+    * aggregate/zip_with subtrees + a 2048-double literal) blows past
+    * JIT/codegen method limits and falls back to interpreted eval
+    * (measured 19 s vs <1 s at sf0.1).
+    */
+  val LSH_PLANES = 32
+  val LSH_DIMS = 64
+  lazy val lshPlanes: Array[Array[Double]] =
+    Array.tabulate(LSH_PLANES, LSH_DIMS) { (p, d) =>
+      (mix64(p.toLong * 131071L + d) >>> 11).toDouble /
+        (1L << 52).toDouble * 2.0 - 1.0
+    }
+
+  /** 32-bit packed sign-LSH signature of a float-array embedding: one
+    * pass, 32×dims multiply-adds, no allocation.
+    */
+  def signLsh32(arr: ArrayData): Long = {
+    val n = math.min(arr.numElements(), LSH_DIMS)
+    var sig = 0L
+    var p = 0
+    while (p < LSH_PLANES) {
+      val plane = lshPlanes(p)
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += arr.getFloat(d) * plane(d); d += 1 }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash over whitespace-delimited tokens: each token votes its
     * hash bits +1/-1; the sign vector is the fingerprint. Near-duplicate
     * docs land within small Hamming distance. Single pass over the bytes,
@@ -219,6 +252,19 @@ case class MinHashSig(child: Expression, k: Int, seedBase: Long)
       : Expression = copy(child = newChild)
 }
 
+/** 32-bit sign-LSH signature of an array<float> embedding column. */
+case class SignLsh32(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "sign_lsh32"
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashes.signLsh32(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHashes.signLsh32($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration for the custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.GraftShim
@@ -229,6 +275,8 @@ object GraftFunctions {
     GraftShim.column(SimHash64(GraftShim.expression(c)))
   def shingle_hashes64(c: Column): Column =
     GraftShim.column(ShingleHashes64(GraftShim.expression(c)))
+  def sign_lsh32(c: Column): Column =
+    GraftShim.column(SignLsh32(GraftShim.expression(c)))
   def minhash_sig(c: Column, k: Int, seedBase: Long = 0L): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(c), k, seedBase))
 

@@ -167,16 +167,29 @@ object Dedup {
     */
   private val dd07EmbeddingNearDup: Q = (s, d) => {
     val base = t(s, d, "embeddings").select("vec_id", "embedding")
+    // re-ingested copy with deterministic ~0.1% noise per dimension — a
+    // realistic near-duplicate (cosine ≈ 0.9999), not a bitwise clone
     val dup = base.select((col("vec_id") + COPY_OFFSET).as("vec_id"),
-      col("embedding"))
+      expr("""transform(embedding, (x, i) ->
+             |  CAST(x + 0.001 * ((pmod(hash(vec_id, i), 1000) / 500.0) - 1.0)
+             |       AS FLOAT))""".stripMargin).as("embedding"))
     val all = base.unionAll(dup)
       .withColumn("norm", sqrt(expr(
         "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
       .withColumn("bucket", Similarity.signBucket(col("embedding")))
-    // Bucket join on ids only; embeddings rejoin for the cosine verify.
-    val pairs = all.select(col("bucket"), col("vec_id").as("id_a"))
-      .join(all.select(col("bucket"), col("vec_id").as("id_b")),
-        Seq("bucket"))
+    // OR-amplified banding over the 32-bit signature (4 bands × 8 bits):
+    // near-dups with a few flipped sign bits still collide on some band —
+    // exact-signature equality would silently drop them — while 256-way
+    // buckets keep candidate counts sub-quadratic at scale.
+    val banded = all.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 3), b -> named_struct('band', b, 'nib', (bucket div shiftleft(1, 8*b)) % 256))")))
+      .select(col("vec_id"), col("col.band").as("band"),
+        col("col.nib").as("nib"))
+    // Band join on ids only; embeddings rejoin for the cosine verify.
+    val pairs = banded.select(col("band"), col("nib"),
+        col("vec_id").as("id_a"))
+      .join(banded.select(col("band"), col("nib"),
+        col("vec_id").as("id_b")), Seq("band", "nib"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val vecs = all.select("vec_id", "embedding", "norm")

@@ -30,30 +30,14 @@ object Similarity {
     sqrt(aggregate(c, lit(0.0), (acc, x) =>
       acc + x.cast("double") * x.cast("double")))
 
-  /** Deterministic random hyperplanes: NB_PLANES × dims weights derived
-    * from a fixed-seed splitmix stream (graft.functions.GraftHashes.mix64),
-    * materialized as a literal so every executor sees the same planes with
-    * zero shuffle/broadcast cost.
-    */
-  val NB_PLANES = 16
-  val DIMS = 64
-  private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(NB_PLANES, DIMS) { (p, d) =>
-      val h = graft.functions.GraftHashes.mix64(p.toLong * 131071L + d)
-      // map to [-1, 1)
-      (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-    }
-
-  /** 16-bit sign-LSH bucket of an embedding column: bit p = sign of the
-    * projection onto plane p; the bucket is the packed bit vector. All
-    * plain array expressions — codegen'd, zero shuffle.
+  /** 32-bit sign-LSH signature of an embedding column — the custom
+    * single-pass codegen expression (graft.functions.SignLsh32): the
+    * deterministic hyperplanes live as a JVM constant, one multiply-add
+    * loop per row, zero shuffle. Consumers band the packed bits (4×8)
+    * for OR-amplified candidate generation.
     */
   def signBucket(emb: Column): Column =
-    (0 until NB_PLANES).map { p =>
-      when(aggregate(zip_with(emb, typedLit(planes(p).toSeq), (x, w) =>
-        x.cast("double") * w), lit(0.0), (acc, v) => acc + v) >= 0,
-        lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.GraftFunctions.sign_lsh32(emb)
 
   val queries: Map[String, Q] = Map(
     "ss01_topk_bruteforce" -> ((s, d) => topkBrute(s, d)),
@@ -83,7 +67,7 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** ss02: sign-LSH bucketed ANN — 2 bands × 8 bits (256 buckets per
+  /** ss02: sign-LSH bucketed ANN — 4 bands × 8 bits (256 buckets per
     * band), OR-amplified: a corpus vector is a candidate if ANY band
     * matches the query's band. One shuffle on (band, value); exact
     * cosine rerank of candidates. Band width trades recall vs candidate
@@ -92,21 +76,13 @@ object Similarity {
     */
   def topkLsh(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val planeLit = typedLit(planes.map(_.toSeq).toSeq)
     val sigged = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
-      .withColumn("planes", planeLit)
-      .withColumn("bits", expr(
-        s"""transform(sequence(0, ${NB_PLANES - 1}), p ->
-           |  CASE WHEN aggregate(zip_with(embedding, planes[p],
-           |      (x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v) >= 0
-           |  THEN 1 ELSE 0 END)""".stripMargin))
+      .withColumn("sig", signBucket(col("embedding")))
       .withColumn("bands", expr(
-        """transform(sequence(0, 1), b -> aggregate(sequence(0, 7),
-          |  0, (acc, i) -> acc + shiftleft(bits[8*b + i], i)))"""
-          .stripMargin))
-      .drop("planes", "bits")
+        "transform(sequence(0, 3), b -> (sig div shiftleft(1, 8*b)) % 256)"))
+      .drop("sig")
     // Candidate generation shuffles only (band, bval, id) — embeddings
     // rejoin after pair dedup (wide payload off the hot shuffle; at 100 TB
     // the id-pair distinct is the only corpus-sized exchange).

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Independent in-JVM verification of the similarity/near-dup operators —
+  * a plain-Scala brute force over the collected (small) sf0.001 corpus is
+  * the oracle, avoiding cross-engine float-rounding hazards that make a
+  * DuckDB hash-compare flaky for cosine scores.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val vecs: Map[Long, Array[Float]] =
+    Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  test("ss01 brute-force top-5 matches an independent in-JVM brute force") {
+    val got = Similarity.topkBrute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val want = (0L until 10L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, i + 1, id) }
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.length == 50)
+  }
+
+  test("ss02 LSH candidates are a subset with exact cosines, ranked") {
+    val rows = Similarity.topkLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, n, c) =>
+      val exact = BigDecimal(cosine(vecs(q), vecs(n)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(exact - c) <= 1e-9, s"query $q neighbor $n")
+    }
+    // ranks are 1..k contiguous per query
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq, s"query $q")
+    }
+  }
+
+  test("dd07 finds every perturbed re-ingest pair with cosine ≥ 0.99") {
+    val pairs = Dedup.queries("dd07_embedding_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every original must pair with its noisy copy (offset 10^7)
+    val expected = vecs.keys.map(id => (id, id + 10000000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing ${(expected -- pairs).take(5)}")
+  }
+}

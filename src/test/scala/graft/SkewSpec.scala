@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Salted join must be row-identical to the plain join; sketch aggregates
+  * must be within their documented error bounds of exact values.
+  */
+class SkewSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join result is identical to the plain join") {
+    val fact = Tables.t(spark, sf, "orders")
+    val dim = Tables.t(spark, sf, "customer")
+    val salted = Skew.saltedJoin(fact, dim, "o_custkey", "c_custkey", 8)
+      .select("o_orderkey", "c_custkey", "c_nationkey")
+      .collect().map(_.toSeq).toSet
+    val plain = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_nationkey")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("sketches land within error bounds of exact answers") {
+    val got = Skew.queries("q38_sketches")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (flag, e) =>
+      val g = got(flag)
+      val relErr = math.abs(g.getLong(1).toDouble - e.getLong(1)) /
+        e.getLong(1)
+      assert(relErr < 0.1, s"$flag approx_count_distinct off by $relErr")
+      val p50Err = math.abs(g.getDouble(3) - e.getDouble(2)) /
+        e.getDouble(2)
+      assert(p50Err < 0.05, s"$flag p50 off by $p50Err")
+    }
+  }
+}
