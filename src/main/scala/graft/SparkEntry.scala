@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       operators.Skew.queries ++
+      operators.JoinOps.queries ++
       streaming.EventsStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.TextAnalysis.oracleSql ++
       operators.Multimodal.oracleSql ++
       operators.Skew.oracleSql ++
+      operators.JoinOps.oracleSql ++
       streaming.EventsStreaming.oracleSql
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Join operators Spark has no single built-in for (builder preference
+  * order (a): compose existing ops — SURVEY §7.3): as-of join and range
+  * join. Both oracle-checked (DuckDB has native ASOF JOIN; the range
+  * join is plain theta-join SQL).
+  */
+object JoinOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** As-of join, composed the scalable way: union the two sides with a
+    * marker, ONE shuffle on (user_id), sort by event time within the
+    * partition, carry the most recent right-side row forward with
+    * last(ignoreNulls) over an unbounded-preceding frame, keep left rows.
+    * No per-row lookups, no broadcast of the big side, no O(n²) —
+    * exactly the plan an ASOF JOIN physical operator would produce
+    * (sort-merge on key+time), expressed with stock operators.
+    *
+    * Semantics: each left row pairs with the latest right row whose
+    * ts <= left.ts (inclusive), per user — DuckDB `ASOF LEFT JOIN` with
+    * `ON left.user_id = right.user_id AND left.ts >= right.ts`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      time: String, rightCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+    val r = right.withColumn("_side", lit(0))
+    val unioned = l.select((key +: time +: "_side" +:
+        left.columns.filterNot(c => c == key || c == time).toSeq)
+        .map(col): _*)
+      .unionByName(
+        r.select((key +: time +: "_side" +: rightCols).map(col): _*),
+        allowMissingColumns = true)
+    // right rows sort before left rows at equal ts so `>=` is inclusive
+    val w = Window.partitionBy(key).orderBy(col(time), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .drop("_side" +: rightCols: _*)
+  }
+
+  /** q39: each purchase event joined to the user's most recent preceding
+    * click (inclusive). Oracle = DuckDB's native ASOF LEFT JOIN.
+    */
+  private val q39Asof: Q = (s, d) => {
+    val events = t(s, d, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    asofJoin(purchases, clicks, "user_id", "ts",
+      Seq("click_id", "click_value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_click_id").as("click_id"),
+        round(col("asof_click_value"), 2).as("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** q40: range join — parts bucketed into price bands via an interval
+    * predicate against a tiny literal band table. Spark plans a
+    * broadcast-nested-loop with the band side broadcast: at 100 TB the
+    * fact side streams once, no shuffle.
+    */
+  private val q40Range: Q = (s, d) => {
+    val bands = s.createDataFrame(Seq(
+      ("budget", 0.0, 500.0), ("mid", 500.0, 1200.0),
+      ("premium", 1200.0, 2000.0), ("luxury", 2000.0, 1e9)))
+      .toDF("band", "lo", "hi")
+    t(s, d, "part")
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg("p_retailprice"), 2).as("avg_price"))
+      .orderBy("band")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q39_asof_join" -> q39Asof,
+    "q40_range_join" -> q40Range,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q39_asof_join" ->
+      """SELECT p.event_id, p.user_id, c.click_id, round(c.click_value, 2) AS click_value
+        |FROM (SELECT user_id, ts, event_id, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id,
+        |                       value AS click_value FROM events
+        |                WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q40_range_join" ->
+      """SELECT band, count(*) AS cnt, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part
+        |JOIN (VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0),
+        |             ('premium', 1200.0, 2000.0), ('luxury', 2000.0, 1e9))
+        |     AS bands(band, lo, hi)
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+  )
+}
