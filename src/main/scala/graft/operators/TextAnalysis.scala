@@ -106,6 +106,35 @@ object TextAnalysis {
           .as("n_subwords_est"))
       .orderBy("doc_id")
 
+
+  /** tx07: corpus-level MinHash signature per source + pairwise source
+    * similarity estimate. The per-group signature is a lane-wise MIN
+    * aggregation of per-doc signatures — composition of stock min()
+    * aggregates over the custom per-row MinHashSig expression (builder
+    * preference (a): compose before customizing). The lane-agreement
+    * fraction between two group signatures estimates the Jaccard
+    * similarity of their shingle sets — a fixed-size mergeable sketch,
+    * so the shuffle carries 16 longs per group regardless of corpus size.
+    */
+  private val tx07SourceSignature: Q = (s, d) => {
+    val k = 16
+    val sigs = t(s, d, "documents")
+      .withColumn("sig", GraftFunctions.minhash_sig(col("text"), k))
+      .groupBy("source")
+      .agg(min(col("sig")(0)).as("m0"),
+        (1 until k).map(i => min(col("sig")(i)).as(s"m$i")): _*)
+      .withColumn("sig", array((0 until k).map(i => col(s"m$i")): _*))
+      .select("source", "sig")
+    val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("est_jaccard", round(
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .cast("double") / k, 4))
+      .select("source_a", "source_b", "est_jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "tx01_token_count" -> tx01Tokens,
     "tx02_quality_score" -> tx02Quality,
@@ -113,6 +142,7 @@ object TextAnalysis {
     "tx04_fingerprint_md5" -> tx04FingerprintMd5,
     "tx05_fingerprint_hash64" -> tx05FingerprintRolling,
     "tx06_token_estimate" -> tx06TokenEstimate,
+    "tx07_source_signature" -> tx07SourceSignature,
   )
 
   val oracleSql: Map[String, String] = Map(
