@@ -43,15 +43,28 @@ object Ksql {
   }
 
   /** REPL loop (ksql.js:156-188): print ASCII table, `[]` on empty,
-    * errors to stdout, prompt `> `.
+    * errors to stdout, prompt `> `, history capped at 100 lines in
+    * /tmp/graft-ksql-history (ksql.js:269-272 parity).
     */
   def repl(spark: SparkSession): Unit = {
+    val histFile = java.nio.file.Paths.get("/tmp/graft-ksql-history")
+    var history: List[String] =
+      if (java.nio.file.Files.exists(histFile))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(histFile)).asScala.toList
+      else Nil
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(System.in))
     print("> "); Console.flush()
     var line = in.readLine()
     while (line != null) {
       handleLine(spark, line)
+      if (line.trim.nonEmpty) {
+        history = (history :+ line).takeRight(100)
+        try java.nio.file.Files.write(histFile,
+          scala.jdk.CollectionConverters.SeqHasAsJava(history).asJava)
+        catch { case _: java.io.IOException => () }
+      }
       print("> "); Console.flush()
       line = in.readLine()
     }
