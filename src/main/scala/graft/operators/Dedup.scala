@@ -91,14 +91,19 @@ object Dedup {
       .withColumn("shingles",
         GraftFunctions.shingle_hashes64(col("text")))
       .select("doc_id", "shingles")
-    // Banding: 16 lanes → 4 bands × 4 rows; only (band, band_hash, doc_id)
-    // is shuffled — shingle arrays stay out of the candidate join (they
-    // re-enter via two key joins after pair dedup; at 100 TB this keeps
-    // the wide payload off the hot shuffle).
+    // Banding: 64 lanes → 16 bands × 4 rows. The LSH S-curve threshold is
+    // (1/b)^(1/r) = (1/16)^(1/4) = 0.5 — centered exactly on the verify
+    // threshold below, so pairs well above it are recovered with
+    // probability ~1 (4×4 banding centers at 0.71 and probabilistically
+    // drops pairs near 0.9 — observed in DedupSpec before the retune).
+    // Only (band, band_hash, doc_id) is shuffled — shingle arrays stay
+    // out of the candidate join and re-enter via two key joins after
+    // pair dedup; at 100 TB this keeps the wide payload off the hot
+    // shuffle.
     val banded = recrawl(s, d)
-      .withColumn("sig", GraftFunctions.minhash_sig(col("text"), 16))
+      .withColumn("sig", GraftFunctions.minhash_sig(col("text"), 64))
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 3), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))")))
+        "transform(sequence(0, 15), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val pairs = banded.select(col("band"), col("band_hash"),

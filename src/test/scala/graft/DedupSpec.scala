@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Recall/correctness specs for the rows-only dedup operators: every
+  * planted near-duplicate (the re-crawl mutation) must be recovered.
+  */
+class DedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val OFFSET = 10000000L
+
+  /** True set-Jaccard of each planted pair, computed in plain JVM from
+    * the same shingle-hash kernel the operator uses (3-gram sets can
+    * contain repeats — a closed-form (n-3)/(n-2) over-estimates).
+    */
+  private lazy val plantedJaccard: Map[(Long, Long), Double] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.GraftHashes
+    Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map { r =>
+        val text = r.getString(1)
+        val mutated =
+          if (text.contains(' ')) text.substring(text.indexOf(' ') + 1)
+          else text
+        val a = GraftHashes.shingleHashes64(
+          UTF8String.fromString(text)).toSet
+        val b = GraftHashes.shingleHashes64(
+          UTF8String.fromString(mutated)).toSet
+        (r.getLong(0), r.getLong(0) + OFFSET) ->
+          a.intersect(b).size.toDouble / a.union(b).size
+      }.toMap
+  }
+
+  private def plantedAbove(threshold: Double): Set[(Long, Long)] =
+    plantedJaccard.filter(_._2 >= threshold).keySet
+
+  test("dd04 MinHash-LSH recovers every planted pair well above threshold") {
+    val got = Dedup.queries("dd04_minhash_lsh_pairs")(spark, sf)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // j ≥ 0.9 with 16 bands × 4 rows: per-pair miss probability ≈ 5e-8 —
+    // recovery is effectively deterministic (near the 0.5 S-curve center
+    // LSH recall is inherently probabilistic, so don't assert there)
+    val expected = plantedAbove(0.9)
+    assert(expected.nonEmpty)
+    val missed = expected -- got
+    assert(missed.isEmpty, s"missed ${missed.size} pairs, e.g. ${missed.take(3)}")
+  }
+
+  test("dd06 ngram-Jaccard recovers every planted pair above threshold") {
+    val got = Dedup.queries("dd06_ngram_jaccard_pairs")(spark, sf)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = plantedAbove(0.6)
+    assert(expected.nonEmpty)
+    val missed = expected -- got
+    assert(missed.isEmpty, s"missed ${missed.size} pairs, e.g. ${missed.take(3)}")
+  }
+
+  test("dd04 reported jaccard values are exact for planted pairs") {
+    val rows = Dedup.queries("dd04_minhash_lsh_pairs")(spark, sf)
+      .filter(col("doc_b") === col("doc_a") + OFFSET)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, j) =>
+      val expect = BigDecimal(plantedJaccard((id, id + OFFSET)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(j - expect) <= 1e-9, s"doc $id got $j want $expect")
+    }
+  }
+
+  test("dd02 exact-hash dedup counts single-token docs as exact copies") {
+    val df = Dedup.queries("dd02_dedup_exact_hash")(spark, sf)
+    val withCopies = df.filter(col("n_copies") >= 2).count()
+    val total = df.count()
+    // corpus has 500 docs + 500 mutated copies; docs whose mutation is
+    // identical (single-token texts) merge, everything else stays distinct
+    assert(total + withCopies == 1000)
+  }
+}
