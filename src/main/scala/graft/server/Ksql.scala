@@ -17,8 +17,9 @@ import graft.sources.K8sSnapshot
   */
 object Ksql {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse(
-      sys.error("usage: Ksql <fixtureDir> [www] [port]"))
+    // a directory → fixture snapshot; a kubeconfig file → live API fetch
+    val dir = graft.sources.K8sApi.resolveSnapshotDir(args.headOption
+      .getOrElse(sys.error("usage: Ksql <fixtureDir|kubeconfig> [www] [port]")))
     val www = args.contains("www")
     val port = args.drop(1).filter(_.forall(_.isDigit))
       .headOption.map(_.toInt).getOrElse(8090)
