@@ -42,6 +42,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "ss01_topk_bruteforce" -> ((s, d) => topkBrute(s, d)),
     "ss02_topk_lsh" -> ((s, d) => topkLsh(s, d)),
+    "ss03_topk_ivf" -> ((s, d) => topkIvf(s, d)),
   )
 
   /** ss01: exact cosine top-5 neighbors for the first 10 vectors. */
@@ -105,6 +106,48 @@ object Similarity {
       .join(broadcast(vecs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("norm").as("q_norm"))), Seq("query_id"))
+      .withColumn("cosine_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** ss03: IVF-style ANN. Coarse quantizer = 16 deterministically sampled
+    * corpus vectors (a real pipeline trains k-means — spark.ml KMeans —
+    * and persists centroids; the sampling keeps this zero-dependency and
+    * deterministic). Corpus vectors are assigned to their nearest
+    * centroid (one inverted list per centroid = ONE shuffle key);
+    * queries probe their 2 nearest lists; candidates rerank by exact
+    * cosine. The centroid matrix is collected once on the driver (16×64
+    * floats) and rides into codegen via the NearestCentroids expression.
+    */
+  def topkIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.NearestCentroids
+    import org.apache.spark.sql.graftshim.GraftShim
+    val corpus = t(s, d, "embeddings").select("vec_id", "embedding")
+    val centroids: Array[Array[Float]] = corpus
+      .filter(col("vec_id") % 97 === 0).orderBy("vec_id").limit(16)
+      .collect().map(_.getSeq[Float](1).toArray)
+    def nearest(c: Column, probes: Int): Column =
+      GraftShim.column(NearestCentroids(GraftShim.expression(c),
+        centroids, probes))
+
+    val assigned = corpus
+      .withColumn("norm", l2norm(col("embedding")))
+      .withColumn("cluster", nearest(col("embedding"), 1)(0))
+    val probed = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"),
+        explode(nearest(col("embedding"), 2)).as("cluster"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
+    assigned.join(probed, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
       .withColumn("cosine_raw",
         dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
       .withColumn("rank", row_number().over(w))

@@ -65,4 +65,19 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.subsetOf(pairs),
       s"missing ${(expected -- pairs).take(5)}")
   }
+
+  test("ss03 IVF candidates carry exact cosines, contiguous ranks, non-empty") {
+    val rows = Similarity.topkIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, n, c) =>
+      val exact = BigDecimal(cosine(vecs(q), vecs(n)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(exact - c) <= 1e-9, s"query $q neighbor $n")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq, s"query $q")
+    }
+  }
 }
