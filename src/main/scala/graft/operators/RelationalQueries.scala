@@ -360,6 +360,33 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
       .orderBy("day", "hr", "event_type")
 
+
+  /** Beyond AlaSQL: PIVOT — per-status counts by priority as columns.
+    * Spark's .pivot plans a single hash aggregate; the oracle mirrors it
+    * with portable CASE aggregation.
+    */
+  private val q41Pivot: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("1-URGENT" -> "p1", "2-HIGH" -> "p2",
+        "3-MEDIUM" -> "p3", "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+      .orderBy("o_orderstatus")
+
+  /** UNNEST/LATERAL analogue: explode document tokens, count per token.
+    * posexplode is the same Generator the reference's hard-coded flatten
+    * maps to (SURVEY §2.2 T1).
+    */
+  private val q42Unnest: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(50)
+
   val queries: Map[String, Q] = Map(
     "q01_project_filter" -> q01Project,
     "q02_count_star" -> q02CountStar,
@@ -396,9 +423,24 @@ object RelationalQueries {
     "q33_date_funcs" -> q33DateFuncs,
     "q34_top_revenue" -> q34TopRevenue,
     "q35_tumbling_window" -> q35TumblingWindow,
+    "q41_pivot" -> q41Pivot,
+    "q42_explode_unnest" -> q42Unnest,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q41_pivot" ->
+      """SELECT o_orderstatus,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
+        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
+        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
+        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
+        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q42_explode_unnest" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
     "q01_project_filter" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice > 100000 ORDER BY o_orderkey""".stripMargin,
