@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers (no reference counterpart; pure scale tooling).
+  *
+  * At 100 TB the dominant cost of a fact⋈fact equi-join is shuffling both
+  * sides. Writing the tables bucketed by the join key (same bucket count
+  * both sides) lets Spark plan a sort-merge join with ZERO Exchange — the
+  * co-location is established once at write time and reused by every
+  * subsequent join/aggregation on that key. `BucketingSpec` proves the
+  * Exchange disappears from the physical plan.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table (overwriting). Bucketed
+    * layout requires the table catalog — a path-only parquet write
+    * cannot carry bucket metadata.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket key — planner emits
+    * no shuffle on either side.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, leftKey: String, rightKey: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.table(leftTable)
+      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+  }
+}
