@@ -190,13 +190,14 @@ abstract class HashExpr extends UnaryExpression {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a string argument")
   }
-  protected def kernel: String // static method name on GraftHashes
+  /** Static method name on GraftHashes; interpreted eval and generated
+    * code both dispatch to it.
+    */
+  protected def kernel: String
+  protected def evalKernel(s: UTF8String): Long
 
-  override protected def nullSafeEval(input: Any): Any = input match {
-    case s: UTF8String =>
-      if (kernel == "rollingHash64") GraftHashes.rollingHash64(s)
-      else GraftHashes.simhash64(s)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    evalKernel(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
@@ -209,6 +210,8 @@ abstract class HashExpr extends UnaryExpression {
 case class RollingHash64(child: Expression) extends HashExpr {
   override def prettyName: String = "rolling_hash64"
   override protected def kernel: String = "rollingHash64"
+  override protected def evalKernel(s: UTF8String): Long =
+    GraftHashes.rollingHash64(s)
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 }
@@ -217,6 +220,8 @@ case class RollingHash64(child: Expression) extends HashExpr {
 case class SimHash64(child: Expression) extends HashExpr {
   override def prettyName: String = "simhash64"
   override protected def kernel: String = "simhash64"
+  override protected def evalKernel(s: UTF8String): Long =
+    GraftHashes.simhash64(s)
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 }
