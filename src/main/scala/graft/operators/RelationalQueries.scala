@@ -302,7 +302,8 @@ object RelationalQueries {
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
     t(s, d, "customer")
-      .withColumn("rn", row_number().over(w))
+      // bigint: DuckDB's row_number() returns int64, Spark's int32
+      .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 3)
       .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
       .orderBy("c_nationkey", "rn")
@@ -430,11 +431,11 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q41_pivot" ->
       """SELECT o_orderstatus,
-        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
-        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
-        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
-        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
-        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q42_explode_unnest" ->
       """SELECT token, count(*) AS cnt
@@ -457,8 +458,8 @@ object RelationalQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q06_truthiness_not" ->
       """SELECT
-        |  sum(CASE WHEN coalesce(c_mktsegment, '') = '' THEN 1 ELSE 0 END) AS n_falsy,
-        |  sum(CASE WHEN coalesce(c_mktsegment, '') <> '' THEN 1 ELSE 0 END) AS n_truthy
+        |  CAST(sum(CASE WHEN coalesce(c_mktsegment, '') = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_falsy,
+        |  CAST(sum(CASE WHEN coalesce(c_mktsegment, '') <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_truthy
         |FROM customer""".stripMargin,
     "q07_join_inner" ->
       """SELECT c_nationkey, count(*) AS n_orders,

@@ -29,6 +29,13 @@ for name in sorted(oracle):
         fails.append((name, f"cols oracle={sorted(ora.columns)} got={sorted(got.columns)}")); continue
     if len(ora) != len(got):
         fails.append((name, f"rows oracle={len(ora)} got={len(got)}")); continue
+    # dtype drift (e.g. DuckDB HUGEINT->float64 vs Spark int64) passes a
+    # lenient == but may fail a strict driver hash — surface it loudly
+    for c in sorted(ora.columns):
+        do, dg = str(ora[c].dtype), str(got[c].dtype)
+        if do != dg:
+            fails.append((name, f"dtype col {c}: oracle={do} got={dg}")); break
+    if fails and fails[-1][0] == name: continue
     o, g = norm(ora), norm(got)
     bad = None
     for c in o.columns:
