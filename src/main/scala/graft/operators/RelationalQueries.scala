@@ -63,7 +63,9 @@ object RelationalQueries {
       .filter((col("l_returnflag") === "R" && col("l_discount") > 0.05) ||
         col("l_tax") < 0.01)
       .select("l_orderkey", "l_linenumber", "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (orderkey, linenumber) is NOT unique in the synthetic data —
+      // order by every output column so ties are full-row duplicates
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
 
   /** Q6 (README.md:34): truthiness NOT — `not x` over a nullable field maps
     * to coalesce(x,'')='' (SURVEY §2.4 Q6 translation; JS falsiness, not SQL
@@ -122,7 +124,7 @@ object RelationalQueries {
       .filter(col("l_quantity").between(10, 20) &&
         col("l_returnflag").isin("A", "R"))
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
   /** §2.5: ORDER BY / LIMIT / OFFSET (top-k: Spark plans TakeOrderedAndProject
     * — no global sort materialization).
@@ -455,7 +457,7 @@ object RelationalQueries {
     "q05_and_or" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
         |WHERE (l_returnflag = 'R' AND l_discount > 0.05) OR l_tax < 0.01
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
     "q06_truthiness_not" ->
       """SELECT
         |  CAST(sum(CASE WHEN coalesce(c_mktsegment, '') = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_falsy,
@@ -482,7 +484,7 @@ object RelationalQueries {
     "q11_between_in" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q12_order_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 10""".stripMargin,

@@ -50,8 +50,20 @@ for name in sorted(oracle):
             if not eq:
                 bad = f"col {c} row {i}: oracle={a!r} got={b!r}"; break
         if bad: break
-    if bad: fails.append((name, bad))
-    else: passes += 1
+    if bad: fails.append((name, bad)); continue
+    # order-sensitive pass: emulate a driver that does NOT sort rows —
+    # our total ORDER BY must reproduce DuckDB's row order exactly
+    o2 = ora.reindex(sorted(ora.columns), axis=1).reset_index(drop=True)
+    g2 = got.reindex(sorted(got.columns), axis=1).reset_index(drop=True)
+    order_ok = True
+    for c in o2.columns:
+        for i, (a, b) in enumerate(zip(o2[c].tolist(), g2[c].tolist())):
+            eq = (a == b) or (pd.isna(a) and pd.isna(b))
+            if not eq:
+                fails.append((name, f"ROW-ORDER col {c} row {i}: oracle={a!r} got={b!r}"))
+                order_ok = False; break
+        if not order_ok: break
+    if order_ok: passes += 1
 
 # rows-only for non-oracle queries
 rows_only = []
