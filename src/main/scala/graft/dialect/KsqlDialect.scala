@@ -74,6 +74,9 @@ object KsqlDialect {
   private val Arrow = "\\s*->\\s*".r
   private val UsingBare =
     "(?i)\\busing\\s+(?!\\()([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)".r
+  // `SELECT TOP n cols...` (AlaSQL/T-SQL form, SURVEY §2.5) — captured
+  // per SELECT keyword; rewritten to a trailing LIMIT on that statement.
+  private val SelectTop = "(?i)\\bselect\\s+top\\s+(\\d+)\\s".r
 
   def rewrite(query: String): String = {
     val (masked0, lits) = mask(query)
@@ -83,7 +86,15 @@ object KsqlDialect {
     // 2. bare `USING uid` (AlaSQL form, README.md:30) → `USING (uid)`
     //    (Spark's parser requires the parenthesized column list)
     m = UsingBare.replaceAllIn(m, g => s"USING (${g.group(1)})")
-    // 3. truthiness NOT — scan token-wise
+    // 3. SELECT TOP n → SELECT ... LIMIT n (simple statements: one TOP,
+    //    no pre-existing LIMIT)
+    SelectTop.findFirstMatchIn(m).foreach { mt =>
+      if (!m.toLowerCase.contains(" limit ")) {
+        m = m.substring(0, mt.start) + "select " +
+          m.substring(mt.end) + s" LIMIT ${mt.group(1)}"
+      }
+    }
+    // 4. truthiness NOT — scan token-wise
     m = rewriteTruthinessNot(m)
     unmask(m, lits)
   }

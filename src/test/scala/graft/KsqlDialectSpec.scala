@@ -70,4 +70,15 @@ class KsqlDialectSpec extends SparkSpec {
       "(coalesce(cast(pods.metadata.annotations.email as string), '') = '')"))
     assert(out.contains("like 'mysql%'"))
   }
+
+  test("SELECT TOP n becomes LIMIT n") {
+    assert(rewrite("select top 5 name from pods order by name") ==
+      "select name from pods order by name LIMIT 5")
+  }
+
+  test("TOP with existing LIMIT untouched; 'top' as identifier untouched") {
+    assert(rewrite("select top 5 x from t limit 3") ==
+      "select top 5 x from t limit 3")
+    assert(rewrite("select top_n, top from t") == "select top_n, top from t")
+  }
 }
