@@ -91,6 +91,7 @@ object Dedup {
       .withColumn("shingles",
         GraftFunctions.shingle_hashes64(col("text")))
       .select("doc_id", "shingles")
+      .persist() // reused by both verify joins
     // Banding: 64 lanes → 16 bands × 4 rows. The LSH S-curve threshold is
     // (1/b)^(1/r) = (1/16)^(1/4) = 0.5 — centered exactly on the verify
     // threshold below, so pairs well above it are recovered with
@@ -106,6 +107,7 @@ object Dedup {
         "transform(sequence(0, 15), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+      .persist() // both sides of the candidate self-join
     val pairs = banded.select(col("band"), col("band_hash"),
         col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("band_hash"),
@@ -142,19 +144,27 @@ object Dedup {
       .orderBy("doc_id")
 
   /** dd06: n-gram Jaccard near-dup with single-minhash blocking: block key
-    * = min shingle hash under two seeds (k=1 minhash, OR-amplified ×2).
+    * = min shingle hash under four seeds (k=1 minhash, OR-amplified ×4).
     * Docs sharing most shingles almost surely share a min — high-recall,
     * and bucket sizes stay bounded by shingle popularity rather than
     * O(corpus). Exact 3-gram Jaccard ≥ 0.6 verifies candidates.
     */
   private val dd06NgramJaccard: Q = (s, d) => {
+    // shingle-hash table feeds blocking + both verify joins → materialize
+    // once (longs only — the text never leaves the first projection)
     val shingled = recrawl(s, d)
       .withColumn("shingles",
         GraftFunctions.shingle_hashes64(col("text")))
       .select("doc_id", "shingles")
-    val blocked = recrawl(s, d)
-      .select(col("doc_id"), posexplode(
-        GraftFunctions.minhash_sig(col("text"), 2, seedBase = 7777L)))
+      .persist()
+    // 4 blocking lanes: a near-dup is missed only if EVERY lane's min
+    // shingle fell in the mutated region — P ≈ (2/n)^4, negligible
+    // (2 lanes measurably missed one planted pair in DedupSpec)
+    val blocked = shingled
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 3),
+          |  k -> array_min(transform(shingles, h -> xxhash64(h, k))))"""
+          .stripMargin)))
       .withColumnRenamed("pos", "seed")
       .withColumnRenamed("col", "block")
     val pairs = blocked.select(col("seed"), col("block"),
@@ -178,10 +188,16 @@ object Dedup {
       expr("""transform(embedding, (x, i) ->
              |  CAST(x + 0.001 * ((pmod(hash(vec_id, i), 1000) / 500.0) - 1.0)
              |       AS FLOAT))""".stripMargin).as("embedding"))
+    // The signature table feeds four plan branches (band self-join sides
+    // + two verify joins); without materialization Spark recomputes the
+    // scan+signature per branch (measured: 14 scans, 8 signature
+    // computations). It is tiny relative to the corpus (id + norm +
+    // bucket + vector) — at 100 TB this is the table you checkpoint.
     val all = base.unionAll(dup)
       .withColumn("norm", sqrt(expr(
         "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
       .withColumn("bucket", Similarity.signBucket(col("embedding")))
+      .persist()
     // OR-amplified banding over the 32-bit signature (4 bands × 8 bits):
     // near-dups with a few flipped sign bits still collide on some band —
     // exact-signature equality would silently drop them — while 256-way
