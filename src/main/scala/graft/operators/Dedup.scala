@@ -81,10 +81,10 @@ object Dedup {
         size(GraftFunctions.shingle_hashes64(col("text"))).as("n_shingles"))
       .orderBy("doc_id")
 
-  /** dd04: full MinHash-LSH near-dup pipeline: 16 minhash lanes → 4 bands
-    * × 4 rows → explode bands → ONE shuffle on (band, band_hash) → candidate
-    * pairs → exact Jaccard verification → pairs ≥ 0.5. The mutated copies
-    * guarantee true positives.
+  /** dd04: full MinHash-LSH near-dup pipeline: 64 minhash lanes → 16
+    * bands × 4 rows → explode bands → ONE shuffle on (band, band_hash) →
+    * candidate pairs → exact Jaccard verification → pairs ≥ 0.5. The
+    * mutated copies guarantee true positives.
     */
   private val dd04MinhashLsh: Q = (s, d) => {
     val shingled = recrawl(s, d)
