@@ -19,6 +19,21 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    // An in-memory catalog forgets tables across sessions while their
+    // warehouse directories persist — clear both so re-creation never
+    // hits LOCATION_ALREADY_EXISTS.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(loc)
+    }
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
