@@ -227,6 +227,29 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+
+  /** dd08: fully oracle-checkable MinHash signatures — lane hashes are
+    * md5(shingle || '#' || lane) and the lane value is the lexicographic
+    * MIN hex digest, every step expressible identically in DuckDB (the
+    * production-path xxhash kernels in dd03/dd04 are faster but not
+    * cross-engine checkable). The outer single-element transform is the
+    * let-binding that evaluates split() once per row.
+    */
+  private val dd08MinhashOracle: Q = (s, d) => {
+    val shingles =
+      """transform(array(split(text, ' ')), tk ->
+        |  CASE WHEN size(tk) < 3 THEN array(text)
+        |       ELSE transform(sequence(0, size(tk) - 3),
+        |              i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
+        |  END)[0]""".stripMargin
+    val lanes = (0 until 4).map(k =>
+      expr(s"""array_min(transform($shingles, sh -> md5(concat(sh, '#$k'))))""")
+        .as(s"sig$k"))
+    t(s, d, "documents")
+      .select((col("doc_id") +: lanes): _*)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dd01_dedup_exact" -> dd01Exact,
     "dd02_dedup_exact_hash" -> dd02ExactHash,
@@ -235,6 +258,7 @@ object Dedup {
     "dd05_simhash" -> dd05Simhash,
     "dd06_ngram_jaccard_pairs" -> dd06NgramJaccard,
     "dd07_embedding_neardup" -> dd07EmbeddingNearDup,
+    "dd08_minhash_oracle" -> dd08MinhashOracle,
   )
 
   /** The re-crawl corpus in DuckDB terms, for oracle-expressible entries. */
@@ -248,6 +272,21 @@ object Dedup {
       | FROM documents) recrawl""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dd08_minhash_oracle" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) < 3 THEN [text]
+        |       ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |             for i in generate_series(1, len(tk) - 2)] END AS shingles
+        |  FROM t)
+        |SELECT doc_id,
+        |  list_min([md5(s || '#0') for s in shingles]) AS sig0,
+        |  list_min([md5(s || '#1') for s in shingles]) AS sig1,
+        |  list_min([md5(s || '#2') for s in shingles]) AS sig2,
+        |  list_min([md5(s || '#3') for s in shingles]) AS sig3
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
     "dd01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
