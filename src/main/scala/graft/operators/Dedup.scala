@@ -250,6 +250,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+
+  /** dd09: cross-engine-verifiable n-gram Jaccard — the set-similarity
+    * kernel itself, computed on string shingles for a fixed deterministic
+    * pair set (consecutive doc ids), hash-matched against DuckDB
+    * (list_intersect/list_distinct mirror array_intersect/array_union
+    * set semantics).
+    */
+  private val dd09JaccardOracle: Q = (s, d) => {
+    val shingles =
+      """transform(array(split(text, ' ')), tk ->
+        |  CASE WHEN size(tk) < 3 THEN array(text)
+        |       ELSE transform(sequence(0, size(tk) - 3),
+        |              i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
+        |  END)[0]""".stripMargin
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), expr(shingles).as("shingles"))
+    sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
+        col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"), round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
   val queries: Map[String, Q] = Map(
     "dd01_dedup_exact" -> dd01Exact,
     "dd02_dedup_exact_hash" -> dd02ExactHash,
@@ -259,6 +284,7 @@ object Dedup {
     "dd06_ngram_jaccard_pairs" -> dd06NgramJaccard,
     "dd07_embedding_neardup" -> dd07EmbeddingNearDup,
     "dd08_minhash_oracle" -> dd08MinhashOracle,
+    "dd09_jaccard_oracle" -> dd09JaccardOracle,
   )
 
   /** The re-crawl corpus in DuckDB terms, for oracle-expressible entries. */
@@ -272,6 +298,20 @@ object Dedup {
       | FROM documents) recrawl""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dd09_jaccard_oracle" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tk) < 3 THEN [text]
+        |       ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |             for i in generate_series(1, len(tk) - 2)] END AS shingles
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_distinct(list_intersect(a.shingles, b.shingles))) AS DOUBLE)
+        |        / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+
     "dd08_minhash_oracle" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
         |           FROM documents),
