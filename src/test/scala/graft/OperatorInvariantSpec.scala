@@ -83,4 +83,26 @@ class OperatorInvariantSpec extends SparkSpec {
         assert(got(r.getLong(0)) == want, s"doc ${r.getLong(0)}")
       }
   }
+
+  test("tx07: source signatures equal lane-wise min of per-doc signatures") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.GraftHashes
+    val docs = Tables.t(spark, sf, "documents").select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val wantSig: Map[String, Seq[Long]] = docs.groupBy(_._1).map {
+      case (src, rows) =>
+        val sigs = rows.map(r =>
+          GraftHashes.minhashSig(UTF8String.fromString(r._2), 16, 0L))
+        src -> (0 until 16).map(i => sigs.map(_(i)).min)
+    }
+    val rows = TextAnalysis.queries("tx07_source_signature")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, est) =>
+      val agree = wantSig(a).zip(wantSig(b)).count { case (x, y) => x == y }
+      val want = BigDecimal(agree.toDouble / 16)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(est - want) <= 1e-9, s"pair ($a,$b)")
+    }
+  }
 }
