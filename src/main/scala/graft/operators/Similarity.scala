@@ -159,6 +159,7 @@ object Similarity {
 
   // Cosine over float lists is DuckDB-expressible (list_cosine_similarity)
   // but float32-vs-double accumulation makes hash parity fragile; the
-  // driver records rows-only checks for ss01/ss02.
+  // driver records rows-only checks for ss01-ss03, and SimilaritySpec
+  // verifies all three against an independent in-JVM brute force.
   val oracleSql: Map[String, String] = Map()
 }
