@@ -42,10 +42,15 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the whole line under ~2 KB — round 1's
+    // 9-decimal values made a ~3.6 KB line whose head fell outside the
+    // driver's tail capture, so it recorded parsed:null for the bench.
+    def fmt(v: Double): String = // Locale.ROOT: a comma decimal separator would break json.loads
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

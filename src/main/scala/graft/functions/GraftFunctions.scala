@@ -145,6 +145,24 @@ object GraftHashes {
     sig
   }
 
+  /** Polynomial hash mod 1e9+7 over code points — deliberately chosen so a
+    * DuckDB oracle can replay it exactly (list_reduce over ord(); modular
+    * state stays far under BIGINT overflow, which DuckDB treats as an
+    * error rather than wrapping — the 64-bit wrapping kernels above are
+    * faster but cross-engine-unverifiable). One pass, codegen'd.
+    */
+  def polyHashMod(s: UTF8String): Long = {
+    var h = 0L
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** 64-bit SimHash over whitespace-delimited tokens: each token votes its
     * hash bits +1/-1; the sign vector is the fingerprint. Near-duplicate
     * docs land within small Hamming distance. Single pass over the bytes,
@@ -216,6 +234,18 @@ case class RollingHash64(child: Expression) extends HashExpr {
       : Expression = copy(child = newChild)
 }
 
+/** Cross-engine-verifiable polynomial fingerprint (SURVEY §7.2 item 8:
+  * document fingerprinting, oracle-checked variant of RollingHash64).
+  */
+case class PolyHashMod(child: Expression) extends HashExpr {
+  override def prettyName: String = "poly_hash_mod"
+  override protected def kernel: String = "polyHashMod"
+  override protected def evalKernel(s: UTF8String): Long =
+    GraftHashes.polyHashMod(s)
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** SimHash near-duplicate fingerprint (SURVEY §7.2 item 8: dedup). */
 case class SimHash64(child: Expression) extends HashExpr {
   override def prettyName: String = "simhash64"
@@ -276,6 +306,8 @@ object GraftFunctions {
 
   def rolling_hash64(c: Column): Column =
     GraftShim.column(RollingHash64(GraftShim.expression(c)))
+  def poly_hash_mod(c: Column): Column =
+    GraftShim.column(PolyHashMod(GraftShim.expression(c)))
   def simhash64(c: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(c)))
   def shingle_hashes64(c: Column): Column =
@@ -292,5 +324,7 @@ object GraftFunctions {
       "rolling_hash64", es => RollingHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "poly_hash_mod", es => PolyHashMod(es.head), "scala_udf")
   }
 }

@@ -36,15 +36,17 @@ object Multimodal {
 
   /** mm01: ingest + metadata projection + STUB feature extraction.
     * REAL: binary column, metadata struct, byte-length accounting.
-    * STUB: `feature64` — a real pipeline calls an image/audio decoder
-    * here; we substitute xxhash64(content) as the deterministic fake.
+    * STUB: `feature_fp` — a real pipeline calls an image/audio decoder
+    * here; we substitute md5(content) as the deterministic fake (md5
+    * rather than xxhash64 so the DuckDB oracle can replay the whole
+    * query over the same payload bytes).
     */
   private val mm01IngestMeta: Q = (s, d) =>
     mediaTable(s, d).select(
       col("media_id"),
       col("meta.mime").as("mime"),
       col("meta.nbytes").as("nbytes"),
-      xxhash64(col("content")).as("feature64") // STUB decode (see scaladoc)
+      md5(col("content")).as("feature_fp") // STUB decode (see scaladoc)
     ).orderBy("media_id")
 
   /** mm02: frame sampling — split the payload into fixed 32-byte "frames",
@@ -57,13 +59,13 @@ object Multimodal {
         ceil(col("meta.nbytes").cast("double") / 32.0).cast("int"))
       .select(col("media_id"), col("content"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(4)))
-          .as("frame_idx"))
+          .as("fi"))
       .select(
-        col("media_id"), col("frame_idx"),
-        octet_length(substring(col("content"), col("frame_idx") * 32 + 1,
+        col("media_id"), col("fi").cast("bigint").as("frame_idx"),
+        octet_length(substring(col("content"), col("fi") * 32 + 1,
           lit(32))).cast("bigint").as("frame_bytes"),
-        xxhash64(substring(col("content"), col("frame_idx") * 32 + 1,
-          lit(32))).as("frame_feature64") // STUB decode
+        md5(substring(col("content"), col("fi") * 32 + 1,
+          lit(32))).as("frame_fp") // STUB decode
       )
       .orderBy("media_id", "frame_idx")
 
@@ -102,9 +104,32 @@ object Multimodal {
     "mm03_batch_decode" -> mm03BatchDecode,
   )
 
+  // All three queries oracle-check: the payload is the documents' ASCII
+  // bytes (verified pure-ASCII in the driver corpus), so DuckDB's
+  // character-level substr/md5/ord replay Spark's byte-level binary ops
+  // exactly. The STUB boundary is unchanged — only the fake decoder's
+  // hash function had to be portable.
   val oracleSql: Map[String, String] = Map(
-    // mm01's nbytes accounting is DuckDB-mirrorable; feature64 is not —
-    // keep the oracle-checked projection to the portable columns? The
-    // driver compares ALL columns, so mm01 stays rows-only like mm02/mm03.
+    "mm01_media_ingest" ->
+      """SELECT doc_id AS media_id,
+        |  'application/octet-stream' AS mime,
+        |  CAST(length(text) AS BIGINT) AS nbytes,
+        |  md5(text) AS feature_fp
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm02_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS media_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(length(text) / 32.0) AS BIGINT) - 1, 4)) AS frame_idx
+        |  FROM documents)
+        |SELECT media_id, frame_idx,
+        |  CAST(length(substring(text, CAST(frame_idx * 32 + 1 AS INT), 32))
+        |    AS BIGINT) AS frame_bytes,
+        |  md5(substring(text, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_fp
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "mm03_batch_decode" ->
+      """SELECT doc_id AS media_id,
+        |  round(CAST(list_sum(list_transform(string_split(text, ''),
+        |    c -> CAST(ord(c) AS BIGINT))) AS DOUBLE), 2) AS feature_sum
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

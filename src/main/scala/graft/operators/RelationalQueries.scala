@@ -364,6 +364,77 @@ object RelationalQueries {
       .orderBy("day", "hr", "event_type")
 
 
+  /** q36: SLIDING event-time windows (2-hour window, 1-hour slide) — each
+    * event lands in exactly two windows; Spark's window() generator emits
+    * both assignments before aggregation, so the plan is explode + one
+    * hash aggregate (same shuffle shape as the tumbling q35 — slide
+    * multiplies rows, not stages).
+    */
+  private val q36SlidingWindow: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+          .as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** q43: window navigation functions — lag/lead/first_value/ntile/
+    * percent_rank over per-customer order history. One shuffle on the
+    * partition key serves all five functions (single Window operator).
+    */
+  private val q43WindowNav: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      lag("o_totalprice", 1).over(w).as("prev_price"),
+      lead("o_totalprice", 1).over(w).as("next_price"),
+      first("o_totalprice").over(w).as("first_price"),
+      ntile(4).over(w).cast("bigint").as("quartile"),
+      round(percent_rank().over(w), 4).as("pct_rank"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q44: ordered string aggregation (LISTAGG class) — deterministic via
+    * array_sort before join; map-side partial collect_list keeps the
+    * shuffle payload proportional to group size, not input size.
+    */
+  private val q44ListAgg: Q = (s, d) =>
+    t(s, d, "supplier")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), ",").as("names"))
+      .orderBy("s_nationkey")
+
+  /** q45: explicit semi/anti join operators (beyond the IN/EXISTS
+    * rewrites of q20/q22) — LeftSemi/LeftAnti physical joins; the orders
+    * side projects only the join key, so the broadcast is minimal.
+    */
+  private val q45SemiAnti: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("tag"))
+      .unionAll(
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_orders").as("tag")))
+      .orderBy("c_custkey")
+  }
+
+  /** q46: correlated LATERAL subquery — per-nation top-2 suppliers by
+    * account balance. Catalyst decorrelates the lateral into a ranked
+    * window join; DuckDB executes the same SQL text natively.
+    */
+  private val q46Lateral: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    s.sql(
+      """SELECT n_name, s_name, acct FROM nation,
+        |  LATERAL (SELECT s_name, round(s_acctbal, 2) AS acct FROM supplier
+        |           WHERE s_nationkey = n_nationkey
+        |           ORDER BY s_acctbal DESC, s_name LIMIT 2)
+        |ORDER BY n_name, acct DESC, s_name""".stripMargin)
+  }
+
   /** Beyond AlaSQL: PIVOT — per-status counts by priority as columns.
     * Spark's .pivot plans a single hash aggregate; the oracle mirrors it
     * with portable CASE aggregation.
@@ -426,11 +497,48 @@ object RelationalQueries {
     "q33_date_funcs" -> q33DateFuncs,
     "q34_top_revenue" -> q34TopRevenue,
     "q35_tumbling_window" -> q35TumblingWindow,
+    "q36_sliding_window" -> q36SlidingWindow,
     "q41_pivot" -> q41Pivot,
     "q42_explode_unnest" -> q42Unnest,
+    "q43_window_nav" -> q43WindowNav,
+    "q44_listagg" -> q44ListAgg,
+    "q45_semi_anti" -> q45SemiAnti,
+    "q46_lateral" -> q46Lateral,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q36_sliding_window" ->
+      """SELECT strftime(date_trunc('hour', ts) - k * INTERVAL 1 HOUR,
+        |    '%Y-%m-%d %H:%M') AS window_start,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM (SELECT ts, event_type, value, unnest([0, 1]) AS k FROM events)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q43_window_nav" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q44_listagg" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q45_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q46_lateral" ->
+      """SELECT n_name, s_name, acct FROM nation,
+        |  LATERAL (SELECT s_name, round(s_acctbal, 2) AS acct FROM supplier
+        |           WHERE s_nationkey = n_nationkey
+        |           ORDER BY s_acctbal DESC, s_name LIMIT 2)
+        |ORDER BY n_name, acct DESC, s_name""".stripMargin,
     "q41_pivot" ->
       """SELECT o_orderstatus,
         |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,

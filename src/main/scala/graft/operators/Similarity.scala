@@ -43,7 +43,60 @@ object Similarity {
     "ss01_topk_bruteforce" -> ((s, d) => topkBrute(s, d)),
     "ss02_topk_lsh" -> ((s, d) => topkLsh(s, d)),
     "ss03_topk_ivf" -> ((s, d) => topkIvf(s, d)),
+    "ss04_range_search" -> ((s, d) => rangeSearch(s, d)),
+    "ss05_centroid_assign" -> ((s, d) => centroidAssign(s, d)),
   )
+
+  /** ss04: exact cosine radius search — every neighbor with cosine ≥ 0.3
+    * for the first 50 query vectors. The query side broadcasts; the corpus
+    * streams through one scan, no shuffle. Fully deterministic double
+    * math (sequential left-fold dot product), so the DuckDB oracle
+    * hash-matches bit-for-bit.
+    */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val corpus = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+    val queriesDf = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    corpus.crossJoin(broadcast(queriesDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .filter(col("cosine_raw") >= 0.3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** ss05: centroid assignment (the IVF build step as a first-class,
+    * oracle-checked op) — nearest of 16 deterministic centroids per corpus
+    * vector by cosine. The centroid side is a 16-row broadcast, so the
+    * only exchange is the window's partition-by-vec_id — and at scale the
+    * assignment collapses back into the shuffle-free NearestCentroids
+    * codegen expression ss03 uses; this query is the cross-engine-
+    * verifiable reference of that kernel's semantics.
+    */
+  def centroidAssign(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+    val cents = corpus.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("centroid_vec"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_raw").desc, col("centroid_vec"))
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_vec"),
+        round(col("cos_raw"), 4).as("cosine"))
+      .orderBy("vec_id")
+  }
 
   /** ss01: exact cosine top-5 neighbors for the first 10 vectors. */
   def topkBrute(s: SparkSession, d: String): DataFrame = {
@@ -61,7 +114,7 @@ object Similarity {
       .withColumn("cosine_raw",
         dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
       .withColumn("neighbor_id", col("vec_id"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine_raw"), 4).as("cosine"))
@@ -157,9 +210,58 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  // Cosine over float lists is DuckDB-expressible (list_cosine_similarity)
-  // but float32-vs-double accumulation makes hash parity fragile; the
-  // driver records rows-only checks for ss01-ss03, and SimilaritySpec
-  // verifies all three against an independent in-JVM brute force.
-  val oracleSql: Map[String, String] = Map()
+  // Exact-cosine queries (ss01/ss04/ss05) ARE oracle-checkable: Spark's
+  // aggregate(zip_with(...)) is a sequential left fold over doubles, and
+  // DuckDB's list_reduce(list_prepend(0.0, ...)) replays the identical
+  // IEEE operation order — bit-for-bit equal sums, so even the unrounded
+  // rank comparisons agree. (list_cosine_similarity would accumulate in a
+  // different order — that's why the fold is spelled out.) The LSH/IVF
+  // variants (ss02/ss03) are approximate by design → rows-only checks +
+  // in-JVM brute-force recall specs in SimilaritySpec.
+  private val normCte: String =
+    """v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |  FROM v)""".stripMargin
+  private val dotSql: String =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      [c.e[i] * q.e[i] for i in generate_series(1, len(c.e))]),
+      |      (a, b) -> a + b)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ss01_topk_bruteforce" ->
+      s"""WITH $normCte,
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cosine_raw
+         |  FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cosine_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine_raw DESC, neighbor_id) AS "rank"
+         |  FROM p)
+         |SELECT query_id, "rank", neighbor_id, round(cosine_raw, 4) AS cosine
+         |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "ss04_range_search" ->
+      s"""WITH $normCte
+         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round($dotSql / (c.nrm * q.nrm), 4) AS cosine
+         |FROM n c JOIN n q ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+         |WHERE $dotSql / (c.nrm * q.nrm) >= 0.3
+         |ORDER BY query_id, neighbor_id""".stripMargin,
+    "ss05_centroid_assign" ->
+      s"""WITH $normCte,
+         |cents AS (SELECT vec_id AS centroid_vec, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |scored AS (SELECT c.vec_id, q.centroid_vec,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM n c CROSS JOIN cents q),
+         |r AS (SELECT vec_id, centroid_vec, cos_raw,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_raw DESC, centroid_vec) AS rn
+         |  FROM scored)
+         |SELECT vec_id, centroid_vec, round(cos_raw, 4) AS cosine
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+  )
 }

@@ -71,7 +71,7 @@ object TextAnalysis {
         sort_array(array(scored: _*), asc = false)(0).getField("lang")
           .as("pred_lang"),
         sort_array(array(scored: _*), asc = false)(0).getField("score")
-          .as("score"))
+          .cast("bigint").as("score"))
       .orderBy("doc_id")
   }
 
@@ -106,6 +106,33 @@ object TextAnalysis {
           .as("n_subwords_est"))
       .orderBy("doc_id")
 
+
+  /** tx08: oracle-checked polynomial fingerprint — the custom codegen
+    * expression (graft.functions.PolyHashMod) whose modular arithmetic a
+    * DuckDB list_reduce replays bit-for-bit (the 64-bit wrapping kernels
+    * in tx05 cannot cross the engine boundary: DuckDB errors on BIGINT
+    * overflow instead of wrapping).
+    */
+  private val tx08PolyHash: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.poly_hash_mod(col("text")).as("ph"),
+        GraftFunctions.poly_hash_mod(lower(col("source"))).as("ph_source"))
+      .orderBy("doc_id")
+
+  /** tx09: regex extraction — first long word + counts of pattern matches
+    * (PII-scrub / URL-mining shape). Patterns stick to plain character
+    * classes so Java regex (Spark) and RE2 (DuckDB) agree.
+    */
+  private val tx09RegexExtract: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "([a-z]{7,})", 1).as("first_long_word"),
+        size(expr("regexp_extract_all(text, '[a-z]{7,}', 0)"))
+          .cast("bigint").as("n_long_words"),
+        size(expr("regexp_extract_all(text, '[aeiou]{2,}', 0)"))
+          .cast("bigint").as("n_vowel_runs"))
+      .orderBy("doc_id")
 
   /** tx07: corpus-level MinHash signature per source + pairwise source
     * similarity estimate. The per-group signature is a lane-wise MIN
@@ -143,6 +170,8 @@ object TextAnalysis {
     "tx05_fingerprint_hash64" -> tx05FingerprintRolling,
     "tx06_token_estimate" -> tx06TokenEstimate,
     "tx07_source_signature" -> tx07SourceSignature,
+    "tx08_polyhash_fingerprint" -> tx08PolyHash,
+    "tx09_regex_extract" -> tx09RegexExtract,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -167,7 +196,52 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "tx04_fingerprint_md5" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
-    // tx03 (heuristic argmax), tx05 (custom 64-bit hashes), tx06 (subword
-    // estimate) are not DuckDB-expressible → rows-only checks.
+    // tx03: the argmax over (score, lang) structs replays in DuckDB via
+    // list_reverse_sort — struct comparison is field-order lexicographic
+    // in both engines, so the desc tie-break on lang matches exactly.
+    "tx03_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  [{'score': len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'of', 'and'))), 'lang': 'en'},
+        |   {'score': len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('el', 'la', 'de', 'y'))), 'lang': 'es'},
+        |   {'score': len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('der', 'die', 'und', 'ein'))), 'lang': 'de'},
+        |   {'score': len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('le', 'la', 'et', 'un'))), 'lang': 'fr'}] AS cand
+        |  FROM documents)
+        |SELECT doc_id, list_reverse_sort(cand)[1].lang AS pred_lang,
+        |       CAST(list_reverse_sort(cand)[1].score AS BIGINT) AS score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "tx06_token_estimate" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_words,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT)
+        |    AS n_subwords_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx08_polyhash_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS ph,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(lower(source), ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS ph_source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx09_regex_extract" ->
+      """SELECT doc_id,
+        |  coalesce(regexp_extract(text, '([a-z]{7,})', 1), '')
+        |    AS first_long_word,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{7,}', 0)) AS BIGINT)
+        |    AS n_long_words,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}', 0)) AS BIGINT)
+        |    AS n_vowel_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // tx05 (custom 64-bit wrapping hashes) and tx07 (MinHash sketch lanes)
+    // are not DuckDB-expressible → rows-only checks + in-JVM specs.
   )
 }

@@ -117,7 +117,27 @@ object EventsStreaming {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
-  val queries: Map[String, Q] = Map("st01_sessionize" -> st01Sessionize)
+  /** st02: Spark's NATIVE session_window (vs st01's composed gaps-and-
+    * islands): one hash aggregate with session merging, streaming-ready
+    * (the same groupBy runs under readStream with a watermark). Note the
+    * semantic difference oracle-encoded below: session_window's end is
+    * last_event + gap (exclusive horizon), st01's end is last_event.
+    */
+  private val st02SessionWindow: Q = (s, d) =>
+    graft.Tables.t(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  val queries: Map[String, Q] = Map(
+    "st01_sessionize" -> st01Sessionize,
+    "st02_session_window" -> st02SessionWindow)
 
   val oracleSql: Map[String, String] = Map(
     "st01_sessionize" ->
@@ -136,6 +156,29 @@ object EventsStreaming {
         |SELECT user_id,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
+    // session_window merges while next_ts < prev_ts + gap (strict), so the
+    // island break is gap >= 30 min (st01 breaks at > 30 min); end is
+    // last_ts + gap.
+    "st02_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |    AS session_end,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start""".stripMargin)

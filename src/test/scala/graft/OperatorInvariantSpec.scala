@@ -21,7 +21,7 @@ class OperatorInvariantSpec extends SparkSpec {
 
   test("mm02: frame count and sizes follow from nbytes") {
     val frames = Multimodal.queries("mm02_frame_sample")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val nbytes = Tables.t(spark, sf, "documents").select("doc_id", "text")
       .collect()
       .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length)
@@ -63,7 +63,7 @@ class OperatorInvariantSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     TextAnalysis.queries("tx03_lang_id")(spark, sf)
       .collect().foreach { r =>
-        val (id, pred, score) = (r.getLong(0), r.getString(1), r.getInt(2))
+        val (id, pred, score) = (r.getLong(0), r.getString(1), r.getLong(2))
         val toks = texts(id).split(" ")
         val scores = profiles.map { case (l, m) =>
           l -> toks.count(m.contains)

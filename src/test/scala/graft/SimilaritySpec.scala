@@ -29,7 +29,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("ss01 brute-force top-5 matches an independent in-JVM brute force") {
     val got = Similarity.topkBrute(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val want = (0L until 10L).flatMap { q =>
       vecs.toSeq.filter(_._1 != q)
         .map { case (id, v) => (id, cosine(vecs(q), v)) }
