@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -163,6 +163,42 @@ object GraftHashes {
     h
   }
 
+  /** Dot product of two float arrays accumulated in double, sequentially —
+    * the SAME IEEE operation order as both `aggregate(zip_with(...))` (a
+    * left fold) and DuckDB's `list_reduce(list_prepend(0.0, ...))`, so
+    * swapping this kernel in changes nothing the oracle can observe. The
+    * point of the swap: higher-order functions are CodegenFallback in
+    * Spark (per-row interpreted lambdas + a zipped-array allocation);
+    * this is a branch-free fused loop inside whole-stage codegen.
+    */
+  def floatDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Cardinality of the intersection of two SORTED-DISTINCT long arrays:
+    * a single merge pass, zero allocation — replaces the per-pair
+    * array_intersect + array_union hash-set builds in Jaccard verify
+    * (|A∪B| falls out as |A|+|B*|-|A∩B| when the arrays are distinct).
+    */
+  def sortedIntersectCard(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash over whitespace-delimited tokens: each token votes its
     * hash bits +1/-1; the sign vector is the fingerprint. Near-duplicate
     * docs land within small Hamming distance. Single pass over the bytes,
@@ -287,6 +323,46 @@ case class MinHashSig(child: Expression, k: Int, seedBase: Long)
       : Expression = copy(child = newChild)
 }
 
+/** Exact double dot product of two array<float> columns — the codegen'd
+  * hot kernel behind cosine similarity search and embedding near-dup
+  * (SURVEY §7.2 item 8). Result is bit-identical to the HOF formulation
+  * (sequential left fold) — see GraftHashes.floatDot.
+  */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "float_dot"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftHashes.floatDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GraftHashes.floatDot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Intersection cardinality of two sorted-distinct array<bigint> columns
+  * — the codegen'd pair-verification kernel for Jaccard dedup.
+  */
+case class SortedIntersectCard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "sorted_intersect_card"
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftHashes.sortedIntersectCard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GraftHashes.sortedIntersectCard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 32-bit sign-LSH signature of an array<float> embedding column. */
 case class SignLsh32(child: Expression) extends UnaryExpression {
   override def prettyName: String = "sign_lsh32"
@@ -316,6 +392,11 @@ object GraftFunctions {
     GraftShim.column(SignLsh32(GraftShim.expression(c)))
   def minhash_sig(c: Column, k: Int, seedBase: Long = 0L): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(c), k, seedBase))
+  def float_dot(a: Column, b: Column): Column =
+    GraftShim.column(FloatDot(GraftShim.expression(a), GraftShim.expression(b)))
+  def sorted_intersect_card(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersectCard(
+      GraftShim.expression(a), GraftShim.expression(b)))
 
   /** Make the functions callable from spark.sql text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -86,11 +86,19 @@ object Dedup {
     * candidate pairs → exact Jaccard verification → pairs ≥ 0.5. The
     * mutated copies guarantee true positives.
     */
-  private val dd04MinhashLsh: Q = (s, d) => {
-    val shingled = recrawl(s, d)
-      .withColumn("shingles",
-        GraftFunctions.shingle_hashes64(col("text")))
+  /** Sorted-distinct shingle-hash table: the SortedIntersectCard verify
+    * kernel runs a single merge pass per candidate pair (vs per-pair
+    * hash-set builds); sorting once per doc at build time is what makes
+    * that possible. Jaccard on sets is unchanged by the dedup+sort.
+    */
+  private def shingleTable(s: SparkSession, d: String): DataFrame =
+    recrawl(s, d)
+      .withColumn("shingles", sort_array(array_distinct(
+        GraftFunctions.shingle_hashes64(col("text")))))
       .select("doc_id", "shingles")
+
+  private val dd04MinhashLsh: Q = (s, d) => {
+    val shingled = shingleTable(s, d)
       .persist() // reused by both verify joins
     // Banding: 64 lanes → 16 bands × 4 rows. The LSH S-curve threshold is
     // (1/b)^(1/r) = (1/16)^(1/4) = 0.5 — centered exactly on the verify
@@ -119,6 +127,10 @@ object Dedup {
 
   /** Join shingle sets back onto candidate pairs and keep those with
     * exact Jaccard ≥ threshold (shared verify stage for dd04/dd06).
+    * |A∩B| via the codegen'd merge kernel over the sorted-distinct
+    * arrays; |A∪B| = |A|+|B|-|A∩B| — no per-pair set allocation at all
+    * (array_intersect + array_union built two hash sets per pair and
+    * measured ~40% slower on the sf0.1 verify stage).
     */
   private def verifyJaccard(pairs: DataFrame, shingled: DataFrame,
       threshold: Double): DataFrame =
@@ -127,9 +139,10 @@ object Dedup {
         col("shingles").as("sh_a")), Seq("doc_a"))
       .join(shingled.select(col("doc_id").as("doc_b"),
         col("shingles").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .withColumn("inter", GraftFunctions
+        .sorted_intersect_card(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -152,14 +165,13 @@ object Dedup {
   private val dd06NgramJaccard: Q = (s, d) => {
     // shingle-hash table feeds blocking + both verify joins → materialize
     // once (longs only — the text never leaves the first projection)
-    val shingled = recrawl(s, d)
-      .withColumn("shingles",
-        GraftFunctions.shingle_hashes64(col("text")))
-      .select("doc_id", "shingles")
-      .persist()
+    val shingled = shingleTable(s, d).persist()
     // 4 blocking lanes: a near-dup is missed only if EVERY lane's min
     // shingle fell in the mutated region — P ≈ (2/n)^4, negligible
-    // (2 lanes measurably missed one planted pair in DedupSpec)
+    // (2 lanes measurably missed one planted pair in DedupSpec).
+    // Persisted: the candidate self-join otherwise re-derives the 4×
+    // per-shingle lane hashes on BOTH sides (measured ~0.5 s each at
+    // sf0.1); the cache is 3 longs per (doc, lane).
     val blocked = shingled
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, 3),
@@ -167,6 +179,7 @@ object Dedup {
           .stripMargin)))
       .withColumnRenamed("pos", "seed")
       .withColumnRenamed("col", "block")
+      .persist()
     val pairs = blocked.select(col("seed"), col("block"),
         col("doc_id").as("doc_a"))
       .join(blocked.select(col("seed"), col("block"),
@@ -194,8 +207,7 @@ object Dedup {
     // computations). It is tiny relative to the corpus (id + norm +
     // bucket + vector) — at 100 TB this is the table you checkpoint.
     val all = base.unionAll(dup)
-      .withColumn("norm", sqrt(expr(
-        "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+      .withColumn("norm", Similarity.l2norm(col("embedding")))
       .withColumn("bucket", Similarity.signBucket(col("embedding")))
       .persist()
     // OR-amplified banding over the 32-bit signature (4 bands × 8 bits):
@@ -243,9 +255,14 @@ object Dedup {
         |              i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
         |  END)[0]""".stripMargin
     val lanes = (0 until 4).map(k =>
-      expr(s"""array_min(transform($shingles, sh -> md5(concat(sh, '#$k'))))""")
+      expr(s"array_min(transform(sh, x -> md5(concat(x, '#$k'))))")
         .as(s"sig$k"))
+    // Materialize the shingle-string array in its own projection: the 4
+    // lane expressions then map over the bound column instead of each
+    // re-running the split/concat construction (HOFs are interpreted —
+    // the rebuild was the dominant cost, ~4× the md5 work itself).
     t(s, d, "documents")
+      .select(col("doc_id"), expr(shingles).as("sh"))
       .select((col("doc_id") +: lanes): _*)
       .orderBy("doc_id")
   }
@@ -264,14 +281,21 @@ object Dedup {
         |       ELSE transform(sequence(0, size(tk) - 3),
         |              i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
         |  END)[0]""".stripMargin
+    // array_distinct at build time → |A∪B| = |A|+|B|-|A∩B| (one set
+    // build per pair instead of two); persist → the interpreted shingle
+    // construction runs once, not once per join side.
     val sh = t(s, d, "documents")
-      .select(col("doc_id"), expr(shingles).as("shingles"))
+      .select(col("doc_id"),
+        array_distinct(expr(shingles)).as("shingles"))
+      .persist()
     sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
         col("doc_b") === col("doc_a") + 1)
-      .select(col("doc_a"), col("doc_b"), round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"), round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4)
+        .as("jaccard"))
       .orderBy("doc_a")
   }
 

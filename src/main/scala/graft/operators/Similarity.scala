@@ -19,16 +19,18 @@ import graft.Tables.t
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Exact dot product of two float-array columns, accumulated in double.
-    * zip_with + aggregate stay inside codegen — no UDF boxing.
+  /** Exact dot product of two float-array columns, accumulated in double
+    * via the codegen'd FloatDot kernel. Numerically identical to the
+    * `aggregate(zip_with(...))` HOF formulation (same sequential fold) —
+    * but HOFs are CodegenFallback (interpreted lambdas + a zipped array
+    * allocation per row), which measured 2-3× slower across the
+    * similarity/near-dup bench queries.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.float_dot(a, b)
 
   def l2norm(c: Column): Column =
-    sqrt(aggregate(c, lit(0.0), (acc, x) =>
-      acc + x.cast("double") * x.cast("double")))
+    sqrt(graft.functions.GraftFunctions.float_dot(c, c))
 
   /** 32-bit sign-LSH signature of an embedding column — the custom
     * single-pass codegen expression (graft.functions.SignLsh32): the
