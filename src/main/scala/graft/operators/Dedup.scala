@@ -299,6 +299,109 @@ object Dedup {
       .orderBy("doc_a")
   }
 
+  /** Portable string-shingle construction shared by dd08-dd10 (identical
+    * semantics in DuckDB SQL): distinct 3-token shingles, whole text when
+    * <3 tokens.
+    */
+  private val stringShingles =
+    """array_distinct(transform(array(split(text, ' ')), tk ->
+      |  CASE WHEN size(tk) < 3 THEN array(text)
+      |       ELSE transform(sequence(0, size(tk) - 3),
+      |              i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
+      |  END)[0])""".stripMargin
+
+  /** General connected-components by iterative min-label propagation to a
+    * fixpoint: each round every node takes the min label in its closed
+    * neighborhood — one shuffle per round, O(graph diameter) rounds.
+    * That is the standard large-scale CC shape (GraphX/Pregel run the
+    * same loop; at 100 TB you'd add large-star/small-star contraction to
+    * cut the round count on high-diameter graphs — dup graphs are
+    * shallow, so plain propagation is the right default).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("label")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = labels.join(sym, labels("id") === sym("a"))
+        .select(col("b").as("id"), col("label"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist()
+      changed = prop.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = prop
+      rounds += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** dd10: near-dup GROUPING — the step after pair generation that every
+    * dedup pipeline needs to pick one canonical doc per duplicate
+    * cluster. Corpus = documents ∪ two mutated re-crawls (first token
+    * dropped; first two tokens dropped) → duplicate chains of up to 3
+    * docs whose pairwise Jaccards differ; exact Jaccard ≥ 0.5 between
+    * the three candidate pairs per base doc forms the edge set, and
+    * connectedComponents picks min-doc_id representatives. Oracle: the
+    * same edges + a recursive-CTE label propagation in DuckDB.
+    */
+  private val dd10DedupGroups: Q = (s, d) => {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val dropTok = expr(
+      """CASE WHEN instr(text, ' ') > 0
+        |     THEN substring(text, instr(text, ' ') + 1)
+        |     ELSE text END""".stripMargin)
+    val m1 = docs.select((col("doc_id") + COPY_OFFSET).as("doc_id"),
+      dropTok.as("text"))
+    val m2 = m1.select((col("doc_id") + COPY_OFFSET).as("doc_id"),
+      dropTok.as("text"))
+    val corpus = docs.unionAll(m1).unionAll(m2)
+    val sh = corpus.select(col("doc_id"), expr(stringShingles).as("sh"))
+      .persist()
+    val base = docs.select(col("doc_id").as("i"))
+    val cand = base.select(col("i").as("a"), (col("i") + COPY_OFFSET).as("b"))
+      .unionAll(base.select(col("i").as("a"),
+        (col("i") + 2 * COPY_OFFSET).as("b")))
+      .unionAll(base.select((col("i") + COPY_OFFSET).as("a"),
+        (col("i") + 2 * COPY_OFFSET).as("b")))
+    val edges = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+      .select("a", "b")
+    val labels = connectedComponents(corpus.select(col("doc_id").as("id")),
+      edges)
+    labels.groupBy("label").agg(count(lit(1)).as("group_size"),
+        collect_list("id").as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("label").as("group_rep"),
+        col("group_size"))
+      .orderBy("doc_id")
+  }
+
+  /** dd11: incremental ingest dedup — admit only new-batch docs whose
+    * content fingerprint is absent from the existing corpus (the per-batch
+    * gate of a continuously-fed training pipeline). LeftAnti join on the
+    * md5 key: the corpus side reduces to its fingerprint column, so at
+    * 100 TB the anti join shuffles 16-byte keys, never text.
+    */
+  private val dd11IncrementalDedup: Q = (s, d) => {
+    val corpus = t(s, d, "documents")
+    val newBatch = recrawl(s, d).filter(col("doc_id") >= COPY_OFFSET)
+    newBatch
+      .withColumn("fp", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("fp")), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dd01_dedup_exact" -> dd01Exact,
     "dd02_dedup_exact_hash" -> dd02ExactHash,
@@ -309,6 +412,8 @@ object Dedup {
     "dd07_embedding_neardup" -> dd07EmbeddingNearDup,
     "dd08_minhash_oracle" -> dd08MinhashOracle,
     "dd09_jaccard_oracle" -> dd09JaccardOracle,
+    "dd10_dedup_groups" -> dd10DedupGroups,
+    "dd11_incremental_dedup" -> dd11IncrementalDedup,
   )
 
   /** The re-crawl corpus in DuckDB terms, for oracle-expressible entries. */
@@ -357,6 +462,57 @@ object Dedup {
     "dd02_dedup_exact_hash" ->
       s"""SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
          |FROM $recrawlSql GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    // dd10: identical edge construction, then transitive min-label
+    // propagation as a recursive CTE (UNION dedup terminates the
+    // recursion) — the declarative mirror of the Spark fixpoint loop.
+    "dd10_dedup_groups" ->
+      """WITH RECURSIVE
+        |m1 AS (SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |m2 AS (SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM m1),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+        |tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM corpus),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM tk),
+        |cand AS (SELECT doc_id AS a, doc_id + 10000000 AS b FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 20000000 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id + 20000000 FROM documents),
+        |edges AS (SELECT a, b FROM cand
+        |  JOIN sh sa ON sa.doc_id = cand.a
+        |  JOIN sh sb ON sb.doc_id = cand.b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        |    >= 0.5),
+        |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        |r AS (SELECT doc_id AS id, doc_id AS label FROM corpus
+        |  UNION
+        |  SELECT s.b AS id, r.label FROM r JOIN sym s ON s.a = r.id),
+        |lab AS (SELECT id, min(label) AS group_rep FROM r GROUP BY id)
+        |SELECT l.id AS doc_id, l.group_rep, g.cnt AS group_size
+        |FROM lab l JOIN (SELECT group_rep, count(*) AS cnt FROM lab
+        |                 GROUP BY group_rep) g USING (group_rep)
+        |ORDER BY doc_id""".stripMargin,
+    "dd11_incremental_dedup" ->
+      """WITH nb AS (SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, md5(text) AS fp FROM nb
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // dd03-dd07 use xxhash64 / custom expressions — not DuckDB-expressible;
     // the driver records rows-only checks for them.
   )

@@ -102,6 +102,35 @@ object EventsStreaming {
       .drop("session_idx")
   }
 
+  /** Stream-stream INTERVAL JOIN: views attributed to the click they
+    * followed within 4 hours, per user. Under streaming both sides carry
+    * a watermark and the time-bound join condition lets Spark expire
+    * state: a click's buffered row is dropped once the view-side
+    * watermark passes click_ts + 4h — bounded state at any scale. Under
+    * batch the same code is a plain interval join (withWatermark is a
+    * batch no-op), which is how the DuckDB oracle checks it (st03).
+    */
+  def intervalJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val l = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val r = views.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    l.join(r, col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr("interval 4 hours"))
+      .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+  }
+
+  /** Watermarked streaming dedup: exactly-once admission of replayed
+    * events by event_id. State holds one key per id inside the watermark
+    * horizon only — the streaming face of the dd-family exact dedup.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   type Q = (SparkSession, String) => DataFrame
 
   /** st01: batch sessionization over the events table (driver-checkable
@@ -135,9 +164,21 @@ object EventsStreaming {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** st03: the interval join's batch face (driver-checkable). */
+  private val st03IntervalJoin: Q = (s, d) => {
+    val ev = graft.Tables.t(s, d, "events")
+    intervalJoin(ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_time"))
+      .orderBy("click_id", "view_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_sessionize" -> st01Sessionize,
-    "st02_session_window" -> st02SessionWindow)
+    "st02_session_window" -> st02SessionWindow,
+    "st03_interval_join" -> st03IntervalJoin)
 
   val oracleSql: Map[String, String] = Map(
     "st01_sessionize" ->
@@ -181,5 +222,13 @@ object EventsStreaming {
         |    AS session_end,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_start""".stripMargin)
+        |ORDER BY user_id, session_start""".stripMargin,
+    "st03_interval_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+        |  strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+        |  strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS view_time
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'view'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+        |ORDER BY click_id, view_id""".stripMargin)
 }

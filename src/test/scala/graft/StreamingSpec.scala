@@ -71,4 +71,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1).toSeq.sorted == Seq(1L, 2L) ||
       got.size >= 3)
   }
+
+  test("stream-stream interval join matches its batch execution") {
+    val clicks = rows.filter(_.event_type == "click")
+    val views = Seq(
+      Event(10, ts(2), 1, "view", 0.0),   // within 4h of click@0 and @3? no: before 3 → joins click 1 only
+      Event(11, ts(50), 1, "view", 0.0),  // joins clicks at 0*, 3*, 40, 44 (within 4h windows)
+      Event(12, ts(500), 2, "view", 0.0)) // user 2 has no clicks → no join
+    val ci = MemoryStream[Event](spark)
+    val vi = MemoryStream[Event](spark)
+    ci.addData(clicks); vi.addData(views)
+    val q = EventsStreaming.intervalJoin(ci.toDF(), vi.toDF())
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val got = spark.table("ij").collect().map(key).toSet
+    val want = EventsStreaming
+      .intervalJoin(clicks.toDF(), views.toDF()).collect().map(key).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark admits a replayed event once") {
+    val input = MemoryStream[Event](spark)
+    input.addData(rows)
+    input.addData(rows.take(3)) // replay of already-seen ids, in-watermark
+    val q = EventsStreaming.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val ids = spark.table("dedup").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == rows.map(_.event_id).sorted)
+  }
 }
