@@ -299,17 +299,6 @@ object Dedup {
       .orderBy("doc_a")
   }
 
-  /** Portable string-shingle construction shared by dd08-dd10 (identical
-    * semantics in DuckDB SQL): distinct 3-token shingles, whole text when
-    * <3 tokens.
-    */
-  private val stringShingles =
-    """array_distinct(transform(array(split(text, ' ')), tk ->
-      |  CASE WHEN size(tk) < 3 THEN array(text)
-      |       ELSE transform(sequence(0, size(tk) - 3),
-      |              i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
-      |  END)[0])""".stripMargin
-
   /** General connected-components by iterative min-label propagation to a
     * fixpoint: each round every node takes the min label in its closed
     * neighborhood — one shuffle per round, O(graph diameter) rounds.
@@ -323,18 +312,26 @@ object Dedup {
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .persist()
     var labels = nodes.select(col("id"), col("id").as("label")).persist()
-    var changed = 1L
+    // Convergence witness: labels only ever decrease (min-propagation),
+    // so sum(label) is strictly monotone until the fixpoint — one cheap
+    // aggregate per round instead of a change-counting join. (Batching
+    // two lazy propagation rounds per materialization was measured
+    // SLOWER — the doubled join+aggregate plan per job cost more than
+    // the extra driver action it saved.)
+    var prevSum = -1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    var converged = false
+    while (!converged && rounds < 50) {
       val prop = labels.join(sym, labels("id") === sym("a"))
         .select(col("b").as("id"), col("label"))
         .unionAll(labels)
         .groupBy("id").agg(min("label").as("label"))
         .persist()
-      changed = prop.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      val s = prop.agg(sum("label")).first().getLong(0)
       labels.unpersist()
       labels = prop
+      converged = s == prevSum
+      prevSum = s
       rounds += 1
     }
     sym.unpersist()
@@ -361,7 +358,14 @@ object Dedup {
     val m2 = m1.select((col("doc_id") + COPY_OFFSET).as("doc_id"),
       dropTok.as("text"))
     val corpus = docs.unionAll(m1).unionAll(m2)
-    val sh = corpus.select(col("doc_id"), expr(stringShingles).as("sh"))
+    // Edge verify runs on HASHED shingle sets (one-pass codegen kernel +
+    // sorted-merge intersect) while the oracle uses string shingle sets:
+    // Jaccard over the two is identical up to 64-bit hash collisions
+    // (P ≈ 1e-11 across the corpus), and only edge membership — never an
+    // output value — depends on it. This is the 100 TB shape: shingle
+    // strings never leave the first projection.
+    val sh = corpus.select(col("doc_id"), sort_array(array_distinct(
+        GraftFunctions.shingle_hashes64(col("text")))).as("sh"))
       .persist()
     val base = docs.select(col("doc_id").as("i"))
     val cand = base.select(col("i").as("a"), (col("i") + COPY_OFFSET).as("b"))
@@ -372,8 +376,8 @@ object Dedup {
     val edges = cand
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter", GraftFunctions
+        .sorted_intersect_card(col("sh_a"), col("sh_b")).cast("double"))
       .filter(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
       .select("a", "b")

@@ -55,25 +55,56 @@ object TextAnalysis {
     * (deterministic tie-break on language order). A real pipeline plugs a
     * model in; the Spark shape (per-row scoring, no shuffle) is identical.
     */
-  private val tx03LangId: Q = (s, d) => {
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "a", "of", "and"),
-      "es" -> Seq("el", "la", "de", "y"),
-      "de" -> Seq("der", "die", "und", "ein"),
-      "fr" -> Seq("le", "la", "et", "un"))
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "und", "ein"),
+    "fr" -> Seq("le", "la", "et", "un"))
+
+  /** Argmax over per-language marker-hit structs (desc struct sort ⇒
+    * deterministic tie-break on lang), shared by tx03/tx10.
+    */
+  private def langScored: org.apache.spark.sql.Column = {
     val toks = split(col("text"), " ")
-    val scored = profiles.map { case (lang, markers) =>
+    val scored = langProfiles.map { case (lang, markers) =>
       struct(size(filter(toks, tk => tk.isin(markers: _*))).as("score"),
         lit(lang).as("lang"))
     }
+    sort_array(array(scored: _*), asc = false)(0)
+  }
+
+  private val tx03LangId: Q = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"),
-        sort_array(array(scored: _*), asc = false)(0).getField("lang")
-          .as("pred_lang"),
-        sort_array(array(scored: _*), asc = false)(0).getField("score")
-          .cast("bigint").as("score"))
+        langScored.getField("lang").as("pred_lang"),
+        langScored.getField("score").cast("bigint").as("score"))
       .orderBy("doc_id")
-  }
+
+  /** tx10: lang-ID EVALUATION — confusion matrix of the tx03 heuristic
+    * against the corpus's ground-truth `lang` column (the model-eval
+    * loop a real pipeline runs on every classifier revision). Note the
+    * corpus is synthetic ASCII, so absolute accuracy is meaningless —
+    * the operator shape (predict → groupBy truth×pred) is the point.
+    */
+  private val tx10LangIdEval: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("lang"), langScored.getField("lang").as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  /** tx11: text normalization — lowercase, strip non-alphanumerics,
+    * collapse runs of spaces, trim: the canonicalization pass that
+    * precedes fingerprinting in a dedup pipeline. Output is the
+    * fingerprint of the normal form (portable md5).
+    */
+  private val tx11Normalize: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      .select(col("doc_id"), length(col("norm")).cast("bigint").as("n_norm"),
+        md5(col("norm")).as("norm_fp"))
+      .orderBy("doc_id")
 
   /** tx04: md5 content fingerprint (DuckDB-mirrorable). */
   private val tx04FingerprintMd5: Q = (s, d) =>
@@ -172,6 +203,8 @@ object TextAnalysis {
     "tx07_source_signature" -> tx07SourceSignature,
     "tx08_polyhash_fingerprint" -> tx08PolyHash,
     "tx09_regex_extract" -> tx09RegexExtract,
+    "tx10_langid_eval" -> tx10LangIdEval,
+    "tx11_normalize" -> tx11Normalize,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -240,6 +273,28 @@ object TextAnalysis {
         |    AS n_long_words,
         |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}', 0)) AS BIGINT)
         |    AS n_vowel_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx10_langid_eval" ->
+      """WITH s AS (SELECT lang,
+        |  list_reverse_sort(
+        |  [{'score': len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'of', 'and'))), 'lang': 'en'},
+        |   {'score': len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('el', 'la', 'de', 'y'))), 'lang': 'es'},
+        |   {'score': len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('der', 'die', 'und', 'ein'))), 'lang': 'de'},
+        |   {'score': len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('le', 'la', 'et', 'un'))), 'lang': 'fr'}]
+        |  )[1].lang AS pred_lang
+        |  FROM documents)
+        |SELECT lang, pred_lang, count(*) AS n FROM s
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "tx11_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_norm,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     // tx05 (custom 64-bit wrapping hashes) and tx07 (MinHash sketch lanes)
     // are not DuckDB-expressible → rows-only checks + in-JVM specs.

@@ -57,6 +57,42 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sig(base).zip(sig(other)).count { case (x, y) => x == y } <= 4)
   }
 
+  test("float_dot: codegen result equals the HOF fold bit-for-bit") {
+    val a = Array(0.1f, -2.5f, 3.25f, 0.0f)
+    val b = Array(1.5f, 0.5f, -0.25f, 9.0f)
+    val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+    val kernel = df.select(GraftFunctions.float_dot(col("a"), col("b")))
+      .as[Double].collect()(0)
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0),
+        (acc, x) => acc + x)).as[Double].collect()(0)
+    assert(java.lang.Double.doubleToLongBits(kernel) ==
+      java.lang.Double.doubleToLongBits(hof))
+  }
+
+  test("sorted_intersect_card equals array_intersect size on sorted sets") {
+    val xs = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),  // partial overlap
+      (Seq(1L, 2L), Seq(1L, 2L)),                    // identical
+      (Seq(1L, 2L), Seq(3L, 4L)),                    // disjoint
+      (Seq[Long](), Seq(1L)))                        // empty side
+    val df = xs.toDF("a", "b")
+    val got = df.select(GraftFunctions.sorted_intersect_card(
+      col("a"), col("b"))).as[Long].collect().toSeq
+    val want = df.select(size(array_intersect(col("a"), col("b")))
+      .cast("bigint")).as[Long].collect().toSeq
+    assert(got == want)
+  }
+
+  test("poly_hash_mod: codegen matches kernel and a reference fold") {
+    val texts = Seq("abc", "", "hello world", "z")
+    val got = texts.toDF("t")
+      .select(GraftFunctions.poly_hash_mod(col("t"))).as[Long].collect()
+    val want = texts.map(t =>
+      t.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L))
+    assert(got.toSeq == want)
+  }
+
   test("shingle_hashes64: n-2 shingles, short text collapses to one") {
     def sh(t: String) = GraftHashes.shingleHashes64(UTF8String.fromString(t))
     assert(sh("a b c d e").length == 3)
