@@ -39,6 +39,15 @@ object Tables {
     * Idempotent and cheap — createOrReplaceTempView only touches the
     * session catalog.
     */
-  def register(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+  private var lastRegistered: Option[(SparkSession, String)] = None
+
+  def register(spark: SparkSession, sfDir: String): Unit = synchronized {
+    // Memoized per (session, dir): each registration re-reads 10 parquet
+    // footers for schema inference (~0.3 s), which SQL-text queries were
+    // paying on every invocation.
+    if (!lastRegistered.contains((spark, sfDir))) {
+      names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+      lastRegistered = Some((spark, sfDir))
+    }
+  }
 }

@@ -199,6 +199,72 @@ object GraftHashes {
     c
   }
 
+  /** 3-token shingle STRINGS with the exact semantics of
+    * `split(text, ' ')` + `concat_ws` (empty tokens preserved, <3 tokens
+    * collapses to the whole text) — the portable construction the DuckDB
+    * oracles replay with string_split. One pass; exists because the HOF
+    * expression tree doing the same work is interpreted.
+    */
+  def shingleStrings(s: UTF8String): ArrayData = {
+    val text = s.toString
+    val tk = new scala.collection.mutable.ArrayBuffer[String](16)
+    var start = 0
+    var i = 0
+    while (i <= text.length) {
+      if (i == text.length || text.charAt(i) == ' ') {
+        tk += text.substring(start, i) // empty tokens kept (split semantics)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (tk.length < 3)
+      return new GenericArrayData(Array[Any](s.copy()))
+    val out = new Array[Any](tk.length - 2)
+    var j = 0
+    while (j < tk.length - 2) {
+      out(j) = UTF8String.fromString(tk(j) + " " + tk(j + 1) + " " + tk(j + 2))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val HEX = "0123456789abcdef".getBytes
+
+  /** Per-lane minima of md5(shingle || '#' || lane) over a string array —
+    * dd08's oracle-portable MinHash signature in one fused pass (byte-
+    * identical to array_min(transform(sh, x -> md5(concat(x, '#k'))))
+    * which evaluated interpreted, once per lane).
+    */
+  def md5MinLanes(arr: ArrayData, lanes: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[Any](lanes)
+    var i = 0
+    while (i < arr.numElements()) {
+      val sh = arr.getUTF8String(i).getBytes
+      var k = 0
+      while (k < lanes) {
+        md.reset()
+        md.update(sh)
+        md.update('#'.toByte)
+        md.update(('0' + k).toByte) // lanes ≤ 10 by construction
+        val digest = md.digest()
+        val hex = new Array[Byte](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = HEX((digest(b) >> 4) & 0xf)
+          hex(2 * b + 1) = HEX(digest(b) & 0xf)
+          b += 1
+        }
+        val h = UTF8String.fromBytes(hex)
+        if (mins(k) == null ||
+            h.compareTo(mins(k).asInstanceOf[UTF8String]) < 0) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** 64-bit SimHash over whitespace-delimited tokens: each token votes its
     * hash bits +1/-1; the sign vector is the fingerprint. Near-duplicate
     * docs land within small Hamming distance. Single pass over the bytes,
@@ -323,6 +389,40 @@ case class MinHashSig(child: Expression, k: Int, seedBase: Long)
       : Expression = copy(child = newChild)
 }
 
+/** 3-token shingle strings of a text (array<string>), split-semantics
+  * faithful — basis of the oracle-portable dd08/dd09 kernels.
+  */
+case class ShingleStrings(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "shingle_strings"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashes.shingleStrings(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.shingleStrings($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Per-lane md5 minima over a string array (array<string>, one entry per
+  * lane) — dd08's fused signature kernel.
+  */
+case class Md5MinLanes(child: Expression, lanes: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "md5_min_lanes"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashes.md5MinLanes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.md5MinLanes($c, $lanes)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** Exact double dot product of two array<float> columns — the codegen'd
   * hot kernel behind cosine similarity search and embedding near-dup
   * (SURVEY §7.2 item 8). Result is bit-identical to the HOF formulation
@@ -392,6 +492,10 @@ object GraftFunctions {
     GraftShim.column(SignLsh32(GraftShim.expression(c)))
   def minhash_sig(c: Column, k: Int, seedBase: Long = 0L): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(c), k, seedBase))
+  def shingle_strings(c: Column): Column =
+    GraftShim.column(ShingleStrings(GraftShim.expression(c)))
+  def md5_min_lanes(c: Column, lanes: Int): Column =
+    GraftShim.column(Md5MinLanes(GraftShim.expression(c), lanes))
   def float_dot(a: Column, b: Column): Column =
     GraftShim.column(FloatDot(GraftShim.expression(a), GraftShim.expression(b)))
   def sorted_intersect_card(a: Column, b: Column): Column =

@@ -248,21 +248,14 @@ object Dedup {
     * let-binding that evaluates split() once per row.
     */
   private val dd08MinhashOracle: Q = (s, d) => {
-    val shingles =
-      """transform(array(split(text, ' ')), tk ->
-        |  CASE WHEN size(tk) < 3 THEN array(text)
-        |       ELSE transform(sequence(0, size(tk) - 3),
-        |              i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
-        |  END)[0]""".stripMargin
-    val lanes = (0 until 4).map(k =>
-      expr(s"array_min(transform(sh, x -> md5(concat(x, '#$k'))))")
-        .as(s"sig$k"))
-    // Materialize the shingle-string array in its own projection: the 4
-    // lane expressions then map over the bound column instead of each
-    // re-running the split/concat construction (HOFs are interpreted —
-    // the rebuild was the dominant cost, ~4× the md5 work itself).
+    // Fused codegen kernels (shingle construction + per-lane md5 minima
+    // in one pass) — byte-identical to the HOF expression pipeline they
+    // replaced (split/concat_ws + 4× array_min(transform(md5))), which
+    // evaluated interpreted and dominated this query's bench time.
+    val lanes = (0 until 4).map(k => col("sig")(k).as(s"sig$k"))
     t(s, d, "documents")
-      .select(col("doc_id"), expr(shingles).as("sh"))
+      .select(col("doc_id"), GraftFunctions.md5_min_lanes(
+        GraftFunctions.shingle_strings(col("text")), 4).as("sig"))
       .select((col("doc_id") +: lanes): _*)
       .orderBy("doc_id")
   }
@@ -275,18 +268,13 @@ object Dedup {
     * set semantics).
     */
   private val dd09JaccardOracle: Q = (s, d) => {
-    val shingles =
-      """transform(array(split(text, ' ')), tk ->
-        |  CASE WHEN size(tk) < 3 THEN array(text)
-        |       ELSE transform(sequence(0, size(tk) - 3),
-        |              i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
-        |  END)[0]""".stripMargin
     // array_distinct at build time → |A∪B| = |A|+|B|-|A∩B| (one set
-    // build per pair instead of two); persist → the interpreted shingle
-    // construction runs once, not once per join side.
+    // build per pair instead of two); persist → the shingle construction
+    // (fused codegen kernel) runs once, not once per join side.
     val sh = t(s, d, "documents")
       .select(col("doc_id"),
-        array_distinct(expr(shingles)).as("shingles"))
+        array_distinct(GraftFunctions.shingle_strings(col("text")))
+          .as("shingles"))
       .persist()
     sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),

@@ -93,6 +93,30 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("shingle_strings/md5_min_lanes match the HOF expression pipeline") {
+    // incl. double/trailing spaces: split(' ') keeps empty tokens
+    val texts = Seq("a b c d e", "one two", "x", "a  b c ", "lone")
+    val df = texts.toDF("text")
+    val hofShingles =
+      """transform(array(split(text, ' ')), tk ->
+        |  CASE WHEN size(tk) < 3 THEN array(text)
+        |       ELSE transform(sequence(0, size(tk) - 3),
+        |              i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))
+        |  END)[0]""".stripMargin
+    val gotSh = df.select(GraftFunctions.shingle_strings(col("text")))
+      .as[Seq[String]].collect().toSeq
+    val wantSh = df.select(expr(hofShingles)).as[Seq[String]].collect().toSeq
+    assert(gotSh == wantSh)
+
+    val gotSig = df.select(GraftFunctions.md5_min_lanes(
+      GraftFunctions.shingle_strings(col("text")), 4))
+      .as[Seq[String]].collect().toSeq
+    val wantSig = df.select(array((0 until 4).map(k => expr(
+      s"array_min(transform($hofShingles, x -> md5(concat(x, '#$k'))))")): _*))
+      .as[Seq[String]].collect().toSeq
+    assert(gotSig == wantSig)
+  }
+
   test("shingle_hashes64: n-2 shingles, short text collapses to one") {
     def sh(t: String) = GraftHashes.shingleHashes64(UTF8String.fromString(t))
     assert(sh("a b c d e").length == 3)
