@@ -47,7 +47,34 @@ object Similarity {
     "ss03_topk_ivf" -> ((s, d) => topkIvf(s, d)),
     "ss04_range_search" -> ((s, d) => rangeSearch(s, d)),
     "ss05_centroid_assign" -> ((s, d) => centroidAssign(s, d)),
+    "ss06_knn_graph" -> ((s, d) => knnGraph(s, d)),
   )
+
+  /** ss06: exact 1-NN graph — every corpus vector's nearest neighbor.
+    * Argmax via `max(struct(cos, -id))` hash aggregation, NOT a window:
+    * partial aggregation collapses each partition to one candidate per
+    * vector before the exchange, so the shuffle carries |corpus| rows
+    * instead of |corpus|² pair rows (the window formulation shuffles
+    * every pair). Brute-force pairing itself is the exactness reference
+    * — at 100 TB the pair generation swaps to the LSH/IVF bucketing of
+    * ss02/ss03 with this same argmax on top.
+    */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+    val right = corpus.select(col("vec_id").as("nb_id"),
+      col("embedding").as("nb_emb"), col("norm").as("nb_norm"))
+    corpus.crossJoin(broadcast(right))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("nb_emb")) / (col("norm") * col("nb_norm")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_raw").as("c"), (-col("nb_id")).as("nid")))
+        .as("best"))
+      .select(col("vec_id"), (-col("best.nid")).as("neighbor_id"),
+        round(col("best.c"), 4).as("cosine"))
+      .orderBy("vec_id")
+  }
 
   /** ss04: exact cosine radius search — every neighbor with cosine ≥ 0.3
     * for the first 50 query vectors. The query side broadcasts; the corpus
@@ -252,6 +279,17 @@ object Similarity {
          |FROM n c JOIN n q ON q.vec_id < 50 AND c.vec_id <> q.vec_id
          |WHERE $dotSql / (c.nrm * q.nrm) >= 0.3
          |ORDER BY query_id, neighbor_id""".stripMargin,
+    "ss06_knn_graph" ->
+      s"""WITH $normCte,
+         |p AS (SELECT c.vec_id, q.vec_id AS nb,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM n c JOIN n q ON c.vec_id <> q.vec_id),
+         |w AS (SELECT vec_id, nb, cos_raw,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_raw DESC, nb) AS rn
+         |  FROM p)
+         |SELECT vec_id, nb AS neighbor_id, round(cos_raw, 4) AS cosine
+         |FROM w WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "ss05_centroid_assign" ->
       s"""WITH $normCte,
          |cents AS (SELECT vec_id AS centroid_vec, e, nrm FROM n

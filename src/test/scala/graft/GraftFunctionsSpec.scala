@@ -38,6 +38,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(h(s(base), s(different)) > 12)
   }
 
+  test("GraftExtensions injects functions session-wide (no register call)") {
+    // SparkSpec builds the shared session .withExtensions(GraftExtensions)
+    val r = spark.sql(
+      "select poly_hash_mod('abc'), float_dot(array(1.0f, 2.0f), array(3.0f, 4.0f))")
+      .collect()(0)
+    assert(r.getLong(0) == GraftHashes.polyHashMod(UTF8String.fromString("abc")))
+    assert(r.getDouble(1) == 11.0)
+  }
+
   test("functions registered for SQL text") {
     GraftFunctions.register(spark)
     val r = spark.sql("select simhash64('a b c'), rolling_hash64('abc')")
