@@ -67,6 +67,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("explicit semi/anti joins plan LeftSemi + LeftAnti (q45)") {
+    val plan = executedPlan("q45_semi_anti")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("incremental dedup anti-joins on the fingerprint key (dd11)") {
+    val plan = executedPlan("dd11_incremental_dedup")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("knn argmax is partial+final aggregation, not a pair shuffle (ss06)") {
+    val plan = executedPlan("ss06_knn_graph")
+    // struct-max aggregates hash-partially on the map side: two
+    // aggregate operators, no Window over the pair set
+    assert("Aggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("sliding window is one hash aggregate over the expanded rows (q36)") {
+    val plan = executedPlan("q36_sliding_window")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan) // partial+final
+  }
+
   test("custom hash expressions stay inside whole-stage codegen (tx05)") {
     val df = SparkEntry.queries("tx05_fingerprint_hash64")(spark, sf)
     df.collect()
