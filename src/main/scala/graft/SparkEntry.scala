@@ -11,11 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H Q1-style pricing summary (SURVEY §2.4 Q2/Q3 class).
+    * The end-to-end corpus cleaning pipeline (quality gate → dedup →
+    * per-language stats) — the engine's reason to exist in one plan.
     */
   def entry(spark: SparkSession): DataFrame =
-    operators.RelationalQueries.queries("q15_pricing_summary")(
-      spark, "/root/testdata/sf0.001")
+    operators.Pipeline.pp01CorpusStats(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Skew.queries ++
       operators.JoinOps.queries ++
+      operators.Pipeline.queries ++
       streaming.EventsStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.Multimodal.oracleSql ++
       operators.Skew.oracleSql ++
       operators.JoinOps.oracleSql ++
+      operators.Pipeline.oracleSql ++
       streaming.EventsStreaming.oracleSql
 }

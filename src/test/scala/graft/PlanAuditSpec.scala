@@ -79,14 +79,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("knn argmax is partial+final aggregation, not a pair shuffle (ss06)") {
+  test("knn graph is a per-row kernel projection — no pair-set operator (ss06)") {
     val plan = executedPlan("ss06_knn_graph")
-    // struct-max aggregates hash-partially on the map side: two
-    // aggregate operators, no Window over the pair set
-    assert("Aggregate".r.findAllIn(plan).size >= 2, plan)
+    // the broadcast-index kernel replaces any pair materialization:
+    // no Window, no join of the corpus against itself
+    assert(plan.contains("nearest_neighbor_all"), plan)
     assert(!plan.contains("Window"), plan)
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Join"), plan)
   }
 
   test("sliding window is one hash aggregate over the expanded rows (q36)") {
