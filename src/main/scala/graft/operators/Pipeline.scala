@@ -44,7 +44,53 @@ object Pipeline {
       .orderBy("lang")
   }
 
-  val queries: Map[String, Q] = Map("pp01_corpus_pipeline" -> pp01CorpusStats)
+  /** pp02: token-budgeted SHARD PACKING — assign documents to training
+    * shards of ~20k tokens, packed in doc_id order within each source.
+    * The cumulative sum runs per source partition (one Window shuffle on
+    * source), so packing parallelizes across sources — the global-order
+    * variant would serialize on a single partition, which is exactly the
+    * trap at 100 TB.
+    */
+  val pp02TokenShards: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, d, "documents")
+      .withColumn("n_tokens", toks)
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"),
+        expr("(cum_tokens - n_tokens) div 20000").as("shard_idx"))
+      .orderBy("doc_id")
+  }
+
+  /** pp03: benchmark DECONTAMINATION — flag documents sharing any 3-token
+    * shingle with a held-out benchmark set (here: the first 5 docs, a
+    * deterministic stand-in for an eval suite). The benchmark shingle
+    * set is aggregated to one array and broadcast; the check is a
+    * per-row arrays_overlap — no corpus shuffle. At real scale the
+    * benchmark side stays small (eval suites are), so the broadcast
+    * shape is the production shape.
+    */
+  val pp03Decontaminate: Q = (s, d) => {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), array_distinct(
+        graft.functions.GraftFunctions.shingle_strings(col("text")))
+        .as("sh"))
+    val bench = sh.filter(col("doc_id") < 5)
+      .agg(array_distinct(flatten(collect_list(col("sh")))).as("bench_sh"))
+    sh.crossJoin(broadcast(bench))
+      .select(col("doc_id"),
+        arrays_overlap(col("sh"), col("bench_sh")).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pp01_corpus_pipeline" -> pp01CorpusStats,
+    "pp02_token_shards" -> pp02TokenShards,
+    "pp03_decontaminate" -> pp03Decontaminate)
 
   val oracleSql: Map[String, String] = Map(
     "pp01_corpus_pipeline" ->
@@ -66,5 +112,29 @@ object Pipeline {
         |  round(avg(n_tokens), 2) AS avg_tokens,
         |  round(avg(n_chars), 2) AS avg_chars
         |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
+    "pp02_token_shards" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens) // 20000 AS BIGINT)
+        |    AS shard_idx
+        |FROM tk ORDER BY doc_id""".stripMargin,
+    "pp03_decontaminate" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM t),
+        |bench AS (SELECT list_distinct(flatten(list(sh))) AS bench_sh
+        |  FROM sh WHERE doc_id < 5)
+        |SELECT doc_id, list_has_any(sh, bench_sh) AS contaminated
+        |FROM sh, bench ORDER BY doc_id""".stripMargin,
   )
 }
