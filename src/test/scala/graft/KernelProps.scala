@@ -1,0 +1,78 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.GraftHashes
+
+/** Property tests for the pure-JVM kernels behind the custom codegen
+  * expressions (no Spark session needed — the kernels are static).
+  */
+object KernelProps extends Properties("GraftKernels") {
+
+  private val sortedDistinctLongs: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+      .map(_.distinct.sorted.toArray)
+
+  property("sortedIntersectCard equals Set intersection size") =
+    Prop.forAll(sortedDistinctLongs, sortedDistinctLongs) { (a, b) =>
+      GraftHashes.sortedIntersectCard(
+        new GenericArrayData(a), new GenericArrayData(b)) ==
+        a.toSet.intersect(b.toSet).size.toLong
+    }
+
+  private val token: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
+  private val text: Gen[String] =
+    Gen.nonEmptyListOf(token).map(_.take(20).mkString(" "))
+
+  property("shingleStrings matches the split/concat reference") =
+    Prop.forAll(text) { t =>
+      val tk = t.split(" ", -1) // split(text, ' ') semantics: keep empties
+      val want: Seq[String] =
+        if (tk.length < 3) Seq(t)
+        else tk.sliding(3).map(_.mkString(" ")).toSeq
+      val got = GraftHashes.shingleStrings(UTF8String.fromString(t))
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == want
+    }
+
+  property("polyHashMod matches a BigInt fold and stays in [0, p)") =
+    Prop.forAll(text) { t =>
+      val p = BigInt(1000000007L)
+      val want = t.codePoints().toArray.foldLeft(BigInt(0)) {
+        (h, c) => (h * 31 + c) mod p
+      }.toLong
+      val got = GraftHashes.polyHashMod(UTF8String.fromString(t))
+      got == want && got >= 0 && got < 1000000007L
+    }
+
+  private val floats: Gen[Array[Float]] =
+    Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
+
+  property("floatDot equals the sequential double fold") =
+    Prop.forAll(floats, floats) { (a, b) =>
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      val got = GraftHashes.floatDot(
+        new GenericArrayData(a), new GenericArrayData(b))
+      java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want)
+    }
+
+  property("md5MinLanes lanes are independent minima") =
+    Prop.forAll(Gen.nonEmptyListOf(token).map(_.take(10))) { shingles =>
+      val arr = new GenericArrayData(
+        shingles.map(s => UTF8String.fromString(s)).toArray[Any])
+      val got = GraftHashes.md5MinLanes(arr, 4)
+      def md5hex(s: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        d.map(b => f"$b%02x").mkString
+      }
+      (0 until 4).forall { k =>
+        got.getUTF8String(k).toString ==
+          shingles.map(s => md5hex(s + "#" + k)).min
+      }
+    }
+}

@@ -95,6 +95,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("checkpointed restart stays exactly-once under replay (file sink)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-out").toString
+    val input = MemoryStream[Event](spark)
+    def start() = EventsStreaming.dedupStream(input.toDF())
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", out)
+      .outputMode("append").start()
+
+    input.addData(rows.take(4))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // replay two already-committed events + genuinely new ones
+    input.addData(rows.take(2))
+    input.addData(rows.drop(4))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.length == ids.distinct.length, s"duplicated ids: $ids")
+    assert(rows.take(4).map(_.event_id).toSet.subsetOf(ids.toSet), ids)
+  }
+
   test("dropDuplicatesWithinWatermark admits a replayed event once") {
     val input = MemoryStream[Event](spark)
     input.addData(rows)
