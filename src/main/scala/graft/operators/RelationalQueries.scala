@@ -435,6 +435,23 @@ object RelationalQueries {
         |ORDER BY n_name, acct DESC, s_name""".stripMargin)
   }
 
+  /** q47: DISTINCT aggregates + the SQL:2003 FILTER clause — per
+    * return-flag: distinct suppliers/parts and conditionally-filtered
+    * counts/sums in one aggregation. Catalyst plans distinct aggregates
+    * as an expand + two-phase aggregate; FILTER folds into the
+    * aggregate buffer update (no separate scan per condition).
+    */
+  private val q47DistinctFilterAgg: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    s.sql(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  round(sum(l_quantity) FILTER (WHERE l_tax < 0.04), 2) AS qty_lowtax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Beyond AlaSQL: PIVOT — per-status counts by priority as columns.
     * Spark's .pivot plans a single hash aggregate; the oracle mirrors it
     * with portable CASE aggregation.
@@ -504,6 +521,7 @@ object RelationalQueries {
     "q44_listagg" -> q44ListAgg,
     "q45_semi_anti" -> q45SemiAnti,
     "q46_lateral" -> q46Lateral,
+    "q47_distinct_filter_agg" -> q47DistinctFilterAgg,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -539,6 +557,14 @@ object RelationalQueries {
         |           WHERE s_nationkey = n_nationkey
         |           ORDER BY s_acctbal DESC, s_name LIMIT 2)
         |ORDER BY n_name, acct DESC, s_name""".stripMargin,
+    "q47_distinct_filter_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+        |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+        |    AS n_discounted,
+        |  round(sum(l_quantity) FILTER (WHERE l_tax < 0.04), 2) AS qty_lowtax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q41_pivot" ->
       """SELECT o_orderstatus,
         |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
