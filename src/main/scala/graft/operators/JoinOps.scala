@@ -63,6 +63,53 @@ object JoinOps {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join — each left row pairs with the EARLIEST right row
+    * whose ts >= left.ts (inclusive), per key: the mirror of asofJoin
+    * (same one-shuffle marker-union composition, frame flipped to
+    * [current, unbounded following] with first/ignoreNulls). Left rows
+    * sort before right rows at equal ts so >= stays inclusive; the
+    * right-side id column is the tie-break among equal-ts right rows.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      time: String, rightCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("_side", lit(0))
+    val r = right.withColumn("_side", lit(1))
+    val unioned = l.select((key +: time +: "_side" +:
+        left.columns.filterNot(c => c == key || c == time).toSeq)
+        .map(col): _*)
+      .unionByName(
+        r.select((key +: time +: "_side" +: rightCols).map(col): _*),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(time).asc, col("_side").asc,
+        col(rightCols.head).asc_nulls_first)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", first(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 0)
+      .drop("_side" +: rightCols: _*)
+  }
+
+  /** q48: each purchase joined to the user's NEXT click at-or-after it
+    * (attribution's forward direction). Oracle: correlated LATERAL
+    * top-1 in DuckDB — same semantics spelled declaratively.
+    */
+  private val q48AsofForward: Q = (s, d) => {
+    val events = t(s, d, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    asofJoinForward(purchases, clicks, "user_id", "ts",
+      Seq("click_id", "click_value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_click_id").as("click_id"),
+        round(col("asof_click_value"), 2).as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** q40: range join — parts bucketed into price bands via an interval
     * predicate against a tiny literal band table. Spark plans a
     * broadcast-nested-loop with the band side broadcast: at 100 TB the
@@ -85,6 +132,7 @@ object JoinOps {
   val queries: Map[String, Q] = Map(
     "q39_asof_join" -> q39Asof,
     "q40_range_join" -> q40Range,
+    "q48_asof_forward" -> q48AsofForward,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -96,6 +144,17 @@ object JoinOps {
         |                       value AS click_value FROM events
         |                WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q48_asof_forward" ->
+      """SELECT p.event_id, p.user_id, c.click_id, c.click_value
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS click_id, round(value, 2) AS click_value
+        |  FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts >= p.ts
+        |  ORDER BY c.ts, c.event_id LIMIT 1) c ON true
         |ORDER BY p.event_id""".stripMargin,
     "q40_range_join" ->
       """SELECT band, count(*) AS cnt, round(avg(p_retailprice), 2) AS avg_price
