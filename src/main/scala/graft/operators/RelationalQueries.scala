@@ -452,6 +452,33 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** q49: semi-structured access via Spark 4 VARIANT — parse_json once,
+    * typed variant_get extraction (the modern engine path the reference's
+    * `->` dialect maps onto; binary variant beats per-access string
+    * re-parsing when several fields are extracted).
+    */
+  private val q49VariantJson: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    s.sql(
+      """SELECT k_bucket, count(*) AS cnt
+        |FROM (SELECT variant_get(parse_json(props), '$.k', 'bigint') div 10
+        |        AS k_bucket
+        |      FROM events)
+        |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin)
+  }
+
+  /** q50: exact percentiles (continuous interpolation) — the exact
+    * counterpart of q38's sketch percentiles; both engines implement the
+    * standard linear-interpolation definition.
+    */
+  private val q50Percentiles: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
   /** Beyond AlaSQL: PIVOT — per-status counts by priority as columns.
     * Spark's .pivot plans a single hash aggregate; the oracle mirrors it
     * with portable CASE aggregation.
@@ -522,6 +549,8 @@ object RelationalQueries {
     "q45_semi_anti" -> q45SemiAnti,
     "q46_lateral" -> q46Lateral,
     "q47_distinct_filter_agg" -> q47DistinctFilterAgg,
+    "q49_variant_json" -> q49VariantJson,
+    "q50_percentiles" -> q50Percentiles,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -557,6 +586,16 @@ object RelationalQueries {
         |           WHERE s_nationkey = n_nationkey
         |           ORDER BY s_acctbal DESC, s_name LIMIT 2)
         |ORDER BY n_name, acct DESC, s_name""".stripMargin,
+    "q49_variant_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+        |  count(*) AS cnt
+        |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+    "q50_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q47_distinct_filter_agg" ->
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,

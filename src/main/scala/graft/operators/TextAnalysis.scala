@@ -165,6 +165,25 @@ object TextAnalysis {
           .cast("bigint").as("n_vowel_runs"))
       .orderBy("doc_id")
 
+  /** tx12: edit distance between consecutive documents' prefixes —
+    * Levenshtein is the classic char-level near-dup/typo metric (both
+    * engines implement the textbook definition). Prefix-bounded (40
+    * chars) because full-text edit distance is O(n·m) per pair — the
+    * bounded form is what a production near-dup verifier would use
+    * after cheap blocking.
+    */
+  private val tx12EditDistance: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id")
+    t(s, d, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      .withColumn("next_p", lead("p", 1).over(w))
+      .filter(col("next_p").isNotNull)
+      .select(col("doc_id"),
+        levenshtein(col("p"), col("next_p")).cast("bigint").as("edit_dist"))
+      .orderBy("doc_id")
+  }
+
   /** tx07: corpus-level MinHash signature per source + pairwise source
     * similarity estimate. The per-group signature is a lane-wise MIN
     * aggregation of per-doc signatures — composition of stock min()
@@ -205,6 +224,7 @@ object TextAnalysis {
     "tx09_regex_extract" -> tx09RegexExtract,
     "tx10_langid_eval" -> tx10LangIdEval,
     "tx11_normalize" -> tx11Normalize,
+    "tx12_edit_distance" -> tx12EditDistance,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -296,6 +316,12 @@ object TextAnalysis {
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx12_edit_distance" ->
+      """WITH p AS (SELECT doc_id, substring(text, 1, 40) AS p FROM documents),
+        |n AS (SELECT doc_id, p,
+        |    lead(p) OVER (ORDER BY doc_id) AS next_p FROM p)
+        |SELECT doc_id, CAST(levenshtein(p, next_p) AS BIGINT) AS edit_dist
+        |FROM n WHERE next_p IS NOT NULL ORDER BY doc_id""".stripMargin,
     // tx05 (custom 64-bit wrapping hashes) and tx07 (MinHash sketch lanes)
     // are not DuckDB-expressible → rows-only checks + in-JVM specs.
   )
