@@ -87,10 +87,32 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** pp04: stratified systematic SAMPLING / data mixing — keep every
+    * 2nd doc from sources 0-4 and every 5th elsewhere (deterministic
+    * mixture weights, the "source re-weighting" step of training-data
+    * assembly). Systematic row_number-mod sampling is reproducible
+    * across runs and engines, unlike rand()-based Bernoulli draws; the
+    * per-source windows parallelize across strata.
+    */
+  val pp04StratifiedSample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 2)
+      .otherwise(5)
+    t(s, d, "documents")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rate", rate)
+      .filter(col("rn") % col("rate") === 1)
+      .select(col("doc_id"), col("source"),
+        col("rate").cast("bigint").as("keep_1_in"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "pp01_corpus_pipeline" -> pp01CorpusStats,
     "pp02_token_shards" -> pp02TokenShards,
-    "pp03_decontaminate" -> pp03Decontaminate)
+    "pp03_decontaminate" -> pp03Decontaminate,
+    "pp04_stratified_sample" -> pp04StratifiedSample)
 
   val oracleSql: Map[String, String] = Map(
     "pp01_corpus_pipeline" ->
@@ -136,5 +158,13 @@ object Pipeline {
         |  FROM sh WHERE doc_id < 5)
         |SELECT doc_id, list_has_any(sh, bench_sh) AS contaminated
         |FROM sh, bench ORDER BY doc_id""".stripMargin,
+    "pp04_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |         THEN 2 ELSE 5 END AS rate
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rate AS BIGINT) AS keep_1_in
+        |FROM r WHERE rn % rate = 1 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -174,9 +174,12 @@ object TextAnalysis {
     */
   private val tx12EditDistance: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("doc_id")
+    // per-source windows: a global ORDER BY window would serialize on a
+    // single partition — the same trap pp02 avoids
+    val w = Window.partitionBy("source").orderBy("doc_id")
     t(s, d, "documents")
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      .select(col("doc_id"), col("source"),
+        substring(col("text"), 1, 40).as("p"))
       .withColumn("next_p", lead("p", 1).over(w))
       .filter(col("next_p").isNotNull)
       .select(col("doc_id"),
@@ -317,9 +320,11 @@ object TextAnalysis {
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "tx12_edit_distance" ->
-      """WITH p AS (SELECT doc_id, substring(text, 1, 40) AS p FROM documents),
+      """WITH p AS (SELECT doc_id, source, substring(text, 1, 40) AS p
+        |           FROM documents),
         |n AS (SELECT doc_id, p,
-        |    lead(p) OVER (ORDER BY doc_id) AS next_p FROM p)
+        |    lead(p) OVER (PARTITION BY source ORDER BY doc_id) AS next_p
+        |  FROM p)
         |SELECT doc_id, CAST(levenshtein(p, next_p) AS BIGINT) AS edit_dist
         |FROM n WHERE next_p IS NOT NULL ORDER BY doc_id""".stripMargin,
     // tx05 (custom 64-bit wrapping hashes) and tx07 (MinHash sketch lanes)
