@@ -479,6 +479,46 @@ object RelationalQueries {
         count(lit(1)).as("cnt"))
       .orderBy("o_orderstatus")
 
+  /** q51: time-series RESAMPLE + GAP FILL — project events onto a dense
+    * hourly grid per event type, zero-filling empty buckets. The grid is
+    * a generated sequence (one row per hour × type — tiny) left-joined
+    * against the hourly aggregate; at scale the aggregate side shuffles
+    * once and the grid broadcasts.
+    */
+  private val q51ResampleFill: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    s.sql(
+      """WITH hourly AS (
+        |  SELECT date_trunc('HOUR', ts) AS hr, event_type,
+        |         count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT explode(sequence(min(hr), max(hr), interval 1 hour)) AS hr
+        |  FROM hourly),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT date_format(g.hr, 'yyyy-MM-dd HH:mm') AS hour,
+        |       t.event_type,
+        |       coalesce(h.cnt, 0) AS cnt,
+        |       coalesce(h.sum_value, 0.0) AS sum_value
+        |FROM grid g CROSS JOIN types t
+        |LEFT JOIN hourly h ON h.hr = g.hr AND h.event_type = t.event_type
+        |ORDER BY hour, event_type""".stripMargin)
+  }
+
+  /** q52: interval RANGE window frame — per-type moving 3-hour sum
+    * (frame bounded by event-time distance, not row count; each
+    * partition sorts once, the frame slides without re-scanning).
+    */
+  private val q52IntervalFrame: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    s.sql(
+      """SELECT event_id,
+        |  round(sum(value) OVER (PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 3 HOURS PRECEDING AND CURRENT ROW), 2)
+        |    AS moving_3h
+        |FROM events ORDER BY event_id""".stripMargin)
+  }
+
   /** Beyond AlaSQL: PIVOT — per-status counts by priority as columns.
     * Spark's .pivot plans a single hash aggregate; the oracle mirrors it
     * with portable CASE aggregation.
@@ -551,6 +591,8 @@ object RelationalQueries {
     "q47_distinct_filter_agg" -> q47DistinctFilterAgg,
     "q49_variant_json" -> q49VariantJson,
     "q50_percentiles" -> q50Percentiles,
+    "q51_resample_fill" -> q51ResampleFill,
+    "q52_interval_frame" -> q52IntervalFrame,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -586,6 +628,29 @@ object RelationalQueries {
         |           WHERE s_nationkey = n_nationkey
         |           ORDER BY s_acctbal DESC, s_name LIMIT 2)
         |ORDER BY n_name, acct DESC, s_name""".stripMargin,
+    "q51_resample_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type,
+        |         count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR))
+        |    AS hr
+        |  FROM hourly),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT strftime(g.hr, '%Y-%m-%d %H:%M') AS hour,
+        |       t.event_type AS event_type,
+        |       coalesce(h.cnt, 0) AS cnt,
+        |       coalesce(h.sum_value, 0.0) AS sum_value
+        |FROM grid g CROSS JOIN types t
+        |LEFT JOIN hourly h ON h.hr = g.hr AND h.event_type = t.event_type
+        |ORDER BY hour, t.event_type""".stripMargin,
+    "q52_interval_frame" ->
+      """SELECT event_id,
+        |  round(sum(value) OVER (PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW), 2)
+        |    AS moving_3h
+        |FROM events ORDER BY event_id""".stripMargin,
     "q49_variant_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
         |  count(*) AS cnt
