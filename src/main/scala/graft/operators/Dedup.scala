@@ -244,8 +244,7 @@ object Dedup {
     * md5(shingle || '#' || lane) and the lane value is the lexicographic
     * MIN hex digest, every step expressible identically in DuckDB (the
     * production-path xxhash kernels in dd03/dd04 are faster but not
-    * cross-engine checkable). The outer single-element transform is the
-    * let-binding that evaluates split() once per row.
+    * cross-engine checkable).
     */
   private val dd08MinhashOracle: Q = (s, d) => {
     // Fused codegen kernels (shingle construction + per-lane md5 minima
