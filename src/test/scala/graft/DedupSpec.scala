@@ -71,6 +71,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents converges on chains, cycles, isolated nodes") {
+    import spark.implicits._
+    // component A: chain 1-2-3-4-5 (diameter 4 — more rounds than dd10's
+    // dup chains need); B: cycle 10-11-12-10; C: isolated 20; D: pair 30-31
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 30L, 31L)
+      .toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (31L, 30L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L)
+    assert(got == want)
+  }
+
   test("dd02 exact-hash dedup counts single-token docs as exact copies") {
     val df = Dedup.queries("dd02_dedup_exact_hash")(spark, sf)
     val withCopies = df.filter(col("n_copies") >= 2).count()

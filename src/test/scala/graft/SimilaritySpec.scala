@@ -41,6 +41,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == 50)
   }
 
+  test("ss06 1-NN graph matches an independent in-JVM brute force") {
+    val got = Similarity.knnGraph(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = vecs.map { case (id, v) =>
+      id -> vecs.toSeq.filter(_._1 != id)
+        .map { case (nb, w) => (nb, cosine(v, w)) }
+        .minBy { case (nb, c) => (-c, nb) }._1
+    }
+    assert(got == want)
+  }
+
   test("ss02 LSH candidates are a subset with exact cosines, ranked") {
     val rows = Similarity.topkLsh(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
