@@ -27,6 +27,9 @@ object Ksql {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-ksql")
+      // custom kernels (simhash64, poly_hash_mod, float_dot, ...) are
+      // part of the user-facing SQL surface, REPL and HTTP alike
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4") // snapshot-sized data
       .config("spark.ui.enabled", "false")
       .getOrCreate()
