@@ -215,6 +215,24 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** tx13: oracle-checked twin of tx07's corpus sketch — per-SOURCE
+    * MinHash signature as a lane-wise MIN aggregation of per-doc md5
+    * signatures. This is the mergeable-sketch property the oracle can
+    * actually replay (min is associative/commutative, so the group
+    * signature is independent of partitioning — exactly why the shuffle
+    * carries 4 digests per source regardless of corpus size). tx07's
+    * xxhash lanes are the fast production path; this pins the merge
+    * semantics cross-engine.
+    */
+  private val tx13SourceSigOracle: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("source"), GraftFunctions.md5_min_lanes(
+        GraftFunctions.shingle_strings(col("text")), 4).as("sig"))
+      .groupBy("source")
+      .agg(min(col("sig")(0)).as("sig0"), min(col("sig")(1)).as("sig1"),
+        min(col("sig")(2)).as("sig2"), min(col("sig")(3)).as("sig3"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
     "tx01_token_count" -> tx01Tokens,
     "tx02_quality_score" -> tx02Quality,
@@ -228,6 +246,7 @@ object TextAnalysis {
     "tx10_langid_eval" -> tx10LangIdEval,
     "tx11_normalize" -> tx11Normalize,
     "tx12_edit_distance" -> tx12EditDistance,
+    "tx13_source_sig_oracle" -> tx13SourceSigOracle,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -327,6 +346,18 @@ object TextAnalysis {
         |  FROM p)
         |SELECT doc_id, CAST(levenshtein(p, next_p) AS BIGINT) AS edit_dist
         |FROM n WHERE next_p IS NOT NULL ORDER BY doc_id""".stripMargin,
+    "tx13_source_sig_oracle" ->
+      """WITH t AS (SELECT source, text, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |sh AS (SELECT source,
+        |    unnest(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS s
+        |  FROM t)
+        |SELECT source,
+        |  min(md5(s || '#0')) AS sig0, min(md5(s || '#1')) AS sig1,
+        |  min(md5(s || '#2')) AS sig2, min(md5(s || '#3')) AS sig3
+        |FROM sh GROUP BY source ORDER BY source""".stripMargin,
     // tx05 (custom 64-bit wrapping hashes) and tx07 (MinHash sketch lanes)
     // are not DuckDB-expressible → rows-only checks + in-JVM specs.
   )
