@@ -16,17 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** One parquet-backed DataFrame; pushdown-friendly (no cache).
+  /** Session configs every graft session needs; applied once at build time
+    * by the Verify/Bench/REPL/test session builders (NOT per query —
+    * mutating session conf inside a reader helper is a race under
+    * concurrent use).
     *
-    * `events.ts` is nanosecond-precision parquet, which Spark's reader
-    * rejects (PARQUET_TYPE_ILLEGAL). We read it as raw long nanos
-    * (legacy.parquet.nanosAsLong) and convert to a micros TimestampType
-    * with integer division — double math would corrupt 1.7e18-scale
-    * nanos (2^53 mantissa).
+    * `nanosAsLong`: `events.ts` is nanosecond-precision parquet, which
+    * Spark's reader otherwise rejects (PARQUET_TYPE_ILLEGAL). We read it
+    * as raw long nanos and convert to a micros TimestampType with integer
+    * division — double math would corrupt 1.7e18-scale nanos (2^53
+    * mantissa).
+    */
+  val sessionConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** One parquet-backed DataFrame; pushdown-friendly (no cache). Requires
+    * a session built with [[configure]] (for the nanos-events read).
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
@@ -39,15 +50,18 @@ object Tables {
     * Idempotent and cheap — createOrReplaceTempView only touches the
     * session catalog.
     */
-  private var lastRegistered: Option[(SparkSession, String)] = None
+  // Memoized per (session, dir): each registration re-reads 10 parquet
+  // footers for schema inference (~0.3 s), which SQL-text queries were
+  // paying on every invocation. Weak keys: the map must not pin a stopped
+  // SparkSession for the JVM lifetime, and concurrent sessions must not
+  // thrash each other's slot.
+  private val registered =
+    new java.util.WeakHashMap[SparkSession, String]()
 
   def register(spark: SparkSession, sfDir: String): Unit = synchronized {
-    // Memoized per (session, dir): each registration re-reads 10 parquet
-    // footers for schema inference (~0.3 s), which SQL-text queries were
-    // paying on every invocation.
-    if (!lastRegistered.contains((spark, sfDir))) {
+    if (registered.get(spark) != sfDir) {
       names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
-      lastRegistered = Some((spark, sfDir))
+      registered.put(spark, sfDir)
     }
   }
 }

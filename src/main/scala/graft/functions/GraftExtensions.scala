@@ -18,19 +18,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
-  private def inject(ext: SparkSessionExtensions, name: String,
+  /** Arity-checked injection: a wrong argument count surfaces as a clear
+    * analysis-time error instead of an IndexOutOfBoundsException from the
+    * builder (the expressions themselves type-check their inputs via
+    * ImplicitCastInputTypes).
+    */
+  private def inject(ext: SparkSessionExtensions, name: String, arity: Int,
       builder: Seq[Expression] => Expression): Unit =
-    ext.injectFunction((FunctionIdentifier(name), info(name, name), builder))
+    ext.injectFunction((FunctionIdentifier(name), info(name, name), es => {
+      if (es.length != arity) throw new IllegalArgumentException(
+        s"$name expects $arity argument(s), got ${es.length}")
+      builder(es)
+    }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    inject(ext, "rolling_hash64", es => RollingHash64(es.head))
-    inject(ext, "simhash64", es => SimHash64(es.head))
-    inject(ext, "poly_hash_mod", es => PolyHashMod(es.head))
-    inject(ext, "shingle_hashes64", es => ShingleHashes64(es.head))
-    inject(ext, "shingle_strings", es => ShingleStrings(es.head))
-    inject(ext, "sign_lsh32", es => SignLsh32(es.head))
-    inject(ext, "float_dot", es => FloatDot(es(0), es(1)))
-    inject(ext, "sorted_intersect_card",
+    inject(ext, "rolling_hash64", 1, es => RollingHash64(es.head))
+    inject(ext, "simhash64", 1, es => SimHash64(es.head))
+    inject(ext, "poly_hash_mod", 1, es => PolyHashMod(es.head))
+    inject(ext, "shingle_hashes64", 1, es => ShingleHashes64(es.head))
+    inject(ext, "shingle_strings", 1, es => ShingleStrings(es.head))
+    inject(ext, "sign_lsh32", 1, es => SignLsh32(es.head))
+    inject(ext, "text_stats", 1, es => TextStats(es.head))
+    inject(ext, "float_dot", 2, es => FloatDot(es(0), es(1)))
+    inject(ext, "sorted_intersect_card", 2,
       es => SortedIntersectCard(es(0), es(1)))
   }
 }

@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.graftshim.GraftShim.AbstractType
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Pure-JVM hash kernels, shared by interpreted eval and generated code.
@@ -265,6 +266,71 @@ object GraftHashes {
     new GenericArrayData(mins)
   }
 
+  /** Marker-token masks for textStats: bit0 = stopword {the,a,of,to,and},
+    * bit1 = en, bit2 = es, bit3 = de, bit4 = fr profile hit. All markers
+    * are ≤3 ASCII bytes, so only short tokens pay the map lookup.
+    */
+  private val markerMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    def put(w: String, mask: Int): Unit = m.put(w, mask)
+    Seq("the" -> 3, "a" -> 3, "of" -> 3, "and" -> 3, "to" -> 1,
+      "el" -> 4, "de" -> 4, "y" -> 4, "la" -> 20,
+      "der" -> 8, "die" -> 8, "und" -> 8, "ein" -> 8,
+      "le" -> 16, "et" -> 16, "un" -> 16).foreach((put _).tupled)
+    m
+  }
+
+  /** One-pass text statistics — the fused kernel behind tx01/02/03/06/10.
+    * Replaces 4 interpreted HOF lambda passes (split + per-language
+    * filter) plus 2 regexp_replace passes per row with a single scan of
+    * the UTF-8 bytes. Semantics are bit-identical to the expression-tree
+    * formulations the DuckDB oracles mirror:
+    *   n_tokens   = length(t) - length(replace(t,' ','')) + 1   (spaces+1)
+    *   n_nospace  = non-space character count (code points)
+    *   n_stop     = tokens ∈ {the,a,of,to,and}   (split-on-' ' tokens)
+    *   n_subwords = Σ ceil(chars(token)/4)        (empty tokens → 0)
+    *   pred_lang / pred_score = argmax over 4 language marker profiles,
+    *     ties → lexicographically greatest lang (the sort_array desc
+    *     (score, lang) struct tie-break tx03's oracle replays).
+    */
+  def textStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    var spaces = 0; var chars = 0L
+    var nStop = 0L; var nSub = 0L
+    var en = 0; var es = 0; var de = 0; var fr = 0
+    var start = 0; var tokChars = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        if (i < bytes.length) spaces += 1
+        nSub += (tokChars + 3) / 4 // ceil(chars/4); empty token → 0
+        val bl = i - start
+        if (bl >= 1 && bl <= 3) {
+          val mask = markerMask.getOrDefault(
+            new String(bytes, start, bl, java.nio.charset.StandardCharsets.UTF_8), 0)
+          if ((mask & 1) != 0) nStop += 1
+          if ((mask & 2) != 0) en += 1
+          if ((mask & 4) != 0) es += 1
+          if ((mask & 8) != 0) de += 1
+          if ((mask & 16) != 0) fr += 1
+        }
+        start = i + 1; tokChars = 0
+      } else if ((bytes(i) & 0xC0) != 0x80) { // code points, not bytes
+        chars += 1; tokChars += 1
+      }
+      i += 1
+    }
+    // argmax with greatest-lang tie-break: visit langs ascending and take
+    // score >= best, so the last equal max (greatest lang) wins.
+    var predLang = "de"; var predScore = de
+    if (en >= predScore) { predLang = "en"; predScore = en }
+    if (es >= predScore) { predLang = "es"; predScore = es }
+    if (fr >= predScore) { predLang = "fr"; predScore = fr }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](spaces + 1L, chars, nStop, nSub,
+        UTF8String.fromString(predLang), predScore))
+  }
+
   /** 64-bit SimHash over whitespace-delimited tokens: each token votes its
     * hash bits +1/-1; the sign vector is the fingerprint. Near-duplicate
     * docs land within small Hamming distance. Single pass over the bytes,
@@ -299,17 +365,14 @@ object GraftHashes {
   }
 }
 
-/** Base for string→long hash expressions with codegen via a static call. */
-abstract class HashExpr extends UnaryExpression {
+/** Base for string→long hash expressions with codegen via a static call.
+  * ImplicitCastInputTypes: analysis inserts a cast (or rejects the call
+  * with a type error) instead of letting a wrong-typed column reach the
+  * kernel's unsafe getters — the REPL/HTTP SQL surface exposes these.
+  */
+abstract class HashExpr extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a string argument")
-  }
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
   /** Static method name on GraftHashes; interpreted eval and generated
     * code both dispatch to it.
     */
@@ -361,8 +424,10 @@ case class SimHash64(child: Expression) extends HashExpr {
 /** All 3-token shingle hashes of a text (array<bigint>). Basis for
   * MinHash-LSH dedup and n-gram Jaccard (SURVEY §7.2 item 8).
   */
-case class ShingleHashes64(child: Expression) extends UnaryExpression {
+case class ShingleHashes64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def prettyName: String = "shingle_hashes64"
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -376,8 +441,9 @@ case class ShingleHashes64(child: Expression) extends UnaryExpression {
 
 /** k-lane MinHash signature (array<bigint>) of a text's shingle set. */
 case class MinHashSig(child: Expression, k: Int, seedBase: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "minhash_sig"
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -392,8 +458,10 @@ case class MinHashSig(child: Expression, k: Int, seedBase: Long)
 /** 3-token shingle strings of a text (array<string>), split-semantics
   * faithful — basis of the oracle-portable dd08/dd09 kernels.
   */
-case class ShingleStrings(child: Expression) extends UnaryExpression {
+case class ShingleStrings(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def prettyName: String = "shingle_strings"
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -409,8 +477,9 @@ case class ShingleStrings(child: Expression) extends UnaryExpression {
   * lane) — dd08's fused signature kernel.
   */
 case class Md5MinLanes(child: Expression, lanes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "md5_min_lanes"
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -429,8 +498,10 @@ case class Md5MinLanes(child: Expression, lanes: Int)
   * (sequential left fold) — see GraftHashes.floatDot.
   */
 case class FloatDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "float_dot"
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     GraftHashes.floatDot(
@@ -448,8 +519,10 @@ case class FloatDot(left: Expression, right: Expression)
   * — the codegen'd pair-verification kernel for Jaccard dedup.
   */
 case class SortedIntersectCard(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "sorted_intersect_card"
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     GraftHashes.sortedIntersectCard(
@@ -464,8 +537,10 @@ case class SortedIntersectCard(left: Expression, right: Expression)
 }
 
 /** 32-bit sign-LSH signature of an array<float> embedding column. */
-case class SignLsh32(child: Expression) extends UnaryExpression {
+case class SignLsh32(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def prettyName: String = "sign_lsh32"
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
     GraftHashes.signLsh32(
@@ -474,6 +549,37 @@ case class SignLsh32(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.GraftHashes.signLsh32($c)")
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+/** One-pass fused text statistics (see GraftHashes.textStats): the hot
+  * kernel behind tx01/02/03/06/10 — token counts, stopword hits, subword
+  * estimate and language-ID argmax from a single byte scan, inside
+  * whole-stage codegen. Referencing several fields of one TextStats call
+  * costs one evaluation (codegen subexpression elimination), where the
+  * equivalent HOF subtrees were interpreted AND re-evaluated per output
+  * column (the r2 tx perf regression).
+  */
+case class TextStats(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def prettyName: String = "text_stats"
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
+  override def dataType: DataType = TextStats.schema
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashes.textStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHashes.textStats($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_nospace", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_subwords", LongType, nullable = false),
+    StructField("pred_lang", StringType, nullable = false),
+    StructField("pred_score", IntegerType, nullable = false)))
 }
 
 /** Column wrappers + SQL registration for the custom expressions. */
@@ -501,6 +607,8 @@ object GraftFunctions {
   def sorted_intersect_card(a: Column, b: Column): Column =
     GraftShim.column(SortedIntersectCard(
       GraftShim.expression(a), GraftShim.expression(b)))
+  def text_stats(c: Column): Column =
+    GraftShim.column(TextStats(GraftShim.expression(c)))
 
   /** Make the functions callable from spark.sql text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -17,67 +17,54 @@ import graft.functions.GraftFunctions
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Whitespace token count via a length-difference formula chosen because
-    * DuckDB evaluates the identical expression identically (oracle parity):
-    * tokens = chars - chars_without_spaces + 1 for space-separated text.
+  /** Fused one-pass text statistics (graft.functions.TextStats): token
+    * count, non-space chars, stopword hits, subword estimate, language-ID
+    * argmax — all from a single codegen'd byte scan. tx01/02/03/06/10
+    * previously built these from HOF lambda subtrees (split + per-language
+    * filter), which are CodegenFallback AND were re-evaluated once per
+    * output column (the r2 tx perf regression: tx03 0.54→1.06 s). Several
+    * getFields of one TextStats call cost one evaluation — codegen
+    * subexpression elimination sees the common subtree.
     */
-  private def tokenCount(c: org.apache.spark.sql.Column) =
-    (length(c) - length(regexp_replace(c, " ", "")) + 1).cast("bigint")
+  private def stats: org.apache.spark.sql.Column =
+    GraftFunctions.text_stats(col("text"))
 
-  /** tx01: token counting. */
+  /** tx01: token counting (= chars - chars_without_spaces + 1, the
+    * length-difference formula the DuckDB oracle replays).
+    */
   private val tx01Tokens: Q = (s, d) =>
     t(s, d, "documents")
-      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .select(col("doc_id"), stats.getField("n_tokens").as("n_tokens"))
       .orderBy("doc_id")
 
   /** tx02: quality scoring — length, token stats, stopword ratio, alpha
     * ratio. Simple deterministic heuristics of the C4/Gopher-rules flavor.
     */
-  private val tx02Quality: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-      .withColumn("n_tokens", tokenCount(col("text")))
-      .withColumn("n_stop", size(filter(split(col("text"), " "),
-        tk => tk.isin("the", "a", "of", "to", "and"))).cast("bigint"))
-    docs.select(
-      col("doc_id"),
-      col("n_chars"),
-      col("n_tokens"),
-      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
-        col("n_tokens"), 4).as("avg_token_len"),
-      round(col("n_stop").cast("double") / col("n_tokens"), 4)
-        .as("stopword_ratio"),
-      (col("n_tokens") >= 10 && col("n_chars") >= 50).as("passes_min_len"))
+  private val tx02Quality: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        stats.getField("n_tokens").as("n_tokens"),
+        round(stats.getField("n_nospace").cast("double") /
+          stats.getField("n_tokens"), 4).as("avg_token_len"),
+        round(stats.getField("n_stop").cast("double") /
+          stats.getField("n_tokens"), 4).as("stopword_ratio"),
+        (stats.getField("n_tokens") >= 10 && col("n_chars") >= 50)
+          .as("passes_min_len"))
       .orderBy("doc_id")
-  }
 
-  /** tx03: language ID — n-gram/stopword-profile heuristic: score each
-    * candidate language by its marker-token hit count, pick the argmax
-    * (deterministic tie-break on language order). A real pipeline plugs a
+  /** tx03: language ID — stopword-profile heuristic: score each candidate
+    * language by its marker-token hit count, pick the argmax (ties →
+    * lexicographically greatest lang, the sort_array-desc struct semantics
+    * the oracle replays with list_reverse_sort). A real pipeline plugs a
     * model in; the Spark shape (per-row scoring, no shuffle) is identical.
     */
-  private val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and"),
-    "es" -> Seq("el", "la", "de", "y"),
-    "de" -> Seq("der", "die", "und", "ein"),
-    "fr" -> Seq("le", "la", "et", "un"))
-
-  /** Argmax over per-language marker-hit structs (desc struct sort ⇒
-    * deterministic tie-break on lang), shared by tx03/tx10.
-    */
-  private def langScored: org.apache.spark.sql.Column = {
-    val toks = split(col("text"), " ")
-    val scored = langProfiles.map { case (lang, markers) =>
-      struct(size(filter(toks, tk => tk.isin(markers: _*))).as("score"),
-        lit(lang).as("lang"))
-    }
-    sort_array(array(scored: _*), asc = false)(0)
-  }
-
   private val tx03LangId: Q = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"),
-        langScored.getField("lang").as("pred_lang"),
-        langScored.getField("score").cast("bigint").as("score"))
+        stats.getField("pred_lang").as("pred_lang"),
+        stats.getField("pred_score").cast("bigint").as("score"))
       .orderBy("doc_id")
 
   /** tx10: lang-ID EVALUATION — confusion matrix of the tx03 heuristic
@@ -88,7 +75,7 @@ object TextAnalysis {
     */
   private val tx10LangIdEval: Q = (s, d) =>
     t(s, d, "documents")
-      .select(col("lang"), langScored.getField("lang").as("pred_lang"))
+      .select(col("lang"), stats.getField("pred_lang").as("pred_lang"))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
@@ -129,12 +116,9 @@ object TextAnalysis {
     */
   private val tx06TokenEstimate: Q = (s, d) =>
     t(s, d, "documents")
-      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
-        tokenCount(col("text")).as("n_words"),
-        aggregate(col("toks"), lit(0L), (acc, tk) =>
-          acc + ceil(length(tk).cast("double") / 4.0).cast("long"))
-          .as("n_subwords_est"))
+        stats.getField("n_tokens").as("n_words"),
+        stats.getField("n_subwords").as("n_subwords_est"))
       .orderBy("doc_id")
 
 

@@ -24,14 +24,14 @@ object Ksql {
     val port = args.drop(1).filter(_.forall(_.isDigit))
       .headOption.map(_.toInt).getOrElse(8090)
 
-    val spark = SparkSession.builder()
+    val spark = graft.Tables.configure(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-ksql")
       // custom kernels (simhash64, poly_hash_mod, float_dot, ...) are
       // part of the user-facing SQL surface, REPL and HTTP alike
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4") // snapshot-sized data
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

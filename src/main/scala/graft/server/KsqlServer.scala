@@ -80,7 +80,8 @@ class KsqlServer(spark: SparkSession, port: Int = 8090) {
 
     /** ksql.js:316-353 semantics: classpath-backed static serving. */
     private def static(ex: HttpExchange, path: String): Unit = {
-      if (path.contains("..")) { respond(ex, 404, "Not found: " + path); return }
+      // ksql.js:321-325: path traversal is a 400, not a 404
+      if (path.contains("..")) { respond(ex, 400, "Bad request: " + path); return }
       val res = getClass.getResourceAsStream("/web" + path)
       if (res == null) { respond(ex, 404, "Not found: " + path); return }
       val bytes = res.readAllBytes(); res.close()

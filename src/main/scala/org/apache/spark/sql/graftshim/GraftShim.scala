@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]` in Spark 4; this public alias
+    * lets graft expressions declare `inputTypes` (ImplicitCastInputTypes)
+    * so analysis inserts casts / rejects wrong-typed calls.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

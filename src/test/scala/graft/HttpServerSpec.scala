@@ -54,8 +54,8 @@ class HttpServerSpec extends SparkSpec {
     assert(body.contains("<html"))
   }
 
-  test("path traversal rejected (ksql.js:321-325)") {
-    assert(get(s"http://localhost:$port/..%2fbuild.sbt")._1 == 404)
+  test("path traversal rejected with 400 (ksql.js:321-325)") {
+    assert(get(s"http://localhost:$port/..%2fbuild.sbt")._1 == 400)
   }
 
   test("unknown asset → 404 (ksql.js:341-344)") {
