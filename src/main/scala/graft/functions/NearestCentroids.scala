@@ -127,7 +127,12 @@ case class NearestNeighborAll(left: Expression, right: Expression,
         var j = 0
         val lim = math.min(n, v.length)
         while (j < lim) { dot += arr.getFloat(j).toDouble * v(j).toDouble; j += 1 }
-        val cos = dot / (selfNorm * norms(c))
+        // Zero-norm guard: a degenerate vector would make cos NaN, and
+        // NaN never fires `>` while the DuckDB oracle sorts NaN greatest —
+        // skip the candidate instead so both engines agree (none exist in
+        // current data; this pins the semantics).
+        val denom = selfNorm * norms(c)
+        val cos = if (denom == 0) Double.NegativeInfinity else dot / denom
         if (cos > bestCos) { bestCos = cos; bestId = ids(c) } // ids ASC: ties keep lowest
       }
       c += 1
@@ -150,4 +155,85 @@ case class NearestNeighborAll(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Nearest neighbor of an embedding within ONE corpus block — the
+  * per-block kernel of the distributed exact 1-NN graph (ss06). The
+  * block arrives as an ordinary COLUMN (`array<struct<vec_id, embedding,
+  * norm>>`, vec_id ASC), not a driver-collected reference object, so the
+  * corpus never rides the driver or a broadcast: blocks are packed by a
+  * hash-partitioned aggregation and meet rows through a shuffle join.
+  *
+  * Oracle-parity details (must match NearestNeighborAll and DuckDB):
+  * dot accumulates double-cast float products in index order (the
+  * FloatDot / list_reduce fold); the block's norm field is l2norm() =
+  * sqrt(FloatDot(v,v)) computed at pack time with the identical fold;
+  * ties break to the LOWEST id (entries scanned vec_id-ASC, strict `>`).
+  * Self is excluded by id. Zero-norm candidates are skipped (cos would
+  * be NaN, which `>` and the oracle's ORDER BY treat differently).
+  *
+  * Returns struct(nb_id, cos); an empty/self-only block yields
+  * (-1, -Infinity), which loses every cross-block argmax.
+  */
+case class NearestInBlock(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def prettyName: String = "nearest_in_block"
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("nb_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  def nearest(arr: ArrayData, selfId: Long, block: ArrayData): Any = {
+    val n = arr.numElements()
+    var selfNorm = 0.0
+    var i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble; selfNorm += x * x; i += 1
+    }
+    selfNorm = math.sqrt(selfNorm)
+    var bestId = -1L
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    val m = block.numElements()
+    while (c < m) {
+      val entry = block.getStruct(c, 3)
+      val id = entry.getLong(0)
+      if (id != selfId) {
+        val v = entry.getArray(1)
+        var dot = 0.0
+        var j = 0
+        val lim = math.min(n, v.numElements())
+        while (j < lim) {
+          dot += arr.getFloat(j).toDouble * v.getFloat(j).toDouble; j += 1
+        }
+        val denom = selfNorm * entry.getDouble(2)
+        if (denom != 0) {
+          val cos = dot / denom
+          if (cos > bestCos) { bestCos = cos; bestId = id }
+        }
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestCos))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    nearest(a.asInstanceOf[ArrayData], b.asInstanceOf[Long],
+      c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestInBlock", this,
+      classOf[NearestInBlock].getName)
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"(org.apache.spark.sql.catalyst.InternalRow) $ref.nearest($a, $b, $c)")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

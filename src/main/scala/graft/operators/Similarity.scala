@@ -48,38 +48,146 @@ object Similarity {
     "ss04_range_search" -> ((s, d) => rangeSearch(s, d)),
     "ss05_centroid_assign" -> ((s, d) => centroidAssign(s, d)),
     "ss06_knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "ss07_ann_recall" -> ((s, d) => annRecall(s, d)),
   )
 
-  /** ss06: exact 1-NN graph — every corpus vector's nearest neighbor.
-    * Argmax as TWO primitive hash aggregations, NOT a window and NOT
-    * max(struct): windows shuffle the whole pair set, and struct-typed
-    * max has no mutable hash-agg buffer so it degrades to a SortAggregate
-    * over the pairs (measured 3.4 s vs 1.4 s at sf0.1). Pass 1 partial-
-    * aggregates max(cos) per vector map-side; pass 2 re-derives the
-    * pairs (cheap codegen'd dots) and keeps min neighbor id among rows
-    * hitting the max — bit-exact double equality holds because both
-    * passes run the identical fold. At 100 TB the pair generation swaps
-    * to the LSH/IVF bucketing of ss02/ss03 with this same argmax on top.
+  /** ss07: LSH ANN recall against the exact brute force, measured where
+    * similarity structure EXISTS — the corpus is augmented with planted
+    * near-dup twins (deterministic integer-arithmetic noise, cosine ≈
+    * 0.9999), and each query's true 1-NN is its twin. `recall_at_1` (did
+    * banded sign-LSH surface the twin — the retrieval a dedup pipeline
+    * depends on) sits ≥ 0.9; `recall_at_5` also counts ranks 2-5, which
+    * on synthetic near-orthogonal embeddings (natural cos ≈ 0.35) are
+    * structurally hard for 8-bit bands — its lower value is the honest
+    * measurement of that regime.
+    *
+    * ORACLE-CHECKED end to end: twins use pure integer arithmetic (no
+    * engine-specific hash) and the sign-LSH planes are deterministic
+    * constants inlined into the oracle SQL, so DuckDB replays planting,
+    * signatures, banding, candidate join and rerank — both engines must
+    * produce identical recall values.
+    */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    // ~0.1%-per-dimension noise from a fixed LCG-ish stream of the
+    // (base id, dimension) pair — replayed verbatim by the oracle
+    val twins = base.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      expr("""transform(embedding, (x, i) -> CAST(x + 0.001 *
+             |  ((((vec_id * 131071) + (i * 524287)) % 1000) / 500.0 - 1.0)
+             |  AS FLOAT))""".stripMargin).as("embedding"))
+    // One materialization feeding the exact side, the band self-join and
+    // two vector rejoins (the dd07 lesson: without it Spark recomputes
+    // scan+signature per branch).
+    val corpus = base.unionAll(twins)
+      .withColumn("norm", l2norm(col("embedding")))
+      .withColumn("sig", signBucket(col("embedding")))
+      .persist()
+    val queries = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val exact = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"))
+    val bands = corpus.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 3), b -> (sig div shiftleft(1, 8*b)) % 256)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val cand = bands
+      .join(bands.filter(col("vec_id") < 50)
+        .select(col("band"), col("bval"), col("vec_id").as("query_id")),
+        Seq("band", "bval"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val lsh = cand
+      .join(corpus.select(col("vec_id"), col("embedding"), col("norm")),
+        Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_hit1"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_hit1"), lit(0L)).as("recall_at_1"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 2).as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
+  /** ss06: exact 1-NN graph — every corpus vector's nearest neighbor,
+    * computed as a distributed block-nested-loop with NO driver collect
+    * and NO corpus-sized broadcast (the r2 scale-killer, since fixed):
+    *
+    *  1. Pack the corpus into B hash blocks (`groupBy(block)` +
+    *     `collect_list(struct(id, emb, norm))`, sorted id-ASC for the
+    *     tie-break scan order). One corpus-sized shuffle, keyed small.
+    *  2. Replicate each row to every block id (`explode(sequence)`), meet
+    *     the packed blocks through a SHUFFLE hash join — each task scans
+    *     one block against its slice of rows via the codegen'd
+    *     NearestInBlock kernel. The exchanged data is n·B rows + the
+    *     packed corpus; the O(n²) dot products stay compute, never rows.
+    *  3. Cross-block argmax over the n·B skinny partials (vec_id, nb_id,
+    *     cos): window-max on vec_id + filter + hash agg taking the min
+    *     neighbor id among block winners hitting the max (double equality
+    *     across blocks is sound — every block runs the identical fold).
+    *     A window is right HERE where it was wrong for the raw pair set:
+    *     it exchanges only n·B 24-byte partials, once, and the follow-up
+    *     groupBy reuses that partitioning (no second exchange). The
+    *     two-hash-agg alternative re-derives the partials subtree — with
+    *     a kernel this expensive, recomputation loses; plan verified.
+    *
+    * At 100 TB: exact 1-NN is inherently O(n²) compute; what must NOT be
+    * O(n²) — or driver/executor-resident — is data movement. Here shuffle
+    * volume is O(n·B) with B sized so a block (n/B vectors) fits a task
+    * (B ≈ corpus_bytes / 64 MB), and no node ever holds the whole corpus.
+    * When approximate recall suffices, the LSH/IVF candidate generation
+    * of ss02/ss03 replaces step 2's all-blocks replication with bucketed
+    * candidates feeding the same step-3 argmax.
     */
   def knnGraph(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftShim
-    import graft.functions.NearestNeighborAll
+    import graft.functions.NearestInBlock
+    val blocks0 = 16 // test-scale stand-in for corpus_bytes / block budget
     val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    // Build the broadcast "index": ids ASC (the kernel's tie-break
-    // contract). 2000 × 64 floats — the closure payload a real deployment
-    // ships to executors; see the scale caveat on NearestNeighborAll.
-    val collected = corpus.orderBy("vec_id").collect()
-    val ids = collected.map(_.getLong(0))
-    val vecs = collected.map(_.getSeq[Float](1).toArray)
-    def nn(emb: Column, selfId: Column): Column =
-      GraftShim.column(NearestNeighborAll(GraftShim.expression(emb),
-        GraftShim.expression(selfId), ids, vecs))
-    // The embeddings parquet is a handful of input splits; the kernel is
-    // O(corpus) per row, so spread rows across all cores first.
-    corpus.repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), nn(col("embedding"), col("vec_id")).as("best"))
-      .select(col("vec_id"), col("best.nb_id").as("neighbor_id"),
-        round(col("best.cos"), 4).as("cosine"))
+      .withColumn("norm", l2norm(col("embedding")))
+    val blocks = corpus
+      .withColumn("block", pmod(hash(col("vec_id")), lit(blocks0)))
+      .groupBy("block")
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("embedding"), col("norm")))).as("entries"))
+    val replicated = corpus.select(col("vec_id"), col("embedding"),
+      explode(sequence(lit(0), lit(blocks0 - 1))).as("block"))
+    def nn(emb: Column, selfId: Column, entries: Column): Column =
+      GraftShim.column(NearestInBlock(GraftShim.expression(emb),
+        GraftShim.expression(selfId), GraftShim.expression(entries)))
+    val partials = replicated
+      .join(blocks.hint("SHUFFLE_HASH"), Seq("block"))
+      .select(col("vec_id"),
+        nn(col("embedding"), col("vec_id"), col("entries")).as("best"))
+      .select(col("vec_id"), col("best.nb_id").as("nb_id"),
+        col("best.cos").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+    partials
+      .withColumn("best_cos", max(col("cos")).over(w))
+      .filter(col("cos") === col("best_cos"))
+      .groupBy("vec_id")
+      .agg(min(col("nb_id")).as("neighbor_id"), max(col("cos")).as("cos_raw"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cos_raw"), 4).as("cosine"))
       .orderBy("vec_id")
   }
 
@@ -197,7 +305,7 @@ object Similarity {
           col("norm").as("q_norm"))), Seq("query_id"))
       .withColumn("cosine_raw",
         dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine_raw"), 4).as("cosine"))
@@ -267,7 +375,114 @@ object Similarity {
       |      [c.e[i] * q.e[i] for i in generate_series(1, len(c.e))]),
       |      (a, b) -> a + b)""".stripMargin
 
+  /** The sign-LSH hyperplanes as a DuckDB VALUES table. The planes are
+    * deterministic constants of the algorithm (splitmix stream, see
+    * GraftHashes.lshPlanes); Double.toString round-trips exactly, so the
+    * oracle's parsed doubles are bit-identical to the kernel's and every
+    * signature bit agrees: bit p = (Σ_d (double)e[d] * w[p][d] ≥ 0) with
+    * the identical sequential fold.
+    */
+  private def planesCte: String = {
+    val rows = graft.functions.GraftHashes.lshPlanes.zipWithIndex
+      .map { case (w, p) =>
+        s"($p, [${w.map(java.lang.Double.toString).mkString(", ")}])"
+      }
+    s"planes AS (SELECT * FROM (VALUES\n  ${rows.mkString(",\n  ")}) pt(p, w))"
+  }
+
+  /** DuckDB replay of the ss02 candidate pipeline: signature → 4×8-bit
+    * bands → OR-amplified candidate pairs for queries vec_id < 10 →
+    * exact-cosine top-5 rerank. Requires `$normCte` and `$planesCte`.
+    */
+  private def lshTop5Cte: String =
+    s"""sigs AS (SELECT v.vec_id,
+       |    sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [v.e[i] * pl.w[i]
+       |         for i in generate_series(1, least(len(v.e), 64))]),
+       |        (a, b) -> a + b) >= 0
+       |      THEN (1::BIGINT << pl.p) ELSE 0 END) AS sig
+       |  FROM v, planes pl GROUP BY v.vec_id),
+       |bands AS (SELECT vec_id, b.band,
+       |    (sig // (1::BIGINT << (8 * b.band))) % 256 AS bval
+       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bands c JOIN bands q ON c.band = q.band AND c.bval = q.bval
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |    $dotSql / (c.nrm * q.nrm) AS cosine_raw
+       |  FROM cand JOIN n c ON c.vec_id = cand.neighbor_id
+       |    JOIN n q ON q.vec_id = cand.query_id),
+       |lsh5 AS (SELECT query_id, neighbor_id, cosine_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine_raw DESC, neighbor_id) AS "rank"
+       |  FROM scored QUALIFY "rank" <= 5)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ss02_topk_lsh" ->
+      s"""WITH $normCte, $planesCte, $lshTop5Cte
+         |SELECT query_id, "rank", neighbor_id, round(cosine_raw, 4) AS cosine
+         |FROM lsh5 ORDER BY query_id, "rank"""".stripMargin,
+    "ss07_ann_recall" ->
+      s"""WITH src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000,
+         |    [CAST(embedding[i] + 0.001 *
+         |       ((((vec_id * 131071) + ((i - 1) * 524287)) % 1000)
+         |        / 500.0 - 1.0) AS REAL)
+         |     for i in generate_series(1, len(embedding))]
+         |  FROM embeddings),
+         |v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM src),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |$planesCte,
+         |sigs AS (SELECT v.vec_id,
+         |    sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        [v.e[i] * pl.w[i]
+         |         for i in generate_series(1, least(len(v.e), 64))]),
+         |        (a, b) -> a + b) >= 0
+         |      THEN (1::BIGINT << pl.p) ELSE 0 END) AS sig
+         |  FROM v, planes pl GROUP BY v.vec_id),
+         |bands AS (SELECT vec_id, b.band,
+         |    (sig // (1::BIGINT << (8 * b.band))) % 256 AS bval
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bands c JOIN bands q ON c.band = q.band AND c.bval = q.bval
+         |  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |lscored AS (SELECT cand.query_id, cand.neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cosine_raw
+         |  FROM cand JOIN n c ON c.vec_id = cand.neighbor_id
+         |    JOIN n q ON q.vec_id = cand.query_id),
+         |lsh5 AS (SELECT query_id, neighbor_id
+         |  FROM (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine_raw DESC, neighbor_id) AS rn
+         |    FROM lscored) WHERE rn <= 5),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cosine_raw
+         |  FROM n c JOIN n q ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |exact5 AS (SELECT query_id, neighbor_id, rn
+         |  FROM (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine_raw DESC, neighbor_id) AS rn
+         |    FROM p) WHERE rn <= 5),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit,
+         |    CAST(sum(CASE WHEN e.rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1
+         |  FROM exact5 e JOIN lsh5 l ON e.query_id = l.query_id
+         |    AND e.neighbor_id = l.neighbor_id
+         |  GROUP BY e.query_id),
+         |denom AS (SELECT query_id, count(*) AS n_exact
+         |  FROM exact5 GROUP BY query_id)
+         |SELECT d.query_id, d.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+         |    coalesce(h.n_hit1, 0) AS recall_at_1,
+         |    round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) /
+         |      CAST(d.n_exact AS DOUBLE), 2) AS recall_at_5
+         |FROM denom d LEFT JOIN hits h ON d.query_id = h.query_id
+         |ORDER BY d.query_id""".stripMargin,
     "ss01_topk_bruteforce" ->
       s"""WITH $normCte,
          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -19,7 +19,7 @@ class ContractSpec extends SparkSpec {
   private val rowsOnly = Set(
     "dd03_minhash_signatures", "dd04_minhash_lsh_pairs", "dd05_simhash",
     "dd06_ngram_jaccard_pairs", "dd07_embedding_neardup", "q38_sketches",
-    "ss02_topk_lsh", "ss03_topk_ivf", "tx05_fingerprint_hash64",
+    "ss03_topk_ivf", "tx05_fingerprint_hash64",
     "tx07_source_signature")
 
   test("oracle map covers exactly the non-rows-only queries") {

@@ -79,13 +79,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("knn graph is a per-row kernel projection — no pair-set operator (ss06)") {
+  test("knn graph is block-distributed — no broadcast, no driver index (ss06)") {
     val plan = executedPlan("ss06_knn_graph")
-    // the broadcast-index kernel replaces any pair materialization:
-    // no Window, no join of the corpus against itself
-    assert(plan.contains("nearest_neighbor_all"), plan)
-    assert(!plan.contains("Window"), plan)
-    assert(!plan.contains("Join"), plan)
+    // the corpus meets rows via a SHUFFLE join of packed blocks — no node
+    // (driver or executor) ever holds the whole corpus
+    assert(plan.contains("nearest_in_block"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the argmax exchanges only the skinny partials: exactly one Window,
+    // and the follow-up groupBy reuses its partitioning (exchange count =
+    // block-pack + row-replicate + partials + final orderBy = 4; count the
+    // AQE-final section only — toString repeats the initial plan below it)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(finalPlan).size == 4, plan)
   }
 
   test("sliding window is one hash aggregate over the expanded rows (q36)") {
