@@ -67,15 +67,57 @@ object K8sApi {
 
   /** Build a client for the config. https requires cert material — the
     * reference's hard requirement (ksql.js:47-48), surfaced as an error
-    * rather than a crash.
+    * rather than a crash — and builds an SSLContext doing mutual TLS:
+    * CA pinning from `certificate-authority-data` (ksql.js:52 `ca:`) and
+    * x509 client auth from `client-certificate-data`/`client-key-data`
+    * (ksql.js:49-51 `cert:`/`key:`).
     */
   def client(cfg: ClusterConfig): HttpClient = {
-    if (cfg.isHttps && (cfg.certData.isEmpty || cfg.keyData.isEmpty))
-      sys.error("https api server requires client-certificate-data and " +
-        "client-key-data in the kubeconfig (reference ksql.js:47-48)")
-    // x509 client auth would build an SSLContext from the PEM material
-    // here; the zero-egress build exercises http + bearer-token paths.
-    HttpClient.newHttpClient()
+    if (!cfg.isHttps) HttpClient.newHttpClient()
+    else {
+      if (cfg.certData.isEmpty || cfg.keyData.isEmpty)
+        sys.error("https api server requires client-certificate-data and " +
+          "client-key-data in the kubeconfig (reference ksql.js:47-48)")
+      HttpClient.newBuilder().sslContext(sslContext(cfg)).build()
+    }
+  }
+
+  /** Mutual-TLS SSLContext from kubeconfig PEM material: trust = the
+    * pinned CA (falls back to JVM default trust when absent), key = the
+    * client certificate chain + private key.
+    */
+  def sslContext(cfg: ClusterConfig): javax.net.ssl.SSLContext = {
+    import java.io.ByteArrayInputStream
+    import java.security.KeyStore
+    import java.security.cert.CertificateFactory
+    import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
+    val cf = CertificateFactory.getInstance("X.509")
+    val trust = cfg.caData.map { ca =>
+      val ks = KeyStore.getInstance("PKCS12")
+      ks.load(null, null)
+      cf.generateCertificates(new ByteArrayInputStream(ca)).asScala
+        .zipWithIndex.foreach { case (c, i) => ks.setCertificateEntry(s"ca$i", c) }
+      val tmf = TrustManagerFactory.getInstance(
+        TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      tmf.getTrustManagers
+    }.orNull
+    val keys = (cfg.certData, cfg.keyData) match {
+      case (Some(cert), Some(key)) =>
+        val chain = cf.generateCertificates(new ByteArrayInputStream(cert))
+          .asScala.toArray[java.security.cert.Certificate]
+        val ks = KeyStore.getInstance("PKCS12")
+        ks.load(null, null)
+        ks.setKeyEntry("client", Pem.privateKey(key), Array.emptyCharArray, chain)
+        val kmf = KeyManagerFactory.getInstance(
+          KeyManagerFactory.getDefaultAlgorithm)
+        kmf.init(ks, Array.emptyCharArray)
+        kmf.getKeyManagers
+      case _ => null
+    }
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(keys, trust, null)
+    ctx
   }
 
   /** GET one list endpoint (`/api/v1/{pods,nodes,services}`) with
