@@ -84,11 +84,40 @@ class K8sSnapshotTable(kind: String, path: String)
 }
 
 class K8sScanBuilder(kind: String, path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Push simple predicates on the STAMPED key columns (uid/name/node —
+    * cheap text probes into the raw JSON) down to the reader: matching
+    * happens BEFORE item conversion, so on a large cluster snapshot a
+    * `WHERE node = 'x'` converts only x's pods, not the fleet (SURVEY §4
+    * checklist). The evaluation is exact, so accepted filters produce no
+    * residual for Spark to re-check.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val stampedCols = full.fieldNames.toSet
+      .intersect(Set("uid", "name", "node"))
+    def supported(f: Filter): Boolean = f match {
+      case EqualTo(a, v) => stampedCols(a) && v.isInstanceOf[String]
+      case In(a, vs) => stampedCols(a) && vs.forall(_.isInstanceOf[String])
+      case IsNotNull(a) => stampedCols(a)
+      case IsNull(a) => stampedCols(a)
+      case StringStartsWith(a, _) => stampedCols(a)
+      case StringContains(a, _) => stampedCols(a)
+      case _ => false
+    }
+    val (ok, rest) = filters.partition(supported)
+    pushed = ok
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
@@ -96,28 +125,35 @@ class K8sScanBuilder(kind: String, path: String, full: StructType)
     override def planInputPartitions(): Array[InputPartition] =
       Array(K8sInputPartition(kind, path))
     override def createReaderFactory(): PartitionReaderFactory =
-      new K8sReaderFactory(required)
+      new K8sReaderFactory(required, pushed)
     override def description(): String =
-      s"k8s-snapshot kind=$kind path=$path cols=${required.fieldNames.mkString(",")}"
+      s"k8s-snapshot kind=$kind path=$path cols=${required.fieldNames.mkString(",")}" +
+        s" filters=${pushed.mkString(",")}"
   }
 }
 
 case class K8sInputPartition(kind: String, path: String)
     extends InputPartition
 
-class K8sReaderFactory(required: StructType)
+class K8sReaderFactory(required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[K8sInputPartition]
-    new K8sPartitionReader(part.kind, part.path, required)
+    new K8sPartitionReader(part.kind, part.path, required, filters)
   }
 }
 
 /** Parses the list file once and converts each item to an InternalRow of
-  * the PRUNED schema (fields never requested are never converted).
+  * the PRUNED schema (fields never requested are never converted). Pushed
+  * filters on the stamped columns are evaluated against the raw JSON
+  * BEFORE item conversion, so non-matching items are never converted at
+  * all — the point of `SupportsPushDownFilters` here (SURVEY §4).
   */
-class K8sPartitionReader(kind: String, path: String, required: StructType)
+class K8sPartitionReader(kind: String, path: String, required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.sources._
   private val mapper = new ObjectMapper
   private val items: Iterator[JsonNode] = {
     val root = mapper.readTree(new java.io.File(path))
@@ -126,9 +162,33 @@ class K8sPartitionReader(kind: String, path: String, required: StructType)
   }
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (items.hasNext) { current = convertItem(items.next()); true }
-    else false
+  /** Items converted to rows — observable from K8sDsv2Spec to prove the
+    * pushdown skips conversion, not just post-filters.
+    */
+  var converted: Long = 0L
+
+  private def matches(item: JsonNode, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => stamped(item, a) == v
+    case In(a, vs) => vs.contains(stamped(item, a))
+    case IsNotNull(a) => stamped(item, a) != null
+    case IsNull(a) => stamped(item, a) == null
+    case StringStartsWith(a, p) =>
+      Option(stamped(item, a)).exists(_.startsWith(p))
+    case StringContains(a, s) =>
+      Option(stamped(item, a)).exists(_.contains(s))
+    case other => sys.error(s"k8s-snapshot: unpushable filter $other")
+  }
+
+  override def next(): Boolean = {
+    while (items.hasNext) {
+      val item = items.next()
+      if (filters.forall(matches(item, _))) {
+        current = convertItem(item); converted += 1
+        return true
+      }
+    }
+    false
+  }
   override def get(): InternalRow = current
   override def close(): Unit = ()
 

@@ -48,6 +48,33 @@ class K8sDsv2Spec extends SparkSpec {
     assert(!plan.contains("cols=uid,node,metadata"), plan)
   }
 
+  test("filters on stamped columns are pushed and skip conversion") {
+    val df = dsv2("pods").filter(col("node") === "node-a").select("uid")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("filters=") && plan.contains("EqualTo(node,node-a)"),
+      plan)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      K8sSnapshot.pods(spark, s"$fixtureDir/pods.json")
+        .filter(col("node") === "node-a")
+        .collect().map(_.getString(0)).sorted.toSeq)
+
+    // the reader itself converts only matching items — the pushdown
+    // saves the JSON→row work, not just the downstream filter
+    import org.apache.spark.sql.sources.EqualTo
+    val schema = dsv2("pods").schema
+    val reader = new graft.sources.v2.K8sPartitionReader(
+      "pods", s"$fixtureDir/pods.json", schema,
+      Array(EqualTo("node", "node-a")))
+    var n = 0
+    while (reader.next()) n += 1
+    assert(reader.converted == n && n < 4 && n > 0)
+
+    // unsupported predicates (non-stamped column) are NOT pushed
+    val resid = dsv2("pods").filter(col("status.phase") === "Running")
+    val rplan = resid.queryExecution.executedPlan.toString
+    assert(!rplan.contains("EqualTo(status"), rplan)
+  }
+
   test("_raw escape hatch carries the full item") {
     val raw = dsv2("pods").filter(col("uid") === "pod-uid-3")
       .select("_raw").collect()(0).getString(0)
