@@ -308,12 +308,21 @@ object Dedup {
     var prevSum = -1L
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 50) {
-      val prop = labels.join(sym, labels("id") === sym("a"))
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
+      var prop = labels.join(sym, labels("id") === sym("a"))
         .select(col("b").as("id"), col("label"))
         .unionAll(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .persist()
+      // Truncate lineage every few rounds: each round stacks a
+      // join+agg on the previous plan, and past ~10 levels analysis/
+      // optimization time dwarfs execution (a 50-round graph would carry
+      // a 50-deep tree into every job). localCheckpoint cuts the plan at
+      // the materialized RDD without the disk round-trip of a reliable
+      // checkpoint — right for an iterative-refinement loop whose
+      // restart story is "rerun the query".
+      prop = if ((rounds + 1) % 8 == 0) prop.localCheckpoint()
+             else prop.persist()
       val s = prop.agg(sum("label")).first().getLong(0)
       labels.unpersist()
       labels = prop
@@ -322,6 +331,13 @@ object Dedup {
       rounds += 1
     }
     sym.unpersist()
+    // Never hand back possibly-wrong groups silently: diameter > rounds
+    // means labels are still propagating (min-label CC converges only at
+    // the fixpoint witness, sum unchanged).
+    if (!converged) sys.error(
+      s"connectedComponents: no fixpoint after $maxRounds rounds — " +
+        "graph diameter exceeds the round cap; raise it or add " +
+        "star-contraction for this graph shape")
     labels
   }
 

@@ -38,11 +38,20 @@ object JoinOps {
     // right rows sort before left rows at equal ts so `>=` is inclusive
     val w = Window.partitionBy(key).orderBy(col(time), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
-      .drop("_side" +: rightCols: _*)
+    // One struct carried by ONE last(ignoreNulls) — all asof_ columns come
+    // from the SAME matched right row even when some of its fields are
+    // null (per-column carry would take each column from the latest row
+    // where THAT column was non-null: row-inconsistent). The struct is
+    // nulled on left rows — struct(null,null) is itself non-null, so the
+    // guard, not ignoreNulls alone, is what restricts the carry to right
+    // rows.
+    val carried = unioned.withColumn("_r", last(
+        when(col("_side") === 0, struct(rightCols.map(col): _*)),
+        ignoreNulls = true).over(w))
+    rightCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", col("_r").getField(c))
+    }.filter(col("_side") === 1)
+      .drop("_side" +: "_r" +: rightCols: _*)
   }
 
   /** q39: each purchase event joined to the user's most recent preceding
@@ -84,11 +93,15 @@ object JoinOps {
       .orderBy(col(time).asc, col("_side").asc,
         col(rightCols.head).asc_nulls_first)
       .rowsBetween(0, Window.unboundedFollowing)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", first(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 0)
-      .drop("_side" +: rightCols: _*)
+    // Same single-struct carry as asofJoin (see there) — here the right
+    // side is _side=1 and the frame looks forward.
+    val carried = unioned.withColumn("_r", first(
+        when(col("_side") === 1, struct(rightCols.map(col): _*)),
+        ignoreNulls = true).over(w))
+    rightCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", col("_r").getField(c))
+    }.filter(col("_side") === 0)
+      .drop("_side" +: "_r" +: rightCols: _*)
   }
 
   /** q48: each purchase joined to the user's NEXT click at-or-after it

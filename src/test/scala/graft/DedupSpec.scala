@@ -86,6 +86,40 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("connectedComponents: diameter-20 chain converges with bounded plan depth") {
+    import spark.implicits._
+    // one chain 0-1-...-20 — needs ~20 propagation rounds, which crosses
+    // the every-8-rounds localCheckpoint boundary twice: the final plan
+    // must NOT carry all 20 join+agg levels (lineage truncation works)
+    val n = 21
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(nodes, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap)
+    // checkpointed lineage surfaces as an RDD scan (LogicalRDD in the
+    // logical plan, Scan ExistingRDD inside the cached physical plan),
+    // and the tree above it holds < 8 rounds' worth of joins — not the
+    // full 20-round stack
+    val plan = labels.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      plan.take(800))
+    val joins = "(?i)\\bjoin\\b".r.findAllIn(plan).size
+    assert(joins < 8, s"$joins joins in post-checkpoint plan")
+  }
+
+  test("connectedComponents: round cap without fixpoint fails loudly") {
+    import spark.implicits._
+    // diameter-60 chain exceeds the 50-round cap → must raise, not
+    // silently return half-propagated labels
+    val n = 61
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[RuntimeException](
+      Dedup.connectedComponents(nodes, edges).collect())
+    assert(e.getMessage.contains("no fixpoint"))
+  }
+
   test("dd02 exact-hash dedup counts single-token docs as exact copies") {
     val df = Dedup.queries("dd02_dedup_exact_hash")(spark, sf)
     val withCopies = df.filter(col("n_copies") >= 2).count()

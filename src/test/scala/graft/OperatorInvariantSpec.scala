@@ -53,6 +53,38 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("asof joins carry ALL right columns from the SAME matched row") {
+    import spark.implicits._
+    import graft.operators.JoinOps
+    // user 1: the matched click (ts=5) has a NULL value — per-column
+    // carry would take click_id from ts=5 but click_value from ts=2
+    // (backward) / ts=9 (forward): row-inconsistent. Struct carry must
+    // report the matched row's null.
+    val purchases = Seq((1L, 6L, 100L)).toDF("user_id", "ts", "event_id")
+    val clicks = Seq(
+      (1L, 2L, 201L, Some(2.0)),
+      (1L, 5L, 205L, None: Option[Double]),
+      (1L, 9L, 209L, Some(9.0))).toDF("user_id", "ts", "click_id", "click_value")
+    val back = JoinOps.asofJoin(purchases, clicks, "user_id", "ts",
+      Seq("click_id", "click_value")).collect()(0)
+    assert(back.getAs[Long]("asof_click_id") == 205L)
+    assert(back.isNullAt(back.fieldIndex("asof_click_value")))
+    val fwd = JoinOps.asofJoinForward(purchases, clicks, "user_id", "ts",
+      Seq("click_id", "click_value"))
+    // forward: earliest click with ts >= 6 is ts=9 → consistent (209, 9.0);
+    // but move the null to ts=9 and it must stay the matched row
+    val fr = fwd.collect()(0)
+    assert(fr.getAs[Long]("asof_click_id") == 209L)
+    assert(fr.getAs[Double]("asof_click_value") == 9.0)
+    val clicks2 = Seq(
+      (1L, 9L, 209L, None: Option[Double]),
+      (1L, 12L, 212L, Some(12.0))).toDF("user_id", "ts", "click_id", "click_value")
+    val fr2 = JoinOps.asofJoinForward(purchases, clicks2, "user_id", "ts",
+      Seq("click_id", "click_value")).collect()(0)
+    assert(fr2.getAs[Long]("asof_click_id") == 209L)
+    assert(fr2.isNullAt(fr2.fieldIndex("asof_click_value")))
+  }
+
   test("tx03: predicted language has the maximal marker count") {
     val profiles = Map(
       "en" -> Set("the", "a", "of", "and"),
