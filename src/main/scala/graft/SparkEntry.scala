@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Skew.queries ++
       operators.JoinOps.queries ++
       operators.Pipeline.queries ++
+      operators.Curation.queries ++
       streaming.EventsStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.Skew.oracleSql ++
       operators.JoinOps.oracleSql ++
       operators.Pipeline.oracleSql ++
+      operators.Curation.oracleSql ++
       streaming.EventsStreaming.oracleSql
 }

@@ -1,0 +1,395 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Corpus-curation operators: the document- and embedding-level gates a
+  * large-scale training-data pipeline runs between raw crawl and shard
+  * packing (builder mandate; no reference counterpart — the reference
+  * treats values as opaque strings, SURVEY §1.3). Published-heuristic
+  * flavor: Gopher's document rules (Rae et al. 2021, arXiv:2112.11446
+  * §A1.1), C4's cleaning filters (Raffel et al. 2020, arXiv:1910.10683
+  * §2.2), and SemDeDup's cluster-then-dedup shape (Abbas et al. 2023,
+  * arXiv:2303.09540).
+  *
+  * Scale design: the text gates (pp05/tx15) are per-row projections —
+  * zero shuffle; the frequency operators (tx14/tx16) shuffle token-keyed
+  * counters, never text; the embedding operators (dd12/ss08) bound their
+  * quadratic/aggregation work by cluster — the SemDeDup trick that makes
+  * 100 TB semantic dedup tractable.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** pp05: Gopher/C4-style document QUALITY GATE — four deterministic
+    * rules per doc (token-count bounds, mean-word-length bounds,
+    * duplicate-token fraction, symbol ratio), each surfaced as its own
+    * flag so downstream mixing can weight rather than drop. Pure per-row
+    * projection: no shuffle, whole-stage codegen, linear at 100 TB.
+    */
+  val pp05QualityFilter: Q = (s, d) => {
+    val tk = split(col("text"), " ")
+    val nTok = size(tk).cast("bigint")
+    val nDistinct = size(array_distinct(tk)).cast("bigint")
+    // chars excluding the n-1 separators, over tokens = mean word length
+    val meanLen = (col("n_chars") - (nTok - lit(1))).cast("double") / nTok
+    val symFrac = (col("n_chars") - length(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).cast("double") /
+      col("n_chars")
+    val dupFrac = lit(1.0) - nDistinct.cast("double") / nTok
+    t(s, d, "documents")
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(dupFrac, 4).as("dup_token_frac"),
+        round(symFrac, 4).as("symbol_frac"),
+        (nTok >= 10 && nTok <= 1000).as("ok_len"),
+        (meanLen >= 2.0 && meanLen <= 12.0).as("ok_word_len"),
+        (dupFrac <= 0.6).as("ok_repetition"),
+        (symFrac <= 0.1).as("ok_symbols"))
+      .withColumn("keep",
+        col("ok_len") && col("ok_word_len") &&
+          col("ok_repetition") && col("ok_symbols"))
+      .orderBy("doc_id")
+  }
+
+  /** tx14: REPETITION detection (the Gopher §A1.1 "fraction of
+    * characters in most common n-gram" family, on bigrams) — the strong
+    * signal for boilerplate/generated text that per-token stats miss.
+    * Shape: per-doc bigram explode → (doc, bigram) count → per-doc
+    * max/sum. Shuffles carry (doc_id, bigram-hash-sized) counters;
+    * per-doc cardinality bounds every group, so the two aggregations
+    * stay balanced no matter the corpus size.
+    */
+  val tx14Repetition: Q = (s, d) => {
+    // `tk` must be a NAMED column: the lambda body inside expr() resolves
+    // names against the input schema, not enclosing Scala vals
+    val bigrams = when(size(col("tk")) < 2, array().cast("array<string>"))
+      .otherwise(expr(
+        "transform(sequence(0, size(tk) - 2), i -> tk[i] || ' ' || tk[i+1])"))
+    val docs = t(s, d, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("tk"))).cast("double") /
+          size(col("tk"))).as("dup_token_frac_raw"),
+        bigrams.as("bg"))
+    val counts = docs.select(col("doc_id"), explode(col("bg")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_bigram_cnt"),
+        sum("cnt").as("n_bigrams"))
+    docs.join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("dup_token_frac_raw"), 4).as("dup_token_frac"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        round(coalesce(col("top_bigram_cnt").cast("double") /
+          col("n_bigrams"), lit(0.0)), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** tx15: PII detection + REDACTION — count and mask emails / IPv4s /
+    * phone-shaped tokens. The corpus is synthetic word salad, so the
+    * operator plants deterministic PII per doc (both engines replay the
+    * construction) and then proves the redaction by fingerprinting the
+    * masked text. Patterns stick to plain character classes so Java
+    * regex (Spark) and RE2 (DuckDB) agree. Per-row projection — zero
+    * shuffle, the 100 TB shape for a scrubbing pass.
+    */
+  val tx15PiiRedact: Q = (s, d) => {
+    val email = "[a-z0-9]+@[a-z0-9.]+[a-z0-9]"
+    val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    val phone = "555-[0-9]+"
+    val planted = format_string(
+      "%s contact user%d@mail.example.com from 10.%d.0.7 call 555-%d",
+      col("text"), col("doc_id"), col("doc_id") % 256,
+      col("doc_id") % 9000 + 1000)
+    val red = regexp_replace(regexp_replace(regexp_replace(planted,
+      email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        regexp_count(planted, lit(email)).cast("bigint").as("n_emails"),
+        regexp_count(planted, lit(ip)).cast("bigint").as("n_ips"),
+        regexp_count(planted, lit(phone)).cast("bigint").as("n_phones"),
+        md5(red).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** tx16: per-source TF-IDF TOP TERMS — the corpus-characterization
+    * step of source weighting (what vocabulary distinguishes a source
+    * before you decide its mixture rate). idf is kept as the exact
+    * rational n_docs/df (no log: transcendental libm drift would break
+    * the cross-engine hash; ranking is invariant to the monotone
+    * transform). Shuffles: one explode→(source,token) count, one
+    * (token) doc-frequency agg, a broadcast-sized scalar join, one
+    * window per source — every exchange carries counters, never text
+    * bodies.
+    */
+  val tx16TfidfTopTerms: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = toks.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct("doc_id").as("n_docs"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score_raw").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_raw",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("token"), col("tf"),
+        col("df"), round(col("score_raw"), 4).as("tfidf"))
+      .orderBy("source", "rank")
+  }
+
+  /** dd12: SEMANTIC dedup, the SemDeDup shape — cluster embeddings
+    * (16 sampled centroids, exact-cosine assignment = the oracle-checked
+    * ss05 semantics), then find near-duplicate pairs ONLY within a
+    * cluster, with a norm-band prefilter before the exact cosine. The
+    * cluster key bounds the pairwise blowup (n²/k per cluster, one
+    * shuffle on `cluster`), and the norm band cuts surviving candidate
+    * pairs ~10× for free since norms are precomputed — near-identical
+    * vectors have near-identical norms. Corpus = embeddings ∪ planted
+    * near-twins (ss07's deterministic integer-noise construction), so
+    * recall is measurable and the oracle replays everything.
+    */
+  val dd12SemanticDedup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val twins = base.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      expr("""transform(embedding, (x, i) -> CAST(x + 0.001 *
+             |  ((((vec_id * 131071) + (i * 524287)) % 1000) / 500.0 - 1.0)
+             |  AS FLOAT))""".stripMargin).as("embedding"))
+    val corpus = base.unionAll(twins)
+      .withColumn("norm", Similarity.l2norm(col("embedding")))
+      .persist()
+    val cents = corpus.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < 10000000L)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("centroid_vec"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cos_raw").desc, col("centroid_vec"))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("cos_raw", Similarity.dot(col("embedding"), col("c_emb")) /
+        (col("norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("centroid_vec").as("cluster"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(abs(col("a_norm") - col("b_norm")) <= lit(0.01) * col("a_norm"))
+      .withColumn("cos_raw", Similarity.dot(col("a_emb"), col("b_emb")) /
+        (col("a_norm") * col("b_norm")))
+      .filter(col("cos_raw") >= 0.99)
+      .select(col("b_id").as("dup_id"), col("a_id").as("dup_of"),
+        col("cluster"), round(col("cos_raw"), 4).as("cosine"))
+      .orderBy("dup_id")
+  }
+
+  /** ss08: one distributed Lloyd (k-means) ITERATION — exact-cosine
+    * assignment to the 16 sampled centroids (ss05 semantics), then the
+    * refined centroid as the per-dimension mean of each cluster's
+    * members. Spelled as posexplode → groupBy(cluster, dim) so the
+    * oracle can replay it; at 100 TB the explode (rows × dim) gives way
+    * to a fixed-width vector-sum Aggregator with the same results —
+    * the partial/final merge pattern is identical, only row width
+    * changes. Output: refined centroid coordinates + member counts.
+    */
+  val ss08KmeansIter: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", Similarity.l2norm(col("embedding")))
+    val cents = corpus.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("centroid_vec"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_raw").desc, col("centroid_vec"))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("cos_raw", Similarity.dot(col("embedding"), col("c_emb")) /
+        (col("norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"),
+        col("centroid_vec").as("cluster"))
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")))
+      .select(col("cluster"), (col("pos") + 1).cast("bigint").as("dim"),
+        col("col").cast("double").as("x"))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("n_members"), round(avg("x"), 4).as("centroid"))
+      .orderBy("cluster", "dim")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pp05_quality_filter" -> pp05QualityFilter,
+    "tx14_repetition" -> tx14Repetition,
+    "tx15_pii_redact" -> tx15PiiRedact,
+    "tx16_tfidf_topterms" -> tx16TfidfTopTerms,
+    "dd12_semantic_dedup" -> dd12SemanticDedup,
+    "ss08_kmeans_iter" -> ss08KmeansIter)
+
+  // DuckDB norm/dot helpers (the exact sequential-fold formulation that
+  // bit-matches Spark's FloatDot kernel — see Similarity's oracle notes).
+  private def foldDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [$a.e[i] * $b.e[i] for i in generate_series(1, len($a.e))]),
+       |      (a, b) -> a + b)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "pp05_quality_filter" ->
+      """WITH q AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_distinct(string_split(text, ' '))) AS n_dist,
+        |    length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+        |      AS n_keep
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+        |    CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok AS mean_word_len,
+        |    1.0 - CAST(n_dist AS DOUBLE) / n_tok AS dup_token_frac,
+        |    CAST(n_chars - n_keep AS DOUBLE) / n_chars AS symbol_frac
+        |  FROM q)
+        |SELECT doc_id, n_tokens,
+        |  round(mean_word_len, 4) AS mean_word_len,
+        |  round(dup_token_frac, 4) AS dup_token_frac,
+        |  round(symbol_frac, 4) AS symbol_frac,
+        |  (n_tokens >= 10 AND n_tokens <= 1000) AS ok_len,
+        |  (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_word_len,
+        |  (dup_token_frac <= 0.6) AS ok_repetition,
+        |  (symbol_frac <= 0.1) AS ok_symbols,
+        |  ((n_tokens >= 10 AND n_tokens <= 1000)
+        |    AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+        |    AND dup_token_frac <= 0.6 AND symbol_frac <= 0.1) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "tx14_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+        |      AS dup_raw,
+        |    CASE WHEN len(tk) < 2 THEN []
+        |      ELSE [tk[i] || ' ' || tk[i+1]
+        |            for i in generate_series(1, len(tk) - 1)] END AS bg
+        |  FROM tk),
+        |c AS (SELECT doc_id, u.bg AS bg, count(*) AS cnt
+        |  FROM d, unnest(d.bg) AS u(bg) GROUP BY doc_id, u.bg),
+        |agg AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bg
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_tokens,
+        |  round(d.dup_raw, 4) AS dup_token_frac,
+        |  CAST(coalesce(a.top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |  round(coalesce(CAST(a.top_cnt AS DOUBLE) / a.n_bg, 0.0), 4)
+        |    AS top_bigram_frac
+        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "tx15_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@mail.example.com from 10.' || (doc_id % 256) ||
+        |    '.0.7 call 555-' || (doc_id % 9000 + 1000) AS planted
+        |  FROM documents),
+        |r AS (SELECT doc_id, planted,
+        |    regexp_replace(regexp_replace(regexp_replace(planted,
+        |      '[a-z0-9]+@[a-z0-9.]+[a-z0-9]', '<EMAIL>', 'g'),
+        |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |      '555-[0-9]+', '<PHONE>', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(planted,
+        |    '[a-z0-9]+@[a-z0-9.]+[a-z0-9]')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(planted,
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(planted, '555-[0-9]+')) AS BIGINT)
+        |    AS n_phones,
+        |  md5(red) AS redacted_fp
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "tx16_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id, source, u.token AS token
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(token)),
+        |tf AS (SELECT source, token, count(*) AS tf
+        |  FROM toks GROUP BY source, token),
+        |df AS (SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT tf.source, tf.token,
+        |    CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+        |    CAST(tf.tf AS DOUBLE) * nd.n_docs / df.df AS score_raw
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd),
+        |r AS (SELECT source, token, tf, df, score_raw,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score_raw DESC, token) AS BIGINT) AS "rank"
+        |  FROM scored)
+        |SELECT source, "rank", token, tf, df,
+        |  round(score_raw, 4) AS tfidf
+        |FROM r WHERE "rank" <= 5 ORDER BY source, "rank"""".stripMargin,
+    "dd12_semantic_dedup" ->
+      s"""WITH src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000,
+         |    [CAST(embedding[i] + 0.001 *
+         |       ((((vec_id * 131071) + ((i - 1) * 524287)) % 1000)
+         |        / 500.0 - 1.0) AS REAL)
+         |     for i in generate_series(1, len(embedding))]
+         |  FROM embeddings),
+         |v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM src),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |cents AS (SELECT vec_id AS centroid_vec, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 AND vec_id < 10000000
+         |  ORDER BY vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, e, nrm, centroid_vec AS cluster
+         |  FROM (SELECT c.vec_id, c.e, c.nrm, q.centroid_vec,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${foldDot("c", "q")} / (c.nrm * q.nrm) DESC,
+         |          q.centroid_vec) AS rn
+         |    FROM n c CROSS JOIN cents q) WHERE rn = 1),
+         |pairs AS (SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${foldDot("a", "b")} / (a.nrm * b.nrm) AS cos_raw
+         |  FROM assign a JOIN assign b ON a.cluster = b.cluster
+         |    AND a.vec_id < b.vec_id
+         |    AND abs(a.nrm - b.nrm) <= 0.01 * a.nrm)
+         |SELECT b_id AS dup_id, a_id AS dup_of, cluster,
+         |  round(cos_raw, 4) AS cosine
+         |FROM pairs WHERE cos_raw >= 0.99 ORDER BY dup_id""".stripMargin,
+    "ss08_kmeans_iter" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |cents AS (SELECT vec_id AS centroid_vec, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, e, centroid_vec AS cluster
+         |  FROM (SELECT c.vec_id, c.e, q.centroid_vec,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${foldDot("c", "q")} / (c.nrm * q.nrm) DESC,
+         |          q.centroid_vec) AS rn
+         |    FROM n c CROSS JOIN cents q) WHERE rn = 1),
+         |x0 AS (SELECT cluster,
+         |    unnest(generate_series(1, len(e))) AS dim,
+         |    unnest(e) AS x
+         |  FROM assign),
+         |x AS (SELECT cluster, CAST(dim AS BIGINT) AS dim, x FROM x0)
+         |SELECT cluster, dim, CAST(count(*) AS BIGINT) AS n_members,
+         |  round(avg(x), 4) AS centroid
+         |FROM x GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
+  )
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Semantic-intent checks for the curation tier (the oracle already pins
+  * cross-engine values; these pin what the numbers MEAN).
+  */
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dd12: only planted twins are found, recall >= 0.99") {
+    val pairs = Curation.dd12SemanticDedup(spark, sf)
+      .select("dup_id", "dup_of", "cosine").collect()
+    val n = Tables.t(spark, sf, "embeddings").count()
+    // SemDeDup's inherent (documented) miss: a twin whose base sits on a
+    // cluster Voronoi boundary can land in the adjacent cluster and is
+    // never compared — recall is high, not perfect. Precision IS perfect:
+    // nothing but planted twins clears cosine 0.99 at dim 64.
+    assert(pairs.length >= 0.99 * n,
+      s"expected >= ${0.99 * n} twin pairs, got ${pairs.length}")
+    assert(pairs.length <= n)
+    pairs.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) + 10000000L,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) is not a planted twin")
+      assert(r.getDouble(2) >= 0.99)
+    }
+  }
+
+  test("pp05: flags agree with a direct recomputation") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    Curation.pp05QualityFilter(spark, sf).collect().foreach { r =>
+      val (text, nChars) = docs(r.getLong(0))
+      val tk = text.split(" ", -1)
+      assert(r.getLong(1) == tk.length)
+      val meanLen = (nChars - (tk.length - 1)).toDouble / tk.length
+      assert(r.getBoolean(5) == (tk.length >= 10 && tk.length <= 1000))
+      assert(r.getBoolean(6) == (meanLen >= 2.0 && meanLen <= 12.0))
+      val dupFrac = 1.0 - tk.distinct.length.toDouble / tk.length
+      assert(r.getBoolean(7) == (dupFrac <= 0.6))
+      assert(r.getBoolean(9) == (r.getBoolean(5) && r.getBoolean(6) &&
+        r.getBoolean(7) && r.getBoolean(8)))
+    }
+  }
+
+  test("tx14: top bigram count matches a direct frequency count") {
+    val texts = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Curation.tx14Repetition(spark, sf).collect().take(200).foreach { r =>
+      val tk = texts(r.getLong(0)).split(" ", -1)
+      val bgs = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val want = if (bgs.isEmpty) 0L
+        else bgs.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getLong(3) == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("tx15: redaction removes every planted PII occurrence") {
+    val n = Tables.t(spark, sf, "documents").count()
+    val rows = Curation.tx15PiiRedact(spark, sf).collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "email planted but not counted")
+      assert(r.getLong(2) >= 1, "ip planted but not counted")
+      assert(r.getLong(3) >= 1, "phone planted but not counted")
+    }
+    // independent end-to-end: rebuild one planted text in Scala, apply the
+    // same redaction, md5 must match the operator's fingerprint
+    val doc0 = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val planted = s"$doc0 contact user0@mail.example.com from 10.0.0.7 call 555-1000"
+    val red = planted
+      .replaceAll("[a-z0-9]+@[a-z0-9.]+[a-z0-9]", "<EMAIL>")
+      .replaceAll("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>")
+      .replaceAll("555-[0-9]+", "<PHONE>")
+    assert(!red.contains("@mail") && !red.contains("10.0.0.7"))
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(red.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.find(_.getLong(0) == 0L).get.getString(4) == fp)
+  }
+
+  test("tx16: five ranked terms per source, scores descending") {
+    val rows = Curation.tx16TfidfTopTerms(spark, sf).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 5L), src)
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, src)
+    }
+  }
+
+  test("ss08: cluster member counts conserve the corpus per dimension") {
+    val n = Tables.t(spark, sf, "embeddings").count()
+    val rows = Curation.ss08KmeansIter(spark, sf).collect()
+    val byDim = rows.groupBy(_.getLong(1))
+    assert(byDim.size == 64)
+    byDim.foreach { case (dim, rs) =>
+      assert(rs.map(_.getLong(2)).sum == n, s"dim $dim")
+    }
+    // refined centroids are finite numbers
+    rows.foreach(r => assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+  }
+}
