@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "float_dot", 2, es => FloatDot(es(0), es(1)))
     inject(ext, "sorted_intersect_card", 2,
       es => SortedIntersectCard(es(0), es(1)))
+    inject(ext, "vector_avg", 1,
+      es => VectorAvg(es.head).toAggregateExpression())
   }
 }

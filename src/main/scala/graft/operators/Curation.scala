@@ -230,13 +230,64 @@ object Curation {
       .orderBy("cluster", "dim")
   }
 
+  /** ss09: k-means to (bounded) CONVERGENCE — three full Lloyd rounds,
+    * each: exact-cosine assignment → centroid refinement through the
+    * custom fixed-width [[graft.functions.VectorAvg]]
+    * TypedImperativeAggregate (ss08's posexplode row-blowup replaced by
+    * one dim+1-double buffer per group: partial/final merge like any
+    * hash aggregate — THE shuffle shape for 100 TB centroid updates).
+    *
+    * Cross-engine determinism: refined centroids are rounded to 6
+    * decimals each round, so both engines enter the next assignment
+    * with bit-identical doubles — double summation-order drift (~1e-15)
+    * cannot compound across iterations. The dot/norm folds are the
+    * sequential left folds DuckDB replays exactly (Similarity's oracle
+    * notes).
+    */
+  val ss09KmeansConverged: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    def fold(a: String, b: String): Column = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    val corpus = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", sqrt(fold("e", "e")))
+      .persist()
+    var cents = corpus.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cluster"), col("e").as("c"),
+        col("nrm").as("cnrm"), lit(0L).as("n_members"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_raw").desc, col("cluster"))
+    for (_ <- 1 to 3) {
+      val assigned = corpus.crossJoin(broadcast(cents.drop("n_members")))
+        .withColumn("cos_raw", fold("e", "c") / (col("nrm") * col("cnrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+      cents = assigned.groupBy("cluster")
+        .agg(graft.functions.VectorAgg.vector_avg(col("embedding")).as("avg"),
+          count(lit(1)).as("n_members"))
+        .withColumn("c", expr("transform(avg, x -> round(x, 6))"))
+        .withColumn("cnrm", sqrt(fold("c", "c")))
+        .select(col("cluster"), col("c"), col("cnrm"), col("n_members"))
+    }
+    cents
+      .select(col("cluster"), col("n_members"), posexplode(col("c")))
+      .select(col("cluster"), col("n_members"),
+        (col("pos") + 1).cast("bigint").as("dim"), col("col").as("centroid"))
+      .orderBy("cluster", "dim")
+  }
+
   val queries: Map[String, Q] = Map(
     "pp05_quality_filter" -> pp05QualityFilter,
     "tx14_repetition" -> tx14Repetition,
     "tx15_pii_redact" -> tx15PiiRedact,
     "tx16_tfidf_topterms" -> tx16TfidfTopTerms,
     "dd12_semantic_dedup" -> dd12SemanticDedup,
-    "ss08_kmeans_iter" -> ss08KmeansIter)
+    "ss08_kmeans_iter" -> ss08KmeansIter,
+    "ss09_kmeans_converged" -> ss09KmeansConverged)
 
   // DuckDB norm/dot helpers (the exact sequential-fold formulation that
   // bit-matches Spark's FloatDot kernel — see Similarity's oracle notes).
@@ -244,6 +295,33 @@ object Curation {
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      [$a.e[i] * $b.e[i] for i in generate_series(1, len($a.e))]),
        |      (a, b) -> a + b)""".stripMargin
+
+  /** DuckDB replay of one ss09 Lloyd round: assignment against `prev`'s
+    * (cluster, c, cnrm), then per-dimension avg rounded to 6 — the same
+    * rounding the Spark side applies, which is what keeps the two
+    * engines bit-identical ACROSS iterations.
+    */
+  private def kmeansRound(i: Int, prev: String): String =
+    s"""a$i AS (SELECT vec_id, e, cluster FROM (
+       |    SELECT x.vec_id, x.e, y.cluster,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          [x.e[i] * y.c[i] for i in generate_series(1, len(x.e))]),
+       |          (a, b) -> a + b) / (x.nrm * y.cnrm) DESC, y.cluster) AS rn
+       |    FROM n x CROSS JOIN $prev y) WHERE rn = 1),
+       |u$i AS (SELECT cluster, unnest(generate_series(1, len(e))) AS dim,
+       |    unnest(e) AS x
+       |  FROM a$i),
+       |m$i AS (SELECT cluster, count(*) AS n_members FROM a$i GROUP BY cluster),
+       |g$i AS (SELECT cluster, dim, round(avg(x), 6) AS cx
+       |  FROM u$i GROUP BY cluster, dim),
+       |c$i AS (SELECT cluster, c,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(c, x -> x * x)), (a, b) -> a + b)) AS cnrm,
+       |    n_members
+       |  FROM (SELECT g.cluster, list(g.cx ORDER BY g.dim) AS c
+       |        FROM g$i g GROUP BY g.cluster) t
+       |  JOIN m$i USING (cluster))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "pp05_quality_filter" ->
@@ -391,5 +469,23 @@ object Curation {
          |SELECT cluster, dim, CAST(count(*) AS BIGINT) AS n_members,
          |  round(avg(x), 4) AS centroid
          |FROM x GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
+    "ss09_kmeans_converged" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |c0 AS (SELECT vec_id AS cluster, e AS c, nrm AS cnrm
+         |  FROM n WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |${(1 to 3).map(i => kmeansRound(i, s"c${i - 1}")).mkString(",\n")},
+         |f AS (SELECT cluster, n_members,
+         |    unnest(generate_series(1, len(c))) AS dim,
+         |    unnest(c) AS centroid
+         |  FROM c3)
+         |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(dim AS BIGINT) AS dim, centroid
+         |FROM f ORDER BY cluster, dim""".stripMargin,
   )
 }

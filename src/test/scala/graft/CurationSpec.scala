@@ -93,6 +93,66 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("vector_avg: matches the posexplode formulation across partial merges") {
+    import graft.functions.VectorAgg.vector_avg
+    val emb = Tables.t(spark, sf, "embeddings")
+      .repartition(13) // force many partial buffers + merges
+      .withColumn("g", col("vec_id") % 7)
+    val viaAgg = emb.groupBy("g")
+      .agg(vector_avg(col("embedding")).as("avg"))
+      .select(col("g"), posexplode(col("avg")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val viaExplode = emb.select(col("g"), posexplode(col("embedding")))
+      .groupBy("g", "pos").agg(avg(col("col").cast("double")).as("a"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(viaAgg.keySet == viaExplode.keySet)
+    viaAgg.foreach { case (k, v) =>
+      assert(math.abs(v - viaExplode(k)) < 1e-9, s"$k: $v vs ${viaExplode(k)}")
+    }
+  }
+
+  test("vector_avg: null inputs skipped, all-null group is NULL, SQL surface works") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 3.0f))),
+      (1L, None: Option[Seq[Float]]),
+      (1L, Some(Seq(3.0f, 5.0f))),
+      (2L, None: Option[Seq[Float]])).toDF("g", "v")
+    df.createOrReplaceTempView("va_in")
+    // via the injected SQL function (GraftExtensions path)
+    val rows = spark.sql(
+      "SELECT g, vector_avg(v) AS a FROM va_in GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows(0).getSeq[Double](1) == Seq(2.0, 4.0))
+    assert(rows(1).isNullAt(1))
+    // dimension mismatch fails loudly instead of truncating
+    val bad = Seq((1L, Seq(1.0f)), (1L, Seq(1.0f, 2.0f))).toDF("g", "v")
+    val e = intercept[Exception] {
+      bad.groupBy("g")
+        .agg(graft.functions.VectorAgg.vector_avg(col("v"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("ss09: converged centroids stay finite; members conserved; uses no explode before the agg") {
+    val n = Tables.t(spark, sf, "embeddings").count()
+    val df = Curation.ss09KmeansConverged(spark, sf)
+    val rows = df.collect()
+    val byDim = rows.groupBy(_.getLong(2))
+    assert(byDim.size == 64)
+    byDim.foreach { case (dim, rs) =>
+      assert(rs.map(_.getLong(1)).sum == n, s"dim $dim") }
+    rows.foreach(r => assert(!r.getDouble(3).isNaN))
+    // the refinement path aggregates fixed-width buffers (vector_avg),
+    // not exploded rows: the plan's only Generate is the final output
+    // posexplode of 16 centroid rows
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.size == 1, s"expected 1 Generate (output explode), got ${gens.size}")
+    assert(df.queryExecution.optimizedPlan.toString.contains("vector_avg"))
+  }
+
   test("ss08: cluster member counts conserve the corpus per dimension") {
     val n = Tables.t(spark, sf, "embeddings").count()
     val rows = Curation.ss08KmeansIter(spark, sf).collect()
