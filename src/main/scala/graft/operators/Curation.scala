@@ -63,10 +63,15 @@ object Curation {
     */
   val tx14Repetition: Q = (s, d) => {
     // `tk` must be a NAMED column: the lambda body inside expr() resolves
-    // names against the input schema, not enclosing Scala vals
+    // names against the input schema, not enclosing Scala vals. Bigrams
+    // via zip_with over two slices — the HOF's ARRAY INPUTS evaluate once
+    // per row; indexing tk[i] inside a transform-over-sequence lambda
+    // would re-evaluate the collapsed split() per element (O(n²) per doc,
+    // measured 5.8 s vs 0.6 s at sf0.1).
     val bigrams = when(size(col("tk")) < 2, array().cast("array<string>"))
       .otherwise(expr(
-        "transform(sequence(0, size(tk) - 2), i -> tk[i] || ' ' || tk[i+1])"))
+        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+          |  (a, b) -> a || ' ' || b)""".stripMargin))
     val docs = t(s, d, "documents")
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"),

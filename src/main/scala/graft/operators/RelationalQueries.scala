@@ -545,6 +545,42 @@ object RelationalQueries {
       .orderBy(col("cnt").desc, col("token"))
       .limit(50)
 
+  /** q53: statistical aggregates — sample stddev/variance and the
+    * bivariate moments (correlation, covariance) per group, one
+    * partial+final hash aggregate (Spark's central-moment buffers merge
+    * associatively, so the 100 TB plan is the same two-phase agg as any
+    * sum). Outputs rounded to 2: both engines run numerically-stable
+    * single-pass moment updates whose low bits differ by summation
+    * order — the statistics themselves agree far beyond 2 decimals.
+    */
+  private val q53StatsAgg: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 2).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 2).as("corr_qty_price"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 2).as("covar_disc_tax"))
+      .orderBy("l_returnflag")
+
+  /** q54: PERCENTILE_DISC (inverse distribution, WITHIN GROUP) — exact
+    * data elements, not interpolations, so the values cross the engine
+    * boundary bit-for-bit with NO rounding. The oracle spells out the
+    * SQL-standard definition (smallest value with cume_dist >= p)
+    * explicitly, because DuckDB's quantile_disc picks its element by a
+    * different index rule for some group sizes.
+    */
+  private val q54PercentileDisc: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    s.sql(
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+        |  percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_project_filter" -> q01Project,
     "q02_count_star" -> q02CountStar,
@@ -593,9 +629,27 @@ object RelationalQueries {
     "q50_percentiles" -> q50Percentiles,
     "q51_resample_fill" -> q51ResampleFill,
     "q52_interval_frame" -> q52IntervalFrame,
+    "q53_stats_agg" -> q53StatsAgg,
+    "q54_percentile_disc" -> q54PercentileDisc,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q53_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(stddev_samp(l_quantity), 2) AS sd_qty,
+        |  round(var_samp(l_quantity), 2) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 2) AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 2) AS covar_disc_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q54_percentile_disc" ->
+      """WITH r AS (SELECT event_type, value,
+        |    cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  min(value) FILTER (WHERE cd >= 0.25) AS p25,
+        |  min(value) FILTER (WHERE cd >= 0.5)  AS p50,
+        |  min(value) FILTER (WHERE cd >= 0.9)  AS p90
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q36_sliding_window" ->
       """SELECT strftime(date_trunc('hour', ts) - k * INTERVAL 1 HOUR,
         |    '%Y-%m-%d %H:%M') AS window_start,
