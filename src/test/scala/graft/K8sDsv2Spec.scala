@@ -75,6 +75,35 @@ class K8sDsv2Spec extends SparkSpec {
     assert(!rplan.contains("EqualTo(status"), rplan)
   }
 
+  test("k8s catalog: SQL addresses snapshot tables, read-only, pushdown rides along") {
+    spark.conf.set("spark.sql.catalog.k8s",
+      classOf[graft.sources.v2.K8sCatalog].getName)
+    spark.conf.set("spark.sql.catalog.k8s.path", fixtureDir)
+    val got = spark.sql(
+      "SELECT uid FROM k8s.snapshot.pods WHERE node = 'node-a' ORDER BY uid")
+      .collect().map(_.getString(0)).toSeq
+    val want = K8sSnapshot.pods(spark, s"$fixtureDir/pods.json")
+      .filter(col("node") === "node-a")
+      .select("uid").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // bare-namespace alias also resolves
+    assert(spark.sql("SELECT count(*) FROM k8s.pods").collect()(0).getLong(0) == 4)
+    // catalog surface: SHOW exposes the three scans
+    assert(spark.sql("SHOW TABLES IN k8s.snapshot")
+      .collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("nodes", "pods", "services"))
+    // stamped-key filters still reach the reader through the catalog path
+    val df = spark.sql("SELECT uid FROM k8s.snapshot.pods WHERE node = 'node-a'")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("EqualTo(node,node-a)"))
+    // read-only: DDL raises
+    intercept[UnsupportedOperationException](
+      spark.sql("DROP TABLE k8s.snapshot.pods"))
+    // unknown table is a clean analysis error
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM k8s.snapshot.deployments").collect())
+  }
+
   test("_raw escape hatch carries the full item") {
     val raw = dsv2("pods").filter(col("uid") === "pod-uid-3")
       .select("_raw").collect()(0).getString(0)

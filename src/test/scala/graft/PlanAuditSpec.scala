@@ -100,6 +100,39 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan) // partial+final
   }
 
+  test("quality gate is a pure scan+project — zero exchanges before the sort (pp05)") {
+    val plan = executedPlan("pp05_quality_filter")
+    // per-row gate: the only exchange is the final presentation orderBy
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(finalPlan).size <= 1, plan)
+    assert(!plan.contains("Generate"), plan) // no explode on a gate
+  }
+
+  test("tf/df aggregations are partial+final; no text on the window (tx16)") {
+    val plan = executedPlan("tx16_tfidf_topterms")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan) // tf + df partial/final
+    assert(plan.contains("BroadcastExchange"), plan) // the n_docs scalar side
+  }
+
+  test("semantic dedup joins within cluster only — one self-join key, no cartesian (dd12)") {
+    val plan = executedPlan("dd12_semantic_dedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the pairwise stage joins on the cluster key (SortMerge or
+    // ShuffledHash depending on stats — either is the bounded shape);
+    // the 16-row centroid side broadcasts
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      plan)
+  }
+
+  test("k-means refinement aggregates fixed-width buffers, no pre-agg explode (ss09)") {
+    val plan = executedPlan("ss09_kmeans_converged")
+    assert(plan.contains("vector_avg"), plan)
+    // ObjectHashAggregate partial+final for the typed buffer
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("custom hash expressions stay inside whole-stage codegen (tx05)") {
     val df = SparkEntry.queries("tx05_fingerprint_hash64")(spark, sf)
     df.collect()
