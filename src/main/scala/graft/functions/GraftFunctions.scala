@@ -183,6 +183,23 @@ object GraftHashes {
     acc
   }
 
+  /** Double-array twin of [[floatDot]] — the same sequential left fold
+    * (products and accumulation in double), so it is bit-identical to
+    * the `aggregate(zip_with(a, b, *), 0D, +)` HOF formulation AND to
+    * DuckDB's list_reduce replay; it just stays inside codegen where
+    * the HOF pipeline drops to interpreted eval.
+    */
+  def doubleDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Cardinality of the intersection of two SORTED-DISTINCT long arrays:
     * a single merge pass, zero allocation — replaces the per-pair
     * array_intersect + array_union hash-set builds in Jaccard verify
@@ -515,6 +532,28 @@ case class FloatDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact dot product of two array<double> columns — see
+  * [[GraftHashes.doubleDot]] for the fold-parity contract.
+  */
+case class DoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "double_dot"
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType),
+      ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftHashes.doubleDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GraftHashes.doubleDot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection cardinality of two sorted-distinct array<bigint> columns
   * — the codegen'd pair-verification kernel for Jaccard dedup.
   */
@@ -604,6 +643,8 @@ object GraftFunctions {
     GraftShim.column(Md5MinLanes(GraftShim.expression(c), lanes))
   def float_dot(a: Column, b: Column): Column =
     GraftShim.column(FloatDot(GraftShim.expression(a), GraftShim.expression(b)))
+  def double_dot(a: Column, b: Column): Column =
+    GraftShim.column(DoubleDot(GraftShim.expression(a), GraftShim.expression(b)))
   def sorted_intersect_card(a: Column, b: Column): Column =
     GraftShim.column(SortedIntersectCard(
       GraftShim.expression(a), GraftShim.expression(b)))
