@@ -131,6 +131,49 @@ object EventsStreaming {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Continuous INGEST CURATION — the pp01 corpus pipeline as a stream:
+    * quality gate (per-row, stateless) → content-fingerprint dedup
+    * bounded by the watermark (state = one md5 per doc inside the
+    * horizon) → tumbling 5-minute per-language admission stats. Two
+    * chained stateful operators in append mode — the shape of a
+    * production crawl-ingest firehose, where re-crawled duplicates
+    * arrive near their originals and the horizon bounds dedup state at
+    * any throughput.
+    *
+    * Input contract: (doc_id, text, lang, n_chars, ts). Works unchanged
+    * over readStream or batch; the driver face (st04) replays the same
+    * gate+dedup+window DETERMINISTICALLY (explicit first-by-ts
+    * row_number) because batch dropDuplicates picks an arbitrary row.
+    */
+  def ingestCuration(docs: DataFrame): DataFrame = {
+    val nTokens = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    docs
+      .withColumn("n_tokens", nTokens)
+      .filter(col("n_tokens") >= 10 && col("n_chars") >= 50)
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .groupBy(window(col("ts"), "5 minutes"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .select(col("window.start").as("window_start"), col("lang"),
+        col("n_docs"), col("total_tokens"))
+  }
+
+  /** The st04 corpus: documents with deterministic arrival times
+    * (7 s apart) plus a re-crawl copy of every doc arriving 60 s after
+    * its original — inside the 10-minute dedup horizon, so streaming
+    * and batch agree on what is admitted.
+    */
+  def ingestCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id") * 7).as("ts"))
+    base.unionAll(base.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"), col("lang"), col("n_chars"),
+      (col("ts") + expr("interval 60 seconds")).as("ts")))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** st01: batch sessionization over the events table (driver-checkable
@@ -175,10 +218,35 @@ object EventsStreaming {
       .orderBy("click_id", "view_id")
   }
 
+  /** st04: the ingest-curation pipeline's deterministic batch face —
+    * same gate, same fingerprints, same windows; dedup spelled as
+    * first-arrival-wins (row_number over fp by ts, doc_id) so the
+    * result is well-defined under any partitioning.
+    */
+  private val st04StreamIngest: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    val w = Window.partitionBy("fp").orderBy("ts", "doc_id")
+    ingestCorpus(s, d)
+      .withColumn("n_tokens", nTokens)
+      .filter(col("n_tokens") >= 10 && col("n_chars") >= 50)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(window(col("ts"), "5 minutes"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("lang"), col("n_docs"), col("total_tokens"))
+      .orderBy("window_start", "lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_sessionize" -> st01Sessionize,
     "st02_session_window" -> st02SessionWindow,
-    "st03_interval_join" -> st03IntervalJoin)
+    "st03_interval_join" -> st03IntervalJoin,
+    "st04_stream_ingest" -> st04StreamIngest)
 
   val oracleSql: Map[String, String] = Map(
     "st01_sessionize" ->
@@ -223,6 +291,34 @@ object EventsStreaming {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start""".stripMargin,
+    "st04_stream_ingest" ->
+      """WITH src AS (
+        |  SELECT doc_id, text, lang, n_chars,
+        |    make_timestamp((1704067200 + doc_id * 7) * 1000000) AS ts
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, n_chars,
+        |    make_timestamp((1704067200 + doc_id * 7 + 60) * 1000000) AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT *,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens,
+        |    md5(text) AS fp
+        |  FROM src
+        |  WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 10
+        |    AND n_chars >= 50),
+        |d AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp
+        |      ORDER BY ts, doc_id) AS rn FROM g) WHERE rn = 1)
+        |SELECT
+        |  strftime(make_timestamp(CAST(floor(epoch(ts) / 300) * 300
+        |      AS BIGINT) * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY window_start, lang""".stripMargin,
     "st03_interval_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
         |  strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_time,

@@ -120,6 +120,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows.take(4).map(_.event_id).toSet.subsetOf(ids.toSet), ids)
   }
 
+  test("streaming ingestCuration (gate→dedup→window) matches the st04 batch face") {
+    import StreamingSpec.Doc
+    val sf = "/root/testdata/sf0.001"
+    // the exact st04 corpus, streamed in arrival order (MemoryStream
+    // preserves batch order; duplicates arrive 60 s after originals,
+    // inside the 10-minute dedup horizon)
+    val corpus = EventsStreaming.ingestCorpus(spark, sf)
+      .orderBy("ts", "doc_id")
+      .collect().map(r => Doc(r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getTimestamp(4))).toSeq
+    val input = MemoryStream[Doc](spark)
+    input.addData(corpus)
+    val q = EventsStreaming.ingestCuration(input.toDF())
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark past every window so all of them emit
+      input.addData(Doc(-1L, "flush " * 20, "en", 120,
+        new Timestamp(corpus.last.ts.getTime + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ingest")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("w"), col("lang"), col("n_docs"), col("total_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 <= "2024-01-01 01:30:00") // exclude the flush sentinel's window
+      .toSet
+    val want = graft.streaming.EventsStreaming
+      .queries("st04_stream_ingest")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(got.size > 5) // several windows, not a degenerate comparison
+  }
+
   test("dropDuplicatesWithinWatermark admits a replayed event once") {
     val input = MemoryStream[Event](spark)
     input.addData(rows)
@@ -133,4 +171,10 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(ids.sorted == rows.map(_.event_id).sorted)
   }
+}
+
+object StreamingSpec {
+  /** st04 input row (class-level so spark.implicits can derive an Encoder). */
+  case class Doc(doc_id: Long, text: String, lang: String,
+      n_chars: Long, ts: java.sql.Timestamp)
 }
