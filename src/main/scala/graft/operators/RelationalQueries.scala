@@ -581,6 +581,19 @@ object RelationalQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** q55: WITH RECURSIVE (Spark 4's UnionLoop execution) — walk each
+    * customer's order chain in date order, one recursion step per link;
+    * the terminal depth equals the customer's order count, which makes
+    * the recursion's correctness independently checkable by a plain
+    * aggregate. Iterative execution materializes one generation per
+    * step — the anchor predicate bounds the working set.
+    */
+  private val q55RecursiveCte: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    // the oracle runs the SAME text — WITH RECURSIVE is portable SQL here
+    s.sql(oracleSql("q55_recursive_cte"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_project_filter" -> q01Project,
     "q02_count_star" -> q02CountStar,
@@ -631,9 +644,26 @@ object RelationalQueries {
     "q52_interval_frame" -> q52IntervalFrame,
     "q53_stats_agg" -> q53StatsAgg,
     "q54_percentile_disc" -> q54PercentileDisc,
+    "q55_recursive_cte" -> q55RecursiveCte,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q55_recursive_cte" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT o_custkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey < 100),
+        |chain AS (
+        |  SELECT o_custkey, 1 AS depth FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.o_custkey, c.depth + 1 AS depth
+        |  FROM r f JOIN chain c
+        |    ON f.o_custkey = c.o_custkey AND f.rn = c.depth + 1
+        |  WHERE c.depth < 8)
+        |SELECT o_custkey, CAST(max(depth) AS BIGINT) AS chain_depth,
+        |  count(*) AS n_steps
+        |FROM chain GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q53_stats_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(stddev_samp(l_quantity), 2) AS sd_qty,
