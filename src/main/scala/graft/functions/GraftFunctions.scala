@@ -348,6 +348,66 @@ object GraftHashes {
         UTF8String.fromString(predLang), predScore))
   }
 
+  /** One-pass per-doc REPETITION statistics (Gopher §A1.1 family):
+    * token count, distinct-token count, most-common-bigram count, total
+    * bigrams — all from token/bigram HASHES (sort + longest-run instead
+    * of a per-row hash map: zero boxing, one long[] each). Tokenization
+    * follows split(' ') semantics exactly (empty spans between
+    * consecutive separators count as tokens) so the outputs match the
+    * string-based oracle; distinct/top counts differ from the string
+    * computation only on a 64-bit collision inside one document
+    * (P ≈ n²·2⁻⁶⁴ — the dd10 argument). Per-row, shuffle-free: the
+    * 100 TB shape for a per-document statistic.
+    */
+  def repetitionStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    var n = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) n += 1
+      i += 1
+    }
+    val th = new Array[Long](n)
+    var start = 0; var idx = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        th(idx) = tokenHash(bytes, start, i)
+        idx += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val sorted = th.clone()
+    java.util.Arrays.sort(sorted)
+    var distinct = 1L
+    i = 1
+    while (i < n) {
+      if (sorted(i) != sorted(i - 1)) distinct += 1
+      i += 1
+    }
+    var top = 0L; var nbg = 0L
+    if (n >= 2) {
+      val bg = new Array[Long](n - 1)
+      i = 0
+      while (i < n - 1) {
+        bg(i) = mix64(th(i) * 0x9e3779b97f4a7c15L ^ th(i + 1))
+        i += 1
+      }
+      java.util.Arrays.sort(bg)
+      var run = 1L; top = 1L
+      i = 1
+      while (i < n - 1) {
+        if (bg(i) == bg(i - 1)) { run += 1; if (run > top) top = run }
+        else run = 1
+        i += 1
+      }
+      nbg = n - 1L
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, distinct, top, nbg))
+  }
+
   /** 64-bit SimHash over whitespace-delimited tokens: each token votes its
     * hash bits +1/-1; the sign vector is the fingerprint. Near-duplicate
     * docs land within small Hamming distance. Single pass over the bytes,
@@ -621,6 +681,29 @@ object TextStats {
     StructField("pred_score", IntegerType, nullable = false)))
 }
 
+/** Per-doc repetition statistics — see [[GraftHashes.repetitionStats]]. */
+case class RepetitionStats(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def prettyName: String = "repetition_stats"
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
+  override def dataType: DataType = RepetitionStats.schema
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashes.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object RepetitionStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_bigram_cnt", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false)))
+}
+
 /** Column wrappers + SQL registration for the custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.GraftShim
@@ -650,6 +733,8 @@ object GraftFunctions {
       GraftShim.expression(a), GraftShim.expression(b)))
   def text_stats(c: Column): Column =
     GraftShim.column(TextStats(GraftShim.expression(c)))
+  def repetition_stats(c: Column): Column =
+    GraftShim.column(RepetitionStats(GraftShim.expression(c)))
 
   /** Make the functions callable from spark.sql text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

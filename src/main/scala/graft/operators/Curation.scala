@@ -56,38 +56,29 @@ object Curation {
   /** tx14: REPETITION detection (the Gopher §A1.1 "fraction of
     * characters in most common n-gram" family, on bigrams) — the strong
     * signal for boilerplate/generated text that per-token stats miss.
-    * Shape: per-doc bigram explode → (doc, bigram) count → per-doc
-    * max/sum. Shuffles carry (doc_id, bigram-hash-sized) counters;
-    * per-doc cardinality bounds every group, so the two aggregations
-    * stay balanced no matter the corpus size.
+    *
+    * A per-DOCUMENT statistic must not shuffle: the one-pass codegen
+    * kernel (graft.functions.RepetitionStats — token/bigram hashes,
+    * sort + longest-run) computes token count, distinct count, and the
+    * most-common-bigram count per row, so tx14 is a pure projection.
+    * (The first cut exploded bigrams through two (doc, bigram)
+    * aggregations — 1.9 s and two shuffles at sf0.1 vs 0.3 s and none;
+    * an even earlier transform-over-sequence lambda re-evaluated the
+    * collapsed split() per element for 5.8 s. The kernel is the
+    * correct altitude: per-doc work stays in the row.)
     */
   val tx14Repetition: Q = (s, d) => {
-    // `tk` must be a NAMED column: the lambda body inside expr() resolves
-    // names against the input schema, not enclosing Scala vals. Bigrams
-    // via zip_with over two slices — the HOF's ARRAY INPUTS evaluate once
-    // per row; indexing tk[i] inside a transform-over-sequence lambda
-    // would re-evaluate the collapsed split() per element (O(n²) per doc,
-    // measured 5.8 s vs 0.6 s at sf0.1).
-    val bigrams = when(size(col("tk")) < 2, array().cast("array<string>"))
-      .otherwise(expr(
-        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
-          |  (a, b) -> a || ' ' || b)""".stripMargin))
-    val docs = t(s, d, "documents")
-      .withColumn("tk", split(col("text"), " "))
-      .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"),
-        (lit(1.0) - size(array_distinct(col("tk"))).cast("double") /
-          size(col("tk"))).as("dup_token_frac_raw"),
-        bigrams.as("bg"))
-    val counts = docs.select(col("doc_id"), explode(col("bg")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").as("top_bigram_cnt"),
-        sum("cnt").as("n_bigrams"))
-    docs.join(counts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("dup_token_frac_raw"), 4).as("dup_token_frac"),
-        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
-        round(coalesce(col("top_bigram_cnt").cast("double") /
-          col("n_bigrams"), lit(0.0)), 4).as("top_bigram_frac"))
+    val r = graft.functions.GraftFunctions.repetition_stats(col("text"))
+    t(s, d, "documents")
+      .select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        round(lit(1.0) - col("r.n_distinct").cast("double") /
+          col("r.n_tokens"), 4).as("dup_token_frac"),
+        col("r.top_bigram_cnt").as("top_bigram_cnt"),
+        round(when(col("r.n_bigrams") === 0, 0.0)
+          .otherwise(col("r.top_bigram_cnt").cast("double") /
+            col("r.n_bigrams")), 4).as("top_bigram_frac"))
       .orderBy("doc_id")
   }
 
