@@ -82,6 +82,41 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** pp06: mixture REBALANCE to a per-source token budget — the data-
+    * mixing step after pp04's fixed rates: measure each source's token
+    * mass, derive an integer keep-1-in-r rate that thins over-budget
+    * sources toward the uniform share, apply it systematically (by
+    * doc_id order — reproducible, no rand()), and report the post-
+    * sample mixture. Pure integer arithmetic end to end so both
+    * engines derive identical rates. Shape: one per-source aggregate,
+    * a broadcast rates join, one per-source window — no corpus-sized
+    * exchange beyond the window's source partitioning.
+    */
+  val pp06MixtureRebalance: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
+    val per = docs.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val tot = per.agg(sum("src_tokens").as("total"),
+      count(lit(1)).as("n_src"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("source"), greatest(lit(1L),
+        expr("src_tokens div (total div n_src)")).as("keep_1_in"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % col("keep_1_in") === 0)
+      .groupBy("source", "keep_1_in")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum("n_tokens").as("tokens_kept"))
+      .select(col("source"), col("keep_1_in"), col("n_docs_kept"),
+        col("tokens_kept"))
+      .orderBy("source")
+  }
+
   /** tx15: PII detection + REDACTION — count and mask emails / IPv4s /
     * phone-shaped tokens. The corpus is synthetic word salad, so the
     * operator plants deterministic PII per doc (both engines replay the
@@ -280,6 +315,7 @@ object Curation {
 
   val queries: Map[String, Q] = Map(
     "pp05_quality_filter" -> pp05QualityFilter,
+    "pp06_mixture_rebalance" -> pp06MixtureRebalance,
     "tx14_repetition" -> tx14Repetition,
     "tx15_pii_redact" -> tx15PiiRedact,
     "tx16_tfidf_topterms" -> tx16TfidfTopTerms,
@@ -348,6 +384,28 @@ object Curation {
         |    AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
         |    AND dup_token_frac <= 0.6 AND symbol_frac <= 0.1) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    "pp06_mixture_rebalance" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM tk GROUP BY source),
+        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_src
+        |  FROM per),
+        |rates AS (SELECT source,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(src_tokens // (total // n_src) AS BIGINT)) AS keep_1_in
+        |  FROM per, tot),
+        |r AS (SELECT tk.source, tk.doc_id, tk.n_tokens, rates.keep_1_in,
+        |    row_number() OVER (PARTITION BY tk.source ORDER BY tk.doc_id)
+        |      AS rn
+        |  FROM tk JOIN rates USING (source))
+        |SELECT source, keep_1_in, count(*) AS n_docs_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+        |FROM r WHERE (rn - 1) % keep_1_in = 0
+        |GROUP BY source, keep_1_in ORDER BY source""".stripMargin,
     "tx14_repetition" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents),
