@@ -46,6 +46,26 @@ object KernelProps extends Properties("GraftKernels") {
       got == want && got >= 0 && got < 1000000007L
     }
 
+  /** Texts INCLUDING empty tokens (leading/trailing/double spaces) — the
+    * split(' ') semantics repetitionStats must reproduce exactly.
+    */
+  private val spaceyText: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(token, Gen.const(""))).map(_.take(25).mkString(" "))
+
+  property("repetitionStats matches split semantics incl. empty tokens") =
+    Prop.forAll(spaceyText) { t =>
+      val tk = t.split(" ", -1)
+      val bgs = if (tk.length < 2) Seq.empty[String]
+        else tk.sliding(2).map(_.mkString(" ")).toSeq
+      val wantTop = if (bgs.isEmpty) 0L
+        else bgs.groupBy(identity).values.map(_.size).max.toLong
+      val r = GraftHashes.repetitionStats(UTF8String.fromString(t))
+      r.getLong(0) == tk.length.toLong &&
+        r.getLong(1) == tk.distinct.length.toLong &&
+        r.getLong(2) == wantTop &&
+        r.getLong(3) == bgs.length.toLong
+    }
+
   private val floats: Gen[Array[Float]] =
     Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
 
