@@ -108,11 +108,62 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** pp07: decontamination WITHOUT a broadcast — the shape for when the
+    * held-out set outgrows a broadcast (full eval-suite unions, n-gram
+    * blocklists). Corpus shingles explode to (doc_id, fp) rows where fp
+    * is the shingle's md5 — 16-byte fingerprints ride the shuffle, never
+    * shingle text — and a LeftSemi join against the bench-side distinct
+    * fingerprints marks contaminated docs; a LeftAnti twin restores the
+    * clean rows. Same answer as pp03's broadcast formulation (the oracle
+    * pins that), different exchange: one fingerprint-keyed shuffle that
+    * scales with corpus tokens, not with bench-set size.
+    */
+  val pp07DecontaminateJoin: Q = (s, d) => {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.GraftFunctions.shingle_strings(col("text"))))
+        .as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("fp"))
+    val benchFp = sh.filter(col("doc_id") < 5).select("fp").distinct()
+    val hit = sh.join(benchFp, Seq("fp"), "left_semi")
+      .select("doc_id").distinct()
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    val clean = t(s, d, "documents").select(col("doc_id"))
+      .join(hit.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(false).as("contaminated"))
+    hit.unionAll(clean).orderBy("doc_id")
+  }
+
+  /** pp08: document CHUNKING — fixed 200-char windows on a 180-char
+    * stride (20-char overlap), the context-length shaping step before
+    * tokenization in a training/RAG pipeline. Pure per-row generate
+    * (explode over computed offsets): no shuffle, parallelism follows
+    * the scan. Emitted chunks are fingerprinted (md5) rather than
+    * dumped, so downstream chunk-level dedup joins on 16-byte keys —
+    * the same never-shuffle-text rule as the dedup family.
+    */
+  val pp08Chunk: Q = (s, d) => {
+    val stride = 180
+    val width = 200
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, CAST((length(text) - 1) div $stride AS INT))"))
+          .as("chunk_idx"))
+      .withColumn("chunk",
+        expr(s"substring(text, chunk_idx * $stride + 1, $width)"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).cast("bigint").as("chunk_chars"),
+        md5(col("chunk")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "pp01_corpus_pipeline" -> pp01CorpusStats,
     "pp02_token_shards" -> pp02TokenShards,
     "pp03_decontaminate" -> pp03Decontaminate,
-    "pp04_stratified_sample" -> pp04StratifiedSample)
+    "pp04_stratified_sample" -> pp04StratifiedSample,
+    "pp07_decontaminate_join" -> pp07DecontaminateJoin,
+    "pp08_chunk" -> pp08Chunk)
 
   val oracleSql: Map[String, String] = Map(
     "pp01_corpus_pipeline" ->
@@ -166,5 +217,29 @@ object Pipeline {
         |  FROM documents)
         |SELECT doc_id, source, CAST(rate AS BIGINT) AS keep_1_in
         |FROM r WHERE rn % rate = 1 ORDER BY doc_id""".stripMargin,
+    "pp07_decontaminate_join" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |sh AS (SELECT doc_id, md5(s.shingle) AS fp
+        |  FROM t, unnest(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END)
+        |    AS s(shingle)),
+        |bench AS (SELECT DISTINCT fp FROM sh WHERE doc_id < 5),
+        |hit AS (SELECT DISTINCT doc_id FROM sh
+        |  WHERE fp IN (SELECT fp FROM bench))
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "pp08_chunk" ->
+      """SELECT doc_id, CAST(g.chunk_idx AS INTEGER) AS chunk_idx,
+        |  CAST(length(substring(text, CAST(g.chunk_idx AS INTEGER) * 180 + 1,
+        |    200)) AS BIGINT) AS chunk_chars,
+        |  md5(substring(text, CAST(g.chunk_idx AS INTEGER) * 180 + 1, 200))
+        |    AS chunk_fp
+        |FROM documents,
+        |  unnest(generate_series(0, (length(text) - 1) // 180))
+        |    AS g(chunk_idx)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

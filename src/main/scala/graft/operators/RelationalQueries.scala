@@ -594,6 +594,46 @@ object RelationalQueries {
     s.sql(oracleSql("q55_recursive_cte"))
   }
 
+  /** q56: UNPIVOT (wide→long reshaping) — per-returnflag aggregate
+    * metrics rotated into (metric, val) rows via the relational UNPIVOT
+    * operator (Dataset.unpivot, Spark's melt). The rotation is a pure
+    * projection over the 6-row aggregate — all the heavy lifting stays
+    * in the partial+final hash agg before it, so the reshape adds zero
+    * exchanges at any scale.
+    */
+  private val q56Unpivot: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "val")
+      .orderBy("l_returnflag", "metric")
+
+  /** q57: LOCF gap-fill (last-observation-carried-forward) — the
+    * time-series repair primitive: deterministically-nulled readings are
+    * filled from the same user's latest prior non-null value via
+    * last_value IGNORE NULLS over a running frame. One shuffle on
+    * user_id, one Window pass; the fill picks an existing data element
+    * (no float arithmetic), so values cross engines bit-for-bit. The
+    * event_id axis stands in for time: it is unique, so both engines
+    * agree on frame order (raw ns-vs-µs timestamp ties would not).
+    */
+  private val q57LocfFill: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, d, "events")
+      .withColumn("reading",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"),
+        col("reading").isNull.as("was_gap"), col("filled"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_project_filter" -> q01Project,
     "q02_count_star" -> q02CountStar,
@@ -645,9 +685,28 @@ object RelationalQueries {
     "q53_stats_agg" -> q53StatsAgg,
     "q54_percentile_disc" -> q54PercentileDisc,
     "q55_recursive_cte" -> q55RecursiveCte,
+    "q56_unpivot" -> q56Unpivot,
+    "q57_locf_fill" -> q57LocfFill,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q56_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    round(sum(l_discount), 2) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, val
+        |FROM a UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q57_locf_fill" ->
+      """WITH r AS (SELECT event_id, user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS reading
+        |  FROM events)
+        |SELECT event_id, user_id, reading IS NULL AS was_gap,
+        |  last_value(reading IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS filled
+        |FROM r ORDER BY event_id""".stripMargin,
     "q55_recursive_cte" ->
       """WITH RECURSIVE r AS (
         |  SELECT o_custkey,

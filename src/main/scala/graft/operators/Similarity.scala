@@ -49,7 +49,56 @@ object Similarity {
     "ss05_centroid_assign" -> ((s, d) => centroidAssign(s, d)),
     "ss06_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "ss07_ann_recall" -> ((s, d) => annRecall(s, d)),
+    "ss10_quantized_topk" -> ((s, d) => quantizedTopk(s, d)),
   )
+
+  /** ss10: int8 SCALAR-QUANTIZED top-k — the memory/bandwidth scale path
+    * for similarity search. Each vector is symmetric-quantized to int8
+    * (per-vector scale = amax/127), the candidate score is the INTEGER
+    * dot product rescaled by the two scales and normalized by the exact
+    * norms. At 100 TB the embedding column dominates scan bytes — int8
+    * cuts them 4× and turns the hot loop into integer multiply-adds
+    * (SIMD-able); the float corpus is only touched for the final rerank
+    * (elided here so the oracle pins the quantized arithmetic itself).
+    *
+    * ORACLE-CHECKED: quantization uses floor(x*127/amax + 0.5) — floor
+    * is IEEE-exact, the int dot is exact integer math, and the rescale
+    * is a fixed parenthesization of 4 IEEE ops — so both engines agree
+    * bit-for-bit, including the rank order.
+    */
+  def quantizedTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quant = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("amax", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        """CASE WHEN amax = 0D THEN transform(e, x -> 0L)
+          |ELSE transform(e, x -> CAST(floor(x * 127.0D / amax + 0.5D)
+          |                             AS BIGINT)) END""".stripMargin))
+      .withColumn("scale", col("amax") / lit(127.0))
+      .withColumn("nrm", l2norm(col("embedding")))
+      .select("vec_id", "qv", "scale", "nrm", "amax")
+    val qside = quant.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("scale").as("q_scale"), col("nrm").as("q_nrm"),
+        col("amax").as("q_amax"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_raw").desc, col("neighbor_id"))
+    quant.crossJoin(broadcast(qside))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(qv, q_qv, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("score_raw",
+        when(col("amax") === 0 || col("q_amax") === 0, lit(0.0))
+          .otherwise((col("qdot").cast("double") *
+            (col("scale") * col("q_scale"))) / (col("nrm") * col("q_nrm"))))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score_raw"), 4).as("qcosine"))
+      .orderBy("query_id", "rank")
+  }
 
   /** ss07: LSH ANN recall against the exact brute force, measured where
     * similarity structure EXISTS — the corpus is augmented with planted
@@ -418,6 +467,31 @@ object Similarity {
        |  FROM scored QUALIFY "rank" <= 5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ss10_quantized_topk" ->
+      s"""WITH $normCte,
+         |qn AS (SELECT n.vec_id, n.nrm,
+         |    list_max(list_transform(n.e, x -> abs(x))) AS amax,
+         |    CASE WHEN list_max(list_transform(n.e, x -> abs(x))) = 0
+         |      THEN list_transform(n.e, x -> 0::BIGINT)
+         |      ELSE list_transform(n.e, x -> CAST(floor(x * 127.0 /
+         |        list_max(list_transform(n.e, y -> abs(y))) + 0.5)
+         |        AS BIGINT)) END AS qv,
+         |    list_max(list_transform(n.e, x -> abs(x))) / 127.0 AS scale
+         |  FROM n),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN c.amax = 0 OR q.amax = 0 THEN 0.0
+         |      ELSE (list_reduce(list_prepend(0::BIGINT,
+         |          [c.qv[i] * q.qv[i] for i in generate_series(1, len(c.qv))]),
+         |          (a, b) -> a + b)
+         |        * (c.scale * q.scale)) / (c.nrm * q.nrm) END AS score_raw
+         |  FROM qn c JOIN qn q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, score_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_raw DESC, neighbor_id) AS "rank"
+         |  FROM p)
+         |SELECT query_id, "rank", neighbor_id,
+         |  round(score_raw, 4) AS qcosine
+         |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     "ss02_topk_lsh" ->
       s"""WITH $normCte, $planesCte, $lshTop5Cte
          |SELECT query_id, "rank", neighbor_id, round(cosine_raw, 4) AS cosine

@@ -123,6 +123,25 @@ object EventsStreaming {
       .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
   }
 
+  /** Stream-STATIC enrichment join — the canonical streaming dimension
+    * lookup: each event joins the (small, slowly-changing) customer dim
+    * and rolls into tumbling 15-minute per-segment stats. The static
+    * side broadcasts per micro-batch, so the stream side is never
+    * shuffled for the join and NO join state is kept (unlike
+    * stream-stream joins) — at any throughput the only state is the
+    * watermark-bounded window aggregate. Works identically over a batch
+    * DataFrame (watermark is a no-op), which is how the oracle checks
+    * it (st05).
+    */
+  def enrichJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "15 minutes"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("c_mktsegment"), col("cnt"), col("sum_value"))
+
   /** Watermarked streaming dedup: exactly-once admission of replayed
     * events by event_id. State holds one key per id inside the watermark
     * horizon only — the streaming face of the dd-family exact dedup.
@@ -242,11 +261,22 @@ object EventsStreaming {
       .orderBy("window_start", "lang")
   }
 
+  /** st05: the enrichment join's batch face (driver-checkable). */
+  private val st05EnrichJoin: Q = (s, d) =>
+    enrichJoin(graft.Tables.t(s, d, "events"),
+        graft.Tables.t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("c_mktsegment"), col("cnt"), col("sum_value"))
+      .orderBy("window_start", "c_mktsegment")
+
   val queries: Map[String, Q] = Map(
     "st01_sessionize" -> st01Sessionize,
     "st02_session_window" -> st02SessionWindow,
     "st03_interval_join" -> st03IntervalJoin,
-    "st04_stream_ingest" -> st04StreamIngest)
+    "st04_stream_ingest" -> st04StreamIngest,
+    "st05_enrich_join" -> st05EnrichJoin)
 
   val oracleSql: Map[String, String] = Map(
     "st01_sessionize" ->
@@ -319,6 +349,14 @@ object EventsStreaming {
         |  lang, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM d GROUP BY 1, 2 ORDER BY window_start, lang""".stripMargin,
+    "st05_enrich_join" ->
+      """SELECT
+        |  strftime(make_timestamp(CAST(floor(epoch(ts) / 900) * 900
+        |      AS BIGINT) * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  c_mktsegment, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY window_start, c_mktsegment""".stripMargin,
     "st03_interval_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
         |  strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_time,

@@ -1,12 +1,45 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, TextAnalysis}
+import graft.operators.{Multimodal, Pipeline, TextAnalysis}
 
 /** In-JVM invariants for the rows-only multimodal/text operators. */
 class OperatorInvariantSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
+
+  test("pp07 join decontamination answers exactly like pp03's broadcast") {
+    val viaJoin = Pipeline.pp07DecontaminateJoin(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaBroadcast = Pipeline.pp03Decontaminate(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaJoin == viaBroadcast)
+    // the bench docs themselves must be flagged, and not everything is
+    assert((0L until 5L).forall(viaJoin(_)))
+    assert(viaJoin.valuesIterator.contains(false))
+  }
+
+  test("pp08 chunks tile each document: stride 180, width 200, full cover") {
+    val lens = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).length).toMap
+    val chunks = Pipeline.pp08Chunk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == lens.keySet)
+    byDoc.foreach { case (doc, cs) =>
+      val n = cs.length
+      val len = lens(doc)
+      assert(n == (len - 1) / 180 + 1, s"doc $doc: $n chunks for $len chars")
+      assert(cs.map(_._2).sorted.toSeq == (0 until n), s"doc $doc indices")
+      cs.foreach { case (_, idx, chars) =>
+        val expected = math.min(200, len - idx * 180)
+        assert(chars == expected, s"doc $doc chunk $idx: $chars != $expected")
+      }
+      // coverage: last chunk reaches the end; consecutive chunks overlap 20
+      assert(cs.map(_._2).max * 180 + cs.filter(c => c._2 == n - 1).head._3
+        == len)
+    }
+  }
 
   test("mm01: nbytes equals UTF-8 byte length of the source text") {
     val got = Multimodal.queries("mm01_media_ingest")(spark, sf)

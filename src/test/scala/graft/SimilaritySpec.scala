@@ -93,6 +93,53 @@ class SimilaritySpec extends SparkSpec {
       s"missing ${(expected -- pairs).take(5)}")
   }
 
+  test("ss10 quantized top-k matches an in-JVM replay of int8 scoring") {
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def quant(v: Array[Float]): (Array[Long], Double, Double) = {
+      val e = v.map(_.toDouble)
+      val amax = e.map(math.abs).max
+      val qv = if (amax == 0) e.map(_ => 0L)
+        else e.map(x => math.floor(x * 127.0 / amax + 0.5).toLong)
+      var nrm = 0.0
+      e.foreach(x => nrm += x * x)
+      (qv, amax / 127.0, math.sqrt(nrm))
+    }
+    val got = Similarity.quantizedTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = (0L until 10L).flatMap { q =>
+      val (qq, sq, nq) = quant(vecs(q))
+      vecs.toSeq.filter(_._1 != q).map { case (id, v) =>
+        val (qc, sc, nc) = quant(v)
+        var qdot = 0L
+        var i = 0
+        while (i < qq.length) { qdot += qq(i) * qc(i); i += 1 }
+        val score = if (sq == 0 || sc == 0) 0.0
+          else (qdot.toDouble * (sc * sq)) / (nc * nq)
+        (id, score)
+      }.sortBy { case (id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, sc), i) => (q, (i + 1).toLong, id, round4(sc)) }
+    }.toSet
+    assert(got == want)
+    assert(got.size == 50)
+  }
+
+  test("ss10 quantized ranking closely tracks the exact ranking (top-1)") {
+    // int8 quantization is an approximation; on this corpus the top-1
+    // neighbor must agree with the exact ranking for >= 80% of queries
+    val exact = (0L until 10L).map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(vecs(q), v)) }
+        .minBy { case (id, c) => (-c, id) }._1
+    }.toMap
+    val got = Similarity.quantizedTopk(spark, sf)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val agree = exact.count { case (q, nb) => got(q) == nb }
+    assert(agree >= 8, s"only $agree/10 top-1 agreements")
+  }
+
   test("ss03 IVF candidates carry exact cosines, contiguous ranks, non-empty") {
     val rows = Similarity.topkIvf(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),

@@ -158,6 +158,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.size > 5) // several windows, not a degenerate comparison
   }
 
+  test("stream-static enrichJoin matches batch execution on the same rows") {
+    val dim = Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[Event](spark)
+    input.addData(rows)
+    val q = EventsStreaming.enrichJoin(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    val got = spark.table("enrich").collect().map(key).toSet
+    val want = EventsStreaming.enrichJoin(rows.toDF(), dim)
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // every event's user has a dim row here, so counts must cover all rows
+    assert(got.toSeq.map(_._3).sum == rows.length)
+  }
+
   test("dropDuplicatesWithinWatermark admits a replayed event once") {
     val input = MemoryStream[Event](spark)
     input.addData(rows)
