@@ -341,6 +341,94 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (large-star /
+    * small-star, Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the high-diameter complement to
+    * [[connectedComponents]]'s min-label propagation: O(log n) rounds on
+    * ANY graph shape instead of O(diameter), at the cost of two grouped
+    * shuffles per round instead of one.
+    *
+    *  - large-star: every node u emits (v, m) for each strictly-larger
+    *    neighbor v, where m = min of u's closed neighborhood — larger
+    *    neighbors re-point at u's best-known minimum.
+    *  - small-star: edges directed at their larger endpoint u; u and all
+    *    its (smaller) neighbors re-point at the neighborhood minimum.
+    *
+    * Convergence witness: the canonical (min, max) edge SET is compared
+    * across rounds via (count, xor of per-edge hashes) — a set fixpoint
+    * is the paper's termination condition, sound regardless of label
+    * dynamics. At the fixpoint edges form stars rooted at component
+    * minima, so labels read off as min(self, neighbors). Edges shuffle
+    * as bare id pairs; per-round lineage is truncated exactly like the
+    * propagation loop.
+    */
+  def connectedComponentsStar(nodes: DataFrame,
+      edges0: DataFrame): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    def sig(e: DataFrame): (Long, Long) = {
+      // count + XOR of per-edge hashes: an order-independent, overflow-free
+      // signature that equals iff the DISTINCT edge sets are equal (up to
+      // 64-bit hash collisions); edges are canonical-distinct by `canon`.
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = canon(edges0.select(col("a"), col("b"))).persist()
+    var prevSig = (-1L, -1L)
+    var rounds = 0
+    var converged = false
+    val maxRounds = 40 // log2-ish bound; a 2^40-node component exceeds any corpus
+    while (!converged && rounds < maxRounds) {
+      val sym = edges.unionAll(
+        edges.select(col("b").as("a"), col("a").as("b")))
+      val minL = sym.groupBy("a")
+        .agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = sym.join(minL, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+      // small-star over the large-star output: direct each edge at its
+      // larger endpoint, re-point that endpoint and all its smaller
+      // neighbors at the neighborhood minimum
+      val dir = canon(large)
+        .select(col("b").as("u"), col("a").as("v")) // u = larger endpoint
+      val minS = dir.groupBy("u").agg(min("v").as("m"))
+      val small = dir.join(minS, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(minS.select(col("u").as("a"), col("m").as("b")))
+      // Lineage MUST truncate every round here (unlike the propagation
+      // loop's every-8): the round's plan references `edges` ~16 times
+      // (sym twice, its min-join twice, the dir/min-join pair twice
+      // more), so un-truncated lineage grows 16^rounds — the plan tree
+      // itself becomes the memory bound long before execution does.
+      // localCheckpoint materializes the (small) edge set and cuts the
+      // plan at an RDD scan; eager, so `sig` below reuses it.
+      val next = canon(small).localCheckpoint()
+      val s = sig(next)
+      edges.unpersist()
+      edges = next
+      converged = s == prevSig
+      prevSig = s
+      rounds += 1
+    }
+    if (!converged) sys.error(
+      s"connectedComponentsStar: edge-set fixpoint not reached after " +
+        s"$maxRounds rounds — components need > 2^$maxRounds nodes?")
+    // star edges point children at the component min; minima keep only
+    // larger neighbors, so min(self, neighbors) is the component label
+    val lab = edges.unionAll(
+        edges.select(col("b").as("a"), col("a").as("b")))
+      .groupBy("a").agg(min("b").as("mn"))
+      .select(col("a").as("id"), least(col("a"), col("mn")).as("label"))
+    nodes.select(col("id"))
+      .join(lab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   /** dd10: near-dup GROUPING — the step after pair generation that every
     * dedup pipeline needs to pick one canonical doc per duplicate
     * cluster. Corpus = documents ∪ two mutated re-crawls (first token
@@ -350,7 +438,8 @@ object Dedup {
     * connectedComponents picks min-doc_id representatives. Oracle: the
     * same edges + a recursive-CTE label propagation in DuckDB.
     */
-  private val dd10DedupGroups: Q = (s, d) => {
+  private def dedupGroupsVia(
+      cc: (DataFrame, DataFrame) => DataFrame): Q = (s, d) => {
     val docs = t(s, d, "documents").select("doc_id", "text")
     val dropTok = expr(
       """CASE WHEN instr(text, ' ') > 0
@@ -384,14 +473,21 @@ object Dedup {
       .filter(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
       .select("a", "b")
-    val labels = connectedComponents(corpus.select(col("doc_id").as("id")),
-      edges)
+    val labels = cc(corpus.select(col("doc_id").as("id")), edges)
     labels.groupBy("label").agg(count(lit(1)).as("group_size"),
         collect_list("id").as("ids"))
       .select(explode(col("ids")).as("doc_id"), col("label").as("group_rep"),
         col("group_size"))
       .orderBy("doc_id")
   }
+
+  private val dd10DedupGroups: Q = dedupGroupsVia(connectedComponents)
+
+  /** dd13: dd10's dup grouping with the STAR-CONTRACTION components —
+    * same graph, same oracle, O(log n)-round algorithm. Output is pinned
+    * identical to dd10 (both label components by their min doc_id).
+    */
+  private val dd13DedupGroupsStar: Q = dedupGroupsVia(connectedComponentsStar)
 
   /** dd11: incremental ingest dedup — admit only new-batch docs whose
     * content fingerprint is absent from the existing corpus (the per-batch
@@ -421,6 +517,7 @@ object Dedup {
     "dd09_jaccard_oracle" -> dd09JaccardOracle,
     "dd10_dedup_groups" -> dd10DedupGroups,
     "dd11_incremental_dedup" -> dd11IncrementalDedup,
+    "dd13_dedup_groups_star" -> dd13DedupGroupsStar,
   )
 
   /** The re-crawl corpus in DuckDB terms, for oracle-expressible entries. */
@@ -432,6 +529,46 @@ object Dedup {
       |             THEN substring(text, instr(text, ' ') + 1)
       |             ELSE text END AS text
       | FROM documents) recrawl""".stripMargin
+
+  private val dd10Sql: String =
+    """WITH RECURSIVE
+        |m1 AS (SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |m2 AS (SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM m1),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+        |tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM corpus),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM tk),
+        |cand AS (SELECT doc_id AS a, doc_id + 10000000 AS b FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 20000000 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id + 20000000 FROM documents),
+        |edges AS (SELECT a, b FROM cand
+        |  JOIN sh sa ON sa.doc_id = cand.a
+        |  JOIN sh sb ON sb.doc_id = cand.b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        |    >= 0.5),
+        |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        |r AS (SELECT doc_id AS id, doc_id AS label FROM corpus
+        |  UNION
+        |  SELECT s.b AS id, r.label FROM r JOIN sym s ON s.a = r.id),
+        |lab AS (SELECT id, min(label) AS group_rep FROM r GROUP BY id)
+        |SELECT l.id AS doc_id, l.group_rep, g.cnt AS group_size
+        |FROM lab l JOIN (SELECT group_rep, count(*) AS cnt FROM lab
+        |                 GROUP BY group_rep) g USING (group_rep)
+        |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dd09_jaccard_oracle" ->
@@ -469,48 +606,13 @@ object Dedup {
     "dd02_dedup_exact_hash" ->
       s"""SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
          |FROM $recrawlSql GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
-    // dd10: identical edge construction, then transitive min-label
+    // dd10/dd13: identical edge construction, then transitive min-label
     // propagation as a recursive CTE (UNION dedup terminates the
-    // recursion) — the declarative mirror of the Spark fixpoint loop.
-    "dd10_dedup_groups" ->
-      """WITH RECURSIVE
-        |m1 AS (SELECT doc_id + 10000000 AS doc_id,
-        |    CASE WHEN instr(text, ' ') > 0
-        |         THEN substring(text, instr(text, ' ') + 1)
-        |         ELSE text END AS text
-        |  FROM documents),
-        |m2 AS (SELECT doc_id + 10000000 AS doc_id,
-        |    CASE WHEN instr(text, ' ') > 0
-        |         THEN substring(text, instr(text, ' ') + 1)
-        |         ELSE text END AS text
-        |  FROM m1),
-        |corpus AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2),
-        |tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM corpus),
-        |sh AS (SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
-        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
-        |  FROM tk),
-        |cand AS (SELECT doc_id AS a, doc_id + 10000000 AS b FROM documents
-        |  UNION ALL SELECT doc_id, doc_id + 20000000 FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000000, doc_id + 20000000 FROM documents),
-        |edges AS (SELECT a, b FROM cand
-        |  JOIN sh sa ON sa.doc_id = cand.a
-        |  JOIN sh sb ON sb.doc_id = cand.b
-        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-        |    >= 0.5),
-        |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
-        |r AS (SELECT doc_id AS id, doc_id AS label FROM corpus
-        |  UNION
-        |  SELECT s.b AS id, r.label FROM r JOIN sym s ON s.a = r.id),
-        |lab AS (SELECT id, min(label) AS group_rep FROM r GROUP BY id)
-        |SELECT l.id AS doc_id, l.group_rep, g.cnt AS group_size
-        |FROM lab l JOIN (SELECT group_rep, count(*) AS cnt FROM lab
-        |                 GROUP BY group_rep) g USING (group_rep)
-        |ORDER BY doc_id""".stripMargin,
+    // recursion) — the declarative mirror of BOTH Spark fixpoint loops
+    // (propagation and star contraction label components identically).
+    "dd10_dedup_groups" -> dd10Sql,
+    
+    "dd13_dedup_groups_star" -> dd10Sql,
     "dd11_incremental_dedup" ->
       """WITH nb AS (SELECT doc_id + 10000000 AS doc_id,
         |    CASE WHEN instr(text, ' ') > 0

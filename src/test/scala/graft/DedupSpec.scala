@@ -120,6 +120,61 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("no fixpoint"))
   }
 
+  test("connectedComponentsStar labels chains, cycles, isolated nodes") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 30L, 31L)
+      .toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (31L, 30L)).toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L)
+    assert(got == want)
+  }
+
+  test("star contraction resolves a diameter-200 chain (propagation can't)") {
+    import spark.implicits._
+    // a 201-node path needs ~200 propagation rounds — far past the
+    // propagation loop's 50-round cap — but star contraction collapses
+    // it in O(log n) rounds: the general-graph-diameter story.
+    val n = 201
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap)
+  }
+
+  test("star contraction agrees with min-label propagation on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random sparse graph: 120 nodes, 90 edges from
+    // an LCG stream → mixed component sizes incl. singletons
+    val n = 120L
+    var seed = 42L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    val es = (1 to 90).map { _ =>
+      val a = math.floorMod(next(), n); val b = math.floorMod(next(), n)
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val nodes = (0L until n).toDF("id")
+    val edges = es.toDF("a", "b")
+    val star = Dedup.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("dd13 star-contraction dup groups equal dd10's propagation groups") {
+    val a = Dedup.queries("dd13_dedup_groups_star")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Dedup.queries("dd10_dedup_groups")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("dd02 exact-hash dedup counts single-token docs as exact copies") {
     val df = Dedup.queries("dd02_dedup_exact_hash")(spark, sf)
     val withCopies = df.filter(col("n_copies") >= 2).count()
