@@ -217,7 +217,35 @@ object TextAnalysis {
         min(col("sig")(2)).as("sig2"), min(col("sig")(3)).as("sig3"))
       .orderBy("source")
 
+  /** tx17: TERM COMMONNESS — per-doc statistics of its tokens' corpus
+    * frequencies (mean and rarest), the frequency-based half of a
+    * perplexity-style quality signal without transcendental math (no
+    * log: libm ulp drift across engines; integer counts and one exact
+    * division cross engines bit-for-bit). A document of common words
+    * scores high mean_tf; one rare token drives rarest_tf to 1.
+    *
+    * Scale shape: corpus term frequencies are a partial+final hash agg
+    * on the token key (map-side combine collapses within-partition
+    * repeats); the per-doc join shuffles (doc_id, token) pairs against
+    * the Zipf-bounded vocab — at 100 TB broadcast the top-K vocab and
+    * default the tail to tf=1 instead of joining the full table. No
+    * global ordering anywhere (a rank formulation would funnel the
+    * vocab through one partition — the pp02 trap).
+    */
+  private val tx17TermCommonness: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf_corpus"))
+    toks.join(vocab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg("tf_corpus"), 2).as("mean_tf"),
+        min("tf_corpus").as("rarest_tf"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx17_term_commonness" -> tx17TermCommonness,
     "tx01_token_count" -> tx01Tokens,
     "tx02_quality_score" -> tx02Quality,
     "tx03_lang_id" -> tx03LangId,
@@ -234,6 +262,15 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx17_term_commonness" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*) AS tf_corpus FROM tk GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(tf_corpus), 2) AS mean_tf,
+        |  min(tf_corpus) AS rarest_tf
+        |FROM tk JOIN v USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx01_token_count" ->
       """SELECT doc_id,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)

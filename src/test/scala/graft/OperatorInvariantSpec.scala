@@ -8,6 +8,26 @@ class OperatorInvariantSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("tx17 term commonness matches a direct in-JVM recompute") {
+    val texts = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tf = texts.values.toSeq.flatMap(_.split(" ", -1))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val got = TextAnalysis.queries("tx17_term_commonness")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(got.map(_._1).toSet == texts.keySet)
+    got.foreach { case (id, n, mean, rarest) =>
+      val toks = texts(id).split(" ", -1).toSeq
+      assert(n == toks.length, s"doc $id token count")
+      val tfs = toks.map(tf)
+      assert(rarest == tfs.min, s"doc $id rarest")
+      val want = BigDecimal(tfs.sum.toDouble / tfs.length)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mean - want) <= 1e-9, s"doc $id mean $mean != $want")
+    }
+  }
+
   test("pp07 join decontamination answers exactly like pp03's broadcast") {
     val viaJoin = Pipeline.pp07DecontaminateJoin(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap

@@ -133,6 +133,47 @@ class PlanAuditSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("LOCF fill is one shuffle + one Window pass (q57)") {
+    val plan = executedPlan("q57_locf_fill")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Window".r.findAllIn(finalPlan).size == 1, plan)
+    // user_id partition + final presentation orderBy — nothing else
+    assert("Exchange".r.findAllIn(finalPlan).size <= 2, plan)
+  }
+
+  test("unpivot reshapes AFTER the aggregate — no added exchange (q56)") {
+    val plan = executedPlan("q56_unpivot")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // partial+final agg, then Expand over the 6-row result; the reshape
+    // itself must not introduce a shuffle beyond agg + final sort
+    assert(plan.contains("Expand"), plan)
+    assert("Exchange".r.findAllIn(finalPlan).size <= 2, plan)
+  }
+
+  test("chunking is a pure per-row generate — no join, no aggregate (pp08)") {
+    val plan = executedPlan("pp08_chunk")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    // only the presentation orderBy exchanges
+    assert("Exchange".r.findAllIn(finalPlan).size <= 1, plan)
+  }
+
+  test("stream-static enrichment broadcasts the dim side (st05)") {
+    val plan = executedPlan("st05_enrich_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the events side aggregates partial+final after the broadcast join
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("quantized top-k scores inside codegen off a broadcast query set (ss10)") {
+    val plan = executedPlan("ss10_quantized_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("*("), plan)
+  }
+
   test("custom hash expressions stay inside whole-stage codegen (tx05)") {
     val df = SparkEntry.queries("tx05_fingerprint_hash64")(spark, sf)
     df.collect()
