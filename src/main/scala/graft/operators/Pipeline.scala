@@ -157,13 +157,32 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** pp09: LEAKAGE-SAFE train/val/test SPLIT — 80/10/10 assignment by a
+    * bucket of the content fingerprint, not the row id: exact duplicates
+    * (same text ⇒ same md5 ⇒ same bucket) can never straddle the
+    * train/eval boundary, which id- or rand()-based splits silently
+    * allow. Deterministic and engine-portable (hex md5 prefix → integer
+    * mod 100 — exact in both engines); per-row projection, zero shuffle,
+    * reproducible across runs/engines/cluster sizes by construction.
+    */
+  val pp09DatasetSplit: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "pp01_corpus_pipeline" -> pp01CorpusStats,
     "pp02_token_shards" -> pp02TokenShards,
     "pp03_decontaminate" -> pp03Decontaminate,
     "pp04_stratified_sample" -> pp04StratifiedSample,
     "pp07_decontaminate_join" -> pp07DecontaminateJoin,
-    "pp08_chunk" -> pp08Chunk)
+    "pp08_chunk" -> pp08Chunk,
+    "pp09_dataset_split" -> pp09DatasetSplit)
 
   val oracleSql: Map[String, String] = Map(
     "pp01_corpus_pipeline" ->
@@ -217,6 +236,14 @@ object Pipeline {
         |  FROM documents)
         |SELECT doc_id, source, CAST(rate AS BIGINT) AS keep_1_in
         |FROM r WHERE rn % rate = 1 ORDER BY doc_id""".stripMargin,
+    "pp09_dataset_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80
+        |       THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90
+        |       THEN 'val' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "pp07_decontaminate_join" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
         |           FROM documents),

@@ -220,9 +220,9 @@ object TextAnalysis {
   /** tx17: TERM COMMONNESS — per-doc statistics of its tokens' corpus
     * frequencies (mean and rarest), the frequency-based half of a
     * perplexity-style quality signal without transcendental math (no
-    * log: libm ulp drift across engines; integer counts and one exact
-    * division cross engines bit-for-bit). A document of common words
-    * scores high mean_tf; one rare token drives rarest_tf to 1.
+    * log: libm ulp drift across engines; all-integer outputs cross
+    * engines bit-for-bit). A document of common words scores a high
+    * centi-mean; one rare token drives rarest_tf to 1.
     *
     * Scale shape: corpus term frequencies are a partial+final hash agg
     * on the token key (map-side combine collapses within-partition
@@ -239,7 +239,11 @@ object TextAnalysis {
     toks.join(vocab, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg("tf_corpus"), 2).as("mean_tf"),
+        // centi-mean as EXACT integer rational — round(avg, 2) sat on a
+        // .005 boundary at sf0.1 and the engines' round paths split on
+        // the last ulp (caught by the sf0.1 selfcheck); integer div of
+        // exact sums cannot drift
+        expr("sum(tf_corpus) * 100 div count(1)").as("mean_tf_x100"),
         min("tf_corpus").as("rarest_tf"))
       .orderBy("doc_id")
   }
@@ -267,7 +271,7 @@ object TextAnalysis {
         |  FROM documents),
         |v AS (SELECT tok, count(*) AS tf_corpus FROM tk GROUP BY tok)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(avg(tf_corpus), 2) AS mean_tf,
+        |  CAST(sum(tf_corpus) * 100 // count(*) AS BIGINT) AS mean_tf_x100,
         |  min(tf_corpus) AS rarest_tf
         |FROM tk JOIN v USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,

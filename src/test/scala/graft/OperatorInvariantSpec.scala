@@ -14,17 +14,16 @@ class OperatorInvariantSpec extends SparkSpec {
     val tf = texts.values.toSeq.flatMap(_.split(" ", -1))
       .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
     val got = TextAnalysis.queries("tx17_term_commonness")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
     assert(got.map(_._1).toSet == texts.keySet)
-    got.foreach { case (id, n, mean, rarest) =>
+    got.foreach { case (id, n, meanX100, rarest) =>
       val toks = texts(id).split(" ", -1).toSeq
       assert(n == toks.length, s"doc $id token count")
       val tfs = toks.map(tf)
       assert(rarest == tfs.min, s"doc $id rarest")
-      val want = BigDecimal(tfs.sum.toDouble / tfs.length)
-        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(math.abs(mean - want) <= 1e-9, s"doc $id mean $mean != $want")
+      val want = tfs.sum * 100 / tfs.length // exact integer centi-mean
+      assert(meanX100 == want, s"doc $id mean_x100 $meanX100 != $want")
     }
   }
 
