@@ -393,9 +393,13 @@ object Dedup {
         .select(col("b").as("a"), col("m").as("b"))
       // small-star over the large-star output: direct each edge at its
       // larger endpoint, re-point that endpoint and all its smaller
-      // neighbors at the neighborhood minimum
-      val dir = canon(large)
-        .select(col("b").as("u"), col("a").as("v")) // u = larger endpoint
+      // neighbors at the neighborhood minimum. large-star rows are
+      // already strictly directed (a = v > u ≥ m = b), so no canon/
+      // distinct is needed here — duplicate (v, m) emissions from
+      // different u-groups are harmless under the min aggregate and
+      // collapse in the round-final canon; skipping the mid-round
+      // distinct saves one full shuffle per round.
+      val dir = large.select(col("a").as("u"), col("b").as("v"))
       val minS = dir.groupBy("u").agg(min("v").as("m"))
       val small = dir.join(minS, Seq("u"))
         .select(col("v").as("a"), col("m").as("b"))

@@ -146,6 +146,41 @@ class DedupSpec extends SparkSpec {
     assert(got == (0L until n).map(_ -> 0L).toMap)
   }
 
+  test("star contraction equals in-JVM union-find on seeded random graphs") {
+    import spark.implicits._
+    // five deterministic sparse/dense shapes; ground truth from a plain
+    // union-find with min-representative relabeling
+    for (seedBase <- Seq(7L, 19L, 101L, 4242L, 99991L)) {
+      var seed = seedBase
+      def next(): Long = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L; seed
+      }
+      val n = 40L + math.floorMod(seedBase, 41) // 40-80 nodes
+      val nEdges = (n / 2 + math.floorMod(seedBase, n)).toInt
+      val es = (1 to nEdges).map { _ =>
+        (math.floorMod(next(), n), math.floorMod(next(), n))
+      }.filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val p = parent(c); parent(c) = r; c = p }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n.toInt)
+        .map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.connectedComponentsStar(
+          (0L until n).toDF("id"), es.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seedBase")
+    }
+  }
+
   test("star contraction agrees with min-label propagation on a random graph") {
     import spark.implicits._
     // deterministic pseudo-random sparse graph: 120 nodes, 90 edges from
