@@ -123,6 +123,31 @@ object EventsStreaming {
       .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every click attributed to
+    * the views that followed within 4 hours — or emitted once with null
+    * view columns when no view arrived. In the outer case the watermark
+    * is load-bearing for CORRECTNESS, not just state size: the null row
+    * may only emit after the view-side watermark passes click_ts + 4h
+    * (before that, a matching view could still arrive), so unmatched
+    * results trail the stream by exactly the interval + delay — the
+    * documented semantics of watermarked outer joins. Batch execution
+    * (st06) is a plain left outer join, which is how the oracle checks
+    * the join logic itself.
+    */
+  def intervalJoinOuter(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val l = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val r = views.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    l.join(r, col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr("interval 4 hours"),
+        "left_outer")
+      .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+  }
+
   /** Stream-STATIC enrichment join — the canonical streaming dimension
     * lookup: each event joins the (small, slowly-changing) customer dim
     * and rolls into tumbling 15-minute per-segment stats. The static
@@ -261,6 +286,20 @@ object EventsStreaming {
       .orderBy("window_start", "lang")
   }
 
+  /** st06: the outer interval join's batch face (driver-checkable).
+    * Unmatched clicks surface with null view columns; the sort pins
+    * NULLS FIRST explicitly on both engines.
+    */
+  private val st06IntervalOuter: Q = (s, d) => {
+    val ev = graft.Tables.t(s, d, "events")
+    intervalJoinOuter(ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_time"))
+      .orderBy(col("click_id"), col("view_id").asc_nulls_first)
+  }
+
   /** st05: the enrichment join's batch face (driver-checkable). */
   private val st05EnrichJoin: Q = (s, d) =>
     enrichJoin(graft.Tables.t(s, d, "events"),
@@ -276,7 +315,8 @@ object EventsStreaming {
     "st02_session_window" -> st02SessionWindow,
     "st03_interval_join" -> st03IntervalJoin,
     "st04_stream_ingest" -> st04StreamIngest,
-    "st05_enrich_join" -> st05EnrichJoin)
+    "st05_enrich_join" -> st05EnrichJoin,
+    "st06_interval_outer" -> st06IntervalOuter)
 
   val oracleSql: Map[String, String] = Map(
     "st01_sessionize" ->
@@ -364,5 +404,14 @@ object EventsStreaming {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'view'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
-        |ORDER BY click_id, view_id""".stripMargin)
+        |ORDER BY click_id, view_id""".stripMargin,
+    "st06_interval_outer" ->
+      """SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+        |  strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+        |  strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS view_time
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+        |ORDER BY click_id, view_id NULLS FIRST""".stripMargin)
 }

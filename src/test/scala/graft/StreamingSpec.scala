@@ -158,6 +158,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.size > 5) // several windows, not a degenerate comparison
   }
 
+  test("left-outer interval join emits unmatched clicks once the watermark allows") {
+    val clicks = rows.filter(_.event_type == "click") :+
+      Event(20, ts(5), 3, "click", 0.0) // user 3 has no views → null row
+    val views = Seq(
+      Event(10, ts(2), 1, "view", 0.0),
+      Event(11, ts(50), 1, "view", 0.0))
+    val ci = MemoryStream[Event](spark)
+    val vi = MemoryStream[Event](spark)
+    ci.addData(clicks); vi.addData(views)
+    val q = EventsStreaming.intervalJoinOuter(ci.toDF(), vi.toDF())
+      .writeStream.format("memory").queryName("ijo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // outer rows emit only after BOTH watermarks pass click_ts + 4h +
+      // delay: push them far ahead, then run two more cycles (watermark
+      // advances at batch end, emission happens the following batch)
+      ci.addData(Event(98, ts(2000), 999, "click", 0.0))
+      vi.addData(Event(99, ts(2000), 999, "view", 0.0))
+      q.processAllAvailable()
+      ci.addData(Event(96, ts(4000), 999, "click", 0.0))
+      vi.addData(Event(97, ts(4000), 999, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))
+    val got = spark.table("ijo").collect().map(key)
+      .filter(_._3 != 999).toSet
+    val want = EventsStreaming
+      .intervalJoinOuter(clicks.toDF(), views.toDF()).collect().map(key).toSet
+    assert(got == want)
+    // the unmatched click surfaced exactly once, with a null view side
+    assert(got.contains((20L, -1L, 3L)))
+  }
+
   test("stream-static enrichJoin matches batch execution on the same rows") {
     val dim = Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"))
       .toDF("c_custkey", "c_mktsegment")
