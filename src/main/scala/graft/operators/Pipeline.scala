@@ -175,6 +175,42 @@ object Pipeline {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** pp10: BLOOM-GATED decontamination — the mid-size-blocklist shape
+    * between pp03 (broadcast the whole set) and pp07 (full semi-join).
+    * The bench shingle hashes aggregate into ONE 8 Kib Bloom filter
+    * (BloomAgg: fixed-size mergeable buffer, word-OR merge — partial+
+    * final like any hash agg), which is collected once and probed
+    * per-row by the codegen'd BloomProbe — a map-only prune with NO
+    * false negatives. Only the ~(FP-rate + true-hit) sliver of corpus
+    * shingles reaches the exact md5 confirm join, so the expensive
+    * exchange shrinks ~100× while the final answer stays EXACT —
+    * identical to pp03/pp07, which is what the oracle pins. At 100 TB
+    * the filter stays KBs for millions of blocklist entries (that is
+    * the point of a Bloom filter); the corpus-side scan cost is
+    * unchanged and the join input collapses.
+    */
+  val pp10BloomDecontaminate: Q = (s, d) => {
+    import graft.functions.{Bloom, GraftFunctions}
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        GraftFunctions.shingle_strings(col("text")))).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val filterBytes: Array[Byte] = sh.filter(col("doc_id") < 5)
+      .agg(Bloom.bloom_agg(col("h"), 8192, 3))
+      .head().getAs[Array[Byte]](0)
+    val survivors = sh
+      .filter(Bloom.bloom_probe(filterBytes, 3)(col("h")))
+      .select(col("doc_id"), md5(col("shingle")).as("fp"))
+    val benchFp = survivors.filter(col("doc_id") < 5).select("fp").distinct()
+    val hit = survivors.join(benchFp, Seq("fp"), "left_semi")
+      .select("doc_id").distinct()
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    val clean = t(s, d, "documents").select(col("doc_id"))
+      .join(hit.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(false).as("contaminated"))
+    hit.unionAll(clean).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "pp01_corpus_pipeline" -> pp01CorpusStats,
     "pp02_token_shards" -> pp02TokenShards,
@@ -182,7 +218,23 @@ object Pipeline {
     "pp04_stratified_sample" -> pp04StratifiedSample,
     "pp07_decontaminate_join" -> pp07DecontaminateJoin,
     "pp08_chunk" -> pp08Chunk,
-    "pp09_dataset_split" -> pp09DatasetSplit)
+    "pp09_dataset_split" -> pp09DatasetSplit,
+    "pp10_bloom_decontaminate" -> pp10BloomDecontaminate)
+
+  private val decontaminateJoinSql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+      |           FROM documents),
+      |sh AS (SELECT doc_id, md5(s.shingle) AS fp
+      |  FROM t, unnest(CASE WHEN len(tk) < 3 THEN [text]
+      |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |            for i in generate_series(1, len(tk) - 2)] END)
+      |    AS s(shingle)),
+      |bench AS (SELECT DISTINCT fp FROM sh WHERE doc_id < 5),
+      |hit AS (SELECT DISTINCT doc_id FROM sh
+      |  WHERE fp IN (SELECT fp FROM bench))
+      |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "pp01_corpus_pipeline" ->
@@ -244,20 +296,10 @@ object Pipeline {
         |       WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90
         |       THEN 'val' ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "pp07_decontaminate_join" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
-        |           FROM documents),
-        |sh AS (SELECT doc_id, md5(s.shingle) AS fp
-        |  FROM t, unnest(CASE WHEN len(tk) < 3 THEN [text]
-        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-        |            for i in generate_series(1, len(tk) - 2)] END)
-        |    AS s(shingle)),
-        |bench AS (SELECT DISTINCT fp FROM sh WHERE doc_id < 5),
-        |hit AS (SELECT DISTINCT doc_id FROM sh
-        |  WHERE fp IN (SELECT fp FROM bench))
-        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "pp07_decontaminate_join" -> decontaminateJoinSql,
+    // pp10's Bloom gate is an internal prune with no false negatives —
+    // the exact confirm join makes its ANSWER identical to pp07's
+    "pp10_bloom_decontaminate" -> decontaminateJoinSql,
     "pp08_chunk" ->
       """SELECT doc_id, CAST(g.chunk_idx AS INTEGER) AS chunk_idx,
         |  CAST(length(substring(text, CAST(g.chunk_idx AS INTEGER) * 180 + 1,

@@ -27,6 +27,39 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("GraftBloom: zero false negatives; FP rate within the sizing bound") {
+    import graft.functions.GraftBloom
+    val bits = new Array[Long](8192 / 64)
+    val members = (0L until 1000L).map(i => i * 0x9e3779b97f4a7c15L + 17)
+    members.foreach(GraftBloom.add(bits, 3, _))
+    assert(members.forall(GraftBloom.contains(bits, 3, _)), "false negative!")
+    val probes = (1L to 20000L).map(i => i * 0x517cc1b727220a95L + 3)
+      .filterNot(members.contains)
+    val fp = probes.count(GraftBloom.contains(bits, 3, _)).toDouble / probes.size
+    // sizing: (1 - e^(-3*1000/8192))^3 ≈ 2.9%; allow slack to 6%
+    assert(fp < 0.06, s"fp rate $fp")
+  }
+
+  test("pp10 bloom-gated decontamination equals pp03; the gate prunes hard") {
+    val viaBloom = Pipeline.pp10BloomDecontaminate(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaBroadcast = Pipeline.pp03Decontaminate(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaBloom == viaBroadcast)
+    // the gate's whole value: only a sliver of corpus shingles may reach
+    // the exact confirm join (bench shingles + Bloom false positives)
+    import graft.functions.{Bloom, GraftFunctions}
+    val sh = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        GraftFunctions.shingle_strings(col("text")))).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val filterBytes = sh.filter(col("doc_id") < 5)
+      .agg(Bloom.bloom_agg(col("h"), 8192, 3)).head().getAs[Array[Byte]](0)
+    val total = sh.count().toDouble
+    val survivors = sh.filter(Bloom.bloom_probe(filterBytes, 3)(col("h"))).count()
+    assert(survivors / total < 0.2, s"gate passed $survivors of $total")
+  }
+
   test("pp07 join decontamination answers exactly like pp03's broadcast") {
     val viaJoin = Pipeline.pp07DecontaminateJoin(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
