@@ -634,7 +634,46 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** q58: INTERSECT ALL / EXCEPT ALL — the MULTISET set operations
+    * (SQL:2003 bag semantics): each duplicate occurrence counts, unlike
+    * q18/q19's set-dedup versions. Spark plans both as a grouped count
+    * comparison (generate replicated rows from min/diff of per-side
+    * counts) — one shuffle per operand, no distinct. The union of the
+    * two results is tagged so one query pins both operators.
+    */
+  private val q58IntersectExceptAll: Q = (s, d) => {
+    val o = t(s, d, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority").as("p"))
+    val f = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority").as("p"))
+    o.intersectAll(f).withColumn("tag", lit("in_both"))
+      .unionAll(o.exceptAll(f).withColumn("tag", lit("open_only")))
+      .select("tag", "p")
+      .orderBy("tag", "p")
+  }
+
+  /** q59: null-safe comparison (`<=>` / IS [NOT] DISTINCT FROM) — the
+    * three-valued-logic corner where plain equality returns NULL: two
+    * deterministically-nulled projections of event_type compare via the
+    * null-safe operator, which is total (never NULL). Aggregated so the
+    * result also exercises counting over the null-safe predicate.
+    */
+  private val q59NullSafeEq: Q = (s, d) => {
+    val r = t(s, d, "events")
+      .withColumn("t1",
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("event_type")))
+      .withColumn("t2",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("event_type")))
+    r.select(col("event_id"), (col("t1") <=> col("t2")).as("same"),
+        (!(col("t1") <=> col("t2"))).as("differs"))
+      .groupBy("same", "differs")
+      .agg(count(lit(1)).as("cnt"), min("event_id").as("first_event"))
+      .orderBy("same")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q58_intersect_except_all" -> q58IntersectExceptAll,
+    "q59_null_safe_eq" -> q59NullSafeEq,
     "q01_project_filter" -> q01Project,
     "q02_count_star" -> q02CountStar,
     "q03_group_count" -> q03GroupCount,
@@ -690,6 +729,26 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q58_intersect_except_all" ->
+      """WITH o AS (SELECT o_orderpriority AS p FROM orders
+        |           WHERE o_orderstatus = 'O'),
+        |f AS (SELECT o_orderpriority AS p FROM orders
+        |      WHERE o_orderstatus = 'F')
+        |SELECT 'in_both' AS tag, p FROM (
+        |  SELECT p FROM o INTERSECT ALL SELECT p FROM f)
+        |UNION ALL
+        |SELECT 'open_only' AS tag, p FROM (
+        |  SELECT p FROM o EXCEPT ALL SELECT p FROM f)
+        |ORDER BY tag, p""".stripMargin,
+    "q59_null_safe_eq" ->
+      """WITH r AS (SELECT event_id,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS t1,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS t2
+        |  FROM events)
+        |SELECT t1 IS NOT DISTINCT FROM t2 AS same,
+        |  t1 IS DISTINCT FROM t2 AS differs,
+        |  count(*) AS cnt, min(event_id) AS first_event
+        |FROM r GROUP BY 1, 2 ORDER BY same""".stripMargin,
     "q56_unpivot" ->
       """WITH a AS (SELECT l_returnflag,
         |    round(sum(l_quantity), 2) AS sum_qty,
