@@ -50,7 +50,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "queries" FIRST, scalars LAST: the driver keeps only the tail of
+    // the output, and with 118 queries the line head falls off — r3 lost
+    // the headline total that way. JSON member order is free, so put the
+    // summary where truncation can't reach it.
+    println(s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

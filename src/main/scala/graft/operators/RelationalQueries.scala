@@ -559,8 +559,12 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"),
         round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
         round(var_samp(col("l_quantity")), 2).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 2).as("corr_qty_price"),
-        round(covar_samp(col("l_discount"), col("l_tax")), 2).as("covar_disc_tax"))
+        // +0.0 normalizes IEEE negative zero: corr/covar here are ~1e-6,
+        // and round(-tiny, 2) is -0.0 in DuckDB (sign-preserving) but
+        // +0.0 in Spark (BigDecimal has no signed zero) — a hash
+        // mismatch on identical statistics. -0.0 + 0.0 == +0.0 exactly.
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 2) + lit(0.0)).as("corr_qty_price"),
+        (round(covar_samp(col("l_discount"), col("l_tax")), 2) + lit(0.0)).as("covar_disc_tax"))
       .orderBy("l_returnflag")
 
   /** q54: PERCENTILE_DISC (inverse distribution, WITHIN GROUP) — exact
@@ -786,8 +790,8 @@ object RelationalQueries {
       """SELECT l_returnflag, count(*) AS n,
         |  round(stddev_samp(l_quantity), 2) AS sd_qty,
         |  round(var_samp(l_quantity), 2) AS var_qty,
-        |  round(corr(l_quantity, l_extendedprice), 2) AS corr_qty_price,
-        |  round(covar_samp(l_discount, l_tax), 2) AS covar_disc_tax
+        |  round(corr(l_quantity, l_extendedprice), 2) + 0.0 AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 2) + 0.0 AS covar_disc_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q54_percentile_disc" ->
       """WITH r AS (SELECT event_type, value,
