@@ -159,13 +159,25 @@ object Curation {
     val docs = t(s, d, "documents")
     val toks = docs.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("token"))
-    val tf = toks.groupBy("source", "token").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    // Tokenize ONCE, by construction: a doc belongs to exactly one
+    // source, so df(token) = Σ_source (docs containing token in that
+    // source) — a window sum over the (source, token) aggregate, not a
+    // second tokenization branch. r3's plan exploded the corpus twice
+    // (tf and df branches re-derived from raw text, and column pruning
+    // defeats ReuseExchange by specializing each branch's aggregate);
+    // the linear lineage here cannot duplicate the scan. Shuffles carry
+    // counters only, never text — the 100 TB shape.
+    val st = toks.groupBy("source", "doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source", "token")
+      .agg(sum("c").as("tf"), count(lit(1)).as("nd"))
+    val withDf = st.withColumn("df",
+      sum("nd").over(Window.partitionBy("token")))
+    // n_docs needs no tokenization — a doc_id-only scan, broadcast as a scalar
     val nDocs = docs.select(countDistinct("doc_id").as("n_docs"))
     val w = Window.partitionBy("source")
       .orderBy(col("score_raw").desc, col("token"))
-    tf.join(df, Seq("token"))
+    withDf
       .crossJoin(broadcast(nDocs))
       .withColumn("score_raw",
         col("tf").cast("double") * col("n_docs") / col("df"))
