@@ -96,8 +96,66 @@ object KsqlDialect {
     }
     // 4. truthiness NOT — scan token-wise
     m = rewriteTruthinessNot(m)
+    // 5. QUALIFY (DuckDB/Snowflake/BigQuery post-window filter)
+    m = rewriteQualify(m)
     unmask(m, lits)
   }
+
+  private val QualifyKw = "(?i)\\bqualify\\b".r
+
+  /** QUALIFY → wrapped subquery. Spark has no QUALIFY clause; the
+    * rewrite turns `SELECT ... QUALIFY <pred> [ORDER BY/LIMIT tail]`
+    * into `SELECT * FROM (SELECT ...) __qualify_src WHERE <pred> tail`.
+    * When the predicate contains a window call (`... OVER (...)`), it is
+    * hoisted into the inner projection as a boolean `__qualify` column
+    * (window expressions and lateral alias references are both legal
+    * there) and the outer filter tests that column; [[sql]] drops the
+    * helper. One top-level QUALIFY per statement — nested/multiple
+    * QUALIFY is outside the dialect surface.
+    */
+  private def rewriteQualify(s: String): String =
+    QualifyKw.findFirstMatchIn(s) match {
+      case None => s
+      case Some(mt) =>
+        val head = s.substring(0, mt.start).trim
+        val after = s.substring(mt.end)
+        val lower = after.toLowerCase
+        // predicate extends to the first depth-0 ORDER/LIMIT or the end
+        var depth = 0; var cut = after.length; var i = 0
+        while (i < after.length && cut == after.length) {
+          val c = after.charAt(i)
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (depth == 0 &&
+            (lower.startsWith("order ", i) || lower.startsWith("limit ", i)) &&
+            (i == 0 || !Character.isLetterOrDigit(after.charAt(i - 1))))
+            cut = i
+          i += 1
+        }
+        val pred = after.substring(0, cut).trim
+        val tail = after.substring(cut)
+        if ("(?i)\\bover\\b".r.findFirstIn(pred).isDefined) {
+          // hoist the windowed predicate into the inner projection,
+          // right before the main select's top-level FROM
+          var d = 0; var fromAt = -1; var j = 0
+          val hl = head.toLowerCase
+          while (j < head.length && fromAt < 0) {
+            val c = head.charAt(j)
+            if (c == '(') d += 1
+            else if (c == ')') d -= 1
+            else if (d == 0 && hl.startsWith("from", j) &&
+              (j == 0 || !Character.isLetterOrDigit(head.charAt(j - 1))) &&
+              (j + 4 >= head.length || !Character.isLetterOrDigit(head.charAt(j + 4))))
+              fromAt = j
+            j += 1
+          }
+          require(fromAt > 0, "QUALIFY rewrite: no top-level FROM found")
+          val inner = head.substring(0, fromAt) +
+            s", ($pred) AS __qualify " + head.substring(fromAt)
+          s"SELECT * FROM ($inner) __qualify_src WHERE __qualify $tail"
+        } else
+          s"SELECT * FROM ($head) __qualify_src WHERE ($pred) $tail"
+    }
 
   /** Replace `not <ident-path>` with the falsiness test unless the path
     * head is a SQL keyword (NOT IN/LIKE/...), the previous word is `is`
@@ -133,6 +191,9 @@ object KsqlDialect {
   /** The single execution entry point — rewrite, then Catalyst does the
     * rest (parse → analyze → optimize → execute).
     */
-  def sql(spark: SparkSession, query: String): DataFrame =
-    spark.sql(rewrite(query))
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    val df = spark.sql(rewrite(query))
+    // QUALIFY hoist helper (see rewriteQualify) is internal — drop it
+    if (df.columns.contains("__qualify")) df.drop("__qualify") else df
+  }
 }

@@ -675,9 +675,89 @@ object RelationalQueries {
       .orderBy("same")
   }
 
+  /** q60: GROUPING()/GROUPING_ID over ROLLUP — the subtotal-level
+    * indicators that let a consumer distinguish "NULL key" from
+    * "aggregated-away key" (SQL:1999 T431). Same partial+final
+    * expand-aggregate plan as q28's rollup; the indicator is computed
+    * from the grouping bitmask for free.
+    */
+  private val q60GroupingId: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    s.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+        |  CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
+        |  count(*) AS n_supp,
+        |  round(sum(s_acctbal), 2) AS bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, region, nation""".stripMargin)
+  }
+
+  /** q61: equi-width HISTOGRAM — fixed 16-bin bucketing of events.value
+    * with data-derived bounds (scalar-subquery min/max, broadcast to the
+    * probe). The bucket index is floor arithmetic only ((v-lo)/step is
+    * one IEEE divide both engines evaluate identically; floor is exact),
+    * so the whole histogram crosses the oracle bit-for-bit. One
+    * partial+final aggregate on a 4-bit key — at 100 TB the map-side
+    * combine reduces each partition to ≤16 rows before the shuffle.
+    */
+  private val q61Histogram: Q = (s, d) => {
+    val ev = t(s, d, "events").filter(col("value").isNotNull)
+    val bounds = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / lit(16.0))), lit(15.0))
+          .cast("bigint"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 4).as("lo_seen"),
+        round(max("value"), 4).as("hi_seen"))
+      .orderBy("bucket")
+  }
+
+  /** q62: DETERMINISTIC hash sampling — the reproducible alternative to
+    * TABLESAMPLE for pipeline debugging/eval splits: a row is in the
+    * sample iff the first hex digit of md5(key) lands in a fixed set
+    * (3/16 ≈ 18.75%). Unlike rand()-based sampling this is stable across
+    * engines, runs, partitionings, AND cluster sizes — the property an
+    * audit trail needs. Filter is pushed to the scan side; the aggregate
+    * sees only the sample.
+    */
+  private val q62HashSample: Q = (s, d) =>
+    t(s, d, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+        .isin("0", "7", "f"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"),
+        min("o_orderkey").as("first_key"),
+        max("o_orderkey").as("last_key"),
+        round(sum("o_totalprice"), 2).as("sample_revenue"))
+      .orderBy("o_orderstatus")
+
+  /** q63: QUALIFY — the post-window filter clause (DuckDB/Snowflake/
+    * BigQuery dialect; SURVEY §2.5 class). Spark has no QUALIFY, so
+    * [[graft.dialect.KsqlDialect]] rewrites it into a wrapped subquery
+    * with the predicate hoisted into the projection; DuckDB runs the
+    * SAME query text natively — the oracle checks the dialect rewrite
+    * itself. Catalyst still collapses the wrapper, so the physical plan
+    * is the usual WindowGroupLimit top-k, not a materialized subquery.
+    */
+  private val q63Qualify: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    graft.dialect.KsqlDialect.sql(s, oracleSql("q63_qualify"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_intersect_except_all" -> q58IntersectExceptAll,
     "q59_null_safe_eq" -> q59NullSafeEq,
+    "q60_grouping_id" -> q60GroupingId,
+    "q61_histogram" -> q61Histogram,
+    "q62_hash_sample" -> q62HashSample,
+    "q63_qualify" -> q63Qualify,
     "q01_project_filter" -> q01Project,
     "q02_count_star" -> q02CountStar,
     "q03_group_count" -> q03GroupCount,
@@ -733,6 +813,42 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q60_grouping_id" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+        |  CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
+        |  count(*) AS n_supp,
+        |  round(sum(s_acctbal), 2) AS bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, region, nation""".stripMargin,
+    "q61_histogram" ->
+      """WITH ev AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM ev)
+        |SELECT CAST(least(floor((value - lo) / ((hi - lo) / 16.0)), 15.0) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(value), 4) AS lo_seen,
+        |  round(max(value), 4) AS hi_seen
+        |FROM ev, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q62_hash_sample" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n_sampled,
+        |  min(o_orderkey) AS first_key,
+        |  max(o_orderkey) AS last_key,
+        |  round(sum(o_totalprice), 2) AS sample_revenue
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','7','f')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q63_qualify" ->
+      """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+        |  CAST(row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |FROM customer
+        |QUALIFY rn <= 2
+        |ORDER BY c_nationkey, rn""".stripMargin,
     "q58_intersect_except_all" ->
       """WITH o AS (SELECT o_orderpriority AS p FROM orders
         |           WHERE o_orderstatus = 'O'),

@@ -81,4 +81,32 @@ class KsqlDialectSpec extends SparkSpec {
       "select top 5 x from t limit 3")
     assert(rewrite("select top_n, top from t") == "select top_n, top from t")
   }
+
+  test("QUALIFY on a select alias becomes an outer WHERE") {
+    val in = "SELECT x, row_number() OVER (ORDER BY x) AS rn FROM t " +
+      "QUALIFY rn <= 2 ORDER BY x"
+    assert(rewrite(in) ==
+      "SELECT * FROM (SELECT x, row_number() OVER (ORDER BY x) AS rn " +
+        "FROM t) __qualify_src WHERE (rn <= 2) ORDER BY x")
+  }
+
+  test("QUALIFY with a window call in the predicate hoists into the projection") {
+    val in = "SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) = 1"
+    val out = rewrite(in)
+    assert(out.contains(", (row_number() OVER (ORDER BY x) = 1) AS __qualify"))
+    assert(out.contains("WHERE __qualify"))
+  }
+
+  test("QUALIFY keyword inside a string literal is untouched") {
+    val q = "select 'qualify me' from t"
+    assert(rewrite(q) == q)
+  }
+
+  test("QUALIFY predicate with parenthesized ORDER inside window stays intact") {
+    val in = "SELECT a, b FROM t QUALIFY rank() OVER (PARTITION BY a " +
+      "ORDER BY b) <= 3 LIMIT 7"
+    val out = rewrite(in)
+    assert(out.contains("(rank() OVER (PARTITION BY a ORDER BY b) <= 3) AS __qualify"))
+    assert(out.endsWith("WHERE __qualify LIMIT 7"))
+  }
 }
