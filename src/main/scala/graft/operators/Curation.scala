@@ -325,7 +325,75 @@ object Curation {
       .orderBy("cluster", "dim")
   }
 
+  /** tx18: INVERTED INDEX — the retrieval-side primitive (term → df, cf,
+    * posting list). One tokenize pass, one shuffle keyed by (token,
+    * doc_id) for the per-doc tf, then token-partitioned windows compute
+    * df/cf/top-posting rank without another aggregate branch (same
+    * single-lineage rule tx16 follows). Postings are capped at the top-3
+    * docs by tf — at 100 TB a full posting list per term is a skewed
+    * monster row; the capped form is the index header you'd actually
+    * materialize, with the tail sharded elsewhere.
+    */
+  val tx18InvertedIndex: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val wTok = Window.partitionBy("token")
+    val wRank = Window.partitionBy("token")
+      .orderBy(col("tf").desc, col("doc_id"))
+    perDoc
+      .withColumn("df", count(lit(1)).over(wTok))
+      .withColumn("cf", sum("tf").over(wTok))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .groupBy("token", "df", "cf")
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(rn, doc_id))), x -> CAST(x.doc_id AS STRING)), ',')")
+        .as("postings"))
+      .orderBy("token")
+  }
+
+  /** tx19: BM25 SCORING — per-(term, doc) Okapi BM25 with k1=1.2,
+    * b=0.75, top-5 docs per query term. The idf keeps its exact rational
+    * odds form (N-df+0.5)/(df+0.5) WITHOUT the log: log is transcendental
+    * (libm ulp drift across engines would break the oracle hash) and the
+    * per-term ranking is invariant under the monotone transform. Scores
+    * stay per-term — summing across terms would make the result depend
+    * on float summation order, which no engine pins down. Every factor
+    * is a fixed parenthesization of IEEE ops over exact integers, so the
+    * scores cross the engine boundary bit-for-bit. Scale: tf shuffle
+    * carries (token, doc_id, dl) counters; df and the corpus stats are
+    * broadcast — no text past the scan.
+    */
+  val tx19Bm25: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("bigint").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isin("query", "table", "stream"))
+      .groupBy("token", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("token")
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(dfx), Seq("token"))
+      .crossJoin(broadcast(stats))
+      // EXACT same expression text as the oracle — same parse tree,
+      // same IEEE evaluation order
+      .withColumn("score", expr(
+        "round(((n_docs - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 4)"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 5)
+      .select("token", "rnk", "doc_id", "tf", "dl", "score")
+      .orderBy("token", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx18_inverted_index" -> tx18InvertedIndex,
+    "tx19_bm25" -> tx19Bm25,
     "pp05_quality_filter" -> pp05QualityFilter,
     "pp06_mixture_rebalance" -> pp06MixtureRebalance,
     "tx14_repetition" -> tx14Repetition,
@@ -370,6 +438,44 @@ object Curation {
        |  JOIN m$i USING (cluster))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "tx18_inverted_index" ->
+      """WITH perdoc AS (
+        |  SELECT token, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY token, doc_id),
+        |ranked AS (
+        |  SELECT token, doc_id, tf,
+        |    CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+        |    CAST(sum(tf) OVER (PARTITION BY token) AS BIGINT) AS cf,
+        |    row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+        |  FROM perdoc)
+        |SELECT token, df, cf,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS postings
+        |FROM ranked WHERE rn <= 3
+        |GROUP BY token, df, cf ORDER BY token""".stripMargin,
+    "tx19_bm25" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 avg(dl) AS avgdl FROM d2),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM d2),
+        |tf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE token IN ('query', 'table', 'stream')
+        |       GROUP BY token, doc_id, dl),
+        |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT token, doc_id, tf, dl,
+        |    round(((n_docs - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 4) AS score
+        |  FROM tf JOIN dfx USING (token) CROSS JOIN stats),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY token
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM scored)
+        |SELECT token, rnk, doc_id, tf, dl, score
+        |FROM ranked WHERE rnk <= 5 ORDER BY token, rnk""".stripMargin,
     "pp05_quality_filter" ->
       """WITH q AS (
         |  SELECT doc_id, n_chars,

@@ -509,7 +509,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd14: corpus-level exact LINE dedup — the C4/RefinedWeb step that
+    * strips boilerplate by keeping only the CANONICAL occurrence of each
+    * repeated line across the whole corpus, then reassembling documents.
+    * "Lines" are non-overlapping 8-token segments (the synthetic corpus
+    * has no newlines; the operator shape is identical for real \n lines).
+    *
+    * Scale design: the canonical occurrence per fingerprint is an
+    * ids-only min-struct aggregate (map-side partial, no sort, no window)
+    * and the keep-flag join shuffles (fp, doc_id, pos) — 16-byte keys +
+    * ids, NEVER text, so a viral boilerplate line cannot skew a text
+    * shuffle. Line text is re-derived from the scan for the flag join +
+    * reassembly (recompute-over-reshuffle, the dd04/dd07 payload rule);
+    * reassembly itself shuffles each kept line once, keyed by doc_id —
+    * unavoidable and skew-free.
+    */
+  val dd14LineDedup: Q = (s, d) => {
+    def lines = t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, CAST((size(toks) - 1) div 8 AS INT)),
+          |          i -> array_join(slice(toks, i * 8 + 1, 8), ' '))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+        col("col").as("line"))
+    val keyed = lines.select(md5(col("line")).as("fp"),
+      col("doc_id"), col("pos"))
+    val canon = keyed.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    val flags = keyed.join(canon, Seq("fp"))
+      .select(col("doc_id"), col("pos"),
+        (col("c.doc_id") === col("doc_id") &&
+          col("c.pos") === col("pos")).as("keep"))
+    lines.join(flags, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(expr(
+          """array_join(transform(sort_array(
+            |  collect_list(CASE WHEN keep THEN struct(pos, line) END)),
+            |  x -> x.line), ' ')""".stripMargin)).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd14_line_dedup" -> dd14LineDedup,
     "dd01_dedup_exact" -> dd01Exact,
     "dd02_dedup_exact_hash" -> dd02ExactHash,
     "dd03_minhash_signatures" -> dd03MinhashSig,
@@ -575,6 +618,22 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dd14_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ') AS line
+        |  FROM base, LATERAL (SELECT unnest(range(1, (len(toks)-1)//8 + 2)) AS i)),
+        |marked AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM lines)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(line, ' ' ORDER BY pos)
+        |        FILTER (WHERE keep), '')) AS clean_fp
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd09_jaccard_oracle" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
         |           FROM documents),
