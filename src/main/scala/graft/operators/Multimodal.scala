@@ -98,10 +98,55 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** mm04: A/V SYNC — align each audio chunk to the latest video
+    * keyframe at-or-before it per media stream: the timestamp-alignment
+    * join a multimodal training pipeline runs before fusing modalities.
+    * Video keyframes = mm02's every-4th 32-byte frame at 25 fps
+    * (ts = frame_idx × 40 ms); audio = 24-byte chunks at chunk_idx ×
+    * 30 ms. Composed on [[JoinOps.asofJoin]] (marker-union, ONE shuffle
+    * keyed by media_id, no per-row lookups — the scale shape). The fused
+    * feature is STUB md5(audio_fp ‖ frame_fp) where a real pipeline
+    * concatenates embeddings; chunk 0 and frame 0 share ts 0, so every
+    * chunk has a match and the join is total. Oracle: DuckDB native
+    * ASOF JOIN over the same deterministic chunk/frame tables.
+    */
+  private val mm04AvSync: Q = (s, d) => {
+    val media = mediaTable(s, d)
+    val video = media
+      .withColumn("n_frames",
+        ceil(col("meta.nbytes").cast("double") / 32.0).cast("int"))
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("fi"))
+      .select(col("media_id"),
+        (col("fi").cast("bigint") * 40).as("ts"),
+        col("fi").cast("bigint").as("frame_idx"),
+        md5(substring(col("content"), col("fi") * 32 + 1, lit(32)))
+          .as("frame_fp")) // STUB decode (see mm01)
+    val audio = media
+      .withColumn("n_chunks",
+        ceil(col("meta.nbytes").cast("double") / 24.0).cast("int"))
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("ci"))
+      .select(col("media_id"),
+        (col("ci").cast("bigint") * 30).as("ts"),
+        col("ci").cast("bigint").as("chunk_idx"),
+        md5(substring(col("content"), col("ci") * 24 + 1, lit(24)))
+          .as("audio_fp")) // STUB decode (see mm01)
+    JoinOps.asofJoin(audio, video, "media_id", "ts",
+        Seq("frame_idx", "frame_fp"))
+      .select(col("media_id"), col("chunk_idx"), col("ts").as("ts_audio"),
+        col("asof_frame_idx").as("frame_idx"),
+        (col("asof_frame_idx") * 40).as("ts_video"),
+        (col("ts") - col("asof_frame_idx") * 40).as("sync_lag_ms"),
+        md5(concat(col("audio_fp"), col("asof_frame_fp"))).as("fused_fp"))
+      .orderBy("media_id", "chunk_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm01_media_ingest" -> mm01IngestMeta,
     "mm02_frame_sample" -> mm02FrameSample,
     "mm03_batch_decode" -> mm03BatchDecode,
+    "mm04_av_sync" -> mm04AvSync,
   )
 
   // All three queries oracle-check: the payload is the documents' ASCII
@@ -110,6 +155,32 @@ object Multimodal {
   // exactly. The STUB boundary is unchanged — only the fake decoder's
   // hash function had to be portable.
   val oracleSql: Map[String, String] = Map(
+    "mm04_av_sync" ->
+      """WITH video AS (
+        |  SELECT doc_id AS media_id, fi * 40 AS ts,
+        |    CAST(fi AS BIGINT) AS frame_idx,
+        |    md5(substring(text, CAST(fi * 32 + 1 AS INT), 32)) AS frame_fp
+        |  FROM (SELECT doc_id, text,
+        |      unnest(generate_series(0,
+        |        CAST(ceil(length(text) / 32.0) AS BIGINT) - 1, 4)) AS fi
+        |    FROM documents)),
+        |audio AS (
+        |  SELECT doc_id AS media_id, ci * 30 AS ts,
+        |    CAST(ci AS BIGINT) AS chunk_idx,
+        |    md5(substring(text, CAST(ci * 24 + 1 AS INT), 24)) AS audio_fp
+        |  FROM (SELECT doc_id, text,
+        |      unnest(generate_series(0,
+        |        CAST(ceil(length(text) / 24.0) AS BIGINT) - 1)) AS ci
+        |    FROM documents))
+        |SELECT a.media_id, a.chunk_idx, CAST(a.ts AS BIGINT) AS ts_audio,
+        |  v.frame_idx,
+        |  CAST(v.frame_idx * 40 AS BIGINT) AS ts_video,
+        |  CAST(a.ts - v.frame_idx * 40 AS BIGINT) AS sync_lag_ms,
+        |  md5(a.audio_fp || v.frame_fp) AS fused_fp
+        |FROM audio a
+        |ASOF LEFT JOIN video v
+        |  ON a.media_id = v.media_id AND a.ts >= v.ts
+        |ORDER BY a.media_id, a.chunk_idx""".stripMargin,
     "mm01_media_ingest" ->
       """SELECT doc_id AS media_id,
         |  'application/octet-stream' AS mime,

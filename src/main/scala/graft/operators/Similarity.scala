@@ -50,7 +50,73 @@ object Similarity {
     "ss06_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "ss07_ann_recall" -> ((s, d) => annRecall(s, d)),
     "ss10_quantized_topk" -> ((s, d) => quantizedTopk(s, d)),
+    "ss11_ivf_recall" -> ((s, d) => ivfRecall(s, d)),
   )
+
+  /** ss11: IVF ANN RECALL — the oracle-anchored quality gate for the
+    * inverted-list path (companion to ss07, which anchors the sign-LSH
+    * path). Unlike ss03 (whose centroid matrix rides into a codegen
+    * kernel via a driver collect), the assignment here is pure relational
+    * algebra — broadcast centroid join + argmax window — so DuckDB
+    * replays quantizer, 2-probe candidate generation, exact rerank, AND
+    * the recall arithmetic bit-for-bit. One inverted-list shuffle key
+    * (cluster); centroids and queries broadcast; the exact side is the
+    * recall denominator, not a production path.
+    */
+  def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .persist()
+    val cents = corpus.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val ranked = corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("crn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cid").as("cluster"))
+    val probed = ranked.filter(col("crn") <= 2 && col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cid").as("cluster"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val ivf5 = assigned.join(probed, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 5)
+      .select("query_id", "neighbor_id")
+    val queriesDf = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val exact5 = corpus.crossJoin(broadcast(queriesDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"))
+    val hits = exact5.join(ivf5, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_hit1"))
+    exact5.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_hit1"), lit(0L)).as("recall_at_1"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 2).as("recall_at_5"))
+      .orderBy("query_id")
+  }
 
   /** ss10: int8 SCALAR-QUANTIZED top-k — the memory/bandwidth scale path
     * for similarity search. Each vector is symmetric-quantized to int8
@@ -586,6 +652,54 @@ object Similarity {
          |  FROM p)
          |SELECT vec_id, nb AS neighbor_id, round(cos_raw, 4) AS cosine
          |FROM w WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "ss11_ivf_recall" ->
+      s"""WITH $normCte,
+         |cents AS (SELECT vec_id AS cid, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |ascored AS (SELECT c.vec_id, q.cid,
+         |    $dotSql / (c.nrm * q.nrm) AS ccos
+         |  FROM n c CROSS JOIN cents q),
+         |aranked AS (SELECT vec_id, cid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn
+         |  FROM ascored),
+         |assigned AS (SELECT vec_id, cid AS cluster FROM aranked
+         |  WHERE crn = 1),
+         |probed AS (SELECT vec_id AS query_id, cid AS cluster FROM aranked
+         |  WHERE crn <= 2 AND vec_id < 50),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM assigned a JOIN probed p ON a.cluster = p.cluster
+         |  WHERE a.vec_id <> p.query_id),
+         |iscored AS (SELECT cand.query_id, cand.neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM cand JOIN n c ON c.vec_id = cand.neighbor_id
+         |    JOIN n q ON q.vec_id = cand.query_id),
+         |ivf5 AS (SELECT query_id, neighbor_id
+         |  FROM (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |    FROM iscored) WHERE rn <= 5),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM n c JOIN n q ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |exact5 AS (SELECT query_id, neighbor_id, rn
+         |  FROM (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |    FROM p) WHERE rn <= 5),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit,
+         |    CAST(sum(CASE WHEN e.rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1
+         |  FROM exact5 e JOIN ivf5 l ON e.query_id = l.query_id
+         |    AND e.neighbor_id = l.neighbor_id
+         |  GROUP BY e.query_id),
+         |denom AS (SELECT query_id, count(*) AS n_exact
+         |  FROM exact5 GROUP BY query_id)
+         |SELECT d.query_id, d.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+         |    coalesce(h.n_hit1, 0) AS recall_at_1,
+         |    round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) /
+         |      CAST(d.n_exact AS DOUBLE), 2) AS recall_at_5
+         |FROM denom d LEFT JOIN hits h ON d.query_id = h.query_id
+         |ORDER BY d.query_id""".stripMargin,
     "ss05_centroid_assign" ->
       s"""WITH $normCte,
          |cents AS (SELECT vec_id AS centroid_vec, e, nrm FROM n
