@@ -551,8 +551,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd15: ORACLE-ANCHORED LSH RECALL — the cross-engine quality gate for
+    * the banded-MinHash path (companion to ss11, which anchors IVF ANN).
+    * dd04's production kernels (xxhash64 lanes) are not DuckDB-expressible,
+    * so this runs the SAME algorithm — shingle → MinHash → band → candidate
+    * join → exact-Jaccard verify — on the portable md5 lane hashes of dd08
+    * (8 lanes → 4 bands × 2 rows, S-curve center (1/4)^(1/2) = 0.5), and
+    * measures recall per Jaccard decile against the PLANTED truth pairs
+    * (doc, mutated re-crawl copy). Every step is relational, so DuckDB
+    * replays banding, candidate generation AND the recall arithmetic
+    * bit-for-bit. Truth generation is an equijoin on the planted offset
+    * (never all-pairs); the band join shuffles (band, bkey, id) only —
+    * at 100 TB you'd hash bkey to 8 bytes (as dd04 does), the shape is
+    * identical.
+    */
+  private val dd15LshRecall: Q = (s, d) => {
+    val sh = recrawl(s, d)
+      .withColumn("shingles",
+        array_distinct(GraftFunctions.shingle_strings(col("text"))))
+      .select("doc_id", "shingles")
+      .persist() // feeds the banding branch and both truth join sides
+    val banded = sh
+      .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), b -> concat(sig[2*b], sig[2*b+1]))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+    val cand = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_b")), Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val truth = sh.filter(col("doc_id") < COPY_OFFSET)
+      .select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      .join(sh.select((col("doc_id") - COPY_OFFSET).as("doc_a"),
+        col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_a"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jac", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select("doc_a", "doc_b", "jac")
+    truth.join(cand.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .withColumn("decile",
+        least(floor(col("jac") * 10).cast("bigint"), lit(9L)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_true"), 2))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
     "dd14_line_dedup" -> dd14LineDedup,
+    "dd15_lsh_recall" -> dd15LshRecall,
     "dd01_dedup_exact" -> dd01Exact,
     "dd02_dedup_exact_hash" -> dd02ExactHash,
     "dd03_minhash_signatures" -> dd03MinhashSig,
@@ -618,6 +672,56 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dd15_lsh_recall" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM corpus),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM tk),
+        |sig AS (SELECT doc_id,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sig
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sig
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sig
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bkey = b.bkey
+        |  WHERE a.doc_id < b.doc_id),
+        |truth AS (SELECT * FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |        AS jac
+        |    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000000
+        |    WHERE a.doc_id < 10000000)
+        |  WHERE jac >= 0.5),
+        |flagged AS (SELECT t.jac,
+        |    CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM truth t LEFT JOIN cand c
+        |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+        |SELECT CAST(least(floor(jac * 10), 9) AS BIGINT) AS decile,
+        |  count(*) AS n_true,
+        |  CAST(sum(hit) AS BIGINT) AS n_found,
+        |  round(CAST(sum(hit) AS DOUBLE) / count(*), 2) AS recall
+        |FROM flagged GROUP BY 1 ORDER BY decile""".stripMargin,
     "dd14_line_dedup" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

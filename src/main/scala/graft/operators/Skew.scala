@@ -67,9 +67,47 @@ object Skew {
           .as("p99_price"))
       .orderBy("l_returnflag")
 
+  /** q64: ORACLE-ANCHORED SKETCH BOUNDS — the cross-engine accuracy gate
+    * for the q38 sketch family. Sketch *state* is engine-specific (q38
+    * stays rows-only), but the accuracy CONTRACT is checkable: the exact
+    * distinct counts and exact percentiles hash-match DuckDB, and the
+    * `*_ok` booleans assert the sketches land within their documented
+    * error envelopes (HLL++ default rsd = 5% → 10% gate; interpolated
+    * percentile at accuracy 10000 → 1% gate). The oracle predicts TRUE
+    * for every gate, so a sketch regression (algorithm change, precision
+    * loss) flips a boolean and fails the hash compare. The exact side is
+    * the measurement denominator, not a production path — at 100 TB you
+    * run q38 and skip the exact twin.
+    */
+  private val q64SketchBounds: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+        expr("percentile(l_extendedprice, 0.99)").as("ep99"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("sp50"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+          .as("sp99"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        round(col("ep50"), 2).as("exact_p50"),
+        round(col("ep99"), 2).as("exact_p99"),
+        (abs(col("ap") - col("exact_parts")) <=
+          col("exact_parts") * 0.10).as("parts_ok"),
+        (abs(col("ao") - col("exact_orders")) <=
+          col("exact_orders") * 0.10).as("orders_ok"),
+        (abs(col("sp50") - col("ep50")) <= col("ep50") * 0.01).as("p50_ok"),
+        (abs(col("sp99") - col("ep99")) <= col("ep99") * 0.01).as("p99_ok"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
     "q37_salted_join" -> q37SaltedJoin,
     "q38_sketches" -> q38Sketches,
+    "q64_sketch_bounds" -> q64SketchBounds,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -79,6 +117,15 @@ object Skew {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // q38: sketch state is engine-specific → rows-only; error bounds
-    // asserted in SkewSpec instead.
+    // asserted in SkewSpec and oracle-anchored by q64.
+    "q64_sketch_bounds" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS exact_p99,
+        |  TRUE AS parts_ok, TRUE AS orders_ok,
+        |  TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

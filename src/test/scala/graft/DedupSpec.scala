@@ -49,6 +49,17 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"missed ${missed.size} pairs, e.g. ${missed.take(3)}")
   }
 
+  test("dd15 portable-LSH recall is 1.0 for deciles well above threshold") {
+    val rows = Dedup.queries("dd15_lsh_recall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // deciles ≥ 0.7 (jac ≥ 0.7, 4 bands × 2 rows: miss prob ≤ (1-0.49)^4
+    // ≈ 0.07 per pair — planted pairs here sit at 0.8+ where it's ~0)
+    rows.filter(_.getLong(0) >= 8).foreach { r =>
+      assert(r.getDouble(3) == 1.0,
+        s"decile ${r.getLong(0)} recall ${r.getDouble(3)}")
+    }
+  }
+
   test("dd06 ngram-Jaccard recovers every planted pair above threshold") {
     val got = Dedup.queries("dd06_ngram_jaccard_pairs")(spark, sf)
       .select("doc_a", "doc_b")

@@ -41,4 +41,14 @@ class SkewSpec extends SparkSpec {
       assert(p50Err < 0.05, s"$flag p50 off by $p50Err")
     }
   }
+
+  test("q64 sketch-bounds gates are all green") {
+    val rows = Skew.queries("q64_sketch_bounds")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (5 to 8).foreach { i =>
+        assert(r.getBoolean(i), s"${r.getString(0)} gate $i failed")
+      }
+    }
+  }
 }
