@@ -211,7 +211,108 @@ object Pipeline {
     hit.unionAll(clean).orderBy("doc_id")
   }
 
+  /** pp11: SEQUENCE PACKING — the pre-training batch-prep step that packs
+    * documents into fixed token-budget training sequences (budget 256
+    * whitespace tokens here). Greedy next-fit in doc_id order within each
+    * source: a doc that would overflow the open pack starts a new one;
+    * oversized docs get their own pack. The sequential fold is the
+    * irreducible heart of packing, so it runs as flatMapGroups over the
+    * per-source group — everything feeding it (token counts, grouping) is
+    * relational. At 100 TB you pack within (source, shard_idx) using
+    * pp02's shard assignment so every group is bounded (~20k tokens) and
+    * the groups themselves scale out; the per-group fold is identical.
+    * ORACLE-CHECKED: DuckDB replays the same fold as a recursive CTE.
+    */
+  val pp11SequencePack: Q = (s, d) => {
+    import s.implicits._
+    val budget = 256L
+    val toks = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    t(s, d, "documents")
+      .withColumn("n_tokens", toks)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (src: String, it: Iterator[(Long, String, Long)]) =>
+        // group = one source (bounded); sort locally — groupByKey does
+        // not order the iterator
+        val sorted = it.toArray.sortBy(_._1)
+        var pack = 0L
+        var fill = 0L
+        sorted.iterator.map { case (id, _, n) =>
+          if (fill > 0 && fill + n > budget) { pack += 1; fill = n }
+          else fill += n
+          (id, src, n, pack)
+        }
+      }
+      .toDF("doc_id", "source", "n_tokens", "pack_id")
+      .orderBy("doc_id")
+  }
+
+  /** pp12: WEIGHTED PRIORITY SAMPLING (sequential Poisson / Ohlsson
+    * design): deterministic uniform u from the md5 of the doc id, sample
+    * key = u / weight with weight = token count — the 20 smallest keys
+    * are the sample, so longer documents are proportionally more likely
+    * to be drawn, yet the draw is fully reproducible across runs,
+    * engines and cluster sizes (no rand(), no pow — the key is two
+    * IEEE-exact ops on integers). At 100 TB this is a map-side key
+    * computation + TakeOrdered(k): no shuffle of the corpus at all.
+    */
+  val pp12WeightedSample: Q = (s, d) => {
+    val toks = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    t(s, d, "documents")
+      .withColumn("n_tokens", toks)
+      .withColumn("u",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .cast("double") / lit(4294967296.0))
+      .withColumn("skey", col("u") / col("n_tokens").cast("double"))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_tokens"), round(col("skey"), 8).as("skey"))
+  }
+
+  /** pp13: COLUMN PROFILER — per-column data-quality stats (null count,
+    * distinct count, numeric min/max, lexicographic min/max) in ONE scan:
+    * a single wide aggregate row unpivoted to a row per column. The
+    * at-scale variant swaps count(DISTINCT) for approx_count_distinct
+    * (q38/q64 pin that trade); everything else is a partial+final
+    * aggregate with no shuffle beyond the single-row exchange.
+    */
+  val pp13ColumnProfile: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    def num(c: String) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      round(min(col(c)).cast("double"), 2).as(s"${c}_mn"),
+      round(max(col(c)).cast("double"), 2).as(s"${c}_mx"))
+    def str(c: String) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).as(s"${c}_ms"),
+      max(col(c)).as(s"${c}_xs"))
+    val nums = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strs = Seq("l_returnflag", "l_linestatus")
+    val aggs = nums.flatMap(num) ++ strs.flatMap(str) :+
+      count(lit(1)).as("n_rows")
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val numStack = nums.map(c =>
+      s"'$c', n_rows, ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx, " +
+        "CAST(NULL AS STRING), CAST(NULL AS STRING)").mkString(", ")
+    val strStack = strs.map(c =>
+      s"'$c', n_rows, ${c}_nn, ${c}_nd, CAST(NULL AS DOUBLE), " +
+        s"CAST(NULL AS DOUBLE), ${c}_ms, ${c}_xs").mkString(", ")
+    one.select(expr(
+      s"""stack(${nums.size + strs.size}, $numStack, $strStack)
+         |  AS (col_name, n_rows, n_null, n_distinct,
+         |      min_num, max_num, min_str, max_str)""".stripMargin))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pp11_sequence_pack" -> pp11SequencePack,
+    "pp12_weighted_sample" -> pp12WeightedSample,
+    "pp13_column_profile" -> pp13ColumnProfile,
     "pp01_corpus_pipeline" -> pp01CorpusStats,
     "pp02_token_shards" -> pp02TokenShards,
     "pp03_decontaminate" -> pp03Decontaminate,
@@ -237,6 +338,80 @@ object Pipeline {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "pp11_sequence_pack" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, source, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+        |  FROM tk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+        |    CASE WHEN p.fill + t.n_tokens <= 256 THEN p.pack_id
+        |         ELSE p.pack_id + 1 END,
+        |    CASE WHEN p.fill + t.n_tokens <= 256 THEN p.fill + t.n_tokens
+        |         ELSE t.n_tokens END
+        |  FROM tk t JOIN packed p
+        |    ON t.source = p.source AND t.rn = p.rn + 1)
+        |SELECT doc_id, source, n_tokens, pack_id
+        |FROM packed ORDER BY doc_id""".stripMargin,
+    "pp12_weighted_sample" ->
+      """WITH k AS (SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  round(u / CAST(n_tokens AS DOUBLE), 8) AS skey
+        |FROM k ORDER BY u / CAST(n_tokens AS DOUBLE), doc_id
+        |LIMIT 20""".stripMargin,
+    "pp13_column_profile" ->
+      """WITH p AS (
+        |  SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+        |    CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        |    round(CAST(min(l_quantity) AS DOUBLE), 2) AS min_num,
+        |    round(CAST(max(l_quantity) AS DOUBLE), 2) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*),
+        |    CAST(count(*) - count(l_extendedprice) AS BIGINT),
+        |    CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+        |    round(CAST(min(l_extendedprice) AS DOUBLE), 2),
+        |    round(CAST(max(l_extendedprice) AS DOUBLE), 2), NULL, NULL
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(*),
+        |    CAST(count(*) - count(l_discount) AS BIGINT),
+        |    CAST(count(DISTINCT l_discount) AS BIGINT),
+        |    round(CAST(min(l_discount) AS DOUBLE), 2),
+        |    round(CAST(max(l_discount) AS DOUBLE), 2), NULL, NULL
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', count(*),
+        |    CAST(count(*) - count(l_tax) AS BIGINT),
+        |    CAST(count(DISTINCT l_tax) AS BIGINT),
+        |    round(CAST(min(l_tax) AS DOUBLE), 2),
+        |    round(CAST(max(l_tax) AS DOUBLE), 2), NULL, NULL
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*),
+        |    CAST(count(*) - count(l_returnflag) AS BIGINT),
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |    NULL, NULL, min(l_returnflag), max(l_returnflag)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', count(*),
+        |    CAST(count(*) - count(l_linestatus) AS BIGINT),
+        |    CAST(count(DISTINCT l_linestatus) AS BIGINT),
+        |    NULL, NULL, min(l_linestatus), max(l_linestatus)
+        |  FROM lineitem)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin,
     "pp01_corpus_pipeline" ->
       """WITH gated AS (
         |  SELECT doc_id, lang, n_chars,

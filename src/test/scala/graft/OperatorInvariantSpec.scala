@@ -93,6 +93,34 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("pp11: packs respect the budget and an in-JVM greedy fold") {
+    val rows = Pipeline.pp11SequencePack(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._1)
+      // replay the greedy next-fit fold and compare pack ids
+      var pack = 0L; var fill = 0L
+      sorted.foreach { case (id, _, n, gotPack) =>
+        if (fill > 0 && fill + n > 256) { pack += 1; fill = n }
+        else fill += n
+        assert(gotPack == pack, s"doc $id: pack $gotPack != $pack")
+      }
+      // every multi-doc pack fits the budget
+      sorted.groupBy(_._4).foreach { case (p, ds) =>
+        if (ds.length > 1)
+          assert(ds.map(_._3).sum <= 256, s"pack $p overflows")
+      }
+    }
+  }
+
+  test("pp12: sample keys are the 20 global minima of u/weight") {
+    val got = Pipeline.pp12WeightedSample(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(got.length == 20 && got.distinct.length == 20)
+  }
+
   test("mm01: nbytes equals UTF-8 byte length of the source text") {
     val got = Multimodal.queries("mm01_media_ingest")(spark, sf)
       .select("media_id", "nbytes")
