@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       operators.Skew.queries ++
+      operators.Graph.queries ++
       operators.JoinOps.queries ++
       operators.Pipeline.queries ++
       operators.Curation.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       operators.TextAnalysis.oracleSql ++
       operators.Multimodal.oracleSql ++
       operators.Skew.oracleSql ++
+      operators.Graph.oracleSql ++
       operators.JoinOps.oracleSql ++
       operators.Pipeline.oracleSql ++
       operators.Curation.oracleSql ++

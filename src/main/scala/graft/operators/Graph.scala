@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Graph analytics over relational data (no reference counterpart —
+  * `/root/reference` has no graph surface; companions to the connected-
+  * components operators in Dedup). The graph is derived relationally: the
+  * NATION TRADE GRAPH, nodes = nations, directed edge src→dst weighted by
+  * the number of lineitems a customer in `src` bought from a supplier in
+  * `dst` — a 4-table join any warehouse has, condensed to a small weighted
+  * digraph.
+  *
+  * Scale design: the edge derivation is the expensive part and it is pure
+  * relational algebra (joins + groupBy — partial aggregates, broadcast
+  * dims). The iterative stage runs on the CONDENSED graph (nodes × avg
+  * degree), which is orders of magnitude smaller than the fact table; each
+  * PageRank round is one join + one groupBy shuffle keyed by dst — the
+  * Pregel message shape. For graphs that stay fact-sized (e.g. the dd10
+  * dup graph), the same loop applies with localCheckpoint every round
+  * (see Dedup.connectedComponents — the round-plan-nesting lesson).
+  *
+  * Numerics: ranks are FIXED-POINT BIGINTs (micro-units), not doubles —
+  * iterated double sums would drift across engines/partitionings (CLAUDE
+  * .md oracle rule), while integer sums are associative, so the DuckDB
+  * oracle replays all three rounds bit-for-bit. At 100 TB fixed-point is
+  * also what you want in production: deterministic results independent of
+  * reducer order.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The weighted nation→nation trade edge list. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier")
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** gr01: weighted PageRank, 3 power iterations, damping 0.85, in
+    * micro-unit fixed point: r0 = 1,000,000 per node;
+    * r_{k+1}(v) = 150,000 + Σ_{u→v} ((r_k(u)*850 div 1000) * w(u,v))
+    * div outw(u). Dangling mass is dropped (no nation lacks out-trade
+    * here; at scale you'd add the standard dangling-sum redistribution
+    * as one extra scalar aggregate per round).
+    */
+  val gr01Pagerank: Q = (s, d) => {
+    val edges = tradeEdges(s, d)
+      .withColumn("outw", sum("w").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .persist() // 3 rounds re-join this small condensed edge list
+    val nodes = t(s, d, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "rid"), col("src") === col("rid"))
+        .select(col("dst"),
+          expr("((r * 850) div 1000) * w div outw").as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+      ranks = nodes.select("id")
+        .join(contrib.withColumnRenamed("dst", "cid"),
+          col("id") === col("cid"), "left")
+        .select(col("id"),
+          (lit(150000L) + coalesce(col("m"), lit(0L))).as("r"))
+    }
+    nodes.join(ranks, Seq("id"))
+      .select(col("id").as("nationkey"), col("n_name"), col("r").as("pr"))
+      .orderBy(col("pr").desc, col("nationkey"))
+  }
+
+  /** gr02: TRIANGLE COUNT per nation on the undirected support of the
+    * trade graph (an edge when either direction trades). The classic
+    * node-iterator join: canonical a<b edges self-joined twice, the
+    * closing edge checked by a semi-join — at scale the standard
+    * degree-ordering trick bounds the candidate wedges, and every join
+    * is an equi-join on node ids (shuffle keys only).
+    */
+  val gr02Triangles: Q = (s, d) => {
+    val und = tradeEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist() // three self-join sides
+    val wedges = und.select(col("a"), col("b"))
+      .join(und.select(col("a"), col("b").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
+    val closing = und.select(col("a").as("b2"), col("b").as("c2"))
+    val triangles = wedges.join(closing,
+        col("b") === col("b2") && col("c") === col("c2"))
+      .select("a", "b", "c")
+    val nodes = t(s, d, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    val perNode = triangles.select(col("a").as("id"))
+      .unionAll(triangles.select(col("b").as("id")))
+      .unionAll(triangles.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    nodes.join(perNode, Seq("id"), "left")
+      .select(col("id").as("nationkey"), col("n_name"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("nationkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "gr01_pagerank" -> gr01Pagerank,
+    "gr02_triangles" -> gr02Triangles,
+  )
+
+  private val edgesCte: String =
+    """edges AS (
+      |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "gr01_pagerank" ->
+      s"""WITH $edgesCte,
+         |e AS (SELECT src, dst, w,
+         |    sum(w) OVER (PARTITION BY src) AS outw FROM edges),
+         |n AS (SELECT n_nationkey AS id, n_name FROM nation),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+         |r1 AS (SELECT n.id, 150000 + coalesce(CAST(sum(
+         |      ((r0.r * 850 // 1000) * e.w) // e.outw) AS BIGINT), 0) AS r
+         |  FROM n LEFT JOIN e ON e.dst = n.id
+         |  LEFT JOIN r0 ON r0.id = e.src GROUP BY n.id),
+         |r2 AS (SELECT n.id, 150000 + coalesce(CAST(sum(
+         |      ((r1.r * 850 // 1000) * e.w) // e.outw) AS BIGINT), 0) AS r
+         |  FROM n LEFT JOIN e ON e.dst = n.id
+         |  LEFT JOIN r1 ON r1.id = e.src GROUP BY n.id),
+         |r3 AS (SELECT n.id, 150000 + coalesce(CAST(sum(
+         |      ((r2.r * 850 // 1000) * e.w) // e.outw) AS BIGINT), 0) AS r
+         |  FROM n LEFT JOIN e ON e.dst = n.id
+         |  LEFT JOIN r2 ON r2.id = e.src GROUP BY n.id)
+         |SELECT n.id AS nationkey, n.n_name, r3.r AS pr
+         |FROM n JOIN r3 ON r3.id = n.id
+         |ORDER BY pr DESC, nationkey""".stripMargin,
+    "gr02_triangles" ->
+      s"""WITH $edgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |tri AS (SELECT e1.a, e1.b, e2.b AS c
+         |  FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pern AS (SELECT id, count(*) AS n_triangles FROM (
+         |    SELECT a AS id FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) GROUP BY id)
+         |SELECT n_nationkey AS nationkey, n_name,
+         |  coalesce(pern.n_triangles, 0) AS n_triangles
+         |FROM nation LEFT JOIN pern ON pern.id = n_nationkey
+         |ORDER BY nationkey""".stripMargin,
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** In-JVM replays of the graph operators: PageRank mass accounting and a
+  * brute-force triangle count on the condensed trade graph.
+  */
+class GraphSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def edges(): Array[(Int, Int, Long)] =
+    Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(Tables.t(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(spark, sf, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.t(spark, sf, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+
+  test("gr01 PageRank equals a sequential in-JVM fixed-point replay") {
+    val es = edges()
+    val nodes = Tables.t(spark, sf, "nation")
+      .select("n_nationkey").collect().map(_.getInt(0)).sorted
+    val outw = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inbox = scala.collection.mutable.Map.empty[Int, Long]
+        .withDefaultValue(0L)
+      es.foreach { case (src, dst, w) =>
+        inbox(dst) += (r(src) * 850L / 1000L) * w / outw(src)
+      }
+      r = nodes.map(n => n -> (150000L + inbox(n))).toMap
+    }
+    val got = Graph.gr01Pagerank(spark, sf)
+      .collect().map(x => x.getInt(0) -> x.getLong(2)).toMap
+    assert(got == r, s"diff: ${r.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }}")
+    // damped mass accounting: total never exceeds the initial mass
+    assert(r.values.sum <= nodes.length * 1000000L)
+    assert(r.values.forall(_ >= 150000L))
+  }
+
+  test("gr02 triangle counts equal a brute-force enumeration") {
+    val und = edges().filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val ids = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[Int, Long]
+      .withDefaultValue(0L)
+    for {
+      a <- ids; b <- ids if a < b && und((a, b))
+      c <- ids if b < c && und((b, c)) && und((a, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    val got = Graph.gr02Triangles(spark, sf)
+      .collect().map(x => x.getInt(0) -> x.getLong(2)).toMap
+    Tables.t(spark, sf, "nation").select("n_nationkey").collect()
+      .map(_.getInt(0)).foreach { n =>
+        assert(got(n) == counts(n), s"nation $n: ${got(n)} != ${counts(n)}")
+      }
+  }
+}
