@@ -26,7 +26,12 @@ object Bench {
     // Warm pass (untimed): parquet footers, JIT, codegen cache, executor
     // spin-up. BASELINE.md discipline: measure steady-state query time,
     // not one-time session bring-up.
+    // Local-iteration convenience (driver never sets it): bench only the
+    // named queries, e.g. SPARK_GRAFT_BENCH_ONLY=q64_sketch_bounds.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

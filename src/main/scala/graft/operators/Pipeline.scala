@@ -275,27 +275,34 @@ object Pipeline {
   /** pp13: COLUMN PROFILER — per-column data-quality stats (null count,
     * distinct count, numeric min/max, lexicographic min/max) in ONE scan:
     * a single wide aggregate row unpivoted to a row per column. The
-    * at-scale variant swaps count(DISTINCT) for approx_count_distinct
-    * (q38/q64 pin that trade); everything else is a partial+final
-    * aggregate with no shuffle beyond the single-row exchange.
+    * multi-column count(DISTINCT) plans as Expand(×columns) + a shuffle
+    * of distinct values — inherent to EXACT distinct counting and kept
+    * here because it is what the oracle can check; the at-scale profiler
+    * swaps in approx_count_distinct, which removes the Expand entirely
+    * and leaves a partial+final agg with a single-row exchange (q38/q64
+    * pin that exact↔sketch trade).
     */
   val pp13ColumnProfile: Q = (s, d) => {
     val li = t(s, d, "lineitem")
-    def num(c: String) = Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
-      countDistinct(col(c)).as(s"${c}_nd"),
-      round(min(col(c)).cast("double"), 2).as(s"${c}_mn"),
-      round(max(col(c)).cast("double"), 2).as(s"${c}_mx"))
-    def str(c: String) = Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
-      countDistinct(col(c)).as(s"${c}_nd"),
-      min(col(c)).as(s"${c}_ms"),
-      max(col(c)).as(s"${c}_xs"))
+    // Shape-homogeneous aggregates (the q64 lesson): min/max/null-counts
+    // are one codegen hash agg; the 6-column exact DISTINCT is its own
+    // Expand+hash agg. One mixed aggregate planned as a SortAggregate
+    // over the ×7-expanded fact (measured 10 s at sf0.1 vs ~2 s split).
     val nums = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val strs = Seq("l_returnflag", "l_linestatus")
-    val aggs = nums.flatMap(num) ++ strs.flatMap(str) :+
-      count(lit(1)).as("n_rows")
-    val one = li.agg(aggs.head, aggs.tail: _*)
+    def minmax(c: String) =
+      if (nums.contains(c)) Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+        round(min(col(c)).cast("double"), 2).as(s"${c}_mn"),
+        round(max(col(c)).cast("double"), 2).as(s"${c}_mx"))
+      else Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+        min(col(c)).as(s"${c}_ms"),
+        max(col(c)).as(s"${c}_xs"))
+    val mmAggs = (nums ++ strs).flatMap(minmax) :+ count(lit(1)).as("n_rows")
+    val ndAggs = (nums ++ strs).map(c => countDistinct(col(c)).as(s"${c}_nd"))
+    val one = li.agg(mmAggs.head, mmAggs.tail: _*)
+      .crossJoin(li.agg(ndAggs.head, ndAggs.tail: _*))
     val numStack = nums.map(c =>
       s"'$c', n_rows, ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx, " +
         "CAST(NULL AS STRING), CAST(NULL AS STRING)").mkString(", ")

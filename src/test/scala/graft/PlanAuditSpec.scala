@@ -182,4 +182,44 @@ class PlanAuditSpec extends SparkSpec {
     // and they are not wrapped in a fallback/interpreted projection
     assert(!plan.contains("CodegenFallback"), plan)
   }
+
+  test("PageRank edge derivation broadcasts both dims; fact never re-sorts (gr01)") {
+    val plan = executedPlan("gr01_pagerank")
+    // customer + supplier joins on the fact path are broadcast hash joins
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // the iterative rounds run on the condensed edge list (InMemory scan),
+    // not by re-deriving edges from the fact table each round
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 1, plan)
+  }
+
+  test("column profile: one scan per aggregate shape, no SortAggregate (pp13)") {
+    // AQE's toString prints Final + Initial plans — audit the final only
+    val plan = executedPlan("pp13_column_profile")
+      .split("== Initial Plan ==").head
+    // two shape-homogeneous aggregates (min/max/nulls + multi-distinct),
+    // each one scan — NOT one mixed aggregate that degrades to a
+    // SortAggregate over the ×7-expanded fact (the 10 s shape). The
+    // string-buffered min/max agg still LABELS as SortAggregate, but with
+    // no grouping key it is a sort-free global fold; the pathology to pin
+    // against is a SortAggregate downstream of the Expand.
+    assert("Scan parquet".r.findAllIn(plan).size == 2, plan)
+    assert("Expand".r.findAllIn(plan).size == 1, plan)
+    // the distinct path (the only multi-stage agg here) runs as
+    // HashAggregates; SortAggregate appears at most as the two stages of
+    // the global string-min/max fold
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert("SortAggregate".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("sketch-bounds exact side is partial+final agg — no window, no sort-agg (q64)") {
+    val plan = executedPlan("q64_sketch_bounds")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("weighted sampling is map-side keys + TakeOrdered — no corpus shuffle (pp12)") {
+    val plan = executedPlan("pp12_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
