@@ -32,11 +32,25 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Cache hygiene: many operators persist() intermediates (banded
+    // signatures, condensed edge lists). Without a sweep those caches pin
+    // memory across ALL later queries — eviction/GC thrash made mid-run
+    // timings nondeterministic (±2 s swings on unrelated queries) and let
+    // a timed run ride a warm cache built in the warm pass (measuring
+    // nothing). Clearing after every query makes each timing the honest
+    // full cost of ITS OWN plan, caches included, independent of run
+    // order.
+    def clearCaches(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
+      clearCaches()
     }
 
     val results = ordered.map { case (name, fn) =>
@@ -45,7 +59,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearCaches()
+      name -> dt
     }
     // Millisecond precision keeps the whole line under ~2 KB — round 1's
     // 9-decimal values made a ~3.6 KB line whose head fell outside the

@@ -391,9 +391,39 @@ object Curation {
       .orderBy("token", "rnk")
   }
 
+  /** tx20: BIGRAM NOVELTY — the memorization/boilerplate signal: for each
+    * doc, the fraction of its DISTINCT token bigrams that occur in no
+    * other document. Low novelty ⇒ templated/duplicated prose (candidate
+    * for downweighting); high novelty ⇒ unique content. The bigram df is
+    * a partial+final count on md5(bigram) keys — 16-byte counters on the
+    * shuffle, never the bigram text (the tx16/dd02 payload rule); the
+    * per-doc rollup joins (doc_id, fp) pairs back against the tiny df
+    * side.
+    */
+  val tx20BigramNovelty: Q = (s, d) => {
+    val grams = t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST(size(toks) - 2 AS INT)),
+          |          i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
+        .as("bigram"))
+      .select(col("doc_id"), md5(col("bigram")).as("fp"))
+      .distinct()
+    val dfx = grams.groupBy("fp").agg(count(lit(1)).as("df"))
+    grams.join(dfx, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_bigrams"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "tx18_inverted_index" -> tx18InvertedIndex,
     "tx19_bm25" -> tx19Bm25,
+    "tx20_bigram_novelty" -> tx20BigramNovelty,
     "pp05_quality_filter" -> pp05QualityFilter,
     "pp06_mixture_rebalance" -> pp06MixtureRebalance,
     "tx14_repetition" -> tx14Repetition,
@@ -438,6 +468,21 @@ object Curation {
        |  JOIN m$i USING (cluster))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "tx20_bigram_novelty" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |grams AS (SELECT DISTINCT doc_id,
+        |    md5(toks[i] || ' ' || toks[i + 1]) AS fp
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+        |                    AS i)),
+        |dfx AS (SELECT fp, count(*) AS df FROM grams GROUP BY fp)
+        |SELECT g.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN dfx.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(sum(CASE WHEN dfx.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS novelty
+        |FROM grams g JOIN dfx USING (fp)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "tx18_inverted_index" ->
       """WITH perdoc AS (
         |  SELECT token, doc_id, count(*) AS tf

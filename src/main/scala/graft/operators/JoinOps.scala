@@ -142,10 +142,60 @@ object JoinOps {
       .orderBy("band")
   }
 
+  /** q65: NEAREST as-of join — each purchase pairs with the temporally
+    * CLOSEST click either side (tie → the preceding one). Still ONE
+    * shuffle + ONE sort: both directional carries are window functions
+    * over the SAME (key, time, side, id) ordering — backward via
+    * last(ignoreNulls) over [unbounded, 0], forward via
+    * first(ignoreNulls) over [0, unbounded] — then a projection picks
+    * the closer struct. An equal-ts click sorts before the purchase, so
+    * the backward carry sees it at distance 0 and wins — the forward
+    * frame missing it is unobservable.
+    *
+    * Tie-break fine print (pinned by the oracle's ORDER BY): among
+    * equal-distance clicks on the SAME side, backward resolves to the
+    * largest click_id (last in ascending order), forward to the
+    * smallest (first).
+    */
+  private val q65AsofNearest: Q = (s, d) => {
+    val events = t(s, d, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("_side", lit(1))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"))
+      .withColumn("_side", lit(0))
+    val unioned = purchases.unionByName(clicks, allowMissingColumns = true)
+    val ord = Seq(col("ts"), col("_side"), col("click_id").asc_nulls_first)
+    val wb = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val rstruct = when(col("_side") === 0,
+      struct(col("ts").as("t"), col("click_id").as("id")))
+    val picked = unioned
+      .withColumn("_b", last(rstruct, ignoreNulls = true).over(wb))
+      .withColumn("_f", first(rstruct, ignoreNulls = true).over(wf))
+      .filter(col("_side") === 1)
+      .withColumn("dtb", unix_micros(col("ts")) - unix_micros(col("_b.t")))
+      .withColumn("dtf", unix_micros(col("_f.t")) - unix_micros(col("ts")))
+      .withColumn("_n",
+        when(col("_b").isNull, col("_f"))
+          .when(col("_f").isNull, col("_b"))
+          .when(col("dtb") <= col("dtf"), col("_b"))
+          .otherwise(col("_f")))
+    picked.select(col("event_id"), col("user_id"),
+        col("_n.id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("_n.t"))).as("dt_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_asof_join" -> q39Asof,
     "q40_range_join" -> q40Range,
     "q48_asof_forward" -> q48AsofForward,
+    "q65_asof_nearest" -> q65AsofNearest,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -168,6 +218,20 @@ object JoinOps {
         |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |    AND c.ts >= p.ts
         |  ORDER BY c.ts, c.event_id LIMIT 1) c ON true
+        |ORDER BY p.event_id""".stripMargin,
+    "q65_asof_nearest" ->
+      """SELECT p.event_id, p.user_id, c.click_id, c.dt_us
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS click_id,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS dt_us
+        |  FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |  ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+        |    (c.ts <= p.ts) DESC,
+        |    CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END
+        |  LIMIT 1) c ON true
         |ORDER BY p.event_id""".stripMargin,
     "q40_range_join" ->
       """SELECT band, count(*) AS cnt, round(avg(p_retailprice), 2) AS avg_price

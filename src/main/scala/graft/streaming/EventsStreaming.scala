@@ -310,15 +310,59 @@ object EventsStreaming {
         col("c_mktsegment"), col("cnt"), col("sum_value"))
       .orderBy("window_start", "c_mktsegment")
 
+  /** st07: the streaming dedup's deterministic batch face under
+    * AT-LEAST-ONCE REPLAY — events unioned with a 2-minute-delayed
+    * replica of themselves (inside the 10-minute watermark horizon, so
+    * `dedupStream` provably drops every replica: StreamingSpec pins the
+    * stream side). The batch face keeps the FIRST arrival per event_id
+    * (streaming dropDuplicates semantics made deterministic by an
+    * explicit ts-then-id order) and reports per-type admission counters.
+    * State story at scale: one id per event inside the horizon — the
+    * watermark, not stream length, bounds it.
+    */
+  private val st07DedupReplay: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.t(s, d, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val replayed = ev.unionAll(
+      ev.withColumn("ts", col("ts") + expr("INTERVAL 2 MINUTES")))
+    val w = Window.partitionBy("event_id").orderBy("ts")
+    replayed
+      .withColumn("rn", row_number().over(w))
+      .groupBy("event_type")
+      .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        round(sum(when(col("rn") === 1, col("value"))), 2)
+          .as("admitted_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_sessionize" -> st01Sessionize,
     "st02_session_window" -> st02SessionWindow,
     "st03_interval_join" -> st03IntervalJoin,
     "st04_stream_ingest" -> st04StreamIngest,
     "st05_enrich_join" -> st05EnrichJoin,
-    "st06_interval_outer" -> st06IntervalOuter)
+    "st06_interval_outer" -> st06IntervalOuter,
+    "st07_dedup_replay" -> st07DedupReplay)
 
   val oracleSql: Map[String, String] = Map(
+    "st07_dedup_replay" ->
+      """WITH rep AS (
+        |  SELECT event_id, ts, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 2 MINUTE, event_type, value
+        |  FROM events),
+        |r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+        |  FROM rep)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_admitted,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  round(sum(CASE WHEN rn = 1 THEN value END), 2) AS admitted_value
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st01_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

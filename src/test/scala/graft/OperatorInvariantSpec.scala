@@ -198,6 +198,42 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(fr2.isNullAt(fr2.fieldIndex("asof_click_value")))
   }
 
+  test("q65 nearest-asof picks the minimal |dt| with backward tie-break") {
+    import graft.operators.JoinOps
+    val got = JoinOps.queries("q65_asof_nearest")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._1)
+    got.foreach { r =>
+      val (eid, uid) = (r.getLong(0), r.getLong(1))
+      val pts = ev.find(e => e._3 == eid).get._2
+      clicksByUser.get(uid) match {
+        case None => assert(r.isNullAt(2), s"purchase $eid")
+        case Some(cs) =>
+          val best = cs.map(c => math.abs(pts - c._2)).min
+          assert(math.abs(r.getLong(3)) == best,
+            s"purchase $eid dt ${r.getLong(3)} best $best")
+      }
+    }
+  }
+
+  test("st07 replay dedup: every replica dropped, admitted = original") {
+    val rows = graft.streaming.EventsStreaming
+      .queries("st07_dedup_replay")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val want = Tables.t(spark, sf, "events")
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == want(r.getString(0)), s"${r.getString(0)}")
+      assert(r.getLong(2) == r.getLong(1), "one replica per admitted event")
+    }
+  }
+
   test("tx03: predicted language has the maximal marker count") {
     val profiles = Map(
       "en" -> Set("the", "a", "of", "and"),
