@@ -53,6 +53,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** pp14: CURRICULUM ORDERING — stage assignment for curriculum
+    * learning: documents ranked by a composite integer quality score
+    * (each pp05 gate contributes a weighted point; integer so the rank
+    * is engine-exact) and cut into 4 stages by NTILE — stage 1 = the
+    * cleanest quartile trains first. Deterministic end to end: the
+    * ORDER BY carries the doc_id tiebreak, so stage boundaries are
+    * reproducible across engines and cluster sizes. Scale: a per-row
+    * score projection + ONE global sort for ntile; at 100 TB you'd
+    * range-partition on the same (score, doc_id) key — identical
+    * semantics, no single-reducer funnel.
+    */
+  val pp14Curriculum: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tk = split(col("text"), " ")
+    val nTok = size(tk).cast("bigint")
+    val nDistinct = size(array_distinct(tk)).cast("bigint")
+    val meanLen = (col("n_chars") - (nTok - lit(1))).cast("double") / nTok
+    val symFrac = (col("n_chars") - length(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).cast("double") /
+      col("n_chars")
+    val dupFrac = lit(1.0) - nDistinct.cast("double") / nTok
+    val score =
+      when(nTok >= 10 && nTok <= 1000, 4L).otherwise(0L) +
+        when(meanLen >= 2.0 && meanLen <= 12.0, 2L).otherwise(0L) +
+        when(dupFrac <= 0.6, 1L).otherwise(0L) +
+        when(symFrac <= 0.1, 1L).otherwise(0L)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), score.as("score"))
+      .withColumn("stage", ntile(4).over(w).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
   /** tx14: REPETITION detection (the Gopher §A1.1 "fraction of
     * characters in most common n-gram" family, on bigrams) — the strong
     * signal for boilerplate/generated text that per-token stats miss.
@@ -426,6 +459,7 @@ object Curation {
     "tx20_bigram_novelty" -> tx20BigramNovelty,
     "pp05_quality_filter" -> pp05QualityFilter,
     "pp06_mixture_rebalance" -> pp06MixtureRebalance,
+    "pp14_curriculum" -> pp14Curriculum,
     "tx14_repetition" -> tx14Repetition,
     "tx15_pii_redact" -> tx15PiiRedact,
     "tx16_tfidf_topterms" -> tx16TfidfTopTerms,
@@ -468,6 +502,28 @@ object Curation {
        |  JOIN m$i USING (cluster))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "pp14_curriculum" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_dist,
+        |    n_chars,
+        |    CAST(n_chars - length(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / n_chars AS sym_frac
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |    (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 4 ELSE 0 END
+        |     + CASE WHEN CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok
+        |              BETWEEN 2.0 AND 12.0 THEN 2 ELSE 0 END
+        |     + CASE WHEN 1.0 - CAST(n_dist AS DOUBLE) / n_tok <= 0.6
+        |            THEN 1 ELSE 0 END
+        |     + CASE WHEN sym_frac <= 0.1 THEN 1 ELSE 0 END) AS score
+        |  FROM q)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score,
+        |  CAST(ntile(4) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS stage
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "tx20_bigram_novelty" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

@@ -604,9 +604,43 @@ object Dedup {
       .orderBy("decile")
   }
 
+  /** dd16: REPEATED-SUBSTRING detection (the ExactSubstr signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): fingerprint every SLIDING 8-token span (stride 1, vs
+    * dd14's disjoint lines) and flag spans whose fingerprint recurs
+    * anywhere in the corpus — within OR across documents. Per doc:
+    * span count, repeated-span count, repeated fraction (the signal a
+    * pipeline thresholds to cut or rewrite memorized boilerplate).
+    *
+    * Scale: the span table is (doc_id, pos, 16-byte fp) — stride-1
+    * windows multiply rows by ~tokens-per-doc, but only fingerprints
+    * ride the shuffle (partial+final count on fp, then an fp-keyed
+    * rejoin); span text never leaves the map side. A full suffix-array
+    * ExactSubstr finds MAXIMAL repeats; fixed-width spans are the
+    * bounded-state approximation that parallelizes as two hash shuffles.
+    */
+  private val dd16SubstringDedup: Q = (s, d) => {
+    val spans = t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, CAST(size(toks) - 8 AS INT)),
+          |          i -> array_join(slice(toks, i + 1, 8), ' '))""".stripMargin)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("fp"))
+    val counts = spans.groupBy("fp").agg(count(lit(1)).as("cnt"))
+    spans.join(counts, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("repeat_frac",
+        round(col("n_repeated").cast("double") / col("n_spans"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dd14_line_dedup" -> dd14LineDedup,
     "dd15_lsh_recall" -> dd15LshRecall,
+    "dd16_substring_dedup" -> dd16SubstringDedup,
     "dd01_dedup_exact" -> dd01Exact,
     "dd02_dedup_exact_hash" -> dd02ExactHash,
     "dd03_minhash_signatures" -> dd03MinhashSig,
@@ -672,6 +706,21 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dd16_substring_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        |spans AS (SELECT doc_id,
+        |    md5(array_to_string(toks[i : i + 7], ' ')) AS fp
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7))
+        |                    AS i)),
+        |cnts AS (SELECT fp, count(*) AS cnt FROM spans GROUP BY fp)
+        |SELECT s.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repeated,
+        |  round(CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS repeat_frac
+        |FROM spans s JOIN cnts c USING (fp)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "dd15_lsh_recall" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL

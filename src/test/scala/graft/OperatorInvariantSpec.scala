@@ -221,6 +221,38 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("dd16 repeated-span fractions match an in-JVM sliding-window count") {
+    import graft.operators.Dedup
+    val texts = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val spans = texts.toSeq.flatMap { case (id, toks) =>
+      if (toks.length < 8) Seq.empty
+      else (0 to toks.length - 8).map(i =>
+        (id, toks.slice(i, i + 8).mkString(" ")))
+    }
+    val cnt = spans.groupBy(_._2).view.mapValues(_.size).toMap
+    val want = spans.groupBy(_._1).map { case (id, ss) =>
+      id -> (ss.size.toLong, ss.count(s => cnt(s._2) > 1).toLong)
+    }
+    val got = Dedup.queries("dd16_substring_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+  }
+
+  test("pp14 curriculum: 4 balanced stages, scores non-increasing by stage") {
+    import graft.operators.Curation
+    val rows = Curation.queries("pp14_curriculum")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).toSet == Set(1L, 2L, 3L, 4L))
+    val minByStage = rows.groupBy(_._3).view.mapValues(_.map(_._2).min)
+    val maxByStage = rows.groupBy(_._3).view.mapValues(_.map(_._2).max)
+    (1L to 3L).foreach { st =>
+      assert(minByStage(st) >= maxByStage(st + 1),
+        s"stage $st floor < stage ${st + 1} ceiling")
+    }
+  }
+
   test("st07 replay dedup: every replica dropped, admitted = original") {
     val rows = graft.streaming.EventsStreaming
       .queries("st07_dedup_replay")(spark, sf).collect()
