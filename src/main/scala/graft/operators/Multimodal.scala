@@ -147,7 +147,42 @@ object Multimodal {
     "mm02_frame_sample" -> mm02FrameSample,
     "mm03_batch_decode" -> mm03BatchDecode,
     "mm04_av_sync" -> mm04AvSync,
+    "mm05_patch_grid" -> mm05PatchGrid,
   )
+
+  /** mm05: ViT-style PATCH GRID — the payload viewed as a 2D byte image
+    * (row width 16), cut into 4×4 patches: patch (pr, pc) gathers four
+    * strided 4-byte row slices and fingerprints them. This is the
+    * tokenization step of a vision transformer pipeline expressed as
+    * per-row generate + codegen'd substring/concat — no shuffle, and the
+    * emitted patch table is partitioned like the scan (the mm02 frame
+    * rule). Ragged tail patches keep whatever bytes exist (real
+    * pipelines pad; the fingerprint pins the exact gather either way).
+    * STUB boundary as mm01-03: a real ViT embeds the patch; md5 is the
+    * deterministic fake the oracle can replay.
+    */
+  private def mm05PatchGrid: Q = (s, d) =>
+    mediaTable(s, d)
+      .withColumn("n_rows",
+        ceil(col("meta.nbytes").cast("double") / 16.0).cast("int"))
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), ceil(col("n_rows").cast("double") / 4.0)
+          .cast("int") - 1)).as("pr"))
+      .select(col("media_id"), col("content"), col("pr"),
+        explode(sequence(lit(0), lit(3))).as("pc"))
+      .withColumn("patch", expr(
+        """concat(substring(content, (pr * 4 + 0) * 16 + pc * 4 + 1, 4),
+          |       substring(content, (pr * 4 + 1) * 16 + pc * 4 + 1, 4),
+          |       substring(content, (pr * 4 + 2) * 16 + pc * 4 + 1, 4),
+          |       substring(content, (pr * 4 + 3) * 16 + pc * 4 + 1, 4))"""
+          .stripMargin))
+      .filter(octet_length(col("patch")) > 0)
+      .select(col("media_id"),
+        col("pr").cast("bigint").as("patch_row"),
+        col("pc").cast("bigint").as("patch_col"),
+        octet_length(col("patch")).cast("bigint").as("patch_bytes"),
+        md5(col("patch")).as("patch_fp")) // STUB embed (see scaladoc)
+      .orderBy("media_id", "patch_row", "patch_col")
 
   // All three queries oracle-check: the payload is the documents' ASCII
   // bytes (verified pure-ASCII in the driver corpus), so DuckDB's
@@ -155,6 +190,28 @@ object Multimodal {
   // exactly. The STUB boundary is unchanged — only the fake decoder's
   // hash function had to be portable.
   val oracleSql: Map[String, String] = Map(
+    "mm05_patch_grid" ->
+      """WITH g AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_rows
+        |  FROM documents),
+        |pr AS (SELECT media_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(n_rows / 4.0) AS BIGINT) - 1)) AS pr
+        |  FROM g),
+        |pp AS (SELECT media_id, text, pr,
+        |    unnest(generate_series(0, 3)) AS pc FROM pr),
+        |p AS (SELECT media_id, pr, pc,
+        |    substring(text, CAST((pr * 4 + 0) * 16 + pc * 4 + 1 AS INT), 4)
+        |    || substring(text, CAST((pr * 4 + 1) * 16 + pc * 4 + 1 AS INT), 4)
+        |    || substring(text, CAST((pr * 4 + 2) * 16 + pc * 4 + 1 AS INT), 4)
+        |    || substring(text, CAST((pr * 4 + 3) * 16 + pc * 4 + 1 AS INT), 4)
+        |      AS patch
+        |  FROM pp)
+        |SELECT media_id, pr AS patch_row, pc AS patch_col,
+        |  CAST(length(patch) AS BIGINT) AS patch_bytes, md5(patch) AS patch_fp
+        |FROM p WHERE length(patch) > 0
+        |ORDER BY media_id, patch_row, patch_col""".stripMargin,
     "mm04_av_sync" ->
       """WITH video AS (
         |  SELECT doc_id AS media_id, fi * 40 AS ts,

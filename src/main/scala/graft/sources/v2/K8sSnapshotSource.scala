@@ -77,7 +77,8 @@ class K8sSnapshotTable(kind: String, path: String)
   override def name(): String = s"k8s-snapshot:$kind:$path"
   override def schema(): StructType = K8sSnapshotTable.schemaFor(kind)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new K8sScanBuilder(kind, path, schema())
@@ -126,10 +127,66 @@ class K8sScanBuilder(kind: String, path: String, full: StructType)
       Array(K8sInputPartition(kind, path))
     override def createReaderFactory(): PartitionReaderFactory =
       new K8sReaderFactory(required, pushed)
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new K8sMicroBatchStream(kind, path, required, pushed)
     override def description(): String =
       s"k8s-snapshot kind=$kind path=$path cols=${required.fieldNames.mkString(",")}" +
         s" filters=${pushed.mkString(",")}"
   }
+}
+
+/** Streaming face of the connector — the reference's snapshot REFRESH
+  * loop (`ksql.js:280`: re-list 10 s after startup) generalized to a
+  * Structured Streaming source: each re-list lands as a new generation
+  * file `<kind>-<gen>.json` in the watched directory, and every
+  * micro-batch picks up exactly the not-yet-committed generations.
+  * Offsets are the count of generation files consumed (files sort by
+  * name), so restart-from-checkpoint replays from the right snapshot;
+  * column pruning and stamped-key filter pushdown apply per generation
+  * exactly as in the batch reader (same PartitionReader).
+  *
+  * At scale each generation file is one API list response; a live
+  * implementation swaps the directory listing for a watch bookmark —
+  * the offset contract (monotone generation counter) is unchanged.
+  */
+class K8sMicroBatchStream(kind: String, dir: String, required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def generations(): Array[String] = {
+    val d = new java.io.File(dir)
+    val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".json"))
+      .map(_.getAbsolutePath).sorted
+    // a single-file path behaves as one generation (batch parity)
+    if (fs.isEmpty && d.isFile) Array(d.getAbsolutePath) else fs
+  }
+
+  override def initialOffset(): Offset = K8sGenOffset(0)
+  override def latestOffset(): Offset = K8sGenOffset(generations().length)
+  override def deserializeOffset(json: String): Offset =
+    K8sGenOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[K8sGenOffset].gen,
+      end.asInstanceOf[K8sGenOffset].gen)
+    generations().slice(s.toInt, e.toInt)
+      .map(p => K8sInputPartition(kind, p): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new K8sReaderFactory(required, filters)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class K8sGenOffset(gen: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = gen.toString
 }
 
 case class K8sInputPartition(kind: String, path: String)

@@ -109,4 +109,46 @@ class K8sDsv2Spec extends SparkSpec {
       .select("_raw").collect()(0).getString(0)
     assert(raw.contains("\"sidecar-logger\""))
   }
+
+  test("micro-batch stream: each snapshot generation arrives exactly once") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("k8s-stream").toFile
+    val ckpt = Files.createTempDirectory("k8s-ckpt").toFile
+    try {
+      // generation 0: the fixture snapshot
+      Files.copy(Paths.get(s"$fixtureDir/pods.json"),
+        Paths.get(dir.getAbsolutePath, "pods-000.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val stream = spark.readStream.format("k8s-snapshot")
+        .option("kind", "pods").load(dir.getAbsolutePath)
+        .select("uid", "node")
+      val q = stream.writeStream.format("memory")
+        .queryName("k8s_stream_test")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        val gen0 = spark.sql("SELECT uid FROM k8s_stream_test")
+          .collect().map(_.getString(0)).sorted.toSeq
+        assert(gen0.size == 4 && gen0.contains("pod-uid-1"), gen0)
+        // generation 1: a refreshed snapshot with a new pod uid
+        val refreshed = new String(Files.readAllBytes(
+          Paths.get(s"$fixtureDir/pods.json")), "UTF-8")
+          .replace("pod-uid-1", "pod-uid-1b")
+        Files.write(Paths.get(dir.getAbsolutePath, "pods-001.json"),
+          refreshed.getBytes("UTF-8"))
+        q.processAllAvailable()
+        val all = spark.sql("SELECT uid FROM k8s_stream_test")
+          .collect().map(_.getString(0)).toSeq
+        assert(all.size == 8, s"expected 2 generations x 4 pods: $all")
+        assert(all.count(_ == "pod-uid-1") == 1)
+        assert(all.count(_ == "pod-uid-1b") == 1)
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(ckpt)
+    }
+  }
 }
