@@ -46,5 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SortedIntersectCard(es(0), es(1)))
     inject(ext, "vector_avg", 1,
       es => VectorAvg(es.head).toAggregateExpression())
+    // planner strategy for the custom logical operators (graft.plans)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }

@@ -113,10 +113,33 @@ object Skew {
       .orderBy("l_returnflag")
   }
 
+  /** q66: per-group top-k through the CUSTOM PHYSICAL OPERATOR
+    * (graft.plans.TopKPerGroupExec — bounded k-row heap per group,
+    * O(n log k), no partition sort, no spill) instead of the stock
+    * Window row_number + filter, which sorts every partition completely
+    * to discard all but k rows. Same answer — the DuckDB oracle pins it
+    * against the window formulation — and `PlanAuditSpec` pins that the
+    * plan really is TopKPerGroupExec + one Exchange, with no Sort and no
+    * Window below it.
+    */
+  private val q66TopkPerGroup: Q = (s, d) =>
+    graft.plans.TopKPerGroup(
+        t(s, d, "orders").select("o_orderpriority", "o_orderkey",
+          "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq("o_totalprice" ->
+            org.apache.spark.sql.catalyst.expressions.Descending,
+          "o_orderkey" ->
+            org.apache.spark.sql.catalyst.expressions.Ascending), 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderpriority", "o_orderkey")
+
   val queries: Map[String, Q] = Map(
     "q37_salted_join" -> q37SaltedJoin,
     "q38_sketches" -> q38Sketches,
     "q64_sketch_bounds" -> q64SketchBounds,
+    "q66_topk_pergroup" -> q66TopkPerGroup,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -136,5 +159,13 @@ object Skew {
         |  TRUE AS parts_ok, TRUE AS orders_ok,
         |  TRUE AS p50_ok, TRUE AS p99_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q66_topk_pergroup" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
   )
 }

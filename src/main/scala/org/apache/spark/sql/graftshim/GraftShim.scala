@@ -19,4 +19,14 @@ object GraftShim {
     * so analysis inserts casts / rejects wrong-typed calls.
     */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** Wrap a LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — the doorway custom logical operators (graft.plans)
+    * use to surface through the public Dataset API.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -217,6 +217,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("per-group top-k runs the custom bounded-heap exec — no Window, no Sort below (q66)") {
+    val plan = executedPlan("q66_topk_pergroup")
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerGroup "), plan)
+    // the full-partition sort the operator exists to avoid must be absent
+    // BELOW the exec (the final presentation orderBy above it is fine)
+    val below = plan.split("TopKPerGroup ").last
+    assert(!below.contains("Window"), plan)
+    assert(!below.contains("Sort "), plan)
+  }
+
   test("weighted sampling is map-side keys + TakeOrdered — no corpus shuffle (pp12)") {
     val plan = executedPlan("pp12_weighted_sample")
     assert(plan.contains("TakeOrderedAndProject"), plan)
