@@ -751,9 +751,21 @@ object RelationalQueries {
     graft.dialect.KsqlDialect.sql(s, oracleSql("q63_qualify"))
   }
 
+  /** q67: GROUP BY ALL / ORDER BY ALL — the modern analyst-dialect
+    * shorthand (every non-aggregate select item groups / every select
+    * item orders). The SAME SQL text parses and runs on Spark 4 and
+    * DuckDB — dialect parity demonstrated by construction, like q55's
+    * WITH RECURSIVE. Plans as an ordinary partial+final hash aggregate.
+    */
+  private val q67GroupByAll: Q = (s, d) => {
+    graft.Tables.register(s, d)
+    s.sql(oracleSql("q67_group_by_all"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_intersect_except_all" -> q58IntersectExceptAll,
     "q59_null_safe_eq" -> q59NullSafeEq,
+    "q67_group_by_all" -> q67GroupByAll,
     "q60_grouping_id" -> q60GroupingId,
     "q61_histogram" -> q61Histogram,
     "q62_hash_sample" -> q62HashSample,
@@ -813,6 +825,12 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q67_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin,
     "q60_grouping_id" ->
       """SELECT coalesce(r_name, 'ALL') AS region,
         |  coalesce(n_name, 'ALL') AS nation,

@@ -51,6 +51,7 @@ object Similarity {
     "ss07_ann_recall" -> ((s, d) => annRecall(s, d)),
     "ss10_quantized_topk" -> ((s, d) => quantizedTopk(s, d)),
     "ss11_ivf_recall" -> ((s, d) => ivfRecall(s, d)),
+    "ss12_topk_mips" -> ((s, d) => topkMips(s, d)),
   )
 
   /** ss11: IVF ANN RECALL — the oracle-anchored quality gate for the
@@ -163,6 +164,45 @@ object Similarity {
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("score_raw"), 4).as("qcosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** ss12: MIPS (maximum inner-product search) via the NORM-AUGMENTATION
+    * reduction (Bachrach et al., RecSys'14): append sqrt(M² − |v|²) to
+    * each corpus vector (M = max corpus norm) and 0 to the query — the
+    * augmented corpus has CONSTANT norm M, so augmented-cosine order ==
+    * raw inner-product order, and any cosine-ANN index (ss02/ss03/ss07's
+    * banding, ss11's IVF) serves MIPS unchanged. The query RANKS through
+    * the augmented path end-to-end (concat → FloatDot over the augmented
+    * arrays → cosine window) while the ORACLE ranks by the raw inner
+    * product directly — hash equality proves the reduction, not just the
+    * arithmetic. sqrt is IEEE-exact and the appended element round-trips
+    * through FLOAT identically in both engines.
+    */
+  def topkMips(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+    val mDf = base.agg(max(col("nrm")).as("m"))
+    val corpus = base.crossJoin(broadcast(mDf))
+      .withColumn("aug", expr(
+        """concat(embedding,
+          |  array(CAST(sqrt(m * m - nrm * nrm) AS FLOAT)))""".stripMargin))
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q_aug", // appended 0 leaves the fold untouched
+        expr("concat(q_emb, array(CAST(0.0 AS FLOAT)))"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("aug_cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      // constant-norm corpus ⇒ dividing by M (and by |q'|) is rank-
+      // preserving; FloatDot(q', v') == FloatDot(q, v) + 0·x exactly
+      .withColumn("aug_cos", dot(col("q_aug"), col("aug")) / col("m"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(dot(col("q_emb"), col("embedding")), 4).as("inner_product"))
       .orderBy("query_id", "rank")
   }
 
@@ -533,6 +573,21 @@ object Similarity {
        |  FROM scored QUALIFY "rank" <= 5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // ss12: the oracle ranks by the RAW inner product (no augmentation) —
+    // hash equality with the Spark side's augmented-cosine ranking is
+    // what certifies the MIPS reduction.
+    "ss12_topk_mips" ->
+      s"""WITH $normCte,
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $dotSql AS ip
+         |  FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, ip,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ip DESC, neighbor_id) AS "rank"
+         |  FROM p)
+         |SELECT query_id, "rank", neighbor_id,
+         |  round(ip, 4) AS inner_product
+         |FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
     "ss10_quantized_topk" ->
       s"""WITH $normCte,
          |qn AS (SELECT n.vec_id, n.nrm,
