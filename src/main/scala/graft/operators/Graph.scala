@@ -78,11 +78,18 @@ object Graph {
   }
 
   /** gr02: TRIANGLE COUNT per nation on the undirected support of the
-    * trade graph (an edge when either direction trades). The classic
-    * node-iterator join: canonical a<b edges self-joined twice, the
-    * closing edge checked by a semi-join — at scale the standard
-    * degree-ordering trick bounds the candidate wedges, and every join
-    * is an equi-join on node ids (shuffle keys only).
+    * trade graph (an edge when either direction trades), via
+    * DEGREE-ORDERED node iteration (Schank & Wagner '05 / the
+    * vertex-ordering trick every distributed triangle counter uses):
+    * orient each edge from its lower-(degree, id) endpoint to the
+    * higher, generate wedges only at each edge's LOWEST-rank node, and
+    * close them against the oriented edge set. Every wedge list is
+    * bounded by out-degree ≤ O(√m) on any graph — a celebrity node with
+    * 10⁸ undirected neighbors has tiny OUT-degree, so the quadratic
+    * wedge blowup the naive a<b iterator suffers on skewed graphs never
+    * happens. All stages are equi-joins on node ids (shuffle keys only).
+    * The DuckDB oracle counts triangles NAIVELY — hash equality proves
+    * the oriented enumeration finds exactly the same triangles.
     */
   val gr02Triangles: Q = (s, d) => {
     val und = tradeEdges(s, d)
@@ -90,19 +97,40 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .persist() // three self-join sides
-    val wedges = und.select(col("a"), col("b"))
-      .join(und.select(col("a"), col("b").as("c")), Seq("a"))
-      .filter(col("b") < col("c"))
-    val closing = und.select(col("a").as("b2"), col("b").as("c2"))
-    val triangles = wedges.join(closing,
-        col("b") === col("b2") && col("c") === col("c2"))
-      .select("a", "b", "c")
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (degree, id): src = lower-rank endpoint; carry the
+    // dst rank so wedge pairs order without another join
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("db").as("ddst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da").as("ddst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddst").as("ddst"))
+      .persist() // wedge sides + closing side
+    val wedges = oriented.select(col("src"), col("dst").as("v"),
+        col("ddst").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"),
+        col("ddst").as("dw")), Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    // closing edge is oriented v→w by construction (rank(v) < rank(w))
+    val triangles = wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
     val nodes = t(s, d, "nation")
       .select(col("n_nationkey").as("id"), col("n_name"))
-    val perNode = triangles.select(col("a").as("id"))
-      .unionAll(triangles.select(col("b").as("id")))
-      .unionAll(triangles.select(col("c").as("id")))
+    val perNode = triangles.select(col("x").as("id"))
+      .unionAll(triangles.select(col("y").as("id")))
+      .unionAll(triangles.select(col("z").as("id")))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
     nodes.join(perNode, Seq("id"), "left")
       .select(col("id").as("nationkey"), col("n_name"),

@@ -217,6 +217,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("nearest-asof is ONE shuffle + ONE sort carrying both frames (q65)") {
+    val plan = executedPlan("q65_asof_nearest")
+      .split("== Initial Plan ==").head
+    // two Window operators (one per directional frame) stacked over ONE
+    // (user_id) exchange and ONE sort — no re-sort between the frames;
+    // only the presentation orderBy adds a range exchange above
+    assert("Window \\[".r.findAllIn(plan).size == 2, plan)
+    assert("Sort \\[user_id".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("substring-dedup shuffles fingerprint counters, never span text (dd16)") {
+    val plan = executedPlan("dd16_substring_dedup")
+      .split("== Initial Plan ==").head
+    // the span generate stays below the first aggregate; the md5 fp is
+    // computed map-side, so exchanges carry (fp / doc_id) keys only
+    assert(plan.contains("Generate"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("MIPS reduction broadcasts queries; corpus never shuffles for the join (ss12)") {
+    val plan = executedPlan("ss12_topk_mips")
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("per-group top-k runs the custom bounded-heap exec — no Window, no Sort below (q66)") {
     val plan = executedPlan("q66_topk_pergroup")
       .split("== Initial Plan ==").head
