@@ -249,6 +249,49 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** pp15: TWO-LEVEL SEQUENCE PACKING — pp11's documented 100 TB shape
+    * made concrete: documents first land in bounded (source, shard)
+    * cells via pp02's cumulative-token shard assignment (relational,
+    * one window pass), then the greedy next-fit fold runs WITHIN each
+    * cell. Group size is capped by the 2000-token shard budget
+    * regardless of corpus size — shards scale out, the fold's input
+    * never grows. Pack ids are per-(source, shard), exactly what a
+    * distributed writer wants (each cell emits its own sequence files).
+    * Oracle: the same two levels — window cumsum, then the recursive
+    * CTE fold keyed by (source, shard).
+    */
+  val pp15SequencePackSharded: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 256L
+    val toks = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, d, "documents")
+      .withColumn("n_tokens", toks)
+      .withColumn("shard_idx",
+        expr("(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+          "ROWS UNBOUNDED PRECEDING) - n_tokens) div 2000"))
+      .select(col("doc_id"), col("source"), col("shard_idx"),
+        col("n_tokens"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroups { (key: (String, Long),
+          it: Iterator[(Long, String, Long, Long)]) =>
+        val sorted = it.toArray.sortBy(_._1)
+        var pack = 0L
+        var fill = 0L
+        sorted.iterator.map { case (id, _, _, n) =>
+          if (fill > 0 && fill + n > budget) { pack += 1; fill = n }
+          else fill += n
+          (id, key._1, key._2, n, pack)
+        }
+      }
+      .toDF("doc_id", "source", "shard_idx", "n_tokens", "pack_id")
+      .orderBy("doc_id")
+  }
+
   /** pp12: WEIGHTED PRIORITY SAMPLING (sequential Poisson / Ohlsson
     * design): deterministic uniform u from the md5 of the doc id, sample
     * key = u / weight with weight = token count — the 20 smallest keys
@@ -318,6 +361,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "pp11_sequence_pack" -> pp11SequencePack,
+    "pp15_sequence_pack_sharded" -> pp15SequencePackSharded,
     "pp12_weighted_sample" -> pp12WeightedSample,
     "pp13_column_profile" -> pp13ColumnProfile,
     "pp01_corpus_pipeline" -> pp01CorpusStats,
@@ -345,6 +389,35 @@ object Pipeline {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "pp15_sequence_pack_sharded" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source, n_tokens,
+        |    CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 2000 AS BIGINT)
+        |      AS shard_idx
+        |  FROM tk),
+        |rn AS (SELECT doc_id, source, shard_idx, n_tokens,
+        |    row_number() OVER (PARTITION BY source, shard_idx
+        |      ORDER BY doc_id) AS rn
+        |  FROM sh),
+        |packed AS (
+        |  SELECT doc_id, source, shard_idx, n_tokens, rn,
+        |    CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+        |  FROM rn WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.source, t.shard_idx, t.n_tokens, t.rn,
+        |    CASE WHEN p.fill + t.n_tokens <= 256 THEN p.pack_id
+        |         ELSE p.pack_id + 1 END,
+        |    CASE WHEN p.fill + t.n_tokens <= 256 THEN p.fill + t.n_tokens
+        |         ELSE t.n_tokens END
+        |  FROM rn t JOIN packed p
+        |    ON t.source = p.source AND t.shard_idx = p.shard_idx
+        |   AND t.rn = p.rn + 1)
+        |SELECT doc_id, source, shard_idx, n_tokens, pack_id
+        |FROM packed ORDER BY doc_id""".stripMargin,
     "pp11_sequence_pack" ->
       """WITH RECURSIVE tk AS (SELECT doc_id, source,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)

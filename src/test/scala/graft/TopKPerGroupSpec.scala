@@ -59,6 +59,13 @@ class TopKPerGroupSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("empty input yields empty output") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Int, Int)].toDF("id", "g", "x")
+    assert(TopKPerGroup(df, Seq("g"),
+      Seq("x" -> Descending, "id" -> Ascending), 3).count() == 0)
+  }
+
   test("unknown column fails fast with a clear error") {
     val df = seededDf(10, 2, seed = 3L)
     val e = intercept[RuntimeException] {
