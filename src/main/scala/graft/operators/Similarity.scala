@@ -52,6 +52,7 @@ object Similarity {
     "ss10_quantized_topk" -> ((s, d) => quantizedTopk(s, d)),
     "ss11_ivf_recall" -> ((s, d) => ivfRecall(s, d)),
     "ss12_topk_mips" -> ((s, d) => topkMips(s, d)),
+    "ss13_topk_pq" -> ((s, d) => topkPq(s, d)),
   )
 
   /** ss11: IVF ANN RECALL — the oracle-anchored quality gate for the
@@ -203,6 +204,81 @@ object Similarity {
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(dot(col("q_emb"), col("embedding")), 4).as("inner_product"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** ss13: PRODUCT QUANTIZATION (PQ) with asymmetric distance (ADC) —
+    * the FAISS-style memory scale path beyond ss10's scalar int8: the
+    * 64-dim vector splits into m=8 subvectors, each encoded as the id of
+    * its nearest of 16 per-subspace centroids (4 bits → an 8-byte code
+    * per vector, 32× smaller than the float32 row). Queries never
+    * decode: a 16×8 distance TABLE per query is joined against the
+    * codes and summed — the classic ADC lookup, here as one
+    * (subspace, code) equi-join + a per-(query, vector) sum.
+    *
+    * Everything is relational so DuckDB replays it: centroids are
+    * deterministically sampled corpus vectors (the ss03/ss11 rule — a
+    * real pipeline trains k-means per subspace, same shapes), distances
+    * use the |x−c|² = x·x + c·c − 2x·c identity over the same
+    * sequential-fold dot both engines compute bit-identically, and
+    * argmin/rank tie-break on centroid/neighbor id. At 100 TB the codes
+    * table IS the index you scan (8 bytes/vector); the float corpus is
+    * touched only by an optional exact rerank (elided so the oracle
+    * pins the PQ arithmetic itself).
+    */
+  def topkPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 8 // subspaces of 8 dims each
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = base.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(row_number().over(Window.orderBy("vec_id")).as("cid"),
+        col("embedding").as("c_emb"))
+      .select(col("cid"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), k -> struct(k, slice(c_emb, k * 8 + 1, 8) AS sub))")).as("x"))
+      .select(col("cid"), col("x.k").as("k"), col("x.sub").as("c_sub"))
+      .withColumn("c_cc", dot(col("c_sub"), col("c_sub")))
+    val subs = base
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), k -> struct(k, slice(embedding, k * 8 + 1, 8) AS sub))")).as("x"))
+      .select(col("vec_id"), col("x.k").as("k"), col("x.sub").as("sub"))
+      .withColumn("v_xx", dot(col("sub"), col("sub")))
+    val wAssign = Window.partitionBy("vec_id", "k")
+      .orderBy(col("dist"), col("cid"))
+    val codes = subs.join(broadcast(cents), Seq("k"))
+      .withColumn("dist",
+        col("v_xx") + col("c_cc") - lit(2.0) * dot(col("sub"), col("c_sub")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("k"), col("cid").as("code"))
+    val dt = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("k"),
+        col("sub").as("q_sub"), col("v_xx").as("q_xx"))
+      .join(broadcast(cents), Seq("k"))
+      .select(col("query_id"), col("k"), col("cid"),
+        (col("q_xx") + col("c_cc") -
+          lit(2.0) * dot(col("q_sub"), col("c_sub"))).as("d"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    // one conditional sum per subspace (each has exactly ONE non-null
+    // addend → reducer-order-independent), then a FIXED left-to-right
+    // addition chain: a plain sum() over the 8 rows would make the ADC
+    // value depend on reduction order and drift across engines
+    val perSub = (0 until m).map(k =>
+      sum(when(col("k") === k, col("d"))).as(s"d$k"))
+    codes.join(broadcast(dt.select(col("query_id"), col("k").as("dk"),
+        col("cid").as("dcid"), col("d"))),
+        codes("k") === col("dk") && codes("code") === col("dcid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .drop("dk", "dcid")
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(perSub.head, perSub.tail: _*)
+      .withColumn("adc", (0 until m).map(k => col(s"d$k"))
+        .reduceLeft(_ + _))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc"), 4).as("adc_dist"))
       .orderBy("query_id", "rank")
   }
 
@@ -573,6 +649,67 @@ object Similarity {
        |  FROM scored QUALIFY "rank" <= 5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // ss13: full PQ replay — per-subspace centroid assignment, ADC
+    // distance table, fixed-parenthesization sum, rank
+    "ss13_topk_pq" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, e
+        |  FROM (SELECT vec_id, e FROM v WHERE vec_id % 97 = 0
+        |        ORDER BY vec_id LIMIT 16)),
+        |csub AS (SELECT cid, k, e[k * 8 + 1 : k * 8 + 8] AS c_sub
+        |  FROM cent, LATERAL (SELECT unnest(generate_series(0, 7)) AS k)),
+        |cs AS (SELECT cid, k, c_sub,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [c_sub[i] * c_sub[i]
+        |       for i in generate_series(1, len(c_sub))]),
+        |      (a, b) -> a + b) AS cc
+        |  FROM csub),
+        |vsub AS (SELECT vec_id, k, e[k * 8 + 1 : k * 8 + 8] AS sub
+        |  FROM v, LATERAL (SELECT unnest(generate_series(0, 7)) AS k)),
+        |vs AS (SELECT vec_id, k, sub,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [sub[i] * sub[i] for i in generate_series(1, len(sub))]),
+        |      (a, b) -> a + b) AS xx
+        |  FROM vsub),
+        |asg AS (SELECT s.vec_id, s.k, c.cid,
+        |    s.xx + c.cc - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [s.sub[i] * c.c_sub[i]
+        |       for i in generate_series(1, len(s.sub))]),
+        |      (a, b) -> a + b) AS dist
+        |  FROM vs s JOIN cs c ON s.k = c.k),
+        |codes AS (SELECT vec_id, k, cid AS code FROM (
+        |    SELECT vec_id, k, cid, row_number() OVER (
+        |      PARTITION BY vec_id, k ORDER BY dist, cid) AS rn
+        |    FROM asg) WHERE rn = 1),
+        |dtab AS (SELECT s.vec_id AS query_id, s.k, c.cid,
+        |    s.xx + c.cc - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [s.sub[i] * c.c_sub[i]
+        |       for i in generate_series(1, len(s.sub))]),
+        |      (a, b) -> a + b) AS d
+        |  FROM vs s JOIN cs c ON s.k = c.k WHERE s.vec_id < 10),
+        |p AS (SELECT d.query_id, co.vec_id AS neighbor_id,
+        |    sum(CASE WHEN co.k = 0 THEN d.d END) AS d0,
+        |    sum(CASE WHEN co.k = 1 THEN d.d END) AS d1,
+        |    sum(CASE WHEN co.k = 2 THEN d.d END) AS d2,
+        |    sum(CASE WHEN co.k = 3 THEN d.d END) AS d3,
+        |    sum(CASE WHEN co.k = 4 THEN d.d END) AS d4,
+        |    sum(CASE WHEN co.k = 5 THEN d.d END) AS d5,
+        |    sum(CASE WHEN co.k = 6 THEN d.d END) AS d6,
+        |    sum(CASE WHEN co.k = 7 THEN d.d END) AS d7
+        |  FROM codes co JOIN dtab d ON d.k = co.k AND d.cid = co.code
+        |  WHERE co.vec_id <> d.query_id
+        |  GROUP BY d.query_id, co.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |    d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7 AS adc
+        |  FROM p),
+        |rk AS (SELECT query_id, neighbor_id, adc,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc, neighbor_id) AS "rank"
+        |  FROM r)
+        |SELECT query_id, "rank", neighbor_id, round(adc, 4) AS adc_dist
+        |FROM rk WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
     // ss12: the oracle ranks by the RAW inner product (no augmentation) —
     // hash equality with the Spark side's augmented-cosine ranking is
     // what certifies the MIPS reduction.
