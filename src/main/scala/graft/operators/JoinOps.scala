@@ -191,11 +191,56 @@ object JoinOps {
       .orderBy("event_id")
   }
 
+  /** q68: SCD2 DIMENSION MERGE — the warehouse upsert-with-history
+    * primitive (MERGE INTO with type-2 semantics, composed from stock
+    * operators since the engine owns no table format): a full outer join
+    * of the current dimension against an update batch classifies every
+    * key as unchanged / changed / new, then ONE generator emits the
+    * closed-out old version and/or the new current version per key — no
+    * second pass, no per-branch re-scan. The update batch here is
+    * deterministic (every 7th customer gets +100 balance; 5 brand-new
+    * keys) so both engines build it identically.
+    *
+    * Scale: one key-equi full outer join (dim bucketed by key in a real
+    * deployment → co-located, zero dim re-shuffle per batch, exactly the
+    * dd11 admission shape) + a per-row generate. History grows by the
+    * changed sliver only.
+    */
+  private val q68Scd2Merge: Q = (s, d) => {
+    val dim = t(s, d, "customer")
+      .select(col("c_custkey").as("key"),
+        round(col("c_acctbal"), 2).as("bal"))
+    val updates = dim.filter(col("key") % 7 === 0)
+      .select(col("key"), round(col("bal") + 100.0, 2).as("new_bal"))
+      .unionAll(dim.filter(col("key") < 5)
+        .select((col("key") + 1000000L).as("key"),
+          round(col("bal"), 2).as("new_bal")))
+    dim.join(updates, Seq("key"), "full_outer")
+      .select(col("key"), explode(expr(
+        """CASE
+          |  WHEN new_bal IS NULL THEN
+          |    array(named_struct('version', 1L, 'bal', bal,
+          |                       'is_current', true))
+          |  WHEN bal IS NULL THEN
+          |    array(named_struct('version', 1L, 'bal', new_bal,
+          |                       'is_current', true))
+          |  ELSE array(
+          |    named_struct('version', 1L, 'bal', bal,
+          |                 'is_current', false),
+          |    named_struct('version', 2L, 'bal', new_bal,
+          |                 'is_current', true))
+          |END""".stripMargin)).as("r"))
+      .select(col("key"), col("r.version").as("version"),
+        col("r.bal").as("bal"), col("r.is_current").as("is_current"))
+      .orderBy("key", "version")
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_asof_join" -> q39Asof,
     "q40_range_join" -> q40Range,
     "q48_asof_forward" -> q48AsofForward,
     "q65_asof_nearest" -> q65AsofNearest,
+    "q68_scd2_merge" -> q68Scd2Merge,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -233,6 +278,26 @@ object JoinOps {
         |    CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END
         |  LIMIT 1) c ON true
         |ORDER BY p.event_id""".stripMargin,
+    "q68_scd2_merge" ->
+      """WITH dim AS (SELECT c_custkey AS key, round(c_acctbal, 2) AS bal
+        |  FROM customer),
+        |upd AS (SELECT key, round(bal + 100.0, 2) AS new_bal FROM dim
+        |  WHERE key % 7 = 0
+        |  UNION ALL
+        |  SELECT key + 1000000, round(bal, 2) FROM dim WHERE key < 5),
+        |j AS (SELECT coalesce(d.key, u.key) AS key, d.bal, u.new_bal
+        |  FROM dim d FULL OUTER JOIN upd u ON d.key = u.key)
+        |SELECT key, version, bal, is_current FROM (
+        |  SELECT key, CAST(1 AS BIGINT) AS version, bal,
+        |    (new_bal IS NULL) AS is_current
+        |  FROM j WHERE bal IS NOT NULL
+        |  UNION ALL
+        |  SELECT key, CAST(1 AS BIGINT), new_bal, TRUE
+        |  FROM j WHERE bal IS NULL
+        |  UNION ALL
+        |  SELECT key, CAST(2 AS BIGINT), new_bal, TRUE
+        |  FROM j WHERE bal IS NOT NULL AND new_bal IS NOT NULL)
+        |ORDER BY key, version""".stripMargin,
     "q40_range_join" ->
       """SELECT band, count(*) AS cnt, round(avg(p_retailprice), 2) AS avg_price
         |FROM part
