@@ -138,9 +138,57 @@ object Graph {
       .orderBy("nationkey")
   }
 
+  /** gr03: COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    * et al. 2007) on the k-NN SPARSIFICATION of the trade graph: each
+    * nation keeps its 3 heaviest trade partners (deterministic — weight
+    * desc, id tiebreak), edges symmetrize, and 3 sync rounds of "adopt
+    * the most frequent label in the closed neighborhood (tie → smallest
+    * label)" assign communities. Fixed round count + total tie order
+    * make sync LPA fully deterministic — the classic async variant is
+    * not, which is why distributed LPA (GraphX, Grappolo) runs sync
+    * rounds too. Each round = one neighbor join + one count aggregate +
+    * one argmax window, all keyed by node id; the k-NN sparsification
+    * bounds degree, so a round's shuffle is O(k·nodes) regardless of how
+    * dense the raw trade matrix is.
+    */
+  val gr03LabelProp: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.partitionBy("src")
+      .orderBy(col("w").desc, col("dst"))
+    val knn = tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("src", "dst")
+    val sym = knn.unionAll(knn.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .persist() // re-joined every round
+    val nodes = t(s, d, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to 3) {
+      val msgs = sym
+        .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("id"), col("lbl"))
+        .unionAll(labels) // closed neighborhood: self vote included
+      val wArg = Window.partitionBy("id")
+        .orderBy(col("n").desc, col("lbl"))
+      labels = msgs.groupBy("id", "lbl").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select("id", "lbl")
+    }
+    nodes.join(labels, Seq("id"))
+      .select(col("id").as("nationkey"), col("n_name"),
+        col("lbl").as("community"))
+      .orderBy("nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "gr01_pagerank" -> gr01Pagerank,
     "gr02_triangles" -> gr02Triangles,
+    "gr03_label_prop" -> gr03LabelProp,
   )
 
   private val edgesCte: String =
@@ -174,6 +222,41 @@ object Graph {
          |SELECT n.id AS nationkey, n.n_name, r3.r AS pr
          |FROM n JOIN r3 ON r3.id = n.id
          |ORDER BY pr DESC, nationkey""".stripMargin,
+    "gr03_label_prop" ->
+      s"""WITH $edgesCte,
+         |knn AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst) AS rn
+         |    FROM edges WHERE src <> dst) WHERE rn <= 3),
+         |sym AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM knn
+         |    UNION ALL SELECT dst, src FROM knn)),
+         |n AS (SELECT n_nationkey AS id, n_name FROM nation),
+         |l0 AS (SELECT id, id AS lbl FROM n),
+         |m1 AS (SELECT s.src AS id, l.lbl FROM sym s
+         |    JOIN l0 l ON l.id = s.dst
+         |  UNION ALL SELECT id, lbl FROM l0),
+         |l1 AS (SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY count(*) DESC, lbl) AS rn
+         |    FROM m1 GROUP BY id, lbl) WHERE rn = 1),
+         |m2 AS (SELECT s.src AS id, l.lbl FROM sym s
+         |    JOIN l1 l ON l.id = s.dst
+         |  UNION ALL SELECT id, lbl FROM l1),
+         |l2 AS (SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY count(*) DESC, lbl) AS rn
+         |    FROM m2 GROUP BY id, lbl) WHERE rn = 1),
+         |m3 AS (SELECT s.src AS id, l.lbl FROM sym s
+         |    JOIN l2 l ON l.id = s.dst
+         |  UNION ALL SELECT id, lbl FROM l2),
+         |l3 AS (SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY count(*) DESC, lbl) AS rn
+         |    FROM m3 GROUP BY id, lbl) WHERE rn = 1)
+         |SELECT n.id AS nationkey, n.n_name, l3.lbl AS community
+         |FROM n JOIN l3 ON l3.id = n.id
+         |ORDER BY nationkey""".stripMargin,
     "gr02_triangles" ->
       s"""WITH $edgesCte,
          |und AS (SELECT DISTINCT least(src, dst) AS a,

@@ -292,6 +292,28 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** pp16: DETERMINISTIC TRAINING SHUFFLE + SHARD ASSIGNMENT — the
+    * "shuffle the corpus before sharding" step every SGD pipeline needs,
+    * without rand(): permutation order is the md5 of the doc id under a
+    * fixed salt (reproducible across runs/engines/cluster sizes, and
+    * changing the salt reshuffles), shards assigned round-robin over the
+    * permuted order so every shard sees an unbiased sample. The global
+    * row_number here is a range-partitioned sort at scale (Spark's sort
+    * already is); a pipeline that only needs the SHARD (not the rank)
+    * drops the window and keys directly on the md5 — zero sort.
+    */
+  val pp16ShuffleShard: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    t(s, d, "documents")
+      .withColumn("pkey", md5(concat(col("doc_id").cast("string"),
+        lit("#shuffle-epoch-0"))))
+      .withColumn("perm_rank",
+        row_number().over(Window.orderBy("pkey")).cast("bigint"))
+      .select(col("doc_id"), col("perm_rank"),
+        ((col("perm_rank") - 1) % 8).as("shard"))
+      .orderBy("doc_id")
+  }
+
   /** pp12: WEIGHTED PRIORITY SAMPLING (sequential Poisson / Ohlsson
     * design): deterministic uniform u from the md5 of the doc id, sample
     * key = u / weight with weight = token count — the 20 smallest keys
@@ -362,6 +384,7 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "pp11_sequence_pack" -> pp11SequencePack,
     "pp15_sequence_pack_sharded" -> pp15SequencePackSharded,
+    "pp16_shuffle_shard" -> pp16ShuffleShard,
     "pp12_weighted_sample" -> pp12WeightedSample,
     "pp13_column_profile" -> pp13ColumnProfile,
     "pp01_corpus_pipeline" -> pp01CorpusStats,
@@ -389,6 +412,15 @@ object Pipeline {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "pp16_shuffle_shard" ->
+      """WITH p AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || '#shuffle-epoch-0') AS pkey
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY pkey) AS BIGINT) AS perm_rank,
+        |  CAST((row_number() OVER (ORDER BY pkey) - 1) % 8 AS BIGINT)
+        |    AS shard
+        |FROM p ORDER BY doc_id""".stripMargin,
     "pp15_sequence_pack_sharded" ->
       """WITH RECURSIVE tk AS (SELECT doc_id, source,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
