@@ -148,6 +148,7 @@ object Multimodal {
     "mm03_batch_decode" -> mm03BatchDecode,
     "mm04_av_sync" -> mm04AvSync,
     "mm05_patch_grid" -> mm05PatchGrid,
+    "mm06_energy_segments" -> mm06EnergySegments,
   )
 
   /** mm05: ViT-style PATCH GRID — the payload viewed as a 2D byte image
@@ -184,12 +185,68 @@ object Multimodal {
         md5(col("patch")).as("patch_fp")) // STUB embed (see scaladoc)
       .orderBy("media_id", "patch_row", "patch_col")
 
+  /** mm06: ENERGY-BASED SEGMENTATION — the voice-activity-detection
+    * shape: per-frame "energy" (byte sum over a 32-byte frame — the STUB
+    * for a real RMS over PCM samples), threshold into active frames,
+    * merge CONSECUTIVE active frames into segments via the
+    * islands-and-gaps trick (frame_idx − dense run index is constant
+    * within a run — the same window pattern st01 sessionization uses,
+    * reapplied to media). Per-doc windows partition by media_id, so the
+    * pass scales with frames per document, not corpus size.
+    */
+  private def mm06EnergySegments: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val frames = mediaTable(s, d)
+      .withColumn("n_frames",
+        ceil(col("meta.nbytes").cast("double") / 32.0).cast("int"))
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("fi"))
+      .withColumn("frame",
+        substring(col("content"), col("fi") * 32 + 1, lit(32)))
+      // STUB decode: byte-sum stands in for frame RMS energy (ASCII
+      // payload — char ords ARE the bytes; empty split artifacts dropped)
+      .withColumn("energy", expr(
+        """aggregate(transform(
+          |  filter(split(CAST(frame AS STRING), ''), c -> c <> ''),
+          |  c -> CAST(ascii(c) AS BIGINT)), 0L, (a, x) -> a + x)""".stripMargin))
+      .select(col("media_id"), col("fi").cast("bigint").as("fi"),
+        col("energy"))
+    val active = frames.filter(col("energy") >= 2400) // ~ASCII avg * 32 * 0.8
+    val wRun = Window.partitionBy("media_id").orderBy("fi")
+    active
+      .withColumn("grp", col("fi") - row_number().over(wRun))
+      .groupBy("media_id", "grp")
+      .agg(min("fi").as("seg_start"), max("fi").as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum("energy").as("seg_energy"))
+      .select(col("media_id"), col("seg_start"), col("seg_end"),
+        col("n_frames"), col("seg_energy"))
+      .orderBy("media_id", "seg_start")
+  }
+
   // All three queries oracle-check: the payload is the documents' ASCII
   // bytes (verified pure-ASCII in the driver corpus), so DuckDB's
   // character-level substr/md5/ord replay Spark's byte-level binary ops
   // exactly. The STUB boundary is unchanged — only the fake decoder's
   // hash function had to be portable.
   val oracleSql: Map[String, String] = Map(
+    "mm06_energy_segments" ->
+      """WITH f AS (SELECT doc_id AS media_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(length(text) / 32.0) AS BIGINT) - 1)) AS fi
+        |  FROM documents),
+        |e AS (SELECT media_id, fi,
+        |    CAST(list_sum(list_transform(
+        |      string_split(substring(text, CAST(fi * 32 + 1 AS INT), 32), ''),
+        |      c -> ord(c))) AS BIGINT) AS energy
+        |  FROM f),
+        |a AS (SELECT media_id, fi, energy,
+        |    fi - row_number() OVER (PARTITION BY media_id ORDER BY fi)
+        |      AS grp
+        |  FROM e WHERE energy >= 2400)
+        |SELECT media_id, min(fi) AS seg_start, max(fi) AS seg_end,
+        |  count(*) AS n_frames, CAST(sum(energy) AS BIGINT) AS seg_energy
+        |FROM a GROUP BY media_id, grp ORDER BY media_id, seg_start""".stripMargin,
     "mm05_patch_grid" ->
       """WITH g AS (
         |  SELECT doc_id AS media_id, text,

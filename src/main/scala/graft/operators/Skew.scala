@@ -135,11 +135,51 @@ object Skew {
         round(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy("o_orderpriority", "o_orderkey")
 
+  /** q69: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view
+    * refresh algebra: a base aggregate state (orders with
+    * o_orderkey % 10 <> 0, standing in for "already materialized") MERGES
+    * with a delta batch's partial aggregate (the % 10 = 0 slice) by pure
+    * state arithmetic — counts add, sums add, mins/maxes combine — with
+    * NO rescan of the base data. The oracle computes the full aggregate
+    * from scratch; hash equality proves merge(state, delta) ≡
+    * recompute(all), which is the property that makes partial
+    * aggregation, incremental pipelines, and streaming state all
+    * correct. Avg is re-derived from merged (sum, count), never averaged
+    * across states.
+    */
+  private val q69IncrementalAgg: Q = (s, d) => {
+    def partial(df: DataFrame) = df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"),
+        min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+    val orders = t(s, d, "orders")
+    val state = partial(orders.filter(col("o_orderkey") % 10 =!= 0))
+      .select(col("o_orderstatus"), col("n").as("n1"), col("s").as("s1"),
+        col("mn").as("mn1"), col("mx").as("mx1"))
+    val delta = partial(orders.filter(col("o_orderkey") % 10 === 0))
+      .select(col("o_orderstatus"), col("n").as("n2"), col("s").as("s2"),
+        col("mn").as("mn2"), col("mx").as("mx2"))
+    state.join(delta, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+          .as("n_orders"),
+        round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)),
+          2).as("revenue"),
+        round(least(coalesce(col("mn1"), col("mn2")),
+          coalesce(col("mn2"), col("mn1"))), 2).as("min_price"),
+        round(greatest(coalesce(col("mx1"), col("mx2")),
+          coalesce(col("mx2"), col("mx1"))), 2).as("max_price"),
+        round((coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)))
+          / (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))),
+          2).as("avg_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_salted_join" -> q37SaltedJoin,
     "q38_sketches" -> q38Sketches,
     "q64_sketch_bounds" -> q64SketchBounds,
     "q66_topk_pergroup" -> q66TopkPerGroup,
+    "q69_incremental_agg" -> q69IncrementalAgg,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -159,6 +199,15 @@ object Skew {
         |  TRUE AS parts_ok, TRUE AS orders_ok,
         |  TRUE AS p50_ok, TRUE AS p99_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q69: the oracle recomputes the FULL aggregate from scratch — equality
+    // with the Spark side's state⊕delta merge is the maintenance theorem
+    "q69_incremental_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(sum(o_totalprice) / count(*), 2) AS avg_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q66_topk_pergroup" ->
       """SELECT o_orderpriority, o_orderkey,
         |  round(o_totalprice, 2) AS o_totalprice
