@@ -174,12 +174,40 @@ object Skew {
       .orderBy("o_orderstatus")
   }
 
+  /** q70: CUMULATIVE DISTINCT USERS (running uniques / growth curve) via
+    * the FIRST-TOUCH trick: a running COUNT(DISTINCT) window would drag
+    * an ever-growing distinct set through every frame (quadratic state,
+    * unshardable); instead each user collapses to their first-seen day
+    * (one hash aggregate), days aggregate to new-user counts, and the
+    * running total is a window over ONE ROW PER DAY. State on the big
+    * shuffle is a (user, min-day) pair; the cumulative window touches
+    * only the tiny per-day series. The oracle spells the same rewrite —
+    * it IS the standard formulation; the point is that the naive
+    * windowed-distinct never appears.
+    */
+  private val q70RunningDistinct: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val firstTouch = t(s, d, "events")
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    val daily = firstTouch.groupBy("first_day")
+      .agg(count(lit(1)).as("n_new"))
+    daily
+      .withColumn("cum_users", sum("n_new").over(
+        Window.orderBy("first_day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(date_format(col("first_day"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("cum_users"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_salted_join" -> q37SaltedJoin,
     "q38_sketches" -> q38Sketches,
     "q64_sketch_bounds" -> q64SketchBounds,
     "q66_topk_pergroup" -> q66TopkPerGroup,
     "q69_incremental_agg" -> q69IncrementalAgg,
+    "q70_running_distinct" -> q70RunningDistinct,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -208,6 +236,15 @@ object Skew {
         |  round(max(o_totalprice), 2) AS max_price,
         |  round(sum(o_totalprice) / count(*), 2) AS avg_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q70_running_distinct" ->
+      """WITH ft AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY user_id),
+        |daily AS (SELECT first_day, count(*) AS n_new
+        |  FROM ft GROUP BY first_day)
+        |SELECT strftime(first_day, '%Y-%m-%d') AS day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY first_day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
     "q66_topk_pergroup" ->
       """SELECT o_orderpriority, o_orderkey,
         |  round(o_totalprice, 2) AS o_totalprice
