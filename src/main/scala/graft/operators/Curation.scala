@@ -53,6 +53,84 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** pp17: TEMPERATURE-WEIGHTED MIXTURE (the multilingual-sampling
+    * trick: target share ∝ (token share)^(1/T), here T=2 so the exponent
+    * is a SQRT — IEEE-exact, no transcendental pow): low-resource sources
+    * are upweighted relative to their raw mass, high-resource ones
+    * damped. Shares convert to integer keep-1-in-r rates (r =
+    * floor(actual/target mass ratio), floored at 1) applied
+    * systematically by per-source row_number — reproducible, rand()-free
+    * (pp04/pp06's discipline). Output is the per-source plan + achieved
+    * counts, the audit a mixture pipeline logs. One token aggregate +
+    * one broadcast of the 10-row rate table; the corpus-side pass is a
+    * filter.
+    */
+  val pp17TemperatureMix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), toks.as("n_tokens"))
+    val mass = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_tokens").as("m"))
+    val tot = mass.agg(sum(col("m")).as("tot"),
+      sum(sqrt(col("m").cast("double"))).as("sq_tot"))
+    val rates = mass.crossJoin(broadcast(tot))
+      // target share ∝ sqrt(mass); keep rate r ≈ actual/target (≥ 1)
+      .withColumn("target_share",
+        sqrt(col("m").cast("double")) / col("sq_tot"))
+      .withColumn("keep_1_in", greatest(lit(1L),
+        floor((col("m").cast("double") / col("tot")) /
+          col("target_share")).cast("bigint")))
+      .select(col("source"), col("n_docs"), col("m").as("n_tokens"),
+        col("keep_1_in"))
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+    val kept = docs
+      .withColumn("rn", row_number().over(wSrc))
+      .join(broadcast(rates.select(col("source"), col("keep_1_in"))),
+        Seq("source"))
+      .filter((col("rn") - 1) % col("keep_1_in") === 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum("n_tokens").as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("keep_1_in"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  /** tx21: VOCABULARY GROWTH (Heaps-law measurement) — cumulative
+    * distinct terms as the corpus grows source by source, via the
+    * first-touch rewrite (q70's trick at term level): each term
+    * collapses to the FIRST source (in source order) that introduces
+    * it — one hash aggregate on term fingerprints — then sources
+    * aggregate to new-term counts and one tiny window accumulates. The
+    * naive alternative (distinct count over an ever-growing prefix per
+    * checkpoint) rescans the corpus per checkpoint; this is one pass.
+    * (The driver's synthetic corpus has a ~30-word vocabulary, so the
+    * measured curve saturates in the first batch — data-limited, not
+    * operator-limited; the oracle pins the rewrite either way.)
+    */
+  val tx21VocabGrowth: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    // checkpoints = 5-doc ingestion batches (doc_id order), so the
+    // curve has one point per batch regardless of how sources overlap
+    val firstTouch = t(s, d, "documents")
+      .select(expr("doc_id div 5").as("batch"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(min(col("batch")).as("first_batch"))
+    firstTouch.groupBy("first_batch")
+      .agg(count(lit(1)).as("n_new_terms"))
+      .withColumn("cum_vocab", sum("n_new_terms").over(
+        Window.orderBy("first_batch")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("first_batch").as("batch"), col("n_new_terms"),
+        col("cum_vocab"))
+      .orderBy("batch")
+  }
+
   /** pp14: CURRICULUM ORDERING — stage assignment for curriculum
     * learning: documents ranked by a composite integer quality score
     * (each pp05 gate contributes a weighted point; integer so the rank
@@ -460,6 +538,8 @@ object Curation {
     "pp05_quality_filter" -> pp05QualityFilter,
     "pp06_mixture_rebalance" -> pp06MixtureRebalance,
     "pp14_curriculum" -> pp14Curriculum,
+    "pp17_temperature_mix" -> pp17TemperatureMix,
+    "tx21_vocab_growth" -> tx21VocabGrowth,
     "tx14_repetition" -> tx14Repetition,
     "tx15_pii_redact" -> tx15PiiRedact,
     "tx16_tfidf_topterms" -> tx16TfidfTopTerms,
@@ -502,6 +582,42 @@ object Curation {
        |  JOIN m$i USING (cluster))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "pp17_temperature_mix" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |mass AS (SELECT source, count(*) AS n_docs, sum(n_tokens) AS m
+        |  FROM docs GROUP BY source),
+        |tot AS (SELECT sum(m) AS tot, sum(sqrt(CAST(m AS DOUBLE))) AS sq_tot
+        |  FROM mass),
+        |rates AS (SELECT source, n_docs, m AS n_tokens,
+        |    greatest(1, CAST(floor((CAST(m AS DOUBLE) / tot) /
+        |      (sqrt(CAST(m AS DOUBLE)) / sq_tot)) AS BIGINT)) AS keep_1_in
+        |  FROM mass, tot),
+        |rn AS (SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM docs),
+        |kept AS (SELECT r.source, count(*) AS kept_docs,
+        |    CAST(sum(rn.n_tokens) AS BIGINT) AS kept_tokens
+        |  FROM rn JOIN rates r ON rn.source = r.source
+        |  WHERE (rn.rn - 1) % r.keep_1_in = 0
+        |  GROUP BY r.source)
+        |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+        |  CAST(r.n_tokens AS BIGINT) AS n_tokens, r.keep_1_in,
+        |  coalesce(k.kept_docs, 0) AS kept_docs,
+        |  coalesce(k.kept_tokens, 0) AS kept_tokens
+        |FROM rates r LEFT JOIN kept k ON k.source = r.source
+        |ORDER BY r.source""".stripMargin,
+    "tx21_vocab_growth" ->
+      """WITH ft AS (SELECT t.term, min(d.doc_id // 5) AS first_batch
+        |  FROM documents d,
+        |    LATERAL (SELECT unnest(string_split(d.text, ' ')) AS term) t
+        |  GROUP BY t.term)
+        |SELECT first_batch AS batch, count(*) AS n_new_terms,
+        |  CAST(sum(count(*)) OVER (ORDER BY first_batch
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |FROM ft GROUP BY first_batch ORDER BY batch""".stripMargin,
     "pp14_curriculum" ->
       """WITH q AS (
         |  SELECT doc_id,

@@ -53,7 +53,41 @@ object Similarity {
     "ss11_ivf_recall" -> ((s, d) => ivfRecall(s, d)),
     "ss12_topk_mips" -> ((s, d) => topkMips(s, d)),
     "ss13_topk_pq" -> ((s, d) => topkPq(s, d)),
+    "ss14_filtered_topk" -> ((s, d) => filteredTopk(s, d)),
   )
+
+  /** ss14: FILTERED vector search — top-3 cosine among corpus vectors
+    * sharing the query's `label` (the metadata-predicate + vector
+    * combination every production vector store serves). This is the
+    * PRE-FILTER strategy: the predicate joins INTO candidate generation
+    * (here the equi-join key IS the label), so selective filters shrink
+    * the scored set instead of starving a post-filtered top-k. At scale
+    * the corpus is partitioned/bucketed by the filter column — the same
+    * join becomes co-located and per-label index structures (ss03's
+    * inverted lists per label) drop in unchanged.
+    */
+  def filteredTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("nrm", l2norm(col("embedding")))
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("label").cast("bigint")
+          .as("label"),
+        col("neighbor_id"), round(col("cos_raw"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
 
   /** ss11: IVF ANN RECALL — the oracle-anchored quality gate for the
     * inverted-list path (companion to ss07, which anchors the sign-LSH
@@ -649,6 +683,26 @@ object Similarity {
        |  FROM scored QUALIFY "rank" <= 5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ss14_filtered_topk" ->
+      s"""WITH v AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |p AS (SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM n c JOIN n q
+         |    ON q.vec_id < 10 AND c.label = q.label
+         |   AND c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, label, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS "rank"
+         |  FROM p)
+         |SELECT query_id, "rank", CAST(label AS BIGINT) AS label,
+         |  neighbor_id, round(cos_raw, 4) AS cosine
+         |FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
     // ss13: full PQ replay — per-subspace centroid assignment, ADC
     // distance table, fixed-parenthesization sum, rank
     "ss13_topk_pq" ->
