@@ -292,6 +292,40 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** pp18: CROSS-SOURCE CONTAMINATION MATRIX — pairwise shingle overlap
+    * between sources: how much of source A's content recurs in source B
+    * (the audit that catches a "new" dataset re-scraping an old one, or
+    * eval-set shingles inside a training source). Shingles collapse to
+    * distinct (source, md5) pairs map-side, the pair join is keyed by
+    * the 16-byte fingerprint, and the output is the m×m source matrix —
+    * at 100 TB the shuffle carries fingerprints, never text, and the
+    * matrix stays tiny however big the corpus is.
+    */
+  val pp18SourceOverlap: Q = (s, d) => {
+    val sh = t(s, d, "documents")
+      .select(col("source"), explode(array_distinct(
+        graft.functions.GraftFunctions.shingle_strings(col("text"))))
+        .as("shingle"))
+      .select(col("source"), md5(col("shingle")).as("fp"))
+      .distinct()
+      .persist() // both sides of the fingerprint join
+    val totals = sh.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+    sh.select(col("source").as("src_a"), col("fp"))
+      .join(sh.select(col("source").as("src_b"), col("fp")), Seq("fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n_shingles").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n_shingles").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")), 4).as("overlap"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** pp16: DETERMINISTIC TRAINING SHUFFLE + SHARD ASSIGNMENT — the
     * "shuffle the corpus before sharding" step every SGD pipeline needs,
     * without rand(): permutation order is the md5 of the doc id under a
@@ -385,6 +419,7 @@ object Pipeline {
     "pp11_sequence_pack" -> pp11SequencePack,
     "pp15_sequence_pack_sharded" -> pp15SequencePackSharded,
     "pp16_shuffle_shard" -> pp16ShuffleShard,
+    "pp18_source_overlap" -> pp18SourceOverlap,
     "pp12_weighted_sample" -> pp12WeightedSample,
     "pp13_column_profile" -> pp13ColumnProfile,
     "pp01_corpus_pipeline" -> pp01CorpusStats,
@@ -412,6 +447,27 @@ object Pipeline {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "pp18_source_overlap" ->
+      """WITH t AS (SELECT source, text, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source, md5(s.shingle) AS fp
+        |  FROM t, unnest(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END)
+        |    AS s(shingle)),
+        |tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.src_a, p.src_b, p.n_shared,
+        |  ta.n AS n_a, tb.n AS n_b,
+        |  round(CAST(p.n_shared AS DOUBLE) / least(ta.n, tb.n), 4)
+        |    AS overlap
+        |FROM pairs p
+        |JOIN tot ta ON ta.source = p.src_a
+        |JOIN tot tb ON tb.source = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "pp16_shuffle_shard" ->
       """WITH p AS (SELECT doc_id,
         |    md5(CAST(doc_id AS VARCHAR) || '#shuffle-epoch-0') AS pkey

@@ -237,6 +237,32 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
 
+  test("PQ codes join is the ADC lookup — one codes shuffle, tables broadcast (ss13)") {
+    val plan = executedPlan("ss13_topk_pq")
+      .split("== Initial Plan ==").head
+    // centroids + distance tables ride as broadcasts; no cartesian
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("filtered search joins candidates ON the filter column (ss14)") {
+    val plan = executedPlan("ss14_filtered_topk")
+      .split("== Initial Plan ==").head
+    // pre-filter: the label equi-join IS candidate generation
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("source-overlap matrix shuffles fingerprints, never text (pp18)") {
+    val plan = executedPlan("pp18_source_overlap")
+      .split("== Initial Plan ==").head
+    // the pair join reads the cached distinct (source, fp) set (AQE stage
+    // reuse can collapse the second scan out of the printed final plan)
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("MIPS reduction broadcasts queries; corpus never shuffles for the join (ss12)") {
     val plan = executedPlan("ss12_topk_mips")
       .split("== Initial Plan ==").head
