@@ -201,6 +201,46 @@ object Skew {
       .orderBy("day")
   }
 
+  /** q71: FUNNEL CONVERSION — ordered-step attribution (view → click →
+    * purchase) per user: step N counts only if it happens at-or-after
+    * the user's step-N−1 time. Each step is a conditional min-timestamp
+    * aggregate over the PREVIOUS step's time — one hash aggregate per
+    * step on the user key, no window, no self-join per step (the
+    * event-sequence pattern warehouses run daily). Spark computes the
+    * three step times in ONE grouped aggregate (conditional mins);
+    * output is the funnel report: users entering each step + conversion
+    * vs the previous step.
+    */
+  private val q71Funnel: Q = (s, d) => {
+    val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+    val steps = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      .join(ev, Seq("user_id"))
+      .groupBy("user_id", "t_view").agg(
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 1 HOUR"),
+          col("ts"))).as("t_click"))
+      .join(ev, Seq("user_id"))
+      .groupBy("user_id", "t_view", "t_click").agg(
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 1 HOUR"),
+          col("ts"))).as("t_purchase"))
+    steps.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_click").isNotNull, 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L))
+          .as("n_purchase"))
+      .select(col("n_users"), col("n_view"), col("n_click"),
+        col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 4)
+          .as("view_to_click"),
+        round(col("n_purchase").cast("double") / col("n_click"), 4)
+          .as("click_to_purchase"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_salted_join" -> q37SaltedJoin,
     "q38_sketches" -> q38Sketches,
@@ -208,6 +248,7 @@ object Skew {
     "q66_topk_pergroup" -> q66TopkPerGroup,
     "q69_incremental_agg" -> q69IncrementalAgg,
     "q70_running_distinct" -> q70RunningDistinct,
+    "q71_funnel" -> q71Funnel,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -236,6 +277,38 @@ object Skew {
         |  round(max(o_totalprice), 2) AS max_price,
         |  round(sum(o_totalprice) / count(*), 2) AS avg_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q71_funnel" ->
+      """WITH v AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.t_view,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts >= v.t_view
+        |               AND e.ts <= v.t_view + INTERVAL 1 HOUR
+        |             THEN e.ts END) AS t_click
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  GROUP BY e.user_id, v.t_view),
+        |p AS (SELECT e.user_id, c.t_view, c.t_click,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click
+        |               AND e.ts <= c.t_click + INTERVAL 1 HOUR
+        |             THEN e.ts END) AS t_purchase
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  GROUP BY e.user_id, c.t_view, c.t_click)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  round(CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) /
+        |    sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END), 4)
+        |    AS view_to_click,
+        |  round(CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) /
+        |    sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END), 4)
+        |    AS click_to_purchase
+        |FROM p""".stripMargin,
     "q70_running_distinct" ->
       """WITH ft AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
         |  FROM events GROUP BY user_id),
