@@ -241,7 +241,54 @@ object Skew {
           .as("click_to_purchase"))
   }
 
+  /** q72: SORT-BASED exact percentiles — the spill-safe production path:
+    * `percentile()` (q50/q64) buffers EVERY group value in an in-memory
+    * object aggregate, which a 100 TB group cannot do; this formulation
+    * is one partition-keyed sort + row_number + a conditional pick of
+    * the two interpolation rows per target — sorts spill gracefully,
+    * nothing accumulates. Interpolation uses the SAME
+    * lo + (hi−lo)·frac form Spark's percentile() and DuckDB's
+    * quantile_cont share, so the oracle is the engine-native quantile —
+    * proving the sort-based method exactly reproduces it.
+    */
+  private val q72PercentileSorted: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val wAll = Window.partitionBy("l_returnflag")
+    val ranked = t(s, d, "lineitem")
+      .select("l_returnflag", "l_extendedprice")
+      .withColumn("rn", row_number().over(w) - 1) // 0-based position
+      .withColumn("n", count(lit(1)).over(wAll))
+    def pct(p: Double, name: String) = {
+      val pos = (col("n") - 1).cast("double") * p
+      val lo = floor(pos).cast("bigint")
+      val frac = pos - floor(pos)
+      val vLo = sum(when(col("rn") === lo, col("l_extendedprice"))
+        .otherwise(0.0))
+      val vHi = sum(when(col("rn") === least(lo + 1, col("n") - 1) &&
+          col("rn") =!= lo,
+        col("l_extendedprice")).otherwise(0.0))
+      // frac = 0 or single-row tail → hi row absent, vHi = 0, term drops
+      Seq(vLo.as(s"${name}_lo"), vHi.as(s"${name}_hi"),
+        max(frac).as(s"${name}_f"))
+    }
+    // the hi row can only be absent when frac = 0 (pos integral at the
+    // group tail), where the interpolation term is ×0 anyway
+    val aggs = pct(0.5, "p50") ++ pct(0.99, "p99")
+    ranked.groupBy("l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag"),
+        round(col("p50_lo") +
+          (col("p50_hi") - col("p50_lo")) * col("p50_f"), 2)
+          .as("p50_price"),
+        round(col("p99_lo") +
+          (col("p99_hi") - col("p99_lo")) * col("p99_f"), 2)
+          .as("p99_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q72_percentile_sorted" -> q72PercentileSorted,
     "q37_salted_join" -> q37SaltedJoin,
     "q38_sketches" -> q38Sketches,
     "q64_sketch_bounds" -> q64SketchBounds,
@@ -277,6 +324,13 @@ object Skew {
         |  round(max(o_totalprice), 2) AS max_price,
         |  round(sum(o_totalprice) / count(*), 2) AS avg_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // q72: the oracle is the ENGINE-NATIVE continuous quantile — equality
+    // proves the sort-based formulation reproduces it exactly
+    "q72_percentile_sorted" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q71_funnel" ->
       """WITH v AS (SELECT user_id,
         |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
