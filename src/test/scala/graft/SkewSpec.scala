@@ -42,6 +42,19 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("q72 sort-based percentiles equal the buffer-based percentile()") {
+    val sorted = Skew.queries("q72_percentile_sorted")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val buffered = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("round(percentile(l_extendedprice, 0.5), 2)").as("p50"),
+        expr("round(percentile(l_extendedprice, 0.99), 2)").as("p99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(sorted == buffered, s"$sorted vs $buffered")
+  }
+
   test("q64 sketch-bounds gates are all green") {
     val rows = Skew.queries("q64_sketch_bounds")(spark, sf).collect()
     assert(rows.nonEmpty)
