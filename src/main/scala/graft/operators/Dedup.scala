@@ -487,6 +487,41 @@ object Dedup {
 
   private val dd10DedupGroups: Q = dedupGroupsVia(connectedComponents)
 
+  /** dd17: QUALITY-AWARE CANONICAL SELECTION — dd10's clusters, but the
+    * kept representative is the BEST document (here: most tokens — the
+    * re-crawl copies are truncations, so the original wins), not the
+    * smallest id. Min-id canonicalization silently keeps whatever
+    * crawled first; real pipelines keep the longest/cleanest member and
+    * drop the rest. One extra token-count projection + an argmax window
+    * per cluster on top of the CC labels; ids and counters on every
+    * shuffle, text never.
+    */
+  private val dd17QualityCanonical: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val groups = dedupGroupsVia(connectedComponents)(s, d)
+      .select("doc_id", "group_rep", "group_size")
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val dropTok = expr(
+      """CASE WHEN instr(text, ' ') > 0
+        |     THEN substring(text, instr(text, ' ') + 1)
+        |     ELSE text END""".stripMargin)
+    val m1 = docs.select((col("doc_id") + COPY_OFFSET).as("doc_id"),
+      dropTok.as("text"))
+    val m2 = m1.select((col("doc_id") + COPY_OFFSET).as("doc_id"),
+      dropTok.as("text"))
+    val toks = docs.unionAll(m1).unionAll(m2)
+      .select(col("doc_id"),
+        (size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy("group_rep")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    groups.join(toks, Seq("doc_id"))
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("group_rep"), col("group_size"),
+        col("n_tokens"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** dd13: dd10's dup grouping with the STAR-CONTRACTION components —
     * same graph, same oracle, O(log n)-round algorithm. Output is pinned
     * identical to dd10 (both label components by their min doc_id).
@@ -653,6 +688,7 @@ object Dedup {
     "dd10_dedup_groups" -> dd10DedupGroups,
     "dd11_incremental_dedup" -> dd11IncrementalDedup,
     "dd13_dedup_groups_star" -> dd13DedupGroupsStar,
+    "dd17_quality_canonical" -> dd17QualityCanonical,
   )
 
   /** The re-crawl corpus in DuckDB terms, for oracle-expressible entries. */
@@ -699,11 +735,34 @@ object Dedup {
         |r AS (SELECT doc_id AS id, doc_id AS label FROM corpus
         |  UNION
         |  SELECT s.b AS id, r.label FROM r JOIN sym s ON s.a = r.id),
-        |lab AS (SELECT id, min(label) AS group_rep FROM r GROUP BY id)
-        |SELECT l.id AS doc_id, l.group_rep, g.cnt AS group_size
-        |FROM lab l JOIN (SELECT group_rep, count(*) AS cnt FROM lab
-        |                 GROUP BY group_rep) g USING (group_rep)
-        |ORDER BY doc_id""".stripMargin
+        |lab AS (SELECT id, min(label) AS group_rep FROM r GROUP BY id)""".stripMargin
+
+  private val dd10SqlSelect: String =
+    """
+      |SELECT l.id AS doc_id, l.group_rep, g.cnt AS group_size
+      |FROM lab l JOIN (SELECT group_rep, count(*) AS cnt FROM lab
+      |                 GROUP BY group_rep) g USING (group_rep)
+      |ORDER BY doc_id""".stripMargin
+
+  private val dd17Sql: String = dd10Sql +
+    """,
+      |toks AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM corpus),
+      |sel AS (SELECT l.id, l.group_rep, g.cnt, t.n_tokens,
+      |    row_number() OVER (PARTITION BY l.group_rep
+      |      ORDER BY t.n_tokens DESC, l.id) AS rn
+      |  FROM lab l
+      |  JOIN (SELECT group_rep, count(*) AS cnt FROM lab
+      |        GROUP BY group_rep) g USING (group_rep)
+      |  JOIN toks t ON t.doc_id = l.id),
+      |canon AS (SELECT group_rep, id AS canonical_id FROM sel
+      |  WHERE rn = 1)
+      |SELECT s.id AS doc_id, s.group_rep, s.cnt AS group_size,
+      |  s.n_tokens, c.canonical_id,
+      |  (s.id = c.canonical_id) AS is_canonical
+      |FROM sel s JOIN canon c USING (group_rep)
+      |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dd16_substring_dedup" ->
@@ -826,9 +885,10 @@ object Dedup {
     // propagation as a recursive CTE (UNION dedup terminates the
     // recursion) — the declarative mirror of BOTH Spark fixpoint loops
     // (propagation and star contraction label components identically).
-    "dd10_dedup_groups" -> dd10Sql,
+    "dd10_dedup_groups" -> (dd10Sql + dd10SqlSelect),
     
-    "dd13_dedup_groups_star" -> dd10Sql,
+    "dd13_dedup_groups_star" -> (dd10Sql + dd10SqlSelect),
+    "dd17_quality_canonical" -> dd17Sql,
     "dd11_incremental_dedup" ->
       """WITH nb AS (SELECT doc_id + 10000000 AS doc_id,
         |    CASE WHEN instr(text, ' ') > 0
