@@ -287,7 +287,40 @@ object Skew {
       .orderBy("l_returnflag")
   }
 
+  /** q73: ROBUST OUTLIER DETECTION — median/MAD, not mean/stddev: the
+    * robust estimators a data-quality pipeline actually uses (one wild
+    * value shifts a mean and inflates a stddev, masking the very outlier
+    * it should flag; the median and the median-absolute-deviation don't
+    * move). Two grouped exact medians (the q50/q72-proven
+    * interpolation) + per-row |v − med| > 3·1.4826·MAD flags. Unlike
+    * mean-based z-scores, NOTHING here depends on float summation
+    * order — medians are (interpolated pairs of) data elements — so the
+    * cross-engine hash is exact by construction, not by rounding.
+    */
+  private val q73RobustOutliers: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type", "med")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("is_out",
+        abs(col("value") - col("med")) > col("mad") * 1.4826 * 3.0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("med")), 4).as("med"),
+        round(max(col("mad")), 4).as("mad"),
+        round(max(when(col("is_out"), col("value"))), 4)
+          .as("max_outlier"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q73_robust_outliers" -> q73RobustOutliers,
     "q72_percentile_sorted" -> q72PercentileSorted,
     "q37_salted_join" -> q37SaltedJoin,
     "q38_sketches" -> q38Sketches,
@@ -324,6 +357,24 @@ object Skew {
         |  round(max(o_totalprice), 2) AS max_price,
         |  round(sum(o_totalprice) / count(*), 2) AS avg_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q73_robust_outliers" ->
+      """WITH ev AS (SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM ev GROUP BY event_type),
+        |mad AS (SELECT ev.event_type, m.med,
+        |    quantile_cont(abs(ev.value - m.med), 0.5) AS mad
+        |  FROM ev JOIN med m ON m.event_type = ev.event_type
+        |  GROUP BY ev.event_type, m.med),
+        |f AS (SELECT ev.event_type, ev.value, a.med, a.mad,
+        |    abs(ev.value - a.med) > a.mad * 1.4826 * 3.0 AS is_out
+        |  FROM ev JOIN mad a ON a.event_type = ev.event_type)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(max(med), 4) AS med, round(max(mad), 4) AS mad,
+        |  round(max(CASE WHEN is_out THEN value END), 4) AS max_outlier
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q72: the oracle is the ENGINE-NATIVE continuous quantile — equality
     // proves the sort-based formulation reproduces it exactly
     "q72_percentile_sorted" ->
