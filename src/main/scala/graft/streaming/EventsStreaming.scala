@@ -175,6 +175,24 @@ object EventsStreaming {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CUMULATIVE-UNIQUES (q70's first-touch rewrite as a
+    * stream): dropDuplicates on user_id keeps exactly each user's FIRST
+    * event — the same (user → first touch) collapse the batch query
+    * does with min() — and a tumbling count of those first touches is
+    * the per-window new-user series a dashboard accumulates. State = one
+    * key per user (the irreducible memory of exact distinct-counting);
+    * swap in approx_count_distinct when the sketch's error is acceptable
+    * (the q38/q64 trade).
+    */
+  def newUsersStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_new_users"))
+      .select(col("window.start").as("window_start"),
+        col("n_new_users"))
+
   /** Continuous INGEST CURATION — the pp01 corpus pipeline as a stream:
     * quality gate (per-row, stateless) → content-fingerprint dedup
     * bounded by the watermark (state = one md5 per doc inside the
@@ -337,7 +355,31 @@ object EventsStreaming {
       .orderBy("event_type")
   }
 
+  /** st08: newUsersStream's deterministic batch face — first touch by
+    * (ts, event_id) order (streaming first-arrival made total), tumbling
+    * 5-minute new-user counts, plus the running total the dashboard
+    * accumulates (q70's cumulative sum over the tiny window series).
+    */
+  private val st08NewUsers: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val firsts = graft.Tables.t(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    firsts
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_new_users"))
+      .withColumn("cum_users", sum("n_new_users").over(
+        Window.orderBy("window")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_new_users"), col("cum_users"))
+      .orderBy("window_start")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st08_new_users" -> st08NewUsers,
     "st01_sessionize" -> st01Sessionize,
     "st02_session_window" -> st02SessionWindow,
     "st03_interval_join" -> st03IntervalJoin,
@@ -347,6 +389,20 @@ object EventsStreaming {
     "st07_dedup_replay" -> st07DedupReplay)
 
   val oracleSql: Map[String, String] = Map(
+    "st08_new_users" ->
+      """WITH ft AS (SELECT user_id, min(ts) AS fts FROM (
+        |    SELECT user_id, ts,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1 GROUP BY user_id),
+        |win AS (SELECT time_bucket(INTERVAL 5 MINUTE, fts) AS ws,
+        |    count(*) AS n_new_users
+        |  FROM ft GROUP BY 1)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  n_new_users,
+        |  CAST(sum(n_new_users) OVER (ORDER BY ws
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM win ORDER BY window_start""".stripMargin,
     "st07_dedup_replay" ->
       """WITH rep AS (
         |  SELECT event_id, ts, event_type, value FROM events

@@ -43,6 +43,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming newUsersStream counts each user once, in their first window") {
+    val input = MemoryStream[Event](spark)
+    input.addData(rows) // users 1 and 2 both first appear in window 00:00
+    val q = EventsStreaming.newUsersStream(input.toDF())
+      .writeStream.format("memory").queryName("nu")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("nu")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(got.values.sum == 2, s"each user exactly once: $got")
+    assert(got == Map("2024-01-01 00:00:00.0" -> 2L), got)
+  }
+
   test("stateful sessionize agrees with sessionizeBatch after flush") {
     val input = MemoryStream[Event](spark)
     input.addData(rows)
