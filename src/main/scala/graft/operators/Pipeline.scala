@@ -326,6 +326,48 @@ object Pipeline {
       .orderBy("src_a", "src_b")
   }
 
+  /** pp19: DATASET CARD — the one-page corpus datasheet a dataset release
+    * ships with, as a (metric, value) report: scale (docs/tokens/chars),
+    * diversity (distinct terms, source Gini impurity — 1 − Σ share², the
+    * log-free concentration measure), and hygiene (exact-dup rate,
+    * quality-gate pass rate). Everything reduces to a handful of scans
+    * with partial+final aggregates; the wide corpus never shuffles. The
+    * impurity share sum is over the 20-row source table — fixed tiny
+    * cardinality, summed via the same grouped path both engines take.
+    */
+  val pp19DatasetCard: Q = (s, d) => {
+    val toks = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    val docs = t(s, d, "documents")
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(toks).as("n_tokens"),
+      sum(col("n_chars")).as("n_sum_chars"),
+      countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(countDistinct(col("term")).as("n_terms"))
+    val gini = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg((lit(1.0) - sum(col("n") * col("n")).cast("double") /
+        (sum(col("n")) * sum(col("n"))).cast("double")).as("g"))
+    val quality = docs.agg(
+      sum(when(toks >= 10 && toks <= 1000 && col("n_chars") >= 50, 1L)
+        .otherwise(0L)).as("n_pass"))
+    base.crossJoin(vocab).crossJoin(gini).crossJoin(quality)
+      .select(expr(
+        """stack(7,
+          |  'n_docs', CAST(n_docs AS DOUBLE),
+          |  'n_tokens', CAST(n_tokens AS DOUBLE),
+          |  'avg_chars', round(CAST(n_sum_chars AS DOUBLE) / n_docs, 4),
+          |  'exact_dup_rate',
+          |    round(1.0D - CAST(n_distinct_texts AS DOUBLE) / n_docs, 4),
+          |  'vocab_size', CAST(n_terms AS DOUBLE),
+          |  'source_gini', round(g, 4),
+          |  'quality_pass_rate', round(CAST(n_pass AS DOUBLE) / n_docs, 4))
+          |  AS (metric, value)""".stripMargin))
+      .orderBy("metric")
+  }
+
   /** pp16: DETERMINISTIC TRAINING SHUFFLE + SHARD ASSIGNMENT — the
     * "shuffle the corpus before sharding" step every SGD pipeline needs,
     * without rand(): permutation order is the md5 of the doc id under a
@@ -420,6 +462,7 @@ object Pipeline {
     "pp15_sequence_pack_sharded" -> pp15SequencePackSharded,
     "pp16_shuffle_shard" -> pp16ShuffleShard,
     "pp18_source_overlap" -> pp18SourceOverlap,
+    "pp19_dataset_card" -> pp19DatasetCard,
     "pp12_weighted_sample" -> pp12WeightedSample,
     "pp13_column_profile" -> pp13ColumnProfile,
     "pp01_corpus_pipeline" -> pp01CorpusStats,
@@ -447,6 +490,40 @@ object Pipeline {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "pp19_dataset_card" ->
+      """WITH toks AS (SELECT doc_id, source, n_chars, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |base AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_sum_chars,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |    CAST(sum(CASE WHEN n_tokens BETWEEN 10 AND 1000
+        |                   AND n_chars >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pass
+        |  FROM toks),
+        |vocab AS (SELECT CAST(count(DISTINCT t.term) AS BIGINT) AS n_terms
+        |  FROM documents d,
+        |    LATERAL (SELECT unnest(string_split(d.text, ' ')) AS term) t),
+        |srcs AS (SELECT source, count(*) AS n FROM documents
+        |  GROUP BY source),
+        |gini AS (SELECT 1.0 - CAST(sum(n * n) AS DOUBLE) /
+        |    (CAST(sum(n) AS DOUBLE) * sum(n)) AS g FROM srcs)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value
+        |  FROM base
+        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+        |  UNION ALL SELECT 'avg_chars',
+        |    round(CAST(n_sum_chars AS DOUBLE) / n_docs, 4) FROM base
+        |  UNION ALL SELECT 'exact_dup_rate',
+        |    round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 4)
+        |  FROM base
+        |  UNION ALL SELECT 'vocab_size', CAST(n_terms AS DOUBLE) FROM vocab
+        |  UNION ALL SELECT 'source_gini', round(g, 4) FROM gini
+        |  UNION ALL SELECT 'quality_pass_rate',
+        |    round(CAST(n_pass AS DOUBLE) / n_docs, 4) FROM base)
+        |ORDER BY metric""".stripMargin,
     "pp18_source_overlap" ->
       """WITH t AS (SELECT source, text, string_split(text, ' ') AS tk
         |  FROM documents),
