@@ -319,7 +319,45 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** q74: REFERENTIAL-INTEGRITY AUDIT — orphan detection across the star
+    * schema as one (check, n_violations) report: FK anti-joins (orders
+    * without customers, lineitems without orders/parts/suppliers) plus
+    * domain checks (negative totals, date inversions). Every check is a
+    * LeftAnti on the key columns (16-byte shuffles, dims broadcast) or a
+    * per-row predicate — the audit a pipeline runs before promoting a
+    * snapshot. All-zero violations is the EXPECTED result on consistent
+    * data; the audit existing and hashing identically is what the gate
+    * pins.
+    */
+  private val q74IntegrityAudit: Q = (s, d) => {
+    val orders = t(s, d, "orders")
+    val li = t(s, d, "lineitem")
+    // each check is a lazy aggregate branch of ONE unioned plan — no
+    // driver-side actions, so the audit composes/schedules like any query
+    def checkOf(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check"), col("n_violations"))
+    checkOf("fk_orders_customer",
+        orders.join(t(s, d, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti"))
+      .unionAll(checkOf("fk_lineitem_orders",
+        li.join(orders.select(col("o_orderkey").as("ok")),
+          col("l_orderkey") === col("ok"), "left_anti")))
+      .unionAll(checkOf("fk_lineitem_part",
+        li.join(t(s, d, "part").select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_anti")))
+      .unionAll(checkOf("fk_lineitem_supplier",
+        li.join(t(s, d, "supplier").select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")))
+      .unionAll(checkOf("domain_order_totalprice",
+        orders.filter(col("o_totalprice") < 0)))
+      .unionAll(checkOf("domain_lineitem_price_qty",
+        li.filter(col("l_extendedprice") < 0 || col("l_quantity") <= 0)))
+      .orderBy("check")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q74_integrity_audit" -> q74IntegrityAudit,
     "q73_robust_outliers" -> q73RobustOutliers,
     "q72_percentile_sorted" -> q72PercentileSorted,
     "q37_salted_join" -> q37SaltedJoin,
@@ -357,6 +395,30 @@ object Skew {
         |  round(max(o_totalprice), 2) AS max_price,
         |  round(sum(o_totalprice) / count(*), 2) AS avg_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q74_integrity_audit" ->
+      """SELECT "check", n_violations FROM (
+        |  SELECT 'fk_orders_customer' AS "check", count(*) AS n_violations
+        |  FROM orders o WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', count(*) FROM lineitem l
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_part', count(*) FROM lineitem l
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_supplier', count(*) FROM lineitem l
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |  UNION ALL
+        |  SELECT 'domain_order_totalprice', count(*) FROM orders
+        |  WHERE o_totalprice < 0
+        |  UNION ALL
+        |  SELECT 'domain_lineitem_price_qty', count(*) FROM lineitem
+        |  WHERE l_extendedprice < 0 OR l_quantity <= 0)
+        |ORDER BY "check"""".stripMargin,
     "q73_robust_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events
         |  WHERE value IS NOT NULL),
