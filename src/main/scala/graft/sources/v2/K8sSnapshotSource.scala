@@ -141,31 +141,55 @@ class K8sScanBuilder(kind: String, path: String, full: StructType)
   * Structured Streaming source: each re-list lands as a new generation
   * file `<kind>-<gen>.json` in the watched directory, and every
   * micro-batch picks up exactly the not-yet-committed generations.
-  * Offsets are the count of generation files consumed (files sort by
-  * name), so restart-from-checkpoint replays from the right snapshot;
+  *
+  * Offsets are the MAX GENERATION NUMBER consumed (parsed from the
+  * trailing digits of the filename), not an index into a name-sorted
+  * listing: unpadded names (`pods-10.json` sorts before `pods-2.json`)
+  * and files landing between `latestOffset` and `planInputPartitions`
+  * would both shift index-based slices, replaying one generation and
+  * skipping another. A gen-range selection `(start, end]` is stable
+  * under both, so restart-from-checkpoint replays exactly the right
+  * snapshots. The listing is captured once per batch at `latestOffset`;
   * column pruning and stamped-key filter pushdown apply per generation
   * exactly as in the batch reader (same PartitionReader).
   *
   * At scale each generation file is one API list response; a live
   * implementation swaps the directory listing for a watch bookmark —
-  * the offset contract (monotone generation counter) is unchanged.
+  * the offset contract (monotone generation number) is unchanged.
   */
 class K8sMicroBatchStream(kind: String, dir: String, required: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def generations(): Array[String] = {
+  /** Trailing digits of the basename (`pods-17.json` → 17). Files with
+    * no generation number are not generations and are skipped.
+    */
+  private def genOf(name: String): Option[Long] = {
+    val digits = name.stripSuffix(".json").reverse.takeWhile(_.isDigit).reverse
+    if (digits.isEmpty || digits.length > 18) None else Some(digits.toLong)
+  }
+
+  private def listGenerations(): Array[(Long, String)] = {
     val d = new java.io.File(dir)
     val fs = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".json"))
-      .map(_.getAbsolutePath).sorted
+      .flatMap(f => genOf(f.getName).map(g => (g, f.getAbsolutePath)))
+      .sortBy(_._1)
     // a single-file path behaves as one generation (batch parity)
-    if (fs.isEmpty && d.isFile) Array(d.getAbsolutePath) else fs
+    if (fs.isEmpty && d.isFile) Array((0L, d.getAbsolutePath)) else fs
   }
 
-  override def initialOffset(): Offset = K8sGenOffset(0)
-  override def latestOffset(): Offset = K8sGenOffset(generations().length)
+  /** Listing captured at `latestOffset` so the batch planned against it
+    * sees a consistent snapshot even if files land mid-plan.
+    */
+  @volatile private var captured: Array[(Long, String)] = Array.empty
+
+  override def initialOffset(): Offset = K8sGenOffset(-1L)
+  override def latestOffset(): Offset = {
+    captured = listGenerations()
+    K8sGenOffset(if (captured.isEmpty) -1L else captured.last._1)
+  }
   override def deserializeOffset(json: String): Offset =
     K8sGenOffset(json.trim.toLong)
 
@@ -173,8 +197,13 @@ class K8sMicroBatchStream(kind: String, dir: String, required: StructType,
       : Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[K8sGenOffset].gen,
       end.asInstanceOf[K8sGenOffset].gen)
-    generations().slice(s.toInt, e.toInt)
-      .map(p => K8sInputPartition(kind, p): InputPartition)
+    // Replay after restart plans from the offset log without a fresh
+    // latestOffset; re-list then — gen-range selection is stable anyway.
+    val src =
+      if (captured.nonEmpty && captured.last._1 >= e) captured
+      else listGenerations()
+    src.filter { case (g, _) => g > s && g <= e }
+      .map { case (_, p) => K8sInputPartition(kind, p): InputPartition }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -151,4 +151,44 @@ class K8sDsv2Spec extends SparkSpec {
       rm(dir); rm(ckpt)
     }
   }
+
+  test("micro-batch stream: unpadded generation numbers stay exactly-once") {
+    // 'pods-10.json' sorts lexically BEFORE 'pods-2.json'; an index-based
+    // offset would replay one generation and skip another. Gen-parsed
+    // offsets must deliver each exactly once, in generation order.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("k8s-stream-unpad").toFile
+    val ckpt = Files.createTempDirectory("k8s-ckpt-unpad").toFile
+    try {
+      val base = new String(Files.readAllBytes(
+        Paths.get(s"$fixtureDir/pods.json")), "UTF-8")
+      def gen(n: Int, tag: String): Unit =
+        Files.write(Paths.get(dir.getAbsolutePath, s"pods-$n.json"),
+          base.replace("pod-uid-1", s"pod-uid-$tag").getBytes("UTF-8"))
+      gen(2, "g2")
+      val stream = spark.readStream.format("k8s-snapshot")
+        .option("kind", "pods").load(dir.getAbsolutePath)
+        .select("uid")
+      val q = stream.writeStream.format("memory")
+        .queryName("k8s_stream_unpad")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        // gen 10 arrives after gen 2 was committed at offset 2
+        gen(10, "g10")
+        q.processAllAvailable()
+        val all = spark.sql("SELECT uid FROM k8s_stream_unpad")
+          .collect().map(_.getString(0)).toSeq
+        assert(all.size == 8, s"expected 2 generations x 4 pods: $all")
+        assert(all.count(_ == "pod-uid-g2") == 1, all)
+        assert(all.count(_ == "pod-uid-g10") == 1, all)
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(ckpt)
+    }
+  }
 }
