@@ -11,12 +11,22 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Tables.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,4096] runs the same surface
+    // across REAL executor JVMs — a separate process boundary, so every
+    // custom expression/operator/kernel must actually serialize (the one
+    // class of bug local[*] structurally cannot catch). Executors launch
+    // from SPARK_HOME and need only our compiled classes added.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = Tables.configure(SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      b.config("spark.executor.extraClassPath", classes)
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
