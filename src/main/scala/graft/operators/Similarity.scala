@@ -57,33 +57,131 @@ object Similarity {
     "ss15_pq_recall" -> ((s, d) => pqRecall(s, d)),
   )
 
-  /** ss15: PQ RECALL — the quality gate that completes the measurement
-    * trilogy (ss07 pins sign-LSH, ss11 pins IVF, this pins ss13's
-    * product quantization): ADC top-3 against the exact cosine top-3 per
-    * query, recall@1/@3 computed — and, because every PQ stage is
-    * relational, replayed bit-for-bit by DuckDB.
+  /** ss15: PQ RECALL with a TRAINED codebook — the quality gate that
+    * completes the measurement trilogy (ss07 pins sign-LSH, ss11 pins
+    * IVF, this pins ss13's product quantization), measured where
+    * similarity structure EXISTS: the corpus is augmented with THREE
+    * planted near-dup twins per query vector (ss07's integer-LCG noise
+    * at amplitude 0.15 — strong enough that an untrained codebook
+    * misses, small enough that each query's exact cosine top-3 are its
+    * twins), and the codebook is the ss13 16-sample init refined by TWO
+    * per-subspace Lloyd rounds (ss08/ss09's relational k-means applied
+    * to the 8-dim subvectors).
     *
-    * What it measures here is the honest WORST CASE: the driver's
-    * synthetic vectors are near-uniform random, where pairwise cosines
-    * cluster in a narrow band and a 16-sample untrained codebook cannot
-    * separate near-ties — measured recall@3 ≈ 0.03-0.07, i.e. chance.
-    * That is the published behavior of PQ without k-means training on
-    * structureless data, and exactly the number this gate exists to
-    * surface: on real clustered embeddings (or the planted-twin corpus
-    * ss07 uses) the same pipeline scores high, and a codebook/assignment
-    * regression moves the pinned value either way.
+    * Measured at sf0.01: recall@3 = 0.80 trained vs 0.70 untrained
+    * (rounds = 0) — the gate pins a value training actually moves, and
+    * `SimilaritySpec` asserts the trained codebook strictly beats the
+    * untrained one. Every stage stays relational (argmin assignment,
+    * per-dimension avg rounded to 6 per round so double summation-order
+    * drift cannot compound — the ss09 rule), so DuckDB replays
+    * planting, training, encoding, ADC and the recall rollup
+    * bit-for-bit.
     */
-  def pqRecall(s: SparkSession, d: String): DataFrame = {
+  def pqRecall(s: SparkSession, d: String): DataFrame =
+    pqRecallAt(s, d, rounds = 2)
+
+  /** Twin-planted corpus for PQ evaluation: base ∪ three noise families
+    * over the query-eligible ids (vec_id < 50). Pure integer arithmetic
+    * noise (no engine-specific hash) so the oracle replays it exactly.
+    */
+  private def pqTwinCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    def twins(off: Long, m1: Long, m2: Long) =
+      base.filter(col("vec_id") < 50).select(
+        (col("vec_id") + lit(off)).as("vec_id"),
+        expr(s"""transform(embedding, (x, i) -> CAST(x + 0.15 *
+               |  ((((vec_id * $m1) + (i * $m2)) % 1000) / 500.0 - 1.0)
+               |  AS FLOAT))""".stripMargin).as("embedding"))
+    base.unionAll(twins(10000000L, 131071L, 524287L))
+      .unionAll(twins(20000000L, 262147L, 196613L))
+      .unionAll(twins(30000000L, 524287L, 786433L))
+  }
+
+  /** ss15 with a training knob — `rounds = 0` evaluates the raw
+    * 16-sample codebook, letting the spec pin trained > untrained.
+    */
+  def pqRecallAt(s: SparkSession, d: String, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pq3 = topkPq(s, d).select(col("query_id"), col("neighbor_id"))
-    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", l2norm(col("embedding")))
-    val queries = corpus.filter(col("vec_id") < 10)
+    val m = 8
+    val corpus = pqTwinCorpus(s, d)
+    def dd(a: String, b: String) =
+      graft.functions.GraftFunctions.double_dot(col(a), col(b))
+    // (vec_id, k, sub DOUBLE[8], xx) — double subvectors so the trained
+    // centroids (per-dim averages) and distances live in one type both
+    // engines share; the float→double cast is exact.
+    val subs = corpus
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}), k -> struct(k,
+           |  transform(slice(embedding, k * 8 + 1, 8),
+           |    x -> CAST(x AS DOUBLE)) AS sub))""".stripMargin)).as("x"))
+      .select(col("vec_id"), col("x.k").as("k"), col("x.sub").as("sub"))
+      .withColumn("xx", dd("sub", "sub"))
+      .persist()
+    // ss13's deterministic init, split per subspace
+    var cents = corpus
+      .filter(col("vec_id") % 97 === 0).orderBy("vec_id").limit(16)
+      .select(row_number().over(Window.orderBy("vec_id")).as("cid"),
+        col("embedding").as("c_emb"))
+      .select(col("cid"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}), k -> struct(k,
+           |  transform(slice(c_emb, k * 8 + 1, 8),
+           |    x -> CAST(x AS DOUBLE)) AS c_sub))""".stripMargin)).as("x"))
+      .select(col("cid"), col("x.k").as("k"), col("x.c_sub").as("c_sub"))
+    val wAssign = Window.partitionBy("vec_id", "k")
+      .orderBy(col("dist"), col("cid"))
+    def assign(c: DataFrame): DataFrame = subs
+      .join(broadcast(c.withColumn("cc", dd("c_sub", "c_sub"))), Seq("k"))
+      .withColumn("dist",
+        col("xx") + col("cc") - lit(2.0) * dd("sub", "c_sub"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+    for (_ <- 1 to rounds) {
+      // Lloyd refinement per (subspace, cell): per-dimension mean
+      // rounded to 6 decimals (ss09's cross-engine iteration rule);
+      // cells that lose all members drop out deterministically. Each
+      // round references the previous centroids ONCE, so two rounds
+      // stay well inside the single-ref loop rule (CLAUDE.md) — no
+      // checkpoint barrier needed.
+      cents = assign(cents)
+        .groupBy("k", "cid")
+        .agg(graft.functions.VectorAgg.vector_avg(col("sub")).as("avg"))
+        .withColumn("c_sub", expr("transform(avg, x -> round(x, 6))"))
+        .select("k", "cid", "c_sub")
+    }
+    val withcc = cents.withColumn("cc", dd("c_sub", "c_sub"))
+    val codes = assign(cents)
+      .select(col("vec_id"), col("k"), col("cid").as("code"))
+    val dt = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("k"),
+        col("sub").as("q_sub"), col("xx").as("q_xx"))
+      .join(broadcast(withcc), Seq("k"))
+      .select(col("query_id"), col("k"), col("cid"),
+        (col("q_xx") + col("cc") -
+          lit(2.0) * dd("q_sub", "c_sub")).as("d"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    // fixed left-to-right addition chain over the 8 per-subspace sums —
+    // the ss13 reducer-order rule
+    val perSub = (0 until m).map(k =>
+      sum(when(col("k") === k, col("d"))).as(s"d$k"))
+    val pq3 = codes.join(broadcast(dt.select(col("query_id"),
+        col("k").as("dk"), col("cid").as("dcid"), col("d"))),
+        codes("k") === col("dk") && codes("code") === col("dcid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(perSub.head, perSub.tail: _*)
+      .withColumn("adc", (0 until m).map(k => col(s"d$k"))
+        .reduceLeft(_ + _))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val cbase = corpus.withColumn("nrm", l2norm(col("embedding")))
+    val queries = cbase.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val wq = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
-    val exact3 = corpus.crossJoin(broadcast(queries))
+    val exact3 = cbase.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("neighbor_id", col("vec_id"))
       .withColumn("cos_raw",
@@ -737,6 +835,78 @@ object Similarity {
   /** The full PQ pipeline (codebook, assignment, ADC table, sum, rank)
     * in DuckDB terms — shared by the ss13 result oracle and the ss15
     * recall oracle. */
+  /** One DuckDB per-subspace Lloyd round for the ss15 oracle: argmin
+    * assignment of every subvector against `$prev`'s (k, cid, c_sub,
+    * cc), then the refined cell centroid as the per-dimension mean
+    * rounded to 6 — the same rounding the Spark side applies each
+    * round, which is what keeps the engines bit-identical ACROSS
+    * rounds (the ss09 rule applied per subspace).
+    */
+  private def pqLloydRoundSql(r: Int, prev: String): String =
+    s"""a$r AS (SELECT vec_id, k, sub, cid FROM (
+       |    SELECT s.vec_id, s.k, s.sub, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.k
+       |        ORDER BY s.xx + c.cc - 2 * list_reduce(
+       |          list_prepend(CAST(0.0 AS DOUBLE),
+       |          [s.sub[i] * c.c_sub[i]
+       |           for i in generate_series(1, len(s.sub))]),
+       |          (a, b) -> a + b), c.cid) AS rn
+       |    FROM tvs s JOIN $prev c ON s.k = c.k) WHERE rn = 1),
+       |u$r AS (SELECT k, cid, unnest(generate_series(1, len(sub))) AS dim,
+       |    unnest(sub) AS x FROM a$r),
+       |g$r AS (SELECT k, cid, dim, round(avg(x), 6) AS cx
+       |  FROM u$r GROUP BY k, cid, dim),
+       |tcs$r AS (SELECT k, cid, c_sub,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [c_sub[i] * c_sub[i]
+       |       for i in generate_series(1, len(c_sub))]),
+       |      (a, b) -> a + b) AS cc
+       |  FROM (SELECT k, cid, list(cx ORDER BY dim) AS c_sub
+       |        FROM g$r GROUP BY k, cid))""".stripMargin
+
+  /** ss15 oracle prefix: the twin-planted corpus (three ss07-style
+    * integer-LCG noise families at amplitude 0.15 over vec_id < 50),
+    * its subvector table, and the 16-sample codebook init.
+    */
+  private val pqTwinPrefixSql: String = {
+    def twinSql(off: Long, m1: Long, m2: Long): String =
+      s"""SELECT vec_id + $off AS vec_id,
+         |    [CAST(embedding[i] + 0.15 *
+         |       ((((vec_id * $m1) + ((i - 1) * $m2)) % 1000)
+         |        / 500.0 - 1.0) AS REAL)
+         |     for i in generate_series(1, len(embedding))] AS embedding
+         |  FROM embeddings WHERE vec_id < 50""".stripMargin
+    s"""WITH tsrc AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  ${twinSql(10000000L, 131071L, 524287L)}
+       |  UNION ALL
+       |  ${twinSql(20000000L, 262147L, 196613L)}
+       |  UNION ALL
+       |  ${twinSql(30000000L, 524287L, 786433L)}),
+       |tv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM tsrc),
+       |tvsub AS (SELECT vec_id, k, e[k * 8 + 1 : k * 8 + 8] AS sub
+       |  FROM tv, LATERAL (SELECT unnest(generate_series(0, 7)) AS k)),
+       |tvs AS (SELECT vec_id, k, sub,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [sub[i] * sub[i] for i in generate_series(1, len(sub))]),
+       |      (a, b) -> a + b) AS xx
+       |  FROM tvsub),
+       |tcent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, e
+       |  FROM (SELECT vec_id, e FROM tv WHERE vec_id % 97 = 0
+       |        ORDER BY vec_id LIMIT 16)),
+       |tcsub AS (SELECT cid, k, e[k * 8 + 1 : k * 8 + 8] AS c_sub
+       |  FROM tcent, LATERAL (SELECT unnest(generate_series(0, 7)) AS k)),
+       |tcs0 AS (SELECT cid, k, c_sub,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [c_sub[i] * c_sub[i]
+       |       for i in generate_series(1, len(c_sub))]),
+       |      (a, b) -> a + b) AS cc
+       |  FROM tcsub)""".stripMargin
+  }
+
   private val pqPipelineSql: String =
     """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -825,12 +995,48 @@ object Similarity {
     // ss15: PQ recall vs the exact top-3 — DuckDB replays codebook,
     // codes, ADC ranking AND the recall arithmetic on the shared prefix
     "ss15_pq_recall" ->
-      (pqPipelineSql + s""",
+      (pqTwinPrefixSql + ",\n" +
+        pqLloydRoundSql(1, "tcs0") + ",\n" +
+        pqLloydRoundSql(2, "tcs1") + s""",
+         |codes AS (SELECT vec_id, k, cid AS code FROM (
+         |    SELECT s.vec_id, s.k, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.k
+         |        ORDER BY s.xx + c.cc - 2 * list_reduce(
+         |          list_prepend(CAST(0.0 AS DOUBLE),
+         |          [s.sub[i] * c.c_sub[i]
+         |           for i in generate_series(1, len(s.sub))]),
+         |          (a, b) -> a + b), c.cid) AS rn
+         |    FROM tvs s JOIN tcs2 c ON s.k = c.k) WHERE rn = 1),
+         |dtab AS (SELECT s.vec_id AS query_id, s.k, c.cid,
+         |    s.xx + c.cc - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      [s.sub[i] * c.c_sub[i]
+         |       for i in generate_series(1, len(s.sub))]),
+         |      (a, b) -> a + b) AS d
+         |  FROM tvs s JOIN tcs2 c ON s.k = c.k WHERE s.vec_id < 10),
+         |padc AS (SELECT d.query_id, co.vec_id AS neighbor_id,
+         |    sum(CASE WHEN co.k = 0 THEN d.d END) AS d0,
+         |    sum(CASE WHEN co.k = 1 THEN d.d END) AS d1,
+         |    sum(CASE WHEN co.k = 2 THEN d.d END) AS d2,
+         |    sum(CASE WHEN co.k = 3 THEN d.d END) AS d3,
+         |    sum(CASE WHEN co.k = 4 THEN d.d END) AS d4,
+         |    sum(CASE WHEN co.k = 5 THEN d.d END) AS d5,
+         |    sum(CASE WHEN co.k = 6 THEN d.d END) AS d6,
+         |    sum(CASE WHEN co.k = 7 THEN d.d END) AS d7
+         |  FROM codes co JOIN dtab d ON d.k = co.k AND d.cid = co.code
+         |  WHERE co.vec_id <> d.query_id
+         |  GROUP BY d.query_id, co.vec_id),
+         |radc AS (SELECT query_id, neighbor_id,
+         |    d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7 AS adc
+         |  FROM padc),
+         |rk AS (SELECT query_id, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, neighbor_id) AS "rank"
+         |  FROM radc),
          |pq3 AS (SELECT query_id, neighbor_id FROM rk WHERE "rank" <= 3),
          |n AS (SELECT vec_id, e,
          |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
-         |  FROM v),
+         |  FROM tv),
          |p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    $dotSql / (c.nrm * q.nrm) AS cos_raw
          |  FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),

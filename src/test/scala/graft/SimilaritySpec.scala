@@ -140,6 +140,25 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 8, s"only $agree/10 top-1 agreements")
   }
 
+  test("ss15 Lloyd-trained PQ codebook strictly beats the untrained init") {
+    // The round-5 gate: on the twin-planted corpus the trained codebook
+    // must (a) clear the 0.6 recall@3 bar and (b) strictly improve on
+    // the raw 16-sample init — i.e. the training rounds do real work
+    // and a codebook/assignment regression moves a pinned number.
+    def total(rounds: Int): (Long, Long) = {
+      val rows = Similarity.pqRecallAt(spark, sf, rounds)
+        .select("n_hit", "n_exact").collect()
+      (rows.map(_.getLong(0)).sum, rows.map(_.getLong(1)).sum)
+    }
+    val (hitT, nT) = total(2)
+    val (hitU, nU) = total(0)
+    assert(nT == nU && nT > 0)
+    val (recT, recU) = (hitT.toDouble / nT, hitU.toDouble / nU)
+    assert(recT >= 0.6, f"trained recall@3 $recT%.3f below the 0.6 gate")
+    assert(recT > recU,
+      f"training did not improve recall: trained $recT%.3f vs untrained $recU%.3f")
+  }
+
   test("ss03 IVF candidates carry exact cosines, contiguous ranks, non-empty") {
     val rows = Similarity.topkIvf(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
