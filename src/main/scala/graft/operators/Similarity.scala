@@ -543,9 +543,61 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  /** ss06: exact 1-NN graph — every corpus vector's nearest neighbor,
+  /** ss06: 1-NN GRAPH through ANN candidates + exact rerank — the
+    * production route (round-4 verdict item 3): sign-LSH banding
+    * generates candidate pairs (the ss02/ss07 machinery applied with
+    * EVERY vector as a query), the pairs are exact-cosine reranked, and
+    * each vector keeps its best candidate. Candidate generation
+    * shuffles (band, bval, id) triples only; embeddings rejoin AFTER
+    * the pair-level distinct (the candidate-pair payload rule). Work is
+    * O(n · candidates-per-vector), not O(n²) — at 100× the data the
+    * banded join grows with collision density, not the square of the
+    * corpus.
+    *
+    * The oracle replays banding, candidate join and rerank, so the
+    * hash-compare certifies the pipeline exactly. Retrieval QUALITY is
+    * gated separately: `SimilaritySpec` compares this graph against
+    * [[knnGraphExact]] — the distributed block-nested-loop kept as the
+    * sampled recall denominator — and pins the measured recall.
+    */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .withColumn("sig", signBucket(col("embedding")))
+      .persist()
+    val bands = corpus.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 3), b -> (sig div shiftleft(1, 8*b)) % 256)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val cand = bands
+      .join(bands.select(col("band"), col("bval"),
+        col("vec_id").as("nb_id")), Seq("band", "bval"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select("vec_id", "nb_id").distinct()
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_raw").desc, col("nb_id"))
+    cand
+      .join(corpus.select(col("vec_id"), col("embedding"), col("norm")),
+        Seq("vec_id"))
+      .join(corpus.select(col("vec_id").as("nb_id"),
+        col("embedding").as("nb_emb"), col("norm").as("nb_norm")),
+        Seq("nb_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("nb_emb")) / (col("norm") * col("nb_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nb_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** EXACT 1-NN graph — every corpus vector's true nearest neighbor,
     * computed as a distributed block-nested-loop with NO driver collect
-    * and NO corpus-sized broadcast (the r2 scale-killer, since fixed):
+    * and NO corpus-sized broadcast. Since round 5 this is NOT the
+    * default ss06 path (inherently O(n²) compute: 100× data = 10,000×
+    * work); it remains the exact fallback and the sampled recall
+    * denominator for [[knnGraph]]'s ANN route, exactly as a production
+    * engine keeps brute force for quality measurement:
     *
     *  1. Pack the corpus into B hash blocks (`groupBy(block)` +
     *     `collect_list(struct(id, emb, norm))`, sorted id-ASC for the
@@ -559,21 +611,11 @@ object Similarity {
     *     cos): window-max on vec_id + filter + hash agg taking the min
     *     neighbor id among block winners hitting the max (double equality
     *     across blocks is sound — every block runs the identical fold).
-    *     A window is right HERE where it was wrong for the raw pair set:
-    *     it exchanges only n·B 24-byte partials, once, and the follow-up
-    *     groupBy reuses that partitioning (no second exchange). The
-    *     two-hash-agg alternative re-derives the partials subtree — with
-    *     a kernel this expensive, recomputation loses; plan verified.
     *
-    * At 100 TB: exact 1-NN is inherently O(n²) compute; what must NOT be
-    * O(n²) — or driver/executor-resident — is data movement. Here shuffle
-    * volume is O(n·B) with B sized so a block (n/B vectors) fits a task
-    * (B ≈ corpus_bytes / 64 MB), and no node ever holds the whole corpus.
-    * When approximate recall suffices, the LSH/IVF candidate generation
-    * of ss02/ss03 replaces step 2's all-blocks replication with bucketed
-    * candidates feeding the same step-3 argmax.
+    * Shuffle volume is O(n·B) with B sized so a block (n/B vectors) fits
+    * a task (B ≈ corpus_bytes / 64 MB); no node ever holds the corpus.
     */
-  def knnGraph(s: SparkSession, d: String): DataFrame = {
+  def knnGraphExact(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftShim
     import graft.functions.NearestInBlock
     val blocks0 = 16 // test-scale stand-in for corpus_bytes / block budget
@@ -1181,11 +1223,29 @@ object Similarity {
          |FROM n c JOIN n q ON q.vec_id < 50 AND c.vec_id <> q.vec_id
          |WHERE $dotSql / (c.nrm * q.nrm) >= 0.3
          |ORDER BY query_id, neighbor_id""".stripMargin,
+    // ss06: the oracle replays the BANDED pipeline (signature → 4×8-bit
+    // bands → candidate pairs → exact-cosine rerank) — the hash-compare
+    // certifies the ANN route; recall vs the exact graph is gated in
+    // SimilaritySpec against knnGraphExact.
     "ss06_knn_graph" ->
-      s"""WITH $normCte,
-         |p AS (SELECT c.vec_id, q.vec_id AS nb,
+      s"""WITH $normCte, $planesCte,
+         |sigs AS (SELECT v.vec_id,
+         |    sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        [v.e[i] * pl.w[i]
+         |         for i in generate_series(1, least(len(v.e), 64))]),
+         |        (a, b) -> a + b) >= 0
+         |      THEN (1::BIGINT << pl.p) ELSE 0 END) AS sig
+         |  FROM v, planes pl GROUP BY v.vec_id),
+         |bands AS (SELECT vec_id, b.band,
+         |    (sig // (1::BIGINT << (8 * b.band))) % 256 AS bval
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |cand AS (SELECT DISTINCT c.vec_id, q.vec_id AS nb
+         |  FROM bands c JOIN bands q ON c.band = q.band AND c.bval = q.bval
+         |  WHERE c.vec_id <> q.vec_id),
+         |p AS (SELECT cand.vec_id, cand.nb,
          |    $dotSql / (c.nrm * q.nrm) AS cos_raw
-         |  FROM n c JOIN n q ON c.vec_id <> q.vec_id),
+         |  FROM cand JOIN n c ON c.vec_id = cand.vec_id
+         |    JOIN n q ON q.vec_id = cand.nb),
          |w AS (SELECT vec_id, nb, cos_raw,
          |    row_number() OVER (PARTITION BY vec_id
          |      ORDER BY cos_raw DESC, nb) AS rn

@@ -79,8 +79,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("knn graph is block-distributed — no broadcast, no driver index (ss06)") {
+  test("knn graph default path is banded — no corpus×corpus product (ss06)") {
     val plan = executedPlan("ss06_knn_graph")
+    // round-5 verdict: the 1-NN graph routes through sign-LSH candidate
+    // generation + exact rerank; the quadratic block product must NOT be
+    // on the default path
+    assert(plan.contains("sign_lsh32"), plan)
+    assert(!plan.contains("nearest_in_block"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("exact knn fallback is block-distributed — no broadcast, no driver index") {
+    val df = graft.operators.Similarity.knnGraphExact(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     // the corpus meets rows via a SHUFFLE join of packed blocks — no node
     // (driver or executor) ever holds the whole corpus
     assert(plan.contains("nearest_in_block"), plan)
