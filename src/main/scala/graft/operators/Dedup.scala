@@ -672,6 +672,106 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd18: ORACLE-ANCHORED SIMHASH — the cross-engine twin for dd05
+    * (whose production kernel, the codegen SimHash64 Expression, folds
+    * xxhash64 token hashes and is not DuckDB-expressible). Same
+    * algorithm on portable arithmetic: per-token 64-bit signature = the
+    * first 16 hex chars of md5(token); simhash bit j = majority vote of
+    * the tokens' bit j. Measured as HAMMING-THRESHOLD PAIR RECALL over
+    * the planted re-crawl truth (pattern: dd15): every (doc, mutated
+    * copy) twin pair plus a (doc, NEXT doc's copy) control pair, with
+    * the per-pair hamming distance and the ≤12 near-dup verdict — twins
+    * sit ≤ ~11 bits (one dropped token barely moves 64 majority votes),
+    * controls near the random-pair center of 32, so the threshold
+    * separates and BOTH branches replay bit-for-bit in DuckDB.
+    *
+    * Scale: signatures are one map-side pass (the per-bit lambda is the
+    * portability tax the oracle twin pays; dd05's codegen kernel is the
+    * production path), and pairing is an equijoin on the planted offset
+    * — never all-pairs.
+    */
+  private val dd18SimhashOracle: Q = (s, d) => {
+    val sigs = recrawl(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      // hash each token ONCE; the per-bit majority then only reads chars
+      .withColumn("sigs", expr("transform(toks, t -> substring(md5(t), 1, 16))"))
+      .withColumn("simhash", expr(
+        """array_join(transform(sequence(0, 63), j ->
+          |  CASE WHEN 2 * size(filter(sigs, s ->
+          |      ((instr('0123456789abcdef',
+          |              substring(s, CAST(j div 4 AS INT) + 1, 1)) - 1)
+          |        div shiftleft(1, 3 - CAST(j % 4 AS INT))) % 2 = 1))
+          |    >= size(sigs)
+          |  THEN '1' ELSE '0' END), '')""".stripMargin))
+      .select("doc_id", "simhash")
+      .persist() // feeds both sides of the twin AND control joins
+    val a = sigs.filter(col("doc_id") < COPY_OFFSET)
+      .select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sigs.filter(col("doc_id") >= COPY_OFFSET)
+      .select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    val twin = a.join(b, col("doc_b") === col("doc_a") + lit(COPY_OFFSET))
+      .withColumn("pair_type", lit("twin"))
+    val ctrl = a.join(b, col("doc_b") === col("doc_a") + lit(COPY_OFFSET + 1))
+      .withColumn("pair_type", lit("control"))
+    twin.unionAll(ctrl)
+      .withColumn("hamming", expr(
+        """CAST(size(filter(sequence(1, 64),
+          |  i -> substring(sh_a, i, 1) <> substring(sh_b, i, 1))) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("is_dup", col("hamming") <= lit(12))
+      .select("doc_a", "doc_b", "pair_type", "hamming", "is_dup")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** dd19: ORACLE-ANCHORED EMBEDDING NEAR-DUP RECALL — the cross-engine
+    * twin for dd07 (whose re-ingested copy uses Spark's engine-specific
+    * `hash`). Planted twins use ss07's portable integer-LCG noise
+    * (cosine ≈ 0.9999); the SAME sign-LSH 4×8-bit banding generates
+    * candidate pairs (ids only on the shuffle), and each planted twin
+    * pair (plus a next-vector control pair) reports its exact cosine and
+    * whether banding surfaced it. DuckDB replays planting, signatures,
+    * banding, the candidate join and both join branches — the
+    * hash-compare certifies dd07's whole candidate-generation shape.
+    */
+  private val dd19NeardupRecall: Q = (s, d) => {
+    val base = t(s, d, "embeddings").select("vec_id", "embedding")
+    val dup = base.select((col("vec_id") + lit(COPY_OFFSET)).as("vec_id"),
+      expr("""transform(embedding, (x, i) -> CAST(x + 0.001 *
+             |  ((((vec_id * 131071) + (i * 524287)) % 1000) / 500.0 - 1.0)
+             |  AS FLOAT))""".stripMargin).as("embedding"))
+    val all = base.unionAll(dup)
+      .withColumn("norm", Similarity.l2norm(col("embedding")))
+      .withColumn("sig", Similarity.signBucket(col("embedding")))
+      .persist() // the dd07 lesson: feeds banding + two payload joins
+    val banded = all.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 3), b -> (sig div shiftleft(1, 8*b)) % 256)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val cand = banded.select(col("band"), col("bval"),
+        col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("bval"),
+        col("vec_id").as("vec_b")), Seq("band", "bval"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val aSide = all.filter(col("vec_id") < COPY_OFFSET)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+        col("norm").as("n_a"))
+    val bSide = all.filter(col("vec_id") >= COPY_OFFSET)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+        col("norm").as("n_b"))
+    val twin = aSide.join(bSide, col("vec_b") === col("vec_a") + lit(COPY_OFFSET))
+      .withColumn("pair_type", lit("twin"))
+    val ctrl = aSide.join(bSide,
+        col("vec_b") === col("vec_a") + lit(COPY_OFFSET + 1))
+      .withColumn("pair_type", lit("control"))
+    twin.unionAll(ctrl)
+      .withColumn("cosine", round(
+        Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 4))
+      .join(cand.withColumn("lsh_hit", lit(1L)), Seq("vec_a", "vec_b"), "left")
+      .select(col("vec_a"), col("vec_b"), col("pair_type"), col("cosine"),
+        coalesce(col("lsh_hit"), lit(0L)).as("lsh_hit"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "dd14_line_dedup" -> dd14LineDedup,
     "dd15_lsh_recall" -> dd15LshRecall,
@@ -689,6 +789,8 @@ object Dedup {
     "dd11_incremental_dedup" -> dd11IncrementalDedup,
     "dd13_dedup_groups_star" -> dd13DedupGroupsStar,
     "dd17_quality_canonical" -> dd17QualityCanonical,
+    "dd18_simhash_oracle" -> dd18SimhashOracle,
+    "dd19_neardup_recall" -> dd19NeardupRecall,
   )
 
   /** The re-crawl corpus in DuckDB terms, for oracle-expressible entries. */
@@ -765,6 +867,81 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dd18_simhash_oracle" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM $recrawlSql),
+         |sg AS (SELECT doc_id,
+         |    [substr(md5(t), 1, 16) for t in toks] AS sigs FROM tk),
+         |sh AS (SELECT doc_id, array_to_string([
+         |    CASE WHEN 2 * len([s for s in sigs if
+         |        ((instr('0123456789abcdef', substr(s, (j // 4) + 1, 1)) - 1)
+         |          // (1 << (3 - (j % 4)))) % 2 = 1]) >= len(sigs)
+         |    THEN '1' ELSE '0' END
+         |    for j in generate_series(0, 63)], '') AS simhash
+         |  FROM sg),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'twin' AS pair_type,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000000
+         |  WHERE a.doc_id < 10000000
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id, 'control', a.simhash, b.simhash
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000001
+         |  WHERE a.doc_id < 10000000),
+         |h AS (SELECT doc_a, doc_b, pair_type,
+         |    CAST(len([i for i in generate_series(1, 64)
+         |              if substr(sa, i, 1) <> substr(sb, i, 1)]) AS BIGINT)
+         |      AS hamming
+         |  FROM p)
+         |SELECT doc_a, doc_b, pair_type, hamming, (hamming <= 12) AS is_dup
+         |FROM h ORDER BY doc_a, doc_b""".stripMargin,
+    "dd19_neardup_recall" ->
+      s"""WITH src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000,
+         |    [CAST(embedding[i] + 0.001 *
+         |       ((((vec_id * 131071) + ((i - 1) * 524287)) % 1000)
+         |        / 500.0 - 1.0) AS REAL)
+         |     for i in generate_series(1, len(embedding))]
+         |  FROM embeddings),
+         |v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM src),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |${Similarity.planesCte},
+         |sigs AS (SELECT v.vec_id,
+         |    sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        [v.e[i] * pl.w[i]
+         |         for i in generate_series(1, least(len(v.e), 64))]),
+         |        (a, b) -> a + b) >= 0
+         |      THEN (1::BIGINT << pl.p) ELSE 0 END) AS sig
+         |  FROM v, planes pl GROUP BY v.vec_id),
+         |bands AS (SELECT vec_id, b.band,
+         |    (sig // (1::BIGINT << (8 * b.band))) % 256 AS bval
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+         |  WHERE a.vec_id < b.vec_id),
+         |pp AS (
+         |  SELECT c.vec_id AS vec_a, q.vec_id AS vec_b, 'twin' AS pair_type,
+         |    round(${Similarity.dotSql} / (c.nrm * q.nrm), 4) AS cosine
+         |  FROM n c JOIN n q ON q.vec_id = c.vec_id + 10000000
+         |  WHERE c.vec_id < 10000000
+         |  UNION ALL
+         |  SELECT c.vec_id, q.vec_id, 'control',
+         |    round(${Similarity.dotSql} / (c.nrm * q.nrm), 4)
+         |  FROM n c JOIN n q ON q.vec_id = c.vec_id + 10000001
+         |  WHERE c.vec_id < 10000000)
+         |SELECT pp.vec_a, pp.vec_b, pp.pair_type, pp.cosine,
+         |  CAST(CASE WHEN cd.vec_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS lsh_hit
+         |FROM pp LEFT JOIN cand cd
+         |  ON cd.vec_a = pp.vec_a AND cd.vec_b = pp.vec_b
+         |ORDER BY pp.vec_a, pp.vec_b""".stripMargin,
     "dd16_substring_dedup" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
@@ -899,6 +1076,8 @@ object Dedup {
         |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)
         |ORDER BY doc_id""".stripMargin,
     // dd03-dd07 use xxhash64 / custom expressions — not DuckDB-expressible;
-    // the driver records rows-only checks for them.
+    // the driver records rows-only checks for them. Each now has an
+    // oracle-anchored twin running the same algorithm on portable
+    // arithmetic: dd08/dd15 (dd03/dd04/dd06), dd18 (dd05), dd19 (dd07).
   )
 }

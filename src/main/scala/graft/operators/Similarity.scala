@@ -827,7 +827,8 @@ object Similarity {
       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
       |  FROM v)""".stripMargin
-  private val dotSql: String =
+  // shared with Dedup's dd19 oracle (same banding machinery, dedup lens)
+  private[operators] val dotSql: String =
     """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |      [c.e[i] * q.e[i] for i in generate_series(1, len(c.e))]),
       |      (a, b) -> a + b)""".stripMargin
@@ -839,7 +840,7 @@ object Similarity {
     * signature bit agrees: bit p = (Σ_d (double)e[d] * w[p][d] ≥ 0) with
     * the identical sequential fold.
     */
-  private def planesCte: String = {
+  private[operators] def planesCte: String = {
     val rows = graft.functions.GraftHashes.lshPlanes.zipWithIndex
       .map { case (w, p) =>
         s"($p, [${w.map(java.lang.Double.toString).mkString(", ")}])"

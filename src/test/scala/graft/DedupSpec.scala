@@ -229,4 +229,37 @@ class DedupSpec extends SparkSpec {
     // identical (single-token texts) merge, everything else stays distinct
     assert(total + withCopies == 1000)
   }
+
+  test("dd18 simhash hamming separates planted twins from control pairs") {
+    val rows = Dedup.queries("dd18_simhash_oracle")(spark, sf)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getBoolean(4)))
+    val (twins, ctrls) = rows.partition(_._1 == "twin")
+    assert(twins.length == 500 && ctrls.length == 499)
+    // dropping one token barely moves 64 majority votes → twins flagged
+    val twinRecall = twins.count(_._3).toDouble / twins.length
+    assert(twinRecall >= 0.95, f"twin recall $twinRecall%.3f")
+    // unrelated docs share template vocabulary (synthetic corpus), so
+    // their mean sits at ~20 bits rather than the 32-bit random center —
+    // still 8× the twins' distance, and a 12-bit threshold rejects them
+    val ctrlFp = ctrls.count(_._3).toDouble / ctrls.length
+    assert(ctrlFp <= 0.05, f"control false-positive rate $ctrlFp%.3f")
+    val meanTwin = twins.map(_._2).sum.toDouble / twins.length
+    val meanCtrl = ctrls.map(_._2).sum.toDouble / ctrls.length
+    assert(meanTwin < 8 && meanCtrl > 16,
+      f"mean hamming twin $meanTwin%.1f ctrl $meanCtrl%.1f")
+  }
+
+  test("dd19 banded near-dup recall finds planted twins, not controls") {
+    val rows = Dedup.queries("dd19_neardup_recall")(spark, sf)
+      .collect().map(r => (r.getString(2), r.getDouble(3), r.getLong(4)))
+    val (twins, ctrls) = rows.partition(_._1 == "twin")
+    assert(twins.length == 500 && ctrls.length == 499)
+    // ~0.1%/dim noise keeps cosine ≈ 1; natural pairs sit far below
+    assert(twins.forall(_._2 >= 0.999))
+    assert(ctrls.forall(_._2 <= 0.9))
+    val recall = twins.count(_._3 == 1L).toDouble / twins.length
+    assert(recall >= 0.9, f"banded twin recall $recall%.3f")
+    val fp = ctrls.count(_._3 == 1L).toDouble / ctrls.length
+    assert(fp <= 0.2, f"control band-collision rate $fp%.3f")
+  }
 }
