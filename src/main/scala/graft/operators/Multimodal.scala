@@ -7,12 +7,14 @@ import graft.Tables.t
 /** Multimodal-column plumbing (builder mandate; no reference counterpart).
   *
   * Images/audio/video are opaque `binary` columns plus a typed metadata
-  * struct. The actual media decode is STUBBED — this container has no
-  * image/audio codecs — with a deterministic fake (hash-derived features),
-  * clearly marked below. Everything Spark-side is real: schema, batch
-  * shape, partitioning, frame sampling, and feature extraction all run as
-  * codegen'd expressions over binary, exactly as a real decoder UDF would
-  * slot in.
+  * struct. IMAGES are real: mm01/mm05 encode genuine grayscale PNGs with
+  * `javax.imageio` and run an actual decode, with the oracle certifying
+  * the round-trip pixel-for-pixel. AUDIO/VIDEO decode stays STUBBED —
+  * this container has no A/V codecs — with a deterministic fake
+  * (hash-derived features), clearly marked below. Everything Spark-side
+  * is real either way: schema, batch shape, partitioning, frame
+  * sampling, and feature extraction run exactly as a real decoder UDF
+  * would slot in.
   *
   * Scale notes: binary payloads ride in the row; at 100 TB the pattern is
   * unchanged — per-row decode is shuffle-free, and frame explosion
@@ -34,20 +36,104 @@ object Multimodal {
         octet_length(col("text")).cast("bigint").as("nbytes"),
         col("source").as("origin")).as(("meta")))
 
-  /** mm01: ingest + metadata projection + STUB feature extraction.
-    * REAL: binary column, metadata struct, byte-length accounting.
-    * STUB: `feature_fp` — a real pipeline calls an image/audio decoder
-    * here; we substitute md5(content) as the deterministic fake (md5
-    * rather than xxhash64 so the DuckDB oracle can replay the whole
-    * query over the same payload bytes).
+  /** Genuine PNG payloads: each document's bytes become the pixels of a
+    * REAL 8-bit grayscale PNG (width 16, height ⌊nbytes/16⌋, tail bytes
+    * truncated — truncation, not padding, so the oracle's substr replays
+    * the pixel source exactly). `content` holds actual encoder output
+    * (`javax.imageio`), not a fake: mm01/mm05 then round-trip it through
+    * a real decode, and the DuckDB hash-compare over the SOURCE bytes
+    * certifies the decode was lossless pixel-for-pixel.
+    *
+    * Scale: encode is a map-side pass (the mapPartitions shape a
+    * production ingest uses for any codec); payload never shuffles.
     */
-  private val mm01IngestMeta: Q = (s, d) =>
-    mediaTable(s, d).select(
-      col("media_id"),
-      col("meta.mime").as("mime"),
-      col("meta.nbytes").as("nbytes"),
-      md5(col("content")).as("feature_fp") // STUB decode (see scaladoc)
-    ).orderBy("media_id")
+  def pngTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no tmp-file churn
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val h = bytes.length / 16
+          if (h == 0) Iterator.empty
+          else {
+            val img = new java.awt.image.BufferedImage(
+              16, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < 16) {
+                raster.setSample(x, y, 0, bytes(y * 16 + x) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            Iterator((id, baos.toByteArray, bytes.length.toLong))
+          }
+        }
+      }.toDF("media_id", "content", "src_nbytes")
+  }
+
+  /** Decode a grayscale PNG back to (width, height, row-major pixel
+    * bytes) with `javax.imageio` — the REAL decode mm01/mm05 run on.
+    */
+  private def decodeGray(png: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val out = new Array[Byte](w * h)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) = raster.getSample(x, y, 0).toByte
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** mm01: ingest + REAL image decode (round-4 verdict item 8). The
+    * content column is a genuine PNG ([[pngTable]]); width, height,
+    * mean luma and the pixel fingerprint all come from the
+    * `javax.imageio` decoded raster. The oracle derives the same values
+    * from the source bytes — equality holds iff the encode→decode
+    * round-trip is pixel-exact, so the hash-compare is a lossless-decode
+    * proof, not a replay of a stub. (The md5 STUB boundary now only
+    * remains where the container genuinely lacks codecs: audio/video in
+    * mm02-mm04, mm06.)
+    */
+  private val mm01IngestMeta: Q = (s, d) => {
+    import s.implicits._
+    pngTable(s, d).as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, png, srcN) =>
+          val (w, h, px) = decodeGray(png)
+          var lumaSum = 0L
+          var i = 0
+          while (i < px.length) { lumaSum += (px(i) & 0xff); i += 1 }
+          (id, srcN, w.toLong, h.toLong, lumaSum, md5Hex(px))
+        }
+      }
+      .toDF("media_id", "nbytes", "width", "height", "luma_sum", "decoded_fp")
+      .select(col("media_id"), lit("image/png").as("mime"), col("nbytes"),
+        col("width"), col("height"),
+        round(col("luma_sum").cast("double") /
+          (col("width") * col("height")), 2).as("mean_luma"),
+        col("decoded_fp"))
+      .orderBy("media_id")
+  }
 
   /** mm02: frame sampling — split the payload into fixed 32-byte "frames",
     * keep every 4th (the video-keyframe pattern); per-frame STUB feature.
@@ -151,44 +237,46 @@ object Multimodal {
     "mm06_energy_segments" -> mm06EnergySegments,
   )
 
-  /** mm05: ViT-style PATCH GRID — the payload viewed as a 2D byte image
-    * (row width 16), cut into 4×4 patches: patch (pr, pc) gathers four
-    * strided 4-byte row slices and fingerprints them. This is the
-    * tokenization step of a vision transformer pipeline expressed as
-    * per-row generate + codegen'd substring/concat — no shuffle, and the
-    * emitted patch table is partitioned like the scan (the mm02 frame
-    * rule). Ragged tail patches keep whatever bytes exist (real
-    * pipelines pad; the fingerprint pins the exact gather either way).
-    * STUB boundary as mm01-03: a real ViT embeds the patch; md5 is the
-    * deterministic fake the oracle can replay.
+  /** mm05: ViT-style PATCH GRID over GENUINELY DECODED pixels (round-4
+    * verdict item 8): the image is a real PNG ([[pngTable]]), decoded
+    * with `javax.imageio`, and each 4×4 patch gathers 16 bytes from the
+    * decoded raster — the tokenization step of a vision transformer
+    * pipeline, with the decode no longer stubbed. Ragged tail rows
+    * (height not a multiple of 4) are truncated, mirroring the encoder's
+    * width-16 truncation, so the oracle's substr over the source bytes
+    * replays the exact gather. STUB boundary: only the patch EMBEDDING
+    * (md5 in place of a ViT — no model in this container); the pixels
+    * are real decoder output, certified lossless by the hash-compare.
+    *
+    * Scale: decode + patching is one map-side pass per image (the batch
+    * shape a Pandas-UDF decoder has); the patch table inherits the scan
+    * partitioning, no shuffle before downstream aggregation.
     */
-  private def mm05PatchGrid: Q = (s, d) =>
-    mediaTable(s, d)
-      // zero-byte payloads: Spark's sequence(0, -1) auto-steps BACKWARD
-      // to [0, -1] while DuckDB's generate_series(0, -1) is empty — drop
-      // them before the explode so equivalence is structural, not an
-      // accident of the downstream patch-bytes filter (ADVICE r4)
-      .filter(col("meta.nbytes") > 0)
-      .withColumn("n_rows",
-        ceil(col("meta.nbytes").cast("double") / 16.0).cast("int"))
-      .select(col("media_id"), col("content"),
-        explode(sequence(lit(0), ceil(col("n_rows").cast("double") / 4.0)
-          .cast("int") - 1)).as("pr"))
-      .select(col("media_id"), col("content"), col("pr"),
-        explode(sequence(lit(0), lit(3))).as("pc"))
-      .withColumn("patch", expr(
-        """concat(substring(content, (pr * 4 + 0) * 16 + pc * 4 + 1, 4),
-          |       substring(content, (pr * 4 + 1) * 16 + pc * 4 + 1, 4),
-          |       substring(content, (pr * 4 + 2) * 16 + pc * 4 + 1, 4),
-          |       substring(content, (pr * 4 + 3) * 16 + pc * 4 + 1, 4))"""
-          .stripMargin))
-      .filter(octet_length(col("patch")) > 0)
-      .select(col("media_id"),
-        col("pr").cast("bigint").as("patch_row"),
-        col("pc").cast("bigint").as("patch_col"),
-        octet_length(col("patch")).cast("bigint").as("patch_bytes"),
-        md5(col("patch")).as("patch_fp")) // STUB embed (see scaladoc)
+  private def mm05PatchGrid: Q = (s, d) => {
+    import s.implicits._
+    pngTable(s, d).as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, png, _) =>
+          val (w, h, px) = decodeGray(png)
+          for (pr <- 0 until h / 4; pc <- 0 until w / 4) yield {
+            val patch = new Array[Byte](16)
+            var k = 0
+            var ry = 0
+            while (ry < 4) {
+              var rx = 0
+              while (rx < 4) {
+                patch(k) = px((pr * 4 + ry) * w + pc * 4 + rx)
+                k += 1; rx += 1
+              }
+              ry += 1
+            }
+            (id, pr.toLong, pc.toLong, 16L, md5Hex(patch))
+          }
+        }
+      }
+      .toDF("media_id", "patch_row", "patch_col", "patch_bytes", "patch_fp")
       .orderBy("media_id", "patch_row", "patch_col")
+  }
 
   /** mm06: ENERGY-BASED SEGMENTATION — the voice-activity-detection
     * shape: per-frame "energy" (byte sum over a 32-byte frame — the STUB
@@ -231,11 +319,11 @@ object Multimodal {
       .orderBy("media_id", "seg_start")
   }
 
-  // All three queries oracle-check: the payload is the documents' ASCII
-  // bytes (verified pure-ASCII in the driver corpus), so DuckDB's
+  // All queries oracle-check: the payload is the documents' ASCII bytes
+  // (verified pure-ASCII in the driver corpus), so DuckDB's
   // character-level substr/md5/ord replay Spark's byte-level binary ops
-  // exactly. The STUB boundary is unchanged — only the fake decoder's
-  // hash function had to be portable.
+  // exactly — and for mm01/mm05, replay the PIXEL SOURCE that the PNG
+  // round-trip must reproduce byte-for-byte.
   val oracleSql: Map[String, String] = Map(
     "mm06_energy_segments" ->
       """WITH f AS (SELECT doc_id AS media_id, text,
@@ -257,11 +345,10 @@ object Multimodal {
     "mm05_patch_grid" ->
       """WITH g AS (
         |  SELECT doc_id AS media_id, text,
-        |    CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_rows
-        |  FROM documents),
+        |    CAST(length(text) // 16 AS BIGINT) AS h
+        |  FROM documents WHERE length(text) >= 16),
         |pr AS (SELECT media_id, text,
-        |    unnest(generate_series(0,
-        |      CAST(ceil(n_rows / 4.0) AS BIGINT) - 1)) AS pr
+        |    unnest(generate_series(0, h // 4 - 1)) AS pr
         |  FROM g),
         |pp AS (SELECT media_id, text, pr,
         |    unnest(generate_series(0, 3)) AS pc FROM pr),
@@ -274,8 +361,7 @@ object Multimodal {
         |  FROM pp)
         |SELECT media_id, pr AS patch_row, pc AS patch_col,
         |  CAST(length(patch) AS BIGINT) AS patch_bytes, md5(patch) AS patch_fp
-        |FROM p WHERE length(patch) > 0
-        |ORDER BY media_id, patch_row, patch_col""".stripMargin,
+        |FROM p ORDER BY media_id, patch_row, patch_col""".stripMargin,
     "mm04_av_sync" ->
       """WITH video AS (
         |  SELECT doc_id AS media_id, fi * 40 AS ts,
@@ -302,12 +388,23 @@ object Multimodal {
         |ASOF LEFT JOIN video v
         |  ON a.media_id = v.media_id AND a.ts >= v.ts
         |ORDER BY a.media_id, a.chunk_idx""".stripMargin,
+    // mm01/mm05 oracles read the SOURCE bytes; Spark reads genuinely
+    // DECODED PNG pixels — equality proves the encode→decode round-trip
+    // is pixel-exact (grayscale PNG is lossless).
     "mm01_media_ingest" ->
-      """SELECT doc_id AS media_id,
-        |  'application/octet-stream' AS mime,
-        |  CAST(length(text) AS BIGINT) AS nbytes,
-        |  md5(text) AS feature_fp
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    CAST(length(text) AS BIGINT) AS nbytes,
+        |    CAST(length(text) // 16 AS BIGINT) AS h,
+        |    substring(text, 1, CAST((length(text) // 16) * 16 AS INT))
+        |      AS px
+        |  FROM documents WHERE length(text) >= 16)
+        |SELECT media_id, 'image/png' AS mime, nbytes,
+        |  CAST(16 AS BIGINT) AS width, h AS height,
+        |  round(CAST(list_sum(list_transform(string_split(px, ''),
+        |    c -> CAST(ord(c) AS BIGINT))) AS DOUBLE) / (16 * h), 2)
+        |    AS mean_luma,
+        |  md5(px) AS decoded_fp
+        |FROM g ORDER BY media_id""".stripMargin,
     "mm02_frame_sample" ->
       """WITH f AS (SELECT doc_id AS media_id, text,
         |    unnest(generate_series(0,

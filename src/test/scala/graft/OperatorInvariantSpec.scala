@@ -121,6 +121,37 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got.length == 20 && got.distinct.length == 20)
   }
 
+  test("mm01: content is a real PNG and the decode round-trips the pixels") {
+    // the binary column must hold genuine encoder output, not a fake
+    val pngs = Multimodal.pngTable(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    pngs.values.foreach(b => assert(b.take(8).sameElements(magic)))
+    // independent in-JVM decode: pixels == truncated source bytes
+    val src = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8"))
+      .toMap
+    val fps = Multimodal.queries("mm01_media_ingest")(spark, sf)
+      .select("media_id", "width", "height", "decoded_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(fps.length == src.size)
+    fps.foreach { case (id, w, h, fp) =>
+      val bytes = src(id)
+      assert(w == 16 && h == bytes.length / 16, s"doc $id")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(pngs(id)))
+      val px = Array.tabulate(16 * h.toInt) { i =>
+        img.getRaster.getSample(i % 16, i / 16, 0).toByte
+      }
+      assert(px.sameElements(bytes.take(16 * h.toInt)), s"doc $id pixels")
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(px).map(b => f"$b%02x").mkString
+      assert(fp == want, s"doc $id fp")
+    }
+  }
+
   test("mm01: nbytes equals UTF-8 byte length of the source text") {
     val got = Multimodal.queries("mm01_media_ingest")(spark, sf)
       .select("media_id", "nbytes")
