@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SortedIntersectCard(es(0), es(1)))
     inject(ext, "vector_avg", 1,
       es => VectorAvg(es.head).toAggregateExpression())
+    // SQL-addressable pipeline operators: graft_op(name[, dir]) inlines
+    // any SparkEntry.queries operator as a relation; graft_ops() lists
+    // them (round-4 verdict item 9 — the REPL/HTTP SQL surface)
+    ext.injectTableFunction((FunctionIdentifier("graft_op"),
+      info("graft_op", "graft_op(name[, dataDir])"), GraftOps.opPlan _))
+    ext.injectTableFunction((FunctionIdentifier("graft_ops"),
+      info("graft_ops", "graft_ops()"), GraftOps.opsPlan _))
     // planner strategy for the custom logical operators (graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }

@@ -745,5 +745,9 @@ object GraftFunctions {
       "simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "poly_hash_mod", es => PolyHashMod(es.head), "scala_udf")
+    // SQL-addressable operators for sessions built WITHOUT GraftExtensions
+    val treg = spark.sessionState.tableFunctionRegistry
+    treg.createOrReplaceTempFunction("graft_op", GraftOps.opPlan _, "scala_udf")
+    treg.createOrReplaceTempFunction("graft_ops", GraftOps.opsPlan _, "scala_udf")
   }
 }

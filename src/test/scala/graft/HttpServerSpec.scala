@@ -48,6 +48,42 @@ class HttpServerSpec extends SparkSpec {
     assert(body.startsWith("error: "))
   }
 
+  test("pipeline operators are SQL-addressable over HTTP: dedup") {
+    // round-4 verdict item 9: the reference UX is "type SQL, get a
+    // table" — a dedup operator must run as plain SQL text end to end
+    val sql = "SELECT doc_id, n_copies " +
+      "FROM graft_op('dd02_dedup_exact_hash', '/root/testdata/sf0.001') " +
+      "WHERE n_copies >= 2 ORDER BY doc_id LIMIT 5"
+    val (code, body) = get(s"http://localhost:$port/api?query=" +
+      java.net.URLEncoder.encode(sql, "UTF-8"))
+    assert(code == 200, body)
+    assert(body.contains("\"headers\"") && body.contains("n_copies"), body)
+    assert(body.contains("\"data\""), body)
+  }
+
+  test("pipeline operators are SQL-addressable over HTTP: ANN top-k") {
+    val sql = "SELECT query_id, rank, neighbor_id " +
+      "FROM graft_op('ss01_topk_bruteforce', '/root/testdata/sf0.001') " +
+      "WHERE rank = 1 ORDER BY query_id LIMIT 3"
+    val (code, body) = get(s"http://localhost:$port/api?query=" +
+      java.net.URLEncoder.encode(sql, "UTF-8"))
+    assert(code == 200, body)
+    assert(body.contains("neighbor_id"), body)
+  }
+
+  test("graft_ops() lists operators; unknown operator → 500 with hint") {
+    val (code, body) = get(s"http://localhost:$port/api?query=" +
+      java.net.URLEncoder.encode(
+        "SELECT * FROM graft_ops() WHERE op LIKE 'dd%'", "UTF-8"))
+    assert(code == 200, body)
+    assert(body.contains("dd01_dedup_exact") &&
+      body.contains("dd19_neardup_recall"), body)
+    val (code2, body2) = get(s"http://localhost:$port/api?query=" +
+      java.net.URLEncoder.encode(
+        "SELECT * FROM graft_op('no_such_op', '/tmp')", "UTF-8"))
+    assert(code2 == 500 && body2.contains("graft_ops()"), body2)
+  }
+
   test("static index.html served with content-type") {
     val (code, body) = get(s"http://localhost:$port/")
     assert(code == 200)
