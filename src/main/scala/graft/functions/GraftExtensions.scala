@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "shingle_hashes64", 1, es => ShingleHashes64(es.head))
     inject(ext, "shingle_strings", 1, es => ShingleStrings(es.head))
     inject(ext, "sign_lsh32", 1, es => SignLsh32(es.head))
+    inject(ext, "md5_simhash_bits", 1, es => Md5SimHashBits(es.head))
     inject(ext, "text_stats", 1, es => TextStats(es.head))
     inject(ext, "repetition_stats", 1, es => RepetitionStats(es.head))
     inject(ext, "float_dot", 2, es => FloatDot(es(0), es(1)))

@@ -685,24 +685,18 @@ object Dedup {
     * controls near the random-pair center of 32, so the threshold
     * separates and BOTH branches replay bit-for-bit in DuckDB.
     *
-    * Scale: signatures are one map-side pass (the per-bit lambda is the
-    * portability tax the oracle twin pays; dd05's codegen kernel is the
-    * production path), and pairing is an equijoin on the planted offset
-    * — never all-pairs.
+    * Scale: signatures are one fused map-side codegen pass
+    * (GraftHashes.md5SimHashBits — the dd08 pattern: portable md5
+    * arithmetic, production-speed kernel), and pairing is an equijoin
+    * on the planted offset — never all-pairs.
     */
   private val dd18SimhashOracle: Q = (s, d) => {
+    // fused codegen kernel (GraftHashes.md5SimHashBits): the HOF
+    // formulation (64 interpreted filter() passes over the token sigs
+    // per doc) measured 12.3 s at sf0.1; the kernel hashes each token
+    // once and majority-votes in a tight loop — same bytes, ~40× less
     val sigs = recrawl(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      // hash each token ONCE; the per-bit majority then only reads chars
-      .withColumn("sigs", expr("transform(toks, t -> substring(md5(t), 1, 16))"))
-      .withColumn("simhash", expr(
-        """array_join(transform(sequence(0, 63), j ->
-          |  CASE WHEN 2 * size(filter(sigs, s ->
-          |      ((instr('0123456789abcdef',
-          |              substring(s, CAST(j div 4 AS INT) + 1, 1)) - 1)
-          |        div shiftleft(1, 3 - CAST(j % 4 AS INT))) % 2 = 1))
-          |    >= size(sigs)
-          |  THEN '1' ELSE '0' END), '')""".stripMargin))
+      .withColumn("simhash", GraftFunctions.md5_simhash_bits(col("text")))
       .select("doc_id", "simhash")
       .persist() // feeds both sides of the twin AND control joins
     val a = sigs.filter(col("doc_id") < COPY_OFFSET)
