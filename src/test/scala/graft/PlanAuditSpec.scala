@@ -299,4 +299,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("simhash twin runs the fused kernel map-side; pairing is equijoins (dd18)") {
+    val plan = executedPlan("dd18_simhash_oracle")
+    assert(plan.contains("md5_simhash_bits"), plan)
+    // planted-offset pairing must plan as hash equijoins, never a product
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("near-dup recall twin is banded — kernel signatures, no product (dd19)") {
+    val plan = executedPlan("dd19_neardup_recall")
+    assert(plan.contains("sign_lsh32"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
