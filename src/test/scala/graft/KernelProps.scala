@@ -80,6 +80,30 @@ object KernelProps extends Properties("GraftKernels") {
         java.lang.Double.doubleToLongBits(want)
     }
 
+  /** Independent reimplementation of dd18's SimHash in the ORACLE's
+    * arithmetic — hex chars of md5, nibble bit via instr/shift — rather
+    * than the kernel's digest-byte loop, over texts WITH empty tokens
+    * (leading/trailing/double spaces the corpus never exercises). The
+    * kernel's MSB-first bit indexing is exactly what this pins.
+    */
+  property("md5SimHashBits matches the hex-char majority reference") =
+    Prop.forAll(spaceyText) { t =>
+      def md5hex(s: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        d.map(b => f"$b%02x").mkString
+      }
+      val sigs = t.split(" ", -1).map(tok => md5hex(tok).take(16))
+      val want = (0 until 64).map { j =>
+        val set = sigs.count { s =>
+          val v = "0123456789abcdef".indexOf(s(j / 4))
+          ((v >> (3 - j % 4)) & 1) == 1
+        }
+        if (2 * set >= sigs.length) '1' else '0'
+      }.mkString
+      GraftHashes.md5SimHashBits(UTF8String.fromString(t)).toString == want
+    }
+
   property("md5MinLanes lanes are independent minima") =
     Prop.forAll(Gen.nonEmptyListOf(token).map(_.take(10))) { shingles =>
       val arr = new GenericArrayData(
