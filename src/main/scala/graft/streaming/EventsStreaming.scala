@@ -378,6 +378,114 @@ object EventsStreaming {
       .orderBy("window_start")
   }
 
+  /** The st09 corpus: documents arriving 7 s apart plus a MUTATED
+    * re-crawl copy (first token dropped — a true near-duplicate, the
+    * dd15 planting) arriving 60 s after its original, inside the
+    * 10-minute claim horizon.
+    */
+  def neardupCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id") * 7).as("ts"))
+    base.unionAll(base.select((col("doc_id") + 1000000L).as("doc_id"),
+      when(instr(col("text"), " ") > 0,
+        expr("substring(text, instr(text, ' ') + 1)"))
+        .otherwise(col("text")).as("text"),
+      (col("ts") + expr("interval 60 seconds")).as("ts")))
+  }
+
+  /** Shared banding for the st09 pair: distinct 3-token shingles →
+    * 8 portable md5 MinHash lanes → 4 bands of 2 lanes (the dd15
+    * S-curve), one (band, bkey) row per doc per band. Only 4 narrow
+    * rows per doc ever reach the stateful shuffle — the text stays on
+    * the map side.
+    */
+  def bandedDocs(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions
+    docs
+      .withColumn("sig", GraftFunctions.md5_min_lanes(
+        array_distinct(GraftFunctions.shingle_strings(col("text"))), 8))
+      .select(col("doc_id"), col("ts"), posexplode(expr(
+        "transform(sequence(0, 3), b -> concat(sig[2*b], sig[2*b+1]))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+  }
+
+  case class BandArrival(doc_id: Long, ts: Timestamp, band: Int, bkey: String)
+  case class BandNovel(doc_id: Long, ts: Timestamp, band: Int, novel: Boolean)
+  case class ClaimState(lastMs: Long)
+
+  /** STREAMING NEAR-DUP ADMISSION (ingest-time MinHash-LSH dedup — what
+    * dd04/dd15 do offline, applied to a crawl firehose): each (band,
+    * bkey) bucket is a CLAIM. The first arrival in a bucket is novel
+    * and claims it; later arrivals within the 10-minute horizon are
+    * near-dup hits, and every arrival RENEWS the claim (expiry = last
+    * arrival + horizon — exactly the lag-gap rule the batch face and
+    * oracle replay). A document is ADMITTED iff all 4 of its bands are
+    * novel; its 4 novelty rows emit in the same micro-batch (one input
+    * row explodes to 4 bands processed together), so the per-doc AND is
+    * a stateless per-batch reduction at the sink — `flatMapGroupsWithState`
+    * chained into another stateful aggregate is not a supported
+    * streaming topology, and doesn't need to be.
+    *
+    * State story at 100 TB/day: one (lastMs) per CLAIMED bucket inside
+    * the horizon, evicted by EventTimeTimeout — bounded by arrival rate
+    * × horizon, like dropDuplicatesWithinWatermark, not corpus size.
+    * Watermark-late rows classify against the surviving claim rather
+    * than a global re-sort — the standard streaming-lateness contract.
+    */
+  def neardupBandNovelty(docs: DataFrame): Dataset[BandNovel] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = 10L * 60 * 1000
+    bandedDocs(docs).as[BandArrival]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[ClaimState, BandNovel](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), rows: Iterator[BandArrival],
+            state: GroupState[ClaimState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var last = state.getOption.map(_.lastMs)
+            val out = sorted.map { r =>
+              val t = r.ts.getTime
+              val novel = last.forall(l => t - l > horizonMs)
+              last = Some(t) // every arrival renews the claim
+              BandNovel(r.doc_id, r.ts, r.band, novel)
+            }
+            state.update(ClaimState(last.get))
+            state.setTimeoutTimestamp(last.get + horizonMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** st09: the near-dup admission's deterministic batch face — same
+    * banding, claim rule spelled as a lag-gap window per bucket
+    * (novel ⇔ no arrival in the same bucket within the preceding
+    * 600 s), admission = all 4 bands novel. On the planted corpus the
+    * originals admit and their mutated re-crawls collide on every
+    * band with near-certainty (dd15's measured top-decile recall);
+    * residual admissions among copies are the honest LSH recall
+    * boundary, pinned cross-engine by the oracle.
+    */
+  private val st09NeardupAdmission: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val banded = bandedDocs(neardupCorpus(s, d))
+      .withColumn("arr_s", unix_timestamp(col("ts")))
+    val w = Window.partitionBy("band", "bkey").orderBy("arr_s", "doc_id")
+    banded
+      .withColumn("prev_s", lag(col("arr_s"), 1).over(w))
+      .withColumn("novel",
+        col("prev_s").isNull || col("arr_s") - col("prev_s") > 600)
+      .groupBy("doc_id")
+      .agg(sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel_bands"))
+      .withColumn("admitted", col("n_novel_bands") === 4)
+      .select(col("doc_id"), col("n_novel_bands"), col("admitted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "st08_new_users" -> st08NewUsers,
     "st01_sessionize" -> st01Sessionize,
@@ -386,9 +494,53 @@ object EventsStreaming {
     "st04_stream_ingest" -> st04StreamIngest,
     "st05_enrich_join" -> st05EnrichJoin,
     "st06_interval_outer" -> st06IntervalOuter,
-    "st07_dedup_replay" -> st07DedupReplay)
+    "st07_dedup_replay" -> st07DedupReplay,
+    "st09_neardup_admission" -> st09NeardupAdmission)
 
   val oracleSql: Map[String, String] = Map(
+    "st09_neardup_admission" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, 1704067200 + doc_id * 7 AS arr_s
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END,
+        |    1704067200 + doc_id * 7 + 60
+        |  FROM documents),
+        |tk AS (SELECT doc_id, arr_s, text,
+        |    string_split(text, ' ') AS tk FROM corpus),
+        |sh AS (SELECT doc_id, arr_s,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM tk),
+        |sig AS (SELECT doc_id, arr_s,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, arr_s, 0 AS band, s0 || s1 AS bkey FROM sig
+        |  UNION ALL SELECT doc_id, arr_s, 1, s2 || s3 FROM sig
+        |  UNION ALL SELECT doc_id, arr_s, 2, s4 || s5 FROM sig
+        |  UNION ALL SELECT doc_id, arr_s, 3, s6 || s7 FROM sig),
+        |nv AS (SELECT doc_id,
+        |    CASE WHEN prev_s IS NULL OR arr_s - prev_s > 600
+        |         THEN 1 ELSE 0 END AS novel
+        |  FROM (SELECT doc_id, arr_s,
+        |      lag(arr_s) OVER (PARTITION BY band, bkey
+        |        ORDER BY arr_s, doc_id) AS prev_s
+        |    FROM banded))
+        |SELECT doc_id, CAST(sum(novel) AS BIGINT) AS n_novel_bands,
+        |  (sum(novel) = 4) AS admitted
+        |FROM nv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "st08_new_users" ->
       """WITH ft AS (SELECT user_id, min(ts) AS fts FROM (
         |    SELECT user_id, ts,

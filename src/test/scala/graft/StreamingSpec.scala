@@ -171,6 +171,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.size > 5) // several windows, not a degenerate comparison
   }
 
+  test("streaming near-dup band claims match the st09 batch face") {
+    import StreamingSpec.NdDoc
+    val sf = "/root/testdata/sf0.001"
+    val corpus = EventsStreaming.neardupCorpus(spark, sf)
+      .orderBy("ts", "doc_id")
+      .collect().map(r => NdDoc(r.getLong(0), r.getString(1),
+        r.getTimestamp(2))).toSeq
+    // stream in two micro-batches split mid-corpus: claims must carry
+    // across the batch boundary through the state store
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[NdDoc](spark)
+    val q = EventsStreaming.neardupBandNovelty(input.toDF())
+      .writeStream.format("memory").queryName("ndnovel")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ndnovel")
+      .select("doc_id", "band", "novel").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    // batch-face novelty flags (the pre-aggregation stage of st09)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band", "bkey").orderBy("arr_s", "doc_id")
+    val want = EventsStreaming.bandedDocs(
+        EventsStreaming.neardupCorpus(spark, sf))
+      .withColumn("arr_s", unix_timestamp(col("ts")))
+      .withColumn("prev_s", lag(col("arr_s"), 1).over(w))
+      .withColumn("novel",
+        col("prev_s").isNull || col("arr_s") - col("prev_s") > 600)
+      .select("doc_id", "band", "novel").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    // per-doc admission (AND of the 4 bands) rejects every mutated copy
+    val admitted = got.groupBy(_._1._1)
+      .map { case (id, m) => id -> m.values.forall(identity) }
+    assert(admitted.count { case (id, a) => id >= 1000000L && a } == 0)
+    assert(admitted.count { case (id, a) => id < 1000000L && a } >=
+      admitted.count(_._1 < 1000000L) * 9 / 10)
+  }
+
   test("left-outer interval join emits unmatched clicks once the watermark allows") {
     val clicks = rows.filter(_.event_type == "click") :+
       Event(20, ts(5), 3, "click", 0.0) // user 3 has no views → null row
@@ -247,4 +291,7 @@ object StreamingSpec {
   /** st04 input row (class-level so spark.implicits can derive an Encoder). */
   case class Doc(doc_id: Long, text: String, lang: String,
       n_chars: Long, ts: java.sql.Timestamp)
+
+  /** st09 input row. */
+  case class NdDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 }
