@@ -27,10 +27,14 @@ class LocalClusterParitySpec extends SparkSpec {
   //          buffers serialized between executors)
   //   tx13 — 64-bit wrapping-hash kernel
   //   st01 — sessionization batch face (window state over shuffles)
+  //   dd18 — Md5SimHashBits codegen kernel (round-5 addition)
+  //   mm05 — javax.imageio encode/decode inside executor mapPartitions
+  //   st09 — banded claim window over md5_min_lanes signatures
   private val names = Seq("q66_topk_pergroup", "dd12_semantic_dedup",
     "pp10_bloom_decontaminate", "dd03_minhash_signatures",
     "ss10_quantized_topk", "ss09_kmeans_converged",
-    "tx13_source_sig_oracle", "st01_sessionize")
+    "tx13_source_sig_oracle", "st01_sessionize",
+    "dd18_simhash_oracle", "mm05_patch_grid", "st09_neardup_admission")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
