@@ -47,33 +47,38 @@ object Multimodal {
     * Scale: encode is a map-side pass (the mapPartitions shape a
     * production ingest uses for any codec); payload never shuffles.
     */
+  /** Encode row-major grayscale pixels (width 16) as real PNG bytes. */
+  private def encodeGrayPng(px: Array[Byte]): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // no tmp-file churn
+    val h = px.length / 16
+    val img = new java.awt.image.BufferedImage(
+      16, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < 16) {
+        raster.setSample(x, y, 0, px(y * 16 + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   def pngTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     t(s, d, "documents").select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false) // no tmp-file churn
         it.flatMap { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
           val h = bytes.length / 16
           if (h == 0) Iterator.empty
-          else {
-            val img = new java.awt.image.BufferedImage(
-              16, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val raster = img.getRaster
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < 16) {
-                raster.setSample(x, y, 0, bytes(y * 16 + x) & 0xff)
-                x += 1
-              }
-              y += 1
-            }
-            val baos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", baos)
-            Iterator((id, baos.toByteArray, bytes.length.toLong))
-          }
+          else Iterator((id, encodeGrayPng(bytes.take(16 * h)),
+            bytes.length.toLong))
         }
       }.toDF("media_id", "content", "src_nbytes")
   }
@@ -102,6 +107,43 @@ object Multimodal {
   private def md5Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     d.map(b => f"$b%02x").mkString
+  }
+
+  /** Difference hash (dHash) of a w×h grayscale raster on the 9×8
+    * floor-boundary block grid: bit (gx, gy) = mean(cell gx) >
+    * mean(cell gx+1), compared by INTEGER cross-multiplication
+    * (sumA·nB > sumB·nA — no division, so the DuckDB replay is exact;
+    * empty cells on short images compare false deterministically).
+    * MSB order = gy*8 + gx, emitted as a 64-char '0'/'1' string.
+    */
+  private def dHash(w: Int, h: Int, px: Array[Byte]): String = {
+    val sums = Array.ofDim[Long](9, 8)
+    val cnts = Array.ofDim[Long](9, 8)
+    var y = 0
+    while (y < h) {
+      val gy = ((y + 1) * 8 - 1) / h
+      var x = 0
+      while (x < w) {
+        val gx = ((x + 1) * 9 - 1) / w
+        sums(gx)(gy) += (px(y * w + x) & 0xff)
+        cnts(gx)(gy) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Char](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val bit = sums(gx)(gy) * cnts(gx + 1)(gy) >
+          sums(gx + 1)(gy) * cnts(gx)(gy)
+        out(gy * 8 + gx) = if (bit) '1' else '0'
+        gx += 1
+      }
+      gy += 1
+    }
+    new String(out)
   }
 
   /** mm01: ingest + REAL image decode (round-4 verdict item 8). The
@@ -228,6 +270,62 @@ object Multimodal {
       .orderBy("media_id", "chunk_idx")
   }
 
+  /** mm07: PERCEPTUAL-HASH IMAGE DEDUP (dHash) — near-duplicate image
+    * detection over GENUINELY DECODED pixels: every original and its
+    * perturbed re-encode (every 7th pixel +1 — the "same photo,
+    * slightly reprocessed" case byte-exact dedup misses by design) is
+    * encoded as its own real PNG, decoded with `javax.imageio`, and
+    * hashed with the classic 9×8 block-mean difference hash. Twin pairs
+    * land ≤3 bits apart while next-image controls sit ≥17 (mean 32), so
+    * the ≤6 threshold separates cleanly; the oracle replays pixels,
+    * perturbation, integer block sums, cross-multiplied comparisons and
+    * hamming — certifying the decode AND the hash arithmetic.
+    *
+    * Scale: encode/decode/hash is one map-side pass per image; only
+    * (id, 64-char hash) rows reach the joins, and pairing is an
+    * equijoin on the planted offset. A production variant buckets the
+    * hash prefix (the dd04 banding) instead of planted offsets.
+    */
+  private def mm07PerceptualDedup: Q = (s, d) => {
+    import s.implicits._
+    val hashes = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val h = bytes.length / 16
+          if (h == 0) Iterator.empty
+          else {
+            val px = bytes.take(16 * h)
+            val pert = px.zipWithIndex.map { case (b, i) =>
+              if (i % 7 == 0) (b + 1).toByte else b }
+            Seq((id, px), (id + 1000000L, pert)).iterator.map {
+              case (mid, p) =>
+                val (w, hh, dec) = decodeGray(encodeGrayPng(p))
+                (mid, dHash(w, hh, dec))
+            }
+          }
+        }
+      }.toDF("media_id", "dhash")
+      .persist() // feeds both sides of the twin AND control joins
+    val a = hashes.filter(col("media_id") < 1000000L)
+      .select(col("media_id").as("media_a"), col("dhash").as("ha"))
+    val b = hashes.filter(col("media_id") >= 1000000L)
+      .select(col("media_id").as("media_b"), col("dhash").as("hb"))
+    val twin = a.join(b, col("media_b") === col("media_a") + lit(1000000L))
+      .withColumn("pair_type", lit("twin"))
+    val ctrl = a.join(b, col("media_b") === col("media_a") + lit(1000001L))
+      .withColumn("pair_type", lit("control"))
+    twin.unionAll(ctrl)
+      .withColumn("hamming", expr(
+        """CAST(size(filter(sequence(1, 64),
+          |  i -> substring(ha, i, 1) <> substring(hb, i, 1))) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("is_dup", col("hamming") <= lit(6))
+      .select("media_a", "media_b", "pair_type", "hamming", "is_dup")
+      .orderBy("media_a", "media_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm01_media_ingest" -> mm01IngestMeta,
     "mm02_frame_sample" -> mm02FrameSample,
@@ -235,6 +333,7 @@ object Multimodal {
     "mm04_av_sync" -> mm04AvSync,
     "mm05_patch_grid" -> mm05PatchGrid,
     "mm06_energy_segments" -> mm06EnergySegments,
+    "mm07_perceptual_dedup" -> mm07PerceptualDedup,
   )
 
   /** mm05: ViT-style PATCH GRID over GENUINELY DECODED pixels (round-4
@@ -325,6 +424,56 @@ object Multimodal {
   // exactly — and for mm01/mm05, replay the PIXEL SOURCE that the PNG
   // round-trip must reproduce byte-for-byte.
   val oracleSql: Map[String, String] = Map(
+    "mm07_perceptual_dedup" ->
+      """WITH g AS (SELECT doc_id AS mid,
+        |    substring(text, 1, (length(text) // 16) * 16) AS px,
+        |    CAST(length(text) // 16 AS BIGINT) AS h
+        |  FROM documents WHERE length(text) >= 16),
+        |imgs AS (
+        |  SELECT mid AS media_id, px, h, 0 AS pert FROM g
+        |  UNION ALL SELECT mid + 1000000, px, h, 1 FROM g),
+        |ys AS (SELECT media_id, px, h, pert,
+        |    unnest(generate_series(0, CAST(h AS INT) - 1)) AS y FROM imgs),
+        |pix AS (SELECT media_id, h, y, xs.x AS x,
+        |    ord(substr(px, y * 16 + xs.x + 1, 1)) +
+        |      CASE WHEN pert = 1 AND (y * 16 + xs.x) % 7 = 0
+        |           THEN 1 ELSE 0 END AS v
+        |  FROM ys CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs),
+        |cells AS (SELECT media_id, ((x + 1) * 9 - 1) // 16 AS gx,
+        |    ((y + 1) * 8 - 1) // h AS gy,
+        |    CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |  FROM pix GROUP BY 1, 2, 3),
+        |grid AS (SELECT i.media_id, gxs.gx, gys.gy,
+        |    coalesce(c.s, 0) AS s, coalesce(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT media_id FROM imgs) i
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS gx) gxs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy) gys
+        |  LEFT JOIN cells c ON c.media_id = i.media_id
+        |    AND c.gx = gxs.gx AND c.gy = gys.gy),
+        |bits AS (SELECT a.media_id, a.gy * 8 + a.gx AS idx,
+        |    CASE WHEN a.s * b.n > b.s * a.n THEN '1' ELSE '0' END AS bit
+        |  FROM grid a JOIN grid b ON b.media_id = a.media_id
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |dh AS (SELECT media_id, string_agg(bit, '' ORDER BY idx) AS dhash
+        |  FROM bits GROUP BY media_id),
+        |p AS (
+        |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |    'twin' AS pair_type, a.dhash AS ha, b.dhash AS hb
+        |  FROM dh a JOIN dh b ON b.media_id = a.media_id + 1000000
+        |  WHERE a.media_id < 1000000
+        |  UNION ALL
+        |  SELECT a.media_id, b.media_id, 'control', a.dhash, b.dhash
+        |  FROM dh a JOIN dh b ON b.media_id = a.media_id + 1000001
+        |  WHERE a.media_id < 1000000),
+        |hm AS (SELECT media_a, media_b, pair_type,
+        |    CAST(len([i for i in generate_series(1, 64)
+        |              if substr(ha, i, 1) <> substr(hb, i, 1)]) AS BIGINT)
+        |      AS hamming
+        |  FROM p)
+        |SELECT media_a, media_b, pair_type, hamming,
+        |  (hamming <= 6) AS is_dup
+        |FROM hm ORDER BY media_a, media_b""".stripMargin,
     "mm06_energy_segments" ->
       """WITH f AS (SELECT doc_id AS media_id, text,
         |    unnest(generate_series(0,

@@ -152,6 +152,19 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("mm07: dHash separates perturbed re-encodes from other images") {
+    val rows = Multimodal.queries("mm07_perceptual_dedup")(spark, sf)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getBoolean(4)))
+    val (twins, ctrls) = rows.partition(_._1 == "twin")
+    assert(twins.length == 500 && ctrls.length == 499)
+    // +1 on every 7th pixel barely moves 9×8 block means → twins hash-near
+    assert(twins.forall(_._2 <= 6), s"max twin hamming ${twins.map(_._2).max}")
+    assert(twins.forall(_._3))
+    // different images differ in most adjacent-block relations
+    assert(ctrls.forall(_._2 > 6), s"min ctrl hamming ${ctrls.map(_._2).min}")
+    assert(!ctrls.exists(_._3))
+  }
+
   test("mm01: nbytes equals UTF-8 byte length of the source text") {
     val got = Multimodal.queries("mm01_media_ingest")(spark, sf)
       .select("media_id", "nbytes")
