@@ -326,6 +326,75 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** pp20: MEDIA CURATION PIPELINE — pp01's flagship shape for images,
+    * with the decode genuinely in the loop: ingest (originals +
+    * perturbed re-encodes) → one decode pass per image emitting size,
+    * luma sum, SQUARED sum and dHash → quality gate (min height 4, and
+    * integer-exact contrast n·Σv² − (Σv)² ≥ 870·n² — flat images out)
+    * → perceptual dedup (first media_id per exact dHash — most
+    * perturbed re-encodes hash identically and drop; the hamming-1..3
+    * stragglers survive, the honest exact-bucket boundary mm07's pair
+    * view measures) → per-source dataset card. All pixel statistics are
+    * integers until the final rounded mean, so DuckDB replays decode
+    * stats, gate, dedup and card bit-for-bit.
+    *
+    * Scale: the decode pass is map-side; the card shuffles only
+    * (source, counters) and dedup shuffles (dhash, id) — never pixels.
+    */
+  private def pp20MediaCuration: Q = (s, d) => {
+    import s.implicits._
+    val src = t(s, d, "documents").select(
+      col("doc_id").as("base_id"), col("source"))
+    val stats = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val h = bytes.length / 16
+          if (h == 0) Iterator.empty
+          else {
+            val px = bytes.take(16 * h)
+            val pert = px.zipWithIndex.map { case (b, i) =>
+              if (i % 7 == 0) (b + 1).toByte else b }
+            Seq((id, px), (id + 1000000L, pert)).iterator.map {
+              case (mid, p) =>
+                val (w, hh, dec) = decodeGray(encodeGrayPng(p))
+                var s1 = 0L
+                var s2 = 0L
+                var i = 0
+                while (i < dec.length) {
+                  val v = (dec(i) & 0xff).toLong
+                  s1 += v; s2 += v * v; i += 1
+                }
+                (mid, hh.toLong, dec.length.toLong, s1, s2,
+                  dHash(w, hh, dec))
+            }
+          }
+        }
+      }.toDF("media_id", "h", "n", "luma_sum", "sq_sum", "dhash")
+      .join(broadcast(src), pmod(col("media_id"), lit(1000000L)) ===
+        col("base_id"))
+      .persist() // one decode pass feeds gate, dedup and all card aggs
+    val gated = stats.filter(col("h") >= 4 &&
+      col("n") * col("sq_sum") - col("luma_sum") * col("luma_sum") >=
+        lit(870L) * col("n") * col("n"))
+    val admitted = gated
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("dhash").orderBy("media_id")))
+      .filter(col("rn") === 1)
+    val raw = stats.groupBy("source").agg(count(lit(1)).as("n_raw"))
+    val gat = gated.groupBy("source").agg(count(lit(1)).as("n_gated"))
+    val adm = admitted.groupBy("source").agg(
+      count(lit(1)).as("n_admitted"),
+      round(sum("luma_sum").cast("double") / sum("n"), 2).as("mean_luma"))
+    raw.join(gat, Seq("source"), "left").join(adm, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        col("mean_luma"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm01_media_ingest" -> mm01IngestMeta,
     "mm02_frame_sample" -> mm02FrameSample,
@@ -334,6 +403,7 @@ object Multimodal {
     "mm05_patch_grid" -> mm05PatchGrid,
     "mm06_energy_segments" -> mm06EnergySegments,
     "mm07_perceptual_dedup" -> mm07PerceptualDedup,
+    "pp20_media_curation" -> pp20MediaCuration,
   )
 
   /** mm05: ViT-style PATCH GRID over GENUINELY DECODED pixels (round-4
@@ -424,6 +494,65 @@ object Multimodal {
   // exactly — and for mm01/mm05, replay the PIXEL SOURCE that the PNG
   // round-trip must reproduce byte-for-byte.
   val oracleSql: Map[String, String] = Map(
+    "pp20_media_curation" ->
+      """WITH g AS (SELECT doc_id AS mid,
+        |    substring(text, 1, (length(text) // 16) * 16) AS px,
+        |    CAST(length(text) // 16 AS BIGINT) AS h
+        |  FROM documents WHERE length(text) >= 16),
+        |imgs AS (
+        |  SELECT mid AS media_id, px, h, 0 AS pert FROM g
+        |  UNION ALL SELECT mid + 1000000, px, h, 1 FROM g),
+        |ys AS (SELECT media_id, px, h, pert,
+        |    unnest(generate_series(0, CAST(h AS INT) - 1)) AS y FROM imgs),
+        |pix AS (SELECT media_id, h, y, xs.x AS x,
+        |    ord(substr(px, y * 16 + xs.x + 1, 1)) +
+        |      CASE WHEN pert = 1 AND (y * 16 + xs.x) % 7 = 0
+        |           THEN 1 ELSE 0 END AS v
+        |  FROM ys CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs),
+        |stats AS (SELECT media_id, max(h) AS h, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS luma_sum,
+        |    CAST(sum(v * v) AS BIGINT) AS sq_sum
+        |  FROM pix GROUP BY media_id),
+        |cells AS (SELECT media_id, ((x + 1) * 9 - 1) // 16 AS gx,
+        |    ((y + 1) * 8 - 1) // h AS gy,
+        |    CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |  FROM pix GROUP BY 1, 2, 3),
+        |grid AS (SELECT i.media_id, gxs.gx, gys.gy,
+        |    coalesce(c.s, 0) AS s, coalesce(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT media_id FROM imgs) i
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS gx) gxs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy) gys
+        |  LEFT JOIN cells c ON c.media_id = i.media_id
+        |    AND c.gx = gxs.gx AND c.gy = gys.gy),
+        |bits AS (SELECT a.media_id, a.gy * 8 + a.gx AS idx,
+        |    CASE WHEN a.s * b.n > b.s * a.n THEN '1' ELSE '0' END AS bit
+        |  FROM grid a JOIN grid b ON b.media_id = a.media_id
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |dh AS (SELECT media_id, string_agg(bit, '' ORDER BY idx) AS dhash
+        |  FROM bits GROUP BY media_id),
+        |fl AS (SELECT s.media_id, s.h, s.n, s.luma_sum, s.sq_sum,
+        |    d.dhash, sr.source
+        |  FROM stats s JOIN dh d USING (media_id)
+        |  JOIN (SELECT doc_id AS base_id, source FROM documents) sr
+        |    ON sr.base_id = s.media_id % 1000000),
+        |gated AS (SELECT * FROM fl
+        |  WHERE h >= 4
+        |    AND n * sq_sum - luma_sum * luma_sum >= 870 * n * n),
+        |admitted AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY dhash ORDER BY media_id) AS rn
+        |  FROM gated) WHERE rn = 1),
+        |raw AS (SELECT source, count(*) AS n_raw FROM fl GROUP BY source),
+        |gat AS (SELECT source, count(*) AS n_gated FROM gated
+        |  GROUP BY source),
+        |adm AS (SELECT source, count(*) AS n_admitted,
+        |    round(CAST(sum(luma_sum) AS DOUBLE) / sum(n), 2) AS mean_luma
+        |  FROM admitted GROUP BY source)
+        |SELECT raw.source, raw.n_raw,
+        |  coalesce(gat.n_gated, 0) AS n_gated,
+        |  coalesce(adm.n_admitted, 0) AS n_admitted, adm.mean_luma
+        |FROM raw LEFT JOIN gat USING (source) LEFT JOIN adm USING (source)
+        |ORDER BY raw.source""".stripMargin,
     "mm07_perceptual_dedup" ->
       """WITH g AS (SELECT doc_id AS mid,
         |    substring(text, 1, (length(text) // 16) * 16) AS px,

@@ -165,6 +165,23 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(!ctrls.exists(_._3))
   }
 
+  test("pp20: media curation funnel is monotone and the dedup bites") {
+    val rows = Multimodal.queries("pp20_media_curation")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, raw, gated, adm) =>
+      assert(raw >= gated && gated >= adm, s"$src: $raw/$gated/$adm")
+      assert(raw == 50, src) // 25 docs/source × (original + re-encode)
+    }
+    val (raw, gated, adm) = (rows.map(_._2).sum, rows.map(_._3).sum,
+      rows.map(_._4).sum)
+    // the gate drops some but not all; perceptual dedup then removes
+    // ~half of the gated set (most perturbed re-encodes hash identically)
+    assert(gated < raw && gated > raw / 2, s"gated $gated of $raw")
+    assert(adm <= gated * 6 / 10, s"admitted $adm of $gated")
+  }
+
   test("mm01: nbytes equals UTF-8 byte length of the source text") {
     val got = Multimodal.queries("mm01_media_ingest")(spark, sf)
       .select("media_id", "nbytes")
