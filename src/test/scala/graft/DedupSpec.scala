@@ -249,6 +249,25 @@ class DedupSpec extends SparkSpec {
       f"mean hamming twin $meanTwin%.1f ctrl $meanCtrl%.1f")
   }
 
+  test("dd20 operating-point sweep traces the LSH S-curve") {
+    val rows = Dedup.queries("dd20_lsh_tuning")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(5),
+        r.getDouble(7))) // (bands, n_cand, recall, precision)
+      .sortBy(-_._1)
+    assert(rows.map(_._1).toSeq == Seq(8L, 4L, 2L, 1L))
+    // OR-amplification monotonicity: fewer, wider bands → fewer
+    // candidates, recall can only fall, precision can only rise
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi._2 >= lo._2, s"candidates not monotone: $hi vs $lo")
+      assert(hi._3 >= lo._3, s"recall not monotone: $hi vs $lo")
+      assert(hi._4 <= lo._4, s"precision not monotone: $hi vs $lo")
+    }
+    // the production 4×2 config sits at the knee: near-total recall AND
+    // high precision
+    val knee = rows.find(_._1 == 4L).get
+    assert(knee._3 >= 0.95 && knee._4 >= 0.9, knee.toString)
+  }
+
   test("dd19 banded near-dup recall finds planted twins, not controls") {
     val rows = Dedup.queries("dd19_neardup_recall")(spark, sf)
       .collect().map(r => (r.getString(2), r.getDouble(3), r.getLong(4)))
