@@ -457,7 +457,56 @@ object Pipeline {
       .orderBy("col_name")
   }
 
+  /** pp21: Z-ORDER (Morton) DATA LAYOUT — the multi-dimensional
+    * clustering step a lakehouse writer runs (Delta/Iceberg `OPTIMIZE
+    * ZORDER BY`) so that parquet row-group min/max stats prune scans on
+    * EITHER query dimension, not just the sort key. Each (l_partkey,
+    * l_suppkey) pair scales to 16 integer bits per dimension
+    * (floor((k-1)·65536 / max) — pure integer arithmetic, exact in both
+    * engines) and bit-interleaves into a 32-bit Morton code; the file a
+    * row would land in is the code's top 5 bits (32 files), which needs
+    * NO global sort — bucketing is stateless given the two maxima, so at
+    * 100 TB it runs map-side and feeds `repartitionByRange(zcode)` +
+    * sorted parquet writes. The report is the pruning evidence itself:
+    * per-bucket row count and min-max SPAN of each dimension, for the
+    * z-order layout vs the single-key linear sort. Linear bounds only
+    * l_partkey (l_suppkey spans ~the full domain in every file → a
+    * suppkey predicate scans everything); z-order bounds both, which is
+    * the entire point. All-integer output — the cross-engine hash is
+    * exact by construction.
+    */
+  val pp21ZorderLayout: Q = (s, d) => {
+    // bit i of c lands at interleaved position 2i+off (off 0 = partkey
+    // lanes, off 1 = suppkey lanes); multiply-by-2^n instead of shifts
+    // keeps the expression identical in spirit to the oracle's text
+    val spread = (c: org.apache.spark.sql.Column, off: Int) =>
+      (0 until 16).map(i =>
+        shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + off)))
+        .reduce(_ + _)
+    val li = t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+    val mx = li.agg(min("l_partkey").as("np"), max("l_partkey").as("mp"),
+      min("l_suppkey").as("ns"), max("l_suppkey").as("ms"))
+    // min-anchored scaling: (k - min) * 65535 / (max - min) ∈ [0, 65535]
+    // exactly — an off-origin domain (keys starting at 0) must never go
+    // negative, or sign-extended shift bits scatter rows across buckets
+    val sc = li.crossJoin(broadcast(mx))
+      .withColumn("px", expr("(l_partkey - np) * 65535 DIV (mp - np)"))
+      .withColumn("sy", expr("(l_suppkey - ns) * 65535 DIV (ms - ns)"))
+      .withColumn("zc", spread(col("px"), 0) + spread(col("sy"), 1))
+    def spans(bucket: org.apache.spark.sql.Column, layout: String) = sc
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        (max("l_partkey") - min("l_partkey")).as("pk_span"),
+        (max("l_suppkey") - min("l_suppkey")).as("sk_span"))
+      .withColumn("layout", lit(layout))
+    spans(shiftright(col("zc"), 27), "zorder")
+      .unionByName(spans(shiftright(col("px"), 11), "linear"))
+      .select("layout", "bucket", "n_rows", "pk_span", "sk_span")
+      .orderBy("layout", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pp21_zorder_layout" -> pp21ZorderLayout,
     "pp11_sequence_pack" -> pp11SequencePack,
     "pp15_sequence_pack_sharded" -> pp15SequencePackSharded,
     "pp16_shuffle_shard" -> pp16ShuffleShard,
@@ -489,7 +538,38 @@ object Pipeline {
       |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // the same bit-spread as the Spark side, as DuckDB text: bit i of c
+  // lands at position 2i+off via multiply-by-power-of-two (the literals
+  // exceed INT32 so DuckDB types the sum BIGINT, matching Spark)
+  private def spreadSql(c: String, off: Int): String =
+    (0 until 16).map(i => s"((($c >> $i) & 1) * ${1L << (2 * i + off)})")
+      .mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "pp21_zorder_layout" ->
+      s"""WITH mx AS (SELECT min(l_partkey) AS np, max(l_partkey) AS mp,
+         |    min(l_suppkey) AS ns, max(l_suppkey) AS ms
+         |  FROM lineitem),
+         |sc AS (SELECT l_partkey, l_suppkey,
+         |    ((l_partkey - np) * 65535) // (mp - np) AS px,
+         |    ((l_suppkey - ns) * 65535) // (ms - ns) AS sy
+         |  FROM lineitem, mx),
+         |z AS (SELECT l_partkey, l_suppkey, px,
+         |    ${spreadSql("px", 0)} + ${spreadSql("sy", 1)} AS zc
+         |  FROM sc),
+         |zb AS (SELECT 'zorder' AS layout, zc >> 27 AS bucket,
+         |    count(*) AS n_rows,
+         |    max(l_partkey) - min(l_partkey) AS pk_span,
+         |    max(l_suppkey) - min(l_suppkey) AS sk_span
+         |  FROM z GROUP BY 1, 2),
+         |lb AS (SELECT 'linear' AS layout, px >> 11 AS bucket,
+         |    count(*) AS n_rows,
+         |    max(l_partkey) - min(l_partkey) AS pk_span,
+         |    max(l_suppkey) - min(l_suppkey) AS sk_span
+         |  FROM z GROUP BY 1, 2)
+         |SELECT layout, bucket, n_rows, pk_span, sk_span
+         |FROM (SELECT * FROM zb UNION ALL SELECT * FROM lb)
+         |ORDER BY layout, bucket""".stripMargin,
     "pp19_dataset_card" ->
       """WITH toks AS (SELECT doc_id, source, n_chars, text,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)

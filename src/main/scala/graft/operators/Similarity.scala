@@ -148,6 +148,11 @@ object Similarity {
         .withColumn("c_sub", expr("transform(avg, x -> round(x, 6))"))
         .select("k", "cid", "c_sub")
     }
+    // the trained codebook is consumed TWICE below (the corpus-wide code
+    // assignment and the query distance table) and is 16×8 rows —
+    // materialize it so the Lloyd-round subplan executes once, not once
+    // per consumer (measured ~2× on the whole query at sf0.1)
+    if (rounds > 0) cents = cents.localCheckpoint()
     val withcc = cents.withColumn("cc", dd("c_sub", "c_sub"))
     val codes = assign(cents)
       .select(col("vec_id"), col("k"), col("cid").as("code"))

@@ -27,6 +27,33 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("pp21: z-order bounds BOTH dimensions per bucket; linear only one") {
+    val rows = Pipeline.pp21ZorderLayout(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val (zo, li) = rows.partition(_._1 == "zorder")
+    assert(zo.nonEmpty && li.nonEmpty)
+    // both layouts partition the same rows
+    assert(zo.map(_._3).sum == li.map(_._3).sum)
+    val full = Tables.t(spark, sf, "lineitem")
+      .agg(max("l_partkey") - min("l_partkey"),
+        max("l_suppkey") - min("l_suppkey")).first()
+    val (fullPk, fullSk) = (full.getLong(0), full.getLong(1))
+    // z-bucket = top-5 Morton bits = 2 high bits of EACH dimension (plus
+    // a 3rd suppkey bit): every bucket confines partkey to ~1/4 of its
+    // domain and suppkey to ~1/8 — both dimensions prune
+    zo.foreach { case (_, b, _, pk, sk) =>
+      assert(pk <= fullPk / 2, s"zorder bucket $b pk_span $pk vs $fullPk")
+      assert(sk <= fullSk / 2 + 1, s"zorder bucket $b sk_span $sk vs $fullSk")
+    }
+    // the single-key sort bounds partkey tightly but leaves suppkey
+    // unconstrained — some linear bucket spans ~the whole suppkey domain
+    assert(li.map(_._5).max >= fullSk * 9 / 10,
+      s"linear layout unexpectedly bounds suppkey: ${li.map(_._5).max}")
+    assert(li.map(_._4).max < zo.map(_._4).max,
+      "linear should bound its own sort key tighter than z-order does")
+  }
+
   test("GraftBloom: zero false negatives; FP rate within the sizing bound") {
     import graft.functions.GraftBloom
     val bits = new Array[Long](8192 / 64)
