@@ -314,4 +314,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("interval join's batch face: one user_id equijoin, no state store (st03)") {
+    val plan = executedPlan("st03_interval_join")
+      .split("== Initial Plan ==").head
+    // the r4 bench delta (0.43→1.54 s) was the honest cache sweep, not a
+    // plan change — pin the shape so a real regression can't hide: the
+    // time-range predicate rides a user_id EQUIjoin (broadcast at this
+    // SF; at most one hash exchange per side when AQE picks SMJ), never
+    // a product, and the watermark leaves no state/eventtime op in batch
+    assert("HashJoin \\[user_id".r.findAllIn(plan).nonEmpty, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("StateStore"), plan)
+    assert(!plan.contains("EventTimeWatermark"), plan)
+  }
 }
