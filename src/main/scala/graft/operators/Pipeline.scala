@@ -475,7 +475,12 @@ object Pipeline {
     * the entire point. All-integer output — the cross-engine hash is
     * exact by construction.
     */
-  val pp21ZorderLayout: Q = (s, d) => {
+  /** The scaled-and-interleaved frame shared by pp21/pp22: every
+    * lineitem row with its 16-bit min-anchored per-dimension codes
+    * (px, sy), the 32-bit Morton code (zc), and the domain bounds
+    * (np/mp/ns/ms) riding along from the broadcast.
+    */
+  private def zorderCodes(s: SparkSession, d: String): DataFrame = {
     // bit i of c lands at interleaved position 2i+off (off 0 = partkey
     // lanes, off 1 = suppkey lanes); multiply-by-2^n instead of shifts
     // keeps the expression identical in spirit to the oracle's text
@@ -489,10 +494,14 @@ object Pipeline {
     // min-anchored scaling: (k - min) * 65535 / (max - min) ∈ [0, 65535]
     // exactly — an off-origin domain (keys starting at 0) must never go
     // negative, or sign-extended shift bits scatter rows across buckets
-    val sc = li.crossJoin(broadcast(mx))
+    li.crossJoin(broadcast(mx))
       .withColumn("px", expr("(l_partkey - np) * 65535 DIV (mp - np)"))
       .withColumn("sy", expr("(l_suppkey - ns) * 65535 DIV (ms - ns)"))
       .withColumn("zc", spread(col("px"), 0) + spread(col("sy"), 1))
+  }
+
+  val pp21ZorderLayout: Q = (s, d) => {
+    val sc = zorderCodes(s, d)
     def spans(bucket: org.apache.spark.sql.Column, layout: String) = sc
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
@@ -505,8 +514,53 @@ object Pipeline {
       .orderBy("layout", "bucket")
   }
 
+  /** pp22: FILE-SKIPPING EVIDENCE for the pp21 layouts — what the scan
+    * planner actually does with footer stats. Each of the 32 buckets per
+    * layout keeps per-file min/max of both key columns (exactly what a
+    * parquet footer / Iceberg manifest stores); a systematic 16-point
+    * probe workload per dimension (v_i = min + i·(max−min) DIV 15, pure
+    * integer — no rand()) then counts, per probe, how many files a
+    * point predicate on that dimension must read (min ≤ v ≤ max). The
+    * table IS the pruning claim quantified: under the linear layout a
+    * partkey probe reads ~1 file but a suppkey probe reads all 32; under
+    * z-order BOTH dimensions read a fraction. At 100 TB this is the
+    * planning-time-only path — probes join the manifest-sized stats
+    * table, never the data. All-integer output, exact in both engines.
+    */
+  val pp22FileSkipping: Q = (s, d) => {
+    val sc = zorderCodes(s, d)
+    def stats(bucket: org.apache.spark.sql.Column, layout: String) = sc
+      .groupBy(bucket.as("bucket"))
+      .agg(min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      .withColumn("layout", lit(layout))
+    val st = stats(shiftright(col("zc"), 27), "zorder")
+      .unionByName(stats(shiftright(col("px"), 11), "linear"))
+    val mx = t(s, d, "lineitem")
+      .agg(min("l_partkey").as("np"), max("l_partkey").as("mp"),
+        min("l_suppkey").as("ns"), max("l_suppkey").as("ms"))
+    val probes = s.range(16).toDF("probe_i").crossJoin(broadcast(mx))
+      .select(col("probe_i"),
+        expr("np + (probe_i * (mp - np)) DIV 15").as("v_pk"),
+        expr("ns + (probe_i * (ms - ns)) DIV 15").as("v_sk"))
+    probes.crossJoin(st) // 32 probes × 64 manifest rows — planning-sized
+      .groupBy("layout", "probe_i")
+      .agg(max("v_pk").as("v_pk"),
+        sum(when(col("v_pk") >= col("min_pk") &&
+          col("v_pk") <= col("max_pk"), 1L).otherwise(0L))
+          .as("pk_files_read"),
+        max("v_sk").as("v_sk"),
+        sum(when(col("v_sk") >= col("min_sk") &&
+          col("v_sk") <= col("max_sk"), 1L).otherwise(0L))
+          .as("sk_files_read"))
+      .select("layout", "probe_i", "v_pk", "pk_files_read",
+        "v_sk", "sk_files_read")
+      .orderBy("layout", "probe_i")
+  }
+
   val queries: Map[String, Q] = Map(
     "pp21_zorder_layout" -> pp21ZorderLayout,
+    "pp22_file_skipping" -> pp22FileSkipping,
     "pp11_sequence_pack" -> pp11SequencePack,
     "pp15_sequence_pack_sharded" -> pp15SequencePackSharded,
     "pp16_shuffle_shard" -> pp16ShuffleShard,
@@ -546,6 +600,40 @@ object Pipeline {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "pp22_file_skipping" ->
+      s"""WITH mx AS (SELECT min(l_partkey) AS np, max(l_partkey) AS mp,
+         |    min(l_suppkey) AS ns, max(l_suppkey) AS ms
+         |  FROM lineitem),
+         |sc AS (SELECT l_partkey, l_suppkey,
+         |    ((l_partkey - np) * 65535) // (mp - np) AS px,
+         |    ((l_suppkey - ns) * 65535) // (ms - ns) AS sy
+         |  FROM lineitem, mx),
+         |z AS (SELECT l_partkey, l_suppkey, px,
+         |    ${spreadSql("px", 0)} + ${spreadSql("sy", 1)} AS zc
+         |  FROM sc),
+         |st AS (
+         |  SELECT 'zorder' AS layout, zc >> 27 AS bucket,
+         |      min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |      min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+         |    FROM z GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'linear', px >> 11,
+         |      min(l_partkey), max(l_partkey),
+         |      min(l_suppkey), max(l_suppkey)
+         |    FROM z GROUP BY 1, 2),
+         |pr AS (SELECT i AS probe_i,
+         |    np + (i * (mp - np)) // 15 AS v_pk,
+         |    ns + (i * (ms - ns)) // 15 AS v_sk
+         |  FROM generate_series(0, 15) AS g(i), mx)
+         |SELECT layout, probe_i, max(v_pk) AS v_pk,
+         |  CAST(sum(CASE WHEN v_pk BETWEEN min_pk AND max_pk
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS pk_files_read,
+         |  max(v_sk) AS v_sk,
+         |  CAST(sum(CASE WHEN v_sk BETWEEN min_sk AND max_sk
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS sk_files_read
+         |FROM pr, st
+         |GROUP BY layout, probe_i
+         |ORDER BY layout, probe_i""".stripMargin,
     "pp21_zorder_layout" ->
       s"""WITH mx AS (SELECT min(l_partkey) AS np, max(l_partkey) AS mp,
          |    min(l_suppkey) AS ns, max(l_suppkey) AS ms

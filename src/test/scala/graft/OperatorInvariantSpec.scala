@@ -54,6 +54,26 @@ class OperatorInvariantSpec extends SparkSpec {
       "linear should bound its own sort key tighter than z-order does")
   }
 
+  test("pp22: z-order skips files on BOTH dims; linear reads all on suppkey") {
+    val rows = Pipeline.pp22FileSkipping(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(5)))
+    val (zo, li) = rows.partition(_._1 == "zorder")
+    assert(zo.size == 16 && li.size == 16)
+    // linear: a partkey point predicate reads ≤2 of 32 files (probe on a
+    // boundary can straddle two), a suppkey predicate reads every file
+    li.foreach { case (_, i, pk, sk) =>
+      assert(pk <= 2, s"linear probe $i reads $pk files on pk")
+      assert(sk == 32, s"linear probe $i reads $sk files on sk")
+    }
+    // z-order: both dimensions skip a real fraction on every probe
+    zo.foreach { case (_, i, pk, sk) =>
+      assert(pk <= 16, s"zorder probe $i reads $pk files on pk")
+      assert(sk <= 16, s"zorder probe $i reads $sk files on sk")
+      assert(pk >= 1 && sk >= 1)
+    }
+  }
+
   test("GraftBloom: zero false negatives; FP rate within the sizing bound") {
     import graft.functions.GraftBloom
     val bits = new Array[Long](8192 / 64)
