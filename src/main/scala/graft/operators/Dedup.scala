@@ -868,7 +868,58 @@ object Dedup {
       .orderBy(col("bands").desc)
   }
 
+  /** dd21: EXACT CONTAINMENT JOIN via prefix filtering — the directional
+    * dedup Jaccard misses. A short document quoted whole inside a longer
+    * one has containment C(A,B) = |A∩B|/|A| ≈ 1 while J(A,B) =
+    * |A∩B|/|A∪B| stays low, so symmetric near-dup ops (dd04/dd06) never
+    * pair them; curation wants the quote-wrapped copy found and the
+    * longer doc kept. The all-pairs formulation is quadratic; the exact
+    * scale path is the PPJoin-family PREFIX FILTER: order every doc's
+    * shingles by global rarity (df asc, digest tiebreak — deterministic)
+    * and probe with only the first ⌊|A|/5⌋+1 of them. Any pair with
+    * C ≥ 0.8 MUST share a probe-prefix shingle (missing all k prefix
+    * shingles caps the intersection at |A|−k < 0.8|A|), so candidates ⊇
+    * qualifying pairs and the exact verify loses nothing. Shuffles carry
+    * (id, digest) only; the verify expands candidate pairs by the
+    * contained side's postings — the standard exact-set-join cost, paid
+    * only on candidates, never on the corpus square. Threshold compares
+    * cross-multiplied (5·inter ≥ 4·|A|) — all-integer, oracle-exact
+    * against DuckDB's all-pairs replay.
+    */
+  private val dd21ContainmentJoin: Q = (s, d) => {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        GraftFunctions.shingle_strings(col("text")))).as("shs"))
+      .select(col("doc_id"), md5(col("shs")).as("sh"))
+      .persist()
+    val docsz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "sh")
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(w))
+      .join(docsz, "doc_id")
+      .filter(col("rk") <= expr("n_sh DIV 5 + 1"))
+      .select(col("doc_id").as("a"), col("sh"))
+    val cand = prefix
+      .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(docsz.select(col("doc_id").as("a"), col("n_sh").as("n_contained")), "a")
+      .join(docsz.select(col("doc_id").as("b"), col("n_sh").as("n_container")), "b")
+      .filter(col("n_shared") * 5 >= col("n_contained") * 4)
+      .select(col("a").as("contained_id"), col("b").as("container_id"),
+        col("n_shared"), col("n_contained"), col("n_container"))
+      .orderBy("contained_id", "container_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd21_containment_join" -> dd21ContainmentJoin,
     "dd14_line_dedup" -> dd14LineDedup,
     "dd15_lsh_recall" -> dd15LshRecall,
     "dd16_substring_dedup" -> dd16SubstringDedup,
@@ -1170,6 +1221,29 @@ object Dedup {
         |  md5(coalesce(string_agg(line, ' ' ORDER BY pos)
         |        FILTER (WHERE keep), '')) AS clean_fp
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dd21: the oracle replays ALL pairs (affordable at oracle SF) — hash
+    // equality certifies that the prefix filter lost no qualifying pair.
+    "dd21_containment_join" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |shl AS (SELECT doc_id,
+        |  CASE WHEN len(tk) < 3 THEN [text]
+        |       ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |             for i in generate_series(1, len(tk) - 2)] END AS shingles
+        |  FROM t),
+        |sh AS (SELECT DISTINCT doc_id, md5(sh0) AS sh
+        |       FROM (SELECT doc_id, unnest(shingles) AS sh0 FROM shl)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |ix AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT ix.a AS contained_id, ix.b AS container_id, n_shared,
+        |  sa.n_sh AS n_contained, sb.n_sh AS n_container
+        |FROM ix JOIN sz sa ON ix.a = sa.doc_id
+        |        JOIN sz sb ON ix.b = sb.doc_id
+        |WHERE 5 * n_shared >= 4 * sa.n_sh
+        |ORDER BY contained_id, container_id""".stripMargin,
+
     "dd09_jaccard_oracle" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
         |           FROM documents),

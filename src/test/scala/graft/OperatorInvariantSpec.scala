@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, Pipeline, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pipeline, TextAnalysis}
 
 /** In-JVM invariants for the rows-only multimodal/text operators. */
 class OperatorInvariantSpec extends SparkSpec {
@@ -25,6 +25,29 @@ class OperatorInvariantSpec extends SparkSpec {
       val want = tfs.sum * 100 / tfs.length // exact integer centi-mean
       assert(meanX100 == want, s"doc $id mean_x100 $meanX100 != $want")
     }
+  }
+
+  test("dd21: prefix-filtered containment equals the all-pairs brute force") {
+    // in-JVM mirror of the shingling: word 3-grams, whole text if < 3
+    // tokens, set semantics
+    def shingles(text: String): Set[String] = {
+      val tk = text.split(" ", -1)
+      if (tk.length < 3) Set(text)
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val want = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a != b
+      inter = (sa & sb).size
+      if 5L * inter >= 4L * sa.size
+    } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong)).toSet
+    val got = Dedup.queries("dd21_containment_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "corpus should contain qualifying pairs")
   }
 
   test("pp21: z-order bounds BOTH dimensions per bucket; linear only one") {

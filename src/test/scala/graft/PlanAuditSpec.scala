@@ -315,6 +315,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("containment join is prefix-filtered — equijoins only, no product (dd21)") {
+    val plan = executedPlan("dd21_containment_join")
+    // candidate generation and exact verify are digest/id equijoins; the
+    // corpus square must never appear
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("interval join's batch face: one user_id equijoin, no state store (st03)") {
     val plan = executedPlan("st03_interval_join")
       .split("== Initial Plan ==").head
