@@ -887,31 +887,38 @@ object Dedup {
     * against DuckDB's all-pairs replay.
     */
   private val dd21ContainmentJoin: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val sh = t(s, d, "documents")
       .select(col("doc_id"), explode(array_distinct(
         GraftFunctions.shingle_strings(col("text")))).as("shs"))
-      .select(col("doc_id"), md5(col("shs")).as("sh"))
+      // 8-byte join key, not the md5 hex string: counts are identical as
+      // long as shingle→hash is injective on the corpus (oracle-twin rule)
+      .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
       .persist()
-    val docsz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("df", "sh")
-    val prefix = sh.join(dfreq, "sh")
-      .withColumn("rk", row_number().over(w))
-      .join(docsz, "doc_id")
+    // df and n_sh as window counts (tx16 lesson: no groupBy+rejoin of the
+    // corpus-sized set); rk rides the same doc_id exchange as n_sh
+    val wdoc = Window.partitionBy("doc_id")
+    val prefix = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .withColumn("rk", row_number().over(wdoc.orderBy("df", "sh")))
+      .withColumn("n_sh", count(lit(1)).over(wdoc))
       .filter(col("rk") <= expr("n_sh DIV 5 + 1"))
       .select(col("doc_id").as("a"), col("sh"))
+    // length filter (PPJoin): C ≥ 0.8 needs |B| ≥ 0.8|A|, pruned on the
+    // broadcast-joined sizes BEFORE the pair-expansion verify
+    val docsz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val cand = prefix
       .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
       .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()
-    val inter = cand
+      .join(broadcast(docsz.select(col("doc_id").as("a"), col("n_sh").as("n_contained"))), "a")
+      .join(broadcast(docsz.select(col("doc_id").as("b"), col("n_sh").as("n_container"))), "b")
+      .filter(col("n_container") * 5 >= col("n_contained") * 4)
+    cand
       .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
-    inter
-      .join(docsz.select(col("doc_id").as("a"), col("n_sh").as("n_contained")), "a")
-      .join(docsz.select(col("doc_id").as("b"), col("n_sh").as("n_container")), "b")
+      .groupBy("a", "b", "n_contained", "n_container")
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") * 5 >= col("n_contained") * 4)
       .select(col("a").as("contained_id"), col("b").as("container_id"),
         col("n_shared"), col("n_contained"), col("n_container"))
