@@ -55,6 +55,7 @@ object Similarity {
     "ss13_topk_pq" -> ((s, d) => topkPq(s, d)),
     "ss14_filtered_topk" -> ((s, d) => filteredTopk(s, d)),
     "ss15_pq_recall" -> ((s, d) => pqRecall(s, d)),
+    "ss16_nprobe_sweep" -> ((s, d) => ivfNprobeSweep(s, d)),
   )
 
   /** ss15: PQ RECALL with a TRAINED codebook — the quality gate that
@@ -303,6 +304,98 @@ object Similarity {
         round(coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_exact").cast("double"), 2).as("recall_at_5"))
       .orderBy("query_id")
+  }
+
+  /** ss16: IVF NPROBE OPERATING CURVE — the tuning table every IVF
+    * deployment needs before choosing nprobe (dd20's lesson applied to
+    * ANN): the same 16-centroid quantizer as ss03/ss11, swept at nprobe
+    * ∈ {1, 2, 4, 8}, each point measured for candidate volume and
+    * recall@5 against the exact top-5. The curve is the capacity/recall
+    * trade a 100 TB index is sized by: nprobe=1 touches ~1/16th of the
+    * corpus per query, nprobe=8 half of it.
+    *
+    * Scale: the four configs are NESTED (probing the top n centroid
+    * lists ⊇ top n−1), so ONE candidate join on the widest config
+    * carries each candidate's probe_rank, and every narrower config's
+    * per-query rank falls out of the SAME cos-desc window sort as a
+    * running count of rows with probe_rank ≤ n — four operating points,
+    * one inverted-list shuffle, one sort. The exact side is the recall
+    * denominator only (50 broadcast queries), never a production path.
+    */
+  def ivfNprobeSweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .persist()
+    val cents = corpus.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val ranked = corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("crn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cid").as("cluster"))
+    val probed = ranked.filter(col("crn") <= 8 && col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("crn").as("probe_rank"),
+        col("cid").as("cluster"))
+    // each corpus vector lives in exactly one list → at most one row per
+    // (query, neighbor); probe_rank says which nprobe admits it
+    val cand = assigned.join(probed, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .select("query_id", "neighbor_id", "probe_rank", "cos_raw")
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def rkn(n: Int): Column =
+      sum(when(col("probe_rank") <= n, 1L).otherwise(0L)).over(wq)
+    // one select, not chained withColumn: the interleaved _w0 Projects
+    // would defeat CollapseWindow and plan four Window nodes
+    val flagged = cand.select(col("*"), rkn(1).as("rk1"), rkn(2).as("rk2"),
+        rkn(4).as("rk4"), rkn(8).as("rk8"))
+      .persist()
+    def cnt(flag: Column): Column = sum(when(flag, 1L).otherwise(0L))
+    val candAgg = flagged.agg(
+      cnt(col("probe_rank") <= 1).as("c1"), cnt(col("probe_rank") <= 2).as("c2"),
+      cnt(col("probe_rank") <= 4).as("c4"), count(lit(1)).as("c8"))
+    val queriesDf = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val wx = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val exact5 = corpus.crossJoin(broadcast(queriesDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= 5)
+      .select("query_id", "neighbor_id")
+    def hit(n: Int): Column =
+      cnt(col("probe_rank") <= n && col(s"rk$n") <= 5)
+    val hitAgg = exact5
+      .join(flagged, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        hit(1).as("h1"), hit(2).as("h2"), hit(4).as("h4"), hit(8).as("h8"))
+    candAgg.crossJoin(hitAgg)
+      .selectExpr(
+        """stack(4,
+          |  1L, c1, n_exact, h1,
+          |  2L, c2, n_exact, h2,
+          |  4L, c4, n_exact, h4,
+          |  8L, c8, n_exact, h8)
+          |AS (nprobe, n_cand, n_exact, n_hit)""".stripMargin)
+      .withColumn("recall_at_5",
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 4))
+      .orderBy("nprobe")
   }
 
   /** ss10: int8 SCALAR-QUANTIZED top-k — the memory/bandwidth scale path
@@ -1306,6 +1399,59 @@ object Similarity {
          |      CAST(d.n_exact AS DOUBLE), 2) AS recall_at_5
          |FROM denom d LEFT JOIN hits h ON d.query_id = h.query_id
          |ORDER BY d.query_id""".stripMargin,
+    // ss16: the oracle runs the DIRECT four-config formulation (one
+    // candidate set and one top-5 ranking per nprobe); hash equality
+    // certifies the Spark side's shared-sort running-count reduction.
+    "ss16_nprobe_sweep" ->
+      s"""WITH $normCte,
+         |cents AS (SELECT vec_id AS cid, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |ascored AS (SELECT c.vec_id, q.cid,
+         |    $dotSql / (c.nrm * q.nrm) AS ccos
+         |  FROM n c CROSS JOIN cents q),
+         |aranked AS (SELECT vec_id, cid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn
+         |  FROM ascored),
+         |assigned AS (SELECT vec_id, cid AS cluster FROM aranked
+         |  WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cluster, crn
+         |  FROM aranked WHERE crn <= 8 AND vec_id < 50),
+         |np AS (SELECT CAST(nprobe AS BIGINT) AS nprobe
+         |  FROM (VALUES (1), (2), (4), (8)) AS t(nprobe)),
+         |cand AS (SELECT np.nprobe, p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN np ON p.crn <= np.nprobe
+         |  JOIN assigned a ON a.cluster = p.cluster
+         |  WHERE a.vec_id <> p.query_id),
+         |iscored AS (SELECT cand.nprobe, cand.query_id, cand.neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM cand JOIN n c ON c.vec_id = cand.neighbor_id
+         |    JOIN n q ON q.vec_id = cand.query_id),
+         |ivf5 AS (SELECT nprobe, query_id, neighbor_id
+         |  FROM (SELECT nprobe, query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY nprobe, query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |    FROM iscored) WHERE rn <= 5),
+         |p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM n c JOIN n q ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |exact5 AS (SELECT query_id, neighbor_id
+         |  FROM (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |    FROM p2) WHERE rn <= 5),
+         |stats AS (SELECT nprobe, count(*) AS n_cand FROM cand GROUP BY 1),
+         |hits AS (SELECT i.nprobe, count(*) AS n_hit
+         |  FROM exact5 e JOIN ivf5 i ON e.query_id = i.query_id
+         |    AND e.neighbor_id = i.neighbor_id
+         |  GROUP BY 1),
+         |den AS (SELECT count(*) AS n_exact FROM exact5)
+         |SELECT s.nprobe, s.n_cand, den.n_exact,
+         |    coalesce(h.n_hit, 0) AS n_hit,
+         |    round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) /
+         |      CAST(den.n_exact AS DOUBLE), 4) AS recall_at_5
+         |FROM stats s CROSS JOIN den LEFT JOIN hits h ON s.nprobe = h.nprobe
+         |ORDER BY s.nprobe""".stripMargin,
     "ss05_centroid_assign" ->
       s"""WITH $normCte,
          |cents AS (SELECT vec_id AS centroid_vec, e, nrm FROM n

@@ -50,6 +50,19 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(want.nonEmpty, "corpus should contain qualifying pairs")
   }
 
+  test("ss16: nprobe operating curve is monotone and hits 1.0 at full probe") {
+    val rows = graft.operators.Similarity.ivfNprobeSweep(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    // nested probes: candidates and hits both non-decreasing in nprobe
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 })
+    // the sweep must show a real trade: narrowest probe misses neighbors,
+    // and recall strictly improves somewhere along the curve
+    assert(rows.head._4 < rows.last._4)
+  }
+
   test("pp21: z-order bounds BOTH dimensions per bucket; linear only one") {
     val rows = Pipeline.pp21ZorderLayout(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

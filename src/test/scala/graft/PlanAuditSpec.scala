@@ -315,6 +315,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("nprobe sweep: one list join + one window sort serve all 4 configs (ss16)") {
+    val plan = executedPlan("ss16_nprobe_sweep")
+    // the sweep must not multiply the corpus by configs: exactly one
+    // cluster-keyed candidate join, centroids/queries broadcast, and all
+    // four per-config running-count ranks fused into ONE Window node
+    // (cached subtrees re-print per consumer, so count fusion, not nodes:
+    // any Window line computing rk1 must compute rk8 in the same node)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rk1Lines = plan.linesIterator
+      .filter(l => l.contains("Window [") && l.contains("rk1")).toSeq
+    assert(rk1Lines.nonEmpty, plan)
+    rk1Lines.foreach(l => assert(l.contains("rk8"),
+      s"per-config ranks split across Window nodes:\n$l"))
+  }
+
   test("containment join is prefix-filtered — equijoins only, no product (dd21)") {
     val plan = executedPlan("dd21_containment_join")
     // candidate generation and exact verify are digest/id equijoins; the
