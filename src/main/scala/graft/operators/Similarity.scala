@@ -56,6 +56,7 @@ object Similarity {
     "ss14_filtered_topk" -> ((s, d) => filteredTopk(s, d)),
     "ss15_pq_recall" -> ((s, d) => pqRecall(s, d)),
     "ss16_nprobe_sweep" -> ((s, d) => ivfNprobeSweep(s, d)),
+    "ss17_multiprobe_lsh" -> ((s, d) => multiprobeSweep(s, d)),
   )
 
   /** ss15: PQ RECALL with a TRAINED codebook — the quality gate that
@@ -396,6 +397,99 @@ object Similarity {
       .withColumn("recall_at_5",
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 4))
       .orderBy("nprobe")
+  }
+
+  /** ss17: MULTI-PROBE LSH — the recall lever that costs NO extra index
+    * memory (complement of ss16's nprobe curve): instead of adding hash
+    * tables (each one multiplies index size — the thing a 100 TB
+    * deployment cannot afford), each query probes its home bucket PLUS
+    * the 8 buckets at Hamming distance 1 within every band (one sign
+    * bit flipped — where a near-neighbor that barely missed the
+    * hyperplane landed). Output is the two-point operating table:
+    * probe_bits=0 (home only, exactly ss02/ss07's banding) vs
+    * probe_bits=1, each with candidate volume and recall@5 against the
+    * exact top-5 over 50 queries.
+    *
+    * Scale: the corpus side is computed ONCE (signature + band explode,
+    * map-side); only the 50-query probe set fans out ×9. The candidate
+    * join shuffles (band, bval, id) triples only; per-pair flags
+    * (home_hit = collided on an unflipped band) are reduced at
+    * pair-distinct time, embeddings rejoin after. The home config's
+    * rank falls out of the SAME cosine-desc window as the multiprobe
+    * rank via a running count over home rows — two operating points,
+    * one candidate shuffle, one sort (the ss16/dd20 nested-config
+    * lesson: home candidates ⊆ multiprobe candidates).
+    */
+  def multiprobeSweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .withColumn("sig", signBucket(col("embedding")))
+      .withColumn("bands", expr(
+        "transform(sequence(0, 3), b -> (sig div shiftleft(1, 8*b)) % 256)"))
+      .persist()
+    val corpusBands = corpus
+      .select(col("vec_id"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    // j = -1 is the home bucket; j in 0..7 flips sign bit j of the band
+    val qprobes = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "qbval")
+      .select(col("query_id"), col("band"), col("qbval"),
+        explode(sequence(lit(-1), lit(7))).as("j"))
+      .select(col("query_id"), col("band"),
+        expr("CASE WHEN j < 0 THEN qbval " +
+          "ELSE CAST(qbval ^ shiftleft(1L, j) AS BIGINT) END").as("bval"),
+        when(col("j") < 0, 1).otherwise(0).as("home"))
+    val cand = corpusBands.join(qprobes, Seq("band", "bval"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(max(col("home")).as("home_hit"))
+    val queriesDf = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = cand
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("norm")), Seq("neighbor_id"))
+      .join(broadcast(queriesDf), Seq("query_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .select(col("query_id"), col("neighbor_id"), col("home_hit"),
+        col("cos_raw"),
+        sum(when(col("home_hit") === 1, 1L).otherwise(0L)).over(wq)
+          .as("rk_home"),
+        sum(lit(1L)).over(wq).as("rk_all"))
+      .persist()
+    val wx = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val exact5 = corpus.crossJoin(broadcast(queriesDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= 5)
+      .select("query_id", "neighbor_id")
+    def cnt(flag: Column): Column = sum(when(flag, 1L).otherwise(0L))
+    val candAgg = flagged.agg(
+      cnt(col("home_hit") === 1).as("c_home"), count(lit(1)).as("c_multi"))
+    val hitAgg = exact5
+      .join(flagged, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        cnt(col("home_hit") === 1 && col("rk_home") <= 5).as("h_home"),
+        cnt(col("rk_all") <= 5).as("h_multi"))
+    candAgg.crossJoin(hitAgg)
+      .selectExpr(
+        """stack(2,
+          |  0L, c_home, n_exact, h_home,
+          |  1L, c_multi, n_exact, h_multi)
+          |AS (probe_bits, n_cand, n_exact, n_hit)""".stripMargin)
+      .withColumn("recall_at_5",
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 4))
+      .orderBy("probe_bits")
   }
 
   /** ss10: int8 SCALAR-QUANTIZED top-k — the memory/bandwidth scale path
@@ -1452,6 +1546,73 @@ object Similarity {
          |      CAST(den.n_exact AS DOUBLE), 4) AS recall_at_5
          |FROM stats s CROSS JOIN den LEFT JOIN hits h ON s.nprobe = h.nprobe
          |ORDER BY s.nprobe""".stripMargin,
+    // ss17: the oracle runs the DIRECT two-config formulation (home-only
+    // candidates and multiprobe candidates each ranked independently);
+    // hash equality certifies the Spark side's shared-sort running-count
+    // reduction over the nested candidate sets.
+    "ss17_multiprobe_lsh" ->
+      s"""WITH $normCte, $planesCte,
+         |sigs AS (SELECT v.vec_id,
+         |    sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        [v.e[i] * pl.w[i]
+         |         for i in generate_series(1, least(len(v.e), 64))]),
+         |        (a, b) -> a + b) >= 0
+         |      THEN (1::BIGINT << pl.p) ELSE 0 END) AS sig
+         |  FROM v, planes pl GROUP BY v.vec_id),
+         |bands AS (SELECT vec_id, b.band,
+         |    (sig // (1::BIGINT << (8 * b.band))) % 256 AS bval
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |qpro AS (SELECT vec_id AS query_id, band,
+         |    CASE WHEN j.j < 0 THEN bval
+         |      ELSE xor(bval, 1::BIGINT << j.j) END AS bval,
+         |    CASE WHEN j.j < 0 THEN 1 ELSE 0 END AS home
+         |  FROM bands CROSS JOIN
+         |    (SELECT unnest(generate_series(-1, 7)) AS j) j
+         |  WHERE vec_id < 50),
+         |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    max(q.home) AS home_hit
+         |  FROM bands c JOIN qpro q ON c.band = q.band AND c.bval = q.bval
+         |  WHERE c.vec_id <> q.query_id GROUP BY 1, 2),
+         |mscored AS (SELECT cand.query_id, cand.neighbor_id, cand.home_hit,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM cand JOIN n c ON c.vec_id = cand.neighbor_id
+         |    JOIN n q ON q.vec_id = cand.query_id),
+         |multi5 AS (SELECT query_id, neighbor_id
+         |  FROM (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |    FROM mscored) WHERE rn <= 5),
+         |home5 AS (SELECT query_id, neighbor_id
+         |  FROM (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |    FROM mscored WHERE home_hit = 1) WHERE rn <= 5),
+         |p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM n c JOIN n q ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |exact5 AS (SELECT query_id, neighbor_id
+         |  FROM (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rn
+         |    FROM p2) WHERE rn <= 5),
+         |den AS (SELECT count(*) AS n_exact FROM exact5),
+         |ch AS (SELECT CAST(sum(home_hit) AS BIGINT) AS c_home,
+         |    count(*) AS c_multi FROM cand),
+         |hh AS (SELECT count(*) AS h_home FROM exact5 e
+         |  JOIN home5 h ON e.query_id = h.query_id
+         |    AND e.neighbor_id = h.neighbor_id),
+         |hm AS (SELECT count(*) AS h_multi FROM exact5 e
+         |  JOIN multi5 m ON e.query_id = m.query_id
+         |    AND e.neighbor_id = m.neighbor_id)
+         |SELECT t.probe_bits, t.n_cand, den.n_exact, t.n_hit,
+         |    round(CAST(t.n_hit AS DOUBLE) /
+         |      CAST(den.n_exact AS DOUBLE), 4) AS recall_at_5
+         |FROM (SELECT 0::BIGINT AS probe_bits, ch.c_home AS n_cand,
+         |        hh.h_home AS n_hit FROM ch CROSS JOIN hh
+         |      UNION ALL
+         |      SELECT 1::BIGINT, ch.c_multi, hm.h_multi
+         |      FROM ch CROSS JOIN hm) t
+         |CROSS JOIN den ORDER BY t.probe_bits""".stripMargin,
     "ss05_centroid_assign" ->
       s"""WITH $normCte,
          |cents AS (SELECT vec_id AS centroid_vec, e, nrm FROM n

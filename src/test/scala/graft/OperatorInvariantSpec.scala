@@ -63,6 +63,22 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.head._4 < rows.last._4)
   }
 
+  test("ss17: one-bit multiprobe nests home candidates and lifts recall") {
+    val rows = graft.operators.Similarity.multiprobeSweep(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L))
+    val Array(home, multi) = rows
+    // home candidates ⊆ multiprobe candidates; same for exact-top-5 hits
+    assert(home._2 <= multi._2 && home._3 <= multi._3)
+    // probing Hamming-1 buckets must buy REAL recall (the op's reason to
+    // exist): strictly more exact neighbors surfaced at no index growth
+    assert(home._4 < multi._4,
+      s"multiprobe recall ${multi._4} did not improve on home ${home._4}")
+    // ×9 probes bound the candidate fan-out (1 home + 8 flipped buckets)
+    assert(multi._2 <= 9 * home._2)
+  }
+
   test("pp21: z-order bounds BOTH dimensions per bucket; linear only one") {
     val rows = Pipeline.pp21ZorderLayout(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
