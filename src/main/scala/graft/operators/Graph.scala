@@ -185,10 +185,63 @@ object Graph {
       .orderBy("nationkey")
   }
 
+  /** gr04: K-CORE DECOMPOSITION (k=4) by iterative peeling (Matula &
+    * Beck '83 distributed-style: drop every node whose degree in the
+    * SURVIVING subgraph is < k, recompute, repeat) on the symmetrized
+    * 3-NN sparsification of the trade graph — the standard "dense
+    * sub-community vs periphery" split (a node is in the 4-core iff it
+    * has ≥4 neighbors that themselves survive, recursively). Six peel
+    * rounds are run UNCONDITIONALLY (fixed round count = deterministic
+    * plan + oracle-replayable; `GraphSpec` proves the fixpoint lands by
+    * round 5, so round 6 is an idempotence witness, not a guess).
+    *
+    * Scale: each round is one self-contained (edges ⋈ alive ⋈ alive →
+    * count ≥ k) pass keyed by node id on the CONDENSED graph; the
+    * iterated set is referenced twice per round (both endpoints), so the
+    * loop localCheckpoints every round — the dd13 plan-nesting lesson
+    * (2^rounds plan refs otherwise). Peeling is the O(m) per-round
+    * kernel every distributed k-core/degeneracy system (e.g. GraphX,
+    * Galois) builds on.
+    */
+  val gr04Kcore: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.partitionBy("src")
+      .orderBy(col("w").desc, col("dst"))
+    val knn = tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("src", "dst")
+    val sym = knn.unionAll(knn.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .persist() // re-joined every peel round (both endpoints)
+    val nodes = t(s, d, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    def survivors(alive: DataFrame): DataFrame = sym
+      .join(alive.withColumnRenamed("id", "src"), Seq("src"))
+      .join(alive.withColumnRenamed("id", "dst"), Seq("dst"))
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+    var alive = nodes.select("id")
+    for (_ <- 1 to 6)
+      alive = survivors(alive).filter(col("dg") >= 4).select("id")
+        .localCheckpoint(true)
+    val coreDeg = survivors(alive)
+      .select(col("id"), col("dg").as("core_degree"))
+    nodes
+      .join(alive.withColumn("in_core", lit(1L)), Seq("id"), "left")
+      .join(coreDeg, Seq("id"), "left")
+      .select(col("id").as("nationkey"), col("n_name"),
+        coalesce(col("in_core"), lit(0L)).as("in_core"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"))
+      .orderBy("nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "gr01_pagerank" -> gr01Pagerank,
     "gr02_triangles" -> gr02Triangles,
     "gr03_label_prop" -> gr03LabelProp,
+    "gr04_kcore" -> gr04Kcore,
   )
 
   private val edgesCte: String =
@@ -257,6 +310,34 @@ object Graph {
          |SELECT n.id AS nationkey, n.n_name, l3.lbl AS community
          |FROM n JOIN l3 ON l3.id = n.id
          |ORDER BY nationkey""".stripMargin,
+    "gr04_kcore" -> {
+      def round(r: Int, prev: String): String =
+        s"""d$r AS (SELECT e.src AS id, count(*) AS dg FROM sym e
+           |  JOIN $prev x ON x.id = e.src
+           |  JOIN $prev y ON y.id = e.dst GROUP BY 1),
+           |a$r AS (SELECT id FROM d$r WHERE dg >= 4)""".stripMargin
+      s"""WITH $edgesCte,
+         |knn AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst) AS rn
+         |    FROM edges WHERE src <> dst) WHERE rn <= 3),
+         |sym AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM knn
+         |    UNION ALL SELECT dst, src FROM knn)),
+         |n AS (SELECT n_nationkey AS id, n_name FROM nation),
+         |a0 AS (SELECT id FROM n),
+         |${(1 to 6).map(r => round(r, s"a${r - 1}")).mkString(",\n")},
+         |df AS (SELECT e.src AS id, count(*) AS dg FROM sym e
+         |  JOIN a6 x ON x.id = e.src
+         |  JOIN a6 y ON y.id = e.dst GROUP BY 1)
+         |SELECT n.id AS nationkey, n.n_name,
+         |  CAST(CASE WHEN a6.id IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS in_core,
+         |  coalesce(df.dg, 0) AS core_degree
+         |FROM n LEFT JOIN a6 ON a6.id = n.id
+         |LEFT JOIN df ON df.id = n.id
+         |ORDER BY nationkey""".stripMargin
+    },
     "gr02_triangles" ->
       s"""WITH $edgesCte,
          |und AS (SELECT DISTINCT least(src, dst) AS a,

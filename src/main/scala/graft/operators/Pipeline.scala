@@ -558,7 +558,42 @@ object Pipeline {
       .orderBy("layout", "probe_i")
   }
 
+  /** pp23: SMALL-FILES COMPACTION PLANNER — the maintenance op every
+    * long-lived ingest-partitioned table needs (the "small files
+    * problem": a month-partitioned 100 TB table accretes thousands of
+    * sub-target files that wreck scan parallelism and NameNode/manifest
+    * load). The planner works entirely on MANIFEST-SIZED stats (one row
+    * per partition — what an Iceberg/Delta manifest already stores):
+    * per-month row counts, then adjacent months greedily packed into
+    * compaction groups of ≥5000 rows via the pp02 running-cumsum
+    * assignment (group = cum_before DIV target — deterministic, no
+    * driver loop, one window over 83 rows). Output is the executable
+    * plan: each month's target file group plus the group's totals — the
+    * compactor then runs one partition-pruned read+write per group. The
+    * data itself is touched once by the stats scan (in production, not
+    * even that: footers already know), never by the planning joins.
+    */
+  val pp23CompactionPlan: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val target = 5000L
+    val byMonth = t(s, d, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wCum = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGrp = Window.partitionBy("file_group")
+    byMonth
+      .withColumn("cum", sum("n_rows").over(wCum))
+      .withColumn("file_group", expr(s"(cum - n_rows) DIV $target"))
+      .withColumn("group_rows", sum("n_rows").over(wGrp))
+      .withColumn("months_in_group", count(lit(1)).over(wGrp))
+      .select("month", "n_rows", "file_group", "group_rows",
+        "months_in_group")
+      .orderBy("month")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pp23_compaction_plan" -> pp23CompactionPlan,
     "pp21_zorder_layout" -> pp21ZorderLayout,
     "pp22_file_skipping" -> pp22FileSkipping,
     "pp11_sequence_pack" -> pp11SequencePack,
@@ -600,6 +635,20 @@ object Pipeline {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "pp23_compaction_plan" ->
+      """WITH m AS (SELECT strftime(date_trunc('month', l_shipdate),
+        |      '%Y-%m') AS month, count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT month, n_rows,
+        |    CAST(sum(n_rows) OVER (ORDER BY month) AS BIGINT) AS cum
+        |  FROM m),
+        |g AS (SELECT month, n_rows,
+        |    (cum - n_rows) // 5000 AS file_group FROM c)
+        |SELECT month, n_rows, file_group,
+        |  CAST(sum(n_rows) OVER (PARTITION BY file_group) AS BIGINT)
+        |    AS group_rows,
+        |  count(*) OVER (PARTITION BY file_group) AS months_in_group
+        |FROM g ORDER BY month""".stripMargin,
     "pp22_file_skipping" ->
       s"""WITH mx AS (SELECT min(l_partkey) AS np, max(l_partkey) AS mp,
          |    min(l_suppkey) AS ns, max(l_suppkey) AS ms

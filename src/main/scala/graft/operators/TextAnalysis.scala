@@ -248,7 +248,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  private val tx22Alphabet: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+
+  /** tx22: CHARACTER-DISTRIBUTION DIVERSITY — the log-free cousin of
+    * character entropy (the classic gibberish/repetition gate: natural
+    * text has a heavy-but-spread letter distribution; keyboard-mash,
+    * base64 blobs and "aaaa…" padding collapse it). Score = Gini
+    * impurity 1 − Σ(cᵢ/n)² over the a-z+space alphabet, emitted as the
+    * EXACT integer rational (n²−Σcᵢ²)·10⁴ DIV n² — no entropy log (libm
+    * ulp drift, CLAUDE.md rule), no float division anywhere. The
+    * companion top_char_x100 (modal-letter centi-fraction) is the
+    * sharper degenerate-text flag.
+    *
+    * Scale: 27 replace/length pairs per row — a pure per-row projection
+    * (no explode, no shuffle; the naive char-explode formulation would
+    * shuffle n_chars rows per doc). Stays inside whole-stage codegen:
+    * plain string builtins, no lambdas/HOFs to fall back on.
+    */
+  private val tx22CharDiversity: Q = (s, d) => {
+    val cnt = tx22Alphabet.zipWithIndex.map { case (ch, i) =>
+      s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT) AS c$i"
+    }
+    val cs = tx22Alphabet.indices.map(i => s"c$i")
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .selectExpr("doc_id" +: cnt: _*)
+      .selectExpr("doc_id", s"${cs.mkString(" + ")} AS n",
+        s"${cs.map(c => s"$c * $c").mkString(" + ")} AS ssq",
+        s"greatest(${cs.mkString(", ")}) AS mx")
+      .filter(col("n") > 0)
+      .selectExpr("doc_id", "n AS n_letters", "ssq AS sum_sq",
+        "(n * n - ssq) * 10000 DIV (n * n) AS gini_x10k",
+        "mx * 100 DIV n AS top_char_x100")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx22_char_diversity" -> tx22CharDiversity,
     "tx17_term_commonness" -> tx17TermCommonness,
     "tx01_token_count" -> tx01Tokens,
     "tx02_quality_score" -> tx02Quality,
@@ -266,6 +301,23 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx22_char_diversity" -> {
+      val cnt = tx22Alphabet.zipWithIndex.map { case (ch, i) =>
+        s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT) AS c$i"
+      }
+      val cs = tx22Alphabet.indices.map(i => s"c$i")
+      s"""WITH c AS (SELECT doc_id,
+         |    ${cnt.mkString(",\n    ")}
+         |  FROM documents),
+         |s AS (SELECT doc_id, ${cs.mkString(" + ")} AS n,
+         |    ${cs.map(c => s"$c * $c").mkString(" + ")} AS ssq,
+         |    greatest(${cs.mkString(", ")}) AS mx
+         |  FROM c)
+         |SELECT doc_id, n AS n_letters, ssq AS sum_sq,
+         |  (n * n - ssq) * 10000 // (n * n) AS gini_x10k,
+         |  mx * 100 // n AS top_char_x100
+         |FROM s WHERE n > 0 ORDER BY doc_id""".stripMargin
+    },
     "tx17_term_commonness" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

@@ -486,6 +486,73 @@ object EventsStreaming {
       .orderBy("doc_id")
   }
 
+  case class BudgetDoc(doc_id: Long, source: String, n_tokens: Long,
+      ts: Timestamp)
+  case class BudgetOut(doc_id: Long, source: String, n_tokens: Long,
+      admitted: Boolean)
+
+  /** STREAMING TOKEN-BUDGET ADMISSION — quota-enforced data mixing at
+    * ingest time: each source may contribute at most `budget` tokens to
+    * the corpus; once its cumulative intake crosses the budget the
+    * source's tap closes (every later doc is rejected — the prefix
+    * rule, which is what "stop crawling this domain, quota spent"
+    * means operationally; pp06/pp17 are the batch mixers that assume
+    * this gate ran upstream).
+    *
+    * State per key is ONE long (cumulative seen tokens) — bounded by
+    * the number of sources, not the corpus; partitioned by source, so
+    * the gate scales horizontally and each micro-batch folds its rows
+    * in (ts, doc_id) order for determinism under in-batch disorder.
+    */
+  def tokenBudgetStream(docs: DataFrame, budget: Long): Dataset[BudgetOut] = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", "10 minutes")
+      .as[BudgetDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, BudgetOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[BudgetDoc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
+            cum += r.n_tokens
+            BudgetOut(r.doc_id, src, r.n_tokens, cum <= budget)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
+  /** Deterministic batch face of the same gate: per-source running token
+    * cumsum in (ts, doc_id) order, admitted ⇔ cumsum ≤ budget. */
+  def tokenBudgetBatch(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("ts", "doc_id")
+    docs.withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum") <= budget).as("admitted"))
+  }
+
+  /** The st10 corpus: documents with the ingestCorpus arrival clock and
+    * the ingestCuration whitespace token count. */
+  def budgetCorpus(s: SparkSession, d: String): DataFrame =
+    graft.Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+          .as("n_tokens"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id") * 7).as("ts"))
+
+  /** st10: per-source admission report of the token-budget gate (1000
+    * tokens per source — partial admission everywhere at sf0.01). */
+  private val st10TokenBudget: Q = (s, d) =>
+    tokenBudgetBatch(budgetCorpus(s, d), 1000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_seen"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("n_tokens")).otherwise(0L))
+          .as("admitted_tokens"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
     "st08_new_users" -> st08NewUsers,
     "st01_sessionize" -> st01Sessionize,
@@ -495,9 +562,25 @@ object EventsStreaming {
     "st05_enrich_join" -> st05EnrichJoin,
     "st06_interval_outer" -> st06IntervalOuter,
     "st07_dedup_replay" -> st07DedupReplay,
-    "st09_neardup_admission" -> st09NeardupAdmission)
+    "st09_neardup_admission" -> st09NeardupAdmission,
+    "st10_token_budget" -> st10TokenBudget)
 
   val oracleSql: Map[String, String] = Map(
+    "st10_token_budget" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id) AS cum
+        |  FROM docs)
+        |SELECT source, count(*) AS n_seen,
+        |  CAST(sum(CASE WHEN cum <= 1000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_admitted,
+        |  CAST(sum(CASE WHEN cum <= 1000 THEN n_tokens ELSE 0 END)
+        |    AS BIGINT) AS admitted_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "st09_neardup_admission" ->
       """WITH corpus AS (
         |  SELECT doc_id, text, 1704067200 + doc_id * 7 AS arr_s

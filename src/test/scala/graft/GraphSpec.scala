@@ -61,4 +61,39 @@ class GraphSpec extends SparkSpec {
         assert(got(n) == counts(n), s"nation $n: ${got(n)} != ${counts(n)}")
       }
   }
+
+  test("gr04 4-core equals a sequential peel and fixpoints by round 5") {
+    val nodes = Tables.t(spark, sf, "nation")
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    // symmetrized 3-NN sparsification, same determinism as the operator
+    val knn = edges().filter(e => e._1 != e._2)
+      .groupBy(_._1).values.flatMap(_.sortBy(e => (-e._3, e._2)).take(3))
+      .map(e => (e._1, e._2)).toSet
+    val sym = knn ++ knn.map(_.swap)
+    def degrees(alive: Set[Int]): Map[Int, Int] =
+      sym.toSeq.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap.withDefaultValue(0)
+    var alive = nodes
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val next = alive.filter(degrees(alive)(_) >= 4)
+      changed = next != alive
+      if (changed) rounds += 1
+      alive = next
+    }
+    // six unconditional rounds in the operator: fixpoint must land first
+    assert(rounds <= 5, s"peeling needed $rounds rounds, operator runs 6")
+    val coreDeg = degrees(alive)
+    val got = Graph.gr04Kcore(spark, sf).collect()
+      .map(x => (x.getInt(0), x.getLong(2), x.getLong(3)))
+    got.foreach { case (n, inCore, dg) =>
+      assert(inCore == (if (alive(n)) 1L else 0L), s"nation $n core flag")
+      assert(dg == (if (alive(n)) coreDeg(n).toLong else 0L),
+        s"nation $n core degree: got $dg want ${coreDeg(n)}")
+    }
+    // the split is non-trivial on this graph: both sides populated
+    assert(alive.nonEmpty && (nodes -- alive).nonEmpty,
+      s"degenerate 4-core: ${alive.size} of ${nodes.size} nations")
+  }
 }

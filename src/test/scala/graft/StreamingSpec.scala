@@ -215,6 +215,43 @@ class StreamingSpec extends SparkSpec {
       admitted.count(_._1 < 1000000L) * 9 / 10)
   }
 
+  test("streaming token-budget gate matches the st10 batch face across batches") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = EventsStreaming.budgetCorpus(spark, sf)
+      .orderBy("ts", "doc_id")
+      .collect().map(r => EventsStreaming.BudgetDoc(r.getLong(0),
+        r.getString(1), r.getLong(2), r.getTimestamp(3))).toSeq
+    // two micro-batches split mid-corpus: the per-source cumulative
+    // counter must carry across the state-store boundary
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.BudgetDoc](spark)
+    val q = EventsStreaming.tokenBudgetStream(input.toDF(), 1000L)
+      .writeStream.format("memory").queryName("tokbudget")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tokbudget")
+      .select("doc_id", "admitted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = EventsStreaming.tokenBudgetBatch(
+        EventsStreaming.budgetCorpus(spark, sf), 1000L)
+      .select("doc_id", "admitted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    // the gate really bites: every source admits some docs, rejects some
+    val bySource = corpus.groupBy(_.source)
+    bySource.foreach { case (src, docs) =>
+      val flags = docs.map(d => got(d.doc_id))
+      assert(flags.contains(true), s"$src admitted nothing")
+      assert(flags.contains(false), s"$src rejected nothing (budget slack)")
+    }
+  }
+
   test("left-outer interval join emits unmatched clicks once the watermark allows") {
     val clicks = rows.filter(_.event_type == "click") :+
       Event(20, ts(5), 3, "click", 0.0) // user 3 has no views → null row
