@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "md5_simhash_bits", 1, es => Md5SimHashBits(es.head))
     inject(ext, "text_stats", 1, es => TextStats(es.head))
     inject(ext, "repetition_stats", 1, es => RepetitionStats(es.head))
+    inject(ext, "char_diversity", 1, es => CharDiversity(es.head))
     inject(ext, "float_dot", 2, es => FloatDot(es(0), es(1)))
     inject(ext, "double_dot", 2, es => DoubleDot(es(0), es(1)))
     inject(ext, "sorted_intersect_card", 2,

@@ -449,6 +449,37 @@ object GraftHashes {
       Array[Any](n.toLong, distinct, top, nbg))
   }
 
+  /** One-pass a-z+space histogram moments for tx22's diversity score:
+    * (n, Σc², max c) over the 27-letter alphabet. Counting BYTES equals
+    * counting code points here because the targets are ASCII and UTF-8
+    * continuation bytes (0x80-0xBF) never collide with ASCII — the same
+    * occurrence count `length(t) - length(replace(t, ch, ''))` yields,
+    * which is what keeps the kernel byte-identical to the portable
+    * oracle formulation. One array, no boxing, no string copies (the
+    * 27×replace formulation allocated ~100 rewritten strings per row
+    * after projection collapse — measured 2.05 s vs 0.5 s at sf0.1).
+    */
+  def charDiversity(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val counts = new Array[Long](27)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 'a'.toByte && b <= 'z'.toByte) counts(b - 'a'.toByte) += 1
+      else if (b == ' '.toByte) counts(26) += 1
+      i += 1
+    }
+    var n = 0L; var ssq = 0L; var mx = 0L
+    var k = 0
+    while (k < 27) {
+      val c = counts(k)
+      n += c; ssq += c * c; if (c > mx) mx = c
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, ssq, mx))
+  }
+
   /** 64-bit SimHash over whitespace-delimited tokens: each token votes its
     * hash bits +1/-1; the sign vector is the fingerprint. Near-duplicate
     * docs land within small Hamming distance. Single pass over the bytes,
@@ -763,6 +794,28 @@ object RepetitionStats {
     StructField("n_bigrams", LongType, nullable = false)))
 }
 
+/** Per-doc a-z+space histogram moments — see [[GraftHashes.charDiversity]]. */
+case class CharDiversity(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def prettyName: String = "char_diversity"
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
+  override def dataType: DataType = CharDiversity.schema
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashes.charDiversity(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.charDiversity($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object CharDiversity {
+  val schema: StructType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("ssq", LongType, nullable = false),
+    StructField("mx", LongType, nullable = false)))
+}
+
 /** Column wrappers + SQL registration for the custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.GraftShim
@@ -796,6 +849,8 @@ object GraftFunctions {
     GraftShim.column(TextStats(GraftShim.expression(c)))
   def repetition_stats(c: Column): Column =
     GraftShim.column(RepetitionStats(GraftShim.expression(c)))
+  def char_diversity(c: Column): Column =
+    GraftShim.column(CharDiversity(GraftShim.expression(c)))
 
   /** Make the functions callable from spark.sql text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

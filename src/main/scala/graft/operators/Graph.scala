@@ -223,9 +223,13 @@ object Graph {
       .join(alive.withColumnRenamed("id", "dst"), Seq("dst"))
       .groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
     var alive = nodes.select("id")
-    for (_ <- 1 to 6)
+    for (r <- 1 to 6) {
       alive = survivors(alive).filter(col("dg") >= 4).select("id")
-        .localCheckpoint(true)
+      // two alive-refs per round → plan nests 2^rounds unchecked; a
+      // checkpoint every OTHER round caps nesting at 4× while halving
+      // the serial job count (the dd13 rule applied at 2 refs, not 16)
+      if (r % 2 == 0) alive = alive.localCheckpoint(true)
+    }
     val coreDeg = survivors(alive)
       .select(col("id"), col("dg").as("core_degree"))
     nodes

@@ -119,4 +119,23 @@ object KernelProps extends Properties("GraftKernels") {
           shingles.map(s => md5hex(s + "#" + k)).min
       }
     }
+
+  /** Texts with non-alphabet chars (digits, unicode) mixed in — the
+    * kernel must count ONLY a-z+space, exactly like the oracle's
+    * length(t) - length(replace(t, ch, '')) per-char formulation. */
+  private val mixedText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      (8, Gen.alphaLowerChar), (3, Gen.const(' ')),
+      (1, Gen.numChar), (1, Gen.const('é')), (1, Gen.alphaUpperChar)))
+      .map(_.mkString)
+
+  property("charDiversity equals the per-char replace-count reference") =
+    Prop.forAll(mixedText) { t =>
+      val alphabet = ('a' to 'z') :+ ' '
+      val counts = alphabet.map(ch => t.count(_ == ch).toLong)
+      val row = GraftHashes.charDiversity(UTF8String.fromString(t))
+      row.getLong(0) == counts.sum &&
+        row.getLong(1) == counts.map(c => c * c).sum &&
+        row.getLong(2) == counts.max
+    }
 }
