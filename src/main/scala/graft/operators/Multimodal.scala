@@ -395,7 +395,54 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** mm08: THUMBNAIL GENERATION over genuinely decoded pixels — the
+    * resize step every image-training pipeline runs between decode and
+    * model input. The 16×h raster (real `javax.imageio` decode of the
+    * real PNG) is 2×2 average-pooled to 8×⌊h/2⌋ with INTEGER floor
+    * division per cell (odd tail row truncated, the mm01 rule) — no
+    * float resampling, so the DuckDB replay from the SOURCE bytes is
+    * exact, and hash equality certifies decode + pooling together.
+    * Pooled values of ASCII sources stay ≤127, which is what lets the
+    * oracle rebuild the thumbnail bytes with chr() and md5 them.
+    *
+    * Scale: per-row mapPartitions (the batched-decode contract of
+    * mm03); pixels never shuffle — only (id, dims, luma, md5) leave the
+    * executor.
+    */
+  private val mm08Thumbnail: Q = (s, d) => {
+    import s.implicits._
+    pngTable(s, d).as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, png, _) =>
+          val (_, h, px) = decodeGray(png)
+          val th = h / 2
+          if (th == 0) Iterator.empty
+          else {
+            val tb = new Array[Byte](8 * th)
+            var luma = 0L
+            var ty = 0
+            while (ty < th) {
+              var tx = 0
+              while (tx < 8) {
+                val v = ((px(2 * ty * 16 + 2 * tx) & 0xff) +
+                  (px(2 * ty * 16 + 2 * tx + 1) & 0xff) +
+                  (px((2 * ty + 1) * 16 + 2 * tx) & 0xff) +
+                  (px((2 * ty + 1) * 16 + 2 * tx + 1) & 0xff)) / 4
+                tb(ty * 8 + tx) = v.toByte
+                luma += v
+                tx += 1
+              }
+              ty += 1
+            }
+            Iterator((id, 8L, th.toLong, luma, md5Hex(tb)))
+          }
+        }
+      }.toDF("media_id", "t_width", "t_height", "t_luma_sum", "thumb_fp")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm08_thumbnail" -> mm08Thumbnail,
     "mm01_media_ingest" -> mm01IngestMeta,
     "mm02_frame_sample" -> mm02FrameSample,
     "mm03_batch_decode" -> mm03BatchDecode,
@@ -669,6 +716,29 @@ object Multimodal {
     // mm01/mm05 oracles read the SOURCE bytes; Spark reads genuinely
     // DECODED PNG pixels — equality proves the encode→decode round-trip
     // is pixel-exact (grayscale PNG is lossless).
+    "mm08_thumbnail" ->
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    CAST(length(text) // 16 AS BIGINT) AS h,
+        |    substring(text, 1, CAST((length(text) // 16) * 16 AS INT))
+        |      AS px
+        |  FROM documents WHERE length(text) >= 32),
+        |t AS (SELECT media_id, h // 2 AS th, px FROM g WHERE h >= 2),
+        |rows_ AS (SELECT media_id, th, px,
+        |    unnest(generate_series(0, th - 1)) AS ty FROM t),
+        |cells AS (SELECT r.media_id, r.th, r.ty, tx.tx,
+        |    (ord(substring(r.px, CAST(2*r.ty*16 + 2*tx.tx + 1 AS INT), 1))
+        |   + ord(substring(r.px, CAST(2*r.ty*16 + 2*tx.tx + 2 AS INT), 1))
+        |   + ord(substring(r.px, CAST((2*r.ty+1)*16 + 2*tx.tx + 1 AS INT), 1))
+        |   + ord(substring(r.px, CAST((2*r.ty+1)*16 + 2*tx.tx + 2 AS INT), 1)))
+        |      // 4 AS v
+        |  FROM rows_ r CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 7)) AS tx) tx)
+        |SELECT media_id, CAST(8 AS BIGINT) AS t_width,
+        |  max(th) AS t_height,
+        |  CAST(sum(v) AS BIGINT) AS t_luma_sum,
+        |  md5(string_agg(chr(CAST(v AS INT)), '' ORDER BY ty * 8 + tx))
+        |    AS thumb_fp
+        |FROM cells GROUP BY media_id ORDER BY media_id""".stripMargin,
     "mm01_media_ingest" ->
       """WITH g AS (SELECT doc_id AS media_id,
         |    CAST(length(text) AS BIGINT) AS nbytes,

@@ -281,7 +281,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** tx23: TERM-FREQUENCY SPECTRUM — the Zipf band report a tokenizer /
+    * vocab plan is sized from (how much corpus mass lives in head vs
+    * tail terms; the tail-band mass is what a vocab cutoff throws away
+    * as <unk>). Terms are token BIGRAMS (the unigram vocab of this
+    * corpus is too dense to have a tail; bigrams spread over 6 octaves)
+    * bucketed by frequency OCTAVE — band = ⌊log2 tf⌋+1 computed as
+    * length(bin(tf)): pure integer/string arithmetic, no libm log
+    * (CLAUDE.md rule), identical in both engines. Mass fractions are
+    * exact integer rationals (×10⁴ DIV total).
+    *
+    * Scale: one corpus tokenize pass → vocab-sized tf aggregate on md5
+    * fingerprints (the tx16/dd02 payload rule: bigram text never
+    * shuffles) → ~15-row band aggregate. NO global ordering anywhere —
+    * the rank formulation of the same curve would funnel the vocab
+    * through one partition (the tx17/pp02 trap); octave-bucketing is
+    * rank-free.
+    */
+  private val tx23FreqSpectrum: Q = (s, d) => {
+    val vocab = t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, CAST(size(toks) - 2 AS INT)),
+          |          i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
+        .as("bigram"))
+      .select(md5(col("bigram")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("tf"))
+    val bands = vocab
+      .groupBy(length(expr("bin(tf)")).cast("bigint").as("band"))
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("band_mass"))
+    val tot = bands.agg(sum("band_mass").as("total_mass"),
+      sum("n_terms").as("total_terms"))
+    bands.crossJoin(broadcast(tot))
+      .selectExpr("band", "n_terms", "band_mass",
+        "band_mass * 10000 DIV total_mass AS mass_x10k",
+        "n_terms * 10000 DIV total_terms AS terms_x10k")
+      .orderBy("band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx23_freq_spectrum" -> tx23FreqSpectrum,
     "tx22_char_diversity" -> tx22CharDiversity,
     "tx17_term_commonness" -> tx17TermCommonness,
     "tx01_token_count" -> tx01Tokens,
@@ -300,6 +340,21 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx23_freq_spectrum" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT md5(tk[i] || ' ' || tk[i + 1]) AS fp
+        |  FROM t, unnest(generate_series(1, len(tk) - 1)) AS s(i)),
+        |v AS (SELECT fp, count(*) AS tf FROM bg GROUP BY fp),
+        |b AS (SELECT CAST(length(bin(tf)) AS BIGINT) AS band,
+        |    count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS band_mass
+        |  FROM v GROUP BY 1),
+        |tt AS (SELECT CAST(sum(band_mass) AS BIGINT) AS total_mass,
+        |    CAST(sum(n_terms) AS BIGINT) AS total_terms FROM b)
+        |SELECT band, n_terms, band_mass,
+        |  band_mass * 10000 // total_mass AS mass_x10k,
+        |  n_terms * 10000 // total_terms AS terms_x10k
+        |FROM b CROSS JOIN tt ORDER BY band""".stripMargin,
     "tx22_char_diversity" -> {
       val cnt = tx22Alphabet.zipWithIndex.map { case (ch, i) =>
         s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT) AS c$i"

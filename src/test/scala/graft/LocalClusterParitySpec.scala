@@ -30,11 +30,15 @@ class LocalClusterParitySpec extends SparkSpec {
   //   dd18 — Md5SimHashBits codegen kernel (round-5 addition)
   //   mm05 — javax.imageio encode/decode inside executor mapPartitions
   //   st09 — banded claim window over md5_min_lanes signatures
+  //   tx22 — CharDiversity codegen kernel (round-5 addition)
+  //   gr04 — localCheckpoint loop across executors (checkpointed RDD
+  //          blocks live in executor storage, not the driver)
   private val names = Seq("q66_topk_pergroup", "dd12_semantic_dedup",
     "pp10_bloom_decontaminate", "dd03_minhash_signatures",
     "ss10_quantized_topk", "ss09_kmeans_converged",
     "tx13_source_sig_oracle", "st01_sessionize",
-    "dd18_simhash_oracle", "mm05_patch_grid", "st09_neardup_admission")
+    "dd18_simhash_oracle", "mm05_patch_grid", "st09_neardup_admission",
+    "tx22_char_diversity", "gr04_kcore")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
