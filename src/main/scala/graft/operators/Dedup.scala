@@ -639,6 +639,71 @@ object Dedup {
       .orderBy("decile")
   }
 
+  /** dd22: END-TO-END FUZZY-DEDUP KEEP-SET — the production deliverable
+    * the dd-family pieces exist for (what a SlimPajama/RefinedWeb release
+    * actually ships): candidate DISCOVERY by banded MinHash (dd15's
+    * portable 8-md5-lane → 4×2-band pipeline — no planted pair list,
+    * the bands find the pairs), exact string-shingle Jaccard ≥ 0.5
+    * verify on the candidates only, connected components over the
+    * verified edges (dd10's min-label propagation), and one keep flag
+    * per doc (cluster representative = min doc_id). One operator in,
+    * keep-set out.
+    *
+    * Scale: the only corpus-sized shuffles carry (band, bkey, id) and
+    * the id-pair distinct; shingle payloads rejoin per VERIFIED
+    * candidate (the dd02/tx16 payload rule); CC runs on the
+    * edge-induced subgraph with per-round localCheckpoint. DuckDB
+    * replays discovery, verification AND the label fixpoint (recursive
+    * CTE), so the keep-set is pinned cross-engine end-to-end.
+    */
+  private val dd22FuzzyKeepset: Q = (s, d) => {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val dropTok = expr(
+      """CASE WHEN instr(text, ' ') > 0
+        |     THEN substring(text, instr(text, ' ') + 1)
+        |     ELSE text END""".stripMargin)
+    val m1 = docs.select((col("doc_id") + COPY_OFFSET).as("doc_id"),
+      dropTok.as("text"))
+    val m2 = m1.select((col("doc_id") + COPY_OFFSET).as("doc_id"),
+      dropTok.as("text"))
+    val corpus = docs.unionAll(m1).unionAll(m2)
+    val sh = corpus
+      .withColumn("shingles",
+        array_distinct(GraftFunctions.shingle_strings(col("text"))))
+      .select("doc_id", "shingles")
+      .persist() // banding branch + both verify sides
+    val banded = sh
+      .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), b -> concat(sig[2*b], sig[2*b+1]))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+    val cand = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bkey"),
+        col("doc_id").as("b")), Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val edges = cand
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")),
+        Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")),
+        Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+      .select("a", "b")
+    val labels = connectedComponents(
+      corpus.select(col("doc_id").as("id")), edges)
+    labels.groupBy("label").agg(count(lit(1)).as("group_size"),
+        collect_list("id").as("ids"))
+      .select(explode(col("ids")).as("doc_id"),
+        col("label").as("group_rep"), col("group_size"))
+      .withColumn("kept", col("doc_id") === col("group_rep"))
+      .orderBy("doc_id")
+  }
+
   /** dd16: REPEATED-SUBSTRING detection (the ExactSubstr signal of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better"): fingerprint every SLIDING 8-token span (stride 1, vs
@@ -930,6 +995,7 @@ object Dedup {
     "dd14_line_dedup" -> dd14LineDedup,
     "dd15_lsh_recall" -> dd15LshRecall,
     "dd16_substring_dedup" -> dd16SubstringDedup,
+    "dd22_fuzzy_keepset" -> dd22FuzzyKeepset,
     "dd01_dedup_exact" -> dd01Exact,
     "dd02_dedup_exact_hash" -> dd02ExactHash,
     "dd03_minhash_signatures" -> dd03MinhashSig,
@@ -1162,6 +1228,64 @@ object Dedup {
         |    / count(*), 4) AS repeat_frac
         |FROM spans s JOIN cnts c USING (fp)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // dd22: discovery (md5-lane banding) + verify + recursive-CTE label
+    // fixpoint, replayed end-to-end — hash equality pins the KEEP-SET.
+    "dd22_fuzzy_keepset" ->
+      """WITH RECURSIVE
+        |m1 AS (SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |m2 AS (SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM m1),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+        |tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM corpus),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM tk),
+        |sig AS (SELECT doc_id,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sig
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sig
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sig
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bkey = b.bkey
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT a, b FROM cand
+        |  JOIN sh sa ON sa.doc_id = cand.a
+        |  JOIN sh sb ON sb.doc_id = cand.b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        |    >= 0.5),
+        |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        |r AS (SELECT doc_id AS id, doc_id AS label FROM corpus
+        |  UNION
+        |  SELECT s.b AS id, r.label FROM r JOIN sym s ON s.a = r.id),
+        |lab AS (SELECT id, min(label) AS group_rep FROM r GROUP BY id)
+        |SELECT l.id AS doc_id, l.group_rep, g.cnt AS group_size,
+        |  l.id = l.group_rep AS kept
+        |FROM lab l JOIN (SELECT group_rep, count(*) AS cnt FROM lab
+        |                 GROUP BY group_rep) g USING (group_rep)
+        |ORDER BY doc_id""".stripMargin,
     "dd15_lsh_recall" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL

@@ -57,6 +57,7 @@ object Similarity {
     "ss15_pq_recall" -> ((s, d) => pqRecall(s, d)),
     "ss16_nprobe_sweep" -> ((s, d) => ivfNprobeSweep(s, d)),
     "ss17_multiprobe_lsh" -> ((s, d) => multiprobeSweep(s, d)),
+    "ss18_ivfpq_search" -> ((s, d) => ivfPqSearch(s, d)),
   )
 
   /** ss15: PQ RECALL with a TRAINED codebook — the quality gate that
@@ -490,6 +491,111 @@ object Similarity {
       .withColumn("recall_at_5",
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 4))
       .orderBy("probe_bits")
+  }
+
+  /** ss18: IVF+PQ TWO-STAGE SEARCH — the production index architecture
+    * (FAISS IVFPQ + refine) assembled from the proven stages: a COARSE
+    * quantizer (ss03/ss16's 16 cosine centroids, nprobe=2) prunes the
+    * corpus to ~1/8th per query, PQ ADC (ss13's 8×16 codebook and
+    * deterministic per-subspace distance sums) scores ONLY the probed
+    * candidates from 8-byte codes, and the float vectors are touched
+    * just for the exact-cosine REFINE of the ADC top-10 → final top-3.
+    * At 100 TB this is the shape that works: inverted lists bound the
+    * scan, codes bound the bytes (32×), refine bounds the float reads
+    * (10 vectors per query).
+    *
+    * Scale: coarse assignment + codes are one map-side pass each
+    * (broadcast codebooks); the candidate join shuffles ids only; ADC
+    * joins ride the 128-row broadcast distance table; refine rejoins
+    * the wide embeddings AFTER the top-10 cut (payload rule). DuckDB
+    * replays coarse, codes, ADC and refine end-to-end.
+    */
+  def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 8
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .persist()
+    // stage 1 — coarse IVF: cosine argmax over 16 sampled centroids,
+    // queries probe their top-2 lists (ss16's knee)
+    val coarse = base.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("ccid"), col("embedding").as("cc_emb"),
+        col("norm").as("cc_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("ccid"))
+    val ranked = base.crossJoin(broadcast(coarse))
+      .withColumn("ccos",
+        dot(col("embedding"), col("cc_emb")) / (col("norm") * col("cc_norm")))
+      .withColumn("crn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("ccid").as("cluster"))
+    val probes = ranked.filter(col("crn") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("ccid").as("cluster"))
+    val cand = assigned.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // stage 2 — PQ codes + ADC on the candidates only (ss13's codebook,
+    // conditional per-subspace sums: reducer-order-independent)
+    val cents = base.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(row_number().over(Window.orderBy("vec_id")).as("cid"),
+        col("embedding").as("c_emb"))
+      .select(col("cid"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), k -> struct(k, slice(c_emb, k * 8 + 1, 8) AS sub))")).as("x"))
+      .select(col("cid"), col("x.k").as("k"), col("x.sub").as("c_sub"))
+      .withColumn("c_cc", dot(col("c_sub"), col("c_sub")))
+    val subs = base
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), k -> struct(k, slice(embedding, k * 8 + 1, 8) AS sub))")).as("x"))
+      .select(col("vec_id"), col("x.k").as("k"), col("x.sub").as("sub"))
+      .withColumn("v_xx", dot(col("sub"), col("sub")))
+    val wCode = Window.partitionBy("vec_id", "k")
+      .orderBy(col("dist"), col("cid"))
+    val codes = subs.join(broadcast(cents), Seq("k"))
+      .withColumn("dist",
+        col("v_xx") + col("c_cc") - lit(2.0) * dot(col("sub"), col("c_sub")))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("k"),
+        col("cid").as("code"))
+    val dtab = subs.filter(col("vec_id") < 10)
+      .join(broadcast(cents), Seq("k"))
+      .select(col("vec_id").as("dq"), col("k").as("dk"),
+        col("cid").as("dcid"),
+        (col("v_xx") + col("c_cc") -
+          lit(2.0) * dot(col("sub"), col("c_sub"))).as("d"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    val perSub = (0 until m).map(k =>
+      sum(when(col("k") === k, col("d"))).as(s"d$k"))
+    val adc10 = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(dtab),
+        col("query_id") === col("dq") && col("k") === col("dk") &&
+          col("code") === col("dcid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(perSub.head, perSub.tail: _*)
+      .withColumn("adc", (0 until m).map(k => col(s"d$k")).reduceLeft(_ + _))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= 10)
+      .select("query_id", "neighbor_id")
+    // stage 3 — exact refine: float vectors touched only for the top-10
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("cosine_raw").desc, col("neighbor_id"))
+    adc10
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("norm")), Seq("neighbor_id"))
+      .join(broadcast(base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"))), Seq("query_id"))
+      .withColumn("cosine_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(wFinal).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine_raw"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
   }
 
   /** ss10: int8 SCALAR-QUANTIZED top-k — the memory/bandwidth scale path
@@ -1546,6 +1652,91 @@ object Similarity {
          |      CAST(den.n_exact AS DOUBLE), 4) AS recall_at_5
          |FROM stats s CROSS JOIN den LEFT JOIN hits h ON s.nprobe = h.nprobe
          |ORDER BY s.nprobe""".stripMargin,
+    // ss18: coarse IVF assignment, PQ codes/ADC on the probed candidates,
+    // exact-cosine refine of the ADC top-10 — all replayed directly.
+    "ss18_ivfpq_search" ->
+      s"""WITH $normCte,
+         |cents AS (SELECT vec_id AS ccid, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |ascored AS (SELECT c.vec_id, q.ccid,
+         |    $dotSql / (c.nrm * q.nrm) AS ccos
+         |  FROM n c CROSS JOIN cents q),
+         |aranked AS (SELECT vec_id, ccid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, ccid) AS crn
+         |  FROM ascored),
+         |assigned AS (SELECT vec_id, ccid AS cluster FROM aranked
+         |  WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, ccid AS cluster
+         |  FROM aranked WHERE crn <= 2 AND vec_id < 10),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assigned a ON a.cluster = p.cluster
+         |  WHERE a.vec_id <> p.query_id),
+         |pcent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, e
+         |  FROM (SELECT vec_id, e FROM v WHERE vec_id % 97 = 0
+         |        ORDER BY vec_id LIMIT 16)),
+         |csub AS (SELECT cid, k, e[k * 8 + 1 : k * 8 + 8] AS c_sub
+         |  FROM pcent, LATERAL (SELECT unnest(generate_series(0, 7)) AS k)),
+         |cs AS (SELECT cid, k, c_sub,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      [c_sub[i] * c_sub[i]
+         |       for i in generate_series(1, len(c_sub))]),
+         |      (a, b) -> a + b) AS cc
+         |  FROM csub),
+         |vsub AS (SELECT vec_id, k, e[k * 8 + 1 : k * 8 + 8] AS sub
+         |  FROM v, LATERAL (SELECT unnest(generate_series(0, 7)) AS k)),
+         |vs AS (SELECT vec_id, k, sub,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      [sub[i] * sub[i] for i in generate_series(1, len(sub))]),
+         |      (a, b) -> a + b) AS xx
+         |  FROM vsub),
+         |asg AS (SELECT s.vec_id, s.k, c.cid,
+         |    s.xx + c.cc - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      [s.sub[i] * c.c_sub[i]
+         |       for i in generate_series(1, len(s.sub))]),
+         |      (a, b) -> a + b) AS dist
+         |  FROM vs s JOIN cs c ON s.k = c.k),
+         |codes AS (SELECT vec_id, k, cid AS code FROM (
+         |    SELECT vec_id, k, cid, row_number() OVER (
+         |      PARTITION BY vec_id, k ORDER BY dist, cid) AS rn
+         |    FROM asg) WHERE rn = 1),
+         |dtab AS (SELECT s.vec_id AS dq, s.k, c.cid,
+         |    s.xx + c.cc - 2 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      [s.sub[i] * c.c_sub[i]
+         |       for i in generate_series(1, len(s.sub))]),
+         |      (a, b) -> a + b) AS d
+         |  FROM vs s JOIN cs c ON s.k = c.k WHERE s.vec_id < 10),
+         |padc AS (SELECT cand.query_id, cand.neighbor_id,
+         |    sum(CASE WHEN co.k = 0 THEN d.d END) AS d0,
+         |    sum(CASE WHEN co.k = 1 THEN d.d END) AS d1,
+         |    sum(CASE WHEN co.k = 2 THEN d.d END) AS d2,
+         |    sum(CASE WHEN co.k = 3 THEN d.d END) AS d3,
+         |    sum(CASE WHEN co.k = 4 THEN d.d END) AS d4,
+         |    sum(CASE WHEN co.k = 5 THEN d.d END) AS d5,
+         |    sum(CASE WHEN co.k = 6 THEN d.d END) AS d6,
+         |    sum(CASE WHEN co.k = 7 THEN d.d END) AS d7
+         |  FROM cand
+         |  JOIN codes co ON co.vec_id = cand.neighbor_id
+         |  JOIN dtab d ON d.dq = cand.query_id AND d.k = co.k
+         |    AND d.cid = co.code
+         |  GROUP BY cand.query_id, cand.neighbor_id),
+         |adc10 AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7,
+         |          neighbor_id) AS arn
+         |    FROM padc) WHERE arn <= 10),
+         |ref AS (SELECT a.query_id, a.neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cosine_raw
+         |  FROM adc10 a JOIN n c ON c.vec_id = a.neighbor_id
+         |    JOIN n q ON q.vec_id = a.query_id),
+         |fin AS (SELECT query_id, neighbor_id, cosine_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine_raw DESC, neighbor_id) AS "rank"
+         |  FROM ref)
+         |SELECT query_id, "rank", neighbor_id,
+         |  round(cosine_raw, 4) AS cosine
+         |FROM fin WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
     // ss17: the oracle runs the DIRECT two-config formulation (home-only
     // candidates and multiprobe candidates each ranked independently);
     // hash equality certifies the Spark side's shared-sort running-count
