@@ -241,11 +241,60 @@ object Graph {
       .orderBy("nationkey")
   }
 
+  /** gr05: BFS K-HOP LEVELS — single-source shortest hop distance
+    * (≤ 4 hops, the "who is within k degrees" reachability query) from
+    * nation 0 on the symmetrized 3-NN trade graph, by 4 rounds of
+    * Pregel-style min-level propagation: every round each reached node
+    * offers level+1 to its neighbors, and a node keeps the minimum
+    * offer. Fixed round count = deterministic plan; level after round r
+    * IS the true hop distance for every node within r hops, so the
+    * recursive-CTE oracle (all paths ≤ 4, min per node) agrees exactly.
+    *
+    * Scale: one (edges ⋈ levels → min-groupBy) pass per round, keyed by
+    * node id on the condensed graph; the levels set is referenced twice
+    * per round (propagate + carry), so the loop localCheckpoints every
+    * other round (the gr04 cadence).
+    */
+  val gr05BfsLevels: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.partitionBy("src")
+      .orderBy(col("w").desc, col("dst"))
+    val knn = tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("src", "dst")
+    val sym = knn.unionAll(knn.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .persist() // re-joined every propagation round
+    val nodes = t(s, d, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    var levels = nodes.select(col("id"),
+      when(col("id") === 0, 0L).otherwise(lit(null).cast("bigint"))
+        .as("lvl"))
+    for (r <- 1 to 4) {
+      val offers = sym
+        .join(levels.filter(col("lvl").isNotNull)
+          .select(col("id").as("src"), col("lvl")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg((min("lvl") + 1L).as("offer"))
+      levels = levels.join(offers, Seq("id"), "left")
+        .select(col("id"), least(col("lvl"), col("offer")).as("lvl"))
+      if (r % 2 == 0) levels = levels.localCheckpoint(true)
+    }
+    nodes.join(levels, Seq("id"))
+      .select(col("id").as("nationkey"), col("n_name"),
+        coalesce(col("lvl"), lit(-1L)).as("level"))
+      .orderBy("nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "gr01_pagerank" -> gr01Pagerank,
     "gr02_triangles" -> gr02Triangles,
     "gr03_label_prop" -> gr03LabelProp,
     "gr04_kcore" -> gr04Kcore,
+    "gr05_bfs_levels" -> gr05BfsLevels,
   )
 
   private val edgesCte: String =
@@ -313,6 +362,26 @@ object Graph {
          |    FROM m3 GROUP BY id, lbl) WHERE rn = 1)
          |SELECT n.id AS nationkey, n.n_name, l3.lbl AS community
          |FROM n JOIN l3 ON l3.id = n.id
+         |ORDER BY nationkey""".stripMargin,
+    "gr05_bfs_levels" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |knn AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst) AS rn
+         |    FROM edges WHERE src <> dst) WHERE rn <= 3),
+         |sym AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM knn
+         |    UNION ALL SELECT dst, src FROM knn)),
+         |n AS (SELECT n_nationkey AS id, n_name FROM nation),
+         |r AS (SELECT 0 AS id, 0 AS lvl
+         |  UNION
+         |  SELECT s.dst AS id, r.lvl + 1 FROM r
+         |  JOIN sym s ON s.src = r.id WHERE r.lvl < 4),
+         |lv AS (SELECT id, CAST(min(lvl) AS BIGINT) AS lvl
+         |  FROM r GROUP BY id)
+         |SELECT n.id AS nationkey, n.n_name,
+         |  coalesce(lv.lvl, -1) AS level
+         |FROM n LEFT JOIN lv ON lv.id = n.id
          |ORDER BY nationkey""".stripMargin,
     "gr04_kcore" -> {
       def round(r: Int, prev: String): String =

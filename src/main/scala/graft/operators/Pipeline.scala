@@ -592,7 +592,52 @@ object Pipeline {
       .orderBy("month")
   }
 
+  /** pp24: CORPUS SNAPSHOT DIFF — the dataset-versioning audit every
+    * managed corpus needs between releases (what changed since v1, and
+    * how much token mass moved): v2 is a deterministic re-release of the
+    * documents table (every 11th doc dropped, every 7th re-crawled with
+    * its first token lost, every 13th doc_id re-ingested as a new id),
+    * and the diff is ONE full outer join on doc_id comparing content
+    * fingerprints → added / removed / changed / unchanged, rolled up
+    * with per-status doc and token counts. At 100 TB both sides are
+    * fingerprint projections (16 bytes/doc on the join); text never
+    * shuffles — the md5 and token count are map-side.
+    */
+  val pp24SnapshotDiff: Q = (s, d) => {
+    val nTok = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    def fp(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), md5(col("text")).as("fp"), nTok.as("n_tokens"))
+    val v1 = fp(t(s, d, "documents"))
+    val dropTok = expr(
+      """CASE WHEN instr(text, ' ') > 0
+        |     THEN substring(text, instr(text, ' ') + 1)
+        |     ELSE text END""".stripMargin)
+    val base = t(s, d, "documents")
+    val v2 = fp(base.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, dropTok).otherwise(col("text"))
+          .as("text"))
+      .unionAll(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+    v1.select(col("doc_id"), col("fp").as("fp1"),
+        col("n_tokens").as("tok1"))
+      .join(v2.select(col("doc_id"), col("fp").as("fp2"),
+        col("n_tokens").as("tok2")), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") === col("fp2"), "unchanged")
+          .otherwise("changed"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("tok1"), lit(0L)).as("v1_tokens"),
+        coalesce(sum("tok2"), lit(0L)).as("v2_tokens"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pp24_snapshot_diff" -> pp24SnapshotDiff,
     "pp23_compaction_plan" -> pp23CompactionPlan,
     "pp21_zorder_layout" -> pp21ZorderLayout,
     "pp22_file_skipping" -> pp22FileSkipping,
@@ -635,6 +680,39 @@ object Pipeline {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "pp24_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |v2src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      CASE WHEN instr(text, ' ') > 0
+        |           THEN substring(text, instr(text, ' ') + 1)
+        |           ELSE text END
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |v2 AS (SELECT doc_id, md5(text) AS fp,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens
+        |  FROM v2src),
+        |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    v1.fp AS fp1, v2.fp AS fp2,
+        |    v1.n_tokens AS tok1, v2.n_tokens AS tok2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+        |st AS (SELECT CASE WHEN fp1 IS NULL THEN 'added'
+        |      WHEN fp2 IS NULL THEN 'removed'
+        |      WHEN fp1 = fp2 THEN 'unchanged'
+        |      ELSE 'changed' END AS status, tok1, tok2
+        |  FROM j)
+        |SELECT status, count(*) AS n_docs,
+        |  coalesce(CAST(sum(tok1) AS BIGINT), 0) AS v1_tokens,
+        |  coalesce(CAST(sum(tok2) AS BIGINT), 0) AS v2_tokens
+        |FROM st GROUP BY status ORDER BY status""".stripMargin,
     "pp23_compaction_plan" ->
       """WITH m AS (SELECT strftime(date_trunc('month', l_shipdate),
         |      '%Y-%m') AS month, count(*) AS n_rows

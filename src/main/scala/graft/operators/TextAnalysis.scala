@@ -320,7 +320,43 @@ object TextAnalysis {
       .orderBy("band")
   }
 
+  /** tx24: SOURCE DISTRIBUTION DRIFT — the data-quality monitor that
+    * catches a source gone wrong between crawls (template change, spam
+    * injection, encoding break): per-source token distribution compared
+    * to the corpus distribution by TOTAL VARIATION distance (½·L1),
+    * computed exactly — Σ|oᵢ·T − cᵢ·t| is an integer sum, and ONE
+    * final ×10⁴ DIV (2·t·T) keeps the whole metric an exact rational
+    * (per-term float shares would drift in summation order; the
+    * cross-multiplied form cannot). A spiking tv_x10k is the alarm.
+    *
+    * Scale: per-source counts and corpus counts come off the same
+    * tokenize pass (counter-only shuffles); the comparison grid is
+    * vocab × sources — broadcast-sized, since vocab is Zipf-bounded
+    * (at 100 TB: top-K vocab + a tail bucket, same shape).
+    */
+  private val tx24SourceDrift: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val perSrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("o"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val srcTot = perSrc.groupBy("source").agg(sum("o").as("t"))
+    val corpusTot = vocab.agg(sum("c").as("big_t"))
+    val grid = vocab.crossJoin(broadcast(srcTot))
+      .join(perSrc, Seq("source", "tok"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    grid.crossJoin(broadcast(corpusTot))
+      .groupBy("source")
+      .agg(max("t").as("n_tokens"),
+        sum(abs(col("o") * col("big_t") - col("c") * col("t")))
+          .as("l1_num"),
+        max(col("t") * col("big_t")).as("den"))
+      .selectExpr("source", "n_tokens",
+        "l1_num * 10000 DIV (2 * den) AS tv_x10k")
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx24_source_drift" -> tx24SourceDrift,
     "tx23_freq_spectrum" -> tx23FreqSpectrum,
     "tx22_char_diversity" -> tx22CharDiversity,
     "tx17_term_commonness" -> tx17TermCommonness,
@@ -340,6 +376,25 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx24_source_drift" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |per_src AS (SELECT source, tok, count(*) AS o
+        |  FROM tk GROUP BY 1, 2),
+        |vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |src_tot AS (SELECT source, CAST(sum(o) AS BIGINT) AS t
+        |  FROM per_src GROUP BY 1),
+        |corpus_tot AS (SELECT CAST(sum(c) AS BIGINT) AS big_t FROM vocab),
+        |grid AS (SELECT st.source, v.tok, v.c, st.t,
+        |    coalesce(p.o, 0) AS o
+        |  FROM vocab v CROSS JOIN src_tot st
+        |  LEFT JOIN per_src p ON p.source = st.source AND p.tok = v.tok)
+        |SELECT g.source, max(g.t) AS n_tokens,
+        |  CAST(sum(abs(g.o * ct.big_t - g.c * g.t)) AS BIGINT)
+        |    * 10000 // (2 * max(g.t) * max(ct.big_t)) AS tv_x10k
+        |FROM grid g CROSS JOIN corpus_tot ct
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
     "tx23_freq_spectrum" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),
