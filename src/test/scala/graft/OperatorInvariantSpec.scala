@@ -63,6 +63,43 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.head._4 < rows.last._4)
   }
 
+  test("dd22: planted near-dup chains collapse; exactly one keeper per cluster") {
+    def shingles(text: String): Set[String] = {
+      val tk = text.split(" ", -1)
+      if (tk.length < 3) Set(text)
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def dropTok(t: String): String = {
+      val i = t.indexOf(' '); if (i < 0) t else t.substring(i + 1)
+    }
+    val base = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Dedup.queries("dd22_fuzzy_keepset")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val label = rows.map(r => r._1 -> r._2).toMap
+    // exactly one kept doc per cluster, and it is the min id
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1 && kept.head._1 == rep &&
+        rep == members.map(_._1).min, s"cluster $rep keepers")
+      members.foreach(m => assert(m._3 == members.length))
+    }
+    // recall on the strong planted pairs: a (doc, 1-token-dropped copy)
+    // pair with true Jaccard ≥ 0.7 sits in dd15's top deciles, where
+    // the 4×2 banding recall is ~1.0 — all must land in one cluster
+    val strong = base.collect { case (id, t)
+      if { val (a, b) = (shingles(t), shingles(dropTok(t)))
+           val i = (a & b).size
+           i.toDouble / (a.size + b.size - i) >= 0.7 } => id }
+    assert(strong.nonEmpty)
+    val joined = strong.count(id => label(id) == label(id + 10000000L))
+    assert(joined == strong.size,
+      s"only $joined of ${strong.size} strong planted pairs collapsed")
+    // the keep-set is a real reduction: fewer keepers than corpus docs
+    assert(rows.count(_._4) < rows.length / 2)
+  }
+
   test("ss17: one-bit multiprobe nests home candidates and lifts recall") {
     val rows = graft.operators.Similarity.multiprobeSweep(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),

@@ -338,6 +338,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("IVF+PQ search: list/code equijoins + broadcast tables, no product (ss18)") {
+    val plan = executedPlan("ss18_ivfpq_search")
+    // the only corpus-vs-queries products allowed are against the
+    // BROADCAST 16-centroid / distance tables; candidates flow through
+    // cluster- and code-keyed equijoins, never a corpus square
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("fuzzy keep-set: band/id equijoins end-to-end, no product (dd22)") {
+    val plan = executedPlan("dd22_fuzzy_keepset")
+    // discovery = (band, bkey) self-equijoin; verify rejoins hashed
+    // shingles by id; CC rounds join by node id — the corpus square
+    // must never appear anywhere in the composed pipeline
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("sorted_intersect_card"), plan)
+  }
+
   test("interval join's batch face: one user_id equijoin, no state store (st03)") {
     val plan = executedPlan("st03_interval_join")
       .split("== Initial Plan ==").head
