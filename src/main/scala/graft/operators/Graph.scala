@@ -384,17 +384,22 @@ object Graph {
          |FROM n LEFT JOIN lv ON lv.id = n.id
          |ORDER BY nationkey""".stripMargin,
     "gr04_kcore" -> {
+      // AS MATERIALIZED on every iterated CTE: each a_{r-1} is referenced
+      // twice by round r, so DuckDB's default CTE INLINING nests the whole
+      // upstream pipeline 2^rounds times (the dd13 plan-nesting lesson on
+      // the oracle side — at sf0.1 the inlined plan spilled >70 GB)
       def round(r: Int, prev: String): String =
-        s"""d$r AS (SELECT e.src AS id, count(*) AS dg FROM sym e
+        s"""d$r AS MATERIALIZED (SELECT e.src AS id, count(*) AS dg
+           |  FROM sym e
            |  JOIN $prev x ON x.id = e.src
            |  JOIN $prev y ON y.id = e.dst GROUP BY 1),
-           |a$r AS (SELECT id FROM d$r WHERE dg >= 4)""".stripMargin
+           |a$r AS MATERIALIZED (SELECT id FROM d$r WHERE dg >= 4)""".stripMargin
       s"""WITH $edgesCte,
          |knn AS (SELECT src, dst FROM (
          |    SELECT src, dst, row_number() OVER (PARTITION BY src
          |      ORDER BY w DESC, dst) AS rn
          |    FROM edges WHERE src <> dst) WHERE rn <= 3),
-         |sym AS (SELECT DISTINCT src, dst FROM (
+         |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |    SELECT src, dst FROM knn
          |    UNION ALL SELECT dst, src FROM knn)),
          |n AS (SELECT n_nationkey AS id, n_name FROM nation),
