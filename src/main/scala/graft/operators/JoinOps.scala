@@ -235,7 +235,57 @@ object JoinOps {
       .orderBy("key", "version")
   }
 
+  /** q75: POINT-IN-TIME (AS OF) LOOKUP over SCD2 history — the query
+    * q68's history exists to answer ("what did the dimension look like
+    * on day D"): the merge's versions get validity windows (v1 from day
+    * 0; a change closes it at day 100 and opens v2; brand-new keys open
+    * at day 100), and two probe days (50 = before the batch, 150 =
+    * after) each reconstruct the dimension state with one
+    * validity-window filter. Balances aggregate as integer CENTS —
+    * summing thousands of doubles would drift across engines; a BIGINT
+    * sum cannot.
+    *
+    * Scale: the probe is a filter + partial/final aggregate per date —
+    * no join at all once the history exists; with the history bucketed
+    * by key (q68's note), per-key AS OF lookups are partition-pruned
+    * point reads.
+    */
+  private val q75AsofDimension: Q = (s, d) => {
+    val dim = t(s, d, "customer")
+      .select(col("c_custkey").as("key"),
+        round(col("c_acctbal"), 2).as("bal"))
+    val updates = dim.filter(col("key") % 7 === 0)
+      .select(col("key"), round(col("bal") + 100.0, 2).as("new_bal"))
+      .unionAll(dim.filter(col("key") < 5)
+        .select((col("key") + 1000000L).as("key"),
+          round(col("bal"), 2).as("new_bal")))
+    val hist = dim.join(updates, Seq("key"), "full_outer")
+      .select(col("key"), explode(expr(
+        """CASE
+          |  WHEN new_bal IS NULL THEN
+          |    array(named_struct('bal', bal, 'vf', 0L, 'vt', CAST(NULL AS BIGINT)))
+          |  WHEN bal IS NULL THEN
+          |    array(named_struct('bal', new_bal, 'vf', 100L, 'vt', CAST(NULL AS BIGINT)))
+          |  ELSE array(
+          |    named_struct('bal', bal, 'vf', 0L, 'vt', 100L),
+          |    named_struct('bal', new_bal, 'vf', 100L, 'vt', CAST(NULL AS BIGINT)))
+          |END""".stripMargin)).as("r"))
+      .select(col("key"), col("r.bal").as("bal"), col("r.vf").as("vf"),
+        col("r.vt").as("vt"))
+    val probes = s.range(2).select(
+      (col("id") * 100L + 50L).as("probe_day"))
+    hist.crossJoin(broadcast(probes))
+      .filter(col("vf") <= col("probe_day") &&
+        (col("vt").isNull || col("probe_day") < col("vt")))
+      .groupBy("probe_day")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(expr("CAST(round(bal * 100) AS BIGINT)"))
+          .as("total_bal_cents"))
+      .orderBy("probe_day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q75_asof_dimension" -> q75AsofDimension,
     "q39_asof_join" -> q39Asof,
     "q40_range_join" -> q40Range,
     "q48_asof_forward" -> q48AsofForward,
@@ -244,6 +294,31 @@ object JoinOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q75_asof_dimension" ->
+      """WITH dim AS (SELECT c_custkey AS key, round(c_acctbal, 2) AS bal
+        |  FROM customer),
+        |upd AS (SELECT key, round(bal + 100.0, 2) AS new_bal FROM dim
+        |  WHERE key % 7 = 0
+        |  UNION ALL
+        |  SELECT key + 1000000, round(bal, 2) FROM dim WHERE key < 5),
+        |j AS (SELECT coalesce(d.key, u.key) AS key, d.bal, u.new_bal
+        |  FROM dim d FULL OUTER JOIN upd u ON d.key = u.key),
+        |hist AS (
+        |  SELECT key, bal, CAST(0 AS BIGINT) AS vf,
+        |    CASE WHEN new_bal IS NULL THEN CAST(NULL AS BIGINT)
+        |         ELSE CAST(100 AS BIGINT) END AS vt
+        |  FROM j WHERE bal IS NOT NULL
+        |  UNION ALL
+        |  SELECT key, new_bal, 100, NULL
+        |  FROM j WHERE new_bal IS NOT NULL),
+        |probes AS (SELECT unnest([CAST(50 AS BIGINT),
+        |    CAST(150 AS BIGINT)]) AS probe_day)
+        |SELECT probe_day, count(*) AS n_keys,
+        |  CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_bal_cents
+        |FROM hist CROSS JOIN probes
+        |WHERE vf <= probe_day AND (vt IS NULL OR probe_day < vt)
+        |GROUP BY probe_day ORDER BY probe_day""".stripMargin,
     "q39_asof_join" ->
       """SELECT p.event_id, p.user_id, c.click_id, round(c.click_value, 2) AS click_value
         |FROM (SELECT user_id, ts, event_id, value FROM events

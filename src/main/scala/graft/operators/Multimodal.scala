@@ -450,6 +450,7 @@ object Multimodal {
     "mm05_patch_grid" -> mm05PatchGrid,
     "mm06_energy_segments" -> mm06EnergySegments,
     "mm07_perceptual_dedup" -> mm07PerceptualDedup,
+    "mm09_keyframes" -> mm09Keyframes,
     "pp20_media_curation" -> pp20MediaCuration,
   )
 
@@ -533,6 +534,50 @@ object Multimodal {
       .select(col("media_id"), col("seg_start"), col("seg_end"),
         col("n_frames"), col("seg_energy"))
       .orderBy("media_id", "seg_start")
+  }
+
+  /** mm09: KEYFRAME SELECTION (shot-boundary shape) — per 4-frame
+    * window, keep the frame with the maximal inter-frame change (the
+    * representative a video pipeline extracts before embedding/dedup;
+    * mm07 then dedups the keyframes, not every frame). Change signal =
+    * |energy(fi) − energy(fi−1)| on the mm06 STUB energy (byte sum —
+    * no video codec in this container); the lag + windowed-argmax
+    * plumbing is the real contract and is all-integer, so both engines
+    * agree exactly. First frame of each doc scores 0 (no predecessor).
+    *
+    * Scale: frames inherit the scan partitioning; both windows key on
+    * media_id — ONE exchange, and the per-window argmax keeps 1-in-4
+    * rows before anything downstream.
+    */
+  private def mm09Keyframes: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val frames = mediaTable(s, d)
+      .filter(col("meta.nbytes") > 0)
+      .withColumn("n_frames",
+        ceil(col("meta.nbytes").cast("double") / 32.0).cast("int"))
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("fi"))
+      .withColumn("frame",
+        substring(col("content"), col("fi") * 32 + 1, lit(32)))
+      .withColumn("energy", expr(
+        """aggregate(transform(
+          |  filter(split(CAST(frame AS STRING), ''), c -> c <> ''),
+          |  c -> CAST(ascii(c) AS BIGINT)), 0L, (a, x) -> a + x)""".stripMargin))
+      .select(col("media_id"), col("fi").cast("bigint").as("fi"),
+        col("energy"))
+    val wLag = Window.partitionBy("media_id").orderBy("fi")
+    val wArg = Window.partitionBy("media_id", "win")
+      .orderBy(col("delta").desc, col("fi"))
+    frames
+      .withColumn("delta",
+        abs(col("energy") - coalesce(lag("energy", 1).over(wLag),
+          col("energy"))))
+      .withColumn("win", expr("fi DIV 4"))
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("media_id"), col("win").as("window_id"),
+        col("fi").as("keyframe_idx"), col("delta").as("scene_delta"))
+      .orderBy("media_id", "window_id")
   }
 
   // All queries oracle-check: the payload is the documents' ASCII bytes
@@ -650,6 +695,28 @@ object Multimodal {
         |SELECT media_a, media_b, pair_type, hamming,
         |  (hamming <= 6) AS is_dup
         |FROM hm ORDER BY media_a, media_b""".stripMargin,
+    "mm09_keyframes" ->
+      """WITH f AS (SELECT doc_id AS media_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(length(text) / 32.0) AS BIGINT) - 1)) AS fi
+        |  FROM documents),
+        |e AS (SELECT media_id, fi,
+        |    CAST(list_sum(list_transform(
+        |      string_split(substring(text, CAST(fi * 32 + 1 AS INT), 32), ''),
+        |      c -> ord(c))) AS BIGINT) AS energy
+        |  FROM f),
+        |dl AS (SELECT media_id, fi, energy,
+        |    abs(energy - coalesce(lag(energy) OVER (
+        |      PARTITION BY media_id ORDER BY fi), energy)) AS delta,
+        |    fi // 4 AS win
+        |  FROM e),
+        |rk AS (SELECT media_id, win, fi, delta,
+        |    row_number() OVER (PARTITION BY media_id, win
+        |      ORDER BY delta DESC, fi) AS rn
+        |  FROM dl)
+        |SELECT media_id, win AS window_id, fi AS keyframe_idx,
+        |  delta AS scene_delta
+        |FROM rk WHERE rn = 1 ORDER BY media_id, window_id""".stripMargin,
     "mm06_energy_segments" ->
       """WITH f AS (SELECT doc_id AS media_id, text,
         |    unnest(generate_series(0,
