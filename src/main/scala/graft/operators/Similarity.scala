@@ -58,6 +58,7 @@ object Similarity {
     "ss16_nprobe_sweep" -> ((s, d) => ivfNprobeSweep(s, d)),
     "ss17_multiprobe_lsh" -> ((s, d) => multiprobeSweep(s, d)),
     "ss18_ivfpq_search" -> ((s, d) => ivfPqSearch(s, d)),
+    "ss19_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)),
   )
 
   /** ss15: PQ RECALL with a TRAINED codebook — the quality gate that
@@ -1655,6 +1656,39 @@ object Similarity {
     // ss18: coarse IVF assignment, PQ codes/ADC on the probed candidates,
     // exact-cosine refine of the ADC top-10 — all replayed directly.
     "ss18_ivfpq_search" ->
+      (ivfpqPipelineSql + """
+        |SELECT query_id, "rank", neighbor_id,
+        |  round(cosine_raw, 4) AS cosine
+        |FROM fin WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin),
+    // ss19: the composed pipeline's recall gate (ss07/ss11/ss15 pin each
+    // stage; this pins the assembled IVF→ADC→refine path end-to-end).
+    "ss19_ivfpq_recall" ->
+      (ivfpqPipelineSql + """,
+        |p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    """.stripMargin + dotSql + """ / (c.nrm * q.nrm) AS cos_raw
+        |  FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |exact3 AS (SELECT query_id, neighbor_id
+        |  FROM (SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_raw DESC, neighbor_id) AS rn
+        |    FROM p2) WHERE rn <= 3),
+        |got3 AS (SELECT query_id, neighbor_id FROM fin
+        |  WHERE "rank" <= 3)
+        |SELECT e.query_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_at_3
+        |FROM exact3 e LEFT JOIN got3 g ON g.query_id = e.query_id
+        |  AND g.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin),
+    "ss17_multiprobe_lsh" -> ss17OracleSql,
+  )
+
+  /** The IVF→PQ-ADC→refine pipeline (through the `fin` ranking CTE) in
+    * DuckDB terms — shared by the ss18 result oracle and the ss19
+    * recall oracle. */
+  private lazy val ivfpqPipelineSql: String =
       s"""WITH $normCte,
          |cents AS (SELECT vec_id AS ccid, e, nrm FROM n
          |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
@@ -1733,15 +1767,13 @@ object Similarity {
          |fin AS (SELECT query_id, neighbor_id, cosine_raw,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY cosine_raw DESC, neighbor_id) AS "rank"
-         |  FROM ref)
-         |SELECT query_id, "rank", neighbor_id,
-         |  round(cosine_raw, 4) AS cosine
-         |FROM fin WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
-    // ss17: the oracle runs the DIRECT two-config formulation (home-only
-    // candidates and multiprobe candidates each ranked independently);
-    // hash equality certifies the Spark side's shared-sort running-count
-    // reduction over the nested candidate sets.
-    "ss17_multiprobe_lsh" ->
+         |  FROM ref)""".stripMargin
+
+  // ss17: the oracle runs the DIRECT two-config formulation (home-only
+  // candidates and multiprobe candidates each ranked independently);
+  // hash equality certifies the Spark side's shared-sort running-count
+  // reduction over the nested candidate sets.
+  private lazy val ss17OracleSql: String =
       s"""WITH $normCte, $planesCte,
          |sigs AS (SELECT v.vec_id,
          |    sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
