@@ -35,13 +35,26 @@ object Tables {
 
   /** One parquet-backed DataFrame; pushdown-friendly (no cache). Requires
     * a session built with [[configure]] (for the nanos-events read).
+    *
+    * `events.ts` is SCHEMA-ADAPTIVE: early driver drops wrote it as
+    * nanosecond parquet (surfaces as LongType under `nanosAsLong`;
+    * integer-divide to micros — double math would corrupt 1.7e18-scale
+    * nanos), later drops write plain microsecond timestamps (surface as
+    * TIMESTAMP_NTZ; cast to session-tz TimestampType — lossless under
+    * the UTC session every graft entry point builds). Either way the
+    * column downstream queries see is a micros TimestampType named `ts`.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register all tables as temp views for spark.sql(...) queries.

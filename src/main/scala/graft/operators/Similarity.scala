@@ -599,6 +599,49 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** ss19: END-TO-END RECALL of the composed IVF→PQ-ADC→refine path.
+    * ss07/ss11/ss15 pin each index family in isolation; this gate pins
+    * the ASSEMBLED ss18 pipeline — the answer a production two-stage
+    * search actually serves — against the exact cosine top-3 for the
+    * same 10 queries. Output is the per-query (n_exact, n_hit,
+    * recall@3) rollup, so a regression in ANY stage (coarse probe
+    * selection, code assignment, ADC ranking, refine cut) moves a
+    * pinned number.
+    *
+    * Scale: the exact side is a 10-query broadcast brute-force pass —
+    * the sampled recall DENOMINATOR, the one place O(n·q) is the right
+    * tool (q is a constant sample, not the corpus); the candidate side
+    * reuses ss18's bounded-scan plan unchanged. The final join touches
+    * 30 id pairs.
+    */
+  def ivfPqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+    val qs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val exact3 = base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val got3 = ivfPqSearch(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact3.join(broadcast(got3), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hit"))
+      .withColumn("recall_at_3",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+      .orderBy("query_id")
+  }
+
   /** ss10: int8 SCALAR-QUANTIZED top-k — the memory/bandwidth scale path
     * for similarity search. Each vector is symmetric-quantized to int8
     * (per-vector scale = amax/127), the candidate score is the INTEGER
@@ -1683,6 +1726,19 @@ object Similarity {
         |  AND g.neighbor_id = e.neighbor_id
         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin),
     "ss17_multiprobe_lsh" -> ss17OracleSql,
+    "ss05_centroid_assign" ->
+      s"""WITH $normCte,
+         |cents AS (SELECT vec_id AS centroid_vec, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |scored AS (SELECT c.vec_id, q.centroid_vec,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM n c CROSS JOIN cents q),
+         |r AS (SELECT vec_id, centroid_vec, cos_raw,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_raw DESC, centroid_vec) AS rn
+         |  FROM scored)
+         |SELECT vec_id, centroid_vec, round(cos_raw, 4) AS cosine
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
   )
 
   /** The IVF→PQ-ADC→refine pipeline (through the `fin` ranking CTE) in
@@ -1835,19 +1891,5 @@ object Similarity {
          |      UNION ALL
          |      SELECT 1::BIGINT, ch.c_multi, hm.h_multi
          |      FROM ch CROSS JOIN hm) t
-         |CROSS JOIN den ORDER BY t.probe_bits""".stripMargin,
-    "ss05_centroid_assign" ->
-      s"""WITH $normCte,
-         |cents AS (SELECT vec_id AS centroid_vec, e, nrm FROM n
-         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
-         |scored AS (SELECT c.vec_id, q.centroid_vec,
-         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
-         |  FROM n c CROSS JOIN cents q),
-         |r AS (SELECT vec_id, centroid_vec, cos_raw,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos_raw DESC, centroid_vec) AS rn
-         |  FROM scored)
-         |SELECT vec_id, centroid_vec, round(cos_raw, 4) AS cosine
-         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-  )
+         |CROSS JOIN den ORDER BY t.probe_bits""".stripMargin
 }
