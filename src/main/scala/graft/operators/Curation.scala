@@ -533,7 +533,51 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** tx25: BIGRAM SURPRISAL — an LM-free perplexity proxy for quality
+    * filtering: train a bigram transition model on the corpus itself
+    * (c2 = count of each bigram instance, c1 = count of instances with
+    * the same LEFT word, so P(w2|w1) = c2/c1), then score every doc by
+    * its mean INVERSE transition probability, scaled ×10⁴ and kept in
+    * exact integer arithmetic end to end (c1·10⁴ div c2 per instance;
+    * no log/float — the oracle-portability rule). Typical prose rides
+    * common transitions (low score); gibberish, shuffled text, and
+    * OOD content take rare transitions (high score) — the cheap
+    * first-pass stand-in for model-based perplexity filtering.
+    *
+    * Scale shape: bigram instances shuffle once on the bigram md5 to
+    * build the VOCAB-SIZED (w1fp, bfp, c2) model table; c1 is a window
+    * sum over that small table (the tx16/tx20 lesson — no second
+    * corpus-sized exchange); instances then rejoin the model on bfp
+    * (same key as the count shuffle — Catalyst reuses the partitioning)
+    * and roll up per doc. Only md5 fingerprints and counters cross the
+    * wire, never token text.
+    */
+  val tx25BigramSurprisal: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val inst = t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST(size(toks) - 2 AS INT)),
+          |          i -> struct(toks[i] AS w1,
+          |                      concat(toks[i], ' ', toks[i + 1]) AS bg))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), md5(col("p.w1")).as("w1fp"),
+        md5(col("p.bg")).as("bfp"))
+    val model = inst.groupBy("w1fp", "bfp")
+      .agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy("w1fp")))
+      .select("bfp", "c1", "c2")
+    inst.select("doc_id", "bfp").join(model, Seq("bfp"))
+      .select(col("doc_id"), expr("c1 * 10000 div c2").as("invp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("invp")).as("sum_invp"))
+      .withColumn("avg_invp", expr("sum_invp div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx25_bigram_surprisal" -> tx25BigramSurprisal,
     "tx18_inverted_index" -> tx18InvertedIndex,
     "tx19_bm25" -> tx19Bm25,
     "tx20_bigram_novelty" -> tx20BigramNovelty,
@@ -584,6 +628,24 @@ object Curation {
        |  JOIN m$i USING (cluster))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "tx25_bigram_surprisal" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |inst AS (SELECT doc_id, md5(toks[i]) AS w1fp,
+        |    md5(toks[i] || ' ' || toks[i + 1]) AS bfp
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+        |                    AS i)),
+        |cnt AS (SELECT w1fp, bfp, CAST(count(*) AS BIGINT) AS c2
+        |  FROM inst GROUP BY w1fp, bfp),
+        |model AS (SELECT bfp, c2,
+        |    CAST(sum(c2) OVER (PARTITION BY w1fp) AS BIGINT) AS c1
+        |  FROM cnt),
+        |scored AS (SELECT i.doc_id, m.c1 * 10000 // m.c2 AS invp
+        |  FROM inst i JOIN model m USING (bfp))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(invp) AS BIGINT) AS sum_invp,
+        |  CAST(sum(invp) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_invp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pp17_temperature_mix" ->
       """WITH docs AS (SELECT doc_id, source,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)

@@ -442,8 +442,13 @@ object Dedup {
     * connectedComponents picks min-doc_id representatives. Oracle: the
     * same edges + a recursive-CTE label propagation in DuckDB.
     */
-  private def dedupGroupsVia(
-      cc: (DataFrame, DataFrame) => DataFrame): Q = (s, d) => {
+  /** The dd10 corpus (documents ∪ two mutated re-crawls) and its
+    * verified near-dup edge set — factored out so split/leakage
+    * operators (pp25) can reuse the exact graph the dup-grouping ran
+    * on. Returns (corpus(doc_id, text), edges(a, b)).
+    */
+  private[operators] def nearDupGraph(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = t(s, d, "documents").select("doc_id", "text")
     val dropTok = expr(
       """CASE WHEN instr(text, ' ') > 0
@@ -477,6 +482,12 @@ object Dedup {
       .filter(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
       .select("a", "b")
+    (corpus, edges)
+  }
+
+  private def dedupGroupsVia(
+      cc: (DataFrame, DataFrame) => DataFrame): Q = (s, d) => {
+    val (corpus, edges) = nearDupGraph(s, d)
     val labels = cc(corpus.select(col("doc_id").as("id")), edges)
     labels.groupBy("label").agg(count(lit(1)).as("group_size"),
         collect_list("id").as("ids"))
@@ -1034,7 +1045,7 @@ object Dedup {
       |             ELSE text END AS text
       | FROM documents) recrawl""".stripMargin
 
-  private val dd10Sql: String =
+  private[operators] val dd10Sql: String =
     """WITH RECURSIVE
         |m1 AS (SELECT doc_id + 10000000 AS doc_id,
         |    CASE WHEN instr(text, ' ') > 0
@@ -1049,7 +1060,7 @@ object Dedup {
         |corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2),
         |tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM corpus),
-        |sh AS (SELECT doc_id,
+        |sh AS MATERIALIZED (SELECT doc_id,
         |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
         |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
         |            for i in generate_series(1, len(tk) - 2)] END) AS sh
@@ -1058,7 +1069,7 @@ object Dedup {
         |  UNION ALL SELECT doc_id, doc_id + 20000000 FROM documents
         |  UNION ALL
         |  SELECT doc_id + 10000000, doc_id + 20000000 FROM documents),
-        |edges AS (SELECT a, b FROM cand
+        |edges AS MATERIALIZED (SELECT a, b FROM cand
         |  JOIN sh sa ON sa.doc_id = cand.a
         |  JOIN sh sb ON sb.doc_id = cand.b
         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -1068,7 +1079,7 @@ object Dedup {
         |r AS (SELECT doc_id AS id, doc_id AS label FROM corpus
         |  UNION
         |  SELECT s.b AS id, r.label FROM r JOIN sym s ON s.a = r.id),
-        |lab AS (SELECT id, min(label) AS group_rep FROM r GROUP BY id)""".stripMargin
+        |lab AS MATERIALIZED (SELECT id, min(label) AS group_rep FROM r GROUP BY id)""".stripMargin
 
   private val dd10SqlSelect: String =
     """

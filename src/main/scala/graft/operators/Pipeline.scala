@@ -636,7 +636,68 @@ object Pipeline {
       .orderBy("status")
   }
 
+  /** pp25: CLUSTER-AWARE train/val/test split + LEAKAGE AUDIT — the
+    * near-dup upgrade of pp09. pp09's content-fingerprint bucket stops
+    * EXACT duplicates from straddling the train/eval boundary, but a
+    * mutated re-crawl (one token dropped) has a different md5 and lands
+    * wherever its hash says — evaluation rows with a near-copy in
+    * train, the classic benchmark-inflation leak. The fix every large
+    * pipeline ships: assign splits by NEAR-DUP CLUSTER (dd10's verified
+    * Jaccard-edge connected components), so a whole duplicate chain
+    * moves as one unit by construction.
+    *
+    * Output is one row per split with its rollup (docs, clusters,
+    * tokens) and the AUDIT: `cluster_leak_pairs` counts verified
+    * near-dup edges crossing this split's boundary under the cluster
+    * assignment (0 by construction — the pinned invariant), while
+    * `naive_leak_pairs` counts the same edges under a per-doc id-hash
+    * split — the quantified damage the naive split would have done
+    * (each straddling edge is counted under both its endpoints'
+    * splits).
+    *
+    * Scale: reuses dd10's graph (banded candidates, hashed-shingle
+    * verify — never all-pairs); the split assignment is a map-side
+    * integer hash of the cluster label (no shuffle), the audit joins
+    * carry only (id, split) pairs, and the rollups are 3-row results.
+    * Portable hash: (label · 2654435761) mod 1000003 mod 10 — exact
+    * 64-bit integer arithmetic in both engines (max product ≈ 8·10¹⁶,
+    * no overflow), 0-7 → train, 8 → val, 9 → test.
+    */
+  val pp25ClusterSplit: Q = (s, d) => {
+    val (corpus, edges) = Dedup.nearDupGraph(s, d)
+    val labels = Dedup.connectedComponents(
+      corpus.select(col("doc_id").as("id")), edges)
+    def splitOf(h: org.apache.spark.sql.Column) =
+      when(h < 8, "train").when(h === 8, "val").otherwise("test")
+    val asg = labels.select(col("id"), col("label"),
+      splitOf((col("label") * 2654435761L) % 1000003L % 10).as("split"))
+    val naive = corpus.select(col("doc_id").as("id"),
+      splitOf((col("doc_id") * 2654435761L) % 1000003L % 10).as("nsplit"))
+    val toks = corpus.select(col("doc_id").as("id"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val base = asg.join(toks, Seq("id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("label")).as("n_clusters"),
+        sum(col("n_tokens")).as("n_tokens"))
+    def leakBy(assign: DataFrame, c: String, out: String) = edges
+      .join(assign.select(col("id").as("a"), col(c).as("sa")), Seq("a"))
+      .join(assign.select(col("id").as("b"), col(c).as("sb")), Seq("b"))
+      .filter(col("sa") =!= col("sb"))
+      .select(explode(array(col("sa"), col("sb"))).as("split"))
+      .groupBy("split").agg(count(lit(1)).as(out))
+    base
+      .join(leakBy(asg, "split", "clp"), Seq("split"), "left")
+      .join(leakBy(naive, "nsplit", "nlp"), Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("n_tokens"),
+        coalesce(col("clp"), lit(0L)).as("cluster_leak_pairs"),
+        coalesce(col("nlp"), lit(0L)).as("naive_leak_pairs"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pp25_cluster_split" -> pp25ClusterSplit,
     "pp24_snapshot_diff" -> pp24SnapshotDiff,
     "pp23_compaction_plan" -> pp23CompactionPlan,
     "pp21_zorder_layout" -> pp21ZorderLayout,
@@ -680,6 +741,43 @@ object Pipeline {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // pp25: dd10's full graph replay (recursive-CTE components), then the
+    // split hash + rollup + both leak audits. Heavy CTEs are MATERIALIZED
+    // (the dd13/gr04 inlining lesson): edges/lab are each referenced 2-3
+    // times downstream and DuckDB would otherwise nest the whole shingle
+    // pipeline per reference.
+    "pp25_cluster_split" -> (Dedup.dd10Sql +
+      """,
+        |toks AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM corpus),
+        |asg AS MATERIALIZED (SELECT id, group_rep,
+        |    CASE WHEN (group_rep * 2654435761) % 1000003 % 10 < 8 THEN 'train'
+        |         WHEN (group_rep * 2654435761) % 1000003 % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM lab),
+        |nv AS MATERIALIZED (SELECT doc_id AS id,
+        |    CASE WHEN (doc_id * 2654435761) % 1000003 % 10 < 8 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 1000003 % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS nsplit
+        |  FROM corpus),
+        |base AS (SELECT split, count(*) AS n_docs,
+        |    count(DISTINCT group_rep) AS n_clusters,
+        |    CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens
+        |  FROM asg a JOIN toks t ON t.doc_id = a.id GROUP BY split),
+        |cl AS (SELECT split, count(*) AS cluster_leak_pairs FROM (
+        |    SELECT unnest([sa.split, sb.split]) AS split FROM edges e
+        |    JOIN asg sa ON e.a = sa.id JOIN asg sb ON e.b = sb.id
+        |    WHERE sa.split <> sb.split) GROUP BY split),
+        |nl AS (SELECT split, count(*) AS naive_leak_pairs FROM (
+        |    SELECT unnest([na.nsplit, nb.nsplit]) AS split FROM edges e
+        |    JOIN nv na ON e.a = na.id JOIN nv nb ON e.b = nb.id
+        |    WHERE na.nsplit <> nb.nsplit) GROUP BY split)
+        |SELECT b.split, b.n_docs, b.n_clusters, b.n_tokens,
+        |  coalesce(cl.cluster_leak_pairs, 0) AS cluster_leak_pairs,
+        |  coalesce(nl.naive_leak_pairs, 0) AS naive_leak_pairs
+        |FROM base b LEFT JOIN cl USING (split) LEFT JOIN nl USING (split)
+        |ORDER BY b.split""".stripMargin),
     "pp24_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS fp,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1

@@ -515,4 +515,48 @@ class OperatorInvariantSpec extends SparkSpec {
       assert(math.abs(est - want) <= 1e-9, s"pair ($a,$b)")
     }
   }
+
+  test("pp25: cluster split leaks nothing, naive split leaks; conservation") {
+    val rows = Pipeline.pp25ClusterSplit(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq.sorted == Seq("test", "train", "val"))
+    // the pinned invariant: cluster-aware assignment cannot straddle a
+    // verified near-dup edge; the id-hash baseline demonstrably does
+    assert(rows.forall(_._5 == 0L), s"cluster leak pairs must be 0: $rows")
+    assert(rows.map(_._6).sum > 0L, "naive split should leak on this corpus")
+    // conservation: corpus = documents + two mutated copies of each doc
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum == 3 * nDocs, "splits must partition the corpus")
+    // every cluster lives in exactly one split: per-split cluster counts
+    // sum to the global count from dd10's grouping
+    val nGroups = Dedup.queries("dd10_dedup_groups")(spark, sf)
+      .select("group_rep").distinct().count()
+    assert(rows.map(_._3).sum == nGroups,
+      s"per-split cluster counts ${rows.map(_._3).sum} != global $nGroups")
+  }
+
+  test("tx25: bigram surprisal equals an exact in-JVM recompute") {
+    import graft.operators.Curation
+    val texts = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val insts = texts.toSeq.flatMap { case (id, t) =>
+      val tk = t.split(" ", -1)
+      tk.sliding(2).filter(_.length == 2)
+        .map(p => (id, p(0), p(0) + " " + p(1))).toSeq
+    }
+    val c2 = insts.groupBy(_._3).map { case (bg, xs) => bg -> xs.size.toLong }
+    val c1 = insts.groupBy(_._2).map { case (w1, xs) => w1 -> xs.size.toLong }
+    val want = insts.groupBy(_._1).map { case (id, xs) =>
+      val invps = xs.map(x => c1(x._2) * 10000L / c2(x._3))
+      id -> (xs.size.toLong, invps.sum, invps.sum / xs.size)
+    }
+    val got = Curation.queries("tx25_bigram_surprisal")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id: got ${got(id)}, want $w")
+    }
+  }
 }
