@@ -289,7 +289,70 @@ object Graph {
       .orderBy("nationkey")
   }
 
+  /** gr06: K-TRUSS (k=4) — the EDGE-level cohesion peel that pairs with
+    * gr04's node-level k-core: keep only edges supported by ≥ k−2 = 2
+    * triangles WITHIN the surviving subgraph, recursively (Cohen '08).
+    * A 4-truss edge's endpoints share ≥2 surviving common neighbors, so
+    * trusses isolate the triangle-dense community fabric that degree
+    * alone (k-core keeps stars) cannot — the standard community-core
+    * primitive in large-graph analytics. Four peel rounds run
+    * UNCONDITIONALLY (deterministic plan, oracle-replayable;
+    * `GraphSpec` pins the fixpoint landing earlier and round-4
+    * idempotence), then one support pass on the fixpoint labels
+    * survivors.
+    *
+    * Scale: per-round support is the adjacency-intersection join —
+    * edge (u,v) ⋈ adj(u) ⋈ adj(v) matched on the common neighbor —
+    * all equi-joins keyed on node ids (ids only on every exchange),
+    * wedge fan-out bounded by the 3-NN sparsified degree; the
+    * degree-ordered orientation (gr02) is the documented upgrade if
+    * the condensed graph ever grows skewed. The iterated edge set is
+    * referenced three times per round (edge + both adjacency sides),
+    * so the loop localCheckpoints EVERY round (the dd13/gr04
+    * plan-nesting rule at 3 refs).
+    */
+  val gr06Ktruss: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.partitionBy("src")
+      .orderBy(col("w").desc, col("dst"))
+    val knn = tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("src", "dst")
+    val und = knn.unionAll(knn.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .filter(col("src") < col("dst"))
+      .select(col("src").cast("bigint").as("a"),
+        col("dst").cast("bigint").as("b"))
+      .persist() // base edge list: peeled every round + final report
+    def support(alive: DataFrame): DataFrame = {
+      val symA = alive.unionAll(
+        alive.select(col("b").as("a"), col("a").as("b")))
+      alive.select(col("a").as("u"), col("b").as("v"))
+        .join(symA.select(col("a").as("u"), col("b").as("x")), Seq("u"))
+        .join(symA.select(col("a").as("v"), col("b").as("x")),
+          Seq("v", "x"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+    }
+    var alive = und
+    for (_ <- 1 to 4) {
+      alive = support(alive).filter(col("sup") >= 2)
+        .select(col("u").as("a"), col("v").as("b"))
+        .localCheckpoint(true)
+    }
+    val fin = support(alive)
+      .select(col("u").as("a"), col("v").as("b"), col("sup"))
+    und.join(fin, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        when(col("sup").isNotNull, 1L).otherwise(0L).as("in_truss"),
+        coalesce(col("sup"), lit(0L)).as("support"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "gr06_ktruss" -> gr06Ktruss,
     "gr01_pagerank" -> gr01Pagerank,
     "gr02_triangles" -> gr02Triangles,
     "gr03_label_prop" -> gr03LabelProp,
@@ -307,6 +370,43 @@ object Graph {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "gr06_ktruss" -> {
+      // MATERIALIZED on every iterated CTE: round r references a_{r-1}
+      // three times (edge + both adjacency sides) — inlined, the
+      // upstream pipeline would nest 3^rounds times (dd13/gr04 lesson)
+      def symOf(p: String) =
+        s"(SELECT a, b FROM $p UNION ALL SELECT b, a FROM $p)"
+      def round(r: Int, prev: String): String =
+        s"""t$r AS MATERIALIZED (SELECT e.a, e.b, count(*) AS sup
+           |  FROM $prev e
+           |  JOIN ${symOf(prev)} s1 ON s1.a = e.a
+           |  JOIN ${symOf(prev)} s2 ON s2.a = e.b AND s2.b = s1.b
+           |  GROUP BY e.a, e.b),
+           |a$r AS MATERIALIZED (SELECT a, b FROM t$r WHERE sup >= 2)"""
+          .stripMargin
+      s"""WITH $edgesCte,
+         |knn AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst) AS rn
+         |    FROM edges WHERE src <> dst) WHERE rn <= 3),
+         |a0 AS MATERIALIZED (SELECT DISTINCT
+         |    CAST(least(src, dst) AS BIGINT) AS a,
+         |    CAST(greatest(src, dst) AS BIGINT) AS b FROM (
+         |    SELECT src, dst FROM knn
+         |    UNION ALL SELECT dst, src FROM knn)),
+         |${(1 to 4).map(r => round(r, s"a${r - 1}")).mkString(",\n")},
+         |fin AS (SELECT e.a, e.b, count(*) AS sup
+         |  FROM a4 e
+         |  JOIN ${symOf("a4")} s1 ON s1.a = e.a
+         |  JOIN ${symOf("a4")} s2 ON s2.a = e.b AND s2.b = s1.b
+         |  GROUP BY e.a, e.b)
+         |SELECT u.a, u.b,
+         |  CAST(CASE WHEN f.a IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS in_truss,
+         |  coalesce(f.sup, 0) AS support
+         |FROM a0 u LEFT JOIN fin f ON f.a = u.a AND f.b = u.b
+         |ORDER BY u.a, u.b""".stripMargin
+    },
     "gr01_pagerank" ->
       s"""WITH $edgesCte,
          |e AS (SELECT src, dst, w,

@@ -96,4 +96,40 @@ class GraphSpec extends SparkSpec {
     assert(alive.nonEmpty && (nodes -- alive).nonEmpty,
       s"degenerate 4-core: ${alive.size} of ${nodes.size} nations")
   }
+
+  test("gr06 4-truss equals a sequential edge peel and fixpoints early") {
+    val knn = edges().filter(e => e._1 != e._2)
+      .groupBy(_._1).values.flatMap(_.sortBy(e => (-e._3, e._2)).take(3))
+      .map(e => (e._1, e._2)).toSet
+    val und = (knn ++ knn.map(_.swap))
+      .filter(e => e._1 < e._2).map(e => (e._1.toLong, e._2.toLong))
+    def supports(alive: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val adj = (alive ++ alive.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap.withDefaultValue(Set.empty[Long])
+      alive.map(e => e -> (adj(e._1) intersect adj(e._2)).size).toMap
+    }
+    var alive = und
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val next = supports(alive).filter(_._2 >= 2).keySet
+      changed = next != alive
+      if (changed) rounds += 1
+      alive = next.toSet
+    }
+    // four unconditional rounds in the operator: fixpoint must land first
+    assert(rounds <= 3, s"peeling needed $rounds rounds, operator runs 4")
+    val sup = supports(alive)
+    val got = Graph.gr06Ktruss(spark, sf).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2), x.getLong(3)))
+    assert(got.map(_._1).toSet == und, "edge universe mismatch")
+    got.foreach { case (e, inTruss, s) =>
+      assert(inTruss == (if (alive(e)) 1L else 0L), s"edge $e truss flag")
+      assert(s == (if (alive(e)) sup(e).toLong else 0L),
+        s"edge $e support: got $s want ${sup.getOrElse(e, 0)}")
+    }
+    // non-trivial: the truss keeps some edges and drops some
+    assert(alive.nonEmpty && (und -- alive).nonEmpty,
+      s"degenerate 4-truss: ${alive.size} of ${und.size} edges")
+  }
 }
