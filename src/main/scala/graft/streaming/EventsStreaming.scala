@@ -553,7 +553,92 @@ object EventsStreaming {
           .as("admitted_tokens"))
       .orderBy("source")
 
+  case class LateEvent(event_id: Long, user_id: Long, ts: Timestamp,
+    arr: Long)
+  case class LateOut(event_id: Long, user_id: Long, late: Boolean,
+    late_ms: Long)
+
+  /** st11: LATE-DATA AUDIT — quantify event-time disorder BEFORE
+    * choosing a watermark: for each event, lateness = how far the
+    * per-user event-time high-water mark had already advanced past it
+    * when it arrived (arrival order ⊥ event time — the thing watermarks
+    * gamble on). An event is `late` when lateness exceeds the
+    * allowance (1 h here): exactly the rows a `withWatermark("ts",
+    * "1 hour")` pipeline would silently DROP. Running this audit over
+    * a replayed day answers "what watermark loses how much" with
+    * numbers instead of faith — the missing feedback loop for every
+    * windowed/sessionized op in this family (st01/st02/windowedAgg).
+    *
+    * The corpus plants a deterministic delayed flush (every 13th event
+    * arrives 200 slots late — the st09 planted-corpus pattern, since
+    * the synthetic feed is perfectly ordered): ~556 events at sf0.01
+    * spread over ~147 users, all far beyond the allowance.
+    *
+    * Scale: one user_id exchange; the running high-water mark is a
+    * per-user window max in arrival order (same shuffle the rollup
+    * needs), lateness stays integer micros end-to-end. The stream face
+    * ([[lateAuditStream]]) holds ONE long per user — state bounded by
+    * user count, not event count.
+    */
+  def lateCorpus(s: SparkSession, d: String): DataFrame =
+    graft.Tables.t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_id") +
+          when(col("event_id") % 13 === 0, 200L).otherwise(0L)).as("arr"))
+
+  /** Deterministic batch face: per-user running event-time max in
+    * (arr, event_id) arrival order; late_ms in exact integer ms. */
+  def lateAuditBatch(events: DataFrame, allowanceMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("prevmax", max(col("tsu")).over(w))
+      .withColumn("late_ms", expr(
+        "greatest(0L, coalesce(prevmax, tsu) - tsu) div 1000"))
+      .select(col("event_id"), col("user_id"),
+        (col("late_ms") > allowanceMs).as("late"), col("late_ms"))
+  }
+
+  /** Streaming face: flatMapGroupsWithState keyed by user, state = the
+    * event-time high-water mark (one long per user). Within a batch
+    * rows process in (arr, event_id) order, so feeding batches in
+    * arrival order reproduces the batch face exactly. */
+  def lateAuditStream(events: DataFrame,
+      allowanceMs: Long): Dataset[LateOut] = {
+    import events.sparkSession.implicits._
+    events.as[LateEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, LateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[LateEvent], state: GroupState[Long]) =>
+          var hwm = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(r => (r.arr, r.event_id)).map { r =>
+            // exact micros: Timestamp carries sub-ms in nanos, getTime
+            // alone would floor to ms and drift vs the batch face
+            val tsu = math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+              r.ts.getNanos / 1000L
+            val lateMs = math.max(0L,
+              (if (hwm == Long.MinValue) tsu else hwm) - tsu) / 1000L
+            hwm = math.max(hwm, tsu)
+            LateOut(r.event_id, r.user_id, lateMs > allowanceMs, lateMs)
+          }
+          state.update(hwm)
+          out.iterator
+      }
+  }
+
+  /** st11: per-user lateness rollup under a 1 h allowance. */
+  private val st11LateAudit: Q = (s, d) =>
+    lateAuditBatch(lateCorpus(s, d), 3600000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        max(col("late_ms")).as("max_late_ms"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
+    "st11_late_audit" -> st11LateAudit,
     "st08_new_users" -> st08NewUsers,
     "st01_sessionize" -> st01Sessionize,
     "st02_session_window" -> st02SessionWindow,
@@ -566,6 +651,22 @@ object EventsStreaming {
     "st10_token_budget" -> st10TokenBudget)
 
   val oracleSql: Map[String, String] = Map(
+    "st11_late_audit" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+        |    event_id + CASE WHEN event_id % 13 = 0 THEN 200 ELSE 0 END
+        |      AS arr
+        |  FROM events),
+        |w AS (SELECT user_id,
+        |    greatest(0, coalesce(max(tsu) OVER (PARTITION BY user_id
+        |        ORDER BY arr, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tsu)
+        |      - tsu) // 1000 AS late_ms
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_ms > 3600000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late,
+        |  CAST(max(late_ms) AS BIGINT) AS max_late_ms
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "st10_token_budget" ->
       """WITH docs AS (SELECT doc_id, source,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1

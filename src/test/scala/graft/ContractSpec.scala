@@ -22,6 +22,39 @@ class ContractSpec extends SparkSpec {
     "ss03_topk_ivf", "tx05_fingerprint_hash64",
     "tx07_source_signature")
 
+  test("events.ts read adapts to both driver layouts (ns-long and us-ts)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // The driver has shipped events.ts BOTH as nanosecond parquet
+    // (surfaces as LongType under nanosAsLong — the r1-r4 layout) and
+    // as plain microsecond timestamps (the r5 regen). Tables.t must
+    // yield the same micros TimestampType either way; this pins the
+    // LongType branch now that the checked-in testdata no longer
+    // exercises it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ns").toFile
+    dir.deleteOnExit()
+    val micros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    spark.range(1)
+      .select(lit(1L).as("event_id"), lit(micros * 1000L).as("ts"),
+        lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val viaLong = Tables.t(spark, dir.toString, "events")
+    assert(viaLong.schema("ts").dataType == TimestampType)
+    val gotLong = viaLong.select(unix_micros(col("ts"))).first().getLong(0)
+    assert(gotLong == micros, s"ns-long path: $gotLong != $micros")
+    // the us layout: an NTZ timestamp, as the r5 driver writes it
+    // (UTC session => the NTZ->TS cast in Tables.t is lossless)
+    spark.range(1)
+      .select(lit(1L).as("event_id"),
+        timestamp_micros(lit(micros)).cast("timestamp_ntz").as("ts"),
+        lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val viaTs = Tables.t(spark, dir.toString, "events")
+    assert(viaTs.schema("ts").dataType == TimestampType)
+    val gotTs = viaTs.select(unix_micros(col("ts"))).first().getLong(0)
+    assert(gotTs == micros, s"us-ts path: $gotTs != $micros")
+  }
+
   test("oracle map covers exactly the non-rows-only queries") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

@@ -252,6 +252,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming late-data audit matches the st11 batch face across batches") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = EventsStreaming.lateCorpus(spark, sf)
+      .orderBy("arr", "event_id")
+      .collect().map(r => EventsStreaming.LateEvent(r.getLong(0),
+        r.getLong(1), r.getTimestamp(2), r.getLong(3))).toSeq
+    // two micro-batches split mid-feed: the per-user high-water mark
+    // must carry across the state-store boundary
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.LateEvent](spark)
+    val q = EventsStreaming.lateAuditStream(input.toDF(), 3600000L)
+      .writeStream.format("memory").queryName("lateaudit")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("lateaudit")
+      .select("event_id", "late", "late_ms").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    val want = EventsStreaming.lateAuditBatch(
+        EventsStreaming.lateCorpus(spark, sf), 3600000L)
+      .select("event_id", "late", "late_ms").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    // only planted delayed-flush events can be late, and some are
+    val late = got.filter(_._2._1).keySet
+    assert(late.nonEmpty, "planted delays should produce late events")
+    assert(late.forall(_ % 13 == 0), s"non-planted event flagged late")
+  }
+
   test("left-outer interval join emits unmatched clicks once the watermark allows") {
     val clicks = rows.filter(_.event_type == "click") :+
       Event(20, ts(5), 3, "click", 0.0) // user 3 has no views → null row
