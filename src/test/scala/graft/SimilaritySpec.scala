@@ -84,6 +84,29 @@ class SimilaritySpec extends SparkSpec {
     assert(avg1 >= 0.9, s"avg recall@1 $avg1")
   }
 
+  test("ss20 graph expansion strictly lifts band recall on the twin corpus") {
+    val rows = Similarity.graphExpandedSearch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 50)
+    rows.foreach { case (q, exact, nSeed, nExp, sHit, eHit) =>
+      // the true 1-NN is the planted twin at id + 10^7
+      assert(exact == q + 10000000L, s"query $q exact-1NN $exact")
+      // expansion is a superset of the seeds: counts and hits monotone
+      assert(nExp >= nSeed, s"query $q expansion shrank")
+      assert(eHit >= sHit, s"query $q lost a hit under expansion")
+    }
+    val seedHits = rows.map(_._5).sum
+    val expHits = rows.map(_._6).sum
+    // bands alone miss twins at this noise level; one graph hop must
+    // recover a strict majority of the misses
+    assert(seedHits < 50, s"bands found everything ($seedHits) — no regime")
+    assert(expHits > seedHits,
+      s"no lift: seeds $seedHits, expanded $expHits")
+    assert(expHits - seedHits >= (50 - seedHits) / 2,
+      s"weak recovery: seeds $seedHits, expanded $expHits")
+  }
+
   test("dd07 finds every perturbed re-ingest pair with cosine ≥ 0.99") {
     val pairs = Dedup.queries("dd07_embedding_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
