@@ -1011,7 +1011,94 @@ object Dedup {
       .orderBy("contained_id", "container_id")
   }
 
+  /** dd23: FUZZY benchmark decontamination — the paraphrase-leak gate
+    * exact decontamination (pp03/pp07/pp10) structurally cannot close:
+    * those flag a train doc only when a full 3-gram SHINGLE survives
+    * verbatim, so a token-level paraphrase (here: every 3rd token
+    * rewritten, which kills EVERY 3-gram window) sails through with
+    * zero shared shingles while still ~1/3 of its BIGRAMS survive.
+    * This operator runs the dd15 portable-MinHash machinery on bigram
+    * sets: 16 md5 lanes, 16 bands × 1 lane (the high-recall corner of
+    * dd20's S-curve — right for a contamination screen, where a missed
+    * leak costs an inflated benchmark and a false candidate costs one
+    * verify), bench×train candidates by band equality, then an exact
+    * integer bigram-Jaccard verify (inter·10⁴ div union ≥ 1500) on
+    * candidates only. Bigrams, not unigrams, are the right granularity
+    * here: this synthetic corpus draws from a small shared vocabulary,
+    * so unigram Jaccard between ARBITRARY docs sits at 0.5-0.8 (no
+    * separation), while bigram Jaccard separates cleanly — planted
+    * paraphrases >= 0.205, natural background <= 0.117 at sf0.01.
+    *
+    * The corpus plants 5 paraphrased bench leaks (ids +10⁶); the
+    * documents table also carries NATURAL near-copies of bench items —
+    * both kinds surface, with `caught_exact` separating the verbatim
+    * leaks (exact + fuzzy agree) from the paraphrases (fuzzy only,
+    * caught_exact = false: the rows this operator exists for).
+    *
+    * Scale: band join shuffles (band, bkey, id); token arrays rejoin
+    * only for the candidate-bounded verify (the payload rule); the
+    * bench side is tiny and broadcast by AQE. At 100 TB bkeys hash to
+    * 8 bytes (dd04) — identical shape.
+    */
+  private val dd23FuzzyDecon: Q = (s, d) => {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 5)
+    val planted = bench.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("""array_join(transform(split(text, ' '),
+             |  (t, i) -> CASE WHEN i % 3 = 0 THEN 'zz' ELSE t END), ' ')"""
+        .stripMargin).as("text"))
+    val train = docs.filter(col("doc_id") >= 5).unionAll(planted)
+    val benchSh = bench.select(explode(array_distinct(
+        GraftFunctions.shingle_strings(col("text")))).as("shingle"))
+      .select(md5(col("shingle")).as("fp")).distinct()
+    val trainSh = train.select(col("doc_id"), explode(array_distinct(
+        GraftFunctions.shingle_strings(col("text")))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("fp"))
+    val exactFlag = trainSh.join(benchSh, Seq("fp"), "left_semi")
+      .select("doc_id").distinct()
+      .select(col("doc_id").as("train_id"), lit(true).as("caught_exact"))
+    def uni(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(0, CAST(size(tk) - 2 AS INT)),
+          |          i -> concat(tk[i], ' ', tk[i + 1]))""".stripMargin))
+        .as("toks"))
+      .withColumn("sig", GraftFunctions.md5_min_lanes(col("toks"), 16))
+    val bu = uni(bench).persist()   // bands + verify side (5 rows)
+    val tu = uni(train).persist()   // bands + verify side
+    def bandify(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs), posexplode(col("sig")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val cand = bandify(tu, "train_id")
+      .join(bandify(bu, "bench_id"), Seq("band", "bkey"))
+      .select("train_id", "bench_id").distinct()
+    val verify = cand
+      .join(tu.select(col("doc_id").as("train_id"),
+        col("toks").as("t_toks")), Seq("train_id"))
+      .join(bu.select(col("doc_id").as("bench_id"),
+        col("toks").as("b_toks")), Seq("bench_id"))
+      .withColumn("inter", size(array_intersect(col("t_toks"),
+        col("b_toks"))).cast("bigint"))
+      .withColumn("un",
+        (size(col("t_toks")) + size(col("b_toks"))).cast("bigint")
+          - col("inter"))
+      .withColumn("jac_x10000", expr("inter * 10000 div un"))
+      .filter(col("jac_x10000") >= 1500)
+    val fuzzy = verify.groupBy("train_id")
+      .agg(count(lit(1)).as("n_bench_pairs"),
+        max(col("jac_x10000")).as("best_jac_x10000"))
+    exactFlag.join(fuzzy, Seq("train_id"), "full_outer")
+      .select(col("train_id"),
+        coalesce(col("caught_exact"), lit(false)).as("caught_exact"),
+        (coalesce(col("n_bench_pairs"), lit(0L)) > 0).as("caught_fuzzy"),
+        coalesce(col("n_bench_pairs"), lit(0L)).as("n_bench_pairs"),
+        coalesce(col("best_jac_x10000"), lit(0L)).as("best_jac_x10000"))
+      .orderBy("train_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd23_fuzzy_decontaminate" -> dd23FuzzyDecon,
     "dd21_containment_join" -> dd21ContainmentJoin,
     "dd14_line_dedup" -> dd14LineDedup,
     "dd15_lsh_recall" -> dd15LshRecall,
@@ -1307,6 +1394,124 @@ object Dedup {
         |FROM lab l JOIN (SELECT group_rep, count(*) AS cnt FROM lab
         |                 GROUP BY group_rep) g USING (group_rep)
         |ORDER BY doc_id""".stripMargin,
+    "dd23_fuzzy_decontaminate" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+        |planted AS (SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string([CASE WHEN i % 3 = 1 THEN 'zz' ELSE tk[i] END
+        |      for i in generate_series(1, len(tk))], ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM bench)),
+        |train AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5
+        |  UNION ALL SELECT * FROM planted),
+        |bsh AS (SELECT DISTINCT md5(u.s) AS fp FROM (
+        |    SELECT text, string_split(text, ' ') AS tk FROM bench) b,
+        |  unnest(list_distinct(CASE WHEN len(b.tk) < 3 THEN [b.text]
+        |    ELSE [b.tk[i] || ' ' || b.tk[i+1] || ' ' || b.tk[i+2]
+        |          for i in generate_series(1, len(b.tk) - 2)] END)) AS u(s)),
+        |tsh AS (SELECT t.doc_id, md5(u.s) AS fp FROM (
+        |    SELECT doc_id, text, string_split(text, ' ') AS tk FROM train) t,
+        |  unnest(list_distinct(CASE WHEN len(t.tk) < 3 THEN [t.text]
+        |    ELSE [t.tk[i] || ' ' || t.tk[i+1] || ' ' || t.tk[i+2]
+        |          for i in generate_series(1, len(t.tk) - 2)] END)) AS u(s)),
+        |ex AS MATERIALIZED (SELECT DISTINCT doc_id AS train_id FROM tsh
+        |  WHERE fp IN (SELECT fp FROM bsh)),
+        |but AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct([tk[i] || ' ' || tk[i+1]
+        |      for i in generate_series(1, len(tk) - 1)]) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM bench)
+        |  WHERE len(tk) >= 2),
+        |tut AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct([tk[i] || ' ' || tk[i+1]
+        |      for i in generate_series(1, len(tk) - 1)]) AS toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM train)
+        |  WHERE len(tk) >= 2),
+        |bsig AS (SELECT doc_id,
+        |    list_min([md5(t || '#0') for t in toks]) AS s0,
+        |    list_min([md5(t || '#1') for t in toks]) AS s1,
+        |    list_min([md5(t || '#2') for t in toks]) AS s2,
+        |    list_min([md5(t || '#3') for t in toks]) AS s3,
+        |    list_min([md5(t || '#4') for t in toks]) AS s4,
+        |    list_min([md5(t || '#5') for t in toks]) AS s5,
+        |    list_min([md5(t || '#6') for t in toks]) AS s6,
+        |    list_min([md5(t || '#7') for t in toks]) AS s7,
+        |    list_min([md5(t || '#8') for t in toks]) AS s8,
+        |    list_min([md5(t || '#9') for t in toks]) AS s9,
+        |    list_min([md5(t || '#10') for t in toks]) AS s10,
+        |    list_min([md5(t || '#11') for t in toks]) AS s11,
+        |    list_min([md5(t || '#12') for t in toks]) AS s12,
+        |    list_min([md5(t || '#13') for t in toks]) AS s13,
+        |    list_min([md5(t || '#14') for t in toks]) AS s14,
+        |    list_min([md5(t || '#15') for t in toks]) AS s15
+        |  FROM but),
+        |tsig AS (SELECT doc_id,
+        |    list_min([md5(t || '#0') for t in toks]) AS s0,
+        |    list_min([md5(t || '#1') for t in toks]) AS s1,
+        |    list_min([md5(t || '#2') for t in toks]) AS s2,
+        |    list_min([md5(t || '#3') for t in toks]) AS s3,
+        |    list_min([md5(t || '#4') for t in toks]) AS s4,
+        |    list_min([md5(t || '#5') for t in toks]) AS s5,
+        |    list_min([md5(t || '#6') for t in toks]) AS s6,
+        |    list_min([md5(t || '#7') for t in toks]) AS s7,
+        |    list_min([md5(t || '#8') for t in toks]) AS s8,
+        |    list_min([md5(t || '#9') for t in toks]) AS s9,
+        |    list_min([md5(t || '#10') for t in toks]) AS s10,
+        |    list_min([md5(t || '#11') for t in toks]) AS s11,
+        |    list_min([md5(t || '#12') for t in toks]) AS s12,
+        |    list_min([md5(t || '#13') for t in toks]) AS s13,
+        |    list_min([md5(t || '#14') for t in toks]) AS s14,
+        |    list_min([md5(t || '#15') for t in toks]) AS s15
+        |  FROM tut),
+        |bband AS (SELECT doc_id, 0 AS band, s0 AS bkey FROM bsig
+        |  UNION ALL SELECT doc_id, 1, s1 FROM bsig
+        |  UNION ALL SELECT doc_id, 2, s2 FROM bsig
+        |  UNION ALL SELECT doc_id, 3, s3 FROM bsig
+        |  UNION ALL SELECT doc_id, 4, s4 FROM bsig
+        |  UNION ALL SELECT doc_id, 5, s5 FROM bsig
+        |  UNION ALL SELECT doc_id, 6, s6 FROM bsig
+        |  UNION ALL SELECT doc_id, 7, s7 FROM bsig
+        |  UNION ALL SELECT doc_id, 8, s8 FROM bsig
+        |  UNION ALL SELECT doc_id, 9, s9 FROM bsig
+        |  UNION ALL SELECT doc_id, 10, s10 FROM bsig
+        |  UNION ALL SELECT doc_id, 11, s11 FROM bsig
+        |  UNION ALL SELECT doc_id, 12, s12 FROM bsig
+        |  UNION ALL SELECT doc_id, 13, s13 FROM bsig
+        |  UNION ALL SELECT doc_id, 14, s14 FROM bsig
+        |  UNION ALL SELECT doc_id, 15, s15 FROM bsig),
+        |tband AS (SELECT doc_id, 0 AS band, s0 AS bkey FROM tsig
+        |  UNION ALL SELECT doc_id, 1, s1 FROM tsig
+        |  UNION ALL SELECT doc_id, 2, s2 FROM tsig
+        |  UNION ALL SELECT doc_id, 3, s3 FROM tsig
+        |  UNION ALL SELECT doc_id, 4, s4 FROM tsig
+        |  UNION ALL SELECT doc_id, 5, s5 FROM tsig
+        |  UNION ALL SELECT doc_id, 6, s6 FROM tsig
+        |  UNION ALL SELECT doc_id, 7, s7 FROM tsig
+        |  UNION ALL SELECT doc_id, 8, s8 FROM tsig
+        |  UNION ALL SELECT doc_id, 9, s9 FROM tsig
+        |  UNION ALL SELECT doc_id, 10, s10 FROM tsig
+        |  UNION ALL SELECT doc_id, 11, s11 FROM tsig
+        |  UNION ALL SELECT doc_id, 12, s12 FROM tsig
+        |  UNION ALL SELECT doc_id, 13, s13 FROM tsig
+        |  UNION ALL SELECT doc_id, 14, s14 FROM tsig
+        |  UNION ALL SELECT doc_id, 15, s15 FROM tsig),
+        |cand AS MATERIALIZED (SELECT DISTINCT t.doc_id AS train_id,
+        |    b.doc_id AS bench_id
+        |  FROM tband t JOIN bband b
+        |    ON t.band = b.band AND t.bkey = b.bkey),
+        |verify AS (SELECT c.train_id, c.bench_id,
+        |    CAST(len(list_intersect(tt.toks, bb.toks)) AS BIGINT) * 10000
+        |      // (CAST(len(tt.toks) + len(bb.toks) AS BIGINT)
+        |          - len(list_intersect(tt.toks, bb.toks))) AS jac_x10000
+        |  FROM cand c JOIN tut tt ON tt.doc_id = c.train_id
+        |  JOIN but bb ON bb.doc_id = c.bench_id),
+        |fz AS (SELECT train_id, CAST(count(*) AS BIGINT) AS n_bench_pairs,
+        |    CAST(max(jac_x10000) AS BIGINT) AS best_jac_x10000
+        |  FROM verify WHERE jac_x10000 >= 1500 GROUP BY train_id)
+        |SELECT coalesce(e.train_id, f.train_id) AS train_id,
+        |  (e.train_id IS NOT NULL) AS caught_exact,
+        |  (coalesce(f.n_bench_pairs, 0) > 0) AS caught_fuzzy,
+        |  coalesce(f.n_bench_pairs, 0) AS n_bench_pairs,
+        |  coalesce(f.best_jac_x10000, 0) AS best_jac_x10000
+        |FROM ex e FULL OUTER JOIN fz f ON f.train_id = e.train_id
+        |ORDER BY train_id""".stripMargin,
     "dd15_lsh_recall" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL

@@ -281,4 +281,29 @@ class DedupSpec extends SparkSpec {
     val fp = ctrls.count(_._3 == 1L).toDouble / ctrls.length
     assert(fp <= 0.2, f"control band-collision rate $fp%.3f")
   }
+
+  test("dd23 fuzzy decontamination catches paraphrases exact-shingle misses") {
+    val rows = Dedup.queries("dd23_fuzzy_decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4)))
+    val planted = rows.filter(_._1 >= 1000000L)
+    // all 5 planted paraphrased bench leaks are in train
+    assert(planted.length == 5, s"planted rows: ${planted.length}")
+    planted.foreach { case (id, exact, fuzzy, nPairs, jac) =>
+      // every 3rd token rewritten kills EVERY 3-gram: exact must be blind
+      assert(!exact, s"planted $id flagged by exact shingles")
+      // ...while ~1/3 of bigrams survive: fuzzy must catch it
+      assert(fuzzy, s"planted $id missed by fuzzy decontamination")
+      assert(nPairs >= 1L && jac >= 1500L, s"planted $id weak pair/$jac")
+    }
+    // flagged sets are genuinely different signals on this corpus:
+    // exact-only rows exist (single shared shingle, weak signal)
+    assert(rows.exists(r => r._2 && !r._3), "no exact-only rows")
+    // a NATURAL doc above the bigram bar is a verbatim near-copy and
+    // must also be exact-caught — fuzzy-ONLY flags are precisely the
+    // planted paraphrases this operator exists for
+    val fuzzyOnly = rows.filter(r => r._3 && !r._2)
+    assert(fuzzyOnly.nonEmpty && fuzzyOnly.forall(_._1 >= 1000000L),
+      s"unexpected fuzzy-only naturals: ${fuzzyOnly.map(_._1).toSeq}")
+  }
 }
