@@ -53,6 +53,55 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** pp26: LINE-level quality CLEANING — the C4/justext step between
+    * pp05's document-level gate and dd14's corpus-wide line dedup:
+    * classify each LINE of a document against deterministic quality
+    * rules, emit the cleaned document fingerprint plus per-rule removal
+    * counters (the audit a curation run logs per shard). The real-web
+    * rules are C4's "ends in terminal punctuation / ≥5 words / no
+    * boilerplate phrase" (Raffel et al. 2020 §2.2); this corpus has no
+    * punctuation, so the trio is corpus-appropriate — short tail lines
+    * (<4 tokens), stopword-dominated lines (≥25% {a, the}), and
+    * low-diversity lines (<75% distinct tokens) — with every threshold
+    * an integer cross-multiplication so both engines compare exactly.
+    * "Lines" are dd14's non-overlapping 8-token segments (the corpus
+    * has no newlines; the shape is identical for real \n lines).
+    *
+    * Shape discipline: a per-document statistic must not shuffle
+    * (tx14's lesson) — lines, rule flags, counters and the cleaned-text
+    * fingerprint all come from higher-order functions over the
+    * token-array-of-arrays in ONE projection, so pp26 adds zero
+    * exchanges beyond the scan and stays linear at 100 TB. The token
+    * arrays are materialized once per row (`lt`) before any lambda
+    * touches them — never re-split inside a per-element lambda.
+    */
+  val pp26LineClean: Q = (s, d) => {
+    val keptPred = """l -> size(l) >= 4
+      | AND 4 * size(filter(l, t -> t = 'a' OR t = 'the')) < size(l)
+      | AND 4 * size(array_distinct(l)) >= 3 * size(l)""".stripMargin
+    t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("lt", expr(
+        """transform(sequence(0, CAST((size(toks) - 1) div 8 AS INT)),
+          |          i -> slice(toks, i * 8 + 1, 8))""".stripMargin))
+      .select(col("doc_id"),
+        expr("CAST(size(lt) AS BIGINT)").as("n_lines"),
+        expr("CAST(size(filter(lt, l -> size(l) < 4)) AS BIGINT)")
+          .as("rm_short"),
+        expr("""CAST(size(filter(lt, l ->
+               |  4 * size(filter(l, t -> t = 'a' OR t = 'the'))
+               |    >= size(l))) AS BIGINT)""".stripMargin).as("rm_stop"),
+        expr("""CAST(size(filter(lt, l ->
+               |  4 * size(array_distinct(l)) < 3 * size(l))) AS BIGINT)""".stripMargin)
+          .as("rm_lowdiv"),
+        expr(s"CAST(size(filter(lt, $keptPred)) AS BIGINT)").as("n_kept"),
+        md5(expr(
+          s"""array_join(transform(filter(lt, $keptPred),
+             |           l -> array_join(l, ' ')), ' ')""".stripMargin))
+          .as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   /** pp17: TEMPERATURE-WEIGHTED MIXTURE (the multilingual-sampling
     * trick: target share ∝ (token share)^(1/T), here T=2 so the exponent
     * is a SQRT — IEEE-exact, no transcendental pow): low-resource sources
@@ -582,6 +631,7 @@ object Curation {
     "tx19_bm25" -> tx19Bm25,
     "tx20_bigram_novelty" -> tx20BigramNovelty,
     "pp05_quality_filter" -> pp05QualityFilter,
+    "pp26_line_clean" -> pp26LineClean,
     "pp06_mixture_rebalance" -> pp06MixtureRebalance,
     "pp14_curriculum" -> pp14Curriculum,
     "pp17_temperature_mix" -> pp17TemperatureMix,
@@ -757,6 +807,39 @@ object Curation {
         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM scored)
         |SELECT token, rnk, doc_id, tf, dl, score
         |FROM ranked WHERE rnk <= 5 ORDER BY token, rnk""".stripMargin,
+    // pp26: DuckDB replays the 8-token line segmentation (dd14's oracle
+    // frame), the three integer-compare rules, and the kept-line
+    // fingerprint; list comprehensions mirror Spark's filter() lambdas.
+    "pp26_line_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    toks[(i-1)*8+1 : (i-1)*8+8] AS l
+        |  FROM base,
+        |    LATERAL (SELECT unnest(range(1, (len(toks)-1)//8 + 2)) AS i)),
+        |fl AS (
+        |  SELECT doc_id, pos, l,
+        |    len(l) < 4 AS r_short,
+        |    4 * len([t for t in l if t = 'a' OR t = 'the']) >= len(l)
+        |      AS r_stop,
+        |    4 * len(list_distinct(l)) < 3 * len(l) AS r_lowdiv
+        |  FROM lines)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rm_short,
+        |  CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rm_stop,
+        |  CAST(sum(CASE WHEN r_lowdiv THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rm_lowdiv,
+        |  CAST(sum(CASE WHEN NOT (r_short OR r_stop OR r_lowdiv)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(array_to_string(l, ' '), ' '
+        |        ORDER BY pos)
+        |      FILTER (WHERE NOT (r_short OR r_stop OR r_lowdiv)), ''))
+        |    AS clean_fp
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pp05_quality_filter" ->
       """WITH q AS (
         |  SELECT doc_id, n_chars,

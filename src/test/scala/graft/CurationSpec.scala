@@ -164,4 +164,36 @@ class CurationSpec extends SparkSpec {
     // refined centroids are finite numbers
     rows.foreach(r => assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
   }
+
+  test("pp26: counters and clean fingerprint agree with a direct replay") {
+    val texts = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val rows = Curation.pp26LineClean(spark, sf).collect()
+    assert(rows.length == texts.size)
+    var removedAny = Array(0, 0, 0)
+    rows.foreach { r =>
+      val lines = texts(r.getLong(0)).split(" ", -1).grouped(8).toSeq
+      val short = lines.count(_.length < 4)
+      val stop = lines.count(l =>
+        4 * l.count(t => t == "a" || t == "the") >= l.length)
+      val lowdiv = lines.count(l => 4 * l.distinct.length < 3 * l.length)
+      val kept = lines.filter(l => l.length >= 4 &&
+        4 * l.count(t => t == "a" || t == "the") < l.length &&
+        4 * l.distinct.length >= 3 * l.length)
+      assert(r.getLong(1) == lines.length, s"n_lines doc ${r.getLong(0)}")
+      assert(r.getLong(2) == short && r.getLong(3) == stop &&
+        r.getLong(4) == lowdiv, s"rule counters doc ${r.getLong(0)}")
+      assert(r.getLong(5) == kept.length, s"n_kept doc ${r.getLong(0)}")
+      assert(r.getString(6) == md5Hex(kept.map(_.mkString(" ")).mkString(" ")),
+        s"clean_fp doc ${r.getLong(0)}")
+      removedAny = Array(removedAny(0) + short, removedAny(1) + stop,
+        removedAny(2) + lowdiv)
+    }
+    // every rule must actually discriminate on this corpus — a dead rule
+    // is untested code riding a green gate
+    assert(removedAny.forall(_ > 0), removedAny.mkString(","))
+  }
 }
