@@ -60,7 +60,55 @@ object Similarity {
     "ss18_ivfpq_search" -> ((s, d) => ivfPqSearch(s, d)),
     "ss19_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)),
     "ss20_graph_expand" -> ((s, d) => graphExpandedSearch(s, d)),
+    "ss21_kcenter_seed" -> ((s, d) => kcenterSeed(s, d)),
   )
+
+  /** ss21: FARTHEST-FIRST TRAVERSAL (Gonzalez '85) k-center seeding —
+    * the deterministic initializer the ss08/ss09 k-means family lacks
+    * (their 16-sample init is arbitrary; k-means++ is randomized;
+    * farthest-first is the 2-approximation for the k-center objective
+    * and the classic deterministic seed). Start from vec 0, then 7×
+    * pick the point whose distance to its NEAREST chosen center is
+    * LARGEST (cosine distance; ties by vec_id). The per-round radius
+    * column is the k-center coverage radius as it shrinks — the
+    * "how many centers do I need" elbow curve a clustering run logs.
+    *
+    * Scale: each round is ONE corpus scan joined against a ≤8-row
+    * broadcast center set, a per-vector min, and a global top-1 — a
+    * constant-size driver collect per round (the documented ss03
+    * pattern; k rounds = k scans, never quadratic). At 100 TB you run
+    * the identical plan over a uniform sample (seeding needs spread,
+    * not the full corpus) or switch to k-means|| oversampling, which
+    * batches the same cost-weighted selection into O(log n) rounds
+    * (Bahmani et al., VLDB'12). The exact sequential-fold dot product
+    * (FloatDot kernel ≡ DuckDB list_reduce) makes every selection
+    * decision bit-reproducible cross-engine, so the DuckDB oracle
+    * replays all 7 argmax rounds from the same doubles.
+    */
+  def kcenterSeed(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+    var picked = Vector[(Long, Double)]((0L, 0.0))
+    for (_ <- 1 to 7) {
+      val cDf = base.filter(col("vec_id").isin(picked.map(_._1): _*))
+        .select(col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      val far = base.crossJoin(broadcast(cDf))
+        .withColumn("dist",
+          lit(1.0) - dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm")))
+        .groupBy("vec_id").agg(min("dist").as("dmin"))
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      picked :+= ((far.getLong(0), far.getDouble(1)))
+    }
+    import s.implicits._
+    picked.zipWithIndex
+      .map { case ((id, r), i) => (i.toLong, id, r) }
+      .toDF("rank", "center_id", "radius")
+      .select(col("rank"), col("center_id"),
+        round(col("radius"), 4).as("radius"))
+      .orderBy("rank")
+  }
 
   /** ss15: PQ RECALL with a TRAINED codebook — the quality gate that
     * completes the measurement trilogy (ss07 pins sign-LSH, ss11 pins
@@ -1863,6 +1911,35 @@ object Similarity {
         |  AND g.neighbor_id = e.neighbor_id
         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin),
     "ss17_multiprobe_lsh" -> ss17OracleSql,
+    // ss21: the 7 argmax rounds replay incrementally — cs{r} is the
+    // center set after r picks, d{r}/p{r} the round's min-distance table
+    // and winner. d/p are referenced by BOTH the output union and the
+    // next round's center set ⇒ MATERIALIZED (the dd13/gr04 CTE rule).
+    "ss21_kcenter_seed" -> {
+      val rounds = (1 to 7).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT q.vec_id AS vec_id,
+           |    min(1.0 - ($dotSql) / (c.nrm * q.nrm)) AS dmin
+           |  FROM n q, cs$r c GROUP BY q.vec_id),
+           |p$r AS MATERIALIZED (
+           |  SELECT vec_id, dmin FROM d$r
+           |  ORDER BY dmin DESC, vec_id LIMIT 1),
+           |cs${r + 1} AS (SELECT * FROM cs$r UNION ALL
+           |  SELECT n.vec_id, n.e, n.nrm FROM n JOIN p$r USING (vec_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      val out = (1 to 7).map { r =>
+        s"""UNION ALL SELECT CAST($r AS BIGINT), vec_id, round(dmin, 4)
+           |FROM p$r""".stripMargin
+      }.mkString("\n")
+      s"""WITH $normCte,
+         |cs1 AS (SELECT vec_id, e, nrm FROM n WHERE vec_id = 0),
+         |$rounds
+         |SELECT CAST(0 AS BIGINT) AS "rank",
+         |  CAST(0 AS BIGINT) AS center_id, CAST(0.0 AS DOUBLE) AS radius
+         |$out
+         |ORDER BY "rank"""".stripMargin
+    },
     // ss20: full replay — planted corpus, signatures, bands, seed join,
     // coarse assignment, within-list top-4 adjacency, one undirected
     // expansion hop, exact-1NN denominator, per-query rollup. Multiply-

@@ -220,4 +220,28 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq, s"query $q")
     }
   }
+
+  test("ss21 farthest-first matches an in-JVM greedy replay") {
+    val rows = Similarity.kcenterSeed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (0L to 7L))
+    assert(rows.map(_._2).distinct.length == 8, "centers must be distinct")
+    // radius (coverage at selection time) is non-increasing after rank 1
+    rows.sliding(2).drop(1).foreach { case Array((_, _, a), (r, _, b)) =>
+      assert(b <= a + 1e-12, s"radius grew at rank $r")
+    }
+    // exact greedy replay: argmax of min-distance, ties by id
+    var centers = Vector(0L)
+    for (rank <- 1 to 7) {
+      val best = vecs.keys.toSeq
+        .map { v =>
+          val dmin = centers.map(c => 1.0 - cosine(vecs(v), vecs(c))).min
+          (v, dmin)
+        }
+        .minBy { case (v, dm) => (-dm, v) }
+      assert(rows(rank)._2 == best._1, s"rank $rank pick")
+      assert(math.abs(rows(rank)._3 - best._2) < 1e-4, s"rank $rank radius")
+      centers :+= best._1
+    }
+  }
 }
