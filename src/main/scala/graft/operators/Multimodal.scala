@@ -177,6 +177,67 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** mm10: CORRUPT-MEDIA QUARANTINE — the ingest-hardening step every
+    * media pipeline runs before its decode-dependent ops (mm01/mm05/
+    * mm07/mm08 all assume decodable payloads): structurally validate,
+    * attempt a REAL decode, and route failures to a quarantine row with
+    * a reason — never an exception that kills the job. Corruption is
+    * PLANTED deterministically on the genuine PNG payloads: media_id
+    * % 7 == 1 overwrites the 8-byte signature (a mis-typed blob);
+    * % 7 == 2 truncates mid-IHDR (an interrupted upload); % 7 == 3
+    * overwrites the post-IHDR chunk length with 0xFFFFFFFF (structural
+    * bit rot). Failure semantics measured on this JDK's decoder: bad
+    * signature → reader lookup yields null; header truncation / chunk
+    * length → IIOException — both handled per row. Two rejected
+    * plantings, for the record: tail truncation DECODES (Java's PNG
+    * reader tolerates a short IDAT), and CRC flips DECODE (it skips
+    * checksum verification) — and a zlib-content flip is unreliable
+    * (a flip inside a stored deflate block alters pixels without
+    * erroring), which is why the planted corruptions target container
+    * structure only.
+    *
+    * Accepted rows emit real decoded dims + the pixel fingerprint (the
+    * mm01 lossless-decode proof); quarantined rows emit the reason.
+    * The oracle re-derives the verdict from the planting rule and the
+    * accepted values from the source bytes, so hash equality proves the
+    * quarantine caught EXACTLY the planted rows — a clean payload that
+    * failed decode, or a corrupted one that slipped through, would both
+    * break the compare. Scale: per-row map work, zero shuffle;
+    * sentinel -1/'' instead of NULL keeps the cross-engine sort total.
+    */
+  private val mm10Quarantine: Q = (s, d) => {
+    import s.implicits._
+    pngTable(s, d).as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, png0, _) =>
+          val png = (id % 7) match {
+            case 1 => val a = png0.clone(); a(0) = 0; a
+            case 2 => java.util.Arrays.copyOf(png0, 24)
+            case 3 =>
+              val a = png0.clone()
+              for (i <- 33 to 36) a(i) = 0xff.toByte
+              a
+            case _ => png0
+          }
+          val magicOk = png.length >= 8 && png(0) == 0x89.toByte &&
+            png(1) == 'P'.toByte && png(2) == 'N'.toByte &&
+            png(3) == 'G'.toByte && png(4) == 0x0d.toByte &&
+            png(5) == 0x0a.toByte && png(6) == 0x1a.toByte &&
+            png(7) == 0x0a.toByte
+          if (!magicOk) (id, "quarantined", "bad_magic", -1L, -1L, "")
+          else try {
+            val (w, h, px) = decodeGray(png)
+            (id, "ok", "", w.toLong, h.toLong, md5Hex(px))
+          } catch {
+            case _: Throwable =>
+              (id, "quarantined", "decode_error", -1L, -1L, "")
+          }
+        }
+      }
+      .toDF("media_id", "status", "reason", "width", "height", "px_md5")
+      .orderBy("media_id")
+  }
+
   /** mm02: frame sampling — split the payload into fixed 32-byte "frames",
     * keep every 4th (the video-keyframe pattern); per-frame STUB feature.
     * posexplode keeps frame index; substring on binary is codegen'd.
@@ -444,6 +505,7 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "mm08_thumbnail" -> mm08Thumbnail,
     "mm01_media_ingest" -> mm01IngestMeta,
+    "mm10_media_quarantine" -> mm10Quarantine,
     "mm02_frame_sample" -> mm02FrameSample,
     "mm03_batch_decode" -> mm03BatchDecode,
     "mm04_av_sync" -> mm04AvSync,
@@ -806,6 +868,30 @@ object Multimodal {
         |  md5(string_agg(chr(CAST(v AS INT)), '' ORDER BY ty * 8 + tx))
         |    AS thumb_fp
         |FROM cells GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // mm10: verdicts from the planting rule, accepted values from the
+    // source bytes — agreement proves quarantine caught exactly the
+    // planted corruption AND clean payloads decoded losslessly.
+    "mm10_media_quarantine" ->
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    CAST(length(text) // 16 AS BIGINT) AS h,
+        |    substring(text, 1, CAST((length(text) // 16) * 16 AS INT))
+        |      AS px
+        |  FROM documents WHERE length(text) >= 16),
+        |v AS (SELECT media_id, h, px,
+        |    CASE WHEN media_id % 7 = 1 THEN 'bad_magic'
+        |         WHEN media_id % 7 = 2 OR media_id % 7 = 3
+        |           THEN 'decode_error'
+        |         ELSE '' END AS reason
+        |  FROM g)
+        |SELECT media_id,
+        |  CASE WHEN reason = '' THEN 'ok' ELSE 'quarantined' END AS status,
+        |  reason,
+        |  CASE WHEN reason = '' THEN CAST(16 AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS width,
+        |  CASE WHEN reason = '' THEN h ELSE CAST(-1 AS BIGINT) END
+        |    AS height,
+        |  CASE WHEN reason = '' THEN md5(px) ELSE '' END AS px_md5
+        |FROM v ORDER BY media_id""".stripMargin,
     "mm01_media_ingest" ->
       """WITH g AS (SELECT doc_id AS media_id,
         |    CAST(length(text) AS BIGINT) AS nbytes,

@@ -318,6 +318,28 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(adm <= gated * 6 / 10, s"admitted $adm of $gated")
   }
 
+  test("mm10: quarantine catches exactly the planted corruption classes") {
+    val rows = Multimodal.queries("mm10_media_quarantine")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, status, reason, w, h, fp) =>
+      id % 7 match {
+        case 1 => assert(status == "quarantined" && reason == "bad_magic", id)
+        case 2 | 3 =>
+          assert(status == "quarantined" && reason == "decode_error", id)
+        case _ =>
+          assert(status == "ok" && reason == "" && w == 16 && h >= 1 &&
+            fp.length == 32, id)
+      }
+      if (status == "quarantined") assert(w == -1L && h == -1L && fp == "")
+    }
+    // all three failure classes must actually occur on this corpus
+    assert(rows.count(_._3 == "bad_magic") > 0)
+    assert(rows.exists(r => r._1 % 7 == 2 && r._3 == "decode_error"))
+    assert(rows.exists(r => r._1 % 7 == 3 && r._3 == "decode_error"))
+  }
+
   test("mm01: nbytes equals UTF-8 byte length of the source text") {
     val got = Multimodal.queries("mm01_media_ingest")(spark, sf)
       .select("media_id", "nbytes")
