@@ -289,6 +289,67 @@ object Graph {
       .orderBy("nationkey")
   }
 
+  /** gr07: K-HOP HARMONIC CLOSENESS — per-node centrality over the
+    * gr05 graph, bounded to 3 hops (Boldi & Vigna's axiom-friendly
+    * harmonic variant of closeness, truncated the way any 100 TB graph
+    * run truncates it: beyond a few hops the contribution is noise and
+    * the frontier is the whole graph). Every node is a source — the
+    * multi-source generalization of gr05's single-source BFS: 3
+    * synchronous min-level rounds over (src, node, lvl) triples, then
+    * one rollup of per-level reach counts and the harmonic sum.
+    * Harmonic mass is INTEGER fixed-point (×6: levels 1/2/3 contribute
+    * 6/3/2) — order-independent sums, drift-free cross-engine (the
+    * gr01 discipline).
+    *
+    * Scale: state is (n_nodes × reached) triples — the k-hop bound is
+    * what keeps that from becoming all-pairs BFS; each round is one
+    * join keyed by node id on the condensed graph. The levels set is
+    * referenced twice per round (offers + min-merge) ⇒ localCheckpoint
+    * on the gr05 cadence.
+    */
+  val gr07Closeness: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.partitionBy("src")
+      .orderBy(col("w").desc, col("dst"))
+    val knn = tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("src", "dst")
+    val sym = knn.unionAll(knn.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .persist() // re-joined every propagation round
+    val nodes = t(s, d, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    var levels = nodes.select(col("id").as("s"), col("id"),
+      lit(0L).as("lvl"))
+    for (r <- 1 to 3) {
+      val offers = sym
+        .join(levels.select(col("s"), col("id").as("src"), col("lvl")),
+          Seq("src"))
+        .groupBy(col("s"), col("dst").as("id"))
+        .agg((min("lvl") + 1L).as("lvl"))
+      levels = levels.unionAll(offers)
+        .groupBy("s", "id").agg(min("lvl").as("lvl"))
+      if (r % 2 == 0) levels = levels.localCheckpoint(true)
+    }
+    val agg = levels.filter(col("lvl") >= 1L)
+      .groupBy("s")
+      .agg(sum(when(col("lvl") === 1L, 1L).otherwise(0L)).as("reach1"),
+        sum(when(col("lvl") === 2L, 1L).otherwise(0L)).as("reach2"),
+        sum(when(col("lvl") === 3L, 1L).otherwise(0L)).as("reach3"),
+        sum(expr("CASE lvl WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END"))
+          .as("harmonic6"))
+    nodes.join(agg, col("id") === col("s"), "left")
+      .select(col("id").as("nationkey"), col("n_name"),
+        coalesce(col("reach1"), lit(0L)).as("reach1"),
+        coalesce(col("reach2"), lit(0L)).as("reach2"),
+        coalesce(col("reach3"), lit(0L)).as("reach3"),
+        coalesce(col("harmonic6"), lit(0L)).as("harmonic6"))
+      .orderBy("nationkey")
+  }
+
   /** gr06: K-TRUSS (k=4) — the EDGE-level cohesion peel that pairs with
     * gr04's node-level k-core: keep only edges supported by ≥ k−2 = 2
     * triangles WITHIN the surviving subgraph, recursively (Cohen '08).
@@ -358,6 +419,7 @@ object Graph {
     "gr03_label_prop" -> gr03LabelProp,
     "gr04_kcore" -> gr04Kcore,
     "gr05_bfs_levels" -> gr05BfsLevels,
+    "gr07_closeness" -> gr07Closeness,
   )
 
   private val edgesCte: String =
@@ -482,6 +544,41 @@ object Graph {
          |SELECT n.id AS nationkey, n.n_name,
          |  coalesce(lv.lvl, -1) AS level
          |FROM n LEFT JOIN lv ON lv.id = n.id
+         |ORDER BY nationkey""".stripMargin,
+    // gr07: the recursive walk enumerates all ≤3-hop paths per source
+    // (UNION-deduped per (s, id, lvl)); min(lvl) is the hop distance,
+    // the rollup replays the integer harmonic weights exactly.
+    "gr07_closeness" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |knn AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst) AS rn
+         |    FROM edges WHERE src <> dst) WHERE rn <= 3),
+         |sym AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM knn
+         |    UNION ALL SELECT dst, src FROM knn)),
+         |n AS (SELECT n_nationkey AS id, n_name FROM nation),
+         |r AS (SELECT id AS s, id, 0 AS lvl FROM n
+         |  UNION
+         |  SELECT r.s, sm.dst AS id, r.lvl + 1 FROM r
+         |  JOIN sym sm ON sm.src = r.id WHERE r.lvl < 3),
+         |lv AS (SELECT s, id, min(lvl) AS lvl FROM r GROUP BY 1, 2),
+         |agg AS (SELECT s,
+         |    CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS reach1,
+         |    CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS reach2,
+         |    CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS reach3,
+         |    CAST(sum(CASE lvl WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)
+         |      AS BIGINT) AS harmonic6
+         |  FROM lv WHERE lvl >= 1 GROUP BY s)
+         |SELECT n.id AS nationkey, n.n_name,
+         |  coalesce(reach1, 0) AS reach1,
+         |  coalesce(reach2, 0) AS reach2,
+         |  coalesce(reach3, 0) AS reach3,
+         |  coalesce(harmonic6, 0) AS harmonic6
+         |FROM n LEFT JOIN agg ON agg.s = n.id
          |ORDER BY nationkey""".stripMargin,
     "gr04_kcore" -> {
       // AS MATERIALIZED on every iterated CTE: each a_{r-1} is referenced

@@ -132,4 +132,37 @@ class GraphSpec extends SparkSpec {
     assert(alive.nonEmpty && (und -- alive).nonEmpty,
       s"degenerate 4-truss: ${alive.size} of ${und.size} edges")
   }
+
+  test("gr07 harmonic closeness equals a sequential multi-source BFS") {
+    // rebuild the gr05/gr07 graph: per-source top-3 by (w desc, dst), then
+    // symmetrize
+    val top3 = edges().filter(e => e._1 != e._2)
+      .groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (-e._3, e._2)).take(3).toSeq
+      }.map(e => (e._1, e._2)).toSet
+    val sym = top3 ++ top3.map { case (a, b) => (b, a) }
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      .withDefaultValue(Set.empty[Int])
+    val nations = Tables.t(spark, sf, "nation").select("n_nationkey")
+      .collect().map(_.getInt(0)).sorted
+    val got = Graph.gr07Closeness(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    nations.foreach { src =>
+      val lvl = scala.collection.mutable.Map(src -> 0)
+      var frontier = Set(src)
+      for (l <- 1 to 3) {
+        frontier = frontier.flatMap(adj).filterNot(lvl.contains)
+        frontier.foreach(n => lvl(n) = l)
+      }
+      val byL = (1 to 3).map(l => lvl.count(_._2 == l).toLong)
+      val harm = lvl.toSeq.collect {
+        case (_, 1) => 6L; case (_, 2) => 3L; case (_, 3) => 2L }.sum
+      assert(got(src) == ((byL(0), byL(1), byL(2), harm)), s"src $src")
+    }
+    // the 3-hop horizon must bite somewhere: not every node reaches the
+    // whole graph at level 1
+    assert(got.values.map(_._1).toSet.size >= 1 &&
+      got.values.exists(v => v._2 + v._3 > 0))
+  }
 }
