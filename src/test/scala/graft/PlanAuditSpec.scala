@@ -372,4 +372,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("StateStore"), plan)
     assert(!plan.contains("EventTimeWatermark"), plan)
   }
+
+  test("line cleaning is one projection — no aggregate, no hash shuffle (pp26)") {
+    val plan = executedPlan("pp26_line_clean")
+    // the only exchange is the output ORDER BY's range partition;
+    // counters/fingerprint must not introduce an aggregation shuffle
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("media quarantine is a per-row map — no shuffle beyond the output sort (mm10)") {
+    val plan = executedPlan("mm10_media_quarantine")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 2, plan)
+  }
 }
