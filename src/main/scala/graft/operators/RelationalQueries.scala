@@ -767,7 +767,60 @@ object RelationalQueries {
     s.sql(oracleSql("q67_group_by_all"))
   }
 
+  /** q76: SCHEMA-ENFORCED SEMI-STRUCTURED INGEST with a corrupt-record
+    * channel — the production JSON gate q09/q49's happy-path access
+    * assumes someone already ran: parse `events.props` against a
+    * declared schema with `columnNameOfCorruptRecord` (the documented
+    * Spark mechanism for bad-record routing) and report per-status
+    * counts instead of letting one rotten payload kill the job — the
+    * mm10 quarantine discipline on the semi-structured tier.
+    *
+    * Corruption is PLANTED deterministically: event_id % 11 == 0
+    * truncates the closing brace (unparseable), % 11 == 1 rewrites the
+    * value to a string (type drift). Spark's MEASURED semantics on
+    * this JDK/version, pinned here because they are non-obvious:
+    * PERMISSIVE from_json never returns a null struct (malformed rows
+    * come back all-null), a TYPE MISMATCH also populates the corrupt
+    * column (failed coercion = corrupt, not a typed null), while a
+    * MISSING field is a plain null without corrupt. The malformed/
+    * type-drift split therefore re-probes with get_json_object (null
+    * ⇔ unparseable). k_sum over the admitted rows proves values
+    * survive the gate unmangled.
+    *
+    * Scale: per-row parse + one 3-group aggregate — map-side partial,
+    * no text on the shuffle (counts and sums only). At 100 TB this IS
+    * the ingest front door; the quarantine counts are the monitoring
+    * signal and the raw corrupt payloads would land in a side sink
+    * keyed the same way.
+    */
+  private val q76JsonIngestGuard: Q = (s, d) => {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("_corrupt_record", StringType)))
+    graft.Tables.t(s, d, "events").select(col("event_id"), col("props"))
+      .withColumn("raw",
+        when(col("event_id") % 11 === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+          .when(col("event_id") % 11 === 1,
+            regexp_replace(col("props"), "[0-9]+", "\"x\""))
+          .otherwise(col("props")))
+      .withColumn("parsed", from_json(col("raw"), sch,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .withColumn("status",
+        when(col("parsed._corrupt_record").isNotNull &&
+          get_json_object(col("raw"), "$.k").isNull, "malformed")
+          .when(col("parsed._corrupt_record").isNotNull, "type_drift")
+          .when(col("parsed.k").isNull, "missing_field")
+          .otherwise("ok"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("parsed.k")), lit(0L)).as("k_sum"),
+        min("event_id").as("first_event"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q76_json_ingest_guard" -> q76JsonIngestGuard,
     "q58_intersect_except_all" -> q58IntersectExceptAll,
     "q59_null_safe_eq" -> q59NullSafeEq,
     "q67_group_by_all" -> q67GroupByAll,
@@ -830,6 +883,31 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q76: DuckDB replays the planting, then classifies OPERATIONALLY
+    // (json_valid / json_type) — agreement proves Spark's corrupt-record
+    // channel caught exactly the planted rows and admitted values intact
+    "q76_json_ingest_guard" ->
+      """WITH r AS (SELECT event_id,
+        |    CASE WHEN event_id % 11 = 0
+        |           THEN substring(props, 1, length(props) - 1)
+        |         WHEN event_id % 11 = 1
+        |           THEN regexp_replace(props, '[0-9]+', '"x"', 'g')
+        |         ELSE props END AS raw
+        |  FROM events),
+        |c AS (SELECT event_id,
+        |    CASE WHEN NOT json_valid(raw) THEN 'malformed'
+        |         WHEN json_type(json_extract(raw, '$.k'))
+        |              NOT IN ('UBIGINT', 'BIGINT') THEN 'type_drift'
+        |         ELSE 'ok' END AS status,
+        |    CASE WHEN json_valid(raw)
+        |           AND json_type(json_extract(raw, '$.k'))
+        |               IN ('UBIGINT', 'BIGINT')
+        |      THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k
+        |  FROM r)
+        |SELECT status, count(*) AS n,
+        |  CAST(coalesce(sum(k), 0) AS BIGINT) AS k_sum,
+        |  min(event_id) AS first_event
+        |FROM c GROUP BY status ORDER BY status""".stripMargin,
     "q67_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS revenue

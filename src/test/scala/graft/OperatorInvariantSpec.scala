@@ -340,6 +340,25 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.exists(r => r._1 % 7 == 3 && r._3 == "decode_error"))
   }
 
+  test("q76: ingest guard admits exactly the unplanted rows, values intact") {
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("event_id",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = SparkEntry.queries("q76_json_ingest_guard")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (planted0, planted1) =
+      (ev.count(_._1 % 11 == 0), ev.count(_._1 % 11 == 1))
+    val clean = ev.filter(e => e._1 % 11 != 0 && e._1 % 11 != 1)
+    assert(rows("malformed")._1 == planted0)
+    assert(rows("type_drift")._1 == planted1)
+    assert(rows("ok") == ((clean.length.toLong, clean.map(_._2).sum,
+      clean.map(_._1).min)))
+    assert(rows("malformed")._2 == 0L && rows("type_drift")._2 == 0L)
+    assert(!rows.contains("missing_field")) // every props carries k
+  }
+
   test("mm01: nbytes equals UTF-8 byte length of the source text") {
     val got = Multimodal.queries("mm01_media_ingest")(spark, sf)
       .select("media_id", "nbytes")
