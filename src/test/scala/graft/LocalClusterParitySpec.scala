@@ -33,12 +33,17 @@ class LocalClusterParitySpec extends SparkSpec {
   //   tx22 — CharDiversity codegen kernel (round-5 addition)
   //   gr04 — localCheckpoint loop across executors (checkpointed RDD
   //          blocks live in executor storage, not the driver)
+  //   mm10 — decode-failure try/catch inside an executor mapPartitions
+  //          (ImageIO + planted-corruption closure cross the boundary)
+  //   q76  — from_json with a corrupt-record option map (JacksonParser
+  //          config serialized into the executor-side expression)
   private val names = Seq("q66_topk_pergroup", "dd12_semantic_dedup",
     "pp10_bloom_decontaminate", "dd03_minhash_signatures",
     "ss10_quantized_topk", "ss09_kmeans_converged",
     "tx13_source_sig_oracle", "st01_sessionize",
     "dd18_simhash_oracle", "mm05_patch_grid", "st09_neardup_admission",
-    "tx22_char_diversity", "gr04_kcore")
+    "tx22_char_diversity", "gr04_kcore", "mm10_media_quarantine",
+    "q76_json_ingest_guard")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
