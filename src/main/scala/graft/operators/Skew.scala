@@ -386,7 +386,61 @@ object Skew {
       .orderBy("check")
   }
 
+  /** q77: HEAVY HITTERS via the custom mergeable MISRA-GRIES aggregate
+    * (graft.functions.MisraGries) — the frequent-items sketch that
+    * completes the family (q38 counts distinct, approx percentiles
+    * rank; this names WHO dominates a key column, the skew-detection
+    * input q37's salting needs). The key stream plants a known hot key
+    * (every 3rd event → "HOT", one third of all mass) over the benign
+    * per-user tail.
+    *
+    * Counter VALUES are partitioning-dependent (as with any mergeable
+    * MG summary), so the q38/q64 discipline applies: the output row
+    * carries only the exact side (total mass, true-heavy count) plus
+    * the sketch's GUARANTEE booleans — no overestimate, undercount
+    * ≤ n/(k+1), every true-heavy key present, the hot key on top,
+    * summary within k — each deterministic across any merge tree; the
+    * oracle predicts TRUE for every gate, so any sketch regression
+    * flips a boolean and fails the hash.
+    *
+    * Scale: the sketch side shuffles k=32 counters per partition
+    * (constant); the exact side is the measurement denominator only —
+    * at 100 TB you run the sketch and drop the exact twin (q64's
+    * documented trade).
+    */
+  private val q77HeavyHitters: Q = (s, d) => {
+    import graft.functions.HeavyHitters.misra_gries
+    val K = 32
+    val keyed = t(s, d, "events")
+      .select(when(col("event_id") % 3 === 0, lit("HOT"))
+        .otherwise(concat(lit("u"), col("user_id"))).as("hkey"))
+    val sketch = keyed.agg(misra_gries(col("hkey"), K).as("mg"),
+      count(lit(1)).as("n"))
+    val est = sketch.select(explode(col("mg")).as("e"))
+      .select(col("e.key").as("hkey"), col("e.est").as("est"))
+    val exact = keyed.groupBy("hkey").agg(count(lit(1)).as("cnt"))
+    val gates = exact.join(est, Seq("hkey"), "left")
+      .crossJoin(broadcast(sketch.select(col("n"))))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("cnt") * (K + 1) > col("n"), 1L).otherwise(0L))
+          .as("n_heavy_true"),
+        expr(s"""bool_and(CASE WHEN cnt * ${K + 1} > n
+                |  THEN est IS NOT NULL ELSE TRUE END)""".stripMargin)
+          .as("found_all_heavy"),
+        expr("""bool_and(CASE WHEN est IS NOT NULL
+                | THEN est <= cnt ELSE TRUE END)""".stripMargin)
+          .as("no_overestimate"),
+        expr(s"""bool_and(CASE WHEN est IS NOT NULL
+                |  THEN cnt - est <= n div ${K + 1} ELSE TRUE END)"""
+          .stripMargin).as("bounded_undercount"))
+    val top = est.orderBy(col("est").desc, col("hkey")).limit(1)
+      .select((col("hkey") === "HOT").as("top_is_hot"))
+    val bounded = est.agg((count(lit(1)) <= K).as("summary_bounded"))
+    gates.crossJoin(broadcast(top)).crossJoin(broadcast(bounded))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q77_heavy_hitters" -> q77HeavyHitters,
     "q74_integrity_audit" -> q74IntegrityAudit,
     "q73_robust_outliers" -> q73RobustOutliers,
     "q72_percentile_sorted" -> q72PercentileSorted,
@@ -425,6 +479,22 @@ object Skew {
         |  round(max(o_totalprice), 2) AS max_price,
         |  round(sum(o_totalprice) / count(*), 2) AS avg_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // q77: exact side replayed; every guarantee gate predicted TRUE (the
+    // q64 error-envelope pattern — a sketch regression flips a boolean)
+    "q77_heavy_hitters" ->
+      """WITH keyed AS (SELECT CASE WHEN event_id % 3 = 0 THEN 'HOT'
+        |    ELSE 'u' || CAST(user_id AS VARCHAR) END AS hkey
+        |  FROM events),
+        |tot AS (SELECT count(*) AS n FROM keyed),
+        |ex AS (SELECT hkey, count(*) AS cnt FROM keyed GROUP BY hkey)
+        |SELECT (SELECT n FROM tot) AS n,
+        |  CAST((SELECT count(*) FROM ex, tot WHERE cnt * 33 > n)
+        |    AS BIGINT) AS n_heavy_true,
+        |  true AS found_all_heavy,
+        |  true AS no_overestimate,
+        |  true AS bounded_undercount,
+        |  true AS top_is_hot,
+        |  true AS summary_bounded""".stripMargin,
     "q74_integrity_audit" ->
       """SELECT "check", n_violations FROM (
         |  SELECT 'fk_orders_customer' AS "check", count(*) AS n_violations

@@ -37,13 +37,16 @@ class LocalClusterParitySpec extends SparkSpec {
   //          (ImageIO + planted-corruption closure cross the boundary)
   //   q76  — from_json with a corrupt-record option map (JacksonParser
   //          config serialized into the executor-side expression)
+  //   q77  — MisraGries TypedImperativeAggregate (custom serialize/
+  //          deserialize of the counter map between executors; output
+  //          gates are merge-order independent by construction)
   private val names = Seq("q66_topk_pergroup", "dd12_semantic_dedup",
     "pp10_bloom_decontaminate", "dd03_minhash_signatures",
     "ss10_quantized_topk", "ss09_kmeans_converged",
     "tx13_source_sig_oracle", "st01_sessionize",
     "dd18_simhash_oracle", "mm05_patch_grid", "st09_neardup_admission",
     "tx22_char_diversity", "gr04_kcore", "mm10_media_quarantine",
-    "q76_json_ingest_guard")
+    "q76_json_ingest_guard", "q77_heavy_hitters")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

@@ -64,4 +64,39 @@ class SkewSpec extends SparkSpec {
       }
     }
   }
+
+  test("q77 heavy-hitter gates hold and the planted hot key is found") {
+    val r = SparkEntry.queries("q77_heavy_hitters")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(1) >= 1L, "the planted HOT key must be true-heavy")
+    (2 to 6).foreach(i => assert(row.getBoolean(i), s"gate $i failed"))
+  }
+
+  test("misra-gries guarantees hold under adversarial partitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.HeavyHitters.misra_gries
+    // skewed stream: key i appears ~n/(i+1) times (Zipf-ish), n = 4096
+    val data = (0 until 4096).map(i => s"z${Integer.numberOfTrailingZeros(i | 4096)}")
+    val truth = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = data.size.toLong
+    val k = 4
+    for (parts <- Seq(1, 3, 7, 32)) {
+      val df = data.toDF("key").repartition(parts)
+      val mg = df.agg(misra_gries(col("key"), k).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.key"), col("e.est"))
+        .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+      assert(mg.size <= k, s"parts=$parts size")
+      mg.foreach { case (key, est) =>
+        assert(est <= truth(key), s"parts=$parts overestimate on $key")
+        assert(truth(key) - est <= n / (k + 1),
+          s"parts=$parts undercount bound on $key")
+      }
+      truth.filter(_._2 > n / (k + 1)).keys.foreach { key =>
+        assert(mg.contains(key), s"parts=$parts missed heavy key $key")
+      }
+    }
+  }
 }
