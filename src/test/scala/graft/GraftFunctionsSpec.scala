@@ -47,6 +47,22 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("misra_gries is SQL-addressable and finds the dominant key") {
+    val rows = spark.sql(
+      """SELECT e.key, e.est FROM (
+        |  SELECT misra_gries(CASE WHEN id % 2 = 0 THEN 'HOT'
+        |      ELSE CAST(id AS STRING) END, 4) AS mg
+        |  FROM range(1000)) LATERAL VIEW explode(mg) AS e
+        |ORDER BY e.est DESC, e.key""".stripMargin).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    assert(rows(0).getString(0) == "HOT")
+    assert(rows(0).getLong(1) <= 500L) // never overestimates
+    assert(rows(0).getLong(1) >= 500L - 1000L / 5)
+    val err = intercept[Exception](
+      spark.sql("SELECT misra_gries('x') FROM range(1)"))
+    assert(err.getMessage.contains("2 argument"))
+  }
+
   test("functions registered for SQL text") {
     GraftFunctions.register(spark)
     val r = spark.sql("select simhash64('a b c'), rolling_hash64('abc')")
