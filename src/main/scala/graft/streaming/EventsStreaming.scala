@@ -378,6 +378,52 @@ object EventsStreaming {
       .orderBy("window_start")
   }
 
+  /** st12: PER-WINDOW TOP TALKERS — the windowed frequent-items
+    * dashboard ("who dominates each hour") that q77's corpus-level
+    * Misra-Gries summary becomes on a stream. The batch face below is
+    * EXACT and deterministic (count desc, user_id tiebreak — oracle-
+    * checked); [[topTalkersStream]] is the production face: the custom
+    * mergeable MisraGries aggregate inside a watermarked tumbling-
+    * window aggregation, so per-window state is k counters instead of
+    * one row per (window, user) — the difference between bounded and
+    * user-cardinality state at 100 TB/day. StreamingSpec pins the
+    * stream's MG top-1 against the exact batch top on a corpus whose
+    * per-window dominance clears the MG guarantee margin.
+    */
+  private val st12TopTalkers: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.Tables.t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val rk = Window.partitionBy("w").orderBy(col("n").desc, col("user_id"))
+    val per = Window.partitionBy("w")
+    counts
+      .withColumn("rk", row_number().over(rk))
+      .withColumn("window_events", sum("n").over(per))
+      .withColumn("n_users", count(lit(1)).over(per))
+      .filter(col("rk") === 1)
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("user_id").as("top_user"), col("n").as("top_events"),
+        col("window_events"), col("n_users"))
+      .orderBy("window_start")
+  }
+
+  /** st12's streaming face: MG summary per tumbling hour — k counters
+    * of state per open window (vs one row per user for the exact
+    * face); mg[0] is the summary's top (eval sorts est desc, key asc).
+    */
+  def topTalkersStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.HeavyHitters.misra_gries(
+          col("user_id").cast("string"), 8).as("mg"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        expr("mg[0].key").as("top_key"), expr("mg[0].est").as("top_est"),
+        col("n_events"))
+
   /** The st09 corpus: documents arriving 7 s apart plus a MUTATED
     * re-crawl copy (first token dropped — a true near-duplicate, the
     * dd15 planting) arriving 60 s after its original, inside the
@@ -638,6 +684,7 @@ object EventsStreaming {
       .orderBy("user_id")
 
   val queries: Map[String, Q] = Map(
+    "st12_top_talkers" -> st12TopTalkers,
     "st11_late_audit" -> st11LateAudit,
     "st08_new_users" -> st08NewUsers,
     "st01_sessionize" -> st01Sessionize,
@@ -651,6 +698,20 @@ object EventsStreaming {
     "st10_token_budget" -> st10TokenBudget)
 
   val oracleSql: Map[String, String] = Map(
+    "st12_top_talkers" ->
+      """WITH c AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+        |    user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT ws, user_id, n,
+        |    row_number() OVER (PARTITION BY ws
+        |      ORDER BY n DESC, user_id) AS rk,
+        |    CAST(sum(n) OVER (PARTITION BY ws) AS BIGINT)
+        |      AS window_events,
+        |    CAST(count(*) OVER (PARTITION BY ws) AS BIGINT) AS n_users
+        |  FROM c)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  user_id AS top_user, n AS top_events, window_events, n_users
+        |FROM r WHERE rk = 1 ORDER BY window_start""".stripMargin,
     "st11_late_audit" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
         |    event_id + CASE WHEN event_id % 13 = 0 THEN 200 ELSE 0 END

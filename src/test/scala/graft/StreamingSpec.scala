@@ -356,6 +356,40 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(ids.sorted == rows.map(_.event_id).sorted)
   }
+
+  test("streaming MG top-talker matches the exact batch top per window") {
+    // 3 hourly windows × 90 events: every 3rd event is the hot user 999
+    // (1/3 of window mass), the rest spread over 60 distinct users —
+    // dominance clears the MG k=8 guarantee margin, so the sketch's
+    // top-1 must equal the exact top in every window
+    val planted = for {
+      h <- 0 until 3
+      i <- 0 until 90
+    } yield Event(h * 90L + i, ts(h * 60 + (i * 40) / 60),
+      if (i % 3 == 0) 999L else (i % 60).toLong + 1L, "e", 1.0)
+    val input = MemoryStream[Event](spark)
+    input.addData(planted)
+    val q = EventsStreaming.topTalkersStream(input.toDF())
+      .writeStream.format("memory").queryName("toptalk")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("toptalk")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1.getTime)
+    assert(got.length == 3)
+    got.foreach { case (_, topKey, topEst, nEvents) =>
+      assert(nEvents == 90L)
+      assert(topKey == "999", s"MG top was $topKey")
+      assert(topEst <= 30L, "MG must not overestimate")
+      assert(topEst >= 30L - 90L / 9, "undercount beyond the MG bound")
+    }
+    // stream face ≡ the same function run as a batch plan
+    val batch = EventsStreaming.topTalkersStream(planted.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+      .sortBy(_._1.getTime)
+    assert(batch.map(_._2).toSeq == got.map(_._2).toSeq)
+  }
 }
 
 object StreamingSpec {
