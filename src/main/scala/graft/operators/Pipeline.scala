@@ -326,6 +326,63 @@ object Pipeline {
       .orderBy("src_a", "src_b")
   }
 
+  /** pp27: SKETCHED source-overlap matrix — pp18's 100 TB face. The
+    * exact matrix joins the corpus-sized (source, fp) set against
+    * itself; this one reduces each source to a FIXED-SIZE Datasketches
+    * HLL (hll_sketch_agg, lgK 12 → rsd ≈ 1.6%), estimates every
+    * pairwise intersection by inclusion-exclusion
+    * (|A∩B| = |A| + |B| − |A∪B|, union via hll_union on the binary
+    * sketch blobs), and gates the estimates against the exact matrix
+    * (q64's error-envelope discipline: sketch STATE is engine-specific,
+    * the accuracy CONTRACT is the checkable thing). Inclusion-exclusion
+    * compounds three sketch errors, so the intersection gate is
+    * absolute-relative-to-union (8% + a small-count cushion), while
+    * per-source size estimates gate at 5%.
+    *
+    * Scale: the sketch side shuffles one ≤2^12-register blob per
+    * source — the pair stage is a 20×20 broadcast cross of KILOBYTES;
+    * the exact side here is the measurement denominator only (at
+    * 100 TB you run the sketches and drop the exact twin).
+    */
+  val pp27SketchOverlap: Q = (s, d) => {
+    val sh = t(s, d, "documents")
+      .select(col("source"), explode(array_distinct(
+        graft.functions.GraftFunctions.shingle_strings(col("text"))))
+        .as("shingle"))
+      .select(col("source"), md5(col("shingle")).as("fp"))
+      .distinct()
+      .persist() // sketch agg + exact totals + exact pair join
+    val perSrc = sh.groupBy("source").agg(
+      expr("hll_sketch_agg(fp, 12)").as("sk"),
+      count(lit(1)).as("n_exact"))
+    val pairs = perSrc.select(col("source").as("src_a"),
+        col("sk").as("sk_a"), col("n_exact").as("n_a"))
+      .crossJoin(broadcast(perSrc.select(col("source").as("src_b"),
+        col("sk").as("sk_b"), col("n_exact").as("n_b"))))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("est_a", expr("hll_sketch_estimate(sk_a)"))
+      .withColumn("est_b", expr("hll_sketch_estimate(sk_b)"))
+      .withColumn("est_union",
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+    val shared = sh.select(col("source").as("src_a"), col("fp"))
+      .join(sh.select(col("source").as("src_b"), col("fp")), Seq("fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs.join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("n_shared"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (abs(col("est_a") - col("n_a")) <= col("n_a") * 0.05 &&
+          abs(col("est_b") - col("n_b")) <= col("n_b") * 0.05)
+          .as("sizes_ok"),
+        (abs(col("est_a") + col("est_b") - col("est_union") -
+          col("n_shared")) <= col("exact_union") * 0.08 + lit(16.0))
+          .as("inter_ok"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** pp19: DATASET CARD — the one-page corpus datasheet a dataset release
     * ships with, as a (metric, value) report: scale (docs/tokens/chars),
     * diversity (distinct terms, source Gini impurity — 1 − Σ share², the
@@ -697,6 +754,7 @@ object Pipeline {
   }
 
   val queries: Map[String, Q] = Map(
+    "pp27_sketch_overlap" -> pp27SketchOverlap,
     "pp25_cluster_split" -> pp25ClusterSplit,
     "pp24_snapshot_diff" -> pp24SnapshotDiff,
     "pp23_compaction_plan" -> pp23CompactionPlan,
@@ -917,6 +975,28 @@ object Pipeline {
         |  UNION ALL SELECT 'quality_pass_rate',
         |    round(CAST(n_pass AS DOUBLE) / n_docs, 4) FROM base)
         |ORDER BY metric""".stripMargin,
+    // pp27: exact matrix replayed over ALL source pairs; both sketch
+    // gates predicted TRUE (the q64 error-envelope pattern)
+    "pp27_sketch_overlap" ->
+      """WITH t AS (SELECT source, text, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source, md5(s.shingle) AS fp
+        |  FROM t, unnest(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END)
+        |    AS s(shingle)),
+        |tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |shared AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT ta.source AS src_a, tb.source AS src_b,
+        |  ta.n AS n_a, tb.n AS n_b,
+        |  coalesce(s.n_shared, 0) AS n_shared,
+        |  true AS sizes_ok, true AS inter_ok
+        |FROM tot ta JOIN tot tb ON ta.source < tb.source
+        |LEFT JOIN shared s ON s.src_a = ta.source AND s.src_b = tb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "pp18_source_overlap" ->
       """WITH t AS (SELECT source, text, string_split(text, ' ') AS tk
         |  FROM documents),

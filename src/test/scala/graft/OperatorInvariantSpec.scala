@@ -340,6 +340,23 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.exists(r => r._1 % 7 == 3 && r._3 == "decode_error"))
   }
 
+  test("pp27: sketch overlap gates hold against the exact pp18 matrix") {
+    val rows = SparkEntry.queries("pp27_sketch_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    val nSrc = Tables.t(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "all pairs present")
+    rows.foreach { case (a, b, na, nb, shared, sizesOk, interOk) =>
+      assert(na > 0 && nb > 0 && shared >= 0 && shared <= math.min(na, nb),
+        s"$a/$b")
+      assert(sizesOk, s"$a/$b size estimate outside 5%")
+      assert(interOk, s"$a/$b intersection estimate outside envelope")
+    }
+    // the matrix must be non-degenerate: some real overlap exists
+    assert(rows.exists(_._5 > 0))
+  }
+
   test("q76: ingest guard admits exactly the unplanted rows, values intact") {
     val ev = Tables.t(spark, sf, "events")
       .selectExpr("event_id",
