@@ -71,6 +71,30 @@ class HttpServerSpec extends SparkSpec {
     assert(body.contains("neighbor_id"), body)
   }
 
+  test("custom sketch aggregate runs as plain SQL over HTTP: misra_gries") {
+    // the GraftExtensions-injected aggregate + the graft_op TVF compose
+    // in one HTTP query — the full "type SQL, get a table" stack over a
+    // round-5 addition
+    val sql = "SELECT e.key, e.est FROM (SELECT misra_gries(" +
+      "CASE WHEN id % 2 = 0 THEN 'HOT' ELSE CAST(id AS STRING) END, 4" +
+      ") AS mg FROM range(100)) LATERAL VIEW explode(mg) AS e " +
+      "ORDER BY e.est DESC, e.key LIMIT 1"
+    val (code, body) = get(s"http://localhost:$port/api?query=" +
+      java.net.URLEncoder.encode(sql, "UTF-8"))
+    assert(code == 200, body)
+    assert(body.contains("HOT"), body)
+  }
+
+  test("round-5 operators ride the TVF automatically: media quarantine") {
+    val sql = "SELECT status, count(*) AS n " +
+      "FROM graft_op('mm10_media_quarantine', '/root/testdata/sf0.001') " +
+      "GROUP BY status ORDER BY status"
+    val (code, body) = get(s"http://localhost:$port/api?query=" +
+      java.net.URLEncoder.encode(sql, "UTF-8"))
+    assert(code == 200, body)
+    assert(body.contains("quarantined"), body)
+  }
+
   test("graft_ops() lists operators; unknown operator → 500 with hint") {
     val (code, body) = get(s"http://localhost:$port/api?query=" +
       java.net.URLEncoder.encode(
