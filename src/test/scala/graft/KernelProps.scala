@@ -138,4 +138,46 @@ object KernelProps extends Properties("GraftKernels") {
         row.getLong(1) == counts.map(c => c * c).sum &&
         row.getLong(2) == counts.max
     }
+
+  /** Skewed key streams: a frequent key 0, a mid band, and a long tail —
+    * so the Misra-Gries guarantees are exercised with real heavy keys,
+    * not vacuously on uniform noise.
+    */
+  private val hhStream: Gen[List[Int]] =
+    Gen.listOf(Gen.frequency(
+      (5, Gen.const(0)), (3, Gen.chooseNum(1, 5)), (2, Gen.chooseNum(6, 30))))
+
+  property("misraGries guarantees hold under arbitrary chunk/merge splits") =
+    Prop.forAll(hhStream, Gen.chooseNum(1, 5), Gen.chooseNum(1, 8)) {
+      (xs, nChunks, k) =>
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.BoundReference
+        import org.apache.spark.sql.types.StringType
+        val agg = graft.functions.MisraGries(
+          BoundReference(0, StringType, nullable = true), k)
+        val chunks = xs.grouped(math.max(1, xs.size / nChunks + 1)).toList
+        val partials = chunks.map { ch =>
+          var b = agg.createAggregationBuffer()
+          ch.foreach { x =>
+            b = agg.update(b, InternalRow(UTF8String.fromString(s"k$x")))
+          }
+          agg.deserialize(agg.serialize(b)) // executor round-trip
+        }
+        val merged = partials match {
+          case Nil => agg.createAggregationBuffer()
+          case h :: t => t.foldLeft(h)(agg.merge)
+        }
+        val truth = xs.groupBy(identity)
+          .map { case (kk, v) => s"k$kk" -> v.size.toLong }
+        val n = xs.size.toLong
+        // integer-exact forms of the three guarantees (no float division)
+        val sizeOk = merged.size <= k
+        val boundsOk = merged.forall { case (key, est) =>
+          est <= truth(key) && (truth(key) - est) * (k + 1) <= n
+        }
+        val heavyOk = truth.forall { case (key, c) =>
+          c * (k + 1) <= n || merged.contains(key)
+        }
+        sizeOk && boundsOk && heavyOk
+    }
 }
