@@ -383,6 +383,52 @@ object Pipeline {
       .orderBy("src_a", "src_b")
   }
 
+  /** pp28: POST-SPLIT DISTRIBUTION PARITY — the audit that catches a
+    * skewed eval set BEFORE it skews a benchmark: each pp09 split's
+    * token distribution compared to the corpus by the tx24 integer
+    * total-variation machinery (Σ|oᵢ·T − cᵢ·t| exact; ONE final ×10⁴
+    * DIV — no float shares, no summation-order drift). A fingerprint-
+    * bucket split is distribution-blind, so train/val/test SHOULD all
+    * sit near the corpus distribution; a spiking tv_x10k on val/test
+    * means the eval sample is not measuring the training distribution.
+    * Complements pp25: that audit catches duplicate LEAKAGE across the
+    * boundary, this one catches REPRESENTATIVENESS failure inside it.
+    *
+    * Scale: same counter-only shuffles as tx24 (tokenize pass → per-
+    * split and corpus counts); the comparison grid is vocab × 3 splits,
+    * broadcast-sized (Zipf-bounded vocab; at 100 TB top-K + tail
+    * bucket, same shape).
+    */
+  val pp28SplitParity: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+    val toks = docs.select(col("split"),
+      explode(split(col("text"), " ")).as("tok"))
+    val perSplit = toks.groupBy("split", "tok").agg(count(lit(1)).as("o"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val splitTot = perSplit.groupBy("split").agg(sum("o").as("t"))
+    val corpusTot = vocab.agg(sum("c").as("big_t"))
+    val nDocs = docs.groupBy("split").agg(count(lit(1)).as("n_docs"))
+    val grid = vocab.crossJoin(broadcast(splitTot))
+      .join(perSplit, Seq("split", "tok"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    grid.crossJoin(broadcast(corpusTot))
+      .groupBy("split")
+      .agg(max("t").as("n_tokens"),
+        sum(abs(col("o") * col("big_t") - col("c") * col("t")))
+          .as("l1_num"),
+        max(col("t") * col("big_t")).as("den"))
+      .join(broadcast(nDocs), Seq("split"))
+      .selectExpr("split", "n_docs", "n_tokens",
+        "l1_num * 10000 DIV (2 * den) AS tv_x10k")
+      .orderBy("split")
+  }
+
   /** pp19: DATASET CARD — the one-page corpus datasheet a dataset release
     * ships with, as a (metric, value) report: scale (docs/tokens/chars),
     * diversity (distinct terms, source Gini impurity — 1 − Σ share², the
@@ -754,6 +800,7 @@ object Pipeline {
   }
 
   val queries: Map[String, Q] = Map(
+    "pp28_split_parity" -> pp28SplitParity,
     "pp27_sketch_overlap" -> pp27SketchOverlap,
     "pp25_cluster_split" -> pp25ClusterSplit,
     "pp24_snapshot_diff" -> pp24SnapshotDiff,
@@ -1181,6 +1228,34 @@ object Pipeline {
         |  FROM documents)
         |SELECT doc_id, source, CAST(rate AS BIGINT) AS keep_1_in
         |FROM r WHERE rn % rate = 1 ORDER BY doc_id""".stripMargin,
+    // pp28: pp09's bucket split + the tx24 integer TV replay, per split
+    "pp28_split_parity" ->
+      """WITH sp AS (SELECT text,
+        |    CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+        |           % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+        |           % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |nd AS (SELECT split, count(*) AS n_docs FROM sp GROUP BY 1),
+        |tk AS (SELECT split, unnest(string_split(text, ' ')) AS tok
+        |  FROM sp),
+        |per_sp AS (SELECT split, tok, count(*) AS o
+        |  FROM tk GROUP BY 1, 2),
+        |vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |sp_tot AS (SELECT split, CAST(sum(o) AS BIGINT) AS t
+        |  FROM per_sp GROUP BY 1),
+        |corpus_tot AS (SELECT CAST(sum(c) AS BIGINT) AS big_t FROM vocab),
+        |grid AS (SELECT st.split, v.tok, v.c, st.t,
+        |    coalesce(p.o, 0) AS o
+        |  FROM vocab v CROSS JOIN sp_tot st
+        |  LEFT JOIN per_sp p ON p.split = st.split AND p.tok = v.tok)
+        |SELECT g.split, max(nd.n_docs) AS n_docs, max(g.t) AS n_tokens,
+        |  CAST(sum(abs(g.o * ct.big_t - g.c * g.t)) AS BIGINT)
+        |    * 10000 // (2 * max(g.t) * max(ct.big_t)) AS tv_x10k
+        |FROM grid g CROSS JOIN corpus_tot ct
+        |JOIN nd ON nd.split = g.split
+        |GROUP BY g.split ORDER BY g.split""".stripMargin,
     "pp09_dataset_split" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,

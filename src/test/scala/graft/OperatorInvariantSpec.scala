@@ -340,6 +340,20 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.exists(r => r._1 % 7 == 3 && r._3 == "decode_error"))
   }
 
+  test("pp28: split parity conserves the corpus; bigger split sits closer") {
+    val rows = SparkEntry.queries("pp28_split_parity")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(rows.values.map(_._1).sum == nDocs, "splits must cover the corpus")
+    // an 80% fingerprint sample tracks the corpus distribution far more
+    // tightly than a 10% one — the sampling-noise scaling the audit reads
+    assert(rows("train")._3 < rows("val")._3, rows.toString)
+    assert(rows("train")._3 < rows("test")._3, rows.toString)
+    rows.values.foreach { case (_, _, tv) => assert(tv >= 0 && tv <= 10000) }
+  }
+
   test("pp27: sketch overlap gates hold against the exact pp18 matrix") {
     val rows = SparkEntry.queries("pp27_sketch_overlap")(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
