@@ -883,9 +883,12 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // q76: DuckDB replays the planting, then classifies OPERATIONALLY
-    // (json_valid / json_type) — agreement proves Spark's corrupt-record
-    // channel caught exactly the planted rows and admitted values intact
+    // q76: DuckDB replays the planting, then classifies OPERATIONALLY —
+    // json_valid for parseability, a numeric-value regex for the typed
+    // field (NOT json_extract: DuckDB's strict extraction throws on the
+    // malformed rows even inside a CASE arm under vectorized execution —
+    // it surfaced only at sf0.1). Agreement proves Spark's corrupt-record
+    // channel caught exactly the planted rows and admitted values intact.
     "q76_json_ingest_guard" ->
       """WITH r AS (SELECT event_id,
         |    CASE WHEN event_id % 11 = 0
@@ -896,13 +899,13 @@ object RelationalQueries {
         |  FROM events),
         |c AS (SELECT event_id,
         |    CASE WHEN NOT json_valid(raw) THEN 'malformed'
-        |         WHEN json_type(json_extract(raw, '$.k'))
-        |              NOT IN ('UBIGINT', 'BIGINT') THEN 'type_drift'
+        |         WHEN NOT regexp_matches(raw, '"k":\s*-?[0-9]')
+        |           THEN 'type_drift'
         |         ELSE 'ok' END AS status,
         |    CASE WHEN json_valid(raw)
-        |           AND json_type(json_extract(raw, '$.k'))
-        |               IN ('UBIGINT', 'BIGINT')
-        |      THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k
+        |           AND regexp_matches(raw, '"k":\s*-?[0-9]')
+        |      THEN CAST(regexp_extract(raw, '-?[0-9]+') AS BIGINT)
+        |      END AS k
         |  FROM r)
         |SELECT status, count(*) AS n,
         |  CAST(coalesce(sum(k), 0) AS BIGINT) AS k_sum,
