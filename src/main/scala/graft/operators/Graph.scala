@@ -350,6 +350,46 @@ object Graph {
       .orderBy("nationkey")
   }
 
+  /** gr08: BOUNDED BELLMAN-FORD — cheapest ≤4-hop WEIGHTED path from
+    * nation 0 on the full trade graph (gr05 answers "how many hops";
+    * this answers "at what cost", the routing/attribution query). Edge
+    * cost = the trade count w (all-integer ⇒ exact sums, no float path
+    * arithmetic); 4 synchronous relaxation rounds — after round r the
+    * cost IS the true cheapest cost among paths of ≤ r edges, so the
+    * recursive-CTE oracle (all ≤4-edge paths, min cost per node)
+    * agrees exactly. A negative-cycle check is structurally unneeded
+    * (costs are positive counts).
+    *
+    * Scale: each round is one (edges ⋈ costs → min-groupBy) pass on
+    * the condensed graph — the Pregel shape; the bounded hop count is
+    * the termination contract (deterministic plan, no driver-side
+    * convergence test). Costs referenced twice per round (relax +
+    * carry) ⇒ localCheckpoint on the gr05 cadence.
+    */
+  val gr08CheapestPath: Q = (s, d) => {
+    val edges = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .persist() // re-joined every relaxation round
+    val nodes = t(s, d, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    var costs = nodes.select(col("id"),
+      when(col("id") === 0, 0L).otherwise(lit(null).cast("bigint"))
+        .as("cost"))
+    for (r <- 1 to 4) {
+      val relax = edges
+        .join(costs.filter(col("cost").isNotNull)
+          .select(col("id").as("src"), col("cost")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cost") + col("w")).as("offer"))
+      costs = costs.join(relax, Seq("id"), "left")
+        .select(col("id"), least(col("cost"), col("offer")).as("cost"))
+      if (r % 2 == 0) costs = costs.localCheckpoint(true)
+    }
+    nodes.join(costs, Seq("id"))
+      .select(col("id").as("nationkey"), col("n_name"),
+        coalesce(col("cost"), lit(-1L)).as("cost4"))
+      .orderBy("nationkey")
+  }
+
   /** gr06: K-TRUSS (k=4) — the EDGE-level cohesion peel that pairs with
     * gr04's node-level k-core: keep only edges supported by ≥ k−2 = 2
     * triangles WITHIN the surviving subgraph, recursively (Cohen '08).
@@ -420,6 +460,7 @@ object Graph {
     "gr04_kcore" -> gr04Kcore,
     "gr05_bfs_levels" -> gr05BfsLevels,
     "gr07_closeness" -> gr07Closeness,
+    "gr08_cheapest_path" -> gr08CheapestPath,
   )
 
   private val edgesCte: String =
@@ -543,6 +584,22 @@ object Graph {
          |  FROM r GROUP BY id)
          |SELECT n.id AS nationkey, n.n_name,
          |  coalesce(lv.lvl, -1) AS level
+         |FROM n LEFT JOIN lv ON lv.id = n.id
+         |ORDER BY nationkey""".stripMargin,
+    // gr08: the recursive walk enumerates all ≤4-edge paths from node 0
+    // with accumulated integer cost; min(cost) per node is the round-4
+    // Bellman-Ford answer exactly
+    "gr08_cheapest_path" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |n AS (SELECT n_nationkey AS id, n_name FROM nation),
+         |r AS (SELECT 0 AS id, CAST(0 AS BIGINT) AS cost, 0 AS hops
+         |  UNION
+         |  SELECT e.dst AS id, r.cost + e.w, r.hops + 1 FROM r
+         |  JOIN edges e ON e.src = r.id AND e.src <> e.dst
+         |  WHERE r.hops < 4),
+         |lv AS (SELECT id, min(cost) AS cost FROM r GROUP BY id)
+         |SELECT n.id AS nationkey, n.n_name,
+         |  coalesce(lv.cost, -1) AS cost4
          |FROM n LEFT JOIN lv ON lv.id = n.id
          |ORDER BY nationkey""".stripMargin,
     // gr07: the recursive walk enumerates all ≤3-hop paths per source

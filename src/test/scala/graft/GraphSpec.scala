@@ -165,4 +165,29 @@ class GraphSpec extends SparkSpec {
     assert(got.values.map(_._1).toSet.size >= 1 &&
       got.values.exists(v => v._2 + v._3 > 0))
   }
+
+  test("gr08 cheapest path equals a sequential bounded Bellman-Ford") {
+    val es = edges().filter(e => e._1 != e._2)
+    val nations = Tables.t(spark, sf, "nation").select("n_nationkey")
+      .collect().map(_.getInt(0))
+    var cost = Map(0 -> 0L)
+    for (_ <- 1 to 4) {
+      val relax = es.flatMap { case (s0, d0, w) =>
+        cost.get(s0).map(c => d0 -> (c + w))
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+      cost = (cost.keySet ++ relax.keySet).map { k =>
+        k -> math.min(cost.getOrElse(k, Long.MaxValue),
+          relax.getOrElse(k, Long.MaxValue))
+      }.toMap
+    }
+    val got = Graph.gr08CheapestPath(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    nations.foreach { nk =>
+      assert(got(nk) == cost.getOrElse(nk, -1L), s"nation $nk")
+    }
+    // non-degenerate: costs vary, and the weighted ordering is not just
+    // the hop ordering (some reachable costs differ between neighbors)
+    val finite = got.values.filter(_ >= 0).toSeq
+    assert(finite.distinct.size > 2, s"degenerate costs: $finite")
+  }
 }
