@@ -61,7 +61,82 @@ object Similarity {
     "ss19_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)),
     "ss20_graph_expand" -> ((s, d) => graphExpandedSearch(s, d)),
     "ss21_kcenter_seed" -> ((s, d) => kcenterSeed(s, d)),
+    "ss22_sq_recall" -> ((s, d) => sqRecall(s, d)),
   )
+
+  /** ss22: INT8 SCALAR-QUANTIZATION RECALL — completes the measurement
+    * quartet (ss07 pins sign-LSH, ss11 IVF, ss15 PQ; this pins ss10's
+    * int8 path), measured where it matters: on the ss07 planted-twin
+    * corpus the per-dimension quantization step (1/254 of the dynamic
+    * range) is the same order as the planted noise (0.1%) — exactly
+    * the regime where a sloppy quantizer reorders true neighbors.
+    * Search ranks by the integer dot product rescaled per pair; recall
+    * is against the exact float top-3, and twin_at_1 additionally pins
+    * that the planted twin survives quantization at rank 1. Every step
+    * (quantize, integer dot, rescale, rank) is IEEE-exact arithmetic
+    * both engines replay bit-for-bit, so even this approximation gate
+    * is a full hash-match oracle, not a rows-only check.
+    *
+    * Scale: the int8 path is the memory/bandwidth story (ss10): 4×
+    * smaller vectors on the scan and integer multiplies in the kernel;
+    * the brute-force pairing here is the measurement denominator over
+    * 50 queries (constant), not a production path.
+    */
+  def sqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val twins = base.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      expr("""transform(embedding, (x, i) -> CAST(x + 0.001 *
+             |  ((((vec_id * 131071) + (i * 524287)) % 1000) / 500.0 - 1.0)
+             |  AS FLOAT))""".stripMargin).as("embedding"))
+    val corpus = base.unionAll(twins)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", l2norm(col("embedding")))
+      .withColumn("amax", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        """CASE WHEN amax = 0D THEN transform(e, x -> 0L)
+          |ELSE transform(e, x -> CAST(floor(x * 127.0D / amax + 0.5D)
+          |                             AS BIGINT)) END""".stripMargin))
+      .withColumn("scale", col("amax") / lit(127.0))
+      .persist() // feeds the exact side, the quantized side, the queries
+    val queries = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("qv").as("q_qv"),
+        col("scale").as("q_scale"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val pairs = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+    val exact3 = pairs
+      .withColumn("score",
+        dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+      .select("query_id", "rn", "neighbor_id")
+    val sq3 = pairs
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(qv, q_qv, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("score",
+        (col("qdot").cast("double") * (col("scale") * col("q_scale"))) /
+          (col("nrm") * col("q_nrm")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn").as("qrn"), col("neighbor_id"))
+    val hits = exact3.join(sq3.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    val twinTop = sq3.filter(col("qrn") === 1)
+      .select(col("query_id"),
+        (col("neighbor_id") === col("query_id") + 10000000L).as("twin_at_1"))
+    exact3.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .join(twinTop, Seq("query_id"))
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact"), 2).as("recall_at_3"),
+        col("twin_at_1"))
+      .orderBy("query_id")
+  }
 
   /** ss21: FARTHEST-FIRST TRAVERSAL (Gonzalez '85) k-center seeding —
     * the deterministic initializer the ss08/ss09 k-means family lacks
@@ -1915,6 +1990,73 @@ object Similarity {
     // center set after r picks, d{r}/p{r} the round's min-distance table
     // and winner. d/p are referenced by BOTH the output union and the
     // next round's center set ⇒ MATERIALIZED (the dd13/gr04 CTE rule).
+    // ss22: full replay — planted corpus, int8 quantization (identical
+    // floor/rescale arithmetic), integer dots, both rankings, hit join,
+    // twin flag. The approximation gate is a hash-match, not rows-only.
+    "ss22_sq_recall" -> {
+      def qdot(a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      [$a.qv[i] * $b.qv[i]
+           |       for i in generate_series(1, len($a.qv))]),
+           |      (x, y) -> x + y)""".stripMargin
+      s"""WITH src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000,
+         |    [CAST(embedding[i] + 0.001 *
+         |       ((((vec_id * 131071) + ((i - 1) * 524287)) % 1000)
+         |        / 500.0 - 1.0) AS REAL)
+         |     for i in generate_series(1, len(embedding))]
+         |  FROM embeddings),
+         |v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM src),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm,
+         |    list_aggregate(list_transform(e, x -> abs(x)), 'max') AS amax
+         |  FROM v),
+         |q8 AS (SELECT vec_id, e, nrm, amax,
+         |    CASE WHEN amax = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+         |      ELSE [CAST(floor(e[i] * 127.0 / amax + 0.5) AS BIGINT)
+         |            for i in generate_series(1, len(e))] END AS qv,
+         |    amax / 127.0 AS scale
+         |  FROM n),
+         |ex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS score
+         |  FROM n c JOIN n q ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |exact3 AS (SELECT query_id, neighbor_id, rn FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS rn
+         |    FROM ex) WHERE rn <= 3),
+         |sq AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    (CAST(${qdot("c", "q")} AS DOUBLE) * (c.scale * q.scale))
+         |      / (c.nrm * q.nrm) AS score
+         |  FROM q8 c JOIN q8 q ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |sq3 AS (SELECT query_id, neighbor_id, rn FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS rn
+         |    FROM sq) WHERE rn <= 3),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit
+         |  FROM exact3 e JOIN sq3 s ON s.query_id = e.query_id
+         |    AND s.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id),
+         |twin AS (SELECT query_id,
+         |    (neighbor_id = query_id + 10000000) AS twin_at_1
+         |  FROM sq3 WHERE rn = 1),
+         |denom AS (SELECT query_id, count(*) AS n_exact
+         |  FROM exact3 GROUP BY query_id)
+         |SELECT d.query_id, d.n_exact,
+         |  coalesce(h.n_hit, 0) AS n_hit,
+         |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / d.n_exact, 2)
+         |    AS recall_at_3,
+         |  t.twin_at_1
+         |FROM denom d LEFT JOIN hits h ON h.query_id = d.query_id
+         |JOIN twin t ON t.query_id = d.query_id
+         |ORDER BY d.query_id""".stripMargin
+    },
     "ss21_kcenter_seed" -> {
       val rounds = (1 to 7).map { r =>
         s"""d$r AS MATERIALIZED (

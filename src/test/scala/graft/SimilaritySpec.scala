@@ -221,6 +221,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ss22 int8 SQ keeps the planted twin at rank 1 with high recall") {
+    val rows = Similarity.sqRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.length == 50)
+    rows.foreach { case (q, nExact, nHit, recall, twinTop) =>
+      assert(nExact == 3L, s"query $q")
+      assert(nHit >= 2L && recall >= 0.66, s"query $q recall $recall")
+      assert(twinTop, s"query $q lost its twin through quantization")
+    }
+    // int8 must round-trip the planted regime with near-perfect top-3
+    val mean = rows.map(_._4).sum / rows.length
+    assert(mean >= 0.95, s"mean recall@3 $mean")
+  }
+
   test("ss21 farthest-first matches an in-JVM greedy replay") {
     val rows = Similarity.kcenterSeed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
