@@ -819,7 +819,42 @@ object RelationalQueries {
       .orderBy("status")
   }
 
+  /** q78: COHORT RETENTION — the conversion-week × activity-week
+    * triangle every product/analytics dashboard runs: users grouped by
+    * the ISO week of their first HIGH-VALUE purchase (value > 80 — the
+    * "first qualifying conversion" that gives cohorts real spread here:
+    * 67/33/21/14/2 users across five weeks with 13 never converting,
+    * where raw first-touch puts every user in week 1), retention = how
+    * many transact again N weeks later. Retention is emitted as an INTEGER rate
+    * (n_active·10⁴ div cohort_size — the tx24/pp28 discipline: a rate
+    * that must match across engines is a ratio of integers, never a
+    * float division both sides round differently).
+    *
+    * Scale: first-touch is one user-keyed min-aggregate; activity
+    * dedups to (user, week) before any join, so the per-cohort rollup
+    * sees weeks × users rows, not raw events; the cohort-size join is
+    * a broadcast of one row per week.
+    */
+  private val q78CohortRetention: Q = (s, d) => {
+    val ev = graft.Tables.t(s, d, "events")
+      .filter(col("event_type") === "purchase" && col("value") > 80.0)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firsts = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+    val active = ev.distinct().join(firsts, Seq("user_id"))
+      .withColumn("period",
+        expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)"))
+    val grid = active.groupBy("cohort", "period")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    grid.join(broadcast(sizes), Seq("cohort"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("period"), col("n_active"), col("cohort_size"),
+        expr("n_active * 10000 div cohort_size").as("retention_x10k"))
+      .orderBy("cohort_week", "period")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q78_cohort_retention" -> q78CohortRetention,
     "q76_json_ingest_guard" -> q76JsonIngestGuard,
     "q58_intersect_except_all" -> q58IntersectExceptAll,
     "q59_null_safe_eq" -> q59NullSafeEq,
@@ -889,6 +924,25 @@ object RelationalQueries {
     // malformed rows even inside a CASE arm under vectorized execution —
     // it surfaced only at sf0.1). Agreement proves Spark's corrupt-record
     // channel caught exactly the planted rows and admitted values intact.
+    // q78: ISO-week truncation agrees across engines (both Monday-based);
+    // retention is an integer ratio — no float rounding to diverge
+    "q78_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value > 80),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, e.wk, f.cohort
+        |  FROM e JOIN f USING (user_id)),
+        |g AS (SELECT cohort,
+        |    CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS period,
+        |    count(*) AS n_active
+        |  FROM a GROUP BY 1, 2),
+        |cs AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT strftime(g.cohort, '%Y-%m-%d') AS cohort_week, g.period,
+        |  g.n_active, cs.cohort_size,
+        |  g.n_active * 10000 // cs.cohort_size AS retention_x10k
+        |FROM g JOIN cs USING (cohort)
+        |ORDER BY cohort_week, period""".stripMargin,
     "q76_json_ingest_guard" ->
       """WITH r AS (SELECT event_id,
         |    CASE WHEN event_id % 11 = 0

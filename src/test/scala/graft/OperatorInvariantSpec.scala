@@ -340,6 +340,26 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.exists(r => r._1 % 7 == 3 && r._3 == "decode_error"))
   }
 
+  test("q78: retention triangle is well-formed and non-degenerate") {
+    val rows = SparkEntry.queries("q78_cohort_retention")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    assert(byCohort.size >= 2, "cohorts must actually spread")
+    byCohort.foreach { case (cw, rs) =>
+      val p0 = rs.find(_._2 == 0L).get
+      assert(p0._3 == p0._4 && p0._5 == 10000L,
+        s"$cw period 0 must be full retention")
+      rs.foreach { case (_, _, act, size, rx) =>
+        assert(act <= size && rx == act * 10000 / size, s"$cw")
+      }
+    }
+    // retention decays somewhere (a flat triangle means the qualifying
+    // filter did nothing)
+    assert(rows.exists(r => r._2 > 0 && r._5 < 10000L))
+  }
+
   test("pp28: split parity conserves the corpus; bigger split sits closer") {
     val rows = SparkEntry.queries("pp28_split_parity")(spark, sf)
       .collect().map(r => r.getString(0) ->
