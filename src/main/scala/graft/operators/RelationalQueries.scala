@@ -853,7 +853,82 @@ object RelationalQueries {
       .orderBy("cohort_week", "period")
   }
 
+  /** q79: FIRST-ORDER MARKOV TRANSITION MATRIX — the behavioral model
+    * behind "what do users do after X": per-user event sequences
+    * (arrival order = ts with event_id tiebreak) reduced to
+    * (from_type, to_type) transition counts plus the conditional
+    * probability P(to | from) as an INTEGER rate (n·10⁴ div
+    * from_total — the q78/tx24 discipline; a probability that must
+    * hash-match across engines is a ratio of integers). The row-level
+    * adjacency comes from ONE lead() window per user — never a
+    * self-join of the event table on "next event".
+    *
+    * Scale: the window sorts within user partitions (users are the
+    * natural parallelism unit; no global sort), and everything after
+    * the lead() projection is a 25-row-bounded aggregate — type
+    * cardinality squared, independent of corpus size. The from_total
+    * denominator is a window sum over the tiny grid, not a rejoin.
+    */
+  private val q79MarkovTransitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val grid = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    grid
+      .withColumn("from_total",
+        sum("n").over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("from_total"),
+        expr("n * 10000 div from_total").as("p_x10k"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q80: TIME-WEIGHTED AVERAGE (TWAP) — the finance/telemetry
+    * aggregate a plain mean() gets wrong: each observed value is held
+    * until the next observation, so its weight is the HOLD DURATION,
+    * not 1. Values quantize to integer cents (floor(v·100 + 0.5) —
+    * identical IEEE arithmetic both engines; the inputs are 2-decimal
+    * amounts so the quantization is lossless), durations are exact
+    * integer microseconds (unix_micros/epoch_us), and the TWAP comes
+    * out as Σ(cents·µs) div Σµs — a BIGINT ratio that cannot drift.
+    * The naive unweighted mean rides along at the same cent scale so
+    * the output exposes exactly how much the weighting matters per
+    * user (drift column).
+    *
+    * Scale: one user-keyed window (lead) for hold durations, one
+    * user-keyed hash aggregate — the same single shuffle; integer
+    * sums are associative so partial aggregation is exact. A
+    * 100 TB/day telemetry table runs this per (user, day) partition
+    * with identical plan shape.
+    */
+  private val q80Twap: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("cents",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("dur_us",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .filter(col("dur_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_holds"),
+        sum("dur_us").as("span_us"),
+        // cent resolution, not ×100: Σ(cents·µs) is ≤ ~1.5e17 at any
+        // SF (bounded by max-cents × corpus time span), so a further
+        // ×100 would sail within 2× of Long.MaxValue — and DuckDB
+        // errors on BIGINT overflow while non-ANSI Spark wraps.
+        expr("sum(cents * dur_us) div sum(dur_us)").as("twap_cents"),
+        expr("sum(cents) div count(1)").as("mean_cents"))
+      .withColumn("drift_cents", col("twap_cents") - col("mean_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q79_markov_transitions" -> q79MarkovTransitions,
+    "q80_twap" -> q80Twap,
     "q78_cohort_retention" -> q78CohortRetention,
     "q76_json_ingest_guard" -> q76JsonIngestGuard,
     "q58_intersect_except_all" -> q58IntersectExceptAll,
@@ -918,6 +993,37 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q79/q80: lead() windows with (ts, event_id) total order are
+    // engine-portable; probabilities/averages are BIGINT ratios
+    // (integer div), so the hash pins the arithmetic exactly.
+    "q79_markov_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |g AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS from_total,
+        |  CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS p_x10k
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
+    "q80_twap" ->
+      """WITH h AS (SELECT user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
+        |  FROM events),
+        |a AS (SELECT user_id, count(*) AS n_holds,
+        |    CAST(sum(dur_us) AS BIGINT) AS span_us,
+        |    CAST(sum(cents * dur_us) // sum(dur_us) AS BIGINT)
+        |      AS twap_cents,
+        |    CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+        |  FROM h WHERE dur_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_holds, span_us, twap_cents, mean_cents,
+        |  twap_cents - mean_cents AS drift_cents
+        |FROM a ORDER BY user_id""".stripMargin,
     // q76: DuckDB replays the planting, then classifies OPERATIONALLY —
     // json_valid for parseability, a numeric-value regex for the typed
     // field (NOT json_extract: DuckDB's strict extraction throws on the
