@@ -625,7 +625,53 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** tx26: RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the unsupervised
+    * keyword surface for a corpus card / topic drill-down: text splits
+    * into candidate PHRASES at stopword delimiters ({a, the} — the
+    * corpus's actual function words, same set pp26's stopword rule
+    * uses), and each content word scores degree/frequency, where
+    * freq = occurrences and degree = Σ over its phrases of the phrase
+    * length (words in long multi-word phrases score high — they name
+    * multi-word concepts; words that only appear alone score 1.0).
+    * Emitted per source as the top-5 keyword table with the score as
+    * an integer ×100 rational (degree·100 div freq — the engine-exact
+    * ratio discipline).
+    *
+    * Scale: phrase segmentation is a per-doc running sum over the
+    * token stream (doc-keyed window — documents are the parallelism
+    * unit, no global order); phrase lengths a (doc, phrase) window on
+    * the same partitioning; the word rollup shuffles (source, word)
+    * counters only. The top-5 cut is a window over the per-source
+    * vocab (Zipf-bounded), never the token stream.
+    */
+  val tx26RakeKeywords: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("is_stop",
+        when(col("tok").isin("a", "the"), 1).otherwise(0))
+    val phrased = toks
+      .withColumn("phrase_id",
+        sum("is_stop").over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("is_stop") === 0)
+      .withColumn("phrase_len",
+        count(lit(1)).over(Window.partitionBy("doc_id", "phrase_id")))
+    val words = phrased.groupBy("source", "tok")
+      .agg(count(lit(1)).as("freq"), sum("phrase_len").as("degree"))
+      .withColumn("score_x100", expr("degree * 100 div freq"))
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("score_x100").desc, col("freq").desc, col("tok"))
+    words.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("tok").as("keyword"),
+        col("freq"), col("degree"), col("score_x100"))
+      .orderBy("source", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx26_rake_keywords" -> tx26RakeKeywords,
     "tx25_bigram_surprisal" -> tx25BigramSurprisal,
     "tx18_inverted_index" -> tx18InvertedIndex,
     "tx19_bm25" -> tx19Bm25,
@@ -678,6 +724,35 @@ object Curation {
        |  JOIN m$i USING (cluster))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // tx26: 1-based vs 0-based positions don't matter — pos only orders
+    // the stopword running sum; window sums cast from HUGEINT
+    "tx26_rake_keywords" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |pos AS (SELECT doc_id, source, toks[i] AS tok, i AS pos,
+        |    CASE WHEN toks[i] IN ('a', 'the') THEN 1 ELSE 0 END
+        |      AS is_stop
+        |  FROM tk, LATERAL (SELECT
+        |    unnest(generate_series(1, len(toks))) AS i)),
+        |ph AS (SELECT doc_id, source, tok, is_stop,
+        |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS phrase_id
+        |  FROM pos),
+        |pl AS (SELECT doc_id, source, tok, phrase_id,
+        |    count(*) OVER (PARTITION BY doc_id, phrase_id)
+        |      AS phrase_len
+        |  FROM ph WHERE is_stop = 0),
+        |w AS (SELECT source, tok, count(*) AS freq,
+        |    CAST(sum(phrase_len) AS BIGINT) AS degree
+        |  FROM pl GROUP BY 1, 2),
+        |r AS (SELECT source, tok, freq, degree,
+        |    degree * 100 // freq AS score_x100,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY degree * 100 // freq DESC, freq DESC, tok)
+        |      AS "rank"
+        |  FROM w)
+        |SELECT source, "rank", tok AS keyword, freq, degree, score_x100
+        |FROM r WHERE "rank" <= 5 ORDER BY source, "rank"""".stripMargin,
     "tx25_bigram_surprisal" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

@@ -452,7 +452,49 @@ object Graph {
       .orderBy("a", "b")
   }
 
+  /** gr09: CO-PURCHASE PROJECTION (bipartite → unipartite, the
+    * market-basket graph): project the order×part bipartite incidence
+    * onto parts — an edge between two parts weighted by how many
+    * orders contain BOTH — and score each recurrent pair by LIFT
+    * (observed co-occurrence vs independence), the association-rule
+    * statistic, as an integer ×10⁴ rational: pair_n·N·10⁴ div
+    * (na·nb). This is the "customers also bought" / co-cited-docs /
+    * co-clicked graph every recommender derives from a fact table.
+    *
+    * Scale: the pair stage is the classic bipartite-projection hazard
+    * — its fan-out is Σ_orders w² where w is basket width. Here (and
+    * in any order-line schema) w is bounded (≤13), so the per-order
+    * equi-join generate is linear in the fact table; a power-law
+    * basket source (users×domains) needs a per-basket top-w cap first
+    * — same plan, one extra windowed prune. Pair counting shuffles
+    * (pa, pb) id pairs only; the part-support and total-order
+    * denominators are broadcast-sized joins on the 63-row survivor
+    * set, never on the pair stream.
+    */
+  val gr09CoPurchase: Q = (s, d) => {
+    val basket = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = basket.select(col("o"), col("p").as("pa"))
+      .join(basket.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 3)
+    val supp = basket.groupBy("p").agg(count(lit(1)).as("n_ord"))
+    val tot = basket.agg(countDistinct("o").as("n_orders"))
+    pairs
+      .join(broadcast(supp.select(col("p").as("pa"), col("n_ord").as("na"))),
+        Seq("pa"))
+      .join(broadcast(supp.select(col("p").as("pb"), col("n_ord").as("nb"))),
+        Seq("pb"))
+      .crossJoin(broadcast(tot))
+      .select(col("pa"), col("pb"), col("pair_n"), col("na"), col("nb"),
+        expr("pair_n * n_orders * 10000 div (na * nb)").as("lift_x10k"))
+      .orderBy(col("pair_n").desc, col("pa"), col("pb"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "gr09_copurchase" -> gr09CoPurchase,
     "gr06_ktruss" -> gr06Ktruss,
     "gr01_pagerank" -> gr01Pagerank,
     "gr02_triangles" -> gr02Triangles,
@@ -473,6 +515,23 @@ object Graph {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // gr09: pure counts and integer products — no HUGEINT sums to cast
+    "gr09_copurchase" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |pairs AS (SELECT a.p AS pa, c.p AS pb, count(*) AS pair_n
+        |  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |supp AS (SELECT p, count(*) AS n_ord FROM b GROUP BY p),
+        |tot AS (SELECT count(DISTINCT o) AS n_orders FROM b)
+        |SELECT pa, pb, pair_n, sa.n_ord AS na, sb.n_ord AS nb,
+        |  pair_n * n_orders * 10000 // (sa.n_ord * sb.n_ord)
+        |    AS lift_x10k
+        |FROM pairs
+        |JOIN supp sa ON sa.p = pa
+        |JOIN supp sb ON sb.p = pb
+        |CROSS JOIN tot
+        |ORDER BY pair_n DESC, pa, pb""".stripMargin,
     "gr06_ktruss" -> {
       // MATERIALIZED on every iterated CTE: round r references a_{r-1}
       // three times (edge + both adjacency sides) — inlined, the

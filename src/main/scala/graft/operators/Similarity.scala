@@ -62,6 +62,7 @@ object Similarity {
     "ss20_graph_expand" -> ((s, d) => graphExpandedSearch(s, d)),
     "ss21_kcenter_seed" -> ((s, d) => kcenterSeed(s, d)),
     "ss22_sq_recall" -> ((s, d) => sqRecall(s, d)),
+    "ss23_ivf_maintain" -> ((s, d) => ivfMaintain(s, d)),
   )
 
   /** ss22: INT8 SCALAR-QUANTIZATION RECALL — completes the measurement
@@ -431,6 +432,54 @@ object Similarity {
         round(coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_exact").cast("double"), 2).as("recall_at_5"))
       .orderBy("query_id")
+  }
+
+  /** ss23: INCREMENTAL IVF INDEX MAINTENANCE — the operation a live
+    * vector index runs every ingest cycle: a new batch (10% of the
+    * corpus here) is admitted into an EXISTING index by assigning each
+    * new vector to its nearest centroid under the FROZEN quantizer —
+    * no rebuild, no reclustering — and the output is the maintenance
+    * report that decides when a rebuild IS due: per-list base/new
+    * counts, per-list growth rate and post-ingest share (both integer
+    * ×10⁴ rationals), against which an operator alarms on list
+    * imbalance (a drifting ingest distribution piles into few lists
+    * and degrades nprobe recall). Centroids are built from the BASE
+    * partition only, so the assignment is exactly what an online
+    * system computes.
+    *
+    * Scale: assignment is one broadcast-centroid pass over the new
+    * batch (map-side, no corpus shuffle); the report aggregates to
+    * #lists rows. The base-side counts come from the same pass here
+    * for the oracle's benefit — a production index stores them as
+    * list metadata and only the delta is computed per cycle.
+    */
+  def ivfMaintain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .withColumn("is_new", (col("vec_id") % 10 === 7).cast("int"))
+    val cents = all.filter(col("is_new") === 0 && col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = all.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("is_new"), col("cid").as("cluster"))
+    val lists = assigned.groupBy("cluster")
+      .agg(count(when(col("is_new") === 0, 1)).as("n_base"),
+        count(when(col("is_new") === 1, 1)).as("n_new"))
+      .withColumn("n_total", col("n_base") + col("n_new"))
+    val tot = lists.agg(sum("n_total").cast("long").as("corpus_n"))
+    lists.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_base"), col("n_new"), col("n_total"),
+        expr("n_new * 10000 div n_base").as("growth_x10k"),
+        expr("n_total * 10000 div corpus_n").as("share_x10k"))
+      .orderBy("cluster")
   }
 
   /** ss16: IVF NPROBE OPERATING CURVE — the tuning table every IVF
@@ -1855,6 +1904,35 @@ object Similarity {
          |  FROM p)
          |SELECT vec_id, nb AS neighbor_id, round(cos_raw, 4) AS cosine
          |FROM w WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // ss23: frozen-quantizer assignment replayed relationally (the ss11
+    // machinery); counts are count(*) FILTER — BIGINT, no HUGEINT cast
+    "ss23_ivf_maintain" ->
+      s"""WITH $normCte,
+         |tagged AS (SELECT vec_id, e, nrm,
+         |    CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END AS is_new
+         |  FROM n),
+         |cents AS (SELECT vec_id AS cid, e, nrm FROM tagged
+         |  WHERE is_new = 0 AND vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |ascored AS (SELECT c.vec_id, c.is_new, q.cid,
+         |    $dotSql / (c.nrm * q.nrm) AS ccos
+         |  FROM tagged c CROSS JOIN cents q),
+         |assigned AS (SELECT vec_id, is_new, cid AS cluster FROM (
+         |    SELECT vec_id, is_new, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY ccos DESC, cid) AS crn
+         |    FROM ascored) WHERE crn = 1),
+         |lists AS (SELECT cluster,
+         |    count(*) FILTER (is_new = 0) AS n_base,
+         |    count(*) FILTER (is_new = 1) AS n_new,
+         |    count(*) AS n_total
+         |  FROM assigned GROUP BY cluster),
+         |tot AS (SELECT CAST(sum(n_total) AS BIGINT) AS corpus_n
+         |  FROM lists)
+         |SELECT cluster, n_base, n_new, n_total,
+         |  n_new * 10000 // n_base AS growth_x10k,
+         |  n_total * 10000 // corpus_n AS share_x10k
+         |FROM lists CROSS JOIN tot
+         |ORDER BY cluster""".stripMargin,
     "ss11_ivf_recall" ->
       s"""WITH $normCte,
          |cents AS (SELECT vec_id AS cid, e, nrm FROM n
