@@ -683,7 +683,91 @@ object EventsStreaming {
         max(col("late_ms")).as("max_late_ms"))
       .orderBy("user_id")
 
+  case class TransEvent(event_id: Long, user_id: Long, ts: Timestamp,
+    event_type: String)
+  case class TransOut(user_id: Long, from_type: String, to_type: String)
+  case class TransState(tsu: Long, event_id: Long, etype: String)
+
+  /** st13: STREAMING BEHAVIORAL TRANSITIONS — q79's event-type bigrams
+    * computed at ingest instead of by a replay: each user's stream is a
+    * state machine whose ONLY state is the last event seen (one small
+    * row per user — bounded by user count, not event count), and every
+    * arriving event emits the (prev → current) transition. This is the
+    * online feed for a transition-matrix monitor (q79 is the batch
+    * trainer; this keeps it current without replaying the corpus).
+    *
+    * The driver-checked batch face rolls transitions up into the
+    * per-user profile: total transitions, and the user's dominant
+    * (from → to) habit with its share as an integer ×10⁴ rational —
+    * the per-entity view of the corpus-level q79 matrix.
+    *
+    * Scale: the stream face is one user-keyed stateful op; the batch
+    * face is one user-keyed window + one (user, from, to)-keyed
+    * aggregate (25-bounded per user). Counters only on the wire.
+    */
+  def transitionCorpus(s: SparkSession, d: String): DataFrame =
+    graft.Tables.t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+
+  /** Deterministic batch face: lead() in (ts, event_id) order. */
+  def transitionsBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events.withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("to_type"))
+  }
+
+  /** Streaming face: flatMapGroupsWithState keyed by user, state = the
+    * last event (ts-micros, id, type). Rows sort per batch in
+    * (ts, event_id) order, so feeding batches in event-time order
+    * reproduces the batch face exactly — including transitions that
+    * SPAN a micro-batch boundary (the carried state's whole job). */
+  def transitionsStream(events: DataFrame): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events.as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) =>
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[TransOut]()
+          rows.toSeq.sortBy { r =>
+            val tsu = math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+              r.ts.getNanos / 1000L
+            (tsu, r.event_id)
+          }.foreach { r =>
+            val tsu = math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+              r.ts.getNanos / 1000L
+            prev.foreach(p => out += TransOut(r.user_id, p.etype, r.event_type))
+            prev = Some(TransState(tsu, r.event_id, r.event_type))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** st13: per-user dominant-transition profile (driver face). */
+  private val st13UserTransitions: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = transitionsBatch(transitionCorpus(s, d))
+      .groupBy("user_id", "from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val wU = Window.partitionBy("user_id")
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+    per.withColumn("rn", row_number().over(wU))
+      .withColumn("n_trans", sum("n").over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_trans"),
+        col("from_type").as("top_from"), col("to_type").as("top_to"),
+        col("n").as("top_n"),
+        expr("n * 10000 div n_trans").as("top_share_x10k"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st13_user_transitions" -> st13UserTransitions,
     "st12_top_talkers" -> st12TopTalkers,
     "st11_late_audit" -> st11LateAudit,
     "st08_new_users" -> st08NewUsers,
@@ -698,6 +782,24 @@ object EventsStreaming {
     "st10_token_budget" -> st10TokenBudget)
 
   val oracleSql: Map[String, String] = Map(
+    "st13_user_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |g AS (SELECT user_id, event_type AS from_type, to_type,
+        |    count(*) AS n
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2, 3),
+        |r AS (SELECT user_id, from_type, to_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, from_type, to_type) AS rn,
+        |    CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_trans
+        |  FROM g)
+        |SELECT user_id, n_trans, from_type AS top_from,
+        |  to_type AS top_to, n AS top_n,
+        |  n * 10000 // n_trans AS top_share_x10k
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "st12_top_talkers" ->
       """WITH c AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
         |    user_id, count(*) AS n

@@ -286,6 +286,44 @@ class StreamingSpec extends SparkSpec {
     assert(late.forall(_ % 13 == 0), s"non-planted event flagged late")
   }
 
+  test("streaming transitions match the st13 batch face across batches") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = EventsStreaming.transitionCorpus(spark, sf)
+      .orderBy("ts", "event_id")
+      .collect().map(r => EventsStreaming.TransEvent(r.getLong(0),
+        r.getLong(1), r.getTimestamp(2), r.getString(3))).toSeq
+    // split mid-feed: transitions spanning the boundary exercise the
+    // carried last-event state
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.TransEvent](spark)
+    val q = EventsStreaming.transitionsStream(input.toDF())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val got = keyed(spark.table("transitions")
+      .select("user_id", "from_type", "to_type").collect())
+    val want = keyed(EventsStreaming.transitionsBatch(
+        EventsStreaming.transitionCorpus(spark, sf))
+      .select("user_id", "from_type", "to_type").collect())
+    assert(got == want)
+    // cross-boundary carry really happened: some user's first b2 event
+    // paired with their last b1 event
+    val b2FirstByUser = b2.groupBy(_.user_id).view
+      .mapValues(_.minBy(e => (e.ts.getTime, e.event_id))).toMap
+    val b1LastByUser = b1.groupBy(_.user_id).view
+      .mapValues(_.maxBy(e => (e.ts.getTime, e.event_id))).toMap
+    val spanning = b2FirstByUser.keySet.intersect(b1LastByUser.keySet)
+    assert(spanning.nonEmpty, "split produced no cross-boundary users")
+  }
+
   test("left-outer interval join emits unmatched clicks once the watermark allows") {
     val clicks = rows.filter(_.event_type == "click") :+
       Event(20, ts(5), 3, "click", 0.0) // user 3 has no views → null row
