@@ -1097,7 +1097,77 @@ object Dedup {
       .orderBy("train_id")
   }
 
+  /** dd24: SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023) — the
+    * embedding-space dedup that catches paraphrases exact/MinHash ops
+    * never pair: cluster the corpus with a frozen k=16 quantizer (the
+    * ss03/ss11 deterministic-sample rule, centroids from the BASE
+    * partition so re-ingested copies can't shift them), then compare
+    * pairs ONLY within a cluster and drop any vector whose cosine to a
+    * lower-id cluster-mate is ≥ 0.9. Planted near-dup twins (dd19's
+    * portable integer-LCG noise, cosine ≈ 0.9999 vs a measured 0.60 max
+    * between genuine vectors) land in their base's cluster and drop;
+    * the per-cluster report (base/twin counts, drops, twin drops,
+    * integer ×10⁴ drop rate) IS the dedup audit a curation run ships.
+    *
+    * Scale: clustering bounds the quadratic — the pair stage is
+    * Σ_c |c|², and production sizes k ∝ n so |c| is a constant (FAISS
+    * SemDeDup runs k=100k on LAION); here one cluster-keyed shuffle
+    * co-locates each cluster and everything downstream aggregates
+    * counter rows. Centroid set is a constant-size broadcast; the
+    * assignment never shuffles the corpus.
+    */
+  private val dd24SemDedup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "embeddings").select("vec_id", "embedding")
+    val dup = base.select((col("vec_id") + lit(COPY_OFFSET)).as("vec_id"),
+      expr("""transform(embedding, (x, i) -> CAST(x + 0.001 *
+             |  ((((vec_id * 131071) + (i * 524287)) % 1000) / 500.0 - 1.0)
+             |  AS FLOAT))""".stripMargin).as("embedding"))
+    val all = base.unionAll(dup)
+      .withColumn("norm", Similarity.l2norm(col("embedding")))
+      .persist() // feeds centroid sample + assignment (the dd07 lesson)
+    val cents = all.filter(col("vec_id") < COPY_OFFSET &&
+        col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = all.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        Similarity.dot(col("embedding"), col("c_emb")) /
+          (col("norm") * col("c_norm")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        col("embedding"), col("norm"))
+    val pairs = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("e_a"), col("norm").as("n_a"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("e_b"), col("norm").as("n_b")), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= 0.9)
+    val dropped = pairs.select(col("cluster"), col("vec_b").as("vec_id"))
+      .distinct()
+    val stats = assigned.groupBy("cluster").agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("vec_id") >= COPY_OFFSET, 1L).otherwise(0L))
+        .as("n_twin"))
+    val dstats = dropped.groupBy("cluster").agg(
+      count(lit(1)).as("nd"),
+      sum(when(col("vec_id") >= COPY_OFFSET, 1L).otherwise(0L)).as("ntd"))
+    stats.join(dstats, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_total"), col("n_twin"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        coalesce(col("ntd"), lit(0L)).as("n_twin_dropped"))
+      .withColumn("drop_x10k", expr("n_dropped * 10000 div n_total"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd24_semantic_dedup" -> dd24SemDedup,
     "dd23_fuzzy_decontaminate" -> dd23FuzzyDecon,
     "dd21_containment_join" -> dd21ContainmentJoin,
     "dd14_line_dedup" -> dd14LineDedup,
@@ -1321,6 +1391,52 @@ object Dedup {
          |FROM pp LEFT JOIN cand cd
          |  ON cd.vec_a = pp.vec_a AND cd.vec_b = pp.vec_b
          |ORDER BY pp.vec_a, pp.vec_b""".stripMargin,
+    "dd24_semantic_dedup" ->
+      s"""WITH src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000,
+         |    [CAST(embedding[i] + 0.001 *
+         |       ((((vec_id * 131071) + ((i - 1) * 524287)) % 1000)
+         |        / 500.0 - 1.0) AS REAL)
+         |     for i in generate_series(1, len(embedding))]
+         |  FROM embeddings),
+         |v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM src),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |cents AS (SELECT vec_id AS cid, e, nrm FROM n
+         |  WHERE vec_id < 10000000 AND vec_id % 97 = 0
+         |  ORDER BY vec_id LIMIT 16),
+         |ascored AS (SELECT c.vec_id, c.e, c.nrm, q.cid,
+         |    ${Similarity.dotSql} / (c.nrm * q.nrm) AS ccos
+         |  FROM n c CROSS JOIN cents q),
+         |assigned AS (SELECT vec_id, e, nrm, cid AS cluster FROM (
+         |    SELECT vec_id, e, nrm, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY ccos DESC, cid) AS crn
+         |    FROM ascored) WHERE crn = 1),
+         |pairs AS (SELECT c.cluster, c.vec_id AS vec_a, q.vec_id AS vec_b,
+         |    ${Similarity.dotSql} / (c.nrm * q.nrm) AS cos
+         |  FROM assigned c JOIN assigned q
+         |    ON c.cluster = q.cluster AND c.vec_id < q.vec_id),
+         |dropped AS (SELECT DISTINCT cluster, vec_b AS vec_id
+         |  FROM pairs WHERE cos >= 0.9),
+         |stats AS (SELECT cluster, count(*) AS n_total,
+         |    count(*) FILTER (vec_id >= 10000000) AS n_twin
+         |  FROM assigned GROUP BY cluster),
+         |dstats AS (SELECT cluster, count(*) AS nd,
+         |    count(*) FILTER (vec_id >= 10000000) AS ntd
+         |  FROM dropped GROUP BY cluster)
+         |SELECT s.cluster, s.n_total, s.n_twin,
+         |  COALESCE(d.nd, 0) AS n_dropped,
+         |  COALESCE(d.ntd, 0) AS n_twin_dropped,
+         |  COALESCE(d.nd, 0) * 10000 // s.n_total AS drop_x10k
+         |FROM stats s LEFT JOIN dstats d ON s.cluster = d.cluster
+         |ORDER BY s.cluster""".stripMargin,
     "dd16_substring_dedup" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 8),

@@ -282,6 +282,32 @@ class DedupSpec extends SparkSpec {
     assert(fp <= 0.2, f"control band-collision rate $fp%.3f")
   }
 
+  test("dd24 semantic dedup drops every planted twin and no genuine vector") {
+    val rows = Dedup.queries("dd24_semantic_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // corpus conservation: every vector (base + twin) is in one cluster
+    assert(rows.map(_._2).sum == 1000L, s"total ${rows.map(_._2).sum}")
+    assert(rows.map(_._3).sum == 500L)
+    rows.foreach { case (cluster, nTotal, nTwin, nDropped, nTwinDropped,
+        dropX10k) =>
+      // twins sit at cosine ≈ 0.9999 (vs a measured 0.60 max between
+      // genuine vectors): every drop is a twin
+      assert(nTwinDropped == nDropped,
+        s"cluster $cluster dropped a genuine vector")
+      assert(nDropped <= nTwin, s"cluster $cluster: $nDropped > $nTwin")
+      assert(dropX10k == nDropped * 10000L / nTotal)
+    }
+    // a twin only escapes when noise pushes it across a cluster boundary
+    // from its base — the known SemDeDup blind spot; ≤ 2% here
+    val recall = rows.map(_._4).sum.toDouble / 500.0
+    assert(recall >= 0.98, f"twin drop recall $recall%.3f")
+    // the quantizer actually spreads the corpus (no degenerate 1-cluster
+    // assignment silently making the within-cluster pairing all-pairs);
+    // 500 base ids % 97 yield only 6 centroid candidates at this SF
+    assert(rows.length >= 4, s"only ${rows.length} non-empty clusters")
+  }
+
   test("dd23 fuzzy decontamination catches paraphrases exact-shingle misses") {
     val rows = Dedup.queries("dd23_fuzzy_decontaminate")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
