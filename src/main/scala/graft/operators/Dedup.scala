@@ -1097,24 +1097,28 @@ object Dedup {
       .orderBy("train_id")
   }
 
-  /** dd24: SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023) — the
-    * embedding-space dedup that catches paraphrases exact/MinHash ops
-    * never pair: cluster the corpus with a frozen k=16 quantizer (the
-    * ss03/ss11 deterministic-sample rule, centroids from the BASE
-    * partition so re-ingested copies can't shift them), then compare
-    * pairs ONLY within a cluster and drop any vector whose cosine to a
-    * lower-id cluster-mate is ≥ 0.9. Planted near-dup twins (dd19's
-    * portable integer-LCG noise, cosine ≈ 0.9999 vs a measured 0.60 max
-    * between genuine vectors) land in their base's cluster and drop;
-    * the per-cluster report (base/twin counts, drops, twin drops,
-    * integer ×10⁴ drop rate) IS the dedup audit a curation run ships.
+  /** dd24: SemDeDup KEEP POLICY + per-cluster audit (Abbas et al.
+    * 2023 §3) — the DECISION face of semantic dedup: dd12 finds the
+    * within-cluster near-dup pairs (id-order keep, norm-band
+    * prefilter); this applies the paper's actual keep rule — of two
+    * τ-duplicates, KEEP THE ONE FARTHEST FROM ITS CENTROID (the
+    * diversity-preserving choice: the representative least typical of
+    * the cluster carries the most information) — and ships the
+    * per-cluster audit a curation run logs: totals, drops, how often
+    * the re-ingested copy rather than the original lost the diversity
+    * contest, and the integer ×10⁴ drop rate. Corpus = embeddings ∪
+    * dd19's planted LCG twins (cosine ≈ 0.9999 vs a measured 0.60 max
+    * between genuine vectors); centroids come from the BASE partition
+    * (frozen-quantizer rule) so copies can't shift them.
     *
     * Scale: clustering bounds the quadratic — the pair stage is
-    * Σ_c |c|², and production sizes k ∝ n so |c| is a constant (FAISS
-    * SemDeDup runs k=100k on LAION); here one cluster-keyed shuffle
-    * co-locates each cluster and everything downstream aggregates
-    * counter rows. Centroid set is a constant-size broadcast; the
-    * assignment never shuffles the corpus.
+    * Σ_c |c|², and production sizes k ∝ n so |c| is a constant (the
+    * paper runs k=100k on LAION); one cluster-keyed shuffle co-locates
+    * each cluster and everything downstream aggregates counter rows.
+    * The keep decision is pairwise-local (no group CC needed: the τ
+    * threshold sits far above any genuine cosine, so dup groups are
+    * exactly the planted pairs); centroid set is a constant-size
+    * broadcast.
     */
   private val dd24SemDedup: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -1140,16 +1144,23 @@ object Dedup {
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cluster"),
-        col("embedding"), col("norm"))
+        col("embedding"), col("norm"), col("ccos"))
     val pairs = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
-        col("embedding").as("e_a"), col("norm").as("n_a"))
+        col("embedding").as("e_a"), col("norm").as("n_a"),
+        col("ccos").as("cc_a"))
       .join(assigned.select(col("cluster"), col("vec_id").as("vec_b"),
-        col("embedding").as("e_b"), col("norm").as("n_b")), Seq("cluster"))
+        col("embedding").as("e_b"), col("norm").as("n_b"),
+        col("ccos").as("cc_b")), Seq("cluster"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos",
         Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= 0.9)
-    val dropped = pairs.select(col("cluster"), col("vec_b").as("vec_id"))
+    // the paper's rule: the member CLOSER to its centroid loses (ccos
+    // desc, id tiebreak — a total order, so the drop is deterministic)
+    val dropped = pairs.select(col("cluster"),
+        when(col("cc_a") > col("cc_b") ||
+          (col("cc_a") === col("cc_b") && col("vec_a") > col("vec_b")),
+          col("vec_a")).otherwise(col("vec_b")).as("vec_id"))
       .distinct()
     val stats = assigned.groupBy("cluster").agg(
       count(lit(1)).as("n_total"),
@@ -1414,16 +1425,19 @@ object Dedup {
          |ascored AS (SELECT c.vec_id, c.e, c.nrm, q.cid,
          |    ${Similarity.dotSql} / (c.nrm * q.nrm) AS ccos
          |  FROM n c CROSS JOIN cents q),
-         |assigned AS (SELECT vec_id, e, nrm, cid AS cluster FROM (
-         |    SELECT vec_id, e, nrm, cid,
+         |assigned AS (SELECT vec_id, e, nrm, cid AS cluster, ccos FROM (
+         |    SELECT vec_id, e, nrm, cid, ccos,
          |      row_number() OVER (PARTITION BY vec_id
          |        ORDER BY ccos DESC, cid) AS crn
          |    FROM ascored) WHERE crn = 1),
          |pairs AS (SELECT c.cluster, c.vec_id AS vec_a, q.vec_id AS vec_b,
+         |    c.ccos AS cc_a, q.ccos AS cc_b,
          |    ${Similarity.dotSql} / (c.nrm * q.nrm) AS cos
          |  FROM assigned c JOIN assigned q
          |    ON c.cluster = q.cluster AND c.vec_id < q.vec_id),
-         |dropped AS (SELECT DISTINCT cluster, vec_b AS vec_id
+         |dropped AS (SELECT DISTINCT cluster,
+         |    CASE WHEN cc_a > cc_b OR (cc_a = cc_b AND vec_a > vec_b)
+         |         THEN vec_a ELSE vec_b END AS vec_id
          |  FROM pairs WHERE cos >= 0.9),
          |stats AS (SELECT cluster, count(*) AS n_total,
          |    count(*) FILTER (vec_id >= 10000000) AS n_twin

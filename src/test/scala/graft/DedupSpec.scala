@@ -291,17 +291,21 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._3).sum == 500L)
     rows.foreach { case (cluster, nTotal, nTwin, nDropped, nTwinDropped,
         dropX10k) =>
-      // twins sit at cosine ≈ 0.9999 (vs a measured 0.60 max between
-      // genuine vectors): every drop is a twin
-      assert(nTwinDropped == nDropped,
-        s"cluster $cluster dropped a genuine vector")
+      assert(nTwinDropped <= nDropped)
+      // one loser per co-clustered twin pair, never both members
       assert(nDropped <= nTwin, s"cluster $cluster: $nDropped > $nTwin")
       assert(dropX10k == nDropped * 10000L / nTotal)
     }
-    // a twin only escapes when noise pushes it across a cluster boundary
+    // exactly one of each twin pair loses the diversity contest; a pair
+    // only escapes when noise pushes the twin across a cluster boundary
     // from its base — the known SemDeDup blind spot; ≤ 2% here
     val recall = rows.map(_._4).sum.toDouble / 500.0
-    assert(recall >= 0.98, f"twin drop recall $recall%.3f")
+    assert(recall >= 0.98, f"pair drop recall $recall%.3f")
+    // the farthest-from-centroid keep rule genuinely cuts both ways:
+    // the noisy copy is closer to the centroid about half the time
+    val twinLossRate = rows.map(_._5).sum.toDouble / rows.map(_._4).sum
+    assert(twinLossRate > 0.1 && twinLossRate < 0.9,
+      f"twin loss rate $twinLossRate%.3f is degenerate")
     // the quantizer actually spreads the corpus (no degenerate 1-cluster
     // assignment silently making the within-cluster pairing all-pairs);
     // 500 base ids % 97 yield only 6 centroid candidates at this SF
