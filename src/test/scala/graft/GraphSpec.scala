@@ -62,6 +62,33 @@ class GraphSpec extends SparkSpec {
       }
   }
 
+  test("gr10 link-prediction indices equal a brute-force recompute") {
+    // replay the skeleton: self-loops out, directions summed, top-120
+    val undW = edges().filter(e => e._1 != e._2)
+      .map(e => ((math.min(e._1, e._2), math.max(e._1, e._2)), e._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case ((u, v), w) => (-w, u, v) }.take(120).map(_._1)
+    val skel = undW.toSet
+    val nbr = undW.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = nbr.keys.toSeq.sorted
+    val expect = (for {
+      a <- ids; b <- ids if a < b && !skel((a, b))
+      common = nbr(a) intersect nbr(b) if common.nonEmpty
+    } yield {
+      val cn = common.size.toLong
+      val jac = cn * 10000L / (nbr(a).size + nbr(b).size - cn)
+      val ra = common.toSeq.map(z => 10000L / nbr(z).size).sum
+      (a.toLong, b.toLong) -> ((cn, jac, ra))
+    }).toMap
+    val got = Graph.queries("gr10_link_predict")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect,
+      s"diff: ${expect.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }}")
+    assert(expect.nonEmpty, "degenerate: no absent links to score")
+  }
+
   test("gr04 4-core equals a sequential peel and fixpoints by round 5") {
     val nodes = Tables.t(spark, sf, "nation")
       .select("n_nationkey").collect().map(_.getInt(0)).toSet
