@@ -926,7 +926,51 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** q81: RFM SEGMENTATION — the classic CRM scoring every warehouse
+    * runs over its order fact: per customer, Recency (days since last
+    * order vs the corpus-max anchor date), Frequency (order count) and
+    * Monetary (lifetime spend in lossless integer cents), each bucketed
+    * into quintiles by ntile(5) with a custkey tiebreak in the window
+    * order (ties otherwise make ntile assignment engine-dependent);
+    * 1 = best by convention. The composite segment (r·100 + f·10 + m)
+    * is the join key marketing systems consume.
+    *
+    * Scale: the heavy part is one custkey-keyed aggregate over orders
+    * (partial aggregation exact — counts/sums/max). The ntile windows
+    * are global sorts, but over the CUSTOMER dimension (one row per
+    * customer, not per fact); at 100 TB you swap exact ntile for
+    * percentile boundaries from q72's partition-sort machinery and a
+    * broadcast bucket lookup — same output contract.
+    */
+  private val q81Rfm: Q = (s, d) => {
+    val ord = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val anchor = ord.agg(max("o_orderdate").as("anchor"))
+    val per = ord.groupBy("o_custkey").agg(
+      max("o_orderdate").as("last_order"),
+      count(lit(1)).as("frequency"),
+      sum("cents").as("monetary_cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        expr("CAST(datediff(anchor, last_order) AS BIGINT)"))
+    val r = ntile(5).over(
+      Window.orderBy(col("recency_days"), col("o_custkey")))
+    val f = ntile(5).over(
+      Window.orderBy(col("frequency").desc, col("o_custkey")))
+    val m = ntile(5).over(
+      Window.orderBy(col("monetary_cents").desc, col("o_custkey")))
+    per.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        r.cast("bigint").as("r_score"), f.cast("bigint").as("f_score"),
+        m.cast("bigint").as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q81_rfm" -> q81Rfm,
     "q79_markov_transitions" -> q79MarkovTransitions,
     "q80_twap" -> q80Twap,
     "q78_cohort_retention" -> q78CohortRetention,
@@ -1009,6 +1053,29 @@ object RelationalQueries {
         |  CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type)
         |    AS BIGINT) AS p_x10k
         |FROM g ORDER BY from_type, to_type""".stripMargin,
+    "q81_rfm" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |an AS (SELECT max(o_orderdate) AS anchor FROM o),
+        |per AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS frequency,
+        |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM o GROUP BY 1),
+        |x AS (SELECT per.*,
+        |    CAST(date_diff('day', last_order, anchor) AS BIGINT)
+        |      AS recency_days
+        |  FROM per CROSS JOIN an),
+        |sc AS (SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey)
+        |      AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+        |      AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+        |      AS BIGINT) AS m_score
+        |  FROM x)
+        |SELECT sc.*, r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
     "q80_twap" ->
       """WITH h AS (SELECT user_id,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
