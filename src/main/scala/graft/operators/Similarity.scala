@@ -63,6 +63,7 @@ object Similarity {
     "ss21_kcenter_seed" -> ((s, d) => kcenterSeed(s, d)),
     "ss22_sq_recall" -> ((s, d) => sqRecall(s, d)),
     "ss23_ivf_maintain" -> ((s, d) => ivfMaintain(s, d)),
+    "ss24_tombstone_search" -> ((s, d) => tombstoneSearch(s, d)),
   )
 
   /** ss22: INT8 SCALAR-QUANTIZATION RECALL — completes the measurement
@@ -432,6 +433,71 @@ object Similarity {
         round(coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_exact").cast("double"), 2).as("recall_at_5"))
       .orderBy("query_id")
+  }
+
+  /** ss24: TOMBSTONE-AWARE SEARCH — the DELETE half of the live-index
+    * lifecycle ss23's ingest began: 10% of the corpus is tombstoned
+    * (GDPR erasure, licence revocation, dedup retractions) and queries
+    * must never surface a deleted vector WITHOUT an index rebuild — the
+    * tombstone set filters candidates AT RERANK (deletes stay in the
+    * inverted lists; rebuilding on every erasure batch is what the
+    * report column decides against). Output per (query, rank): the
+    * correct live neighbor, the STALE answer the unfiltered index would
+    * have returned, and a displaced flag — the measured decay signal
+    * that schedules compaction. The codebook keeps deleted vectors'
+    * coordinates (a quantizer is geometry, not data — erasing a
+    * centroid would silently reshuffle every list).
+    *
+    * Scale: identical plan shape to ss11 (constant-size centroid
+    * broadcast, one inverted-list join, per-query windows); the
+    * tombstone filter is a predicate on the candidate stream — zero
+    * extra shuffles, and at 100 TB the dead set arrives as a broadcast
+    * Bloom/bitmap keyed the same way.
+    */
+  def tombstoneSearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .withColumn("dead", (col("vec_id") % 10 === 3).cast("int"))
+      .persist()
+    val cents = corpus.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val ranked = corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("crn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("dead"),
+        col("cid").as("cluster"))
+    val probed = ranked.filter(col("crn") <= 2 && col("vec_id") < 10 &&
+        col("dead") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cid").as("cluster"))
+    val cand = assigned.join(probed, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .select("query_id", "neighbor_id", "dead", "cos_raw")
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val naive = cand.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("stale_id"))
+    val live = cand.filter(col("dead") === 0)
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_raw"), 4).as("cosine"))
+    live.join(naive, Seq("query_id", "rank"))
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("neighbor_id"), col("cosine"), col("stale_id"),
+        (col("neighbor_id") =!= col("stale_id")).as("displaced"))
+      .orderBy("query_id", "rank")
   }
 
   /** ss23: INCREMENTAL IVF INDEX MAINTENANCE — the operation a live
@@ -1906,6 +1972,45 @@ object Similarity {
          |FROM w WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // ss23: frozen-quantizer assignment replayed relationally (the ss11
     // machinery); counts are count(*) FILTER — BIGINT, no HUGEINT cast
+    "ss24_tombstone_search" ->
+      s"""WITH $normCte,
+         |tg AS (SELECT vec_id, e, nrm,
+         |    CASE WHEN vec_id % 10 = 3 THEN 1 ELSE 0 END AS dead
+         |  FROM n),
+         |cents AS (SELECT vec_id AS cid, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |ascored AS (SELECT c.vec_id, c.dead, q.cid,
+         |    $dotSql / (c.nrm * q.nrm) AS ccos
+         |  FROM tg c CROSS JOIN cents q),
+         |aranked AS (SELECT vec_id, dead, cid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn
+         |  FROM ascored),
+         |assigned AS (SELECT vec_id, cid AS cluster, dead FROM aranked
+         |  WHERE crn = 1),
+         |probed AS (SELECT vec_id AS query_id, cid AS cluster FROM aranked
+         |  WHERE crn <= 2 AND vec_id < 10 AND dead = 0),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.dead,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM probed p JOIN assigned a ON a.cluster = p.cluster
+         |  JOIN n c ON c.vec_id = a.vec_id
+         |  JOIN n q ON q.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |naive AS (SELECT query_id, rank, neighbor_id AS stale_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |    FROM cand) WHERE rank <= 3),
+         |live AS (SELECT query_id, rank, neighbor_id, cosine FROM (
+         |    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |    FROM cand WHERE dead = 0) WHERE rank <= 3)
+         |SELECT l.query_id, l.rank, l.neighbor_id, l.cosine, nv.stale_id,
+         |  l.neighbor_id <> nv.stale_id AS displaced
+         |FROM live l JOIN naive nv
+         |  ON nv.query_id = l.query_id AND nv.rank = l.rank
+         |ORDER BY l.query_id, l.rank""".stripMargin,
     "ss23_ivf_maintain" ->
       s"""WITH $normCte,
          |tagged AS (SELECT vec_id, e, nrm,

@@ -236,6 +236,26 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.95, s"mean recall@3 $mean")
   }
 
+  test("ss24 tombstone search never surfaces a deleted vector") {
+    val rows = Similarity.tombstoneSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5)))
+    // 10 query ids minus the tombstoned one (3), 3 ranks each
+    assert(rows.length == 27, s"got ${rows.length} rows")
+    rows.foreach { case (q, rank, nbr, _, stale, displaced) =>
+      assert(q % 10L != 3L, s"query $q is tombstoned")
+      assert(nbr % 10L != 3L, s"query $q rank $rank surfaced deleted $nbr")
+      assert(displaced == (nbr != stale), s"query $q rank $rank flag")
+    }
+    // the decay signal is non-degenerate on this corpus: at least one
+    // stale top-3 slot held a deleted vector, and most slots did not
+    val nDisp = rows.count(_._6)
+    assert(nDisp >= 1, "no displacement measured")
+    assert(nDisp <= rows.length / 2, s"$nDisp of ${rows.length} displaced")
+    assert(rows.exists(r => r._5 % 10L == 3L && r._6),
+      "no displaced slot traces to a tombstone")
+  }
+
   test("ss21 farthest-first matches an in-JVM greedy replay") {
     val rows = Similarity.kcenterSeed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
