@@ -748,6 +748,95 @@ object EventsStreaming {
       }
   }
 
+  case class FunnelState(tv: Long, tc: Long, tp: Long)
+  case class FunnelOut(user_id: Long, stage: String, ts_us: Long)
+
+  private val DayUs = 86400000000L
+
+  /** st14: STREAMING FUNNEL STAGES — q71's ordered-step attribution
+    * (view → click ≤24h → purchase ≤24h — wider step windows than
+    * q71's 1h: the funnel report needs real stage spread on this
+    * corpus's event cadence) advanced AT INGEST: per-user
+    * state is the three step timestamps (one fixed-width row per user,
+    * bounded by user count), and each arriving event that legitimately
+    * advances the funnel emits a stage-advance record — the live feed a
+    * conversion dashboard tails, where q71 is the nightly replay.
+    * Processing each batch's rows in (ts, event_id) order makes the
+    * greedy machine EQUAL to q71's conditional-min semantics: the first
+    * qualifying event in time order IS the min over the window.
+    *
+    * The driver-checked batch face is the same semantics per user:
+    * stage reached (0-3) + step timestamps, via q71's chained
+    * conditional-min aggregates (one user-keyed hash agg per step, no
+    * windows, no self-join).
+    *
+    * Scale: stream face = one user-keyed stateful op with constant
+    * per-user state; batch face = three user-keyed aggregates.
+    * Timestamps leave as formatted strings (the events-ts oracle rule).
+    */
+  def funnelStream(events: DataFrame): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEvent],
+            state: GroupState[FunnelState]) =>
+          def tsu(r: TransEvent): Long =
+            math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+              r.ts.getNanos / 1000L
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
+          rows.toSeq.sortBy(r => (tsu(r), r.event_id)).foreach { r =>
+            val t = tsu(r)
+            r.event_type match {
+              case "view" if st.tv < 0L =>
+                st = st.copy(tv = t); out += FunnelOut(uid, "view", t)
+              case "click" if st.tv >= 0L && st.tc < 0L &&
+                  t >= st.tv && t <= st.tv + DayUs =>
+                st = st.copy(tc = t); out += FunnelOut(uid, "click", t)
+              case "purchase" if st.tc >= 0L && st.tp < 0L &&
+                  t >= st.tc && t <= st.tc + DayUs =>
+                st = st.copy(tp = t); out += FunnelOut(uid, "purchase", t)
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** st14 driver face: per-user funnel stage via q71's chained
+    * conditional mins. */
+  private val st14FunnelStages: Q = (s, d) => {
+    val ev = graft.Tables.t(s, d, "events")
+      .select("user_id", "event_type", "ts")
+    val steps = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      .join(ev, Seq("user_id"))
+      .groupBy("user_id", "t_view").agg(
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"),
+          col("ts"))).as("t_click"))
+      .join(ev, Seq("user_id"))
+      .groupBy("user_id", "t_view", "t_click").agg(
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"),
+          col("ts"))).as("t_purchase"))
+    steps.select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L)
+          .otherwise(0L).as("stage"),
+        date_format(col("t_view"), "yyyy-MM-dd HH:mm:ss").as("view_at"),
+        date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss").as("click_at"),
+        date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss")
+          .as("purchase_at"))
+      .orderBy("user_id")
+  }
+
   /** st13: per-user dominant-transition profile (driver face). */
   private val st13UserTransitions: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -767,6 +856,7 @@ object EventsStreaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st14_funnel_stages" -> st14FunnelStages,
     "st13_user_transitions" -> st13UserTransitions,
     "st12_top_talkers" -> st12TopTalkers,
     "st11_late_audit" -> st11LateAudit,
@@ -782,6 +872,29 @@ object EventsStreaming {
     "st10_token_budget" -> st10TokenBudget)
 
   val oracleSql: Map[String, String] = Map(
+    "st14_funnel_stages" ->
+      """WITH v AS (SELECT user_id,
+        |    min(ts) FILTER (event_type = 'view') AS t_view
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT e.user_id, v.t_view,
+        |    min(e.ts) FILTER (e.event_type = 'click'
+        |      AND e.ts >= v.t_view
+        |      AND e.ts <= v.t_view + INTERVAL 24 HOUR) AS t_click
+        |  FROM events e JOIN v USING (user_id) GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, c.t_view, c.t_click,
+        |    min(e.ts) FILTER (e.event_type = 'purchase'
+        |      AND e.ts >= c.t_click
+        |      AND e.ts <= c.t_click + INTERVAL 24 HOUR) AS t_purchase
+        |  FROM events e JOIN c USING (user_id) GROUP BY 1, 2, 3)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            WHEN t_view IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage,
+        |  strftime(t_view, '%Y-%m-%d %H:%M:%S') AS view_at,
+        |  strftime(t_click, '%Y-%m-%d %H:%M:%S') AS click_at,
+        |  strftime(t_purchase, '%Y-%m-%d %H:%M:%S') AS purchase_at
+        |FROM p ORDER BY user_id""".stripMargin,
     "st13_user_transitions" ->
       """WITH s AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id

@@ -286,6 +286,50 @@ class StreamingSpec extends SparkSpec {
     assert(late.forall(_ % 13 == 0), s"non-planted event flagged late")
   }
 
+  test("streaming funnel reaches the st14 batch-face stage per user") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = EventsStreaming.transitionCorpus(spark, sf)
+      .orderBy("ts", "event_id")
+      .collect().map(r => EventsStreaming.TransEvent(r.getLong(0),
+        r.getLong(1), r.getTimestamp(2), r.getString(3))).toSeq
+    // split mid-feed: funnels advancing across the boundary exercise the
+    // carried step-timestamp state
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.TransEvent](spark)
+    val q = EventsStreaming.funnelStream(input.toDF())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // a stage advances at most once per user, ever
+    emitted.groupBy(e => (e._1, e._2)).foreach { case (k, v) =>
+      assert(v.length == 1, s"$k advanced ${v.length} times")
+    }
+    val gotStage = emitted.groupBy(_._1).view.mapValues { es =>
+      val s = es.map(_._2).toSet
+      if (s("purchase")) 3L else if (s("click")) 2L
+      else if (s("view")) 1L else 0L
+    }.toMap
+    val want = EventsStreaming.queries("st14_funnel_stages")(spark, sf)
+      .select("user_id", "stage").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    want.foreach { case (u, st) =>
+      assert(gotStage.getOrElse(u, 0L) == st,
+        s"user $u: stream ${gotStage.getOrElse(u, 0L)} vs batch $st")
+    }
+    assert(gotStage.keySet.subsetOf(want.keySet))
+    // non-degenerate corpus: full conversions exist, partial ones too
+    assert(want.values.exists(_ == 3L), "no user completed the funnel")
+    assert(want.values.exists(st => st == 1L || st == 2L),
+      "no partial funnels to distinguish stages")
+  }
+
   test("streaming transitions match the st13 batch face across batches") {
     val sf = "/root/testdata/sf0.001"
     val corpus = EventsStreaming.transitionCorpus(spark, sf)
