@@ -969,7 +969,47 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** q82: INTEGER-EXACT Z-SCORE ANOMALIES — outlier detection that
+    * hash-matches across engines: |x − μ| > k·σ is evaluated with BOTH
+    * sides cross-multiplied into BIGINTs — (n·x − S)² > k²·(n·S2 − S²)
+    * where x is lossless cents, S = Σx, S2 = Σx² per user — so no mean,
+    * variance or sqrt is ever materialized as a float (the usual reason
+    * anomaly counts differ between engines/runs). Output per user: event
+    * count, anomaly counts at k=2 and k=3, and the most deviant event
+    * (min event_id among ties). Magnitudes stay well inside Long: with
+    * per-group n ≤ ~10⁵ and cents ≤ ~10⁴, (n·x−S)² ≤ ~10¹⁸ — the
+    * documented bound; larger groups sub-partition by (user, day) first.
+    *
+    * Scale: one user-keyed window (partition-only, NO sort) computes
+    * n/S/S2/max-dev; the per-user rollup reuses the same hash
+    * partitioning — one exchange total, counters only.
+    */
+  private val q82AnomalyExact: Q = (s, d) => {
+    val wU = Window.partitionBy("user_id")
+    val c = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("n", count(lit(1)).over(wU))
+      .withColumn("sx", sum("cents").over(wU))
+      .withColumn("sx2", sum(expr("cents * cents")).over(wU))
+      .withColumn("dev", abs(col("n") * col("cents") - col("sx")))
+      .withColumn("mx", max("dev").over(wU))
+    c.withColumn("dev2", expr("dev * dev"))
+      .withColumn("varn2", expr("n * sx2 - sx * sx"))
+      .groupBy("user_id")
+      .agg(max("n").as("n_events"),
+        sum(when(col("dev2") > lit(4L) * col("varn2"), 1L).otherwise(0L))
+          .as("n_anom_k2"),
+        sum(when(col("dev2") > lit(9L) * col("varn2"), 1L).otherwise(0L))
+          .as("n_anom_k3"),
+        min(when(col("dev") === col("mx"), col("event_id")))
+          .as("top_event_id"),
+        max("mx").as("top_dev"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q82_anomaly_exact" -> q82AnomalyExact,
     "q81_rfm" -> q81Rfm,
     "q79_markov_transitions" -> q79MarkovTransitions,
     "q80_twap" -> q80Twap,
@@ -1053,6 +1093,28 @@ object RelationalQueries {
         |  CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type)
         |    AS BIGINT) AS p_x10k
         |FROM g ORDER BY from_type, to_type""".stripMargin,
+    "q82_anomaly_exact" ->
+      """WITH c AS (SELECT user_id, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, cents,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |    CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS sx,
+        |    CAST(sum(cents * cents) OVER (PARTITION BY user_id)
+        |      AS BIGINT) AS sx2
+        |  FROM c),
+        |f AS (SELECT user_id, event_id,
+        |    abs(n * cents - sx) AS dev,
+        |    (n * cents - sx) * (n * cents - sx) AS dev2,
+        |    n * sx2 - sx * sx AS varn2, n,
+        |    max(abs(n * cents - sx)) OVER (PARTITION BY user_id) AS mx
+        |  FROM w)
+        |SELECT user_id, max(n) AS n_events,
+        |  CAST(count(*) FILTER (dev2 > 4 * varn2) AS BIGINT) AS n_anom_k2,
+        |  CAST(count(*) FILTER (dev2 > 9 * varn2) AS BIGINT) AS n_anom_k3,
+        |  min(event_id) FILTER (dev = mx) AS top_event_id,
+        |  max(mx) AS top_dev
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q81_rfm" ->
       """WITH o AS (SELECT o_custkey, o_orderdate,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
