@@ -751,6 +751,70 @@ object EventsStreaming {
   case class FunnelState(tv: Long, tc: Long, tp: Long)
   case class FunnelOut(user_id: Long, stage: String, ts_us: Long)
 
+  case class AnomState(n: Long, sx: Long, sx2: Long)
+  case class AnomOut(user_id: Long, event_id: Long)
+
+  /** st15: STREAMING ANOMALY ALERTS — q82's integer-exact z-score rule
+    * evaluated ONLINE: each arriving event is scored against the user's
+    * history SO FAR (the monitor semantic — an alert can only use what
+    * had already arrived, unlike q82's full-corpus retrospective), via
+    * the same cross-multiplied BIGINT test (n·x − S)² > 9·(n·S2 − S²)
+    * with an 8-event minimum history, then folded into the running
+    * (n, S, S2) state — three longs per user, Welford with no floats.
+    *
+    * The driver-checked batch face is the identical prior-only
+    * semantics: expanding window sums with ROWS UNBOUNDED PRECEDING TO
+    * 1 PRECEDING (one user-keyed sorted window), rolled up per user.
+    *
+    * Scale: stream face is one user-keyed stateful op with constant
+    * state; batch face one window + one aggregate on the same user
+    * exchange. Integer state merges exactly at any partitioning.
+    */
+  def anomalyStream(events: DataFrame): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[AnomState]) =>
+          var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[AnomOut]()
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+            val x = math.floor(r.value * 100 + 0.5).toLong
+            val dev = st.n * x - st.sx
+            if (st.n >= 8L &&
+                dev * dev > 9L * (st.n * st.sx2 - st.sx * st.sx))
+              out += AnomOut(uid, r.event_id)
+            st = AnomState(st.n + 1L, st.sx + x, st.sx2 + x * x)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** st15 driver face: prior-only expanding-window replay per user. */
+  private val st15AnomalyAlerts: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wPrior = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = graft.Tables.t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("np", count(lit(1)).over(wPrior))
+      .withColumn("sp", coalesce(sum("cents").over(wPrior), lit(0L)))
+      .withColumn("sp2",
+        coalesce(sum(expr("cents * cents")).over(wPrior), lit(0L)))
+      .withColumn("alert", col("np") >= 8L &&
+        expr("(np * cents - sp) * (np * cents - sp)") >
+          expr("9 * (np * sp2 - sp * sp)"))
+    scored.groupBy("user_id").agg(
+        sum(when(col("np") >= 8L, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("alert"), 1L).otherwise(0L)).as("n_alerts"),
+        min(when(col("alert"), col("event_id"))).as("first_alert_event"),
+        max(when(col("alert"), col("event_id"))).as("last_alert_event"))
+      .orderBy("user_id")
+  }
+
   private val DayUs = 86400000000L
 
   /** st14: STREAMING FUNNEL STAGES — q71's ordered-step attribution
@@ -856,6 +920,7 @@ object EventsStreaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st15_anomaly_alerts" -> st15AnomalyAlerts,
     "st14_funnel_stages" -> st14FunnelStages,
     "st13_user_transitions" -> st13UserTransitions,
     "st12_top_talkers" -> st12TopTalkers,
@@ -872,6 +937,28 @@ object EventsStreaming {
     "st10_token_budget" -> st10TokenBudget)
 
   val oracleSql: Map[String, String] = Map(
+    "st15_anomaly_alerts" ->
+      """WITH c AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, cents,
+        |    CAST(count(*) OVER pw AS BIGINT) AS np,
+        |    CAST(COALESCE(sum(cents) OVER pw, 0) AS BIGINT) AS sp,
+        |    CAST(COALESCE(sum(cents * cents) OVER pw, 0) AS BIGINT) AS sp2
+        |  FROM c
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT user_id, event_id, np,
+        |    np >= 8 AND
+        |      (np * cents - sp) * (np * cents - sp) >
+        |      9 * (np * sp2 - sp * sp) AS alert
+        |  FROM w)
+        |SELECT user_id,
+        |  CAST(count(*) FILTER (np >= 8) AS BIGINT) AS n_scored,
+        |  CAST(count(*) FILTER (alert) AS BIGINT) AS n_alerts,
+        |  min(event_id) FILTER (alert) AS first_alert_event,
+        |  max(event_id) FILTER (alert) AS last_alert_event
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
     "st14_funnel_stages" ->
       """WITH v AS (SELECT user_id,
         |    min(ts) FILTER (event_type = 'view') AS t_view

@@ -286,6 +286,45 @@ class StreamingSpec extends SparkSpec {
     assert(late.forall(_ % 13 == 0), s"non-planted event flagged late")
   }
 
+  test("streaming anomaly alerts match the st15 prior-only batch face") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect().map(r => EventsStreaming.Event(r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    // split mid-feed: the running (n, S, S2) state carries across
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.Event](spark)
+    val q = EventsStreaming.anomalyStream(input.toDF())
+      .writeStream.format("memory").queryName("anoms")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anoms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventsStreaming.queries("st15_anomaly_alerts")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // per-user alert counts and first/last alert ids agree exactly
+    val gotByUser = got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    batch.foreach { case (u, nAlerts, first, last) =>
+      val ids = gotByUser.getOrElse(u, Set.empty[Long])
+      assert(ids.size.toLong == nAlerts, s"user $u: ${ids.size} vs $nAlerts")
+      if (nAlerts > 0L) {
+        assert(ids.min == first && ids.max == last, s"user $u bounds")
+      }
+    }
+    // the corpus actually produces alerts (the rule isn't gating nothing)
+    assert(got.nonEmpty, "no anomalies detected at this SF")
+  }
+
   test("streaming funnel reaches the st14 batch-face stage per user") {
     val sf = "/root/testdata/sf0.001"
     val corpus = EventsStreaming.transitionCorpus(spark, sf)
