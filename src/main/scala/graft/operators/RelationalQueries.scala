@@ -1008,7 +1008,51 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** q83: YoY REVENUE BRIDGE BY BRAND — the period-over-period
+    * decomposition every FP&A review starts from: 1999-vs-2000 revenue
+    * per part brand in lossless cents, each brand's delta, its share of
+    * total |movement| and its MIX SHIFT (share-of-revenue change) — all
+    * integer rationals. Division operands are kept NON-NEGATIVE by
+    * construction (shares of |delta| and of per-period totals):
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    * so a negative numerator would silently hash-diverge — subtraction
+    * (delta, mix shift) is the only signed arithmetic.
+    *
+    * Scale: one fact-keyed join to the year-pruned orders (partition
+    * pruning does the heavy lifting at 100 TB), part dim broadcast,
+    * one brand-keyed aggregate; the bridge math runs on the ~25-row
+    * brand grid with a broadcast totals row.
+    */
+  private val q83RevenueBridge: Q = (s, d) => {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val yr = t(s, d, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("bigint").as("y"))
+      .filter(col("y").isin(1999L, 2000L))
+    val rev = li.join(yr, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(
+        sum(when(col("y") === 1999L, col("cents")).otherwise(0L)).as("r0"),
+        sum(when(col("y") === 2000L, col("cents")).otherwise(0L)).as("r1"))
+    val tot = rev.agg(sum("r0").as("t0"), sum("r1").as("t1"),
+      sum(abs(col("r1") - col("r0"))).as("tad"))
+    rev.crossJoin(broadcast(tot))
+      .select(col("p_brand"), col("r0"), col("r1"),
+        (col("r1") - col("r0")).as("delta"),
+        expr("abs(r1 - r0) * 10000 div tad").as("abs_share_x10k"),
+        expr("r0 * 10000 div t0").as("share0_x10k"),
+        expr("r1 * 10000 div t1").as("share1_x10k"))
+      .withColumn("mix_shift_x10k",
+        col("share1_x10k") - col("share0_x10k"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(abs(col("delta")).desc, col("p_brand")))
+        .cast("bigint"))
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q83_revenue_bridge" -> q83RevenueBridge,
     "q82_anomaly_exact" -> q82AnomalyExact,
     "q81_rfm" -> q81Rfm,
     "q79_markov_transitions" -> q79MarkovTransitions,
@@ -1093,6 +1137,32 @@ object RelationalQueries {
         |  CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type)
         |    AS BIGINT) AS p_x10k
         |FROM g ORDER BY from_type, to_type""".stripMargin,
+    "q83_revenue_bridge" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |yr AS (SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y
+        |  FROM orders WHERE year(o_orderdate) IN (1999, 2000)),
+        |rev AS (SELECT p_brand,
+        |    CAST(sum(CASE WHEN y = 1999 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN y = 2000 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS r1
+        |  FROM li JOIN yr ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |tot AS (SELECT CAST(sum(r0) AS BIGINT) AS t0,
+        |    CAST(sum(r1) AS BIGINT) AS t1,
+        |    CAST(sum(abs(r1 - r0)) AS BIGINT) AS tad
+        |  FROM rev),
+        |sc AS (SELECT p_brand, r0, r1, r1 - r0 AS delta,
+        |    abs(r1 - r0) * 10000 // tad AS abs_share_x10k,
+        |    r0 * 10000 // t0 AS share0_x10k,
+        |    r1 * 10000 // t1 AS share1_x10k
+        |  FROM rev CROSS JOIN tot)
+        |SELECT sc.*, share1_x10k - share0_x10k AS mix_shift_x10k,
+        |  row_number() OVER (ORDER BY abs(delta) DESC, p_brand) AS rnk
+        |FROM sc ORDER BY rnk""".stripMargin,
     "q82_anomaly_exact" ->
       """WITH c AS (SELECT user_id, event_id,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
