@@ -799,7 +799,35 @@ object Pipeline {
       .orderBy("split")
   }
 
+  /** pp29: K-ANONYMITY RELEASE AUDIT — the privacy gate before a corpus
+    * ships: bucket every document by its quasi-identifier tuple
+    * (lang, source, token-length-÷50 band — the attributes a release
+    * exposes even after PII scrubbing, tx15's complement) and flag
+    * groups smaller than k=5: a document alone in its bucket is
+    * re-identifiable by its metadata regardless of content redaction
+    * (Sweeney 2002). Output per bucket: size, at-risk flag, corpus
+    * share ×10⁴; the at-risk rows ARE the release blocker list.
+    *
+    * Scale: one counter-only groupBy on a low-cardinality composite
+    * key — no text on the wire, partial aggregation exact; the share
+    * denominator is a broadcast scalar.
+    */
+  private val pp29KAnonymity: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("lang"), col("source"),
+        expr("CAST(size(split(text, ' ')) div 50 AS BIGINT)").as("len_band"))
+    val grp = docs.groupBy("lang", "source", "len_band")
+      .agg(count(lit(1)).as("n"))
+    val tot = grp.agg(sum("n").as("n_docs"))
+    grp.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("len_band"), col("n"),
+        (col("n") < 5L).as("at_risk"),
+        expr("n * 10000 div n_docs").as("share_x10k"))
+      .orderBy("lang", "source", "len_band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pp29_k_anonymity" -> pp29KAnonymity,
     "pp28_split_parity" -> pp28SplitParity,
     "pp27_sketch_overlap" -> pp27SketchOverlap,
     "pp25_cluster_split" -> pp25ClusterSplit,
@@ -846,6 +874,18 @@ object Pipeline {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "pp29_k_anonymity" ->
+      """WITH b AS (SELECT lang, source,
+        |    CAST(len(string_split(text, ' ')) // 50 AS BIGINT)
+        |      AS len_band
+        |  FROM documents),
+        |g AS (SELECT lang, source, len_band, count(*) AS n
+        |  FROM b GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs FROM g)
+        |SELECT lang, source, len_band, n, n < 5 AS at_risk,
+        |  n * 10000 // n_docs AS share_x10k
+        |FROM g CROSS JOIN tot
+        |ORDER BY lang, source, len_band""".stripMargin,
     // pp25: dd10's full graph replay (recursive-CTE components), then the
     // split hash + rollup + both leak audits. Heavy CTEs are MATERIALIZED
     // (the dd13/gr04 inlining lesson): edges/lab are each referenced 2-3
