@@ -525,6 +525,10 @@ object Graph {
         Window.orderBy(col("wu").desc, col("u"), col("v"))))
       .filter(col("rk") <= 120)
       .select("u", "v")
+      // the skeleton feeds adj (×2), the anti-join and two degree joins
+      // — without this the 4-table fact derivation recomputes per
+      // consumer (the dd07 lesson, measured 2.0 s → 0.7 s at sf0.1)
+      .persist()
     val adj = und.select(col("u").as("a"), col("v").as("z"))
       .unionAll(und.select(col("v").as("a"), col("u").as("z")))
     val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
