@@ -670,7 +670,49 @@ object Curation {
       .orderBy("source", "rank")
   }
 
+  /** tx27: PER-SOURCE BOILERPLATE AUDIT — the measurement face of
+    * dd14's line dedup: a line type (8-token segment, md5 fingerprint)
+    * is BOILERPLATE when it recurs in ≥3 distinct documents corpus-wide
+    * (nav bars, ToS footers, cookie banners — the C4-era spam signal);
+    * each source reports its boilerplate line-type share and how many
+    * of its documents carry any — the table that decides which crawl
+    * sources need template stripping before mixing (dd14 then removes
+    * what this measures).
+    *
+    * Scale: fingerprints only on the wire; document frequency is a
+    * window count over the distinct (doc, fp) set (the tx16 lesson —
+    * no groupBy+rejoin of the corpus-sized set); rollups are
+    * counter-only on doc then source keys.
+    */
+  val tx27BoilerplateAudit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, CAST((size(toks) - 1) div 8 AS INT)),
+          |          i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"""
+          .stripMargin)).as("line"))
+      .select(col("doc_id"), col("source"), md5(col("line")).as("fp"))
+      .distinct() // (doc, line-type) granularity
+    val dfd = pairs.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("fp")))
+    val perDoc = dfd.groupBy("doc_id", "source").agg(
+      count(lit(1)).as("n_types"),
+      sum(when(col("df") >= 3L, 1L).otherwise(0L)).as("n_bp"))
+    perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_types").as("n_line_types"),
+        sum("n_bp").as("n_bp_types"),
+        sum(when(col("n_bp") > 0L, 1L).otherwise(0L)).as("n_affected_docs"))
+      .withColumn("bp_share_x10k",
+        expr("n_bp_types * 10000 div n_line_types"))
+      .withColumn("affected_x10k",
+        expr("n_affected_docs * 10000 div n_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx27_boilerplate" -> tx27BoilerplateAudit,
     "tx26_rake_keywords" -> tx26RakeKeywords,
     "tx25_bigram_surprisal" -> tx25BigramSurprisal,
     "tx18_inverted_index" -> tx18InvertedIndex,
@@ -724,6 +766,29 @@ object Curation {
        |  JOIN m$i USING (cluster))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "tx27_boilerplate" ->
+      """WITH base AS (SELECT doc_id, source,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, source,
+        |    md5(array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ')) AS fp
+        |  FROM base, LATERAL (SELECT
+        |    unnest(range(1, (len(toks)-1)//8 + 2)) AS i)),
+        |dfd AS (SELECT doc_id, source,
+        |    CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS df
+        |  FROM pairs),
+        |pd AS (SELECT doc_id, source, count(*) AS n_types,
+        |    count(*) FILTER (df >= 3) AS n_bp
+        |  FROM dfd GROUP BY 1, 2),
+        |src AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_types) AS BIGINT) AS n_line_types,
+        |    CAST(sum(n_bp) AS BIGINT) AS n_bp_types,
+        |    CAST(count(*) FILTER (n_bp > 0) AS BIGINT)
+        |      AS n_affected_docs
+        |  FROM pd GROUP BY 1)
+        |SELECT source, n_docs, n_line_types, n_bp_types, n_affected_docs,
+        |  n_bp_types * 10000 // n_line_types AS bp_share_x10k,
+        |  n_affected_docs * 10000 // n_docs AS affected_x10k
+        |FROM src ORDER BY source""".stripMargin,
     // tx26: 1-based vs 0-based positions don't matter — pos only orders
     // the stopword running sum; window sums cast from HUGEINT
     "tx26_rake_keywords" ->
