@@ -389,4 +389,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("MapPartitions"), plan)
     assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 2, plan)
   }
+
+  test("anomaly detection reuses ONE user exchange for window + rollup (q82)") {
+    val plan = executedPlan("q82_anomaly_exact")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // window partitionBy(user) then groupBy(user): the rollup must ride
+    // the window's hash partitioning, not re-shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size == 1,
+      plan)
+    assert(!finalPlan.contains("SortAggregate"), plan)
+  }
+
+  test("online anomaly batch face is one sorted user window + rollup (st15)") {
+    val plan = executedPlan("st15_anomaly_alerts")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size == 1,
+      plan)
+    assert(finalPlan.contains("RunningWindowFunction") ||
+      finalPlan.contains("Window"), plan)
+  }
+
+  test("k-anonymity audit shuffles counters on the bucket key only (pp29)") {
+    val plan = executedPlan("pp29_k_anonymity")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // partial+final agg on the composite key + broadcast total — text
+    // never shuffles (no Generate, no sort aggregate)
+    assert("HashAggregate".r.findAllIn(finalPlan).size >= 2, plan)
+    assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
+      finalPlan.contains("BroadcastExchange"), plan)
+    assert(!finalPlan.contains("SortAggregate"), plan)
+  }
+
+  test("boilerplate audit shuffles fingerprints, never line text (tx27)") {
+    val plan = executedPlan("tx27_boilerplate")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // the fp-keyed window and doc/source rollups carry md5 digests +
+    // counters; the exploded line strings stay map-side
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9#, ]+)".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, plan)
+    assert(!exchanges.exists(_.contains("line#")), plan)
+  }
+
+  test("link prediction ranks on the condensed skeleton — dims broadcast (gr10)") {
+    val plan = executedPlan("gr10_link_predict")
+    // fact-side derivation broadcasts customer/supplier dims (gr01 rule)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // no cartesian product anywhere in the wedge/anti stages
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("revenue bridge prunes years at the scan and broadcasts the dim (q83)") {
+    val plan = executedPlan("q83_revenue_bridge")
+    assert(plan.contains("PushedFilters") || plan.contains("year"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
 }
