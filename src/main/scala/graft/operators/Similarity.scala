@@ -64,6 +64,7 @@ object Similarity {
     "ss22_sq_recall" -> ((s, d) => sqRecall(s, d)),
     "ss23_ivf_maintain" -> ((s, d) => ivfMaintain(s, d)),
     "ss24_tombstone_search" -> ((s, d) => tombstoneSearch(s, d)),
+    "ss25_adaptive_nprobe" -> ((s, d) => adaptiveNprobe(s, d)),
   )
 
   /** ss22: INT8 SCALAR-QUANTIZATION RECALL — completes the measurement
@@ -432,6 +433,89 @@ object Similarity {
         coalesce(col("n_hit1"), lit(0L)).as("recall_at_1"),
         round(coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_exact").cast("double"), 2).as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
+  /** ss25: ADAPTIVE NPROBE — the query-time policy ss16's static curve
+    * feeds: instead of a fixed probe count, each query probes every
+    * centroid within an ADDITIVE cosine margin of its best centroid
+    * (ccos ≥ c1 − 0.1) — queries near a list boundary widen, queries
+    * deep inside one cell stay narrow. That per-query adaptivity is how
+    * production IVF runtimes (FAISS's dynamic pruning family) hold
+    * recall with fewer list touches than any fixed nprobe. The output
+    * compares adaptive vs fixed nprobe=2 per query: probes touched,
+    * candidates scored, and top-3 hits against the exact answer (the
+    * broadcast exact side is the recall denominator only).
+    *
+    * Scale: ONE candidate join serves both configs (each candidate row
+    * carries in_adapt/in_fix flags — the dd20/ss16 shared-pool rule);
+    * the margin test is a subtraction, deterministic in IEEE both
+    * engines. Shuffles carry ids and flags.
+    */
+  def adaptiveNprobe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .persist()
+    val cents = corpus.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val ranked = corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("crn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cid").as("cluster"))
+    val qcent = ranked.filter(col("vec_id") < 50)
+      .withColumn("c1", max(when(col("crn") === 1, col("ccos")))
+        .over(Window.partitionBy("vec_id")))
+      .withColumn("in_adapt", col("ccos") >= col("c1") - 0.1)
+      .withColumn("in_fix", col("crn") <= 2)
+      .filter(col("in_adapt") || col("in_fix"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cid").as("cluster"),
+        col("in_adapt"), col("in_fix"))
+    val cand = assigned.join(qcent, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .select("query_id", "vec_id", "in_adapt", "in_fix", "cos_raw")
+      .persist() // both rankings + both counters read this pool
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    def top3(flag: String) = cand.filter(col(flag))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("vec_id"))
+    val queriesDf = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val exact3 = corpus.crossJoin(broadcast(queriesDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("vec_id"))
+    def hits(df: org.apache.spark.sql.DataFrame, name: String) =
+      exact3.join(df, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    val probes = qcent.groupBy("query_id").agg(
+      sum(when(col("in_adapt"), 1L).otherwise(0L)).as("n_probe_adapt"))
+    val cands = cand.groupBy("query_id").agg(
+      sum(when(col("in_adapt"), 1L).otherwise(0L)).as("n_cand_adapt"),
+      sum(when(col("in_fix"), 1L).otherwise(0L)).as("n_cand_fix"))
+    probes.join(cands, Seq("query_id"))
+      .join(hits(top3("in_adapt"), "h3a"), Seq("query_id"), "left")
+      .join(hits(top3("in_fix"), "h3f"), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_probe_adapt"), col("n_cand_adapt"),
+        col("n_cand_fix"),
+        coalesce(col("h3a"), lit(0L)).as("hit3_adapt"),
+        coalesce(col("h3f"), lit(0L)).as("hit3_fix"))
       .orderBy("query_id")
   }
 
@@ -1972,6 +2056,66 @@ object Similarity {
          |FROM w WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // ss23: frozen-quantizer assignment replayed relationally (the ss11
     // machinery); counts are count(*) FILTER — BIGINT, no HUGEINT cast
+    "ss25_adaptive_nprobe" ->
+      s"""WITH $normCte,
+         |cents AS (SELECT vec_id AS cid, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |ascored AS (SELECT c.vec_id, c.e, c.nrm, q.cid,
+         |    $dotSql / (c.nrm * q.nrm) AS ccos
+         |  FROM n c CROSS JOIN cents q),
+         |aranked AS (SELECT vec_id, cid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn
+         |  FROM ascored),
+         |assigned AS (SELECT vec_id, cid AS cluster FROM aranked
+         |  WHERE crn = 1),
+         |qc AS (SELECT vec_id AS query_id, cid AS cluster,
+         |    ccos >= max(CASE WHEN crn = 1 THEN ccos END)
+         |      OVER (PARTITION BY vec_id) - 0.1 AS in_adapt,
+         |    crn <= 2 AS in_fix
+         |  FROM aranked WHERE vec_id < 50),
+         |qcent AS (SELECT * FROM qc WHERE in_adapt OR in_fix),
+         |cand AS (SELECT p.query_id, a.vec_id, p.in_adapt, p.in_fix,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM qcent p JOIN assigned a ON a.cluster = p.cluster
+         |  JOIN n c ON c.vec_id = a.vec_id
+         |  JOIN n q ON q.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |ta AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rn
+         |    FROM cand WHERE in_adapt) WHERE rn <= 3),
+         |tf AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rn
+         |    FROM cand WHERE in_fix) WHERE rn <= 3),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $dotSql / (c.nrm * q.nrm) DESC, c.vec_id) AS rn
+         |    FROM n c CROSS JOIN n q
+         |    WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id) WHERE rn <= 3),
+         |pr AS (SELECT query_id,
+         |    CAST(count(*) FILTER (in_adapt) AS BIGINT) AS n_probe_adapt
+         |  FROM qcent GROUP BY 1),
+         |cc AS (SELECT query_id,
+         |    CAST(count(*) FILTER (in_adapt) AS BIGINT) AS n_cand_adapt,
+         |    CAST(count(*) FILTER (in_fix) AS BIGINT) AS n_cand_fix
+         |  FROM cand GROUP BY 1),
+         |ha AS (SELECT ex.query_id, count(*) AS h3a FROM ex
+         |  JOIN ta ON ta.query_id = ex.query_id AND ta.vec_id = ex.vec_id
+         |  GROUP BY 1),
+         |hf AS (SELECT ex.query_id, count(*) AS h3f FROM ex
+         |  JOIN tf ON tf.query_id = ex.query_id AND tf.vec_id = ex.vec_id
+         |  GROUP BY 1)
+         |SELECT pr.query_id, pr.n_probe_adapt, cc.n_cand_adapt,
+         |  cc.n_cand_fix,
+         |  CAST(COALESCE(ha.h3a, 0) AS BIGINT) AS hit3_adapt,
+         |  CAST(COALESCE(hf.h3f, 0) AS BIGINT) AS hit3_fix
+         |FROM pr JOIN cc ON cc.query_id = pr.query_id
+         |LEFT JOIN ha ON ha.query_id = pr.query_id
+         |LEFT JOIN hf ON hf.query_id = pr.query_id
+         |ORDER BY pr.query_id""".stripMargin,
     "ss24_tombstone_search" ->
       s"""WITH $normCte,
          |tg AS (SELECT vec_id, e, nrm,

@@ -236,6 +236,25 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.95, s"mean recall@3 $mean")
   }
 
+  test("ss25 adaptive nprobe varies probes per query and holds recall") {
+    val rows = Similarity.adaptiveNprobe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 50)
+    rows.foreach { case (q, np, nca, ncf, h3a, h3f) =>
+      assert(np >= 1L && np <= 16L, s"query $q probed $np")
+      assert(h3a >= 0L && h3a <= 3L && h3f >= 0L && h3f <= 3L)
+      // a candidate pool never exceeds what its probe set can reach
+      assert(nca >= 0L && ncf >= 0L, s"query $q")
+    }
+    // the policy actually adapts — not a fixed count in disguise
+    assert(rows.map(_._2).distinct.length >= 2,
+      s"degenerate probe counts: ${rows.map(_._2).distinct.toSeq}")
+    // margin-based widening must not lose to fixed nprobe=2 on recall
+    assert(rows.map(_._5).sum >= rows.map(_._6).sum,
+      s"adaptive ${rows.map(_._5).sum} < fixed ${rows.map(_._6).sum}")
+  }
+
   test("ss24 tombstone search never surfaces a deleted vector") {
     val rows = Similarity.tombstoneSearch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
