@@ -502,7 +502,46 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** mm11: ASPECT-BUCKET / PAD-WASTE AUDIT over real decodes — the
+    * table a vision-training pipeline sizes its resize buckets from:
+    * every image's REAL decoded dimensions (`javax.imageio`, same
+    * decode as mm01) bucketed by aspect band (h div w), each band
+    * reporting its population, height range, and the PADDING OVERHEAD
+    * a patch-aligned batcher would pay (heights rounded up to the
+    * 8-pixel patch grid: (padded − src)·10⁴ div src) — aspect
+    * bucketing exists precisely to keep that waste down (NaViT-style
+    * variable-resolution packing decides against fixed-resize with
+    * exactly this number). Oracle derives dimensions from the source
+    * bytes, so hash equality re-certifies the decode.
+    *
+    * Scale: decode is the mapPartitions ingest shape (payload never
+    * shuffles); everything after is a counter-only band aggregate.
+    */
+  private def mm11AspectBuckets: Q = (s, d) => {
+    import s.implicits._
+    val dims = pngTable(s, d).select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, png) =>
+          val (w, h, _) = decodeGray(png)
+          (id, w.toLong, h.toLong)
+        }
+      }.toDF("media_id", "w", "h")
+    dims
+      .withColumn("band", expr("h div w"))
+      .withColumn("padded_h", expr("((h + 7) div 8) * 8"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_images"),
+        min("h").as("min_h"), max("h").as("max_h"),
+        sum(expr("w * h")).as("src_px"),
+        sum(expr("w * padded_h")).as("padded_px"))
+      .withColumn("pad_overhead_x10k",
+        expr("(padded_px - src_px) * 10000 div src_px"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm11_aspect_buckets" -> mm11AspectBuckets,
     "mm08_thumbnail" -> mm08Thumbnail,
     "mm01_media_ingest" -> mm01IngestMeta,
     "mm10_media_quarantine" -> mm10Quarantine,
@@ -845,6 +884,20 @@ object Multimodal {
     // mm01/mm05 oracles read the SOURCE bytes; Spark reads genuinely
     // DECODED PNG pixels — equality proves the encode→decode round-trip
     // is pixel-exact (grayscale PNG is lossless).
+    "mm11_aspect_buckets" ->
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    CAST(length(text) // 16 AS BIGINT) AS h
+        |  FROM documents WHERE length(text) >= 16),
+        |b AS (SELECT media_id, h, h // 16 AS band,
+        |    ((h + 7) // 8) * 8 AS padded_h FROM g),
+        |agg AS (SELECT band, count(*) AS n_images,
+        |    min(h) AS min_h, max(h) AS max_h,
+        |    CAST(sum(16 * h) AS BIGINT) AS src_px,
+        |    CAST(sum(16 * padded_h) AS BIGINT) AS padded_px
+        |  FROM b GROUP BY 1)
+        |SELECT band, n_images, min_h, max_h, src_px, padded_px,
+        |  (padded_px - src_px) * 10000 // src_px AS pad_overhead_x10k
+        |FROM agg ORDER BY band""".stripMargin,
     "mm08_thumbnail" ->
       """WITH g AS (SELECT doc_id AS media_id,
         |    CAST(length(text) // 16 AS BIGINT) AS h,
