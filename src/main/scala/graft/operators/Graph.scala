@@ -151,7 +151,11 @@ object Graph {
     * bounds degree, so a round's shuffle is O(k·nodes) regardless of how
     * dense the raw trade matrix is.
     */
-  val gr03LabelProp: Q = (s, d) => {
+  /** The symmetrized 3-NN trade graph + 3-round sync-LPA labels
+    * (shared by gr03's community listing and gr11's modularity score).
+    */
+  private def lpaPartition(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wTop = Window.partitionBy("src")
       .orderBy(col("w").desc, col("dst"))
@@ -164,9 +168,8 @@ object Graph {
         col("src").as("dst")))
       .distinct()
       .persist() // re-joined every round
-    val nodes = t(s, d, "nation")
-      .select(col("n_nationkey").as("id"), col("n_name"))
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    var labels = t(s, d, "nation")
+      .select(col("n_nationkey").as("id"), col("n_nationkey").as("lbl"))
     for (_ <- 1 to 3) {
       val msgs = sym
         .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
@@ -179,10 +182,59 @@ object Graph {
         .filter(col("rn") === 1)
         .select("id", "lbl")
     }
-    nodes.join(labels, Seq("id"))
+    (sym, labels)
+  }
+
+  val gr03LabelProp: Q = (s, d) => {
+    val (_, labels) = lpaPartition(s, d)
+    t(s, d, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"))
+      .join(labels, Seq("id"))
       .select(col("id").as("nationkey"), col("n_name"),
         col("lbl").as("community"))
       .orderBy("nationkey")
+  }
+
+  /** gr11: MODULARITY SCORING of gr03's partition — the quality gate
+    * community detection ships with (Newman 2004): per community,
+    * Q_c = e_c/m − (d_c/2m)², emitted EXACTLY as the integer pair
+    * (q_num, q_den) = (4·e_c·m² − d_c²·m, 4m³) — no division at all,
+    * so the score that decides "are these communities better than
+    * random" is bit-reproducible (q_num may be negative; only
+    * subtraction touches signed values — the q83 signed-division
+    * hazard never arises). A partition is good when Σ q_num/q_den is
+    * well above 0; per-community rows expose which communities carry
+    * the structure.
+    *
+    * Scale: runs entirely on the condensed sparsified graph (≤75
+    * undirected edges here; O(k·nodes) after any k-NN sparsification)
+    * — two label joins + counter aggregates; m is a broadcast scalar.
+    */
+  val gr11Modularity: Q = (s, d) => {
+    val (sym, labels) = lpaPartition(s, d)
+    val lab = labels.select(col("id"), col("lbl").as("community"))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    val mDf = sym.agg(expr("count(1) div 2").as("m"))
+    val internal = sym
+      .join(lab.select(col("id").as("src"), col("community").as("ca")),
+        Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("community").as("cb")),
+        Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(expr("count(1) div 2").as("e_c"))
+    val perC = lab.join(deg, Seq("id")).groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_c"))
+    perC.join(internal, Seq("community"), "left")
+      .crossJoin(broadcast(mDf))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).as("internal_edges"),
+        col("d_c").as("degree_sum"), col("m"))
+      .withColumn("q_num", expr(
+        "4 * internal_edges * m * m - degree_sum * degree_sum * m"))
+      .withColumn("q_den", expr("4 * m * m * m"))
+      .orderBy("community")
   }
 
   /** gr04: K-CORE DECOMPOSITION (k=4) by iterative peeling (Matula &
@@ -553,6 +605,7 @@ object Graph {
   }
 
   val queries: Map[String, Q] = Map(
+    "gr11_modularity" -> gr11Modularity,
     "gr10_link_predict" -> gr10LinkPredict,
     "gr09_copurchase" -> gr09CoPurchase,
     "gr06_ktruss" -> gr06Ktruss,
@@ -674,6 +727,56 @@ object Graph {
          |SELECT n.id AS nationkey, n.n_name, r3.r AS pr
          |FROM n JOIN r3 ON r3.id = n.id
          |ORDER BY pr DESC, nationkey""".stripMargin,
+    "gr11_modularity" ->
+      s"""WITH $edgesCte,
+         |knn AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst) AS rn
+         |    FROM edges WHERE src <> dst) WHERE rn <= 3),
+         |sym AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM knn
+         |    UNION ALL SELECT dst, src FROM knn)),
+         |l0 AS (SELECT n_nationkey AS id, n_nationkey AS lbl FROM nation),
+         |m1 AS (SELECT s.src AS id, l.lbl FROM sym s
+         |    JOIN l0 l ON l.id = s.dst
+         |  UNION ALL SELECT id, lbl FROM l0),
+         |l1 AS (SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY count(*) DESC, lbl) AS rn
+         |    FROM m1 GROUP BY id, lbl) WHERE rn = 1),
+         |m2 AS (SELECT s.src AS id, l.lbl FROM sym s
+         |    JOIN l1 l ON l.id = s.dst
+         |  UNION ALL SELECT id, lbl FROM l1),
+         |l2 AS (SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY count(*) DESC, lbl) AS rn
+         |    FROM m2 GROUP BY id, lbl) WHERE rn = 1),
+         |m3 AS (SELECT s.src AS id, l.lbl FROM sym s
+         |    JOIN l2 l ON l.id = s.dst
+         |  UNION ALL SELECT id, lbl FROM l2),
+         |l3 AS (SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY count(*) DESC, lbl) AS rn
+         |    FROM m3 GROUP BY id, lbl) WHERE rn = 1),
+         |lab AS (SELECT id, lbl AS community FROM l3),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM sym),
+         |internal AS (SELECT a.community,
+         |    CAST(count(*) // 2 AS BIGINT) AS e_c
+         |  FROM sym s JOIN lab a ON a.id = s.src
+         |  JOIN lab b ON b.id = s.dst
+         |  WHERE a.community = b.community GROUP BY 1),
+         |pc AS (SELECT community, count(*) AS n_nodes,
+         |    CAST(sum(deg) AS BIGINT) AS d_c
+         |  FROM lab JOIN deg USING (id) GROUP BY 1)
+         |SELECT pc.community, pc.n_nodes,
+         |  COALESCE(internal.e_c, 0) AS internal_edges,
+         |  pc.d_c AS degree_sum, mm.m,
+         |  4 * COALESCE(internal.e_c, 0) * mm.m * mm.m
+         |    - pc.d_c * pc.d_c * mm.m AS q_num,
+         |  4 * mm.m * mm.m * mm.m AS q_den
+         |FROM pc LEFT JOIN internal ON internal.community = pc.community
+         |CROSS JOIN mm ORDER BY pc.community""".stripMargin,
     "gr03_label_prop" ->
       s"""WITH $edgesCte,
          |knn AS (SELECT src, dst FROM (

@@ -89,6 +89,35 @@ class GraphSpec extends SparkSpec {
     assert(expect.nonEmpty, "degenerate: no absent links to score")
   }
 
+  test("gr11 modularity equals a brute-force recompute over gr03 labels") {
+    // rebuild the 3-NN symmetrized skeleton exactly as lpaPartition does
+    val knn = edges().filter(e => e._1 != e._2)
+      .groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (-e._3, e._2)).take(3).map(e => (e._1, e._2))
+      }
+    val sym = knn.flatMap(e => Seq(e, e.swap)).toSet
+    val lbl = Graph.queries("gr03_label_prop")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val m = sym.size / 2
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expect = lbl.values.toSeq.distinct.sorted.map { c =>
+      val members = lbl.collect { case (id, l) if l == c => id }.toSet
+      val eC = sym.count { case (a, b) =>
+        members(a) && members(b) } / 2
+      val dC = members.toSeq.map(deg).sum
+      val qNum = 4L * eC * m * m - dC * dC * m
+      c.toLong -> ((members.size.toLong, eC.toLong, dC, qNum))
+    }.toMap
+    val got = Graph.queries("gr11_modularity")(spark, sf).collect()
+      .map(r => r.getInt(0).toLong ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))))
+      .toMap
+    assert(got == expect, s"diff: ${expect.collect {
+      case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }}")
+    // the partition beats a random one: total modularity is positive
+    assert(got.values.map(_._4).sum > 0L, "non-positive total modularity")
+  }
+
   test("gr04 4-core equals a sequential peel and fixpoints by round 5") {
     val nodes = Tables.t(spark, sf, "nation")
       .select("n_nationkey").collect().map(_.getInt(0)).toSet
