@@ -95,6 +95,20 @@ class HttpServerSpec extends SparkSpec {
     assert(body.contains("quarantined"), body)
   }
 
+  test("session-5 operators ride the TVF: anomaly counts + tombstone search") {
+    val sql = "SELECT sum(n_anom_k3) AS total FROM graft_op(" +
+      "'q82_anomaly_exact', '/root/testdata/sf0.001')"
+    val (code, body) = get(s"http://localhost:$port/api?query=" +
+      java.net.URLEncoder.encode(sql, "UTF-8"))
+    assert(code == 200, body)
+    val sql2 = "SELECT count(*) AS displaced FROM graft_op(" +
+      "'ss24_tombstone_search', '/root/testdata/sf0.001') WHERE displaced"
+    val (code2, body2) = get(s"http://localhost:$port/api?query=" +
+      java.net.URLEncoder.encode(sql2, "UTF-8"))
+    assert(code2 == 200, body2)
+    assert(body2.contains("displaced"), body2)
+  }
+
   test("graft_ops() lists operators; unknown operator → 500 with hint") {
     val (code, body) = get(s"http://localhost:$port/api?query=" +
       java.net.URLEncoder.encode(
