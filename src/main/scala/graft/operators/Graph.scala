@@ -733,32 +733,32 @@ object Graph {
          |    SELECT src, dst, row_number() OVER (PARTITION BY src
          |      ORDER BY w DESC, dst) AS rn
          |    FROM edges WHERE src <> dst) WHERE rn <= 3),
-         |sym AS (SELECT DISTINCT src, dst FROM (
+         |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |    SELECT src, dst FROM knn
          |    UNION ALL SELECT dst, src FROM knn)),
          |l0 AS (SELECT n_nationkey AS id, n_nationkey AS lbl FROM nation),
          |m1 AS (SELECT s.src AS id, l.lbl FROM sym s
          |    JOIN l0 l ON l.id = s.dst
          |  UNION ALL SELECT id, lbl FROM l0),
-         |l1 AS (SELECT id, lbl FROM (
+         |l1 AS MATERIALIZED (SELECT id, lbl FROM (
          |    SELECT id, lbl, row_number() OVER (PARTITION BY id
          |      ORDER BY count(*) DESC, lbl) AS rn
          |    FROM m1 GROUP BY id, lbl) WHERE rn = 1),
          |m2 AS (SELECT s.src AS id, l.lbl FROM sym s
          |    JOIN l1 l ON l.id = s.dst
          |  UNION ALL SELECT id, lbl FROM l1),
-         |l2 AS (SELECT id, lbl FROM (
+         |l2 AS MATERIALIZED (SELECT id, lbl FROM (
          |    SELECT id, lbl, row_number() OVER (PARTITION BY id
          |      ORDER BY count(*) DESC, lbl) AS rn
          |    FROM m2 GROUP BY id, lbl) WHERE rn = 1),
          |m3 AS (SELECT s.src AS id, l.lbl FROM sym s
          |    JOIN l2 l ON l.id = s.dst
          |  UNION ALL SELECT id, lbl FROM l2),
-         |l3 AS (SELECT id, lbl FROM (
+         |l3 AS MATERIALIZED (SELECT id, lbl FROM (
          |    SELECT id, lbl, row_number() OVER (PARTITION BY id
          |      ORDER BY count(*) DESC, lbl) AS rn
          |    FROM m3 GROUP BY id, lbl) WHERE rn = 1),
-         |lab AS (SELECT id, lbl AS community FROM l3),
+         |lab AS MATERIALIZED (SELECT id, lbl AS community FROM l3),
          |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
          |mm AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM sym),
          |internal AS (SELECT a.community,
