@@ -1051,7 +1051,45 @@ object RelationalQueries {
       .orderBy("rnk")
   }
 
+  /** q84: PERCENT-OF-PARENT hierarchical rollup — the region → nation
+    * drill-down every BI dashboard renders: revenue in lossless cents
+    * per nation, each level's share of its PARENT (nation-of-region,
+    * region-of-total) as integer ×10⁴ rationals. One fact aggregate on
+    * the composite key; parent totals are window sums over the
+    * 25-row nation grid (no rejoin), the grand total a 1-partition
+    * window over the same grid.
+    */
+  private val q84PercentOfParent: Q = (s, d) => {
+    val rev = t(s, d, "lineitem").select(col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region").select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name").agg(sum("cents").as("nation_rev"))
+    rev
+      .withColumn("region_rev",
+        sum("nation_rev").over(Window.partitionBy("r_name")))
+      .withColumn("total_rev",
+        sum("nation_rev").over(Window.partitionBy()))
+      .select(col("r_name"), col("n_name"), col("nation_rev"),
+        col("region_rev"), col("total_rev"),
+        expr("nation_rev * 10000 div region_rev")
+          .as("share_of_region_x10k"),
+        expr("region_rev * 10000 div total_rev")
+          .as("share_of_total_x10k"))
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q84_pct_of_parent" -> q84PercentOfParent,
     "q83_revenue_bridge" -> q83RevenueBridge,
     "q82_anomaly_exact" -> q82AnomalyExact,
     "q81_rfm" -> q81Rfm,
@@ -1137,6 +1175,25 @@ object RelationalQueries {
         |  CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type)
         |    AS BIGINT) AS p_x10k
         |FROM g ORDER BY from_type, to_type""".stripMargin,
+    "q84_pct_of_parent" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS nation_rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT r_name, n_name, nation_rev,
+        |    CAST(sum(nation_rev) OVER (PARTITION BY r_name) AS BIGINT)
+        |      AS region_rev,
+        |    CAST(sum(nation_rev) OVER () AS BIGINT) AS total_rev
+        |  FROM rev)
+        |SELECT r_name, n_name, nation_rev, region_rev, total_rev,
+        |  nation_rev * 10000 // region_rev AS share_of_region_x10k,
+        |  region_rev * 10000 // total_rev AS share_of_total_x10k
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
     "q83_revenue_bridge" ->
       """WITH li AS (SELECT l_orderkey, l_partkey,
         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents

@@ -40,13 +40,18 @@ class LocalClusterParitySpec extends SparkSpec {
   //   q77  — MisraGries TypedImperativeAggregate (custom serialize/
   //          deserialize of the counter map between executors; output
   //          gates are merge-order independent by construction)
+  //   dd24 — SemDeDup keep rule: persisted twin corpus + centroid
+  //          broadcast + within-cluster pair join across executor blocks
+  //   ss25 — shared candidate pool persisted and read by four consumers
+  //          (two rankings, two counters) across executors
   private val names = Seq("q66_topk_pergroup", "dd12_semantic_dedup",
     "pp10_bloom_decontaminate", "dd03_minhash_signatures",
     "ss10_quantized_topk", "ss09_kmeans_converged",
     "tx13_source_sig_oracle", "st01_sessionize",
     "dd18_simhash_oracle", "mm05_patch_grid", "st09_neardup_admission",
     "tx22_char_diversity", "gr04_kcore", "mm10_media_quarantine",
-    "q76_json_ingest_guard", "q77_heavy_hitters")
+    "q76_json_ingest_guard", "q77_heavy_hitters",
+    "dd24_semantic_dedup", "ss25_adaptive_nprobe")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
