@@ -65,6 +65,7 @@ object Similarity {
     "ss23_ivf_maintain" -> ((s, d) => ivfMaintain(s, d)),
     "ss24_tombstone_search" -> ((s, d) => tombstoneSearch(s, d)),
     "ss25_adaptive_nprobe" -> ((s, d) => adaptiveNprobe(s, d)),
+    "ss26_mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
   )
 
   /** ss22: INT8 SCALAR-QUANTIZATION RECALL — completes the measurement
@@ -434,6 +435,72 @@ object Similarity {
         round(coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_exact").cast("double"), 2).as("recall_at_5"))
       .orderBy("query_id")
+  }
+
+  /** ss26: MMR DIVERSITY RE-RANKING (Carbonell & Goldstein 1998) — the
+    * retrieval-stage dedup RAG pipelines run between ANN and the
+    * context window: greedy top-3 where each pick maximizes
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked (λ = 0.5 —
+    * a power of two, so the scaling is IEEE-exact both engines). A
+    * plain top-k hands the model three near-copies of the same
+    * passage; MMR trades a little relevance for coverage. Fully
+    * relational and collect-free: the greedy rounds unroll as TWO
+    * join+argmax stages over the per-query top-20 candidate pool (at
+    * scale the pool comes from ss02/ss03's ANN stage; pool size
+    * bounds every round's join).
+    *
+    * Scale: the pool is 20 rows/query with payloads; per-round joins
+    * touch pool × selected (≤2) rows — per-query constant work,
+    * queries are the parallelism unit. Pool persists once (read by
+    * each round's three consumers).
+    */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+    val qs = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("vec_id"))
+    val pool = corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rel",
+        dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= 20)
+      .select("query_id", "vec_id", "rel", "embedding", "nrm")
+      .persist() // each greedy round reads the pool three ways
+    var sel = pool.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), lit(1L).as("rank"), col("vec_id"),
+        col("rel"), (col("rel") * 0.5).as("mmr"),
+        col("embedding"), col("nrm"))
+    for (r <- 2 to 3) {
+      val selSlim = sel.select(col("query_id"), col("vec_id").as("s_id"),
+        col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+      val ms = pool.join(selSlim, Seq("query_id"))
+        .withColumn("sim",
+          dot(col("embedding"), col("s_emb")) /
+            (col("nrm") * col("s_nrm")))
+        .groupBy("query_id", "vec_id").agg(max("sim").as("ms"))
+      val wS = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id"))
+      val pick = pool
+        .join(sel.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(ms, Seq("query_id", "vec_id"))
+        .withColumn("score", col("rel") * 0.5 - col("ms") * 0.5)
+        .withColumn("rn", row_number().over(wS))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(r.toLong).as("rank"), col("vec_id"),
+          col("rel"), col("score").as("mmr"),
+          col("embedding"), col("nrm"))
+      sel = sel.unionAll(pick)
+    }
+    sel.select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
+      .orderBy("query_id", "rank")
   }
 
   /** ss25: ADAPTIVE NPROBE — the query-time policy ss16's static curve
@@ -2056,6 +2123,62 @@ object Similarity {
          |FROM w WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // ss23: frozen-quantizer assignment replayed relationally (the ss11
     // machinery); counts are count(*) FILTER — BIGINT, no HUGEINT cast
+    "ss26_mmr_rerank" ->
+      s"""WITH $normCte,
+         |qq AS (SELECT vec_id AS query_id, e, nrm FROM n
+         |  WHERE vec_id < 10),
+         |pool AS MATERIALIZED (SELECT query_id, vec_id, rel, prn FROM (
+         |    SELECT q.query_id, c.vec_id,
+         |      $dotSql / (c.nrm * q.nrm) AS rel,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY $dotSql / (c.nrm * q.nrm) DESC, c.vec_id)
+         |        AS prn
+         |    FROM n c CROSS JOIN qq q
+         |    WHERE c.vec_id <> q.query_id) WHERE prn <= 20),
+         |s1 AS MATERIALIZED (SELECT query_id, vec_id, rel,
+         |    0.5 * rel AS mmr
+         |  FROM pool WHERE prn = 1),
+         |ms2 AS (SELECT p.query_id, p.vec_id,
+         |    max($dotSql / (c.nrm * q.nrm)) AS ms
+         |  FROM pool p JOIN s1 ON s1.query_id = p.query_id
+         |  JOIN n c ON c.vec_id = p.vec_id
+         |  JOIN n q ON q.vec_id = s1.vec_id
+         |  WHERE p.vec_id <> s1.vec_id
+         |  GROUP BY 1, 2),
+         |s2 AS MATERIALIZED (SELECT query_id, vec_id, rel, score AS mmr
+         |  FROM (
+         |    SELECT p.query_id, p.vec_id, p.rel,
+         |      0.5 * p.rel - 0.5 * m.ms AS score,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY 0.5 * p.rel - 0.5 * m.ms DESC, p.vec_id) AS rn
+         |    FROM pool p JOIN ms2 m
+         |      ON m.query_id = p.query_id AND m.vec_id = p.vec_id)
+         |  WHERE rn = 1),
+         |sel2 AS (SELECT query_id, vec_id FROM s1
+         |  UNION ALL SELECT query_id, vec_id FROM s2),
+         |ms3 AS (SELECT p.query_id, p.vec_id,
+         |    max($dotSql / (c.nrm * q.nrm)) AS ms
+         |  FROM pool p JOIN sel2 ON sel2.query_id = p.query_id
+         |  JOIN n c ON c.vec_id = p.vec_id
+         |  JOIN n q ON q.vec_id = sel2.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+         |    WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+         |  GROUP BY 1, 2),
+         |s3 AS (SELECT query_id, vec_id, rel, score AS mmr FROM (
+         |    SELECT p.query_id, p.vec_id, p.rel,
+         |      0.5 * p.rel - 0.5 * m.ms AS score,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY 0.5 * p.rel - 0.5 * m.ms DESC, p.vec_id) AS rn
+         |    FROM pool p JOIN ms3 m
+         |      ON m.query_id = p.query_id AND m.vec_id = p.vec_id)
+         |  WHERE rn = 1),
+         |allsel AS (
+         |  SELECT query_id, 1 AS rank, vec_id, rel, mmr FROM s1
+         |  UNION ALL SELECT query_id, 2, vec_id, rel, mmr FROM s2
+         |  UNION ALL SELECT query_id, 3, vec_id, rel, mmr FROM s3)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  round(rel, 4) AS rel, round(mmr, 4) AS mmr
+         |FROM allsel ORDER BY query_id, rank""".stripMargin,
     "ss25_adaptive_nprobe" ->
       s"""WITH $normCte,
          |cents AS (SELECT vec_id AS cid, e, nrm FROM n

@@ -236,6 +236,47 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.95, s"mean recall@3 $mean")
   }
 
+  test("ss26 MMR re-ranking equals an in-JVM greedy replay") {
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = vecs.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) / (nrm(a) * nrm(b))
+    val expect = (0L until 10L).flatMap { q =>
+      val pool = vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(q, v)))
+        .sortBy { case (v, rel) => (-rel, v) }.take(20)
+      var picked = Vector(pool.head._1)
+      for (_ <- 2 to 3) {
+        val cands = pool.filterNot(p => picked.contains(p._1))
+          .map { case (v, rel) =>
+            val ms = picked.map(s => cos(v, s)).max
+            (v, 0.5 * rel - 0.5 * ms)
+          }
+          .sortBy { case (v, sc) => (-sc, v) }
+        picked :+= cands.head._1
+      }
+      picked.zipWithIndex.map { case (v, i) => (q, i + 1L, v) }
+    }.toSet
+    val got = Similarity.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"diff: ${expect.diff(got)} / ${got.diff(expect)}")
+    // diversity actually bites: some query's greedy picks differ from
+    // its plain relevance top-3
+    val plain = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq.map(v => (v, cos(q, v)))
+        .sortBy { case (v, rel) => (-rel, v) }.take(3)
+        .zipWithIndex.map { case ((v, _), i) => (q, i + 1L, v) }
+    }.toSet
+    assert(got != plain, "MMR degenerated to plain top-3 on every query")
+  }
+
   test("ss25 adaptive nprobe varies probes per query and holds recall") {
     val rows = Similarity.adaptiveNprobe(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
