@@ -59,6 +59,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       MisraGries(es.head, k).toAggregateExpression()
     })
+    inject(ext, "kmv_sketch", 2, es => {
+      if (!es(1).foldable) throw new IllegalArgumentException(
+        "kmv_sketch: k must be a literal")
+      val k = es(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"kmv_sketch: integer k expected, got $other")
+      }
+      KmvSketch(es.head, k).toAggregateExpression()
+    })
     // SQL-addressable pipeline operators: graft_op(name[, dir]) inlines
     // any SparkEntry.queries operator as a relation; graft_ops() lists
     // them (round-4 verdict item 9 — the REPL/HTTP SQL surface)

@@ -439,7 +439,41 @@ object Skew {
     gates.crossJoin(broadcast(top)).crossJoin(broadcast(bounded))
   }
 
+  /** q85: KMV DISTINCT SKETCH — the distinct-count member of the custom
+    * sketch family (q77's Misra-Gries finds WHO dominates; this
+    * estimates HOW MANY from k=64 values of state). Unlike q38's HLL
+    * (engine-specific hash → rows-only), KMV over PORTABLE md5 hex is
+    * fully deterministic: the bottom-k of a set is partition- and
+    * merge-order-independent, so the sketch STATE itself hash-matches
+    * the DuckDB replay — a cross-engine-checkable cardinality sketch.
+    * The estimate (k−1)·2⁴⁸ div h48 is exact integer arithmetic over
+    * the k-th hash's first 48 bits; the exact countDistinct rides
+    * along as the error denominator (and is computed in a SEPARATE
+    * aggregate — the q64 shape-mixing lesson).
+    *
+    * Scale: k hex strings of state per partition, mergeable under any
+    * tree; at 100 TB you keep the sketch and drop the exact twin.
+    */
+  private val q85KmvDistinct: Q = (s, d) => {
+    import graft.functions.KmvSketch.kmv_sketch
+    val li = t(s, d, "lineitem")
+    val sk = li.groupBy("l_returnflag")
+      .agg(kmv_sketch(col("l_partkey").cast("string"), 64).as("kmv"))
+      .select(col("l_returnflag"), col("kmv.n_kept").as("n_kept"),
+        col("kmv.kth_hash").as("kth_hash"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_exact"))
+    sk.join(exact, Seq("l_returnflag"))
+      .withColumn("h48",
+        expr("CAST(conv(substring(kth_hash, 1, 12), 16, 10) AS BIGINT)"))
+      .select(col("l_returnflag"), col("n_exact"), col("n_kept"),
+        col("kth_hash"),
+        expr("63 * 281474976710656 div h48").as("est"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q85_kmv_distinct" -> q85KmvDistinct,
     "q77_heavy_hitters" -> q77HeavyHitters,
     "q74_integrity_audit" -> q74IntegrityAudit,
     "q73_robust_outliers" -> q73RobustOutliers,
@@ -454,6 +488,30 @@ object Skew {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q85_kmv_distinct" ->
+      """WITH dv AS (SELECT DISTINCT l_returnflag,
+        |    CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+        |h AS (SELECT l_returnflag, md5(v) AS hx,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY md5(v)) AS rn
+        |  FROM dv),
+        |sk AS (SELECT l_returnflag,
+        |    CAST(least(max(rn), 64) AS BIGINT) AS n_kept,
+        |    min(CASE WHEN rn = 64 THEN hx END) AS kth_hash
+        |  FROM h GROUP BY 1),
+        |ex AS (SELECT l_returnflag,
+        |    count(DISTINCT l_partkey) AS n_exact FROM lineitem
+        |  GROUP BY 1),
+        |j AS (SELECT ex.l_returnflag, ex.n_exact, sk.n_kept, sk.kth_hash,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(substring(sk.kth_hash, 1, 12), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h48
+        |  FROM ex JOIN sk USING (l_returnflag))
+        |SELECT l_returnflag, n_exact, n_kept, kth_hash,
+        |  63 * 281474976710656 // h48 AS est
+        |FROM j ORDER BY l_returnflag""".stripMargin,
     "q37_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue

@@ -180,4 +180,38 @@ object KernelProps extends Properties("GraftKernels") {
         }
         sizeOk && boundsOk && heavyOk
     }
+
+  property("kmvSketch state is invariant under arbitrary chunk/merge splits") =
+    Prop.forAll(hhStream, Gen.chooseNum(1, 5), Gen.chooseNum(2, 8)) {
+      (xs, nChunks, k) =>
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.BoundReference
+        import org.apache.spark.sql.types.StringType
+        val agg = graft.functions.KmvSketch(
+          BoundReference(0, StringType, nullable = true), k)
+        def runChunked(n: Int) = {
+          val chunks = xs.grouped(math.max(1, xs.size / n + 1)).toList
+          val partials = chunks.map { ch =>
+            var b = agg.createAggregationBuffer()
+            ch.foreach { x =>
+              b = agg.update(b, InternalRow(UTF8String.fromString(s"k$x")))
+            }
+            agg.deserialize(agg.serialize(b)) // executor round-trip
+          }
+          partials match {
+            case Nil => agg.createAggregationBuffer()
+            case h :: t => t.foldLeft(h)(agg.merge)
+          }
+        }
+        val merged = runChunked(nChunks)
+        val single = runChunked(1)
+        // the whole STATE (not just an envelope) is split-invariant:
+        // bottom-k of a set does not depend on arrival order or tree
+        val stateOk = merged.toSeq == single.toSeq
+        // exact regime: fewer distincts than k → sketch IS the count
+        val distinct = xs.distinct.size
+        val exactOk = distinct >= k || merged.size == distinct
+        val sizeOk = merged.size <= k
+        stateOk && exactOk && sizeOk
+    }
 }

@@ -44,6 +44,9 @@ class LocalClusterParitySpec extends SparkSpec {
   //          broadcast + within-cluster pair join across executor blocks
   //   ss25 — shared candidate pool persisted and read by four consumers
   //          (two rankings, two counters) across executors
+  //   q85  — KmvSketch TypedImperativeAggregate (TreeSet buffer
+  //          serialize/merge between executors; state fully
+  //          deterministic so parity is exact, not envelope-only)
   private val names = Seq("q66_topk_pergroup", "dd12_semantic_dedup",
     "pp10_bloom_decontaminate", "dd03_minhash_signatures",
     "ss10_quantized_topk", "ss09_kmeans_converged",
@@ -51,7 +54,8 @@ class LocalClusterParitySpec extends SparkSpec {
     "dd18_simhash_oracle", "mm05_patch_grid", "st09_neardup_admission",
     "tx22_char_diversity", "gr04_kcore", "mm10_media_quarantine",
     "q76_json_ingest_guard", "q77_heavy_hitters",
-    "dd24_semantic_dedup", "ss25_adaptive_nprobe")
+    "dd24_semantic_dedup", "ss25_adaptive_nprobe",
+    "q85_kmv_distinct")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
