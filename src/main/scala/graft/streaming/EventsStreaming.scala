@@ -424,6 +424,58 @@ object EventsStreaming {
         expr("mg[0].key").as("top_key"), expr("mg[0].est").as("top_est"),
         col("n_events"))
 
+  /** st16: PER-WINDOW DISTINCT-USER SKETCH — q85's KMV aggregate in its
+    * streaming role (the cardinality sibling of st12's Misra-Gries):
+    * distinct users per tumbling hour estimated from k=16 md5 minima of
+    * state per window instead of one dedup row per (window, user) —
+    * bounded vs user-cardinality state at 100 TB/day. Because KMV
+    * state is DETERMINISTIC (bottom-k of a set, portable hash), the
+    * driver face emits the sketch itself — n_kept, k-th hash, integer
+    * estimate — and hash-matches DuckDB; the streaming face must equal
+    * the batch face EXACTLY (StreamingSpec), a stronger pin than
+    * st12's guarantee-envelope.
+    *
+    * The exact countDistinct rides in a SEPARATE aggregate joined on
+    * the window (the q64 shape rule) as the error denominator.
+    */
+  private val st16WindowDistinct: Q = (s, d) => {
+    import graft.functions.KmvSketch.kmv_sketch
+    val ev = graft.Tables.t(s, d, "events")
+    val sk = ev.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(kmv_sketch(col("user_id").cast("string"), 16).as("kmv"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_events"), col("kmv.n_kept").as("n_kept"),
+        col("kmv.kth_hash").as("kth_hash"))
+    val ex = ev.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct("user_id").as("n_users_exact"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_users_exact"))
+    sk.join(ex, Seq("window_start"))
+      .withColumn("h48",
+        expr("CAST(conv(substring(kth_hash, 1, 12), 16, 10) AS BIGINT)"))
+      .select(col("window_start"), col("n_events"), col("n_users_exact"),
+        col("n_kept"), col("kth_hash"),
+        expr("15 * 281474976710656 div h48").as("est_users"))
+      .orderBy("window_start")
+  }
+
+  /** st16's streaming face: the KMV aggregate inside a watermarked
+    * tumbling window — k hex strings of state per open window.
+    */
+  def windowDistinctStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.KmvSketch.kmv_sketch(
+          col("user_id").cast("string"), 16).as("kmv"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("kmv.n_kept").as("n_kept"), col("kmv.kth_hash").as("kth_hash"),
+        col("n_events"))
+
   /** The st09 corpus: documents arriving 7 s apart plus a MUTATED
     * re-crawl copy (first token dropped — a true near-duplicate, the
     * dd15 planting) arriving 60 s after its original, inside the
@@ -920,6 +972,7 @@ object EventsStreaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st16_window_distinct" -> st16WindowDistinct,
     "st15_anomaly_alerts" -> st15AnomalyAlerts,
     "st14_funnel_stages" -> st14FunnelStages,
     "st13_user_transitions" -> st13UserTransitions,
@@ -937,6 +990,32 @@ object EventsStreaming {
     "st10_token_budget" -> st10TokenBudget)
 
   val oracleSql: Map[String, String] = Map(
+    "st16_window_distinct" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+        |    user_id FROM events),
+        |ex AS (SELECT ws, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS n_users_exact
+        |  FROM w GROUP BY 1),
+        |dv AS (SELECT DISTINCT ws,
+        |    md5(CAST(user_id AS VARCHAR)) AS hx FROM w),
+        |r AS (SELECT ws, hx,
+        |    row_number() OVER (PARTITION BY ws ORDER BY hx) AS rn
+        |  FROM dv),
+        |sk AS (SELECT ws, CAST(least(max(rn), 16) AS BIGINT) AS n_kept,
+        |    min(CASE WHEN rn = 16 THEN hx END) AS kth_hash
+        |  FROM r GROUP BY 1),
+        |j AS (SELECT ex.ws, ex.n_events, ex.n_users_exact,
+        |    sk.n_kept, sk.kth_hash,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(substring(sk.kth_hash, 1, 12), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a * 16 + b) AS h48
+        |  FROM ex JOIN sk USING (ws))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  n_events, n_users_exact, n_kept, kth_hash,
+        |  15 * 281474976710656 // h48 AS est_users
+        |FROM j ORDER BY window_start""".stripMargin,
     "st15_anomaly_alerts" ->
       """WITH c AS (SELECT user_id, event_id, ts,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -286,6 +286,45 @@ class StreamingSpec extends SparkSpec {
     assert(late.forall(_ % 13 == 0), s"non-planted event flagged late")
   }
 
+  test("streaming windowed KMV state equals the st16 batch face exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect().map(r => EventsStreaming.Event(r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    // split mid-feed: per-window sketch buffers merge across batches
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.Event](spark)
+    val q = EventsStreaming.windowDistinctStream(input.toDF())
+      .writeStream.format("memory").queryName("wkmv")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wkmv").collect()
+      .map(r => (r.getTimestamp(0).toString,
+        (r.getLong(1), Option(r.getString(2)), r.getLong(3)))).toMap
+    val want = EventsStreaming.queries("st16_window_distinct")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(3), Option(r.getString(4)), r.getLong(1)))).toMap
+    // deterministic sketch state: stream ≡ batch byte-for-byte per
+    // window — n_kept, k-th hash AND event counts
+    assert(got.size == want.size, s"${got.size} vs ${want.size} windows")
+    want.foreach { case (w, v) =>
+      // batch face formats "yyyy-MM-dd HH:mm:ss"; Timestamp.toString
+      // appends fractional seconds
+      val k = got.keys.find(_.startsWith(w))
+      assert(k.isDefined, s"window $w missing from stream output")
+      assert(got(k.get) == v, s"window $w: ${got(k.get)} vs $v")
+    }
+  }
+
   test("streaming anomaly alerts match the st15 prior-only batch face") {
     val sf = "/root/testdata/sf0.001"
     val corpus = Tables.t(spark, sf, "events")
