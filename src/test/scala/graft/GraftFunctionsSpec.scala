@@ -63,6 +63,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("2 argument"))
   }
 
+  test("kmv_sketch is SQL-addressable with deterministic exact-below-k state") {
+    val rows = spark.sql(
+      """SELECT s.kv.n_kept, s.kv.kth_hash FROM (
+        |  SELECT kmv_sketch(CAST(id % 10 AS STRING), 64) AS kv
+        |  FROM range(1000)) s""".stripMargin).collect()
+    // 10 distincts < k → the sketch IS the exact count, kth hash null
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 10L)
+    assert(rows(0).isNullAt(1))
+    val full = spark.sql(
+      """SELECT s.kv.n_kept, s.kv.kth_hash FROM (
+        |  SELECT kmv_sketch(CAST(id AS STRING), 64) AS kv
+        |  FROM range(1000)) s""".stripMargin).collect()
+    assert(full(0).getLong(0) == 64L)
+    assert(full(0).getString(1).matches("[0-9a-f]{32}"))
+  }
+
   test("functions registered for SQL text") {
     GraftFunctions.register(spark)
     val r = spark.sql("select simhash64('a b c'), rolling_hash64('abc')")
