@@ -608,7 +608,43 @@ object Graph {
       .orderBy("a", "b")
   }
 
+  /** gr12: DEGREE ASSORTATIVITY (Newman 2002) — do high-degree nodes
+    * trade with each other (assortative, r > 0) or with the periphery
+    * (disassortative, r < 0)? The one-number topology fingerprint that
+    * distinguishes social-like from infrastructure-like graphs. Pearson
+    * correlation over edge-endpoint degrees, emitted EXACTLY as the
+    * integer pair (r_num, r_den) = (M·Σjk − (Σj)², M·Σj² − (Σj)²) over
+    * the directed edge list (each undirected edge counted both ways —
+    * Newman's M = 2m convention): r_num is signed, so no division ever
+    * happens (the q83 hazard; gr11's q_num/q_den precedent).
+    *
+    * Scale: degrees and sums live on the condensed undirected support
+    * (≤625 rows); the fact-table work is the same one aggregate every
+    * gr operator shares.
+    */
+  val gr12Assortativity: Q = (s, d) => {
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("bigint").as("u"),
+        greatest(col("src"), col("dst")).cast("bigint").as("v"))
+      .distinct()
+    val dir = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+    val deg = dir.groupBy("a").agg(count(lit(1)).as("deg"))
+    dir
+      .join(broadcast(deg.select(col("a"), col("deg").as("dj"))), Seq("a"))
+      .join(broadcast(deg.select(col("a").as("b"), col("deg").as("dk"))),
+        Seq("b"))
+      .agg(count(lit(1)).as("m_dir"),
+        sum(expr("dj * dk")).as("sum_jk"),
+        sum("dj").as("sum_j"),
+        sum(expr("dj * dj")).as("sum_j2"))
+      .select(col("m_dir"), col("sum_j"), col("sum_jk"), col("sum_j2"),
+        expr("m_dir * sum_jk - sum_j * sum_j").as("r_num"),
+        expr("m_dir * sum_j2 - sum_j * sum_j").as("r_den"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "gr12_assortativity" -> gr12Assortativity,
     "gr11_modularity" -> gr11Modularity,
     "gr10_link_predict" -> gr10LinkPredict,
     "gr09_copurchase" -> gr09CoPurchase,
@@ -731,6 +767,24 @@ object Graph {
          |SELECT n.id AS nationkey, n.n_name, r3.r AS pr
          |FROM n JOIN r3 ON r3.id = n.id
          |ORDER BY pr DESC, nationkey""".stripMargin,
+    "gr12_assortativity" ->
+      s"""WITH $edgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS u,
+         |    greatest(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |dir AS (SELECT u AS a, v AS b FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |deg AS (SELECT a, count(*) AS deg FROM dir GROUP BY a),
+         |j AS (SELECT CAST(count(*) AS BIGINT) AS m_dir,
+         |    CAST(sum(dj.deg) AS BIGINT) AS sum_j,
+         |    CAST(sum(dj.deg * dk.deg) AS BIGINT) AS sum_jk,
+         |    CAST(sum(dj.deg * dj.deg) AS BIGINT) AS sum_j2
+         |  FROM dir JOIN deg dj ON dj.a = dir.a
+         |  JOIN deg dk ON dk.a = dir.b)
+         |SELECT m_dir, sum_j, sum_jk, sum_j2,
+         |  m_dir * sum_jk - sum_j * sum_j AS r_num,
+         |  m_dir * sum_j2 - sum_j * sum_j AS r_den
+         |FROM j""".stripMargin,
     "gr11_modularity" ->
       s"""WITH $edgesCte,
          |knn AS (SELECT src, dst FROM (

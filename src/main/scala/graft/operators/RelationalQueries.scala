@@ -1088,7 +1088,47 @@ object RelationalQueries {
       .orderBy("r_name", "n_name")
   }
 
+  /** q86: OPEN-ORDER AGING — the receivables/backlog report every ops
+    * dashboard runs at a snapshot date (here the corpus-max order
+    * date): orders still open ('O') bucketed by age band (≤30, 31-90,
+    * 91-365, >365 days), each band reporting count, value in lossless
+    * cents, share of open value ×10⁴ and the oldest order date. Age is
+    * an exact integer day difference; bands are CASE boundaries — no
+    * float anywhere.
+    *
+    * Scale: status+date predicates push to the scan; one 4-row band
+    * aggregate with a broadcast total. The snapshot anchor is a scalar
+    * aggregate (at 100 TB: a literal from the batch watermark).
+    */
+  private val q86OpenOrderAging: Q = (s, d) => {
+    val ord = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+    val anchor = ord.agg(max("o_orderdate").as("anchor"))
+    val open = ord.filter(col("o_orderstatus") === "O")
+      .crossJoin(broadcast(anchor))
+      .withColumn("age_days",
+        expr("CAST(datediff(anchor, o_orderdate) AS BIGINT)"))
+      .withColumn("band",
+        when(col("age_days") <= 30, "a_0_30")
+          .when(col("age_days") <= 90, "b_31_90")
+          .when(col("age_days") <= 365, "c_91_365")
+          .otherwise("d_over_365"))
+    val bands = open.groupBy("band").agg(
+      count(lit(1)).as("n_orders"),
+      sum("cents").as("value_cents"),
+      min("o_orderdate").as("oldest"))
+    bands
+      .crossJoin(broadcast(bands.agg(sum("value_cents").as("tot"))))
+      .select(col("band"), col("n_orders"), col("value_cents"),
+        expr("value_cents * 10000 div tot").as("value_share_x10k"),
+        date_format(col("oldest"), "yyyy-MM-dd").as("oldest_order"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q86_open_aging" -> q86OpenOrderAging,
     "q84_pct_of_parent" -> q84PercentOfParent,
     "q83_revenue_bridge" -> q83RevenueBridge,
     "q82_anomaly_exact" -> q82AnomalyExact,
@@ -1175,6 +1215,30 @@ object RelationalQueries {
         |  CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type)
         |    AS BIGINT) AS p_x10k
         |FROM g ORDER BY from_type, to_type""".stripMargin,
+    "q86_open_aging" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate, o_orderstatus,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |an AS (SELECT max(o_orderdate) AS anchor FROM o),
+        |op AS (SELECT o.*, 
+        |    CAST(date_diff('day', o_orderdate, anchor) AS BIGINT)
+        |      AS age_days
+        |  FROM o CROSS JOIN an WHERE o_orderstatus = 'O'),
+        |b AS (SELECT CASE WHEN age_days <= 30 THEN 'a_0_30'
+        |         WHEN age_days <= 90 THEN 'b_31_90'
+        |         WHEN age_days <= 365 THEN 'c_91_365'
+        |         ELSE 'd_over_365' END AS band,
+        |    cents, o_orderdate
+        |  FROM op),
+        |g AS (SELECT band, count(*) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS value_cents,
+        |    min(o_orderdate) AS oldest
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tot FROM g)
+        |SELECT band, n_orders, value_cents,
+        |  value_cents * 10000 // tot AS value_share_x10k,
+        |  strftime(oldest, '%Y-%m-%d') AS oldest_order
+        |FROM g CROSS JOIN t ORDER BY band""".stripMargin,
     "q84_pct_of_parent" ->
       """WITH rev AS (SELECT r_name, n_name,
         |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))

@@ -66,6 +66,7 @@ object Similarity {
     "ss24_tombstone_search" -> ((s, d) => tombstoneSearch(s, d)),
     "ss25_adaptive_nprobe" -> ((s, d) => adaptiveNprobe(s, d)),
     "ss26_mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
+    "ss27_embedding_health" -> ((s, d) => embeddingHealth(s, d)),
   )
 
   /** ss22: INT8 SCALAR-QUANTIZATION RECALL — completes the measurement
@@ -435,6 +436,39 @@ object Similarity {
         round(coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_exact").cast("double"), 2).as("recall_at_5"))
       .orderBy("query_id")
+  }
+
+  /** ss27: EMBEDDING HEALTH CHECK — the representation-collapse monitor
+    * an embedding pipeline runs on every model/corpus refresh: per-dim
+    * variance profile over values QUANTIZED to integer ×10⁴ (floor(x·10⁴
+    * + 0.5) — float sums are summation-order-dependent and would never
+    * hash cross-engine; integer sums are exact), emitting per dimension
+    * the value sum, the n²-scaled variance (n·S2 − S², the q82
+    * discipline) and its share of total variance ×10⁴. A healthy
+    * embedding spreads variance across dims; anisotropy (one dim
+    * dominating) or a large mean offset (|Σx| ≫ 0 — uncentered) are the
+    * classic degradations retrieval quality quietly dies from.
+    *
+    * Scale: one explode to (dim, q) pairs → one 64-row aggregate;
+    * counters only on the wire, dims are the parallelism unit.
+    */
+  def embeddingHealth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = t(s, d, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("bigint").as("dim"),
+        // widen BEFORE the multiply: float×int stays float in Spark and
+        // would round differently from DuckDB's double arithmetic
+        expr("CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)")
+          .as("q"))
+    dims.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"),
+        sum(expr("q * q")).as("s2"))
+      .withColumn("varn2", expr("n * s2 - s * s"))
+      .withColumn("var_share_x10k", expr(
+        "varn2 * 10000 div sum(varn2) OVER ()"))
+      .select("dim", "n", "s", "varn2", "var_share_x10k")
+      .orderBy("dim")
   }
 
   /** ss26: MMR DIVERSITY RE-RANKING (Carbonell & Goldstein 1998) — the
@@ -2123,6 +2157,22 @@ object Similarity {
          |FROM w WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // ss23: frozen-quantizer assignment replayed relationally (the ss11
     // machinery); counts are count(*) FILTER — BIGINT, no HUGEINT cast
+    "ss27_embedding_health" ->
+      """WITH v AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+        |      AS qs
+        |  FROM embeddings),
+        |d AS (SELECT CAST(i - 1 AS BIGINT) AS dim, qs[i] AS q
+        |  FROM v, LATERAL (SELECT
+        |    unnest(generate_series(1, len(qs))) AS i)),
+        |g AS (SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS s,
+        |    CAST(sum(q * q) AS BIGINT) AS s2
+        |  FROM d GROUP BY 1),
+        |w AS (SELECT dim, n, s, n * s2 - s * s AS varn2 FROM g)
+        |SELECT dim, n, s, varn2,
+        |  varn2 * 10000 // CAST(sum(varn2) OVER () AS BIGINT)
+        |    AS var_share_x10k
+        |FROM w ORDER BY dim""".stripMargin,
     "ss26_mmr_rerank" ->
       s"""WITH $normCte,
          |qq AS (SELECT vec_id AS query_id, e, nrm FROM n
