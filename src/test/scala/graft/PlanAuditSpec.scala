@@ -439,6 +439,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("KMV sketch and exact distinct stay in separate aggregates (q85)") {
+    val plan = executedPlan("q85_kmv_distinct")
+    // the q64 shape rule: no Expand from a mixed distinct, and the
+    // imperative sketch buffer runs object-hash, never sort-aggregate
+    assert(!plan.contains("Expand"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("embedding health is one explode + partial/final counters (ss27)") {
+    val plan = executedPlan("ss27_embedding_health")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("Generate"), plan) // the posexplode
+    assert("HashAggregate".r.findAllIn(finalPlan).size >= 2, plan)
+    assert(!finalPlan.contains("SortAggregate"), plan)
+  }
+
   test("revenue bridge prunes years at the scan and broadcasts the dim (q83)") {
     val plan = executedPlan("q83_revenue_bridge")
     assert(plan.contains("PushedFilters") || plan.contains("year"), plan)
