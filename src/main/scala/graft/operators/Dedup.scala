@@ -984,21 +984,26 @@ object Dedup {
     // df and n_sh as window counts (tx16 lesson: no groupBy+rejoin of the
     // corpus-sized set); rk rides the same doc_id exchange as n_sh
     val wdoc = Window.partitionBy("doc_id")
+    // the contained-side size rides the SAME wdoc window exchange the
+    // prefix rank needs — carried through, never rejoined (docsz is one
+    // row PER DOCUMENT: broadcasting it is corpus-sized at 100 TB)
     val prefix = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .withColumn("rk", row_number().over(wdoc.orderBy("df", "sh")))
       .withColumn("n_sh", count(lit(1)).over(wdoc))
       .filter(col("rk") <= expr("n_sh DIV 5 + 1"))
-      .select(col("doc_id").as("a"), col("sh"))
-    // length filter (PPJoin): C ≥ 0.8 needs |B| ≥ 0.8|A|, pruned on the
-    // broadcast-joined sizes BEFORE the pair-expansion verify
+      .select(col("doc_id").as("a"), col("sh"),
+        col("n_sh").as("n_contained"))
+    // length filter (PPJoin): C ≥ 0.8 needs |B| ≥ 0.8|A|, pruned BEFORE
+    // the pair-expansion verify; the container side is a plain shuffle
+    // join on the per-doc size table (AQE may still broadcast it at
+    // small SF — but we never FORCE a corpus-sized broadcast)
     val docsz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val cand = prefix
       .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
       .filter(col("a") =!= col("b"))
-      .select("a", "b").distinct()
-      .join(broadcast(docsz.select(col("doc_id").as("a"), col("n_sh").as("n_contained"))), "a")
-      .join(broadcast(docsz.select(col("doc_id").as("b"), col("n_sh").as("n_container"))), "b")
+      .select("a", "b", "n_contained").distinct()
+      .join(docsz.select(col("doc_id").as("b"), col("n_sh").as("n_container")), "b")
       .filter(col("n_container") * 5 >= col("n_contained") * 4)
     cand
       .join(sh.select(col("doc_id").as("a"), col("sh")), "a")

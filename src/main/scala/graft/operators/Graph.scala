@@ -36,11 +36,11 @@ object Graph {
     t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
       .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, d, "customer")
-        .select("c_custkey", "c_nationkey")),
+      // customer/supplier grow with SF — no forced broadcast; AQE
+      // picks broadcast vs shuffle per its size threshold
+      .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, d, "supplier")
-        .select("s_suppkey", "s_nationkey")),
+      .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
@@ -523,9 +523,10 @@ object Graph {
     * equi-join generate is linear in the fact table; a power-law
     * basket source (users×domains) needs a per-basket top-w cap first
     * — same plan, one extra windowed prune. Pair counting shuffles
-    * (pa, pb) id pairs only; the part-support and total-order
-    * denominators are broadcast-sized joins on the 63-row survivor
-    * set, never on the pair stream.
+    * (pa, pb) id pairs only; the per-part support table grows with SF,
+    * so its two denominator joins are plain shuffle joins (AQE
+    * broadcasts when it fits) — only the single-row total is a forced
+    * broadcast.
     */
   val gr09CoPurchase: Q = (s, d) => {
     val basket = t(s, d, "lineitem")
@@ -539,9 +540,11 @@ object Graph {
     val supp = basket.groupBy("p").agg(count(lit(1)).as("n_ord"))
     val tot = basket.agg(countDistinct("o").as("n_orders"))
     pairs
-      .join(broadcast(supp.select(col("p").as("pa"), col("n_ord").as("na"))),
+      // supp is one row PER PART (SF-growing) — plain shuffle joins;
+      // only the single-row total keeps its broadcast
+      .join(supp.select(col("p").as("pa"), col("n_ord").as("na")),
         Seq("pa"))
-      .join(broadcast(supp.select(col("p").as("pb"), col("n_ord").as("nb"))),
+      .join(supp.select(col("p").as("pb"), col("n_ord").as("nb")),
         Seq("pb"))
       .crossJoin(broadcast(tot))
       .select(col("pa"), col("pb"), col("pair_n"), col("na"), col("nb"),

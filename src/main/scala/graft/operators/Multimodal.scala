@@ -433,8 +433,9 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "h", "n", "luma_sum", "sq_sum", "dhash")
-      .join(broadcast(src), pmod(col("media_id"), lit(1000000L)) ===
-        col("base_id"))
+      // src is one row per media item (corpus-sized at scale) — plain
+      // shuffle join on the derived base id; AQE broadcasts at small SF
+      .join(src, pmod(col("media_id"), lit(1000000L)) === col("base_id"))
       .persist() // one decode pass feeds gate, dedup and all card aggs
     val gated = stats.filter(col("h") >= 4 &&
       col("n") * col("sq_sum") - col("luma_sum") * col("luma_sum") >=

@@ -1019,9 +1019,10 @@ object RelationalQueries {
     * (delta, mix shift) is the only signed arithmetic.
     *
     * Scale: one fact-keyed join to the year-pruned orders (partition
-    * pruning does the heavy lifting at 100 TB), part dim broadcast,
-    * one brand-keyed aggregate; the bridge math runs on the ~25-row
-    * brand grid with a broadcast totals row.
+    * pruning does the heavy lifting at 100 TB), part dim joined
+    * without a forced hint (part grows with SF — AQE broadcasts it
+    * only while it fits), one brand-keyed aggregate; the bridge math
+    * runs on the ~25-row brand grid with a broadcast totals row.
     */
   private val q83RevenueBridge: Q = (s, d) => {
     val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
@@ -1030,7 +1031,8 @@ object RelationalQueries {
       .select(col("o_orderkey"), year(col("o_orderdate")).cast("bigint").as("y"))
       .filter(col("y").isin(1999L, 2000L))
     val rev = li.join(yr, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+      // part grows with SF — AQE decides broadcast vs shuffle
+      .join(t(s, d, "part").select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand").agg(
         sum(when(col("y") === 1999L, col("cents")).otherwise(0L)).as("r0"),
@@ -1065,8 +1067,9 @@ object RelationalQueries {
           .as("cents"))
       .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, d, "customer")
-        .select("c_custkey", "c_nationkey")),
+      // customer grows with SF — AQE decides; nation/region stay
+      // forced-broadcast (25/5 rows at ANY scale)
+      .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, d, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")),

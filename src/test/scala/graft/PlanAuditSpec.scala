@@ -462,4 +462,83 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortAggregate"), plan)
   }
+
+  /** Surface-wide guard (round-5 verdict finding 1-3): a FORCED
+    * `broadcast()` hint must never target a table whose row count grows
+    * with the corpus — per-doc/per-media size tables, TPC-H
+    * customer/supplier/part, fact-derived per-entity aggregates. Those
+    * become >8 GB broadcasts (driver OOM) at 100 TB; AQE's size
+    * threshold is the right arbiter. Legit forced broadcasts are
+    * statically BOUNDED: a global aggregate (1 row), a LIMIT, a literal
+    * id-subset filter (vec_id < 10 query batches, top-k rank filters),
+    * a local/range relation, constant dims (nation/region), or a
+    * grouping over a bounded-cardinality key (source/split/band/...).
+    * The walk stops at any bounding node; a hinted subtree that reaches
+    * an SF-growing parquet scan WITHOUT passing one is a regression.
+    */
+  test("forced broadcast hints never target an SF-growing table (surface-wide)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+    val growing = Tables.names.toSet -- Set("region", "nation")
+    // grouping keys with SF-independent cardinality: enum-like columns,
+    // keys of the constant-size nation/region dims, and columns
+    // functionally dependent on one of those (q73's per-event_type "med")
+    val boundedKeys = Set("source", "split", "token", "event_type", "band",
+      "label", "cohort", "cid", "k", "probe_i", "bucket", "stage", "seg",
+      "age_band", "lang", "quality_band", "pair_type", "med",
+      "c_nationkey", "s_nationkey", "n_nationkey", "n_regionkey",
+      "r_regionkey")
+    // the stream-static enrichment join: broadcasting the dim side per
+    // micro-batch IS the documented production contract (the dim is
+    // "small, slowly-changing" by the operator's contract, and streaming
+    // has no AQE to arbitrate) — see EventsStreaming.enrichJoin scaladoc
+    val exempt = Set("st05_enrich_join")
+
+    // a filter selecting a fixed id-subset: `x < K` / `x = K` / `x IN
+    // (...)` with a foldable bound (the analyzer wraps literals in Cast,
+    // so match foldability, not the raw Literal node)
+    def literallyBounded(cond: Expression): Boolean = cond.exists {
+      case LessThan(_, r) if r.foldable => true
+      case LessThanOrEqual(_, r) if r.foldable => true
+      case EqualTo(_, r) if r.foldable => true
+      case GreaterThan(l, _) if l.foldable => true
+      case GreaterThanOrEqual(l, _) if l.foldable => true
+      case In(_, list) if list.forall(_.foldable) => true
+      case _: InSet => true
+      case _ => false
+    }
+
+    def offending(p: LogicalPlan): Seq[String] = p match {
+      case _: LocalRelation | _: Range => Nil
+      case _: GlobalLimit | _: LocalLimit => Nil
+      case a: Aggregate if a.groupingExpressions.isEmpty => Nil
+      case a: Aggregate if a.groupingExpressions
+        .flatMap(_.references.toSeq.map(_.name)).forall(boundedKeys) => Nil
+      case f: Filter if literallyBounded(f.condition) => Nil
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val path = fs.location.rootPaths.mkString(",")
+          growing.filter(t => path.contains(s"$t.parquet")).toSeq
+        case _ => Nil
+      }
+      case other => other.children.flatMap(offending)
+    }
+
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => exempt(q._1))
+      .flatMap { case (name, q) =>
+        val hits =
+          try {
+            val analyzed = q(spark, sf).queryExecution.analyzed
+            analyzed.collect {
+              case ResolvedHint(child, h) if h.strategy.contains(BROADCAST) =>
+                offending(child)
+            }.flatten
+          } finally spark.sharedState.cacheManager.clearCache()
+        hits.map(t => s"$name force-broadcasts SF-growing table: $t")
+      }
+    assert(bad.isEmpty, bad.distinct.mkString("\n"))
+  }
 }
