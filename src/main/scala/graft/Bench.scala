@@ -75,7 +75,31 @@ object Bench {
     // the output, and with 118 queries the line head falls off — r3 lost
     // the headline total that way. JSON member order is free, so put the
     // summary where truncation can't reach it.
-    println(s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    val line = s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json keeps only the stdout tail, which
+    // truncates ~70% of per-query timings at the current surface size
+    // (r5: 163/232 lost). Persist the full line to a repo file so
+    // round-over-round per-query diffs survive: bench_full.json is the
+    // SAME JSON, file-complete. Timestamped history rides in
+    // bench_history/ so consecutive sessions don't clobber each other.
+    try {
+      // a BENCH_ONLY partial run must not clobber the last FULL surface
+      // numbers — partials go to history only, tagged
+      if (only.isEmpty)
+        java.nio.file.Files.writeString(
+          new java.io.File("bench_full.json").toPath, line + "\n")
+      val hist = new java.io.File("bench_history")
+      hist.mkdirs()
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val tag = if (only.isEmpty) "" else "_partial"
+      java.nio.file.Files.writeString(
+        new java.io.File(hist, s"bench_$stamp$tag.json").toPath, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] persist failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
