@@ -369,9 +369,7 @@ object Curation {
     val corpus = base.unionAll(twins)
       .withColumn("norm", Similarity.l2norm(col("embedding")))
       .persist()
-    val cents = corpus.filter(col("vec_id") % 97 === 0 &&
-        col("vec_id") < 10000000L)
-      .orderBy("vec_id").limit(16)
+    val cents = Similarity.coarseSeeds(corpus.filter(col("vec_id") < 10000000L))
       .select(col("vec_id").as("centroid_vec"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
     val wAssign = Window.partitionBy("vec_id")
@@ -411,8 +409,7 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", Similarity.l2norm(col("embedding")))
-    val cents = corpus.filter(col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val cents = Similarity.coarseSeeds(corpus)
       .select(col("vec_id").as("centroid_vec"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
     val w = Window.partitionBy("vec_id")
@@ -459,8 +456,7 @@ object Curation {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("nrm", sqrt(fold("e", "e")))
       .persist()
-    var cents = corpus.filter(col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    var cents = Similarity.coarseSeeds(corpus)
       .select(col("vec_id").as("cluster"), col("e").as("c"),
         col("nrm").as("cnrm"), lit(0L).as("n_members"))
     val w = Window.partitionBy("vec_id")

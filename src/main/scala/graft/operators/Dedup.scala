@@ -1135,9 +1135,7 @@ object Dedup {
     val all = base.unionAll(dup)
       .withColumn("norm", Similarity.l2norm(col("embedding")))
       .persist() // feeds centroid sample + assignment (the dd07 lesson)
-    val cents = all.filter(col("vec_id") < COPY_OFFSET &&
-        col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val cents = Similarity.coarseSeeds(all.filter(col("vec_id") < COPY_OFFSET))
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
     val wAssign = Window.partitionBy("vec_id")

@@ -41,6 +41,129 @@ object Similarity {
   def signBucket(emb: Column): Column =
     graft.functions.GraftFunctions.sign_lsh32(emb)
 
+  /** THE coarse-quantizer seed sample, shared by the whole IVF family
+    * (ss03/ss05/ss11/ss15/ss16/ss19/ss20/ss23-ss25, dd12/dd24's
+    * SemDeDup, tx clustering): the first `k` corpus vectors whose id is
+    * ≡ 0 (mod `seedStep`), ordered by id — deterministic, zero-
+    * dependency, and replayable verbatim in the DuckDB oracle
+    * (`WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16`).
+    *
+    * `k` and `seedStep` are the SCALING knobs. The driver-contract
+    * query instances pin (k=16, seedStep=97) so every oracle hash stays
+    * stable, but nothing else in the family depends on those numbers:
+    * a production deployment sizes k from the corpus count and sets
+    * seedStep ≈ n/k so the sample spans the corpus. Two sizing rules,
+    * both load-bearing at 100 TB:
+    *   - SEARCH balance: probe cost ≈ k (centroid scan) + nprobe·n/k
+    *     (list scan) is minimized at k ≈ √(nprobe·n) — k must GROW
+    *     with the corpus or every inverted list grows linearly.
+    *   - QUADRATIC-STAGE bound: any within-list pairwise stage (ss20's
+    *     adjacency build, dd12/dd24's dup-pair stage) costs
+    *     Σ_lists (n/k)² = n²/k — k ∝ n is what keeps it linear.
+    * `QuantizerSpec` pins both properties: doubling k (with seedStep
+    * halved) at least halves the max list size on the test corpus.
+    *
+    * Returns the sampled ROWS of `corpus` unchanged (all columns), so
+    * call sites keep their own id/column conventions.
+    */
+  def coarseSeeds(corpus: DataFrame, k: Int = 16,
+      seedStep: Long = 97L): DataFrame =
+    corpus.filter(col("vec_id") % seedStep === 0).orderBy("vec_id").limit(k)
+
+  /** TRAINED coarse quantizer: [[coarseSeeds]] refined by `rounds`
+    * relational Lloyd iterations (the ss15 trained-codebook machinery
+    * applied to the FULL vector instead of PQ subvectors): assign every
+    * corpus vector to its max-cosine centroid (ties → lowest cid), then
+    * recenter each cell at the per-dimension mean rounded to 6 decimals
+    * — the ss09 cross-engine iteration rule, so double summation-order
+    * drift cannot compound across rounds and DuckDB replays the
+    * training bit-for-bit. Cells that lose all members drop out
+    * deterministically.
+    *
+    * Returns (cid BIGINT = seed vec_id, c_emb DOUBLE[], c_norm DOUBLE).
+    * With rounds > 0 the ≤k-row result is localCheckpoint'd (the ss15
+    * rule: the training subplan must execute once, not once per
+    * consumer). `corpus` needs (vec_id, embedding FLOAT[]).
+    */
+  def coarseCentroids(corpus: DataFrame, k: Int = 16,
+      seedStep: Long = 97L, rounds: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dd(a: String, b: String) =
+      graft.functions.GraftFunctions.double_dot(col(a), col(b))
+    val base = corpus.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", sqrt(dd("e", "e")))
+    var cents = coarseSeeds(base, k, seedStep)
+      .select(col("vec_id").as("cid"), col("e").as("c_emb"),
+        col("nrm").as("c_norm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    for (_ <- 1 to rounds) {
+      cents = base.crossJoin(broadcast(cents))
+        .withColumn("ccos", dd("e", "c_emb") / (col("nrm") * col("c_norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("cid")
+        .agg(graft.functions.VectorAgg.vector_avg(col("e")).as("avg"))
+        .withColumn("c_emb", expr("transform(avg, x -> round(x, 6))"))
+        .withColumn("c_norm", sqrt(dd("c_emb", "c_emb")))
+        .select("cid", "c_emb", "c_norm")
+    }
+    if (rounds > 0) cents.localCheckpoint() else cents
+  }
+
+  /** ss28: TRAINED-COARSE-QUANTIZER AUDIT — the [[coarseCentroids]]
+    * training path, oracle-certified end-to-end (the r5 gap: the IVF
+    * family's quantizer was a fixed 16-sample with no trained code path
+    * at all). Per cell: member count and the SUM of assignment cosines
+    * under (a) the raw seed sample and (b) the 2-round Lloyd-refined
+    * centroids. Cosine sums ride as floor(ccos·10⁶) INTEGERS — sums of
+    * bigints are reducer-order-independent, so the cross-engine hash is
+    * exact by construction (no float-aggregate rounding leap of faith),
+    * while DuckDB replays seeding, both Lloyd rounds (per-dim avg
+    * rounded to 6 — the ss15 rule) and both assignments bit-for-bit.
+    * `QuantizerSpec` pins that training strictly raises the total.
+    *
+    * Scale: each round is one broadcast-centroid pass over the corpus +
+    * a k-row aggregate — the standard distributed-k-means shape; list
+    * sizing rules live on [[coarseSeeds]].
+    */
+  def coarseTrainAudit(s: SparkSession, d: String): DataFrame = {
+    def dd(a: String, b: String) =
+      graft.functions.GraftFunctions.double_dot(col(a), col(b))
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val base = corpus.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", sqrt(dd("e", "e")))
+      .persist()
+    def assignStats(cents: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cid"))
+      base.crossJoin(broadcast(cents))
+        .withColumn("ccos", dd("e", "c_emb") / (col("nrm") * col("c_norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("ccos") * lit(1000000.0)).cast("bigint"))
+            .as("cos_x1e6"))
+    }
+    val st0 = assignStats(coarseCentroids(corpus))
+      .select(col("cid"), col("n").as("n_seed"),
+        col("cos_x1e6").as("cos_seed_x1e6"))
+    val st2 = assignStats(coarseCentroids(corpus, rounds = 2))
+      .select(col("cid"), col("n").as("n_trained"),
+        col("cos_x1e6").as("cos_trained_x1e6"))
+    st0.join(st2, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_seed"), lit(0L)).as("n_seed"),
+        coalesce(col("cos_seed_x1e6"), lit(0L)).as("cos_seed_x1e6"),
+        coalesce(col("n_trained"), lit(0L)).as("n_trained"),
+        coalesce(col("cos_trained_x1e6"), lit(0L)).as("cos_trained_x1e6"))
+      .orderBy("cid")
+  }
+
   val queries: Map[String, Q] = Map(
     "ss01_topk_bruteforce" -> ((s, d) => topkBrute(s, d)),
     "ss02_topk_lsh" -> ((s, d) => topkLsh(s, d)),
@@ -67,6 +190,7 @@ object Similarity {
     "ss25_adaptive_nprobe" -> ((s, d) => adaptiveNprobe(s, d)),
     "ss26_mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
     "ss27_embedding_health" -> ((s, d) => embeddingHealth(s, d)),
+    "ss28_coarse_train" -> ((s, d) => coarseTrainAudit(s, d)),
   )
 
   /** ss22: INT8 SCALAR-QUANTIZATION RECALL — completes the measurement
@@ -251,8 +375,7 @@ object Similarity {
       .withColumn("xx", dd("sub", "sub"))
       .persist()
     // ss13's deterministic init, split per subspace
-    var cents = corpus
-      .filter(col("vec_id") % 97 === 0).orderBy("vec_id").limit(16)
+    var cents = coarseSeeds(corpus)
       .select(row_number().over(Window.orderBy("vec_id")).as("cid"),
         col("embedding").as("c_emb"))
       .select(col("cid"), explode(expr(
@@ -388,8 +511,7 @@ object Similarity {
     val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
       .persist()
-    val cents = corpus.filter(col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
     val wAssign = Window.partitionBy("vec_id")
@@ -558,8 +680,7 @@ object Similarity {
     val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
       .persist()
-    val cents = corpus.filter(col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
     val wAssign = Window.partitionBy("vec_id")
@@ -645,8 +766,7 @@ object Similarity {
       .withColumn("norm", l2norm(col("embedding")))
       .withColumn("dead", (col("vec_id") % 10 === 3).cast("int"))
       .persist()
-    val cents = corpus.filter(col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
     val wAssign = Window.partitionBy("vec_id")
@@ -709,8 +829,7 @@ object Similarity {
     val all = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
       .withColumn("is_new", (col("vec_id") % 10 === 7).cast("int"))
-    val cents = all.filter(col("is_new") === 0 && col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val cents = coarseSeeds(all.filter(col("is_new") === 0))
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
     val wAssign = Window.partitionBy("vec_id")
@@ -754,8 +873,7 @@ object Similarity {
     val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
       .persist()
-    val cents = corpus.filter(col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
     val wAssign = Window.partitionBy("vec_id")
@@ -943,8 +1061,7 @@ object Similarity {
       .persist()
     // stage 1 — coarse IVF: cosine argmax over 16 sampled centroids,
     // queries probe their top-2 lists (ss16's knee)
-    val coarse = base.filter(col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val coarse = coarseSeeds(base)
       .select(col("vec_id").as("ccid"), col("embedding").as("cc_emb"),
         col("norm").as("cc_norm"))
     val wAssign = Window.partitionBy("vec_id")
@@ -962,8 +1079,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     // stage 2 — PQ codes + ADC on the candidates only (ss13's codebook,
     // conditional per-subspace sums: reducer-order-independent)
-    val cents = base.filter(col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val cents = coarseSeeds(base)
       .select(row_number().over(Window.orderBy("vec_id")).as("cid"),
         col("embedding").as("c_emb"))
       .select(col("cid"), explode(expr(
@@ -1110,8 +1226,7 @@ object Similarity {
       .withColumn("sig", signBucket(col("embedding")))
       .persist() // feeds banding, assignment, adjacency, exact side
     // coarse lists + within-list top-4 neighbor graph
-    val cents = corpus.filter(col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
     val wA = Window.partitionBy("vec_id")
@@ -1316,8 +1431,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val m = 8 // subspaces of 8 dims each
     val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val cents = base.filter(col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val cents = coarseSeeds(base)
       .select(row_number().over(Window.orderBy("vec_id")).as("cid"),
         col("embedding").as("c_emb"))
       .select(col("cid"), explode(expr(
@@ -1585,8 +1699,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
-    val cents = corpus.filter(col("vec_id") % 97 === 0)
-      .orderBy("vec_id").limit(16)
+    val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("centroid_vec"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
     val w = Window.partitionBy("vec_id")
@@ -1671,10 +1784,10 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** ss03: IVF-style ANN. Coarse quantizer = 16 deterministically sampled
-    * corpus vectors (a real pipeline trains k-means — spark.ml KMeans —
-    * and persists centroids; the sampling keeps this zero-dependency and
-    * deterministic). Corpus vectors are assigned to their nearest
+  /** ss03: IVF-style ANN. Coarse quantizer = [[coarseSeeds]] (k=16
+    * pinned for the oracle; k/seedStep sizing rules and the TRAINED
+    * Lloyd path live there — [[coarseCentroids]], oracle-certified by
+    * ss28). Corpus vectors are assigned to their nearest
     * centroid (one inverted list per centroid = ONE shuffle key);
     * queries probe their 2 nearest lists; candidates rerank by exact
     * cosine. The centroid matrix is collected once on the driver (16×64
@@ -1685,8 +1798,7 @@ object Similarity {
     import graft.functions.NearestCentroids
     import org.apache.spark.sql.graftshim.GraftShim
     val corpus = t(s, d, "embeddings").select("vec_id", "embedding")
-    val centroids: Array[Array[Float]] = corpus
-      .filter(col("vec_id") % 97 === 0).orderBy("vec_id").limit(16)
+    val centroids: Array[Array[Float]] = coarseSeeds(corpus)
       .collect().map(_.getSeq[Float](1).toArray)
     def nearest(c: Column, probes: Int): Column =
       GraftShim.column(NearestCentroids(GraftShim.expression(c),
@@ -1911,6 +2023,69 @@ object Similarity {
         |  FROM r)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // ss28: full replay of the trained coarse quantizer — seed sample,
+    // TWO Lloyd rounds (per-dim avg rounded to 6, the ss15 rule), both
+    // assignments; cosine totals as floor(·10⁶) integer sums so the
+    // hash is reducer-order-exact. Iterated/multi-referenced CTEs are
+    // MATERIALIZED (the gr04/dd13 CTE-inlining rule).
+    "ss28_coarse_train" ->
+      s"""WITH $normCte,
+         |seeds AS (SELECT vec_id AS cid, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |a0 AS MATERIALIZED (SELECT vec_id, cid, ccos FROM (
+         |    SELECT vec_id, cid, ccos, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM (SELECT c.vec_id, q.cid,
+         |        $dotSql / (c.nrm * q.nrm) AS ccos
+         |      FROM n c CROSS JOIN seeds q)) WHERE rn = 1),
+         |u1 AS (SELECT a.cid, unnest(generate_series(1, len(c.e))) AS dim,
+         |    unnest(c.e) AS x
+         |  FROM a0 a JOIN n c ON c.vec_id = a.vec_id),
+         |g1 AS (SELECT cid, dim, round(avg(x), 6) AS cx
+         |  FROM u1 GROUP BY cid, dim),
+         |c1 AS MATERIALIZED (SELECT cid, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM (SELECT cid, list(cx ORDER BY dim) AS e
+         |        FROM g1 GROUP BY cid)),
+         |a1 AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM (SELECT c.vec_id, q.cid,
+         |        $dotSql / (c.nrm * q.nrm) AS ccos
+         |      FROM n c CROSS JOIN c1 q)) WHERE rn = 1),
+         |u2 AS (SELECT a.cid, unnest(generate_series(1, len(c.e))) AS dim,
+         |    unnest(c.e) AS x
+         |  FROM a1 a JOIN n c ON c.vec_id = a.vec_id),
+         |g2 AS (SELECT cid, dim, round(avg(x), 6) AS cx
+         |  FROM u2 GROUP BY cid, dim),
+         |c2 AS MATERIALIZED (SELECT cid, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM (SELECT cid, list(cx ORDER BY dim) AS e
+         |        FROM g2 GROUP BY cid)),
+         |af AS (SELECT vec_id, cid, ccos FROM (
+         |    SELECT vec_id, cid, ccos, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM (SELECT c.vec_id, q.cid,
+         |        $dotSql / (c.nrm * q.nrm) AS ccos
+         |      FROM n c CROSS JOIN c2 q)) WHERE rn = 1),
+         |st0 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_seed,
+         |    CAST(sum(CAST(floor(ccos * 1000000.0) AS BIGINT)) AS BIGINT)
+         |      AS cos_seed_x1e6
+         |  FROM a0 GROUP BY cid),
+         |st2 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_trained,
+         |    CAST(sum(CAST(floor(ccos * 1000000.0) AS BIGINT)) AS BIGINT)
+         |      AS cos_trained_x1e6
+         |  FROM af GROUP BY cid)
+         |SELECT CAST(COALESCE(st0.cid, st2.cid) AS BIGINT) AS cid,
+         |  CAST(COALESCE(st0.n_seed, 0) AS BIGINT) AS n_seed,
+         |  CAST(COALESCE(st0.cos_seed_x1e6, 0) AS BIGINT) AS cos_seed_x1e6,
+         |  CAST(COALESCE(st2.n_trained, 0) AS BIGINT) AS n_trained,
+         |  CAST(COALESCE(st2.cos_trained_x1e6, 0) AS BIGINT)
+         |    AS cos_trained_x1e6
+         |FROM st0 FULL OUTER JOIN st2 ON st2.cid = st0.cid
+         |ORDER BY cid""".stripMargin,
     "ss14_filtered_topk" ->
       s"""WITH v AS (SELECT vec_id, label,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
