@@ -1222,9 +1222,20 @@ object Similarity {
              |  ((((vec_id * 131071) + (i * 524287)) % 1000) / 500.0 - 1.0)
              |  AS FLOAT))""".stripMargin).as("embedding"))
     val corpus = raw.unionAll(twins)
+      // spread FIRST: the parquet corpus is 1-2 input splits, so every
+      // downstream crossJoin/dot stage would run at parallelism 2 on a
+      // 32-core session (measured: the dominant ss20 cost). All
+      // downstream ranks/aggregates are fully keyed, so row placement
+      // cannot change the result.
+      .repartition()
       .withColumn("nrm", l2norm(col("embedding")))
       .withColumn("sig", signBucket(col("embedding")))
-      .persist() // feeds banding, assignment, adjacency, exact side
+      // EAGER materialization, not lazy persist: the centroid/query
+      // broadcast-build jobs race ahead of the main job, and with a
+      // cold cache each one re-ran the twin-planting HOF lambda
+      // (interpreted, ~0.7 s/pass at sf0.1) — measured 2 redundant
+      // corpus builds before the cache filled
+      .localCheckpoint()
     // coarse lists + within-list top-4 neighbor graph
     val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
@@ -1236,15 +1247,31 @@ object Similarity {
         dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
       .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-    val wN = Window.partitionBy("src").orderBy(col("cosn").desc, col("dst"))
-    val adj = asg.select(col("cid"), col("vec_id").as("src"),
+    // Per-list build cap: the pair join below is quadratic IN THE LIST,
+    // so its total cost is Σ_lists L² = n²/k — bounded only under the
+    // k ∝ n sizing rule (see coarseSeeds). The explicit rank guard
+    // makes the worst case k·CAP² regardless of list skew: a no-op on
+    // any corpus that obeys the sizing rule (max list here ≈ n/k ≪ CAP)
+    // but a hard ceiling when one list degenerates.
+    val listCap = 4096
+    val wL = Window.partitionBy("cid").orderBy("vec_id")
+    val listed = asg
+      .withColumn("lrn", row_number().over(wL))
+      .filter(col("lrn") <= listCap)
+    // top-4 via the bounded-heap exec (q66's operator), not a window:
+    // same one exchange on src, but O(pairs·log 4) heaping instead of a
+    // full per-partition sort of the quadratic pair stream
+    val pairScored = listed.select(col("cid"), col("vec_id").as("src"),
         col("embedding").as("se"), col("nrm").as("sn"))
-      .join(asg.select(col("cid"), col("vec_id").as("dst"),
+      .join(listed.select(col("cid"), col("vec_id").as("dst"),
         col("embedding").as("de"), col("nrm").as("dn")), Seq("cid"))
       .filter(col("src") =!= col("dst"))
       .withColumn("cosn",
         dot(col("se"), col("de")) / (col("sn") * col("dn")))
-      .withColumn("rn", row_number().over(wN)).filter(col("rn") <= 4)
+      .select("src", "dst", "cosn")
+    val adj = graft.plans.TopKPerGroup(pairScored, Seq("src"),
+        Seq("cosn" -> org.apache.spark.sql.catalyst.expressions.Descending,
+          "dst" -> org.apache.spark.sql.catalyst.expressions.Ascending), 4)
       .select(col("src"), col("dst"))
     // seeds: banded sign-LSH candidates (ss07 pattern, 50 queries) —
     // deliberately only HALF the bands (0-1): the cheap first stage
@@ -1261,9 +1288,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
       .persist() // counted, expanded, and unioned
-    // one undirected hop over the neighbor graph
+    // one undirected hop over the neighbor graph; the ids-only edge
+    // list feeds TWO consumers (self-hop + seed expansion) — persist so
+    // the quadratic per-list build executes ONCE, not per consumer
     val undirected = adj.unionAll(
       adj.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
     // in-corpus queries (the dedup regime): the query node's own graph
     // neighborhood is part of the index lookup — its top-1 edge is the
     // twin, the edge band misses cannot lose
@@ -1279,36 +1309,39 @@ object Similarity {
       .unionAll(selfHop)
       .filter(col("vec_id") =!= col("query_id"))
       .distinct()
+      .persist() // counted AND membership-probed — two consumers
     // true 1-NN per query (the planted twin) — sampled exact denominator
     val qs = corpus.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val wX = Window.partitionBy("query_id")
-      .orderBy(col("cosq").desc, col("node"))
+    // argmax as a PARTIAL AGGREGATE, not a window: row_number() OVER
+    // (PARTITION BY query_id) shuffles and single-task-sorts all
+    // corpus×query score rows (AQE coalesces 50 groups to 1 partition —
+    // measured ~0.7 s serialized); max_by with the (cosq, -node) key is
+    // the same argmax (max cosine, ties to the LOWEST node id) computed
+    // map-side with only 50 partials on the exchange.
     val exact1 = corpus.select(col("vec_id").as("node"),
         col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
       .crossJoin(broadcast(qs))
       .filter(col("node") =!= col("query_id"))
       .withColumn("cosq",
         dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rn", row_number().over(wX)).filter(col("rn") === 1)
-      .select(col("query_id"), col("node").as("exact_id"))
-    val nSeed = seeds.groupBy("query_id")
-      .agg(count(lit(1)).as("n_seed"))
-    val nExp = expanded.groupBy("query_id")
-      .agg(count(lit(1)).as("n_expanded"))
-    val seedHit = exact1.join(seeds,
-        exact1("query_id") === seeds("query_id") &&
-          exact1("exact_id") === seeds("vec_id"), "left_semi")
-      .select(col("query_id"), lit(1L).as("seed_hit"))
-    val expHit = exact1.join(expanded,
-        exact1("query_id") === expanded("query_id") &&
-          exact1("exact_id") === expanded("vec_id"), "left_semi")
-      .select(col("query_id"), lit(1L).as("expanded_hit"))
-    exact1.join(nSeed, Seq("query_id"), "left")
-      .join(nExp, Seq("query_id"), "left")
-      .join(seedHit, Seq("query_id"), "left")
-      .join(expHit, Seq("query_id"), "left")
+      .groupBy("query_id")
+      .agg(max_by(col("node"), struct(col("cosq"), (-col("node")).as("ni")))
+        .as("exact_id"))
+      .persist() // 50 rows feeding three consumers (2 hit probes + spine)
+    // count + membership in ONE aggregation per candidate set (r6: the
+    // former 2 counts + 2 semi-joins + 4-way rollup was 4 extra stages
+    // of pure scheduling overhead at these row counts; same values)
+    def stats(cand: DataFrame, nCol: String, hitCol: String): DataFrame =
+      cand.join(broadcast(exact1), Seq("query_id"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as(nCol),
+          max(when(col("vec_id") === col("exact_id"), 1L).otherwise(0L))
+            .as(hitCol))
+    exact1.join(stats(seeds, "n_seed", "seed_hit"), Seq("query_id"), "left")
+      .join(stats(expanded, "n_expanded", "expanded_hit"),
+        Seq("query_id"), "left")
       .select(col("query_id"), col("exact_id"),
         coalesce(col("n_seed"), lit(0L)).as("n_seed"),
         coalesce(col("n_expanded"), lit(0L)).as("n_expanded"),
