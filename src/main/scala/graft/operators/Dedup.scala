@@ -1713,6 +1713,15 @@ object Dedup {
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // dd21: the oracle replays ALL pairs (affordable at oracle SF) — hash
     // equality certifies that the prefix filter lost no qualifying pair.
+    // r6: the oracle replays the Spark side's OWN prefix-filter
+    // formulation instead of the all-pairs shared-shingle self-join
+    // (quadratic; spilled ~75 GB at sf0.1 and had to be hand-stripped
+    // from large-SF selfchecks). The prefix-filter guarantee is
+    // ORDER-FREE — a pair with containment >= 0.8 must share one of ANY
+    // floor(|A|/5)+1 probe shingles — so the md5-hex rarity order here
+    // and the xxhash64 order on the Spark side generate (possibly
+    // different) candidate SUPERSETS that the exact verify reduces to
+    // the identical qualifying set. Hash unchanged; runs at sf0.1.
     "dd21_containment_join" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
         |           FROM documents),
@@ -1721,17 +1730,33 @@ object Dedup {
         |       ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
         |             for i in generate_series(1, len(tk) - 2)] END AS shingles
         |  FROM t),
-        |sh AS (SELECT DISTINCT doc_id, md5(sh0) AS sh
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, md5(sh0) AS sh
         |       FROM (SELECT doc_id, unnest(shingles) AS sh0 FROM shl)),
-        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |ix AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
-        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-        |       GROUP BY 1, 2)
-        |SELECT ix.a AS contained_id, ix.b AS container_id, n_shared,
-        |  sa.n_sh AS n_contained, sb.n_sh AS n_container
-        |FROM ix JOIN sz sa ON ix.a = sa.doc_id
-        |        JOIN sz sb ON ix.b = sb.doc_id
-        |WHERE 5 * n_shared >= 4 * sa.n_sh
+        |dfx AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+        |rk AS (SELECT s.doc_id, s.sh,
+        |         row_number() OVER (PARTITION BY s.doc_id
+        |           ORDER BY d.df, s.sh) AS rk,
+        |         count(*) OVER (PARTITION BY s.doc_id) AS n_sh
+        |       FROM sh s JOIN dfx d ON d.sh = s.sh),
+        |prefix AS (SELECT doc_id AS a, sh, n_sh AS n_contained
+        |           FROM rk WHERE rk <= n_sh // 5 + 1),
+        |cand AS (SELECT DISTINCT p.a, s.doc_id AS b, p.n_contained
+        |         FROM prefix p JOIN sh s ON s.sh = p.sh
+        |           AND s.doc_id <> p.a),
+        |cand2 AS (SELECT c.a, c.b, c.n_contained, z.n_sh AS n_container
+        |          FROM cand c
+        |          JOIN (SELECT doc_id, count(*) AS n_sh FROM sh
+        |                GROUP BY 1) z ON z.doc_id = c.b
+        |          WHERE z.n_sh * 5 >= c.n_contained * 4),
+        |ver AS (SELECT c.a, c.b, c.n_contained, c.n_container,
+        |          count(*) AS n_shared
+        |        FROM cand2 c
+        |        JOIN sh sa ON sa.doc_id = c.a
+        |        JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        |        GROUP BY 1, 2, 3, 4)
+        |SELECT a AS contained_id, b AS container_id, n_shared,
+        |  n_contained, n_container
+        |FROM ver WHERE n_shared * 5 >= n_contained * 4
         |ORDER BY contained_id, container_id""".stripMargin,
 
     "dd09_jaccard_oracle" ->
