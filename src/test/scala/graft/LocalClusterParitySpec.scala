@@ -47,6 +47,15 @@ class LocalClusterParitySpec extends SparkSpec {
   //   q85  — KmvSketch TypedImperativeAggregate (TreeSet buffer
   //          serialize/merge between executors; state fully
   //          deterministic so parity is exact, not envelope-only)
+  //   dd21 — r6 shuffle-join path (per-doc size table no longer forced
+  //          broadcast; SMJ/SHJ serialization across executors)
+  //   pp20 — r6 shuffle join of decode stats with the per-media source
+  //          table (replaced a forced broadcast) + executor ImageIO
+  //   gr09 — r6 shuffle joins of the per-part support denominators
+  //   ss20 — r6 TopKPerGroup heap exec + repartition + localCheckpoint
+  //          corpus (checkpointed blocks read across executor JVMs)
+  //   ss28 — trained coarse quantizer: Lloyd rounds + vector_avg
+  //          ObjectHashAggregate buffers merged across executors
   private val names = Seq("q66_topk_pergroup", "dd12_semantic_dedup",
     "pp10_bloom_decontaminate", "dd03_minhash_signatures",
     "ss10_quantized_topk", "ss09_kmeans_converged",
@@ -55,7 +64,9 @@ class LocalClusterParitySpec extends SparkSpec {
     "tx22_char_diversity", "gr04_kcore", "mm10_media_quarantine",
     "q76_json_ingest_guard", "q77_heavy_hitters",
     "dd24_semantic_dedup", "ss25_adaptive_nprobe",
-    "q85_kmv_distinct")
+    "q85_kmv_distinct",
+    "dd21_containment_join", "pp20_media_curation", "gr09_copurchase",
+    "ss20_graph_expand", "ss28_coarse_train")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
