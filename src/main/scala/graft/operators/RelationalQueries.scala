@@ -1280,9 +1280,9 @@ object RelationalQueries {
         |    CAST(sum(abs(r1 - r0)) AS BIGINT) AS tad
         |  FROM rev),
         |sc AS (SELECT p_brand, r0, r1, r1 - r0 AS delta,
-        |    abs(r1 - r0) * 10000 // tad AS abs_share_x10k,
-        |    r0 * 10000 // t0 AS share0_x10k,
-        |    r1 * 10000 // t1 AS share1_x10k
+        |    abs(r1 - r0) * 10000 // nullif(tad, 0) AS abs_share_x10k,
+        |    r0 * 10000 // nullif(t0, 0) AS share0_x10k,
+        |    r1 * 10000 // nullif(t1, 0) AS share1_x10k
         |  FROM rev CROSS JOIN tot)
         |SELECT sc.*, share1_x10k - share0_x10k AS mix_shift_x10k,
         |  row_number() OVER (ORDER BY abs(delta) DESC, p_brand) AS rnk

@@ -2378,7 +2378,7 @@ object Similarity {
         |  FROM d GROUP BY 1),
         |w AS (SELECT dim, n, s, n * s2 - s * s AS varn2 FROM g)
         |SELECT dim, n, s, varn2,
-        |  varn2 * 10000 // CAST(sum(varn2) OVER () AS BIGINT)
+        |  varn2 * 10000 // nullif(CAST(sum(varn2) OVER () AS BIGINT), 0)
         |    AS var_share_x10k
         |FROM w ORDER BY dim""".stripMargin,
     "ss26_mmr_rerank" ->

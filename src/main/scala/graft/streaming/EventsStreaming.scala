@@ -831,7 +831,14 @@ object EventsStreaming {
         (uid: Long, rows: Iterator[Event], state: GroupState[AnomState]) =>
           var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer[AnomOut]()
-          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+          // exact micros, not getTime (ms): the batch face orders by the
+          // full timestamp and events carry sub-ms components — a same-ms
+          // pair whose event_id order inverts micros order would score in
+          // a different order than st15's window (the st09/st13 rule)
+          def tsu(r: Event): Long =
+            math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+              r.ts.getNanos / 1000L
+          rows.toSeq.sortBy(r => (tsu(r), r.event_id)).foreach { r =>
             val x = math.floor(r.value * 100 + 0.5).toLong
             val dev = st.n * x - st.sx
             if (st.n >= 8L &&
@@ -903,18 +910,33 @@ object EventsStreaming {
               r.ts.getNanos / 1000L
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
-          rows.toSeq.sortBy(r => (tsu(r), r.event_id)).foreach { r =>
+          // STAGED passes (view, then click, then purchase), not one
+          // greedy sweep: the batch face's conditional-min admits a
+          // click whose ts EQUALS t_view even when its event_id sorts
+          // it before the view — a single in-order pass would skip it
+          // (tv still unset) and silently report a lower stage on
+          // tied-timestamp corpora. Each pass is the conditional min
+          // over the batch given the stage set by the previous pass,
+          // which is exactly q71's chained-min semantics.
+          val sorted = rows.toSeq.sortBy(r => (tsu(r), r.event_id))
+          sorted.foreach { r =>
             val t = tsu(r)
-            r.event_type match {
-              case "view" if st.tv < 0L =>
-                st = st.copy(tv = t); out += FunnelOut(uid, "view", t)
-              case "click" if st.tv >= 0L && st.tc < 0L &&
-                  t >= st.tv && t <= st.tv + DayUs =>
-                st = st.copy(tc = t); out += FunnelOut(uid, "click", t)
-              case "purchase" if st.tc >= 0L && st.tp < 0L &&
-                  t >= st.tc && t <= st.tc + DayUs =>
-                st = st.copy(tp = t); out += FunnelOut(uid, "purchase", t)
-              case _ =>
+            if (r.event_type == "view" && st.tv < 0L) {
+              st = st.copy(tv = t); out += FunnelOut(uid, "view", t)
+            }
+          }
+          sorted.foreach { r =>
+            val t = tsu(r)
+            if (r.event_type == "click" && st.tv >= 0L && st.tc < 0L &&
+                t >= st.tv && t <= st.tv + DayUs) {
+              st = st.copy(tc = t); out += FunnelOut(uid, "click", t)
+            }
+          }
+          sorted.foreach { r =>
+            val t = tsu(r)
+            if (r.event_type == "purchase" && st.tc >= 0L && st.tp < 0L &&
+                t >= st.tc && t <= st.tc + DayUs) {
+              st = st.copy(tp = t); out += FunnelOut(uid, "purchase", t)
             }
           }
           state.update(st)
