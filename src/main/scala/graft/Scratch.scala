@@ -19,9 +19,12 @@ object Scratch {
       f
       println(f"[scratch] $label%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    // warm
-    operators.Similarity.graphExpandedSearch(spark, sfDir).write
+    val qname = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_QUERY",
+      "ss20_graph_expand")
+    def run(): Unit = SparkEntry.queries(qname)(spark, sfDir).write
       .format("noop").mode("overwrite").save()
+    // warm
+    run()
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val stages = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Int)]()
@@ -36,8 +39,7 @@ object Scratch {
             i.numTasks))
         }
       })
-    time("full")(operators.Similarity.graphExpandedSearch(spark, sfDir)
-      .write.format("noop").mode("overwrite").save())
+    time("full")(run())
     Thread.sleep(500)
     stages.sortBy(-_._3).take(25).foreach { case (id, n, d, t) =>
       println(f"[scratch] stage $id%3d $d%6d ms tasks=$t%-3d $n")

@@ -463,6 +463,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan)
   }
 
+  test("ss20 build: bounded-heap top-k on a reused src exchange") {
+    // the adjacency build sits inside persisted subtrees, so its exec
+    // nodes appear in the InMemoryRelation-nested plan blocks — assert
+    // on the full string, not on a final-plan prefix split
+    val plan = executedPlan("ss20_graph_expand")
+    // top-4 runs the TopKPerGroup heap exec (O(pairs·log k) heaping),
+    // never a per-group sort of the quadratic pair stream
+    assert(plan.contains("TopKPerGroup [src#"), plan)
+    assert(!plan.contains("Sort [src#"), plan)
+    // the reversed-direction union branch rides a ReusedExchange — one
+    // physical src-keyed shuffle serves both edge directions
+    assert("ReusedExchange \\[src#".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   /** Surface-wide guard (round-5 verdict finding 1-3): a FORCED
     * `broadcast()` hint must never target a table whose row count grows
     * with the corpus — per-doc/per-media size tables, TPC-H
