@@ -51,7 +51,7 @@ def run_bench(wt, queries, sf, cpus):
                SPARK_GRAFT_SF_DIR=sf,
                SPARK_GRAFT_CPUS=cpus,
                SPARK_GRAFT_BENCH_ONLY=",".join(queries))
-    out = sh(["sbt", "-batch", "runMain graft.Bench"], cwd=wt,
+    out = sh(["sbt", "-batch", "runMain graft.Bench"], cwd=wt, env=env,
              capture=True).stdout
     for line in out.splitlines():
         m = re.search(r'\{"queries":.*\}\s*$', line)
