@@ -687,14 +687,28 @@ object Dedup {
     // ~2.5× smaller on the pair join (same wall-clock at sf0.1 within
     // host noise; the byte win is what matters at 100 TB pair volumes).
     val sh = corpus
+      // spread FIRST (the ss20 rule): the parquet corpus is 1 input
+      // split × 3 union branches, so the shingle kernels below would
+      // run at parallelism 3 on a 32-core session — measured ~650 ms
+      // per pass vs ~60 ms spread. An EXPLICIT partition count: the
+      // kernels' cost is per-row CPU, and AQE's byte-based advisory
+      // coalesced a bare repartition() of the ~15 MB text back to 2.
+      .repartition(32)
       .withColumn("shingles",
         array_distinct(GraftFunctions.shingle_strings(col("text"))))
       .withColumn("hsh", sort_array(array_distinct(
         GraftFunctions.shingle_hashes64(col("text")))))
-      .select("doc_id", "shingles", "hsh")
-      .persist() // banding branch + both verify sides
-    val banded = sh
+      // the 8-lane md5 signature rides the SAME pass: computed after
+      // the checkpoint it would run once per band-join side (two
+      // racing map stages, ~1 s each at the coalesced parallelism)
       .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
+      .select("doc_id", "shingles", "hsh", "sig")
+      // EAGER materialization, not lazy persist (the ss20 lesson): the
+      // band self-join's two map stages race before a lazy cache fills,
+      // and each re-ran every kernel — the profile showed FOUR ~650 ms
+      // corpus passes where one suffices.
+      .localCheckpoint()
+    val banded = sh
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 3), b -> concat(sig[2*b], sig[2*b+1]))")))
       .withColumnRenamed("pos", "band")
@@ -715,8 +729,11 @@ object Dedup {
       .filter(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
       .select("a", "b")
+    // nodes from the SPREAD shingle table, not the 3-partition raw
+    // union (same ids by construction): every CC round's label scan
+    // inherits the parallelism
     val labels = connectedComponents(
-      corpus.select(col("doc_id").as("id")), edges)
+      sh.select(col("doc_id").as("id")), edges)
     labels.groupBy("label").agg(count(lit(1)).as("group_size"),
         collect_list("id").as("ids"))
       .select(explode(col("ids")).as("doc_id"),
