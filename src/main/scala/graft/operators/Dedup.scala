@@ -720,8 +720,16 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     val edges = cand
+      // explicit fan-out for the payload + verify stages (the dd20
+      // rule): the candidate set is ids-only and byte-small, so AQE's
+      // byte-based advisory coalesces both stages; the merge-intersect
+      // is CPU-bound and the a-join serializes the hash arrays. User
+      // repartitions are non-coalescible and each equi-join reuses its
+      // exchange — same exchange count, full parallelism.
+      .repartition(32, col("a"))
       .join(sh.select(col("doc_id").as("a"), col("hsh").as("sh_a")),
         Seq("a"))
+      .repartition(32, col("b"))
       .join(sh.select(col("doc_id").as("b"), col("hsh").as("sh_b")),
         Seq("b"))
       .withColumn("inter", GraftFunctions
@@ -891,11 +899,17 @@ object Dedup {
     */
   private val dd20LshTuning: Q = (s, d) => {
     val sh = recrawl(s, d)
+      // spread + EAGER materialization (the dd22/ss20 rule): six
+      // consumers (truth ×2, banding ×2, verify ×2) race a lazy
+      // persist and each re-ran the shingle+md5 kernels at the
+      // 2-split input parallelism — measured six ~600 ms map stages
+      // for a pipeline that costs ~100 ms once, spread
+      .repartition(32)
       .withColumn("shingles",
         array_distinct(GraftFunctions.shingle_strings(col("text"))))
       .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
       .select("doc_id", "shingles", "sig")
-      .persist() // feeds truth, all 4 band configs and 8 verify joins
+      .localCheckpoint()
     val jaccardTrue = (col("inter") /
       (size(col("sh_a")) + size(col("sh_b")) - col("inter"))) >= 0.5
     val truth = sh.filter(col("doc_id") < COPY_OFFSET)
@@ -926,8 +940,17 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val verified = cand8
+      // explicit fan-out for the payload + verify stages: the 8×1
+      // candidate set is ids-only and byte-small, so AQE's byte-based
+      // advisory coalesced the payload join to 2 tasks — which then
+      // serialized ~10⁵ pairs × both shingle arrays on 2 cores (the
+      // measured 1.9 s + 3 s of the query). User repartitions are
+      // non-coalescible and each equi-join reuses its exchange
+      // directly — same exchange count, full parallelism.
+      .repartition(32, col("doc_a"))
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
         col("sig").as("sig_a")), Seq("doc_a"))
+      .repartition(32, col("doc_b"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
         col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("inter",
