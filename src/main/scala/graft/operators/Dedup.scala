@@ -1220,7 +1220,89 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** dd25: b-BIT MINHASH estimator accuracy (Li & König, "b-Bit Minwise
+    * Hashing", WWW'10) — the storage knob every planetary-scale MinHash
+    * deployment turns: store only the lowest b bits of each lane minimum
+    * (64× smaller at b=1 vs a 64-bit lane) and correct the inflated
+    * collision rate analytically. For a b-bit lane the collision
+    * probability is c_b ≈ J + (1−J)·2⁻ᵇ (non-matching minima still agree
+    * on b bits by chance), so the unbiased estimate is
+    * Ĵ = (c_b − 2⁻ᵇ)/(1 − 2⁻ᵇ). This operator pins the whole accuracy
+    * story on one corpus: the SAME 10 portable md5 lanes read three ways
+    * — full 128-bit minima, their last hex digit (b=4), its parity
+    * (b=1) — against exact shingle Jaccard on a deterministic pair set
+    * (recrawl twins J≈0.9 + consecutive-id background pairs), bucketed
+    * by exact-Jaccard decile. Everything is integer arithmetic
+    * (estimates ×10⁴ via cross-multiplied DIV, errors as integer sums),
+    * so DuckDB replays lanes, bit extraction, correction formulas and
+    * the error rollup hash-exact. The measured table shows the Li-König
+    * trade: MAE grows as b shrinks at FIXED lane count — the paper's
+    * point is that the freed bits buy 64× more lanes than the accuracy
+    * they cost, which the equal-LANE columns here quantify.
+    *
+    * Scale: signatures are 10 strings/doc computed in one spread,
+    * checkpointed pass (the dd20/dd22 rule); pairs are id equijoins
+    * (planted offset + consecutive), never all-pairs; shingle payloads
+    * rejoin per pair for the exact denominator only.
+    */
+  private val dd25BbitMinhash: Q = (s, d) => {
+    val sh = recrawl(s, d)
+      .repartition(32)
+      .withColumn("shingles",
+        array_distinct(GraftFunctions.shingle_strings(col("text"))))
+      // 10 lanes, not 16: the kernel's lane suffix is the single byte
+      // '0'+k, so k ≤ 9 is the exactly-portable range (dd23's 16-lane
+      // use never outputs lane VALUES; this operator does)
+      .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 10))
+      .select("doc_id", "shingles", "sig")
+      .localCheckpoint()
+    val base = t(s, d, "documents").select(col("doc_id").as("i"))
+    val pairs = base
+      .select(col("i").as("a"), (col("i") + lit(COPY_OFFSET)).as("b"))
+      .unionAll(base.select(col("i").as("a"), (col("i") + 1).as("b")))
+    val par = "x -> substring(x, 32, 1) IN " +
+      "('1', '3', '5', '7', '9', 'b', 'd', 'f')"
+    val scored = pairs
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a"),
+        col("sig").as("sig_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b"),
+        col("sig").as("sig_b")), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("bigint") - col("inter"))
+      .withColumn("jq", expr("inter * 10000 DIV uni"))
+      .withColumn("eqf", expr(
+        "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y)," +
+          " v -> v)) AS BIGINT)"))
+      .withColumn("eq4", expr(
+        "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> " +
+          "substring(x, 32, 1) = substring(y, 32, 1)), v -> v)) AS BIGINT)"))
+      .withColumn("eq1", expr(
+        s"CAST(size(filter(zip_with(transform(sig_a, $par), " +
+          s"transform(sig_b, $par), (x, y) -> x = y), v -> v)) AS BIGINT)"))
+    scored
+      .selectExpr("least(jq DIV 1000, 9) AS decile", "jq",
+        // estimates ×10⁴, all-integer: full = eqf/10; b=4 corrected
+        // (c−1/16)·16/15 with c = eq4/10 → (16·eq4−10)·10⁴/150; b=1
+        // corrected 2c−1 with c = eq1/10 → (2·eq1−10)·10³
+        """stack(3,
+          |  CAST(128 AS BIGINT), eqf * 1000,
+          |  CAST(4 AS BIGINT),
+          |  greatest(16 * eq4 - 10, CAST(0 AS BIGINT)) * 10000 DIV 150,
+          |  CAST(1 AS BIGINT),
+          |  greatest(2 * eq1 - 10, CAST(0 AS BIGINT)) * 1000
+          |) AS (bits, est)""".stripMargin)
+      .groupBy("bits", "decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("abs(est - jq)")).as("sum_abs_err"),
+        sum(expr("est - jq")).as("sum_err"))
+      .withColumn("mae_x10k", expr("sum_abs_err DIV n_pairs"))
+      .orderBy(col("bits").desc, col("decile"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd25_bbit_minhash" -> dd25BbitMinhash,
     "dd24_semantic_dedup" -> dd24SemDedup,
     "dd23_fuzzy_decontaminate" -> dd23FuzzyDecon,
     "dd21_containment_join" -> dd21ContainmentJoin,
@@ -1320,6 +1402,146 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // dd25: full replay — lanes, last-hex-digit (b=4) and parity (b=1)
+    // collision counts, the Li-König correction formulas in integer
+    // cross-multiplied form, and the per-decile error rollup
+    "dd25_bbit_minhash" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM corpus),
+        |sh AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM tk),
+        |sig AS MATERIALIZED (SELECT doc_id,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7,
+        |    list_min([md5(s || '#8') for s in sh]) AS s8,
+        |    list_min([md5(s || '#9') for s in sh]) AS s9
+        |  FROM sh),
+        |pairs AS (SELECT doc_id AS a, doc_id + 10000000 AS b
+        |    FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 1 FROM documents),
+        |scored AS (SELECT
+        |    CAST(len(list_intersect(ha.sh, hb.sh)) AS BIGINT) * 10000
+        |      // (len(ha.sh) + len(hb.sh)
+        |          - len(list_intersect(ha.sh, hb.sh))) AS jq,
+        |    (CASE WHEN ga.s0 = gb.s0 THEN 1 ELSE 0 END
+        |     + CASE WHEN ga.s1 = gb.s1 THEN 1 ELSE 0 END
+        |     + CASE WHEN ga.s2 = gb.s2 THEN 1 ELSE 0 END
+        |     + CASE WHEN ga.s3 = gb.s3 THEN 1 ELSE 0 END
+        |     + CASE WHEN ga.s4 = gb.s4 THEN 1 ELSE 0 END
+        |     + CASE WHEN ga.s5 = gb.s5 THEN 1 ELSE 0 END
+        |     + CASE WHEN ga.s6 = gb.s6 THEN 1 ELSE 0 END
+        |     + CASE WHEN ga.s7 = gb.s7 THEN 1 ELSE 0 END
+        |     + CASE WHEN ga.s8 = gb.s8 THEN 1 ELSE 0 END
+        |     + CASE WHEN ga.s9 = gb.s9 THEN 1 ELSE 0 END) AS eqf,
+        |    (CASE WHEN substring(ga.s0, 32, 1) = substring(gb.s0, 32, 1)
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN substring(ga.s1, 32, 1) = substring(gb.s1, 32, 1)
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN substring(ga.s2, 32, 1) = substring(gb.s2, 32, 1)
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN substring(ga.s3, 32, 1) = substring(gb.s3, 32, 1)
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN substring(ga.s4, 32, 1) = substring(gb.s4, 32, 1)
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN substring(ga.s5, 32, 1) = substring(gb.s5, 32, 1)
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN substring(ga.s6, 32, 1) = substring(gb.s6, 32, 1)
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN substring(ga.s7, 32, 1) = substring(gb.s7, 32, 1)
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN substring(ga.s8, 32, 1) = substring(gb.s8, 32, 1)
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN substring(ga.s9, 32, 1) = substring(gb.s9, 32, 1)
+        |          THEN 1 ELSE 0 END) AS eq4,
+        |    (CASE WHEN (substring(ga.s0, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          = (substring(gb.s0, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN (substring(ga.s1, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          = (substring(gb.s1, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN (substring(ga.s2, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          = (substring(gb.s2, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN (substring(ga.s3, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          = (substring(gb.s3, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN (substring(ga.s4, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          = (substring(gb.s4, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN (substring(ga.s5, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          = (substring(gb.s5, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN (substring(ga.s6, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          = (substring(gb.s6, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN (substring(ga.s7, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          = (substring(gb.s7, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN (substring(ga.s8, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          = (substring(gb.s8, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          THEN 1 ELSE 0 END
+        |     + CASE WHEN (substring(ga.s9, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          = (substring(gb.s9, 32, 1) IN
+        |            ('1','3','5','7','9','b','d','f'))
+        |          THEN 1 ELSE 0 END) AS eq1
+        |  FROM pairs p
+        |  JOIN sh ha ON ha.doc_id = p.a
+        |  JOIN sh hb ON hb.doc_id = p.b
+        |  JOIN sig ga ON ga.doc_id = p.a
+        |  JOIN sig gb ON gb.doc_id = p.b),
+        |est AS (
+        |  SELECT CAST(128 AS BIGINT) AS bits, jq,
+        |      CAST(eqf AS BIGINT) * 1000 AS est FROM scored
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), jq,
+        |      greatest(16 * CAST(eq4 AS BIGINT) - 10, 0) * 10000 // 150
+        |    FROM scored
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), jq,
+        |      greatest(2 * CAST(eq1 AS BIGINT) - 10, 0) * 1000
+        |    FROM scored)
+        |SELECT bits, CAST(least(jq // 1000, 9) AS BIGINT) AS decile,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(abs(est - jq)) AS BIGINT) AS sum_abs_err,
+        |  CAST(sum(est - jq) AS BIGINT) AS sum_err,
+        |  CAST(sum(abs(est - jq)) AS BIGINT) // count(*) AS mae_x10k
+        |FROM est GROUP BY 1, 2
+        |ORDER BY bits DESC, decile""".stripMargin,
     "dd20_lsh_tuning" ->
       s"""WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
          |  FROM $recrawlSql),

@@ -268,6 +268,28 @@ class DedupSpec extends SparkSpec {
     assert(knee._3 >= 0.95 && knee._4 >= 0.9, knee.toString)
   }
 
+  test("dd25 b-bit minhash error grows as bits shrink (Li-König trade)") {
+    val rows = Dedup.queries("dd25_bbit_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))) // (bits, decile, n_pairs, sum_abs_err)
+    val byBits = rows.groupBy(_._1).view
+      .mapValues(g => g.map(_._4).sum).toMap
+    assert(byBits.keySet == Set(128L, 4L, 1L), byBits.toString)
+    // fewer stored bits per lane → strictly more absolute error at the
+    // same lane count — the accuracy half of the b-bit storage trade
+    assert(byBits(128L) < byBits(4L) && byBits(4L) < byBits(1L),
+      byBits.toString)
+    // chance collisions hit hardest where J ≈ 0: in the background
+    // decile the 1-bit estimator's error is many times the full lanes'
+    val d0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._4).toMap
+    assert(d0(1L) > 10L * d0(128L), d0.toString)
+    // every (bits, decile) cell is pair-complete: the three estimator
+    // tables partition the same pair set
+    val counts = rows.groupBy(_._1).view
+      .mapValues(g => g.map(_._3).sum).toMap
+    assert(counts.values.toSet.size == 1, counts.toString)
+  }
+
   test("dd19 banded near-dup recall finds planted twins, not controls") {
     val rows = Dedup.queries("dd19_neardup_recall")(spark, sf)
       .collect().map(r => (r.getString(2), r.getDouble(3), r.getLong(4)))
