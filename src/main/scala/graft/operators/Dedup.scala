@@ -613,12 +613,17 @@ object Dedup {
     */
   private val dd15LshRecall: Q = (s, d) => {
     val sh = recrawl(s, d)
+      // spread + EAGER materialization (the dd20 rule): the banding
+      // branch and both truth sides race a lazy persist at the 2-way
+      // input parallelism; the 8-lane signature rides the same pass so
+      // the two band-join sides don't recompute it
+      .repartition(32)
       .withColumn("shingles",
         array_distinct(GraftFunctions.shingle_strings(col("text"))))
-      .select("doc_id", "shingles")
-      .persist() // feeds the banding branch and both truth join sides
-    val banded = sh
       .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
+      .select("doc_id", "shingles", "sig")
+      .localCheckpoint()
+    val banded = sh
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 3), b -> concat(sig[2*b], sig[2*b+1]))")))
       .withColumnRenamed("pos", "band")
@@ -767,12 +772,17 @@ object Dedup {
     */
   private val dd16SubstringDedup: Q = (s, d) => {
     val spans = t(s, d, "documents")
+      // spread + EAGER materialization (the dd20 rule): the count and
+      // rejoin consumers each re-ran the stride-1 span fingerprinting
+      // at the 1-split input parallelism (~600 ms per pass)
+      .repartition(32)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, CAST(size(toks) - 8 AS INT)),
           |          i -> array_join(slice(toks, i + 1, 8), ' '))""".stripMargin)))
       .select(col("doc_id"), col("pos"), md5(col("col")).as("fp"))
+      .localCheckpoint()
     val counts = spans.groupBy("fp").agg(count(lit(1)).as("cnt"))
     spans.join(counts, Seq("fp"))
       .groupBy("doc_id")
