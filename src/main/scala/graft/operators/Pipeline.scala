@@ -767,7 +767,11 @@ object Pipeline {
     * no overflow), 0-7 → train, 8 → val, 9 → test.
     */
   val pp25ClusterSplit: Q = (s, d) => {
-    val (corpus, edges) = Dedup.nearDupGraph(s, d)
+    val (corpus, edges0) = Dedup.nearDupGraph(s, d)
+    // three consumers (the CC loop + both leak audits) would each
+    // re-run the candidate-verify joins — materialize the ids-only
+    // edge list once (the dd20 eager rule; ~3 longs per near-dup pair)
+    val edges = edges0.localCheckpoint()
     val labels = Dedup.connectedComponents(
       corpus.select(col("doc_id").as("id")), edges)
     def splitOf(h: org.apache.spark.sql.Column) =
