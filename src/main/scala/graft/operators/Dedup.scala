@@ -1121,7 +1121,10 @@ object Dedup {
         .as("toks"))
       .withColumn("sig", GraftFunctions.md5_min_lanes(col("toks"), 16))
     val bu = uni(bench).persist()   // bands + verify side (5 rows)
-    val tu = uni(train).persist()   // bands + verify side
+    // spread + EAGER materialization (the dd20 rule): the banding and
+    // verify consumers race a lazy persist and each re-ran the bigram
+    // + 16-lane md5 pass at the 2-way input parallelism
+    val tu = uni(train.repartition(32)).localCheckpoint()
     def bandify(df: DataFrame, idAs: String): DataFrame =
       df.select(col("doc_id").as(idAs), posexplode(col("sig")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")

@@ -71,6 +71,11 @@ object Multimodal {
   def pngTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     t(s, d, "documents").select(col("doc_id"), col("text"))
+      // spread FIRST (the dd20 rule): the parquet corpus is one input
+      // split, so the per-row PNG encode — and every decode pipeline
+      // downstream of it — would run at parallelism 1 on a 32-core
+      // session (mm05 measured two ~1 s single-task stages)
+      .repartition(32)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
