@@ -561,6 +561,9 @@ object Curation {
   val tx20BigramNovelty: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val grams = t(s, d, "documents")
+      // spread FIRST (the dd20 rule): the bigram explode + per-gram md5
+      // otherwise runs single-task over the 1-split parquet
+      .repartition(32)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -600,6 +603,10 @@ object Curation {
   val tx25BigramSurprisal: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val inst = t(s, d, "documents")
+      // spread + EAGER materialization (the dd20 rule): the model and
+      // scoring consumers each re-ran the bigram explode + two md5s
+      // per instance single-task over the 1-split parquet
+      .repartition(32)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -609,6 +616,7 @@ object Curation {
           .stripMargin)).as("p"))
       .select(col("doc_id"), md5(col("p.w1")).as("w1fp"),
         md5(col("p.bg")).as("bfp"))
+      .localCheckpoint()
     val model = inst.groupBy("w1fp", "bfp")
       .agg(count(lit(1)).as("c2"))
       .withColumn("c1", sum(col("c2")).over(Window.partitionBy("w1fp")))

@@ -346,12 +346,16 @@ object Pipeline {
     */
   val pp27SketchOverlap: Q = (s, d) => {
     val sh = t(s, d, "documents")
+      // spread + EAGER materialization (the dd20 rule): the sketch agg
+      // and both exact-pair sides race a lazy persist, each re-running
+      // the shingle + md5 pass single-task over the 1-split parquet
+      .repartition(32)
       .select(col("source"), explode(array_distinct(
         graft.functions.GraftFunctions.shingle_strings(col("text"))))
         .as("shingle"))
       .select(col("source"), md5(col("shingle")).as("fp"))
       .distinct()
-      .persist() // sketch agg + exact totals + exact pair join
+      .localCheckpoint() // sketch agg + exact totals + exact pair join
     val perSrc = sh.groupBy("source").agg(
       expr("hll_sketch_agg(fp, 12)").as("sk"),
       count(lit(1)).as("n_exact"))
