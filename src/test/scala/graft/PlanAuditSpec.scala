@@ -244,9 +244,11 @@ class PlanAuditSpec extends SparkSpec {
   test("substring-dedup shuffles fingerprint counters, never span text (dd16)") {
     val plan = executedPlan("dd16_substring_dedup")
       .split("== Initial Plan ==").head
-    // the span generate stays below the first aggregate; the md5 fp is
-    // computed map-side, so exchanges carry (fp / doc_id) keys only
-    assert(plan.contains("Generate"), plan)
+    // the stride-1 span generate + md5 run once inside the spread,
+    // eagerly-materialized pass; everything downstream scans the
+    // (doc_id, pos, fp) table, so span TEXT never reaches an exchange
+    assert(plan.contains("Scan ExistingRDD[doc_id#"), plan)
+    assert(",fp#".r.findFirstIn(plan).isDefined, plan)
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
 
