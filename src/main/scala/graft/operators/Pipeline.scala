@@ -834,7 +834,115 @@ object Pipeline {
       .orderBy("lang", "source", "len_band")
   }
 
+  /** pp30: IMPORTANCE-BASED DATA SELECTION (the DSIR shape, Xie et al.
+    * NeurIPS'23): keep the raw documents whose hashed-n-gram profile
+    * leans toward a curated target domain (here src0-src2 stand in for
+    * the "Wikipedia+books" bundle). Features are bigrams hashed to 128
+    * buckets via the portable md5 idiom; each bucket's weight is the
+    * INTEGER rate difference (t·10⁶ DIV T) − (r·10⁶ DIV R) — the
+    * first-order, cross-engine-exact stand-in for DSIR's ln(p_t/p_r)
+    * (same sign and ordering near p_t≈p_r, no libm ulp drift, and the
+    * ×10⁶ rates stay BIGINT at 10¹³ tokens where raw cross-products
+    * t·R would overflow). A doc's importance score is Σ_f c(f)·w(f);
+    * selection keeps the top 20% PER SOURCE (score DESC, doc_id
+    * tiebreak) — stratified, so the mixture's source composition
+    * survives selection and the rank windows parallelize across strata
+    * (pp04's discipline; a global rank would funnel one partition).
+    *
+    * Scale: one bigram pass feeds counter-only shuffles; the 128-row
+    * weight table broadcasts; per-source windows spread across strata
+    * (for a mega-source swap the window for the q66 TopKPerGroup heap
+    * exec — same contract, bounded memory).
+    */
+  private val pp30ImportanceSelect: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val tgt = col("source").isin("src0", "src1", "src2")
+    val bg = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, CAST(size(toks) - 2 AS INT)),
+          |          i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
+        .as("bigram"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(conv(substring(md5(bigram), 1, 8), 16, 10) AS BIGINT) % 128")
+          .as("f"))
+    val bcnt = bg.groupBy("f").agg(
+      sum(when(tgt, 1L).otherwise(0L)).as("tc"),
+      sum(when(tgt, 0L).otherwise(1L)).as("rc"))
+    val tots = bcnt.agg(sum("tc").as("tt"), sum("rc").as("rt"))
+    val wtab = bcnt.crossJoin(broadcast(tots))
+      .select(col("f"),
+        (expr("tc * 1000000 div tt") - expr("rc * 1000000 div rt")).as("w"))
+    val c = bg.filter(!tgt).groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+    val sc = c.join(broadcast(wtab), Seq("f"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("w")).as("score"), sum("c").as("n_bigrams"))
+    val scored = docs.filter(!tgt).select("doc_id", "source")
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score"), lit(0L)).as("score"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("doc_id"), col("source"), col("n_bigrams"), col("score"),
+        expr("rn <= greatest(1, n_src div 5)").as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** pp31: DATA-CONSTRAINED MIXTURE PLANNER (the Muennighoff et al.'23
+    * setting): a token budget B = 3× the unique corpus exceeds the data,
+    * so sources must repeat — but past ~4 epochs repetition stops
+    * helping, so allocation is capped at 4·u_s and the overflow
+    * water-fills into uncapped sources. Weights are quality-pass counts
+    * (pp05's length + repetition rules in integer form), the proportional
+    * ask is desired_s = B·w_s DIV Σw, and ONE redistribution round
+    * re-shares the leftover by remaining capacity — every step integer
+    * DIV, so the plan (epochs ×100, allocation, capped flag) is exact
+    * across engines. At 10¹³-token scale, switch w to ×10⁴ shares before
+    * the B·w product (tx24's cross-multiply discipline) — same plan.
+    *
+    * Scale: per-source counters off one scan; the planner itself runs on
+    * one row per source — broadcast-sized by construction.
+    */
+  private val pp31EpochPlan: Q = (s, d) => {
+    val tk = split(col("text"), " ")
+    val nTok = size(tk).cast("bigint")
+    val nDis = size(array_distinct(tk)).cast("bigint")
+    // pp05's ok_len + ok_repetition, integer-exact: dupFrac ≤ 0.6 ⇔ 10·distinct ≥ 4·tokens
+    val pass = (nTok >= 10L && nTok <= 1000L && nDis * 10L >= nTok * 4L)
+    val src = t(s, d, "documents")
+      .select(col("source"), nTok.as("n_tokens"), pass.as("pass"))
+      .groupBy("source")
+      .agg(sum("n_tokens").as("u_tokens"),
+        (sum(when(col("pass"), 1L).otherwise(0L)) + lit(1L)).as("w"))
+    val tot = src.agg(sum("u_tokens").as("u_total"), sum("w").as("w_total"))
+    val base = src.crossJoin(broadcast(tot))
+      .withColumn("budget", col("u_total") * 3L)
+      .withColumn("desired", expr("budget * w div w_total"))
+      .withColumn("cap", col("u_tokens") * 4L)
+      .withColumn("alloc1", least(col("desired"), col("cap")))
+      .withColumn("rem", col("cap") - col("alloc1"))
+    val fill = base.agg(sum("alloc1").as("alloc1_sum"), sum("rem").as("rem_sum"))
+    base.crossJoin(broadcast(fill))
+      .withColumn("leftover", col("budget") - col("alloc1_sum"))
+      .withColumn("alloc", least(
+        col("alloc1") + when(col("rem_sum") > 0L,
+          expr("leftover * rem div rem_sum")).otherwise(lit(0L)),
+        col("cap")))
+      .select(col("source"), col("u_tokens"), col("w"), col("desired"),
+        col("alloc"),
+        expr("alloc * 100 div u_tokens").as("epochs_x100"),
+        (col("alloc") === col("cap")).as("capped"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pp31_epoch_plan" -> pp31EpochPlan,
+    "pp30_importance_select" -> pp30ImportanceSelect,
     "pp29_k_anonymity" -> pp29KAnonymity,
     "pp28_split_parity" -> pp28SplitParity,
     "pp27_sketch_overlap" -> pp27SketchOverlap,
@@ -882,6 +990,76 @@ object Pipeline {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // pp30: the full importance pipeline replayed — same md5 bucket hash,
+    // same ×10⁶ DIV rate-difference weights, same per-source top-20%.
+    "pp30_importance_select" ->
+      """WITH dd AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |bg AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 8))
+        |      AS BIGINT) % 128 AS f
+        |  FROM dd, unnest(generate_series(1, len(tk) - 1)) AS s(i)
+        |  WHERE len(tk) >= 2),
+        |bc AS (SELECT f,
+        |    CAST(sum(CASE WHEN source IN ('src0','src1','src2')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+        |    CAST(sum(CASE WHEN source IN ('src0','src1','src2')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS rc
+        |  FROM bg GROUP BY 1),
+        |tt AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+        |    CAST(sum(rc) AS BIGINT) AS rt FROM bc),
+        |w AS (SELECT f, tc * 1000000 // tt - rc * 1000000 // rt AS w
+        |  FROM bc CROSS JOIN tt),
+        |c AS (SELECT doc_id, f, count(*) AS c FROM bg
+        |  WHERE source NOT IN ('src0','src1','src2') GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, CAST(sum(c * w) AS BIGINT) AS score,
+        |    CAST(sum(c) AS BIGINT) AS n_bigrams
+        |  FROM c JOIN w USING (f) GROUP BY 1),
+        |scored AS (SELECT d.doc_id, d.source,
+        |    coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(sc.score, 0) AS score
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |  WHERE d.source NOT IN ('src0','src1','src2')),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_src FROM scored)
+        |SELECT doc_id, source, n_bigrams, score,
+        |  rn <= greatest(1, n_src // 5) AS selected
+        |FROM rk ORDER BY doc_id""".stripMargin,
+    // pp31: the same integer water-fill unrolled — weights, proportional
+    // ask, 4-epoch cap, one leftover redistribution round.
+    "pp31_epoch_plan" ->
+      """WITH q AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_distinct
+        |  FROM documents),
+        |src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS u_tokens,
+        |    CAST(sum(CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+        |      AND n_distinct * 10 >= n_tokens * 4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) + 1 AS w
+        |  FROM q GROUP BY 1),
+        |tot AS (SELECT CAST(sum(u_tokens) AS BIGINT) AS u_total,
+        |    CAST(sum(w) AS BIGINT) AS w_total FROM src),
+        |base AS (SELECT source, u_tokens, w,
+        |    u_total * 3 AS budget,
+        |    u_total * 3 * w // w_total AS desired,
+        |    u_tokens * 4 AS cap,
+        |    least(u_total * 3 * w // w_total, u_tokens * 4) AS alloc1
+        |  FROM src CROSS JOIN tot),
+        |fill AS (SELECT CAST(sum(alloc1) AS BIGINT) AS alloc1_sum,
+        |    CAST(sum(cap - alloc1) AS BIGINT) AS rem_sum FROM base)
+        |SELECT source, u_tokens, w, desired,
+        |  least(alloc1 + CASE WHEN rem_sum > 0
+        |      THEN (budget - alloc1_sum) * (cap - alloc1) // rem_sum
+        |      ELSE 0 END, cap) AS alloc,
+        |  least(alloc1 + CASE WHEN rem_sum > 0
+        |      THEN (budget - alloc1_sum) * (cap - alloc1) // rem_sum
+        |      ELSE 0 END, cap) * 100 // u_tokens AS epochs_x100,
+        |  least(alloc1 + CASE WHEN rem_sum > 0
+        |      THEN (budget - alloc1_sum) * (cap - alloc1) // rem_sum
+        |      ELSE 0 END, cap) = cap AS capped
+        |FROM base CROSS JOIN fill ORDER BY source""".stripMargin,
     "pp29_k_anonymity" ->
       """WITH b AS (SELECT lang, source,
         |    CAST(len(string_split(text, ' ')) // 50 AS BIGINT)

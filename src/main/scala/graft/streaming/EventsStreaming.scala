@@ -476,6 +476,74 @@ object EventsStreaming {
         col("kmv.n_kept").as("n_kept"), col("kmv.kth_hash").as("kth_hash"),
         col("n_events"))
 
+  /** st17: STREAMING DRIFT MONITOR — tx24's total-variation alarm in its
+    * streaming role: each tumbling hour's event-type mix is compared to a
+    * FROZEN reference distribution (here the full corpus — in production
+    * yesterday's batch profile) by exact integer TV: Σ|o·C − c·t| is an
+    * integer sum and one final ×10⁴ DIV (2·t·C) keeps the metric an
+    * exact rational (the tx24 cross-multiply discipline — per-type float
+    * shares would drift in summation order). A spiking tv_x10k is the
+    * pager: a template change, spam flood, or logging break shifts the
+    * mix long before volume alarms fire.
+    *
+    * Scale: the reference is types-cardinality (broadcast); per-window
+    * counters are one windowed aggregation; the window×type grid is
+    * windows × |types| — counter-only shuffles throughout.
+    * [[driftMonitorStream]] is the streaming face; because TV here is
+    * exact arithmetic over ONE windowed aggregation's counters (the
+    * 5-type pivot), stream ≡ batch EXACTLY (StreamingSpec pins it —
+    * st16's strong pin, not st12's envelope).
+    */
+  private val st17DriftMonitor: Q = (s, d) => {
+    val ev = graft.Tables.t(s, d, "events")
+    val perW = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("o"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("o"))
+    val ref = ev.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val refTot = ref.agg(sum("c").as("big_c"))
+    val wTot = perW.groupBy("window_start").agg(sum("o").as("t"))
+    wTot.crossJoin(broadcast(ref))
+      .join(perW, Seq("window_start", "event_type"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(refTot))
+      .groupBy("window_start")
+      .agg(max("t").as("n_events"),
+        sum(abs(col("o") * col("big_c") - col("c") * col("t"))).as("l1"),
+        max(col("t") * col("big_c")).as("den"))
+      .selectExpr("window_start", "n_events",
+        "l1 * 10000 DIV (2 * den) AS tv_x10k")
+      .orderBy("window_start")
+  }
+
+  /** st17's streaming face: the reference distribution arrives as
+    * LITERALS (captured from the prior batch profile — constant-size by
+    * construction, |event types| rows), so the whole TV computation is a
+    * stateless projection over ONE watermarked windowed aggregation's
+    * pivoted counters: per-window state is |types| counters, and no
+    * second aggregation (which streaming forbids) is needed.
+    */
+  def driftMonitorStream(events: DataFrame, ref: Map[String, Long]): DataFrame = {
+    val bigC = ref.values.sum
+    val pivots = ref.keys.toSeq.sorted.map(k =>
+      sum(when(col("event_type") === k, 1L).otherwise(0L)).as(s"o_$k"))
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("t"), pivots: _*)
+    val l1 = ref.keys.toSeq.sorted.map(k =>
+      abs(col(s"o_$k") * lit(bigC) - lit(ref(k)) * col("t")))
+      .reduce(_ + _)
+    agg
+      .withColumn("l1", l1)
+      .selectExpr(
+        "date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS window_start",
+        "t AS n_events",
+        s"l1 * 10000 DIV (2 * t * ${bigC}L) AS tv_x10k")
+  }
+
   /** The st09 corpus: documents arriving 7 s apart plus a MUTATED
     * re-crawl copy (first token dropped — a true near-duplicate, the
     * dd15 planting) arriving 60 s after its original, inside the
@@ -994,6 +1062,7 @@ object EventsStreaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st17_drift_monitor" -> st17DriftMonitor,
     "st16_window_distinct" -> st16WindowDistinct,
     "st15_anomaly_alerts" -> st15AnomalyAlerts,
     "st14_funnel_stages" -> st14FunnelStages,
@@ -1012,6 +1081,25 @@ object EventsStreaming {
     "st10_token_budget" -> st10TokenBudget)
 
   val oracleSql: Map[String, String] = Map(
+    // st17: the windowed TV replay — same grid (windows × reference
+    // types), same cross-multiplied integer form.
+    "st17_drift_monitor" ->
+      """WITH pw AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+        |    event_type, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |ref AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+        |rt AS (SELECT CAST(sum(c) AS BIGINT) AS big_c FROM ref),
+        |wt AS (SELECT ws, CAST(sum(o) AS BIGINT) AS t FROM pw GROUP BY 1),
+        |grid AS (SELECT wt.ws, r.event_type, r.c, wt.t,
+        |    coalesce(p.o, 0) AS o
+        |  FROM ref r CROSS JOIN wt
+        |  LEFT JOIN pw p ON p.ws = wt.ws AND p.event_type = r.event_type)
+        |SELECT strftime(g.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  max(g.t) AS n_events,
+        |  CAST(sum(abs(g.o * rt.big_c - g.c * g.t)) AS BIGINT) * 10000
+        |    // (2 * max(g.t) * max(rt.big_c)) AS tv_x10k
+        |FROM grid g CROSS JOIN rt
+        |GROUP BY g.ws ORDER BY window_start""".stripMargin,
     "st16_window_distinct" ->
       """WITH w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
         |    user_id FROM events),

@@ -628,6 +628,82 @@ class OperatorInvariantSpec extends SparkSpec {
       s"per-split cluster counts ${rows.map(_._3).sum} != global $nGroups")
   }
 
+  test("pp30: importance selection equals an exact in-JVM recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def bucket(bg: String): Long =
+      java.lang.Long.parseLong(md5hex(bg).substring(0, 8), 16) % 128
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val target = Set("src0", "src1", "src2")
+    // one (doc, source, bucket) row per bigram instance — so the doc
+    // score Σ_f c(f)·w(f) is just Σ over instances of w(bucket)
+    val feats = docs.flatMap { case (id, src, text) =>
+      val tk = text.split(" ", -1)
+      if (tk.length < 2) Seq.empty
+      else tk.sliding(2).map(p => (id, src, bucket(p(0) + " " + p(1)))).toSeq
+    }
+    val (tf, rf) = feats.partition(x => target(x._2))
+    val tc = tf.groupBy(_._3).map { case (f, xs) => f -> xs.size.toLong }
+    val rc = rf.groupBy(_._3).map { case (f, xs) => f -> xs.size.toLong }
+    val (tt, rt) = (tf.length.toLong, rf.length.toLong)
+    val w = (tc.keySet ++ rc.keySet).map(f => f ->
+      (tc.getOrElse(f, 0L) * 1000000L / tt -
+        rc.getOrElse(f, 0L) * 1000000L / rt)).toMap
+    val wantScore = rf.groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(x => w(x._3)).sum }
+    val rawDocs = docs.filter(x => !target(x._2))
+    val wantSel = rawDocs.map(x => (x._1, x._2, wantScore.getOrElse(x._1, 0L)))
+      .groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+        val k = math.max(1, xs.length / 5)
+        val sorted = xs.sortBy(x => (-x._3, x._1))
+        sorted.take(k).map(_._1 -> true) ++ sorted.drop(k).map(_._1 -> false)
+      }.toMap
+    val got = Pipeline.queries("pp30_importance_select")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.map(_._1).toSet == rawDocs.map(_._1).toSet)
+    got.foreach { case (id, _, _, score, sel) =>
+      assert(score == wantScore.getOrElse(id, 0L), s"doc $id score")
+      assert(sel == wantSel(id), s"doc $id selected")
+    }
+    assert(got.exists(_._5) && got.exists(!_._5), "selection must split")
+    assert(got.map(_._4).distinct.length > 1, "scores must discriminate")
+  }
+
+  test("pp31: epoch cap binds and the water-fill redistributes (planted)") {
+    import spark.implicits._
+    // tiny source: high quality-pass weight, few tokens → desired ≫ cap;
+    // big source: plenty of capacity → receives the spillover
+    val rows = (0 until 30).map { i =>
+      val toks = (0 until 12).map(j => s"t${i}_$j")
+      (i.toLong, toks.mkString(" "), "en", "tiny",
+        toks.mkString(" ").length.toLong)
+    } ++ (0 until 30).map { i =>
+      val toks = (0 until 100).map(j => s"b${i}_$j")
+      (100L + i, toks.mkString(" "), "en", "big",
+        toks.mkString(" ").length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pp31").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val got = Pipeline.queries("pp31_epoch_plan")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val (uT, uB) = (30L * 12, 30L * 100)
+    val budget = (uT + uB) * 3
+    val (_, _, desT, allocT, epochsT, cappedT) = got("tiny")
+    val (_, _, desB, allocB, _, cappedB) = got("big")
+    assert(cappedT && allocT == 4 * uT && epochsT == 400,
+      s"tiny must cap at 4 epochs: $got")
+    assert(!cappedB && allocB > desB,
+      s"big must receive the tiny spillover: $got")
+    assert(allocT + allocB <= budget, "allocation cannot exceed budget")
+    assert(desT == desB, "equal weights ask equal shares")
+  }
+
   test("tx25: bigram surprisal equals an exact in-JVM recompute") {
     import graft.operators.Curation
     val texts = Tables.t(spark, sf, "documents").select("doc_id", "text")

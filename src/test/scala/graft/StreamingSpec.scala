@@ -325,6 +325,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming drift monitor equals the st17 batch face exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect().map(r => EventsStreaming.Event(r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    // the frozen reference the production face would load from the prior
+    // batch profile — here the corpus's own type distribution, so the
+    // stream must reproduce the batch face byte-for-byte
+    val ref = Tables.t(spark, sf, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // split mid-feed: per-window pivoted counters merge across batches
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.Event](spark)
+    val q = EventsStreaming.driftMonitorStream(input.toDF(), ref)
+      .writeStream.format("memory").queryName("wdrift")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wdrift").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = EventsStreaming.queries("st17_drift_monitor")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == want.size, s"${got.size} vs ${want.size} windows")
+    want.foreach { case (w, v) =>
+      assert(got.get(w).contains(v), s"window $w: ${got.get(w)} vs $v")
+    }
+    // the monitor must actually discriminate: not all windows identical
+    assert(want.values.map(_._2).toSet.size > 1, "flat TV across windows")
+  }
+
   test("streaming anomaly alerts match the st15 prior-only batch face") {
     val sf = "/root/testdata/sf0.001"
     val corpus = Tables.t(spark, sf, "events")
