@@ -646,7 +646,58 @@ object Graph {
         expr("m_dir * sum_j2 - sum_j * sum_j").as("r_den"))
   }
 
+  /** gr13: HITS hubs & authorities (Kleinberg '99) on the weighted trade
+    * digraph — the directed complement of gr01's PageRank: a nation is a
+    * strong HUB when it buys from strong authorities, a strong AUTHORITY
+    * when strong hubs buy from it (importer/exporter roles that PageRank's
+    * single score conflates). Two full mutual-reinforcement rounds with
+    * L1 (sum) normalization to 10⁶ micro-units after every half-step —
+    * the textbook L2 norm needs sqrt of a sum of squares (libm, not
+    * oracle-exact); L1 keeps every step a BIGINT sum + one integer DIV,
+    * so the DuckDB replay matches bit-for-bit and — as with gr01's
+    * fixed point — the result is reducer-order-independent at any scale.
+    *
+    * Scale: runs on the CONDENSED nations×nations graph (the gr01 rule);
+    * each half-step is one equi-join + one groupBy, the normalizer a
+    * scalar aggregate broadcast back. For a fact-sized graph the same
+    * loop applies with the localCheckpoint round discipline.
+    */
+  val gr13Hits: Q = (s, d) => {
+    val edges = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .persist() // 4 half-steps re-join this small condensed edge list
+    val nodes = t(s, d, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    def l1norm(x: DataFrame, c: String): DataFrame = {
+      val tot = x.agg(sum(c).as("tot"))
+      x.crossJoin(broadcast(tot))
+        .select(col("id"), expr(s"$c * 1000000 div tot").as(c))
+    }
+    var hub = nodes.select(col("id"), lit(1000000L).as("h"))
+    var auth = nodes.select(col("id"), lit(1000000L).as("a"))
+    for (_ <- 1 to 2) {
+      auth = l1norm(nodes.select("id")
+        .join(edges.join(hub.withColumnRenamed("id", "hid"),
+            col("src") === col("hid"))
+            .groupBy(col("dst").as("aid"))
+            .agg(sum(expr("h * w")).as("a")),
+          col("id") === col("aid"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a")), "a")
+      hub = l1norm(nodes.select("id")
+        .join(edges.join(auth.withColumnRenamed("id", "aid"),
+            col("dst") === col("aid"))
+            .groupBy(col("src").as("hid"))
+            .agg(sum(expr("a * w")).as("h")),
+          col("id") === col("hid"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h")), "h")
+    }
+    nodes.join(auth, Seq("id")).join(hub, Seq("id"))
+      .select(col("id").as("nationkey"), col("n_name"),
+        col("h").as("hub_x1m"), col("a").as("auth_x1m"))
+      .orderBy(col("auth_x1m").desc, col("nationkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "gr13_hits" -> gr13Hits,
     "gr12_assortativity" -> gr12Assortativity,
     "gr11_modularity" -> gr11Modularity,
     "gr10_link_predict" -> gr10LinkPredict,
@@ -770,6 +821,47 @@ object Graph {
          |SELECT n.id AS nationkey, n.n_name, r3.r AS pr
          |FROM n JOIN r3 ON r3.id = n.id
          |ORDER BY pr DESC, nationkey""".stripMargin,
+    // gr13: all four half-steps replayed; every score CTE is referenced
+    // twice (normalizer + next step) → AS MATERIALIZED (CLAUDE.md rule);
+    // all operands non-negative so // ≡ Spark's div.
+    "gr13_hits" ->
+      s"""WITH $edgesCte,
+         |e AS MATERIALIZED (SELECT src, dst, w FROM edges
+         |  WHERE src <> dst),
+         |n AS (SELECT n_nationkey AS id, n_name FROM nation),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM n),
+         |a1r AS MATERIALIZED (SELECT n.id,
+         |    coalesce(CAST(sum(h0.h * e.w) AS BIGINT), 0) AS a
+         |  FROM n LEFT JOIN e ON e.dst = n.id
+         |  LEFT JOIN h0 ON h0.id = e.src GROUP BY n.id),
+         |a1 AS MATERIALIZED (SELECT id, CAST(a * 1000000 //
+         |    (SELECT CAST(sum(a) AS BIGINT) FROM a1r) AS BIGINT)
+         |    AS a FROM a1r),
+         |h1r AS MATERIALIZED (SELECT n.id,
+         |    coalesce(CAST(sum(a1.a * e.w) AS BIGINT), 0) AS h
+         |  FROM n LEFT JOIN e ON e.src = n.id
+         |  LEFT JOIN a1 ON a1.id = e.dst GROUP BY n.id),
+         |h1 AS MATERIALIZED (SELECT id, CAST(h * 1000000 //
+         |    (SELECT CAST(sum(h) AS BIGINT) FROM h1r) AS BIGINT)
+         |    AS h FROM h1r),
+         |a2r AS MATERIALIZED (SELECT n.id,
+         |    coalesce(CAST(sum(h1.h * e.w) AS BIGINT), 0) AS a
+         |  FROM n LEFT JOIN e ON e.dst = n.id
+         |  LEFT JOIN h1 ON h1.id = e.src GROUP BY n.id),
+         |a2 AS MATERIALIZED (SELECT id, CAST(a * 1000000 //
+         |    (SELECT CAST(sum(a) AS BIGINT) FROM a2r) AS BIGINT)
+         |    AS a FROM a2r),
+         |h2r AS MATERIALIZED (SELECT n.id,
+         |    coalesce(CAST(sum(a2.a * e.w) AS BIGINT), 0) AS h
+         |  FROM n LEFT JOIN e ON e.src = n.id
+         |  LEFT JOIN a2 ON a2.id = e.dst GROUP BY n.id),
+         |h2 AS MATERIALIZED (SELECT id, CAST(h * 1000000 //
+         |    (SELECT CAST(sum(h) AS BIGINT) FROM h2r) AS BIGINT)
+         |    AS h FROM h2r)
+         |SELECT n.id AS nationkey, n.n_name, h2.h AS hub_x1m,
+         |  a2.a AS auth_x1m
+         |FROM n JOIN a2 ON a2.id = n.id JOIN h2 ON h2.id = n.id
+         |ORDER BY auth_x1m DESC, nationkey""".stripMargin,
     "gr12_assortativity" ->
       s"""WITH $edgesCte,
          |und AS (SELECT DISTINCT least(src, dst) AS u,

@@ -44,6 +44,38 @@ class GraphSpec extends SparkSpec {
     assert(r.values.forall(_ >= 150000L))
   }
 
+  test("gr13 HITS equals a sequential in-JVM mutual-reinforcement replay") {
+    val es = edges().filter(e => e._1 != e._2)
+    val nodes = Tables.t(spark, sf, "nation")
+      .select("n_nationkey").collect().map(_.getInt(0)).sorted
+    def l1(x: Map[Int, Long]): Map[Int, Long] = {
+      val tot = x.values.sum
+      x.map { case (k, v) => k -> v * 1000000L / tot }
+    }
+    var hub = nodes.map(_ -> 1000000L).toMap
+    var auth = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 2) {
+      auth = l1(nodes.map(n =>
+        n -> es.filter(_._2 == n).map(e => hub(e._1) * e._3).sum).toMap)
+      hub = l1(nodes.map(n =>
+        n -> es.filter(_._1 == n).map(e => auth(e._2) * e._3).sum).toMap)
+    }
+    val got = Graph.gr13Hits(spark, sf)
+      .collect().map(x => (x.getInt(0), x.getLong(2), x.getLong(3)))
+    got.foreach { case (id, h, a) =>
+      assert(h == hub(id), s"node $id hub: $h vs ${hub(id)}")
+      assert(a == auth(id), s"node $id auth: $a vs ${auth(id)}")
+    }
+    // L1 normalization: each score vector sums to 10^6 minus at most
+    // one truncation unit per node, and both must discriminate
+    assert(got.map(_._2).sum > 1000000L - nodes.length &&
+      got.map(_._2).sum <= 1000000L)
+    assert(got.map(_._3).sum > 1000000L - nodes.length &&
+      got.map(_._3).sum <= 1000000L)
+    assert(got.map(_._2).distinct.length > 1 &&
+      got.map(_._3).distinct.length > 1)
+  }
+
   test("gr02 triangle counts equal a brute-force enumeration") {
     val und = edges().filter(e => e._1 != e._2)
       .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
