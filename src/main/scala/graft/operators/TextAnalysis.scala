@@ -355,7 +355,58 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** tx28: ENCODING-DAMAGE AUDIT — the crawl-hygiene gate that runs
+    * before any tokenizer sees the bytes: classify each document's
+    * damage signature (U+FFFD replacement chars = lossy transcode
+    * upstream; C0/escape control chars = binary bleed or terminal
+    * junk; Ã/Â lead-byte pairs = the classic UTF-8-read-as-Latin-1
+    * double-encoding) and roll up per source × class with an exact
+    * integer damage rate — the table that decides which crawl source
+    * needs re-fetching vs scrubbing. The corpus is verified-ASCII, so
+    * damage is PLANTED deterministically (doc_id mod 17 ∈ {0,5,11} →
+    * one class each, 3 damage chars per planting — the mm10 quarantine
+    * discipline): the oracle replays planting AND detection, so hash
+    * equality proves the detector catches exactly the planted rows,
+    * no more, no less.
+    *
+    * Scale: detection is pure per-row replace/length counting (BMP
+    * chars, so Spark's UTF-16 length ≡ DuckDB's code-point length) —
+    * zero shuffles beyond the counter-only source × class rollup.
+    */
+  private val tx28EncodingAudit: Q = (s, d) => {
+    val repl = "\uFFFD\uFFFDtok\uFFFD"
+    val ctrl = "\u0007x\u001Bx\u0007"
+    val moji = "\u00C3\u00A9\u00C2\u00A3\u00C3\u00A2"
+    val wire = t(s, d, "documents").select(col("doc_id"), col("source"),
+      when(col("doc_id") % 17 === 0, concat(col("text"), lit(" " + repl)))
+        .when(col("doc_id") % 17 === 5, concat(col("text"), lit(" " + ctrl)))
+        .when(col("doc_id") % 17 === 11, concat(col("text"), lit(" " + moji)))
+        .otherwise(col("text")).as("w"))
+    def occ(ch: Char): org.apache.spark.sql.Column =
+      (length(col("w")) - length(replace(col("w"), lit(ch.toString), lit(""))))
+        .cast("bigint")
+    val classed = wire
+      .withColumn("n_repl", occ('\uFFFD'))
+      .withColumn("n_ctrl", occ('\u0007') + occ('\u001B'))
+      .withColumn("n_moji", occ('\u00C3') + occ('\u00C2'))
+      .withColumn("clazz",
+        when(col("n_repl") > 0, "replacement")
+          .when(col("n_ctrl") > 0, "control")
+          .when(col("n_moji") > 0, "mojibake")
+          .otherwise("clean"))
+    classed.groupBy(col("source"), col("clazz").as("damage_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_repl") + col("n_ctrl") + col("n_moji"))
+          .as("damage_chars"))
+      .withColumn("n_src", sum("n_docs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .selectExpr("source", "damage_class", "n_docs", "damage_chars",
+        "n_docs * 10000 DIV n_src AS rate_x10k")
+      .orderBy("source", "damage_class")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx28_encoding_audit" -> tx28EncodingAudit,
     "tx24_source_drift" -> tx24SourceDrift,
     "tx23_freq_spectrum" -> tx23FreqSpectrum,
     "tx22_char_diversity" -> tx22CharDiversity,
@@ -376,6 +427,44 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // tx28: planting AND detection replayed — chr() builds the same BMP
+    // damage chars the Spark side plants as \u literals; counts via the
+    // replace/length idiom (code-point-exact both engines on BMP).
+    "tx28_encoding_audit" ->
+      """WITH wire AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ' ' || chr(65533) ||
+        |        chr(65533) || 'tok' || chr(65533)
+        |      WHEN doc_id % 17 = 5 THEN text || ' ' || chr(7) || 'x' ||
+        |        chr(27) || 'x' || chr(7)
+        |      WHEN doc_id % 17 = 11 THEN text || ' ' || chr(195) ||
+        |        chr(169) || chr(194) || chr(163) || chr(195) || chr(162)
+        |      ELSE text END AS w
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    CAST(length(w) - length(replace(w, chr(65533), ''))
+        |      AS BIGINT) AS n_repl,
+        |    CAST(length(w) - length(replace(w, chr(7), '')) AS BIGINT)
+        |      + CAST(length(w) - length(replace(w, chr(27), ''))
+        |      AS BIGINT) AS n_ctrl,
+        |    CAST(length(w) - length(replace(w, chr(195), '')) AS BIGINT)
+        |      + CAST(length(w) - length(replace(w, chr(194), ''))
+        |      AS BIGINT) AS n_moji
+        |  FROM wire),
+        |cl AS (SELECT source,
+        |    CASE WHEN n_repl > 0 THEN 'replacement'
+        |      WHEN n_ctrl > 0 THEN 'control'
+        |      WHEN n_moji > 0 THEN 'mojibake'
+        |      ELSE 'clean' END AS damage_class,
+        |    n_repl + n_ctrl + n_moji AS dmg
+        |  FROM c),
+        |g AS (SELECT source, damage_class,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dmg) AS BIGINT) AS damage_chars
+        |  FROM cl GROUP BY 1, 2)
+        |SELECT source, damage_class, n_docs, damage_chars,
+        |  CAST(n_docs * 10000 // CAST(sum(n_docs) OVER
+        |    (PARTITION BY source) AS BIGINT) AS BIGINT) AS rate_x10k
+        |FROM g ORDER BY source, damage_class""".stripMargin,
     "tx24_source_drift" ->
       """WITH tk AS (SELECT source,
         |    unnest(string_split(text, ' ')) AS tok

@@ -704,6 +704,39 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(desT == desB, "equal weights ask equal shares")
   }
 
+  test("tx28: encoding audit catches exactly the planted damage") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def clazz(id: Long): String = (id % 17) match {
+      case 0 => "replacement"; case 5 => "control"; case 11 => "mojibake"
+      case _ => "clean"
+    }
+    val want = docs.groupBy(x => (x._2, clazz(x._1))).map { case (k, xs) =>
+      k -> xs.length.toLong
+    }
+    val got = TextAnalysis.queries("tx28_encoding_audit")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(x => (x._1, x._2) -> x._3).toMap == want,
+      "per-class doc counts must equal the planting rule")
+    got.foreach { case (src, cl, n, dmg, _) =>
+      // every planting injects exactly 3 damage chars of its class
+      assert(dmg == (if (cl == "clean") 0L else 3L * n),
+        s"$src/$cl damage chars $dmg for $n docs")
+    }
+    assert(got.map(_._2).distinct.sorted.toSeq ==
+      Seq("clean", "control", "mojibake", "replacement"),
+      "all four classes must be live")
+    // per-source rates sum to 10^4 minus at most one truncation unit
+    // per class present
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val rs = rows.map(_._5).sum
+      assert(rs <= 10000L && rs > 10000L - rows.length, s"$src rates $rs")
+    }
+  }
+
   test("tx25: bigram surprisal equals an exact in-JVM recompute") {
     import graft.operators.Curation
     val texts = Tables.t(spark, sf, "documents").select("doc_id", "text")
