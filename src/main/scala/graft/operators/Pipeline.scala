@@ -940,7 +940,38 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** pp32: TOKENIZER FERTILITY AUDIT — the table that decides whether a
+    * tokenizer's vocabulary fits a corpus slice: per lang × source,
+    * fertility (subword tokens per whitespace word ×10⁴ — the standard
+    * tokenizer-efficiency metric; high fertility = the vocab fragments
+    * this language) and compression (non-space chars per subword ×100).
+    * The subword count is tx06's deterministic ceil(len/4) BPE-ish
+    * estimate via the fused text_stats codegen kernel (one byte scan for
+    * words + subwords + chars — the tx01/02/03 perf lesson), so the
+    * whole audit is exact integer arithmetic the oracle replays.
+    *
+    * Scale: per-row projection (codegen) + one counter-only groupBy on
+    * a low-cardinality key — linear, no wide rows on any exchange.
+    */
+  private val pp32TokenizerFertility: Q = (s, d) => {
+    val st = graft.functions.GraftFunctions.text_stats(col("text"))
+    t(s, d, "documents")
+      .select(col("lang"), col("source"),
+        st.getField("n_tokens").as("w"),
+        st.getField("n_subwords").as("sw"),
+        st.getField("n_nospace").as("nsp"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("n_words"), sum("sw").as("n_subwords"),
+        sum("nsp").as("n_chars_nospace"))
+      .selectExpr("lang", "source", "n_docs", "n_words", "n_subwords",
+        "n_subwords * 10000 DIV n_words AS fertility_x10k",
+        "n_chars_nospace * 100 DIV n_subwords AS chars_per_subword_x100")
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pp32_tokenizer_fertility" -> pp32TokenizerFertility,
     "pp31_epoch_plan" -> pp31EpochPlan,
     "pp30_importance_select" -> pp30ImportanceSelect,
     "pp29_k_anonymity" -> pp29KAnonymity,
@@ -990,6 +1021,24 @@ object Pipeline {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // pp32: word/subword/char counters replayed with tx06's formulas.
+    "pp32_tokenizer_fertility" ->
+      """WITH q AS (SELECT lang, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS w,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |        t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+        |      AS BIGINT) AS sw,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nsp
+        |  FROM documents)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(sw) AS BIGINT) AS n_subwords,
+        |  CAST(sum(sw) AS BIGINT) * 10000 // CAST(sum(w) AS BIGINT)
+        |    AS fertility_x10k,
+        |  CAST(sum(nsp) AS BIGINT) * 100 // CAST(sum(sw) AS BIGINT)
+        |    AS chars_per_subword_x100
+        |FROM q GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     // pp30: the full importance pipeline replayed — same md5 bucket hash,
     // same ×10⁶ DIV rate-difference weights, same per-source top-20%.
     "pp30_importance_select" ->

@@ -704,6 +704,29 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(desT == desB, "equal weights ask equal shares")
   }
 
+  test("pp32: fertility audit equals an exact in-JVM recompute") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(x => (x._1, x._2)).map { case (k, xs) =>
+      val w = xs.map(x => x._3.count(_ == ' ').toLong + 1).sum
+      val sw = xs.map(_._3.split(" ", -1).map(t =>
+        (t.length + 3L) / 4L).sum).sum
+      val nsp = xs.map(_._3.count(_ != ' ').toLong).sum
+      k -> ((xs.length.toLong, w, sw, sw * 10000L / w, nsp * 100L / sw))
+    }
+    val got = graft.operators.Pipeline
+      .queries("pp32_tokenizer_fertility")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"group $k") }
+    // subword estimate must actually exceed the word count somewhere
+    // (long tokens split) or the metric is degenerate
+    assert(got.values.exists(v => v._3 > v._2), "fertility degenerate")
+  }
+
   test("tx28: encoding audit catches exactly the planted damage") {
     import graft.operators.TextAnalysis
     val docs = Tables.t(spark, sf, "documents")
