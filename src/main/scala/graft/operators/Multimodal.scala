@@ -546,7 +546,54 @@ object Multimodal {
       .orderBy("band")
   }
 
+  /** mm12: DUPLICATE-FRAME RUN COLLAPSE — the static-scene detector a
+    * video ingest runs before feature extraction: consecutive frames
+    * with identical content fingerprints collapse to one keyframe per
+    * run (slides, paused screens, and freeze-frames otherwise flood a
+    * training set with near-zero-information frames). Frozen scenes are
+    * PLANTED deterministically (media_id mod 5 == 0 reads its frame
+    * content at the triple-quantized offset (fi div 3)·3 — every frame
+    * triple identical, the mm10 planting discipline); per media the
+    * report gives frames, runs, longest run and the static-frame share
+    * ×10⁴ — exact integers the oracle replays end to end.
+    *
+    * Scale: frame explode is per-media; the run machinery is lag +
+    * running-sum windows PARTITIONED BY media (parallel across media,
+    * never a global sort); only 32-char fingerprints ride the exchanges.
+    */
+  private val mm12FrameRunCollapse: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("fi")
+    val frames = mediaTable(s, d)
+      .withColumn("n_frames",
+        ceil(col("meta.nbytes").cast("double") / 32.0).cast("int"))
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("fi"))
+      .withColumn("src_fi",
+        when(col("media_id") % 5 === 0, expr("(fi div 3) * 3"))
+          .otherwise(col("fi")))
+      .select(col("media_id"), col("fi"),
+        md5(substring(col("content"), col("src_fi") * 32 + 1, lit(32)))
+          .as("fp"))
+    val runs = frames
+      .withColumn("is_new",
+        when(lag("fp", 1).over(w).isNull ||
+          lag("fp", 1).over(w) =!= col("fp"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("media_id", "run_id")
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy("media_id")
+      .agg(sum("run_len").as("n_frames"),
+        count(lit(1)).as("n_runs"),
+        max("run_len").as("longest_run"))
+      .selectExpr("media_id", "n_frames", "n_runs", "longest_run",
+        "(n_frames - n_runs) * 10000 DIV n_frames AS static_x10k")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm12_frame_runs" -> mm12FrameRunCollapse,
     "mm11_aspect_buckets" -> mm11AspectBuckets,
     "mm08_thumbnail" -> mm08Thumbnail,
     "mm01_media_ingest" -> mm01IngestMeta,
@@ -890,6 +937,35 @@ object Multimodal {
     // mm01/mm05 oracles read the SOURCE bytes; Spark reads genuinely
     // DECODED PNG pixels — equality proves the encode→decode round-trip
     // is pixel-exact (grayscale PNG is lossless).
+    // mm12: planting (triple-quantized read offsets) and run collapse
+    // (lag + running sum) replayed on the source text bytes.
+    "mm12_frame_runs" ->
+      """WITH f AS (SELECT doc_id AS media_id,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(length(text) / 32.0) AS BIGINT) - 1, 1)) AS fi,
+        |    text FROM documents),
+        |fp AS (SELECT media_id, fi,
+        |    md5(substring(text, CAST((CASE WHEN media_id % 5 = 0
+        |      THEN (fi // 3) * 3 ELSE fi END) * 32 + 1 AS INT), 32))
+        |      AS fp
+        |  FROM f),
+        |nw AS (SELECT media_id, fi, CASE WHEN lag(fp) OVER
+        |      (PARTITION BY media_id ORDER BY fi) IS DISTINCT FROM fp
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM fp),
+        |rid AS (SELECT media_id, CAST(sum(is_new) OVER
+        |      (PARTITION BY media_id ORDER BY fi
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM nw),
+        |runs AS (SELECT media_id, run_id,
+        |    CAST(count(*) AS BIGINT) AS run_len
+        |  FROM rid GROUP BY 1, 2)
+        |SELECT media_id, CAST(sum(run_len) AS BIGINT) AS n_frames,
+        |  CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(run_len) AS BIGINT) AS longest_run,
+        |  (CAST(sum(run_len) AS BIGINT) - CAST(count(*) AS BIGINT))
+        |    * 10000 // CAST(sum(run_len) AS BIGINT) AS static_x10k
+        |FROM runs GROUP BY media_id ORDER BY media_id""".stripMargin,
     "mm11_aspect_buckets" ->
       """WITH g AS (SELECT doc_id AS media_id,
         |    CAST(length(text) // 16 AS BIGINT) AS h

@@ -704,6 +704,38 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(desT == desB, "equal weights ask equal shares")
   }
 
+  test("mm12: frame-run collapse equals an exact in-JVM recompute") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val nf = math.ceil(text.length / 32.0).toInt
+      val fps = (0 until nf).map { fi =>
+        val src = if (id % 5 == 0) (fi / 3) * 3 else fi
+        val off = src * 32
+        text.substring(off, math.min(off + 32, text.length))
+      }
+      val runLens = fps.foldLeft(List.empty[(String, Long)]) {
+        case ((h, n) :: t, fp) if h == fp => (h, n + 1) :: t
+        case (acc, fp) => (fp, 1L) :: acc
+      }.map(_._2)
+      id -> ((nf.toLong, runLens.length.toLong, runLens.max,
+        (nf - runLens.length) * 10000L / nf))
+    }.toMap
+    val got = graft.operators.Multimodal.queries("mm12_frame_runs")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"media $k") }
+    // planted frozen scenes must collapse; unplanted media must not be
+    // all-static
+    assert(got.filter { case (k, v) => k % 5 == 0 && v._1 >= 3 }
+      .values.forall(_._3 >= 3),
+      "planted media with >=3 frames must show a >=3-frame run")
+    assert(got.filterKeys(_ % 5 != 0).values.exists(_._4 == 0L),
+      "some unplanted media must be run-free")
+  }
+
   test("pp32: fertility audit equals an exact in-JVM recompute") {
     val docs = Tables.t(spark, sf, "documents")
       .select("lang", "source", "text").collect()
