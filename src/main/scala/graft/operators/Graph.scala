@@ -663,14 +663,22 @@ object Graph {
     * loop applies with the localCheckpoint round discipline.
     */
   val gr13Hits: Q = (s, d) => {
+    // eager checkpoint, not lazy persist: 4 half-steps + the final join
+    // consume this — a lazy persist races its consumers and re-runs the
+    // 4-way fact join per consumer (the dd20 lesson)
     val edges = tradeEdges(s, d).filter(col("src") =!= col("dst"))
-      .persist() // 4 half-steps re-join this small condensed edge list
+      .localCheckpoint()
     val nodes = t(s, d, "nation")
       .select(col("n_nationkey").as("id"), col("n_name"))
     def l1norm(x: DataFrame, c: String): DataFrame = {
       val tot = x.agg(sum(c).as("tot"))
       x.crossJoin(broadcast(tot))
         .select(col("id"), expr(s"$c * 1000000 div tot").as(c))
+        // each l1norm references x TWICE (normalizer + carry) — without
+        // a per-half-step cut the plan nests 2^halfsteps copies of the
+        // upstream join (the dd13 plan-nesting rule); the table is
+        // nation-sized, so the eager cut costs microseconds
+        .localCheckpoint()
     }
     var hub = nodes.select(col("id"), lit(1000000L).as("h"))
     var auth = nodes.select(col("id"), lit(1000000L).as("a"))
