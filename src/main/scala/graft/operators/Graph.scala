@@ -660,7 +660,11 @@ object Graph {
     * Scale: runs on the CONDENSED nations×nations graph (the gr01 rule);
     * each half-step is one equi-join + one groupBy, the normalizer a
     * scalar aggregate broadcast back. For a fact-sized graph the same
-    * loop applies with the localCheckpoint round discipline.
+    * loop applies with the localCheckpoint round discipline. Overflow
+    * headroom: post-norm scores are ≤10⁶ by construction, so the raw
+    * half-step sums are bounded by 10⁶·Σw — with edge weights past
+    * ~10⁹ (≫ this condensed graph at any SF), drop the micro-unit to
+    * 10³ or pre-scale w by a constant divisor; same plan either way.
     */
   val gr13Hits: Q = (s, d) => {
     // eager checkpoint, not lazy persist: 4 half-steps + the final join

@@ -834,6 +834,38 @@ object Pipeline {
       .orderBy("lang", "source", "len_band")
   }
 
+  /** pp33: L-DIVERSITY AUDIT — pp29's k-anonymity sibling (Machanavajjhala
+    * et al. ICDE'06): a quasi-identifier group can be k-large yet still
+    * leak if everyone in it shares the same SENSITIVE value (the
+    * homogeneity attack k-anonymity misses). QI = (lang, length band);
+    * sensitive attribute = source (which crawl a document came from —
+    * the provenance a release may need to hide). A group is ℓ-diverse at
+    * ℓ=3 when it spans ≥3 distinct sources; the report adds the modal
+    * source's share ×10⁴ (the attacker's best-guess confidence — the
+    * quantity behind the stricter entropy-ℓ variant, kept integer here).
+    *
+    * Scale: one counter groupBy on (QI, sensitive) — never a distinct
+    * over wide rows — then a QI-keyed rollup + max; all keys
+    * low-cardinality, counters only on every exchange.
+    */
+  private val pp33LDiversity: Q = (s, d) => {
+    val cells = t(s, d, "documents")
+      .select(col("lang"),
+        expr("CAST(size(split(text, ' ')) div 50 AS BIGINT)")
+          .as("len_band"),
+        col("source"))
+      .groupBy("lang", "len_band", "source")
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy("lang", "len_band")
+      .agg(sum("n").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max("n").as("modal_n"))
+      .selectExpr("lang", "len_band", "n_docs", "n_sources",
+        "n_sources >= 3 AS l_diverse",
+        "modal_n * 10000 DIV n_docs AS modal_share_x10k")
+      .orderBy("lang", "len_band")
+  }
+
   /** pp30: IMPORTANCE-BASED DATA SELECTION (the DSIR shape, Xie et al.
     * NeurIPS'23): keep the raw documents whose hashed-n-gram profile
     * leans toward a curated target domain (here src0-src2 stand in for
@@ -971,6 +1003,7 @@ object Pipeline {
   }
 
   val queries: Map[String, Q] = Map(
+    "pp33_l_diversity" -> pp33LDiversity,
     "pp32_tokenizer_fertility" -> pp32TokenizerFertility,
     "pp31_epoch_plan" -> pp31EpochPlan,
     "pp30_importance_select" -> pp30ImportanceSelect,
@@ -1021,6 +1054,20 @@ object Pipeline {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // pp33: cell counts + QI rollup replayed; count(*) over the cell
+    // table IS the distinct-source count (cells are already distinct).
+    "pp33_l_diversity" ->
+      """WITH cells AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) // 50 AS BIGINT)
+        |      AS len_band,
+        |    source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, len_band, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_sources,
+        |  count(*) >= 3 AS l_diverse,
+        |  CAST(max(n) AS BIGINT) * 10000 // CAST(sum(n) AS BIGINT)
+        |    AS modal_share_x10k
+        |FROM cells GROUP BY 1, 2 ORDER BY lang, len_band""".stripMargin,
     // pp32: word/subword/char counters replayed with tx06's formulas.
     "pp32_tokenizer_fertility" ->
       """WITH q AS (SELECT lang, source,

@@ -759,6 +759,31 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got.values.exists(v => v._3 > v._2), "fertility degenerate")
   }
 
+  test("pp33: l-diversity audit equals an exact in-JVM recompute") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("lang", "text", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val want = docs
+      .groupBy(x => (x._1, (x._2.count(_ == ' ').toLong + 1) / 50))
+      .map { case (k, xs) =>
+        val bySrc = xs.groupBy(_._3).map(_._2.length.toLong)
+        k -> ((xs.length.toLong, bySrc.size.toLong, bySrc.size >= 3,
+          bySrc.max * 10000L / xs.length))
+      }
+    val got = graft.operators.Pipeline.queries("pp33_l_diversity")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"group $k") }
+    // the audit is only meaningful if both verdicts occur — at least
+    // one diverse group and the modal share never below uniform-over-
+    // sources
+    assert(got.values.exists(_._3), "no l-diverse group at all")
+    got.values.foreach { v =>
+      assert(v._4 >= 10000L / math.max(v._2, 1L), s"modal below uniform: $v")
+    }
+  }
+
   test("tx28: encoding audit catches exactly the planted damage") {
     import graft.operators.TextAnalysis
     val docs = Tables.t(spark, sf, "documents")
