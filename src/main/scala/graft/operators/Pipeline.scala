@@ -899,16 +899,16 @@ object Pipeline {
         .as("bigram"))
       .select(col("doc_id"), col("source"),
         expr("CAST(conv(substring(md5(bigram), 1, 8), 16, 10) AS BIGINT) % 128")
-          .as("f"))
-    val bcnt = bg.groupBy("f").agg(
+          .as("bucket"))
+    val bcnt = bg.groupBy("bucket").agg(
       sum(when(tgt, 1L).otherwise(0L)).as("tc"),
       sum(when(tgt, 0L).otherwise(1L)).as("rc"))
     val tots = bcnt.agg(sum("tc").as("tt"), sum("rc").as("rt"))
     val wtab = bcnt.crossJoin(broadcast(tots))
-      .select(col("f"),
+      .select(col("bucket"),
         (expr("tc * 1000000 div tt") - expr("rc * 1000000 div rt")).as("w"))
-    val c = bg.filter(!tgt).groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
-    val sc = c.join(broadcast(wtab), Seq("f"))
+    val c = bg.filter(!tgt).groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    val sc = c.join(broadcast(wtab), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("c") * col("w")).as("score"), sum("c").as("n_bigrams"))
     val scored = docs.filter(!tgt).select("doc_id", "source")

@@ -1130,7 +1130,88 @@ object RelationalQueries {
       .orderBy("band")
   }
 
+  /** q87: MULTI-TOUCH ATTRIBUTION — the marketing-analytics staple over
+    * a clickstream: each purchase's value is credited back to the
+    * view/click touches that preceded it in the same user JOURNEY (the
+    * span since the user's previous purchase), under three standard
+    * models — first-touch (all credit to the opening touch), last-touch
+    * (all to the closing touch) and linear (equal split). Journeys are
+    * carved without a range join: a running purchase count over the
+    * user timeline (rows-preceding frame) tags every event with its
+    * journey ordinal, so touch→conversion assignment is a plain
+    * equi-join on (user, journey). Money stays in lossless integer
+    * cents; the linear split is cents·n_type DIV n with the remainder
+    * credited to the last touch, so every model conserves the total
+    * purchase value exactly (the spec pins it). Touch-less purchases
+    * attribute to 'direct'.
+    *
+    * Scale: both windows partition by user (journey tag) or
+    * (user, journey) (endpoint ranks) — fully parallel, no global
+    * sort; the per-journey stats aggregate and the purchase join share
+    * the (user, journey) key; the final rollup is a ~6-row counter
+    * aggregate. 100 TB of events runs this per user shard with the
+    * identical plan.
+    */
+  private val q87Attribution: Q = (s, d) => {
+    val evs = t(s, d, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tagged = evs.withColumn("journey",
+      coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(wu.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val purch = tagged.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey"), col("cents"))
+    val wj = Window.partitionBy("user_id", "journey")
+    val touches = tagged.filter(col("event_type") =!= "purchase")
+      .withColumn("rn_a", row_number().over(
+        wj.orderBy(col("ts"), col("event_id"))))
+      .withColumn("rn_d", row_number().over(
+        wj.orderBy(col("ts").desc, col("event_id").desc)))
+    val tstats = touches.groupBy("user_id", "journey").agg(
+      count(lit(1)).as("n_touch"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("n_view"),
+      max(when(col("rn_a") === 1, col("event_type"))).as("first_type"),
+      max(when(col("rn_d") === 1, col("event_type"))).as("last_type"))
+    val j = purch.join(tstats, Seq("user_id", "journey"), "left")
+      .na.fill(0L, Seq("n_touch", "n_view"))
+      .withColumn("first_type", coalesce(col("first_type"), lit("direct")))
+      .withColumn("last_type", coalesce(col("last_type"), lit("direct")))
+      .withColumn("n_click", col("n_touch") - col("n_view"))
+      .withColumn("lv", expr("cents * n_view div greatest(n_touch, 1)"))
+      .withColumn("lc", expr("cents * n_click div greatest(n_touch, 1)"))
+    val long = j.selectExpr(
+      """inline(filter(array(
+        |  named_struct('model', 'first_touch', 'touch_type', first_type,
+        |    'acents', cents, 'keep', true),
+        |  named_struct('model', 'last_touch', 'touch_type', last_type,
+        |    'acents', cents, 'keep', true),
+        |  named_struct('model', 'linear', 'touch_type', 'direct',
+        |    'acents', cents, 'keep', n_touch = 0),
+        |  named_struct('model', 'linear', 'touch_type', 'view',
+        |    'acents', lv + IF(last_type = 'view', cents - lv - lc, 0L),
+        |    'keep', n_view > 0),
+        |  named_struct('model', 'linear', 'touch_type', 'click',
+        |    'acents', lc + IF(last_type = 'click', cents - lv - lc, 0L),
+        |    'keep', n_click > 0)
+        |), x -> x.keep))""".stripMargin)
+      .select(col("model"), col("touch_type"), col("acents"))
+    long.groupBy("model", "touch_type")
+      .agg(sum("acents").as("attributed_cents"),
+        count(lit(1)).as("journeys"))
+      .withColumn("share_x10k",
+        expr("attributed_cents * 10000 div " +
+          "sum(attributed_cents) OVER (PARTITION BY model)"))
+      .orderBy("model", "touch_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q87_attribution" -> q87Attribution,
     "q86_open_aging" -> q86OpenOrderAging,
     "q84_pct_of_parent" -> q84PercentOfParent,
     "q83_revenue_bridge" -> q83RevenueBridge,
@@ -1218,6 +1299,69 @@ object RelationalQueries {
         |  CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type)
         |    AS BIGINT) AS p_x10k
         |FROM g ORDER BY from_type, to_type""".stripMargin,
+    // q87: journey tagging, endpoint ranks, linear split + remainder all
+    // replayed; multi-referenced CTEs MATERIALIZED (window chains would
+    // otherwise inline per consumer).
+    "q87_attribution" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, ts, event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |tg AS MATERIALIZED (SELECT *,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |                      ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS journey
+        |  FROM e),
+        |p AS (SELECT user_id, journey, cents FROM tg
+        |  WHERE event_type = 'purchase'),
+        |tch AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, journey
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, journey
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM tg WHERE event_type <> 'purchase'),
+        |st AS (SELECT user_id, journey, count(*) AS n_touch,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS n_view,
+        |    max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+        |    max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type
+        |  FROM tch GROUP BY 1, 2),
+        |j AS MATERIALIZED (SELECT p.user_id, p.journey, p.cents,
+        |    CAST(coalesce(n_touch, 0) AS BIGINT) AS n_touch,
+        |    CAST(coalesce(n_view, 0) AS BIGINT) AS n_view,
+        |    CAST(coalesce(n_touch, 0) - coalesce(n_view, 0) AS BIGINT)
+        |      AS n_click,
+        |    coalesce(first_type, 'direct') AS first_type,
+        |    coalesce(last_type, 'direct') AS last_type
+        |  FROM p LEFT JOIN st USING (user_id, journey)),
+        |l AS MATERIALIZED (SELECT *,
+        |    cents * n_view // greatest(n_touch, 1) AS lv,
+        |    cents * n_click // greatest(n_touch, 1) AS lc
+        |  FROM j),
+        |lng AS (
+        |  SELECT 'first_touch' AS model, first_type AS touch_type,
+        |    cents AS acents FROM l
+        |  UNION ALL SELECT 'last_touch', last_type, cents FROM l
+        |  UNION ALL SELECT 'linear', 'direct', cents FROM l
+        |    WHERE n_touch = 0
+        |  UNION ALL SELECT 'linear', 'view',
+        |    lv + CASE WHEN last_type = 'view' THEN cents - lv - lc
+        |              ELSE 0 END
+        |    FROM l WHERE n_view > 0
+        |  UNION ALL SELECT 'linear', 'click',
+        |    lc + CASE WHEN last_type = 'click' THEN cents - lv - lc
+        |              ELSE 0 END
+        |    FROM l WHERE n_click > 0),
+        |g AS (SELECT model, touch_type,
+        |    CAST(sum(acents) AS BIGINT) AS attributed_cents,
+        |    count(*) AS journeys
+        |  FROM lng GROUP BY 1, 2)
+        |SELECT model, touch_type, attributed_cents, journeys,
+        |  CAST(attributed_cents * 10000 //
+        |    sum(attributed_cents) OVER (PARTITION BY model) AS BIGINT)
+        |    AS share_x10k
+        |FROM g ORDER BY model, touch_type""".stripMargin,
     "q86_open_aging" ->
       """WITH o AS (SELECT o_orderkey, o_orderdate, o_orderstatus,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents

@@ -759,6 +759,35 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got.values.exists(v => v._3 > v._2), "fertility degenerate")
   }
 
+  test("q87: every attribution model conserves total purchase cents") {
+    val rows = graft.operators.RelationalQueries
+      .queries("q87_attribution")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val totalCents = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .selectExpr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) " +
+        "AS BIGINT)").collect()(0).getLong(0)
+    rows.groupBy(_._1).foreach { case (model, rs) =>
+      assert(rs.map(_._3).sum == totalCents,
+        s"$model must conserve purchase cents exactly")
+      // shares are floor-division; they sum to 10^4 minus < n_types
+      val shareSum = rs.map(_._5).sum
+      assert(shareSum <= 10000 && shareSum > 10000 - rs.length,
+        s"$model share sum $shareSum")
+    }
+    // all three models and at least view/click/direct types must be live
+    assert(rows.map(_._1).distinct.sorted.toSeq ==
+      Seq("first_touch", "last_touch", "linear"))
+    assert(Set("view", "click", "direct")
+      .subsetOf(rows.map(_._2).toSet), "touch types degenerate")
+    // first/last must actually differ somewhere or journey endpoints
+    // are degenerate
+    val ft = rows.filter(_._1 == "first_touch").map(r => r._2 -> r._3).toMap
+    val lt = rows.filter(_._1 == "last_touch").map(r => r._2 -> r._3).toMap
+    assert(ft != lt, "first-touch and last-touch credit identical")
+  }
+
   test("pp33: l-diversity audit equals an exact in-JVM recompute") {
     val docs = Tables.t(spark, sf, "documents")
       .select("lang", "text", "source").collect()
