@@ -866,6 +866,44 @@ object Pipeline {
       .orderBy("lang", "len_band")
   }
 
+  /** pp34: DUPLICATE-AWARE SOFT REWEIGHTING — the SoftDeDup alternative
+    * (He et al., ACL'24) to hard near-dup removal: KEEP every member of
+    * a duplicate cluster but train on it at weight 1/cluster_size, so
+    * the cluster contributes one effective document and no single crawl
+    * decides which copy survives. Clusters are dd10's verified near-dup
+    * components (same graph, same labels — the oracle replays the full
+    * recursive-CTE CC); weights are exact integers (10⁴ DIV size, so a
+    * k-cluster sums to 10⁴ minus < k flooring units). Members attribute
+    * to their BASE document's source (id mod the re-crawl offset), and
+    * the report per source is the release-planning table: raw members,
+    * distinct clusters, effective docs ×10⁴ and the duplication
+    * inflation factor ×10⁴ — how much larger the raw corpus is than
+    * what the model effectively sees.
+    *
+    * Scale: rides dd10's banded near-dup machinery (ids-only shuffles);
+    * the reweighting adds one (id, label, size) projection, a join to a
+    * doc_id→source map and a counter rollup on the source key. A
+    * count(DISTINCT label) per source is the only expand — single
+    * column beside plain sums, the shape-homogeneous case the q64 rule
+    * allows.
+    */
+  private val pp34SoftWeights: Q = (s, d) => {
+    val groups = Dedup.queries("dd10_dedup_groups")(s, d)
+    val srcs = t(s, d, "documents")
+      .select(col("doc_id").as("base_id"), col("source"))
+    groups
+      .withColumn("w_x10k", expr("10000 div group_size"))
+      .withColumn("base_id", col("doc_id") % lit(10000000L))
+      .join(srcs, Seq("base_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("group_rep").as("n_clusters"),
+        sum("w_x10k").as("eff_docs_x10k"))
+      .withColumn("inflation_x10k",
+        expr("n_docs * 100000000 div eff_docs_x10k"))
+      .orderBy("source")
+  }
+
   /** pp30: IMPORTANCE-BASED DATA SELECTION (the DSIR shape, Xie et al.
     * NeurIPS'23): keep the raw documents whose hashed-n-gram profile
     * leans toward a curated target domain (here src0-src2 stand in for
@@ -1003,6 +1041,7 @@ object Pipeline {
   }
 
   val queries: Map[String, Q] = Map(
+    "pp34_soft_weights" -> pp34SoftWeights,
     "pp33_l_diversity" -> pp33LDiversity,
     "pp32_tokenizer_fertility" -> pp32TokenizerFertility,
     "pp31_epoch_plan" -> pp31EpochPlan,
@@ -1056,6 +1095,22 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     // pp33: cell counts + QI rollup replayed; count(*) over the cell
     // table IS the distinct-source count (cells are already distinct).
+    // pp34: dd10's full CC replay + the soft-weight rollup; 10⁴ DIV size
+    // weights and the inflation ratio all integer-exact.
+    "pp34_soft_weights" -> (Dedup.dd10Sql +
+      """,
+        |w AS (SELECT l.id, l.group_rep, 10000 // g.cnt AS w,
+        |    l.id % 10000000 AS base_id
+        |  FROM lab l JOIN (SELECT group_rep, count(*) AS cnt FROM lab
+        |                   GROUP BY group_rep) g USING (group_rep)),
+        |j AS (SELECT d.source, w.group_rep, w.w FROM w
+        |  JOIN documents d ON d.doc_id = w.base_id)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT group_rep) AS n_clusters,
+        |  CAST(sum(w) AS BIGINT) AS eff_docs_x10k,
+        |  count(*) * 100000000 // CAST(sum(w) AS BIGINT)
+        |    AS inflation_x10k
+        |FROM j GROUP BY source ORDER BY source""".stripMargin),
     "pp33_l_diversity" ->
       """WITH cells AS (SELECT lang,
         |    CAST(len(string_split(text, ' ')) // 50 AS BIGINT)

@@ -788,6 +788,31 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(ft != lt, "first-touch and last-touch credit identical")
   }
 
+  test("pp34: soft weights conserve one effective doc per cluster") {
+    val groups = graft.operators.Dedup.queries("dd10_dedup_groups")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    groups.groupBy(_._2).foreach { case (rep, ms) =>
+      val k = ms.length.toLong
+      assert(ms.forall(_._3 == k), s"cluster $rep size column inconsistent")
+      val sum = k * (10000L / k)
+      assert(sum <= 10000L && sum > 10000L - k,
+        s"cluster $rep weight sum $sum outside (10^4 - k, 10^4]")
+    }
+    val got = graft.operators.Pipeline.queries("pp34_soft_weights")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(_._2).sum == groups.length,
+      "per-source members must cover the dd10 corpus")
+    assert(got.map(_._3).sum == groups.map(_._2).distinct.length,
+      "per-source clusters must cover all dd10 components")
+    val wantEff = groups.groupBy(_._2)
+      .map { case (_, ms) => ms.length * (10000L / ms.length) }.sum
+    assert(got.map(_._4).sum == wantEff,
+      "effective-doc mass must equal the per-cluster floor weights")
+    got.foreach(r => assert(r._5 >= 10000L, s"inflation below 1x: $r"))
+    assert(got.exists(_._5 > 10000L), "no duplication measured at all")
+  }
+
   test("pp33: l-diversity audit equals an exact in-JVM recompute") {
     val docs = Tables.t(spark, sf, "documents")
       .select("lang", "text", "source").collect()
