@@ -1152,7 +1152,13 @@ object RelationalQueries {
     * aggregate. 100 TB of events runs this per user shard with the
     * identical plan.
     */
-  private val q87Attribution: Q = (s, d) => {
+  /** q87's journey-level attribution rows before the rollup —
+    * (user_id, journey, model, touch_type, acents) — shared with the
+    * st18 streaming face, whose per-purchase emissions must equal these
+    * rows byte-for-byte.
+    */
+  private[graft] def attributionLong(
+      s: SparkSession, d: String): DataFrame = {
     val evs = t(s, d, "events")
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -1185,7 +1191,7 @@ object RelationalQueries {
       .withColumn("n_click", col("n_touch") - col("n_view"))
       .withColumn("lv", expr("cents * n_view div greatest(n_touch, 1)"))
       .withColumn("lc", expr("cents * n_click div greatest(n_touch, 1)"))
-    val long = j.selectExpr(
+    j.selectExpr("user_id", "journey",
       """inline(filter(array(
         |  named_struct('model', 'first_touch', 'touch_type', first_type,
         |    'acents', cents, 'keep', true),
@@ -1200,15 +1206,18 @@ object RelationalQueries {
         |    'acents', lc + IF(last_type = 'click', cents - lv - lc, 0L),
         |    'keep', n_click > 0)
         |), x -> x.keep))""".stripMargin)
-      .select(col("model"), col("touch_type"), col("acents"))
-    long.groupBy("model", "touch_type")
+      .select(col("user_id"), col("journey"), col("model"),
+        col("touch_type"), col("acents"))
+  }
+
+  private val q87Attribution: Q = (s, d) =>
+    attributionLong(s, d).groupBy("model", "touch_type")
       .agg(sum("acents").as("attributed_cents"),
         count(lit(1)).as("journeys"))
       .withColumn("share_x10k",
         expr("attributed_cents * 10000 div " +
           "sum(attributed_cents) OVER (PARTITION BY model)"))
       .orderBy("model", "touch_type")
-  }
 
   val queries: Map[String, Q] = Map(
     "q87_attribution" -> q87Attribution,

@@ -871,6 +871,84 @@ object EventsStreaming {
   case class FunnelState(tv: Long, tc: Long, tp: Long)
   case class FunnelOut(user_id: Long, stage: String, ts_us: Long)
 
+  case class AttrState(journey: Long, nTouch: Long, nView: Long,
+      firstType: String, lastType: String)
+  case class AttrOut(user_id: Long, journey: Long, model: String,
+      touch_type: String, acents: Long)
+
+  /** st18: STREAMING MULTI-TOUCH ATTRIBUTION — q87's journey
+    * attribution AT INGEST: per-user state is the OPEN journey only
+    * (ordinal + touch counters + endpoint types — one fixed-width row
+    * per user, bounded by user count, never by history), and each
+    * arriving purchase closes the journey and emits its first-touch /
+    * last-touch / linear credit rows immediately — the live feed a
+    * campaign dashboard tails, where q87 is the nightly replay.
+    * Processing each batch in (micros, event_id) order makes the
+    * running state EQUAL to q87's rows-preceding journey tagging, so
+    * emissions match the batch face byte-for-byte (the spec pins it
+    * across a mid-feed batch split). Cents quantize with the same
+    * floor(v·100 + 0.5) IEEE step as the batch side; the linear
+    * remainder goes to the last touch, conserving each purchase
+    * exactly.
+    */
+  def attributionStream(events: DataFrame): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events.filter(col("event_type")
+        .isin("view", "click", "purchase"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[AttrState]) =>
+          def tsu(r: Event): Long =
+            math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+              r.ts.getNanos / 1000L
+          var st = state.getOption.getOrElse(AttrState(0L, 0L, 0L, "", ""))
+          val out = scala.collection.mutable.ArrayBuffer[AttrOut]()
+          rows.toSeq.sortBy(r => (tsu(r), r.event_id)).foreach { r =>
+            if (r.event_type == "purchase") {
+              val cents = math.floor(r.value * 100 + 0.5).toLong
+              if (st.nTouch == 0L) {
+                out += AttrOut(uid, st.journey, "first_touch", "direct",
+                  cents)
+                out += AttrOut(uid, st.journey, "last_touch", "direct",
+                  cents)
+                out += AttrOut(uid, st.journey, "linear", "direct", cents)
+              } else {
+                out += AttrOut(uid, st.journey, "first_touch",
+                  st.firstType, cents)
+                out += AttrOut(uid, st.journey, "last_touch",
+                  st.lastType, cents)
+                val nClick = st.nTouch - st.nView
+                val lv = cents * st.nView / st.nTouch
+                val lc = cents * nClick / st.nTouch
+                val rem = cents - lv - lc
+                if (st.nView > 0L)
+                  out += AttrOut(uid, st.journey, "linear", "view",
+                    lv + (if (st.lastType == "view") rem else 0L))
+                if (nClick > 0L)
+                  out += AttrOut(uid, st.journey, "linear", "click",
+                    lc + (if (st.lastType == "click") rem else 0L))
+              }
+              st = AttrState(st.journey + 1L, 0L, 0L, "", "")
+            } else {
+              st = AttrState(st.journey, st.nTouch + 1L,
+                st.nView + (if (r.event_type == "view") 1L else 0L),
+                if (st.nTouch == 0L) r.event_type else st.firstType,
+                r.event_type)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** st18 driver face: q87's journey-level attribution rows (the
+    * pre-rollup long form), which the stream emissions must equal. */
+  private val st18Attribution: Q = (s, d) =>
+    graft.operators.RelationalQueries.attributionLong(s, d)
+      .orderBy("user_id", "journey", "model", "touch_type")
+
   case class AnomState(n: Long, sx: Long, sx2: Long)
   case class AnomOut(user_id: Long, event_id: Long)
 
@@ -1062,6 +1140,7 @@ object EventsStreaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st18_attribution" -> st18Attribution,
     "st17_drift_monitor" -> st17DriftMonitor,
     "st16_window_distinct" -> st16WindowDistinct,
     "st15_anomaly_alerts" -> st15AnomalyAlerts,
@@ -1081,6 +1160,62 @@ object EventsStreaming {
     "st10_token_budget" -> st10TokenBudget)
 
   val oracleSql: Map[String, String] = Map(
+    // st18: q87's journey/endpoint/remainder chain replayed pre-rollup;
+    // journey cast to BIGINT (DuckDB window sums are HUGEINT).
+    "st18_attribution" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, ts, event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |tg AS MATERIALIZED (SELECT *,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |                           ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS journey
+        |  FROM e),
+        |p AS (SELECT user_id, journey, cents FROM tg
+        |  WHERE event_type = 'purchase'),
+        |tch AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, journey
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, journey
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM tg WHERE event_type <> 'purchase'),
+        |st AS (SELECT user_id, journey, count(*) AS n_touch,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS n_view,
+        |    max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+        |    max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type
+        |  FROM tch GROUP BY 1, 2),
+        |j AS MATERIALIZED (SELECT p.user_id, p.journey, p.cents,
+        |    CAST(coalesce(n_touch, 0) AS BIGINT) AS n_touch,
+        |    CAST(coalesce(n_view, 0) AS BIGINT) AS n_view,
+        |    CAST(coalesce(n_touch, 0) - coalesce(n_view, 0) AS BIGINT)
+        |      AS n_click,
+        |    coalesce(first_type, 'direct') AS first_type,
+        |    coalesce(last_type, 'direct') AS last_type
+        |  FROM p LEFT JOIN st USING (user_id, journey)),
+        |l AS MATERIALIZED (SELECT *,
+        |    cents * n_view // greatest(n_touch, 1) AS lv,
+        |    cents * n_click // greatest(n_touch, 1) AS lc
+        |  FROM j),
+        |lng AS (
+        |  SELECT user_id, journey, 'first_touch' AS model,
+        |    first_type AS touch_type, cents AS acents FROM l
+        |  UNION ALL SELECT user_id, journey, 'last_touch', last_type,
+        |    cents FROM l
+        |  UNION ALL SELECT user_id, journey, 'linear', 'direct', cents
+        |    FROM l WHERE n_touch = 0
+        |  UNION ALL SELECT user_id, journey, 'linear', 'view',
+        |    lv + CASE WHEN last_type = 'view' THEN cents - lv - lc
+        |              ELSE 0 END
+        |    FROM l WHERE n_view > 0
+        |  UNION ALL SELECT user_id, journey, 'linear', 'click',
+        |    lc + CASE WHEN last_type = 'click' THEN cents - lv - lc
+        |              ELSE 0 END
+        |    FROM l WHERE n_click > 0)
+        |SELECT user_id, journey, model, touch_type, acents FROM lng
+        |ORDER BY user_id, journey, model, touch_type""".stripMargin,
     // st17: the windowed TV replay — same grid (windows × reference
     // types), same cross-multiplied integer form.
     "st17_drift_monitor" ->

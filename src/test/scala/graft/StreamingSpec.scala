@@ -403,6 +403,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "no anomalies detected at this SF")
   }
 
+  test("streaming attribution equals the st18 batch face byte-for-byte") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect().map(r => EventsStreaming.Event(r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).toSeq
+    // split mid-feed: journeys spanning the boundary exercise the
+    // carried open-journey state (touch counters + endpoint types)
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.Event](spark)
+    val q = EventsStreaming.attributionStream(input.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3, t._4))
+    val want = EventsStreaming.queries("st18_attribution")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.length == want.length,
+      s"row count: stream ${got.length} vs batch ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"stream $g vs batch $w")
+    }
+    // non-degenerate: attributed and direct journeys both occur
+    assert(want.exists(_._4 == "direct"), "no direct conversions")
+    assert(want.exists(r => r._4 == "view" || r._4 == "click"),
+      "no attributed touches")
+  }
+
   test("streaming funnel reaches the st14 batch-face stage per user") {
     val sf = "/root/testdata/sf0.001"
     val corpus = EventsStreaming.transitionCorpus(spark, sf)
