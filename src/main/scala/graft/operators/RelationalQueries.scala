@@ -1152,6 +1152,52 @@ object RelationalQueries {
     * aggregate. 100 TB of events runs this per user shard with the
     * identical plan.
     */
+  /** q88: ABC / PARETO CLASSIFICATION — the inventory-policy classic:
+    * parts ranked by lifetime revenue, then classed by CUMULATIVE
+    * revenue share (A ≤ 80%, B ≤ 95%, C the tail) — "20% of parts
+    * carry 80% of revenue" made operational. Revenue is lossless
+    * integer cents; the cumulative share is cum·10⁴ DIV total
+    * (integer, so the class boundary is engine-exact); rank ties break
+    * on partkey. Output is the 3-row policy table: parts, revenue,
+    * revenue share and part-count share per class, plus the boundary
+    * rank where each class ends.
+    *
+    * Scale: the heavy join/aggregate is lineitem-sized and partial-agg
+    * friendly; the ranking window is a global sort but over the PART
+    * dimension (one row per part — the q81 ntile rationale; at 100 TB
+    * swap in q72's partition-sort percentile machinery for the
+    * boundaries, same output contract).
+    */
+  private val q88AbcPareto: Q = (s, d) => {
+    val rev = t(s, d, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)" +
+          " AS BIGINT)").as("cents"))
+      .groupBy("l_partkey").agg(sum("cents").as("rev_cents"))
+    val w = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+    val classed = rev
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum("rev_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(rev.agg(sum("rev_cents").as("tot"))))
+      .withColumn("cum_share_x10k", expr("cum * 10000 div tot"))
+      .withColumn("abc_class",
+        when(col("cum_share_x10k") <= 8000L, "A")
+          .when(col("cum_share_x10k") <= 9500L, "B")
+          .otherwise("C"))
+    classed.groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev_cents").as("revenue_cents"),
+        max("rnk").as("last_rank"),
+        max("tot").as("tot"))
+      .select(col("abc_class"), col("n_parts"), col("revenue_cents"),
+        expr("revenue_cents * 10000 div tot").as("rev_share_x10k"),
+        expr("n_parts * 10000 div sum(n_parts) OVER ()")
+          .as("part_share_x10k"),
+        col("last_rank"))
+      .orderBy("abc_class")
+  }
+
   /** q87's journey-level attribution rows before the rollup —
     * (user_id, journey, model, touch_type, acents) — shared with the
     * st18 streaming face, whose per-purchase emissions must equal these
@@ -1220,6 +1266,7 @@ object RelationalQueries {
       .orderBy("model", "touch_type")
 
   val queries: Map[String, Q] = Map(
+    "q88_abc_pareto" -> q88AbcPareto,
     "q87_attribution" -> q87Attribution,
     "q86_open_aging" -> q86OpenOrderAging,
     "q84_pct_of_parent" -> q84PercentOfParent,
@@ -1308,6 +1355,38 @@ object RelationalQueries {
         |  CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type)
         |    AS BIGINT) AS p_x10k
         |FROM g ORDER BY from_type, to_type""".stripMargin,
+    // q88: rank/cumulative windows + integer share boundaries replayed;
+    // rev is multi-referenced (window chain + total) → MATERIALIZED.
+    "q88_abc_pareto" ->
+      """WITH rev AS MATERIALIZED (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1),
+        |cl AS MATERIALIZED (SELECT l_partkey, rev_cents,
+        |    CAST(row_number() OVER
+        |      (ORDER BY rev_cents DESC, l_partkey) AS BIGINT) AS rnk,
+        |    CAST(sum(rev_cents) OVER
+        |      (ORDER BY rev_cents DESC, l_partkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST((SELECT sum(rev_cents) FROM rev) AS BIGINT) AS tot
+        |  FROM rev),
+        |cl2 AS (SELECT *,
+        |    CASE WHEN cum * 10000 // tot <= 8000 THEN 'A'
+        |         WHEN cum * 10000 // tot <= 9500 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM cl),
+        |g AS MATERIALIZED (SELECT abc_class, count(*) AS n_parts,
+        |    CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+        |    max(rnk) AS last_rank
+        |  FROM cl2 GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS tot,
+        |    CAST(sum(n_parts) AS BIGINT) AS np FROM g)
+        |SELECT abc_class, n_parts, revenue_cents,
+        |  revenue_cents * 10000 // tot AS rev_share_x10k,
+        |  n_parts * 10000 // np AS part_share_x10k,
+        |  last_rank
+        |FROM g CROSS JOIN t2 ORDER BY abc_class""".stripMargin,
     // q87: journey tagging, endpoint ranks, linear split + remainder all
     // replayed; multi-referenced CTEs MATERIALIZED (window chains would
     // otherwise inline per consumer).

@@ -759,6 +759,25 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got.values.exists(v => v._3 > v._2), "fertility degenerate")
   }
 
+  test("q88: ABC classes partition parts and concentrate revenue") {
+    val got = graft.operators.RelationalQueries
+      .queries("q88_abc_pareto")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == Seq("A", "B", "C"))
+    // classes partition the rank line contiguously
+    assert(got(0)._6 == got(0)._2 && got(1)._6 == got(0)._2 + got(1)._2 &&
+      got(2)._6 == got.map(_._2).sum, "class rank boundaries not contiguous")
+    // floor-division shares sum to 10^4 minus < n_classes
+    Seq(got.map(_._4).sum, got.map(_._5).sum).foreach { s =>
+      assert(s <= 10000L && s > 10000L - 3, s"share sum $s")
+    }
+    // Pareto concentration: A's revenue share strictly exceeds its part
+    // share; C's is strictly below
+    assert(got(0)._4 > got(0)._5, "A class not revenue-concentrated")
+    assert(got(2)._4 < got(2)._5, "C tail not revenue-light")
+  }
+
   test("q87: every attribution model conserves total purchase cents") {
     val rows = graft.operators.RelationalQueries
       .queries("q87_attribution")(spark, sf)
