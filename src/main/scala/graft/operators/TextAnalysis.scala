@@ -405,7 +405,56 @@ object TextAnalysis {
       .orderBy("source", "damage_class")
   }
 
+  /** tx29: CANARY EXPOSURE AUDIT — the memorization-risk census a
+    * training pipeline runs before release (the Carlini et al. secret
+    * sharer protocol, inverted: count how often each unique canary
+    * secret appears in the corpus, since extraction risk grows with
+    * repetition). The corpus is canary-free by construction, so
+    * exposure is PLANTED (the tx28/mm10 discipline): doc_id ≡ 3
+    * (mod 23) appends `CANARY-<k>-SEC` with k = (doc_id DIV 23) mod 8,
+    * and the doc_id ≡ 3 (mod 46) subset appends it TWICE — so
+    * occurrence counts exceed doc counts on a known sub-population and
+    * the detector's occurrence/doc/source triple is fully derivable.
+    * Detection is a regex sweep (`regexp_extract_all`) — the real
+    * operator a secret-scan runs; the oracle replays planting AND
+    * detection, so the hash proves the sweep finds exactly what was
+    * planted, counted exactly.
+    *
+    * Scale: one regex pass per row (codegen'd), matches explode to
+    * (id, source, canary) triples — kilobytes, since canaries are
+    * rare by construction; the rollup groups 50 keys. The two distinct
+    * counters share one expand over the tiny match set (homogeneous
+    * shapes — the q64 rule).
+    */
+  private val tx29CanaryAudit: Q = (s, d) => {
+    val can = concat(lit("CANARY-"),
+      expr("CAST((doc_id div 23) % 8 AS STRING)"), lit("-SEC"))
+    val wire = t(s, d, "documents").select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 23 === 3, concat(lit(" "), can))
+          .otherwise(lit("")),
+        when(col("doc_id") % 46 === 3, concat(lit(" "), can))
+          .otherwise(lit(""))).as("w"))
+    val m = wire
+      .select(col("doc_id"), col("source"),
+        explode(expr("regexp_extract_all(w, 'CANARY-[0-9]+-SEC', 0)"))
+          .as("canary"))
+      .withColumn("cid",
+        expr("CAST(regexp_extract(canary, 'CANARY-([0-9]+)-SEC', 1)" +
+          " AS BIGINT)"))
+    m.groupBy("cid")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"),
+        countDistinct("source").as("n_sources"))
+      .withColumn("risk_class",
+        when(col("n_occurrences") >= 5L, "high")
+          .when(col("n_occurrences") >= 2L, "repeated")
+          .otherwise("single"))
+      .orderBy("cid")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx29_canary_audit" -> tx29CanaryAudit,
     "tx28_encoding_audit" -> tx28EncodingAudit,
     "tx24_source_drift" -> tx24SourceDrift,
     "tx23_freq_spectrum" -> tx23FreqSpectrum,
@@ -427,6 +476,31 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // tx29: planting + regex sweep + exposure rollup all replayed.
+    "tx29_canary_audit" ->
+      """WITH wire AS (SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 23 = 3 THEN ' CANARY-' ||
+        |        CAST((doc_id // 23) % 8 AS VARCHAR) || '-SEC'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 46 = 3 THEN ' CANARY-' ||
+        |        CAST((doc_id // 23) % 8 AS VARCHAR) || '-SEC'
+        |      ELSE '' END AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |    unnest(regexp_extract_all(w, 'CANARY-[0-9]+-SEC')) AS canary
+        |  FROM wire),
+        |g AS (SELECT
+        |    CAST(regexp_extract(canary, 'CANARY-([0-9]+)-SEC', 1)
+        |      AS BIGINT) AS cid,
+        |    count(*) AS n_occurrences,
+        |    count(DISTINCT doc_id) AS n_docs,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM m GROUP BY 1)
+        |SELECT cid, n_occurrences, n_docs, n_sources,
+        |  CASE WHEN n_occurrences >= 5 THEN 'high'
+        |       WHEN n_occurrences >= 2 THEN 'repeated'
+        |       ELSE 'single' END AS risk_class
+        |FROM g ORDER BY cid""".stripMargin,
     // tx28: planting AND detection replayed — chr() builds the same BMP
     // damage chars the Spark side plants as \u literals; counts via the
     // replace/length idiom (code-point-exact both engines on BMP).

@@ -857,6 +857,37 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("tx29: canary audit counts exactly the planted exposures") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val planted = docs.filter(_._1 % 23 == 3).flatMap { case (id, src) =>
+      val cid = (id / 23) % 8
+      val twice = id % 46 == 3
+      Seq.fill(if (twice) 2 else 1)((cid, id, src))
+    }
+    val want = planted.groupBy(_._1).map { case (cid, xs) =>
+      cid -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong,
+        xs.map(_._3).distinct.length.toLong))
+    }
+    val got = graft.operators.TextAnalysis
+      .queries("tx29_canary_audit")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got.keySet == want.keySet, "detected canary set != planted set")
+    want.foreach { case (cid, (occ, nd, ns)) =>
+      val g = got(cid)
+      assert((g._1, g._2, g._3) == ((occ, nd, ns)), s"canary $cid: $g")
+      val cls = if (occ >= 5) "high" else if (occ >= 2) "repeated"
+        else "single"
+      assert(g._4 == cls, s"canary $cid class ${g._4} != $cls")
+    }
+    // double-planting must actually create occ > docs somewhere, and
+    // cross-source spread must occur
+    assert(got.values.exists(g => g._1 > g._2), "no double exposures")
+    assert(got.values.exists(_._3 > 1L), "no cross-source canary")
+  }
+
   test("tx28: encoding audit catches exactly the planted damage") {
     import graft.operators.TextAnalysis
     val docs = Tables.t(spark, sf, "documents")
