@@ -77,6 +77,61 @@ object Graph {
       .orderBy(col("pr").desc, col("nationkey"))
   }
 
+  /** gr14: PERSONALIZED PAGERANK — gr01's power iteration with the
+    * restart mass concentrated on a SEED SET (region-0 nations) instead
+    * of uniform: the recommender/expansion primitive ("importance as
+    * seen from these nodes") behind related-item and local-community
+    * queries, a genuinely different answer from global PageRank — mass
+    * decays with trade distance from the seeds. Same micro-unit integer
+    * fixed point (sums associative → reducer-order-exact, the file's
+    * numerics rule): r0 = 10⁶ DIV |S| on seeds, each round
+    * r(v) = base(v) + Σ ((r(u)·850 div 1000)·w) div outw with
+    * base = 150,000 DIV |S| on seeds and 0 elsewhere. Teleport always
+    * returns to the seeds, so non-seed mass exists only by incoming
+    * trade paths.
+    *
+    * Scale: identical plan to gr01 — condensed nations×nations graph,
+    * one equi-join + groupBy per round; the seed-count scalar broadcasts
+    * (nation is constant-size). For a fact-sized graph the same loop
+    * runs with the localCheckpoint round discipline.
+    */
+  val gr14Ppr: Q = (s, d) => {
+    val edges = tradeEdges(s, d)
+      .withColumn("outw", sum("w").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .persist()
+    val nodes = t(s, d, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"),
+        col("n_regionkey"))
+    val base = nodes
+      .crossJoin(broadcast(nodes.filter(col("n_regionkey") === 0)
+        .agg(count(lit(1)).as("ns"))))
+      .select(col("id"), col("n_name"),
+        when(col("n_regionkey") === 0, expr("150000 div ns"))
+          .otherwise(lit(0L)).as("base"),
+        when(col("n_regionkey") === 0, expr("1000000 div ns"))
+          .otherwise(lit(0L)).as("r0"),
+        (col("n_regionkey") === 0).as("is_seed"))
+    var ranks = base.select(col("id"), col("r0").as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "rid"),
+          col("src") === col("rid"))
+        .select(col("dst"),
+          expr("((r * 850) div 1000) * w div outw").as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+      ranks = base.select("id", "base")
+        .join(contrib.withColumnRenamed("dst", "cid"),
+          col("id") === col("cid"), "left")
+        .select(col("id"),
+          (col("base") + coalesce(col("m"), lit(0L))).as("r"))
+    }
+    base.join(ranks, Seq("id"))
+      .select(col("id").as("nationkey"), col("n_name"), col("is_seed"),
+        col("r").as("ppr"))
+      .orderBy(col("ppr").desc, col("nationkey"))
+  }
+
   /** gr02: TRIANGLE COUNT per nation on the undirected support of the
     * trade graph (an edge when either direction trades), via
     * DEGREE-ORDERED node iteration (Schank & Wagner '05 / the
@@ -715,6 +770,7 @@ object Graph {
     "gr10_link_predict" -> gr10LinkPredict,
     "gr09_copurchase" -> gr09CoPurchase,
     "gr06_ktruss" -> gr06Ktruss,
+    "gr14_ppr_seeded" -> gr14Ppr,
     "gr01_pagerank" -> gr01Pagerank,
     "gr02_triangles" -> gr02Triangles,
     "gr03_label_prop" -> gr03LabelProp,
@@ -812,6 +868,41 @@ object Graph {
          |FROM a0 u LEFT JOIN fin f ON f.a = u.a AND f.b = u.b
          |ORDER BY u.a, u.b""".stripMargin
     },
+    // gr14: all three seeded rounds replayed; b feeds every round + the
+    // final join → MATERIALIZED (the multi-consumer CTE rule); all
+    // operands non-negative so // ≡ Spark's div.
+    "gr14_ppr_seeded" ->
+      s"""WITH $edgesCte,
+         |e AS MATERIALIZED (SELECT src, dst, w,
+         |    sum(w) OVER (PARTITION BY src) AS outw FROM edges),
+         |b AS MATERIALIZED (SELECT n_nationkey AS id, n_name,
+         |    CASE WHEN n_regionkey = 0 THEN 150000 //
+         |      (SELECT count(*) FROM nation WHERE n_regionkey = 0)
+         |      ELSE 0 END AS base,
+         |    CASE WHEN n_regionkey = 0 THEN 1000000 //
+         |      (SELECT count(*) FROM nation WHERE n_regionkey = 0)
+         |      ELSE 0 END AS r0,
+         |    n_regionkey = 0 AS is_seed
+         |  FROM nation),
+         |r1 AS (SELECT b.id, b.base + coalesce(CAST(sum(
+         |      ((r0t.r * 850 // 1000) * e.w) // e.outw) AS BIGINT), 0)
+         |      AS r
+         |  FROM b LEFT JOIN e ON e.dst = b.id
+         |  LEFT JOIN (SELECT id, r0 AS r FROM b) r0t ON r0t.id = e.src
+         |  GROUP BY b.id, b.base),
+         |r2 AS (SELECT b.id, b.base + coalesce(CAST(sum(
+         |      ((r1.r * 850 // 1000) * e.w) // e.outw) AS BIGINT), 0)
+         |      AS r
+         |  FROM b LEFT JOIN e ON e.dst = b.id
+         |  LEFT JOIN r1 ON r1.id = e.src GROUP BY b.id, b.base),
+         |r3 AS (SELECT b.id, b.base + coalesce(CAST(sum(
+         |      ((r2.r * 850 // 1000) * e.w) // e.outw) AS BIGINT), 0)
+         |      AS r
+         |  FROM b LEFT JOIN e ON e.dst = b.id
+         |  LEFT JOIN r2 ON r2.id = e.src GROUP BY b.id, b.base)
+         |SELECT b.id AS nationkey, b.n_name, b.is_seed, r3.r AS ppr
+         |FROM b JOIN r3 ON r3.id = b.id
+         |ORDER BY ppr DESC, nationkey""".stripMargin,
     "gr01_pagerank" ->
       s"""WITH $edgesCte,
          |e AS (SELECT src, dst, w,

@@ -759,6 +759,28 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got.values.exists(v => v._3 > v._2), "fertility degenerate")
   }
 
+  test("gr14: personalized PageRank concentrates mass near the seeds") {
+    val rows = graft.operators.Graph.queries("gr14_ppr_seeded")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3)))
+    assert(rows.count(_._3) == 5, "region 0 must contribute 5 seed nations")
+    assert(rows.forall(_._4 >= 0L), "negative mass")
+    // teleport returns only to seeds, so any non-seed mass arrived over
+    // trade paths — it must exist (the graph is strongly connected-ish)
+    assert(rows.filter(!_._3).exists(_._4 > 0L), "no propagated mass")
+    // personalization must actually bite: average seed mass strictly
+    // above average non-seed mass
+    val (seeds, rest) = rows.partition(_._3)
+    assert(seeds.map(_._4).sum * rest.length >
+      rest.map(_._4).sum * seeds.length,
+      "seed nations not favored by the restart")
+    // and the ranking must differ from global PageRank's
+    val global = graft.operators.Graph.queries("gr01_pagerank")(spark, sf)
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows.map(_._1).toSeq != global,
+      "personalized ranking identical to global PageRank")
+  }
+
   test("q88: ABC classes partition parts and concentrate revenue") {
     val got = graft.operators.RelationalQueries
       .queries("q88_abc_pareto")(spark, sf)
