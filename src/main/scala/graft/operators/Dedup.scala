@@ -1314,7 +1314,90 @@ object Dedup {
       .orderBy(col("bits").desc, col("decile"))
   }
 
+  /** dd26: LSH BAND-CONFIG PLANNER — the DESIGN-TIME complement to
+    * dd20's empirical sweep: pick (bands b × rows r) analytically from
+    * the S-curve p(s) = 1 − (1 − sʳ)ᵇ weighted by the corpus's OWN
+    * similarity histogram, estimated from a constant-size deterministic
+    * sample (64 docs by md5 order plus their recrawl twins → 8128
+    * exact-Jaccard pairs, the standard bounded-sample histogram
+    * estimate — the histogram shape, not the corpus, is what the
+    * planner needs, so the sample stays constant-size at any corpus
+    * size). Per 16-lane config (16×1, 8×2, 4×4, 2×8)
+    * it reports the capture-probability crossover bucket and the
+    * expected false-positive candidates (pairs below the 0.7 target
+    * captured anyway) vs expected misses (pairs above it dropped) —
+    * the two quantities whose trade the (b, r) choice IS.
+    *
+    * Cross-engine exactness without libm: bucket midpoints are
+    * (2m+1)/32 (exact binary doubles), sʳ and (1−sʳ)ᵇ are evaluated by
+    * REPEATED SQUARING written identically on both sides (r, b ∈ powers
+    * of two ⇒ every step is one IEEE multiply of identical operands),
+    * and the only cross-row sums are 16-term double sums rounded to 4
+    * dp (drift bound ~1e-12, margin 1e8).
+    *
+    * Scale: sample selection is a TakeOrdered over ids only; shingles
+    * are built AFTER the 64-row limit and the all-pairs stage is 64×64
+    * regardless of corpus size. Nothing here touches the full corpus
+    * beyond one id scan.
+    */
+  private val dd26BandPlanner: Q = (s, d) => {
+    val ids = t(s, d, "documents").select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(64)
+    // include the sampled docs' recrawl twins (J≈0.9 mutated copies) so
+    // the histogram carries high-similarity mass — without it every
+    // sampled pair sits below the target and the FN side of the trade
+    // is invisible (a real corpus's near-dup mass plays this role)
+    val sample = ids.unionAll(ids.select(col("doc_id") + COPY_OFFSET))
+      .join(recrawl(s, d), Seq("doc_id"))
+      .select(col("doc_id"), array_distinct(
+        GraftFunctions.shingle_strings(col("text"))).as("sh"))
+      .persist() // both sides of the 128×128 pair join
+    val hist = sample.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+      .join(sample.select(col("doc_id").as("b"), col("sh").as("sh_b")),
+        col("a") < col("b"))
+      .selectExpr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) /" +
+          " (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))" +
+          " AS j")
+      .selectExpr("least(CAST(floor(j * 16.0) AS INT), 15) AS m")
+      .groupBy("m").agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      "SELECT b, r FROM VALUES (16, 1), (8, 2), (4, 4), (2, 8) AS c(b, r)")
+      .crossJoin(s.sql("SELECT explode(sequence(0, 15)) AS m"))
+    grid.join(hist, Seq("m"), "left")
+      .selectExpr("b", "r", "m", "coalesce(cnt, CAST(0 AS BIGINT)) AS cnt",
+        "CAST(2 * m + 1 AS DOUBLE) / 32.0 AS st")
+      .selectExpr("*", "st * st AS st2")
+      .selectExpr("*", "st2 * st2 AS st4")
+      .selectExpr("*", "st4 * st4 AS st8")
+      .selectExpr("b", "r", "m", "cnt",
+        "CASE r WHEN 1 THEN st WHEN 2 THEN st2 WHEN 4 THEN st4" +
+          " ELSE st8 END AS sr")
+      .selectExpr("*", "1.0 - sr AS q")
+      .selectExpr("*", "q * q AS q2")
+      .selectExpr("*", "q2 * q2 AS q4")
+      .selectExpr("*", "q4 * q4 AS q8")
+      .selectExpr("*", "q8 * q8 AS q16")
+      .selectExpr("b", "r", "m", "cnt",
+        "1.0 - (CASE b WHEN 2 THEN q2 WHEN 4 THEN q4 WHEN 8 THEN q8" +
+          " ELSE q16 END) AS p")
+      .groupBy("b", "r")
+      .agg(
+        expr("min(CASE WHEN p >= 0.5 THEN m END)").as("crossover_m"),
+        expr("sum(CASE WHEN m <= 10 THEN cnt ELSE CAST(0 AS BIGINT) END)")
+          .as("n_lo"),
+        expr("sum(CASE WHEN m >= 11 THEN cnt ELSE CAST(0 AS BIGINT) END)")
+          .as("n_hi"),
+        expr("round(sum(CASE WHEN m <= 10 THEN CAST(cnt AS DOUBLE) * p" +
+          " ELSE 0.0 END), 4)").as("exp_fp"),
+        expr("round(sum(CASE WHEN m >= 11 THEN CAST(cnt AS DOUBLE) *" +
+          " (1.0 - p) ELSE 0.0 END), 4)").as("exp_fn"))
+      .orderBy(col("b").desc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd26_band_planner" -> dd26BandPlanner,
     "dd25_bbit_minhash" -> dd25BbitMinhash,
     "dd24_semantic_dedup" -> dd24SemDedup,
     "dd23_fuzzy_decontaminate" -> dd23FuzzyDecon,
@@ -1415,6 +1498,69 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // dd26: full replay — md5-ordered 64-doc sample, exact-Jaccard
+    // 16-bucket histogram, and the S-curve by the SAME repeated-squaring
+    // multiplication chain the Spark side runs (identical IEEE ops on
+    // identical operands; the only cross-row float sums are 16-term,
+    // rounded to 4 dp). sum(BIGINT) is HUGEINT in DuckDB → cast back.
+    "dd26_band_planner" ->
+      """WITH ids AS (SELECT doc_id FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64),
+        |ids2 AS (SELECT doc_id FROM ids
+        |  UNION ALL SELECT doc_id + 10000000 FROM ids),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT d.doc_id, d.text, string_split(d.text, ' ') AS tk
+        |  FROM corpus d JOIN ids2 ON ids2.doc_id = d.doc_id),
+        |shd AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM tk),
+        |pr AS (SELECT
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |      AS j
+        |  FROM shd a JOIN shd b ON a.doc_id < b.doc_id),
+        |hist AS (SELECT least(CAST(floor(j * 16.0) AS INT), 15) AS m,
+        |    count(*) AS cnt FROM pr GROUP BY 1),
+        |grid AS (SELECT c.b, c.r, CAST(g.m AS INT) AS m
+        |  FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8)) c(b, r),
+        |       generate_series(0, 15) g(m)),
+        |base AS (SELECT grid.b, grid.r, grid.m,
+        |    coalesce(hist.cnt, CAST(0 AS BIGINT)) AS cnt,
+        |    CAST(2 * grid.m + 1 AS DOUBLE) / 32.0 AS st
+        |  FROM grid LEFT JOIN hist USING (m)),
+        |e2 AS (SELECT *, st * st AS st2 FROM base),
+        |e4 AS (SELECT *, st2 * st2 AS st4 FROM e2),
+        |e8 AS (SELECT *, st4 * st4 AS st8 FROM e4),
+        |er AS (SELECT b, r, m, cnt,
+        |    CASE r WHEN 1 THEN st WHEN 2 THEN st2 WHEN 4 THEN st4
+        |      ELSE st8 END AS sr FROM e8),
+        |f0 AS (SELECT *, 1.0 - sr AS q FROM er),
+        |f2 AS (SELECT *, q * q AS q2 FROM f0),
+        |f4 AS (SELECT *, q2 * q2 AS q4 FROM f2),
+        |f8 AS (SELECT *, q4 * q4 AS q8 FROM f4),
+        |f16 AS (SELECT *, q8 * q8 AS q16 FROM f8),
+        |curve AS (SELECT b, r, m, cnt,
+        |    1.0 - (CASE b WHEN 2 THEN q2 WHEN 4 THEN q4 WHEN 8 THEN q8
+        |      ELSE q16 END) AS p FROM f16)
+        |SELECT b, r,
+        |  min(CASE WHEN p >= 0.5 THEN m END) AS crossover_m,
+        |  CAST(sum(CASE WHEN m <= 10 THEN cnt ELSE CAST(0 AS BIGINT) END)
+        |    AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN m >= 11 THEN cnt ELSE CAST(0 AS BIGINT) END)
+        |    AS BIGINT) AS n_hi,
+        |  round(sum(CASE WHEN m <= 10 THEN CAST(cnt AS DOUBLE) * p
+        |    ELSE 0.0 END), 4) AS exp_fp,
+        |  round(sum(CASE WHEN m >= 11 THEN CAST(cnt AS DOUBLE) * (1.0 - p)
+        |    ELSE 0.0 END), 4) AS exp_fn
+        |FROM curve GROUP BY b, r ORDER BY b DESC""".stripMargin,
     // dd25: full replay — lanes, last-hex-digit (b=4) and parity (b=1)
     // collision counts, the Li-König correction formulas in integer
     // cross-multiplied form, and the per-decile error rollup

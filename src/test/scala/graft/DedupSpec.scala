@@ -290,6 +290,28 @@ class DedupSpec extends SparkSpec {
     assert(counts.values.toSet.size == 1, counts.toString)
   }
 
+  test("dd26 band planner exposes the FP/FN trade across configs") {
+    val rows = Dedup.queries("dd26_band_planner")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // one row per 16-lane config, ordered 16×1 → 2×8
+    assert(rows.map(x => (x._1, x._2)).toSeq ==
+      Seq((16, 1), (8, 2), (4, 4), (2, 8)))
+    // the sampled pair set is constant-size and split lo/hi identically
+    // for every config (the histogram is config-independent)
+    assert(rows.map(x => x._4 + x._5).toSet == Set(8128L))
+    assert(rows.forall(_._5 > 0L), "twin mass missing from the sample")
+    // more rows per band → later crossover, fewer expected FPs, more
+    // expected misses: the S-curve steepens and shifts right
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted)
+    assert(rows.map(_._6).toSeq == rows.map(_._6).toSeq.sorted.reverse)
+    assert(rows.map(_._7).toSeq == rows.map(_._7).toSeq.sorted)
+    // the production 4×4 config is the planner's knee: both expected
+    // error masses under one pair
+    val knee = rows.find(x => x._1 == 4 && x._2 == 4).get
+    assert(knee._6 < 1.0 && knee._7 < 1.0, knee.toString)
+  }
+
   test("dd19 banded near-dup recall finds planted twins, not controls") {
     val rows = Dedup.queries("dd19_neardup_recall")(spark, sf)
       .collect().map(r => (r.getString(2), r.getDouble(3), r.getLong(4)))
