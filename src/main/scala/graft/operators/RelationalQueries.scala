@@ -1198,6 +1198,48 @@ object RelationalQueries {
       .orderBy("abc_class")
   }
 
+  /** q89: SEASONAL-BASELINE ANOMALIES — q82 flags outliers against a
+    * user's GLOBAL distribution; real event streams are seasonal, so
+    * the operational alerting baseline is the hour-of-day mean: a
+    * (type, day, hour) cell is anomalous when its count exceeds 2× the
+    * mean count for that (event_type, hour-of-day) across all observed
+    * days (the seasonal-naive residual test), with a minimum-support
+    * guard (cnt ≥ 3) so sparse baselines cannot be "exceeded" by mere
+    * presence. Exact integers end to
+    * end: the mean total/n_days is never materialized — the test
+    * cross-multiplies (cnt·n_days > 2·total) and the reported intensity
+    * is the non-negative integer ratio ×100 via DIV (Spark truncation
+    * and DuckDB flooring agree on non-negative operands).
+    *
+    * Scale: one (type, day, hour) aggregate over the fact (partial
+    * map-side combine does the reduction), a (type, hour) re-aggregate
+    * of the tiny cell grid, and one scalar distinct-day count — no
+    * window over the raw fact, no driver loop.
+    */
+  private val q89SeasonalAnomaly: Q = (s, d) => {
+    val byHour = t(s, d, "events")
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast("bigint").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val base = byHour.groupBy("event_type", "hr")
+      .agg(sum("cnt").as("total"))
+    val nd = t(s, d, "events")
+      .agg(countDistinct(date_format(col("ts"), "yyyy-MM-dd"))
+        .as("n_days"))
+    byHour.join(base, Seq("event_type", "hr"))
+      .crossJoin(nd)
+      // minimum-support guard: with a sparse baseline (hourly mean
+      // under ~0.5) mere presence exceeds 2x the mean — alerting
+      // practice requires the observation itself to be non-trivial
+      .filter(col("cnt") >= 3L &&
+        col("cnt") * col("n_days") > lit(2L) * col("total"))
+      .select(col("event_type"), col("day"), col("hr"), col("cnt"),
+        col("total"), col("n_days"),
+        expr("cnt * n_days * 100 DIV total").as("x100_vs_mean"))
+      .orderBy("event_type", "day", "hr")
+  }
+
   /** q87's journey-level attribution rows before the rollup —
     * (user_id, journey, model, touch_type, acents) — shared with the
     * st18 streaming face, whose per-purchase emissions must equal these
@@ -1267,6 +1309,7 @@ object RelationalQueries {
 
   val queries: Map[String, Q] = Map(
     "q88_abc_pareto" -> q88AbcPareto,
+    "q89_seasonal_anomaly" -> q89SeasonalAnomaly,
     "q87_attribution" -> q87Attribution,
     "q86_open_aging" -> q86OpenOrderAging,
     "q84_pct_of_parent" -> q84PercentOfParent,
@@ -1357,6 +1400,26 @@ object RelationalQueries {
         |FROM g ORDER BY from_type, to_type""".stripMargin,
     // q88: rank/cumulative windows + integer share boundaries replayed;
     // rev is multi-referenced (window chain + total) → MATERIALIZED.
+    // q89: cell grid, hourly baseline and distinct-day scalar replayed;
+    // all DIV operands non-negative so // matches Spark's div
+    "q89_seasonal_anomaly" ->
+      """WITH byh AS (SELECT event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |base AS (SELECT event_type, hr, CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM byh GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(DISTINCT
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS BIGINT)
+        |    AS n_days FROM events)
+        |SELECT b.event_type, b.day, b.hr, b.cnt, t.total, nd.n_days,
+        |  b.cnt * nd.n_days * 100 // t.total AS x100_vs_mean
+        |FROM byh b JOIN base t ON t.event_type = b.event_type
+        |  AND t.hr = b.hr
+        |CROSS JOIN nd
+        |WHERE b.cnt >= 3 AND b.cnt * nd.n_days > 2 * t.total
+        |ORDER BY b.event_type, b.day, b.hr""".stripMargin,
     "q88_abc_pareto" ->
       """WITH rev AS MATERIALIZED (SELECT l_partkey,
         |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)

@@ -781,6 +781,27 @@ class OperatorInvariantSpec extends SparkSpec {
       "personalized ranking identical to global PageRank")
   }
 
+  test("q89: seasonal anomalies all exceed 2x their hour-of-day mean") {
+    val rows = graft.operators.RelationalQueries
+      .queries("q89_seasonal_anomaly")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty, "no anomalies on the test corpus")
+    // the flag condition itself, re-checked row by row
+    assert(rows.forall(x => x._3 * x._5 > 2L * x._4))
+    // intensity is the cross-multiplied ratio, so always > 200%
+    assert(rows.forall(_._6 >= 201L))
+    assert(rows.forall(x => x._2 >= 0L && x._2 <= 23L))
+    // flagged cells are a strict minority of the POPULATED grid (at
+    // sparse SFs the Poisson mean per cell is <1, so 2x exceedances
+    // are common — the bound is against cells, not a fixed rate)
+    val cells = graft.Tables.t(spark, sf, "events")
+      .selectExpr("event_type",
+        "date_format(ts, 'yyyy-MM-dd') AS day", "hour(ts) AS hr")
+      .distinct().count()
+    assert(rows.length < cells / 2, s"${rows.length} of $cells cells")
+  }
+
   test("q88: ABC classes partition parts and concentrate revenue") {
     val got = graft.operators.RelationalQueries
       .queries("q88_abc_pareto")(spark, sf)
