@@ -1020,6 +1020,100 @@ object EventsStreaming {
       .orderBy("user_id")
   }
 
+  case class SeasonalState(np: Long, sp: Long, curDay: Long,
+    curCnt: Long, alerted: Boolean)
+  case class SeasonalOut(event_type: String, day: String, hr: Long,
+    event_id: Long)
+
+  /** st19: STREAMING SEASONAL ALERTS — q89's hour-of-day baseline made
+    * CAUSAL and fired AT ARRIVAL: a (type, hour) cell alerts on the
+    * exact event whose arrival pushes the cell's running count past
+    * max(3, 2·mean) of that hour's count over the key's PRIOR active
+    * days (≥7 of them — the warmup a monitor needs before it may page).
+    * Because the test is "count crosses c* = max(3, 2·sp div np + 1)"
+    * and the count climbs by 1, the alert needs no day-close: it fires
+    * mid-day on the crossing event itself — the live-pager semantic,
+    * where q89 is the nightly retrospective (and judges each day
+    * against ALL other days, not just prior ones).
+    *
+    * The driver-checked batch face replays the identical causal rule:
+    * one (type, hr)-keyed day window (prior active days only) + the
+    * per-cell crossing rank joined back to the event ranked c*-th in
+    * (ts, event_id) order — both faces emit the same (cell, event) set
+    * byte-for-byte.
+    *
+    * Scale: stream face is one stateful op keyed by (type, hour) — 72
+    * keys × 5 longs of state regardless of corpus; batch face two
+    * windows over the tiny cell grid + one rank join on the fact.
+    */
+  def seasonalStream(events: DataFrame): Dataset[SeasonalOut] = {
+    import events.sparkSession.implicits._
+    def tsu(r: Event): Long =
+      math.floorDiv(r.ts.getTime, 1000L) * 1000000L + r.ts.getNanos / 1000L
+    events.as[Event]
+      .groupByKey(r => (r.event_type, (tsu(r) % 86400000000L) / 3600000000L))
+      .flatMapGroupsWithState[SeasonalState, SeasonalOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[Event],
+            state: GroupState[SeasonalState]) =>
+          var st = state.getOption
+            .getOrElse(SeasonalState(0L, 0L, -1L, 0L, alerted = false))
+          val out = scala.collection.mutable.ArrayBuffer[SeasonalOut]()
+          rows.toSeq.sortBy(r => (tsu(r), r.event_id)).foreach { r =>
+            val day = math.floorDiv(tsu(r), 86400000000L)
+            if (day != st.curDay) {
+              // fold the completed day into the baseline (active days
+              // only — matching the batch face's per-key day window)
+              if (st.curDay >= 0L)
+                st = SeasonalState(st.np + 1L, st.sp + st.curCnt,
+                  day, 0L, alerted = false)
+              else st = st.copy(curDay = day, curCnt = 0L, alerted = false)
+            }
+            st = st.copy(curCnt = st.curCnt + 1L)
+            if (!st.alerted && st.np >= 7L) {
+              val cstar = math.max(3L, 2L * st.sp / st.np + 1L)
+              if (st.curCnt == cstar) {
+                out += SeasonalOut(key._1,
+                  java.time.LocalDate.ofEpochDay(day).toString,
+                  key._2, r.event_id)
+                st = st.copy(alerted = true)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** st19 driver face: causal day window + crossing-rank event join. */
+  private val st19SeasonalAlerts: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.t(s, d, "events")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast("bigint").as("hr"))
+    val wRank = Window.partitionBy("event_type", "day", "hr")
+      .orderBy("ts", "event_id")
+    val ranked = ev.withColumn("rk", row_number().over(wRank).cast("bigint"))
+    val wPrior = Window.partitionBy("event_type", "hr").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = ranked.groupBy("event_type", "day", "hr")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("np", count(lit(1)).over(wPrior))
+      .withColumn("sp", coalesce(sum("cnt").over(wPrior), lit(0L)))
+      .filter(col("np") >= 7L)
+      .withColumn("cstar", greatest(lit(3L), expr("2 * sp DIV np + 1")))
+      .filter(col("cnt") >= col("cstar"))
+    cells.join(ranked.select(col("event_type"), col("day"), col("hr"),
+        col("rk"), col("event_id")),
+        Seq("event_type", "day", "hr"))
+      .filter(col("rk") === col("cstar"))
+      .select(col("event_type"), col("day"), col("hr"), col("cnt"),
+        col("np").as("prior_days"), col("sp").as("prior_total"),
+        col("cstar").as("cross_at"), col("event_id").as("cross_event_id"))
+      .orderBy("event_type", "day", "hr")
+  }
+
   private val DayUs = 86400000000L
 
   /** st14: STREAMING FUNNEL STAGES — q71's ordered-step attribution
@@ -1140,6 +1234,7 @@ object EventsStreaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st19_seasonal_alerts" -> st19SeasonalAlerts,
     "st18_attribution" -> st18Attribution,
     "st17_drift_monitor" -> st17DriftMonitor,
     "st16_window_distinct" -> st16WindowDistinct,
@@ -1261,6 +1356,34 @@ object EventsStreaming {
         |  n_events, n_users_exact, n_kept, kth_hash,
         |  15 * 281474976710656 // h48 AS est_users
         |FROM j ORDER BY window_start""".stripMargin,
+    // st19: causal seasonal alerts — cell grid, prior-day window,
+    // crossing rank and the rank join all replayed; DIV operands
+    // non-negative so // matches Spark's div
+    "st19_seasonal_alerts" ->
+      """WITH ev AS (SELECT event_id, ts, event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    CAST(extract(hour FROM ts) AS BIGINT) AS hr
+        |  FROM events),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY event_type, day, hr ORDER BY ts, event_id)
+        |    AS BIGINT) AS rk FROM ev),
+        |cells AS (SELECT event_type, day, hr,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM rk GROUP BY 1, 2, 3),
+        |pri AS (SELECT *,
+        |    CAST(count(*) OVER pw AS BIGINT) AS np,
+        |    CAST(COALESCE(sum(cnt) OVER pw, 0) AS BIGINT) AS sp
+        |  FROM cells
+        |  WINDOW pw AS (PARTITION BY event_type, hr ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |al AS (SELECT *, greatest(3, 2 * sp // np + 1) AS cstar
+        |  FROM pri WHERE np >= 7 AND cnt >= greatest(3, 2 * sp // np + 1))
+        |SELECT a.event_type, a.day, a.hr, a.cnt,
+        |  a.np AS prior_days, a.sp AS prior_total, a.cstar AS cross_at,
+        |  r.event_id AS cross_event_id
+        |FROM al a JOIN rk r ON r.event_type = a.event_type
+        |  AND r.day = a.day AND r.hr = a.hr AND r.rk = a.cstar
+        |ORDER BY a.event_type, a.day, a.hr""".stripMargin,
     "st15_anomaly_alerts" ->
       """WITH c AS (SELECT user_id, event_id, ts,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

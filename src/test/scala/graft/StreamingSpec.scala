@@ -364,6 +364,38 @@ class StreamingSpec extends SparkSpec {
     assert(want.values.map(_._2).toSet.size > 1, "flat TV across windows")
   }
 
+  test("streaming seasonal alerts match the st19 causal batch face") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect().map(r => EventsStreaming.Event(r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    // split mid-feed: per-(type, hour) baselines carry across batches
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.Event](spark)
+    val q = EventsStreaming.seasonalStream(input.toDF())
+      .writeStream.format("memory").queryName("seasonal")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("seasonal").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = EventsStreaming.queries("st19_seasonal_alerts")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(7))).toSet
+    // at-arrival firing needs no day close, so the sets agree EXACTLY
+    assert(got == want,
+      s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+    assert(want.nonEmpty, "degenerate: no seasonal alerts at sf0.001")
+  }
+
   test("streaming anomaly alerts match the st15 prior-only batch face") {
     val sf = "/root/testdata/sf0.001"
     val corpus = Tables.t(spark, sf, "events")
