@@ -480,6 +480,33 @@ object GraftHashes {
       Array[Any](n, ssq, mx))
   }
 
+  /** Flesch-Kincaid input counters in one byte pass: words = spaces + 1
+    * (the string_split-on-' ' count), sentences = count of . ! ?,
+    * syllables ~= vowel-group starts (a vowel whose previous char is
+    * not one — the standard cheap estimator).
+    */
+  def readabilityStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    var spaces = 0L; var sents = 0L; var syl = 0L
+    var prevVowel = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == ' '.toByte) spaces += 1
+      else if (b == '.'.toByte || b == '!'.toByte || b == '?'.toByte)
+        sents += 1
+      val v = b == 'a'.toByte || b == 'e'.toByte || b == 'i'.toByte ||
+        b == 'o'.toByte || b == 'u'.toByte || b == 'A'.toByte ||
+        b == 'E'.toByte || b == 'I'.toByte || b == 'O'.toByte ||
+        b == 'U'.toByte
+      if (v && !prevVowel) syl += 1
+      prevVowel = v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](spaces + 1L, sents, syl))
+  }
+
   /** 64-bit SimHash over whitespace-delimited tokens: each token votes its
     * hash bits +1/-1; the sign vector is the fingerprint. Near-duplicate
     * docs land within small Hamming distance. Single pass over the bytes,
@@ -816,6 +843,34 @@ object CharDiversity {
     StructField("mx", LongType, nullable = false)))
 }
 
+/** One-pass readability counters (words, sentence enders, vowel-group
+  * starts as the syllable estimate) — the Flesch-Kincaid inputs, fused
+  * into one codegen kernel per the CollapseProject lesson (three
+  * HOF/replace pipelines over the same text would each rescan it).
+  * Byte iteration is multibyte-safe: the classes tested (space, .!?,
+  * aeiouAEIOU) are ASCII, and UTF-8 continuation bytes match none.
+  */
+case class ReadabilityStats(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def prettyName: String = "readability_stats"
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
+  override def dataType: DataType = ReadabilityStats.schema
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHashes.readabilityStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.readabilityStats($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object ReadabilityStats {
+  val schema: StructType = StructType(Seq(
+    StructField("words", LongType, nullable = false),
+    StructField("sentences", LongType, nullable = false),
+    StructField("syllables", LongType, nullable = false)))
+}
+
 /** Column wrappers + SQL registration for the custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.GraftShim
@@ -851,6 +906,8 @@ object GraftFunctions {
     GraftShim.column(RepetitionStats(GraftShim.expression(c)))
   def char_diversity(c: Column): Column =
     GraftShim.column(CharDiversity(GraftShim.expression(c)))
+  def readability_stats(c: Column): Column =
+    GraftShim.column(ReadabilityStats(GraftShim.expression(c)))
 
   /** Make the functions callable from spark.sql text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -281,6 +281,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** tx30: READABILITY (Flesch-Kincaid grade) — the audience-level
+    * quality signal tx02's surface ratios don't carry: grade =
+    * 0.39·(words/sentences) + 11.8·(syllables/word) − 15.59, emitted
+    * ×100 as the integer rational (39·w DIV s) + (1180·syl DIV w) −
+    * 1559 (operands non-negative before the final signed subtraction,
+    * so Spark's truncating div and DuckDB's flooring // agree).
+    * Syllables are estimated as vowel-group starts — the standard
+    * cheap estimator; sentences as .!? ends, floored at one.
+    *
+    * Scale: ONE byte pass per row via the fused `ReadabilityStats`
+    * codegen kernel (words, sentence enders, vowel-group starts in a
+    * single loop — the CollapseProject lesson: three separate
+    * replace/HOF pipelines would each rescan the text after projection
+    * collapse). No shuffle beyond the output sort.
+    */
+  private val tx30Readability: Q = (s, d) => {
+    val rs = graft.functions.GraftFunctions.readability_stats(col("text"))
+    t(s, d, "documents")
+      .select(col("doc_id"), rs.getField("words").as("words"),
+        rs.getField("sentences").as("sentences"),
+        rs.getField("syllables").as("syllables"))
+      .selectExpr("doc_id", "words", "sentences", "syllables",
+        "(39 * words DIV greatest(1, sentences)) + " +
+          "(1180 * syllables DIV greatest(1, words)) - 1559 AS fkg_x100")
+      .orderBy("doc_id")
+  }
+
   /** tx23: TERM-FREQUENCY SPECTRUM — the Zipf band report a tokenizer /
     * vocab plan is sized from (how much corpus mass lives in head vs
     * tail terms; the tail-band mass is what a vocab cutoff throws away
@@ -459,6 +486,7 @@ object TextAnalysis {
     "tx24_source_drift" -> tx24SourceDrift,
     "tx23_freq_spectrum" -> tx23FreqSpectrum,
     "tx22_char_diversity" -> tx22CharDiversity,
+    "tx30_readability" -> tx30Readability,
     "tx17_term_commonness" -> tx17TermCommonness,
     "tx01_token_count" -> tx01Tokens,
     "tx02_quality_score" -> tx02Quality,
@@ -573,6 +601,27 @@ object TextAnalysis {
         |  band_mass * 10000 // total_mass AS mass_x10k,
         |  n_terms * 10000 // total_terms AS terms_x10k
         |FROM b CROSS JOIN tt ORDER BY band""".stripMargin,
+    // tx30: words via string_split count, sentences via replace-length
+    // delta, syllables via the vowel-group-start comprehension — all
+    // count-identical to the fused byte-pass kernel (ASCII test classes
+    // never collide with UTF-8 continuation bytes)
+    "tx30_readability" ->
+      """WITH ch AS (SELECT doc_id, text, string_split(text, '') AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |    CAST(len(t) - len(replace(replace(replace(text, '.', ''),
+        |      '!', ''), '?', '')) AS BIGINT) AS sentences,
+        |    CAST(coalesce(list_sum([CASE WHEN
+        |        contains('aeiouAEIOU', t[i]) AND (i = 1 OR NOT
+        |        contains('aeiouAEIOU', t[i-1])) THEN 1 ELSE 0 END
+        |      for i in generate_series(1, len(t))]), 0) AS BIGINT)
+        |      AS syllables
+        |  FROM ch)
+        |SELECT doc_id, words, sentences, syllables,
+        |  (39 * words // greatest(1, sentences)) +
+        |  (1180 * syllables // greatest(1, words)) - 1559 AS fkg_x100
+        |FROM m ORDER BY doc_id""".stripMargin,
     "tx22_char_diversity" -> {
       val cnt = tx22Alphabet.zipWithIndex.map { case (ch, i) =>
         s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT) AS c$i"

@@ -139,6 +139,27 @@ object KernelProps extends Properties("GraftKernels") {
         row.getLong(2) == counts.max
     }
 
+  property("readabilityStats equals the split/regex reference") =
+    Prop.forAll(mixedText) { t =>
+      val row = GraftHashes.readabilityStats(UTF8String.fromString(t))
+      val vowels = "aeiouAEIOU".toSet
+      val syl = t.zipWithIndex.count { case (c, i) =>
+        vowels(c) && (i == 0 || !vowels(t(i - 1))) }
+      row.getLong(0) == t.count(_ == ' ').toLong + 1L &&
+        row.getLong(1) == t.count(c => c == '.' || c == '!' || c == '?') &&
+        row.getLong(2) == syl.toLong
+    }
+
+  property("readabilityStats on punctuated prose counts sentences") =
+    Prop.passed && {
+      val row = GraftHashes.readabilityStats(UTF8String.fromString(
+        "The quick brown fox. It jumps! Over the lazy dog?"))
+      // 10 words (9 spaces + 1), 3 enders, vowel-group starts:
+      // Th[e] q[ui]ck br[o]wn f[o]x [I]t j[u]mps [O]v[e]r th[e]
+      // l[a]zy d[o]g = 11
+      row.getLong(0) == 10L && row.getLong(1) == 3L && row.getLong(2) == 11L
+    }
+
   /** Skewed key streams: a frequent key 0, a mid band, and a long tail —
     * so the Misra-Gries guarantees are exercised with real heavy keys,
     * not vacuously on uniform noise.
