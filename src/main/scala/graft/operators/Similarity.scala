@@ -164,7 +164,83 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** ss29: TRAINED-QUANTIZER BENEFIT — the end-to-end payoff of ss28's
+    * Lloyd training, measured as RETRIEVAL (ss28 certifies the training
+    * itself; this answers the operator's actual question: does training
+    * buy recall at the same probe budget?). Truth is each query's exact
+    * NATURAL top-5 (the ss07/ss11 planted-twin protocol is degenerate
+    * here — a cos≈0.9999 twin co-assigns with its query under ANY
+    * quantizer, so both variants score 100%); candidates are the
+    * query's home inverted list (nprobe=1); the two variants differ
+    * ONLY in the coarse centroids — the raw mod-97 seed sample vs the
+    * 2-round Lloyd-refined set, both from [[coarseCentroids]] over the
+    * same corpus. Output is one row per variant: 5-NN recall mass and
+    * the candidate budget spent, both ×100 integer rationals — the
+    * pair a deployment reads to decide whether the training run pays
+    * for itself.
+    *
+    * Scale: two broadcast-centroid assignment passes + within-list
+    * candidate joins (n²/k bounded under the k ∝ n rule, see
+    * [[coarseSeeds]]); the exact-truth pass is 50 broadcast queries
+    * against the corpus, checkpointed once for both consumers; the
+    * rollup is two single-row aggregates.
+    */
+  def trainedBenefit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dd2(a: Column, b: Column) =
+      graft.functions.GraftFunctions.double_dot(a, b)
+    val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val withN = corpus.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", sqrt(dd2(col("e"), col("e"))))
+      .persist()
+    val queriesDf = withN.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("vec_id"))
+    val exact5 = withN.crossJoin(broadcast(queriesDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qcos",
+        dd2(col("e"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint() // shared truth: one exact pass, two consumers
+    def variantRow(cents: DataFrame, variant: String): DataFrame = {
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cid"))
+      val assigned = withN.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          dd2(col("e"), col("c_emb")) / (col("nrm") * col("c_norm")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+      val cand = assigned
+        .join(assigned.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("cluster")),
+          Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val hit5 = exact5.join(cand, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_hit5"))
+      queriesDf.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hit5)
+        .selectExpr(s"'$variant' AS variant", "n_queries", "n_candidates",
+          "n_hit5",
+          "n_hit5 * 100 DIV (5 * n_queries) AS recall5_x100",
+          "n_candidates * 100 DIV n_queries AS cand_per_query_x100")
+    }
+    variantRow(coarseCentroids(corpus), "seed")
+      .unionAll(variantRow(coarseCentroids(corpus, rounds = 2), "trained"))
+      .orderBy("variant")
+  }
+
+
   val queries: Map[String, Q] = Map(
+    "ss29_trained_benefit" -> ((s, d) => trainedBenefit(s, d)),
     "ss01_topk_bruteforce" -> ((s, d) => topkBrute(s, d)),
     "ss02_topk_lsh" -> ((s, d) => topkLsh(s, d)),
     "ss03_topk_ivf" -> ((s, d) => topkIvf(s, d)),
@@ -2056,6 +2132,87 @@ object Similarity {
         |  FROM r)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // ss29: full replay — natural exact-5NN truth, the mod-97 seed
+    // sample and both Lloyd rounds (ss28's machinery), both home-list
+    // candidate joins; the rollup is pure integers so the hash is
+    // exact by construction
+    "ss29_trained_benefit" ->
+      s"""WITH $normCte,
+         |seeds AS (SELECT vec_id AS cid, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |exact5 AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        $dotSql / (c.nrm * q.nrm) DESC, c.vec_id) AS rn
+         |    FROM n c JOIN n q ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+         |  WHERE rn <= 5),
+         |a0 AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM (SELECT c.vec_id, q.cid,
+         |        $dotSql / (c.nrm * q.nrm) AS ccos
+         |      FROM n c CROSS JOIN seeds q)) WHERE rn = 1),
+         |u1 AS (SELECT a.cid, unnest(generate_series(1, len(c.e))) AS dim,
+         |    unnest(c.e) AS x
+         |  FROM a0 a JOIN n c ON c.vec_id = a.vec_id),
+         |g1 AS (SELECT cid, dim, round(avg(x), 6) AS cx
+         |  FROM u1 GROUP BY cid, dim),
+         |c1 AS MATERIALIZED (SELECT cid, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM (SELECT cid, list(cx ORDER BY dim) AS e
+         |        FROM g1 GROUP BY cid)),
+         |a1 AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM (SELECT c.vec_id, q.cid,
+         |        $dotSql / (c.nrm * q.nrm) AS ccos
+         |      FROM n c CROSS JOIN c1 q)) WHERE rn = 1),
+         |u2 AS (SELECT a.cid, unnest(generate_series(1, len(c.e))) AS dim,
+         |    unnest(c.e) AS x
+         |  FROM a1 a JOIN n c ON c.vec_id = a.vec_id),
+         |g2 AS (SELECT cid, dim, round(avg(x), 6) AS cx
+         |  FROM u2 GROUP BY cid, dim),
+         |c2 AS MATERIALIZED (SELECT cid, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM (SELECT cid, list(cx ORDER BY dim) AS e
+         |        FROM g2 GROUP BY cid)),
+         |af AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM (SELECT c.vec_id, q.cid,
+         |        $dotSql / (c.nrm * q.nrm) AS ccos
+         |      FROM n c CROSS JOIN c2 q)) WHERE rn = 1),
+         |cand0 AS MATERIALIZED (SELECT qa.vec_id AS query_id,
+         |    ca.vec_id AS neighbor_id
+         |  FROM a0 qa JOIN a0 ca ON ca.cid = qa.cid
+         |  WHERE qa.vec_id < 50 AND ca.vec_id <> qa.vec_id),
+         |candf AS MATERIALIZED (SELECT qa.vec_id AS query_id,
+         |    ca.vec_id AS neighbor_id
+         |  FROM af qa JOIN af ca ON ca.cid = qa.cid
+         |  WHERE qa.vec_id < 50 AND ca.vec_id <> qa.vec_id),
+         |r0 AS (SELECT 'seed' AS variant,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM n
+         |     WHERE vec_id < 50) AS n_queries,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand0) AS n_candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM exact5 e
+         |     WHERE EXISTS (SELECT 1 FROM cand0 c
+         |       WHERE c.query_id = e.query_id
+         |         AND c.neighbor_id = e.neighbor_id)) AS n_hit5),
+         |rf AS (SELECT 'trained' AS variant,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM n
+         |     WHERE vec_id < 50) AS n_queries,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM candf) AS n_candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM exact5 e
+         |     WHERE EXISTS (SELECT 1 FROM candf c
+         |       WHERE c.query_id = e.query_id
+         |         AND c.neighbor_id = e.neighbor_id)) AS n_hit5)
+         |SELECT variant, n_queries, n_candidates, n_hit5,
+         |  n_hit5 * 100 // (5 * n_queries) AS recall5_x100,
+         |  n_candidates * 100 // n_queries AS cand_per_query_x100
+         |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM rf)
+         |ORDER BY variant""".stripMargin,
     // ss28: full replay of the trained coarse quantizer — seed sample,
     // TWO Lloyd rounds (per-dim avg rounded to 6, the ss15 rule), both
     // assignments; cosine totals as floor(·10⁶) integer sums so the

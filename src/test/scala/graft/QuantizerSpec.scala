@@ -62,4 +62,19 @@ class QuantizerSpec extends SparkSpec {
     assert(r.getLong(1) > r.getLong(0),
       s"trained ${r.getLong(1)} !> seed ${r.getLong(0)}")
   }
+
+  test("training buys end-to-end 5-NN recall at equal probe budget (ss29)") {
+    val rows = Similarity.trainedBenefit(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val (qS, candS, hitS) = rows("seed")
+    val (qT, candT, hitT) = rows("trained")
+    assert(qS == 50L && qT == 50L)
+    // same nprobe=1 discipline => budgets within 25% of each other
+    assert(candT * 100 < candS * 125 && candS * 100 < candT * 125,
+      s"budgets diverged: $candS vs $candT")
+    // the payoff: strictly more true 5-NN mass captured after training
+    assert(hitT > hitS, s"trained $hitT !> seed $hitS")
+    assert(hitS > 0L, "seed variant captured nothing — degenerate corpus")
+  }
 }
