@@ -1020,6 +1020,94 @@ object EventsStreaming {
       .orderBy("user_id")
   }
 
+  case class DecayState(lastS: Long, lastW: Long, curW: Long, curC: Long)
+  case class DecayOut(user_id: Long, window_start: String,
+    n_window: Long, decayed: Long)
+
+  /** st20: DECAYED TALKER COUNTERS — the exponentially-decayed per-user
+    * activity counter behind trending/rate-limit/abuse monitors, made
+    * EXACT: decay is a right-shift per elapsed hour (half-life = one
+    * window, s' = (s >> gap) + c), so the whole lifetime is integer
+    * arithmetic — no float pow, no libm, bit-reproducible at any
+    * partitioning. A window's counter is emitted when the user's next
+    * active window closes it (closed windows only — the open window has
+    * no final count yet); inactive gaps decay through the shift, not
+    * through emitted zeros.
+    *
+    * The driver-checked batch face replays the identical fold per user
+    * over the (window, count) cells in window order; because each step
+    * floors (integer shift), the fold is genuinely sequential — the
+    * closed-form Σ c_w >> gap_w would NOT match.
+    *
+    * Scale: stream state is 4 longs per user; the batch face's per-user
+    * fold list is bounded by the retention window's hour count (720 per
+    * month), never by event count.
+    */
+  def decayStream(events: DataFrame): Dataset[DecayOut] = {
+    import events.sparkSession.implicits._
+    def tsu(r: Event): Long =
+      math.floorDiv(r.ts.getTime, 1000L) * 1000000L + r.ts.getNanos / 1000L
+    def fmt(w: Long): String =
+      java.time.LocalDateTime.ofEpochSecond(w * 3600L, 0,
+        java.time.ZoneOffset.UTC).format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"))
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DecayState, DecayOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[DecayState]) =>
+          var st = state.getOption.getOrElse(DecayState(0L, -1L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[DecayOut]()
+          rows.toSeq.sortBy(r => (tsu(r), r.event_id)).foreach { r =>
+            val w = tsu(r) / 3600000000L
+            if (st.curW < 0L) st = st.copy(curW = w, curC = 1L)
+            else if (w == st.curW) st = st.copy(curC = st.curC + 1L)
+            else {
+              val s = if (st.lastW < 0L) st.curC
+                else (st.lastS >> math.min(63L, st.curW - st.lastW).toInt) +
+                  st.curC
+              out += DecayOut(uid, fmt(st.curW), st.curC, s)
+              st = DecayState(s, st.curW, w, 1L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** st20 driver face: per-user sequential fold over window cells. */
+  private val st20DecayedTalkers: Q = (s, d) => {
+    val cells = graft.Tables.t(s, d, "events")
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) DIV 3600000000").as("w"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("w"), col("c")))).as("arr"))
+      .selectExpr("user_id",
+        """aggregate(
+          |  slice(arr, 2, size(arr) - 1),
+          |  named_struct('s', arr[0].c, 'w', arr[0].w,
+          |    'outl', array(named_struct('w', arr[0].w, 'c', arr[0].c,
+          |      's', arr[0].c))),
+          |  (a, x) -> named_struct(
+          |    's', shiftright(a.s, CAST(least(63L, x.w - a.w) AS INT))
+          |      + x.c,
+          |    'w', x.w,
+          |    'outl', concat(a.outl, array(named_struct('w', x.w,
+          |      'c', x.c,
+          |      's', shiftright(a.s, CAST(least(63L, x.w - a.w) AS INT))
+          |        + x.c))))) AS f""".stripMargin)
+      // drop the last (still-open) window — the stream face cannot have
+      // closed it either
+      .select(col("user_id"),
+        explode(expr("slice(f.outl, 1, size(f.outl) - 1)")).as("o"))
+      .select(col("user_id"),
+        date_format(expr("timestamp_seconds(o.w * 3600)"),
+          "yyyy-MM-dd HH:mm").as("window_start"),
+        col("o.c").as("n_window"), col("o.s").as("decayed"))
+      .orderBy("user_id", "window_start")
+  }
+
   case class SeasonalState(np: Long, sp: Long, curDay: Long,
     curCnt: Long, alerted: Boolean)
   case class SeasonalOut(event_type: String, day: String, hr: Long,
@@ -1234,6 +1322,7 @@ object EventsStreaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st20_decayed_talkers" -> st20DecayedTalkers,
     "st19_seasonal_alerts" -> st19SeasonalAlerts,
     "st18_attribution" -> st18Attribution,
     "st17_drift_monitor" -> st17DriftMonitor,
@@ -1356,6 +1445,32 @@ object EventsStreaming {
         |  n_events, n_users_exact, n_kept, kth_hash,
         |  15 * 281474976710656 // h48 AS est_users
         |FROM j ORDER BY window_start""".stripMargin,
+    // st20: the sequential decay fold replayed per user via prefix
+    // lists + the proven scalar struct list_reduce (an accumulating
+    // list-in-struct fold misbehaves in DuckDB); closed windows only
+    "st20_decayed_talkers" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS w
+        |  FROM events),
+        |cells AS (SELECT user_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(w) AS mw FROM cells GROUP BY 1),
+        |pre AS (SELECT a.user_id, a.w, a.c,
+        |    list(struct_pack(s := b.c, w := b.w) ORDER BY b.w) AS pfx
+        |  FROM cells a JOIN cells b
+        |    ON b.user_id = a.user_id AND b.w <= a.w
+        |  GROUP BY a.user_id, a.w, a.c),
+        |f AS (SELECT user_id, w, c,
+        |    list_reduce(pfx, (a, b) -> struct_pack(
+        |      s := (a.s >> least(63, b.w - a.w)) + b.s, w := b.w)).s AS s
+        |  FROM pre)
+        |SELECT f.user_id,
+        |  strftime(make_timestamp(f.w * 3600000000), '%Y-%m-%d %H:%M')
+        |    AS window_start,
+        |  f.c AS n_window, f.s AS decayed
+        |FROM f JOIN mx ON mx.user_id = f.user_id
+        |WHERE f.w < mx.mw
+        |ORDER BY f.user_id, window_start""".stripMargin,
     // st19: causal seasonal alerts — cell grid, prior-day window,
     // crossing rank and the rank join all replayed; DIV operands
     // non-negative so // matches Spark's div

@@ -364,6 +364,39 @@ class StreamingSpec extends SparkSpec {
     assert(want.values.map(_._2).toSet.size > 1, "flat TV across windows")
   }
 
+  test("streaming decayed counters match the st20 fold batch face") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect().map(r => EventsStreaming.Event(r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.Event](spark)
+    val q = EventsStreaming.decayStream(input.toDF())
+      .writeStream.format("memory").queryName("decayed")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("decayed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = EventsStreaming.queries("st20_decayed_talkers")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want,
+      s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+    // decay must actually carry: some window's counter exceeds its own
+    // event count (mass surviving the shift from earlier windows)
+    assert(want.exists(x => x._4 > x._3), "no carried decayed mass")
+  }
+
   test("streaming seasonal alerts match the st19 causal batch face") {
     val sf = "/root/testdata/sf0.001"
     val corpus = Tables.t(spark, sf, "events")
