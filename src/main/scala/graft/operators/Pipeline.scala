@@ -66,6 +66,56 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** pp35: CONTENT-ADDRESSABLE CORPUS MANIFEST — the reproducibility
+    * primitive dataset versioning is built on (what exactly went into
+    * this training run?): per pp02 shard, a digest = md5 over the
+    * shard's doc fingerprints in SORTED order (insertion/partition
+    * order must not matter — the digest is a function of the SET), plus
+    * one Merkle-style root row (md5 over the shard digests in shard
+    * order) so two corpus builds can be compared by one string before
+    * any per-shard diff. The same construction detects silent doc
+    * drops/dupes between pipeline runs (pp24's snapshot diff tells you
+    * WHAT changed; the manifest tells you THAT something changed, in
+    * O(1) comparison).
+    *
+    * Scale: fingerprints (32-char md5) are the only payload past the
+    * first projection; per-shard sorts are bounded by the 20k-token
+    * shard budget; the root fold runs over the shard-count-sized digest
+    * table.
+    */
+  val pp35Manifest: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val shards = t(s, d, "documents")
+      .withColumn("n_tokens", toks)
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("shard_idx",
+        expr("(cum_tokens - n_tokens) div 20000"))
+      .withColumn("fp", md5(col("text")))
+      .groupBy("source", "shard_idx")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        md5(concat_ws("", sort_array(collect_list(col("fp")))))
+          .as("digest"))
+    val root = shards
+      .groupBy()
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        md5(concat_ws("", expr(
+          "transform(sort_array(collect_list(" +
+            "struct(source, shard_idx, digest))), x -> x.digest)")))
+          .as("digest"))
+      .select(lit("root").as("level"), lit("ALL").as("source"),
+        lit(-1L).as("shard_idx"), col("n_docs"), col("n_tokens"),
+        col("digest"))
+    shards
+      .select(lit("shard").as("level"), col("source"), col("shard_idx"),
+        col("n_docs"), col("n_tokens"), col("digest"))
+      .unionAll(root)
+      .orderBy("level", "source", "shard_idx")
+  }
+
   /** pp03: benchmark DECONTAMINATION — flag documents sharing any 3-token
     * shingle with a held-out benchmark set (here: the first 5 docs, a
     * deterministic stand-in for an eval suite). The benchmark shingle
@@ -1041,6 +1091,7 @@ object Pipeline {
   }
 
   val queries: Map[String, Q] = Map(
+    "pp35_manifest" -> pp35Manifest,
     "pp34_soft_weights" -> pp34SoftWeights,
     "pp33_l_diversity" -> pp33LDiversity,
     "pp32_tokenizer_fertility" -> pp32TokenizerFertility,
@@ -1093,6 +1144,34 @@ object Pipeline {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // pp35: shard digests over SORTED fingerprints + the root fold,
+    // both orders total and engine-independent
+    "pp35_manifest" ->
+      """WITH tk AS (SELECT doc_id, source, md5(text) AS fp,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (SELECT *, CAST((sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+        |      // 20000 AS BIGINT) AS shard_idx
+        |  FROM tk),
+        |sh AS MATERIALIZED (SELECT source, shard_idx,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    md5(string_agg(fp, '' ORDER BY fp)) AS digest
+        |  FROM cum GROUP BY 1, 2),
+        |root AS (SELECT 'root' AS level, 'ALL' AS source,
+        |    CAST(-1 AS BIGINT) AS shard_idx,
+        |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    md5(string_agg(digest, '' ORDER BY source, shard_idx))
+        |      AS digest
+        |  FROM sh)
+        |SELECT 'shard' AS level, source, shard_idx, n_docs, n_tokens,
+        |  digest FROM sh
+        |UNION ALL SELECT * FROM root
+        |ORDER BY level, source, shard_idx""".stripMargin,
+
     // pp33: cell counts + QI rollup replayed; count(*) over the cell
     // table IS the distinct-source count (cells are already distinct).
     // pp34: dd10's full CC replay + the soft-weight rollup; 10⁴ DIV size

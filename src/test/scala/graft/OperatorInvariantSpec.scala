@@ -781,6 +781,26 @@ class OperatorInvariantSpec extends SparkSpec {
       "personalized ranking identical to global PageRank")
   }
 
+  test("pp35: manifest root is the fold of the shard digests") {
+    val rows = graft.operators.Pipeline.queries("pp35_manifest")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    val (roots, shards) = rows.partition(_._1 == "root")
+    assert(roots.length == 1 && shards.nonEmpty)
+    val root = roots.head
+    // totals conserve
+    assert(root._4 == shards.map(_._4).sum && root._5 == shards.map(_._5).sum)
+    // the root digest is exactly md5 over shard digests in shard order —
+    // re-derived here, so a digest change anywhere must surface at the root
+    val concat = shards.sortBy(x => (x._2, x._3)).map(_._6).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(concat.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(md == root._6, s"root ${root._6} != derived $md")
+    // shard digests are non-degenerate: all distinct
+    assert(shards.map(_._6).distinct.length == shards.length)
+  }
+
   test("q89: seasonal anomalies all exceed 2x their hour-of-day mean") {
     val rows = graft.operators.RelationalQueries
       .queries("q89_seasonal_anomaly")(spark, sf)
