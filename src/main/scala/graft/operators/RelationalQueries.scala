@@ -1240,6 +1240,47 @@ object RelationalQueries {
       .orderBy("event_type", "day", "hr")
   }
 
+  /** q90: SUPPLIER CONCENTRATION (HHI) per nation — the
+    * market-structure number a procurement/risk review reads first: the
+    * Herfindahl-Hirschman index over each nation's supplier revenue
+    * shares, computed on QUANTIZED shares (share ×10⁶ via DIV, then
+    * Σ share² — exact integers; the un-quantized rational needs s²/tot²
+    * which overflows BIGINT at fact scale, and the 1e-6 share grid
+    * changes the index by < 2·n·1e-6). Classes at the DOJ 0.15/0.25
+    * thresholds on the ×10¹² scale.
+    *
+    * Scale: one fact aggregate keyed (nation, supplier) after the
+    * supplier-dim join (no forced hint — AQE broadcasts while it
+    * fits), then a nation-keyed rollup of the supplier grid.
+    */
+  private val q90SupplierHhi: Q = (s, d) => {
+    val rev = t(s, d, "lineitem")
+      .select(col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)" +
+          " AS BIGINT)").as("cents"))
+      .join(t(s, d, "supplier").select(col("s_suppkey"),
+        col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nationkey"), col("s_suppkey"))
+      .agg(sum("cents").as("sc"))
+    val byNation = rev.groupBy("nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), sum("sc").as("tot_cents"))
+    rev.join(byNation, Seq("nationkey"))
+      .withColumn("share_x1e6", expr("sc * 1000000 DIV tot_cents"))
+      .groupBy("nationkey")
+      .agg(max("n_suppliers").as("n_suppliers"),
+        max("tot_cents").as("tot_cents"),
+        sum(expr("share_x1e6 * share_x1e6")).as("hhi_x1e12"),
+        max("share_x1e6").as("top_share_x1e6"))
+      .join(t(s, d, "nation").select(col("n_nationkey").as("nationkey"),
+        col("n_name")), Seq("nationkey"))
+      .select(col("nationkey"), col("n_name"), col("n_suppliers"),
+        col("tot_cents"), col("hhi_x1e12"), col("top_share_x1e6"),
+        expr("CASE WHEN hhi_x1e12 < 150000000000 THEN 'competitive'" +
+          " WHEN hhi_x1e12 < 250000000000 THEN 'moderate'" +
+          " ELSE 'concentrated' END").as("hhi_class"))
+      .orderBy("nationkey")
+  }
+
   /** q87's journey-level attribution rows before the rollup —
     * (user_id, journey, model, touch_type, acents) — shared with the
     * st18 streaming face, whose per-purchase emissions must equal these
@@ -1310,6 +1351,7 @@ object RelationalQueries {
   val queries: Map[String, Q] = Map(
     "q88_abc_pareto" -> q88AbcPareto,
     "q89_seasonal_anomaly" -> q89SeasonalAnomaly,
+    "q90_supplier_hhi" -> q90SupplierHhi,
     "q87_attribution" -> q87Attribution,
     "q86_open_aging" -> q86OpenOrderAging,
     "q84_pct_of_parent" -> q84PercentOfParent,
@@ -1400,6 +1442,32 @@ object RelationalQueries {
         |FROM g ORDER BY from_type, to_type""".stripMargin,
     // q88: rank/cumulative windows + integer share boundaries replayed;
     // rev is multi-referenced (window chain + total) → MATERIALIZED.
+    // q90: quantized-share HHI replay; nationkey cast to match Spark's
+    // int key; all DIV operands non-negative
+    "q90_supplier_hhi" ->
+      """WITH rev AS (SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  GROUP BY 1, 2),
+        |bn AS (SELECT nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    CAST(sum(sc) AS BIGINT) AS tot_cents
+        |  FROM rev GROUP BY 1),
+        |sh AS (SELECT r.nationkey, bn.n_suppliers, bn.tot_cents,
+        |    r.sc * 1000000 // bn.tot_cents AS share_x1e6
+        |  FROM rev r JOIN bn ON bn.nationkey = r.nationkey),
+        |h AS (SELECT nationkey, max(n_suppliers) AS n_suppliers,
+        |    max(tot_cents) AS tot_cents,
+        |    CAST(sum(share_x1e6 * share_x1e6) AS BIGINT) AS hhi_x1e12,
+        |    max(share_x1e6) AS top_share_x1e6
+        |  FROM sh GROUP BY 1)
+        |SELECT h.nationkey, n.n_name, h.n_suppliers, h.tot_cents,
+        |  h.hhi_x1e12, h.top_share_x1e6,
+        |  CASE WHEN h.hhi_x1e12 < 150000000000 THEN 'competitive'
+        |       WHEN h.hhi_x1e12 < 250000000000 THEN 'moderate'
+        |       ELSE 'concentrated' END AS hhi_class
+        |FROM h JOIN nation n ON n.n_nationkey = h.nationkey
+        |ORDER BY h.nationkey""".stripMargin,
     // q89: cell grid, hourly baseline and distinct-day scalar replayed;
     // all DIV operands non-negative so // matches Spark's div
     "q89_seasonal_anomaly" ->

@@ -781,6 +781,25 @@ class OperatorInvariantSpec extends SparkSpec {
       "personalized ranking identical to global PageRank")
   }
 
+  test("q90: HHI respects share bounds and class thresholds") {
+    val rows = graft.operators.RelationalQueries
+      .queries("q90_supplier_hhi")(spark, sf)
+      .collect().map(r => (r.getLong(2), r.getLong(4), r.getLong(5),
+        r.getString(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, hhi, top, cls) =>
+      assert(n >= 1L && top <= 1000000L)
+      // top share alone bounds below; perfect monopoly bounds above
+      assert(hhi >= top * top && hhi <= 1000000000000L)
+      // pigeonhole with quantization slack: sum of shares >= 1e6 - n
+      assert(hhi * n >= (1000000L - n) * (1000000L - n),
+        s"hhi $hhi too small for $n suppliers")
+      val expect = if (hhi < 150000000000L) "competitive"
+        else if (hhi < 250000000000L) "moderate" else "concentrated"
+      assert(cls == expect)
+    }
+  }
+
   test("pp35: manifest root is the fold of the shard digests") {
     val rows = graft.operators.Pipeline.queries("pp35_manifest")(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
