@@ -56,6 +56,11 @@ class LocalClusterParitySpec extends SparkSpec {
   //          corpus (checkpointed blocks read across executor JVMs)
   //   ss28 — trained coarse quantizer: Lloyd rounds + vector_avg
   //          ObjectHashAggregate buffers merged across executors
+  //   st20 — r6 sequential decay fold: sort_array(collect_list(struct))
+  //          + named_struct-accumulator aggregate() HOF — collect
+  //          buffers and struct arrays serialize between executors
+  //   tx30 — r6 ReadabilityStats codegen kernel (struct-returning
+  //          expression evaluated in executor codegen)
   private val names = Seq("q66_topk_pergroup", "dd12_semantic_dedup",
     "pp10_bloom_decontaminate", "dd03_minhash_signatures",
     "ss10_quantized_topk", "ss09_kmeans_converged",
@@ -66,7 +71,8 @@ class LocalClusterParitySpec extends SparkSpec {
     "dd24_semantic_dedup", "ss25_adaptive_nprobe",
     "q85_kmv_distinct",
     "dd21_containment_join", "pp20_media_curation", "gr09_copurchase",
-    "ss20_graph_expand", "ss28_coarse_train")
+    "ss20_graph_expand", "ss28_coarse_train",
+    "st20_decayed_talkers", "tx30_readability")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
