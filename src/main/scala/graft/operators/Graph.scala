@@ -132,6 +132,64 @@ object Graph {
       .orderBy(col("ppr").desc, col("nationkey"))
   }
 
+  /** gr15: TRADE-BALANCE MATRIX → NET POSITIONS — the weighted-flow
+    * complement to gr13's HITS roles: nation-pair VALUE flows (supplier
+    * nation exports to customer nation; lossless cents), rolled to per-
+    * nation exports/imports/net and an export-balance share ×10⁴
+    * (non-negative DIV), plus each nation's top export counterparty
+    * (max flow, ties → lowest partner key). Intra-nation flows count on
+    * both sides — a nation trading with itself is both exporter and
+    * importer of that value, so world exports ≡ world imports (the
+    * conservation check the spec pins).
+    *
+    * Scale: one fact aggregate keyed by the nation pair after the two
+    * un-hinted dim joins (the gr01 rule: customer/supplier grow with
+    * SF, AQE decides); everything after is a ≤625-row matrix.
+    */
+  val gr15TradeBalance: Q = (s, d) => {
+    val flows = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)" +
+          " AS BIGINT)").as("cents"))
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("exp_nation"),
+        col("c_nationkey").as("imp_nation"))
+      .agg(sum("cents").as("flow_cents"))
+      .persist() // three consumers: exports, imports, top partner
+    val exports = flows.groupBy(col("exp_nation").as("nationkey"))
+      .agg(sum("flow_cents").as("exports_cents"))
+    val imports = flows.groupBy(col("imp_nation").as("nationkey"))
+      .agg(sum("flow_cents").as("imports_cents"))
+    val topPartner = flows
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("exp_nation")
+          .orderBy(col("flow_cents").desc, col("imp_nation"))))
+      .filter(col("rn") === 1)
+      .select(col("exp_nation").as("nationkey"),
+        col("imp_nation").as("top_export_partner"))
+    t(s, d, "nation")
+      .select(col("n_nationkey").as("nationkey"), col("n_name"))
+      .join(exports, Seq("nationkey"), "left")
+      .join(imports, Seq("nationkey"), "left")
+      .join(topPartner, Seq("nationkey"), "left")
+      .select(col("nationkey"), col("n_name"),
+        coalesce(col("exports_cents"), lit(0L)).as("exports_cents"),
+        coalesce(col("imports_cents"), lit(0L)).as("imports_cents"),
+        (coalesce(col("exports_cents"), lit(0L)) -
+          coalesce(col("imports_cents"), lit(0L))).as("net_cents"),
+        expr("coalesce(exports_cents, CAST(0 AS BIGINT)) * 10000 DIV " +
+          "greatest(1, coalesce(exports_cents, CAST(0 AS BIGINT)) + " +
+          "coalesce(imports_cents, CAST(0 AS BIGINT)))")
+          .as("balance_x10k"),
+        col("top_export_partner"))
+      .orderBy("nationkey")
+  }
+
   /** gr02: TRIANGLE COUNT per nation on the undirected support of the
     * trade graph (an edge when either direction trades), via
     * DEGREE-ORDERED node iteration (Schank & Wagner '05 / the
@@ -771,6 +829,7 @@ object Graph {
     "gr09_copurchase" -> gr09CoPurchase,
     "gr06_ktruss" -> gr06Ktruss,
     "gr14_ppr_seeded" -> gr14Ppr,
+    "gr15_trade_balance" -> gr15TradeBalance,
     "gr01_pagerank" -> gr01Pagerank,
     "gr02_triangles" -> gr02Triangles,
     "gr03_label_prop" -> gr03LabelProp,
@@ -868,6 +927,44 @@ object Graph {
          |FROM a0 u LEFT JOIN fin f ON f.a = u.a AND f.b = u.b
          |ORDER BY u.a, u.b""".stripMargin
     },
+    // gr15: pair-flow matrix, rollups and top-partner rank replayed;
+    // balance DIV operands non-negative (greatest(1, ·) guards the
+    // all-zero nation)
+    "gr15_trade_balance" ->
+      """WITH flows AS (SELECT s.s_nationkey AS exp_nation,
+        |    c.c_nationkey AS imp_nation,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+        |      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS flow_cents
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT exp_nation AS nationkey,
+        |    CAST(sum(flow_cents) AS BIGINT) AS exports_cents
+        |  FROM flows GROUP BY 1),
+        |im AS (SELECT imp_nation AS nationkey,
+        |    CAST(sum(flow_cents) AS BIGINT) AS imports_cents
+        |  FROM flows GROUP BY 1),
+        |tp AS (SELECT exp_nation AS nationkey,
+        |    imp_nation AS top_export_partner
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY exp_nation
+        |      ORDER BY flow_cents DESC, imp_nation) AS rn FROM flows)
+        |  WHERE rn = 1)
+        |SELECT n.n_nationkey AS nationkey, n.n_name,
+        |  coalesce(ex.exports_cents, 0) AS exports_cents,
+        |  coalesce(im.imports_cents, 0) AS imports_cents,
+        |  coalesce(ex.exports_cents, 0) - coalesce(im.imports_cents, 0)
+        |    AS net_cents,
+        |  coalesce(ex.exports_cents, 0) * 10000 //
+        |    greatest(1, coalesce(ex.exports_cents, 0)
+        |      + coalesce(im.imports_cents, 0)) AS balance_x10k,
+        |  tp.top_export_partner
+        |FROM nation n
+        |LEFT JOIN ex ON ex.nationkey = n.n_nationkey
+        |LEFT JOIN im ON im.nationkey = n.n_nationkey
+        |LEFT JOIN tp ON tp.nationkey = n.n_nationkey
+        |ORDER BY nationkey""".stripMargin,
     // gr14: all three seeded rounds replayed; b feeds every round + the
     // final join → MATERIALIZED (the multi-consumer CTE rule); all
     // operands non-negative so // ≡ Spark's div.

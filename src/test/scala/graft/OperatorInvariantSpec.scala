@@ -759,6 +759,23 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got.values.exists(v => v._3 > v._2), "fertility degenerate")
   }
 
+  test("gr15: trade balance conserves world flow and nets sum to zero") {
+    val rows = graft.operators.Graph.queries("gr15_trade_balance")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 25)
+    // every exported cent is someone's import: nets sum to zero and
+    // world exports equal world imports exactly
+    assert(rows.map(_._4).sum == 0L, "net positions do not cancel")
+    assert(rows.map(_._2).sum == rows.map(_._3).sum)
+    // balance share consistent with the integer definition
+    rows.foreach { case (_, ex, im, _, bal) =>
+      assert(bal == ex * 10000L / math.max(1L, ex + im))
+    }
+    // positions must actually differ (surplus and deficit nations exist)
+    assert(rows.exists(_._4 > 0L) && rows.exists(_._4 < 0L))
+  }
+
   test("gr14: personalized PageRank concentrates mass near the seeds") {
     val rows = graft.operators.Graph.queries("gr14_ppr_seeded")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2),
