@@ -1396,7 +1396,63 @@ object Dedup {
       .orderBy(col("b").desc)
   }
 
+  /** dd27: SHINGLE-GRANULARITY SENSITIVITY — the third knob of the
+    * dedup-parameter trilogy (dd25: bits per lane, dd26: band shape,
+    * here: shingle SIZE): Jaccard under k-token shingles for
+    * k ∈ {1, 2, 3, 5} on the dd25 pair protocol (recrawl twins J≈0.9
+    * vs consecutive-id background), rolled up per (k, pair_type) as
+    * ×10⁴ integer means and threshold crossings. The table shows WHY
+    * dd04/dd06 fixed k=3: unigram sets blur background pairs upward
+    * (shared vocabulary ≠ shared text), long shingles punish the
+    * twins' single-token edit — the separation column peaks at the
+    * production setting.
+    *
+    * Scale: per-row shingle construction (4 bounded passes over the
+    * token array), id-equijoin pairs (planted offset + consecutive,
+    * never all-pairs), counter-only rollup.
+    */
+  private val dd27ShingleSweep: Q = (s, d) => {
+    val ks = Seq(1, 2, 3, 5)
+    val shCols = ks.map { k =>
+      expr(s"""array_distinct(CASE WHEN size(tk) < $k THEN array(text)
+              |  ELSE transform(sequence(1, size(tk) - $k + 1),
+              |    i -> concat_ws(' ', slice(tk, i, $k))) END)"""
+        .stripMargin).as(s"sh$k")
+    }
+    val sh = recrawl(s, d)
+      .repartition(32)
+      .withColumn("tk", split(col("text"), " "))
+      .select((col("doc_id") +: shCols): _*)
+      .localCheckpoint() // one shingle pass, two pair-join consumers
+    val base = t(s, d, "documents").select(col("doc_id").as("i"))
+    val pairs = base
+      .select(col("i").as("a"), (col("i") + lit(COPY_OFFSET)).as("b"),
+        lit("twin").as("pair_type"))
+      .unionAll(base.select(col("i").as("a"), (col("i") + 1).as("b"),
+        lit("background").as("pair_type")))
+    val joined = pairs
+      .join(sh.select(Seq(col("doc_id").as("a")) ++
+        ks.map(k => col(s"sh$k").as(s"a$k")): _*), Seq("a"))
+      .join(sh.select(Seq(col("doc_id").as("b")) ++
+        ks.map(k => col(s"sh$k").as(s"b$k")): _*), Seq("b"))
+    val long = joined.selectExpr("pair_type",
+      "stack(" + ks.length + ", " + ks.map(k =>
+        s"CAST($k AS BIGINT), " +
+          s"CAST(size(array_intersect(a$k, b$k)) AS BIGINT) * 10000 DIV " +
+          s"(size(a$k) + size(b$k) " +
+          s"- size(array_intersect(a$k, b$k)))").mkString(", ") +
+        ") AS (k, jq)")
+    long.groupBy("k", "pair_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jq) DIV count(1)").as("mean_jq_x10k"),
+        sum(when(col("jq") >= 5000L, 1L).otherwise(0L)).as("n_ge50"),
+        sum(when(col("jq") >= 7000L, 1L).otherwise(0L)).as("n_ge70"),
+        sum(when(col("jq") >= 8000L, 1L).otherwise(0L)).as("n_ge80"))
+      .orderBy("k", "pair_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd27_shingle_sweep" -> dd27ShingleSweep,
     "dd26_band_planner" -> dd26BandPlanner,
     "dd25_bbit_minhash" -> dd25BbitMinhash,
     "dd24_semantic_dedup" -> dd24SemDedup,
@@ -1498,6 +1554,52 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // dd27: per-k shingle comprehensions, the dd25 pair protocol
+    // and the integer rollup all replayed; DIV operands non-negative
+    "dd27_shingle_sweep" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tkt AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM corpus),
+        |sh AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 1 THEN [text]
+        |        ELSE [tk[i] for i in generate_series(1, len(tk))] END) AS sh1,
+        |    list_distinct(CASE WHEN len(tk) < 2 THEN [text]
+        |        ELSE [tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk) - 1)] END) AS sh2,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |        ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk) - 2)] END) AS sh3,
+        |    list_distinct(CASE WHEN len(tk) < 5 THEN [text]
+        |        ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] for i in generate_series(1, len(tk) - 4)] END) AS sh5
+        |  FROM tkt),
+        |pairs AS (SELECT doc_id AS a, doc_id + 10000000 AS b,
+        |    'twin' AS pair_type FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 1, 'background' FROM documents),
+        |pj AS MATERIALIZED (SELECT p.pair_type, sa.sh1 AS a1, sb.sh1 AS b1, sa.sh2 AS a2, sb.sh2 AS b2, sa.sh3 AS a3, sb.sh3 AS b3, sa.sh5 AS a5, sb.sh5 AS b5
+        |  FROM pairs p JOIN sh sa ON sa.doc_id = p.a
+        |  JOIN sh sb ON sb.doc_id = p.b),
+        |l AS (SELECT pair_type, CAST(1 AS BIGINT) AS k,
+        |    CAST(len(list_intersect(a1, b1)) AS BIGINT) * 10000
+        |      // (len(a1) + len(b1) - len(list_intersect(a1, b1))) AS jq FROM pj
+        |  UNION ALL SELECT pair_type, CAST(2 AS BIGINT) AS k,
+        |    CAST(len(list_intersect(a2, b2)) AS BIGINT) * 10000
+        |      // (len(a2) + len(b2) - len(list_intersect(a2, b2))) AS jq FROM pj
+        |  UNION ALL SELECT pair_type, CAST(3 AS BIGINT) AS k,
+        |    CAST(len(list_intersect(a3, b3)) AS BIGINT) * 10000
+        |      // (len(a3) + len(b3) - len(list_intersect(a3, b3))) AS jq FROM pj
+        |  UNION ALL SELECT pair_type, CAST(5 AS BIGINT) AS k,
+        |    CAST(len(list_intersect(a5, b5)) AS BIGINT) * 10000
+        |      // (len(a5) + len(b5) - len(list_intersect(a5, b5))) AS jq FROM pj)
+        |SELECT k, pair_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(jq) // count(*) AS BIGINT) AS mean_jq_x10k,
+        |  CAST(count(*) FILTER (jq >= 5000) AS BIGINT) AS n_ge50,
+        |  CAST(count(*) FILTER (jq >= 7000) AS BIGINT) AS n_ge70,
+        |  CAST(count(*) FILTER (jq >= 8000) AS BIGINT) AS n_ge80
+        |FROM l GROUP BY 1, 2 ORDER BY k, pair_type""".stripMargin,
     // dd26: full replay — md5-ordered 64-doc sample, exact-Jaccard
     // 16-bucket histogram, and the S-curve by the SAME repeated-squaring
     // multiplication chain the Spark side runs (identical IEEE ops on

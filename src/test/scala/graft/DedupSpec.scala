@@ -312,6 +312,30 @@ class DedupSpec extends SparkSpec {
     assert(knee._6 < 1.0 && knee._7 < 1.0, knee.toString)
   }
 
+  test("dd27 shingle sweep separates twins from background for k >= 2") {
+    val rows = Dedup.queries("dd27_shingle_sweep")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ks = Seq(1L, 2L, 3L, 5L)
+    // twins stay near 1 at every granularity (single-token edit)
+    ks.foreach(k => assert(rows((k, "twin"))._2 > 9000L, s"k=$k"))
+    // separation at every k, and the background mean falls sharply
+    // with k — shared vocabulary stops counting as shared text
+    ks.foreach(k =>
+      assert(rows((k, "twin"))._2 > rows((k, "background"))._2))
+    val bg = ks.map(k => rows((k, "background"))._2)
+    assert(bg == bg.sorted.reverse && bg.head > 10L * bg(1),
+      s"background means $bg")
+    // the unigram blur is real: background pairs cross 0.5 at k=1 and
+    // stop doing so once shingles carry order
+    assert(rows((1L, "background"))._3 > 0L)
+    assert(rows((2L, "background"))._3 < rows((1L, "background"))._3)
+    // pair sets are complete and identical across k
+    assert(rows.keys.map(_._1).toSet == ks.toSet)
+    assert(rows.toSeq.groupBy(_._1._1).values
+      .map(_.map(_._2._1).sum).toSet.size == 1)
+  }
+
   test("dd19 banded near-dup recall finds planted twins, not controls") {
     val rows = Dedup.queries("dd19_neardup_recall")(spark, sf)
       .collect().map(r => (r.getString(2), r.getDouble(3), r.getLong(4)))
