@@ -1281,6 +1281,44 @@ object RelationalQueries {
       .orderBy("nationkey")
   }
 
+  /** q91: REVENUE INEQUALITY (Gini) per nation — q90's HHI asks "how
+    * few hold the market"; Gini asks "how unevenly is it spread" (the
+    * two diverge: three equal suppliers are concentrated but perfectly
+    * equal). Exact integer rank formulation over ascending revenue:
+    * G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), emitted ×10⁴ via DIV — the
+    * numerator is non-negative by the rearrangement inequality (ranks
+    * ascend with x), so Spark's truncation and DuckDB's floor agree.
+    * Ties rank deterministically by supplier key; the tie order shifts
+    * Σ rank·x only between EQUAL x values, leaving the sum unchanged.
+    *
+    * Scale: the rank window partitions by nation — suppliers
+    * parallelize across nations, never a global sort (the pp02 trap).
+    */
+  private val q91SupplierGini: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(s, d, "lineitem")
+      .select(col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)" +
+          " AS BIGINT)").as("cents"))
+      .join(t(s, d, "supplier").select(col("s_suppkey"),
+        col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nationkey"), col("s_suppkey"))
+      .agg(sum("cents").as("x"))
+    val w = Window.partitionBy("nationkey")
+      .orderBy(col("x"), col("s_suppkey"))
+    rev.withColumn("rk", row_number().over(w).cast("bigint"))
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), sum("x").as("tot_cents"),
+        sum(expr("rk * x")).as("rx"))
+      .join(t(s, d, "nation").select(col("n_nationkey").as("nationkey"),
+        col("n_name")), Seq("nationkey"))
+      .select(col("nationkey"), col("n_name"), col("n_suppliers"),
+        col("tot_cents"),
+        expr("(2 * rx - (n_suppliers + 1) * tot_cents) * 10000 DIV " +
+          "(n_suppliers * tot_cents)").as("gini_x10k"))
+      .orderBy("nationkey")
+  }
+
   /** q87's journey-level attribution rows before the rollup —
     * (user_id, journey, model, touch_type, acents) — shared with the
     * st18 streaming face, whose per-purchase emissions must equal these
@@ -1352,6 +1390,7 @@ object RelationalQueries {
     "q88_abc_pareto" -> q88AbcPareto,
     "q89_seasonal_anomaly" -> q89SeasonalAnomaly,
     "q90_supplier_hhi" -> q90SupplierHhi,
+    "q91_supplier_gini" -> q91SupplierGini,
     "q87_attribution" -> q87Attribution,
     "q86_open_aging" -> q86OpenOrderAging,
     "q84_pct_of_parent" -> q84PercentOfParent,
@@ -1442,6 +1481,27 @@ object RelationalQueries {
         |FROM g ORDER BY from_type, to_type""".stripMargin,
     // q88: rank/cumulative windows + integer share boundaries replayed;
     // rev is multi-referenced (window chain + total) → MATERIALIZED.
+    // q91: rank window + integer Gini replay; numerator non-negative
+    // by the rearrangement inequality so // matches div
+    "q91_supplier_gini" ->
+      """WITH rev AS (SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT nationkey, x,
+        |    CAST(row_number() OVER (PARTITION BY nationkey
+        |      ORDER BY x, l_suppkey) AS BIGINT) AS rk
+        |  FROM rev),
+        |g AS (SELECT nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    CAST(sum(x) AS BIGINT) AS tot_cents,
+        |    CAST(sum(rk * x) AS BIGINT) AS rx
+        |  FROM rk GROUP BY 1)
+        |SELECT g.nationkey, n.n_name, g.n_suppliers, g.tot_cents,
+        |  (2 * rx - (n_suppliers + 1) * tot_cents) * 10000 //
+        |    (n_suppliers * tot_cents) AS gini_x10k
+        |FROM g JOIN nation n ON n.n_nationkey = g.nationkey
+        |ORDER BY g.nationkey""".stripMargin,
     // q90: quantized-share HHI replay; nationkey cast to match Spark's
     // int key; all DIV operands non-negative
     "q90_supplier_hhi" ->

@@ -798,6 +798,20 @@ class OperatorInvariantSpec extends SparkSpec {
       "personalized ranking identical to global PageRank")
   }
 
+  test("q91: Gini stays in [0, (n-1)/n] and is zero only under equality") {
+    val rows = graft.operators.RelationalQueries
+      .queries("q91_supplier_gini")(spark, sf)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, tot, g) =>
+      assert(tot > 0L)
+      // hard bounds of the finite-population Gini
+      assert(g >= 0L && g * n <= (n - 1L) * 10000L, s"g=$g n=$n")
+    }
+    // revenue is continuous-ish cents: at least one nation is unequal
+    assert(rows.exists(_._3 > 0L))
+  }
+
   test("q90: HHI respects share bounds and class thresholds") {
     val rows = graft.operators.RelationalQueries
       .queries("q90_supplier_hhi")(spark, sf)
