@@ -808,8 +808,12 @@ class OperatorInvariantSpec extends SparkSpec {
       // hard bounds of the finite-population Gini
       assert(g >= 0L && g * n <= (n - 1L) * 10000L, s"g=$g n=$n")
     }
-    // revenue is continuous-ish cents: at least one nation is unequal
-    assert(rows.exists(_._3 > 0L))
+    // a single supplier is perfectly equal by definition
+    rows.filter(_._1 == 1L).foreach(x => assert(x._3 == 0L))
+    // where a nation has several suppliers, cent-valued revenues make
+    // exact equality vanishingly unlikely — inequality must register
+    // (at sf0.001 every nation has one supplier and the claim is moot)
+    if (rows.exists(_._1 >= 2L)) assert(rows.exists(_._3 > 0L))
   }
 
   test("q90: HHI respects share bounds and class thresholds") {
