@@ -392,6 +392,69 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** mm13: BANDED HAMMING DISCOVERY over the dHash — mm07 verifies
+    * near-dup pairs it already KNOWS (planted offsets); this is the
+    * production discovery path its scaladoc promises: 8 byte-bands
+    * over the 64-bit hash, candidates = any shared band, verify =
+    * popcount ≤ 6. The recall guarantee is EXACT, not probabilistic:
+    * a pair ≤ 7 bits apart touches at most 7 bands, so at least one
+    * of 8 is identical (pigeonhole) — banding loses nothing below the
+    * threshold, unlike minhash banding's S-curve. Planted twins (≤ 3
+    * bits, mm07's measurement) are all recovered; anything else the
+    * bands surface is a genuine ≤6-bit coincidence, flagged unplanted.
+    *
+    * Scale: only (band, 8-char value, id) triples shuffle; hashes
+    * rejoin per candidate after pair-level distinct (the dd04 payload
+    * rule). Never all-pairs.
+    */
+  private def mm13HammingSearch: Q = (s, d) => {
+    import s.implicits._
+    val hashes = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val h = bytes.length / 16
+          if (h == 0) Iterator.empty
+          else {
+            val px = bytes.take(16 * h)
+            val pert = px.zipWithIndex.map { case (b, i) =>
+              if (i % 7 == 0) (b + 1).toByte else b }
+            Seq((id, px), (id + 1000000L, pert)).iterator.map {
+              case (mid, p) =>
+                val (w, hh, dec) = decodeGray(encodeGrayPng(p))
+                (mid, dHash(w, hh, dec))
+            }
+          }
+        }
+      }.toDF("media_id", "dhash")
+      .persist() // band explode + two verify rejoins
+    val bands = hashes.select(col("media_id"), posexplode(expr(
+      "transform(sequence(0, 7), b -> substring(dhash, b * 8 + 1, 8))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bval")
+    val cand = bands
+      .join(bands.select(col("band"), col("bval"),
+        col("media_id").as("mb")), Seq("band", "bval"))
+      .filter(col("media_id") < col("mb"))
+      .select(col("media_id").as("media_a"), col("mb").as("media_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("media_id").as("media_a"),
+        col("dhash").as("ha")), Seq("media_a"))
+      .join(hashes.select(col("media_id").as("media_b"),
+        col("dhash").as("hb")), Seq("media_b"))
+      .withColumn("hamming", expr(
+        """CAST(size(filter(sequence(1, 64),
+          |  i -> substring(ha, i, 1) <> substring(hb, i, 1))) AS BIGINT)"""
+          .stripMargin))
+      .filter(col("hamming") <= 6)
+      .withColumn("planted",
+        col("media_b") === col("media_a") + lit(1000000L))
+      .select("media_a", "media_b", "hamming", "planted")
+      .orderBy("media_a", "media_b")
+  }
+
   /** pp20: MEDIA CURATION PIPELINE — pp01's flagship shape for images,
     * with the decode genuinely in the loop: ingest (originals +
     * perturbed re-encodes) → one decode pass per image emitting size,
@@ -604,6 +667,7 @@ object Multimodal {
     "mm05_patch_grid" -> mm05PatchGrid,
     "mm06_energy_segments" -> mm06EnergySegments,
     "mm07_perceptual_dedup" -> mm07PerceptualDedup,
+    "mm13_hamming_search" -> mm13HammingSearch,
     "mm09_keyframes" -> mm09Keyframes,
     "pp20_media_curation" -> pp20MediaCuration,
   )
@@ -799,6 +863,59 @@ object Multimodal {
         |  coalesce(adm.n_admitted, 0) AS n_admitted, adm.mean_luma
         |FROM raw LEFT JOIN gat USING (source) LEFT JOIN adm USING (source)
         |ORDER BY raw.source""".stripMargin,
+    // mm13: mm07's pixel/dHash replay + the band self-join and
+    // popcount verify; planted flag recomputed from the id offset
+    "mm13_hamming_search" ->
+      """WITH g AS (SELECT doc_id AS mid,
+        |    substring(text, 1, (length(text) // 16) * 16) AS px,
+        |    CAST(length(text) // 16 AS BIGINT) AS h
+        |  FROM documents WHERE length(text) >= 16),
+        |imgs AS (
+        |  SELECT mid AS media_id, px, h, 0 AS pert FROM g
+        |  UNION ALL SELECT mid + 1000000, px, h, 1 FROM g),
+        |ys AS (SELECT media_id, px, h, pert,
+        |    unnest(generate_series(0, CAST(h AS INT) - 1)) AS y FROM imgs),
+        |pix AS (SELECT media_id, h, y, xs.x AS x,
+        |    ord(substr(px, y * 16 + xs.x + 1, 1)) +
+        |      CASE WHEN pert = 1 AND (y * 16 + xs.x) % 7 = 0
+        |           THEN 1 ELSE 0 END AS v
+        |  FROM ys CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs),
+        |cells AS (SELECT media_id, ((x + 1) * 9 - 1) // 16 AS gx,
+        |    ((y + 1) * 8 - 1) // h AS gy,
+        |    CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |  FROM pix GROUP BY 1, 2, 3),
+        |grid AS (SELECT i.media_id, gxs.gx, gys.gy,
+        |    coalesce(c.s, 0) AS s, coalesce(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT media_id FROM imgs) i
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS gx) gxs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy) gys
+        |  LEFT JOIN cells c ON c.media_id = i.media_id
+        |    AND c.gx = gxs.gx AND c.gy = gys.gy),
+        |bits AS (SELECT a.media_id, a.gy * 8 + a.gx AS idx,
+        |    CASE WHEN a.s * b.n > b.s * a.n THEN '1' ELSE '0' END AS bit
+        |  FROM grid a JOIN grid b ON b.media_id = a.media_id
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |dh AS MATERIALIZED (SELECT media_id,
+        |    string_agg(bit, '' ORDER BY idx) AS dhash
+        |  FROM bits GROUP BY media_id),
+        |bands AS (SELECT media_id, b.b AS band,
+        |    substr(dhash, b.b * 8 + 1, 8) AS bval
+        |  FROM dh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b),
+        |cand AS (SELECT DISTINCT a.media_id AS media_a,
+        |    c.media_id AS media_b
+        |  FROM bands a JOIN bands c ON c.band = a.band
+        |    AND c.bval = a.bval AND a.media_id < c.media_id),
+        |hm AS (SELECT media_a, media_b,
+        |    CAST(len([i for i in generate_series(1, 64)
+        |              if substr(da.dhash, i, 1) <> substr(db.dhash, i, 1)])
+        |      AS BIGINT) AS hamming
+        |  FROM cand JOIN dh da ON da.media_id = cand.media_a
+        |    JOIN dh db ON db.media_id = cand.media_b)
+        |SELECT media_a, media_b, hamming,
+        |  (media_b = media_a + 1000000) AS planted
+        |FROM hm WHERE hamming <= 6
+        |ORDER BY media_a, media_b""".stripMargin,
     "mm07_perceptual_dedup" ->
       """WITH g AS (SELECT doc_id AS mid,
         |    substring(text, 1, (length(text) // 16) * 16) AS px,

@@ -301,6 +301,26 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(!ctrls.exists(_._3))
   }
 
+  test("mm13: banded Hamming discovery recovers every mm07 twin pair") {
+    val found = graft.operators.Multimodal
+      .queries("mm13_hamming_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // verify threshold holds on every discovered pair, pairs canonical
+    assert(found.forall(x => x._3 <= 6L && x._1 < x._2))
+    // EXACT recall of the known truth: every twin pair mm07 scores as a
+    // dup (hamming <= 6 < 8 bands => pigeonhole guarantees a shared
+    // band) must be discovered without knowing the offset
+    val truth = graft.operators.Multimodal
+      .queries("mm07_perceptual_dedup")(spark, sf)
+      .collect().filter(_.getBoolean(4))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = found.map(x => (x._1, x._2)).toSet
+    assert(truth.subsetOf(got),
+      s"missed ${(truth -- got).take(3)} of ${truth.size}")
+    assert(found.count(_._4) == truth.size)
+  }
+
   test("pp20: media curation funnel is monotone and the dedup bites") {
     val rows = Multimodal.queries("pp20_media_curation")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
