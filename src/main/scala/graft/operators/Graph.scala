@@ -190,6 +190,61 @@ object Graph {
       .orderBy("nationkey")
   }
 
+  /** gr16: RICH-CLUB COEFFICIENT — do the best-connected nodes trade
+    * preferentially among THEMSELVES? φ(k) = 2·E_k / (N_k·(N_k−1))
+    * over the subgraph of nodes with degree > k, emitted ×10⁴ for
+    * every k where ≥2 nodes qualify (Colizza et al. '06). The
+    * formulation is RANK-FREE and single-pass over the graph: an edge
+    * belongs to every club below min(deg_a, deg_b), so E_k and N_k
+    * fall out of θ-joins of the distinct-degree threshold set against
+    * the degree/min-degree tables — both sides bounded by the degree
+    * domain, never a per-k subgraph scan (the per-k rescan is the
+    * quadratic trap at scale; this is O(E) + O(degree domain²) with
+    * the second term on condensed, not corpus, cardinalities).
+    *
+    * Scale: degree/min-degree tables aggregate the condensed edge
+    * list; the threshold joins run over ≤ max-degree rows.
+    */
+  val gr16RichClub: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    // the condensed trade graph is near-complete (every nation trades
+    // with every nation => one degree value, no club to measure) — run
+    // on the 3-NN sparsified support gr03/gr05 use, whose asymmetric
+    // symmetrization produces real degree spread
+    val wTop = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
+    val knn = tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select("src", "dst")
+    val und = knn
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist() // degree build + edge min-degree rejoin
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ks = deg.select(col("deg").as("k")).distinct()
+    // N_k: nodes with deg > k — suffix count over the degree histogram
+    val nk = ks.join(deg, col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    // E_k: edges with min endpoint degree > k
+    val emin = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .select(least(col("da"), col("db")).as("md"))
+    val ek = ks.join(emin, col("md") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    nk.join(ek, Seq("k"), "left")
+      .filter(col("n_nodes") >= 2L)
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        expr("coalesce(n_edges, CAST(0 AS BIGINT)) * 2 * 10000 DIV " +
+          "(n_nodes * (n_nodes - 1))").as("phi_x10k"))
+      .orderBy("k")
+  }
+
   /** gr02: TRIANGLE COUNT per nation on the undirected support of the
     * trade graph (an edge when either direction trades), via
     * DEGREE-ORDERED node iteration (Schank & Wagner '05 / the
@@ -830,6 +885,7 @@ object Graph {
     "gr06_ktruss" -> gr06Ktruss,
     "gr14_ppr_seeded" -> gr14Ppr,
     "gr15_trade_balance" -> gr15TradeBalance,
+    "gr16_rich_club" -> gr16RichClub,
     "gr01_pagerank" -> gr01Pagerank,
     "gr02_triangles" -> gr02Triangles,
     "gr03_label_prop" -> gr03LabelProp,
@@ -927,6 +983,34 @@ object Graph {
          |FROM a0 u LEFT JOIN fin f ON f.a = u.a AND f.b = u.b
          |ORDER BY u.a, u.b""".stripMargin
     },
+    // gr16: undirected support, degree histograms and the threshold
+    // theta-joins replayed; phi DIV operands non-negative
+    "gr16_rich_club" ->
+      s"""WITH $edgesCte,
+         |knn AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst) AS rn
+         |    FROM edges WHERE src <> dst) WHERE rn <= 3),
+         |und AS (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b FROM knn),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1),
+         |ks AS (SELECT DISTINCT deg AS k FROM deg),
+         |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM ks JOIN deg ON deg.deg > ks.k GROUP BY 1),
+         |emin AS (SELECT least(da.deg, db.deg) AS md
+         |  FROM und JOIN deg da ON da.id = und.a
+         |  JOIN deg db ON db.id = und.b),
+         |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM ks JOIN emin ON emin.md > ks.k GROUP BY 1)
+         |SELECT nk.k, nk.n_nodes,
+         |  coalesce(ek.n_edges, 0) AS n_edges,
+         |  coalesce(ek.n_edges, 0) * 2 * 10000 //
+         |    (nk.n_nodes * (nk.n_nodes - 1)) AS phi_x10k
+         |FROM nk LEFT JOIN ek ON ek.k = nk.k
+         |WHERE nk.n_nodes >= 2
+         |ORDER BY nk.k""".stripMargin,
     // gr15: pair-flow matrix, rollups and top-partner rank replayed;
     // balance DIV operands non-negative (greatest(1, ·) guards the
     // all-zero nation)

@@ -779,6 +779,20 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got.values.exists(v => v._3 > v._2), "fertility degenerate")
   }
 
+  test("gr16: rich-club curve is well-formed on the sparsified support") {
+    val rows = graft.operators.Graph.queries("gr16_rich_club")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty, "no club thresholds — support degenerate")
+    // thresholds ascend, clubs strictly shrink, density in [0, 1]
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted.reverse)
+    rows.foreach { case (_, n, e, phi) =>
+      assert(n >= 2L && 2L * e <= n * (n - 1L))
+      assert(phi == 2L * e * 10000L / (n * (n - 1L)))
+    }
+  }
+
   test("gr15: trade balance conserves world flow and nets sum to zero") {
     val rows = graft.operators.Graph.queries("gr15_trade_balance")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
