@@ -1319,6 +1319,51 @@ object RelationalQueries {
       .orderBy("nationkey")
   }
 
+  /** q92: CUSTOMER LIFECYCLE STATES — the CRM state machine every
+    * retention dashboard runs: per quarter, how many customers are NEW
+    * (first-ever activity), ACTIVE (also active the previous quarter),
+    * REACTIVATED (returning after a gap) or LAPSED (active last
+    * quarter, silent this one — emitted on the quarter the silence
+    * STARTS, never past the dataset's horizon). Pure presence logic on
+    * the distinct (customer, quarter) grid: one lag/lead window per
+    * customer, quarter index qi = 4·year + quarter − 1 in integers,
+    * label rebuilt as a string only at output.
+    *
+    * Scale: the distinct grid is one fact aggregate; the window
+    * partitions by customer (parallel); the rollup is quarters ×
+    * 4 states.
+    */
+  private val q92Lifecycle: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val act = t(s, d, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")).cast("bigint") * 4 +
+          quarter(col("o_orderdate")).cast("bigint") - 1).as("qi"))
+      .distinct()
+    val mx = act.agg(max("qi").as("mxqi"))
+    val w = Window.partitionBy("o_custkey").orderBy("qi")
+    val st = act
+      .withColumn("prev", lag("qi", 1).over(w))
+      .withColumn("nxt", lead("qi", 1).over(w))
+      .crossJoin(mx)
+    val activeStates = st.select(col("qi"),
+      when(col("prev").isNull, "new")
+        .when(col("prev") === col("qi") - 1, "active")
+        .otherwise("reactivated").as("state"))
+    val lapsed = st
+      .filter(col("qi") < col("mxqi") &&
+        (col("nxt").isNull || col("nxt") > col("qi") + 1))
+      .select((col("qi") + 1).as("qi"), lit("lapsed").as("state"))
+    activeStates.unionAll(lapsed)
+      .groupBy("qi", "state")
+      .agg(count(lit(1)).as("n_customers"))
+      .select(
+        concat(expr("CAST(qi DIV 4 AS STRING)"), lit("-Q"),
+          expr("CAST(qi % 4 + 1 AS STRING)")).as("quarter"),
+        col("state"), col("n_customers"))
+      .orderBy("quarter", "state")
+  }
+
   /** q87's journey-level attribution rows before the rollup —
     * (user_id, journey, model, touch_type, acents) — shared with the
     * st18 streaming face, whose per-purchase emissions must equal these
@@ -1391,6 +1436,7 @@ object RelationalQueries {
     "q89_seasonal_anomaly" -> q89SeasonalAnomaly,
     "q90_supplier_hhi" -> q90SupplierHhi,
     "q91_supplier_gini" -> q91SupplierGini,
+    "q92_lifecycle" -> q92Lifecycle,
     "q87_attribution" -> q87Attribution,
     "q86_open_aging" -> q86OpenOrderAging,
     "q84_pct_of_parent" -> q84PercentOfParent,
@@ -1481,6 +1527,30 @@ object RelationalQueries {
         |FROM g ORDER BY from_type, to_type""".stripMargin,
     // q88: rank/cumulative windows + integer share boundaries replayed;
     // rev is multi-referenced (window chain + total) → MATERIALIZED.
+    // q92: presence grid, lag/lead windows and the state rollup
+    // replayed; quarter label rebuilt from the integer index
+    "q92_lifecycle" ->
+      """WITH act AS (SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate) AS BIGINT) * 4 +
+        |    CAST(quarter(o_orderdate) AS BIGINT) - 1 AS qi
+        |  FROM orders),
+        |mx AS (SELECT max(qi) AS mxqi FROM act),
+        |st AS (SELECT o_custkey, qi,
+        |    lag(qi) OVER (PARTITION BY o_custkey ORDER BY qi) AS prev,
+        |    lead(qi) OVER (PARTITION BY o_custkey ORDER BY qi) AS nxt
+        |  FROM act),
+        |states AS (
+        |  SELECT qi, CASE WHEN prev IS NULL THEN 'new'
+        |    WHEN prev = qi - 1 THEN 'active'
+        |    ELSE 'reactivated' END AS state
+        |  FROM st
+        |  UNION ALL
+        |  SELECT qi + 1, 'lapsed' FROM st CROSS JOIN mx
+        |  WHERE qi < mxqi AND (nxt IS NULL OR nxt > qi + 1))
+        |SELECT CAST(qi // 4 AS VARCHAR) || '-Q' ||
+        |    CAST(qi % 4 + 1 AS VARCHAR) AS quarter,
+        |  state, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM states GROUP BY 1, 2 ORDER BY quarter, state""".stripMargin,
     // q91: rank window + integer Gini replay; numerator non-negative
     // by the rearrangement inequality so // matches div
     "q91_supplier_gini" ->

@@ -832,6 +832,27 @@ class OperatorInvariantSpec extends SparkSpec {
       "personalized ranking identical to global PageRank")
   }
 
+  test("q92: lifecycle states conserve the active population") {
+    val rows = graft.operators.RelationalQueries
+      .queries("q92_lifecycle")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val quarters = rows.keys.map(_._1).toList.distinct.sorted
+    assert(quarters.length >= 3)
+    def n(q: String, s: String) = rows.getOrElse((q, s), 0L)
+    def activeNow(q: String) =
+      n(q, "new") + n(q, "active") + n(q, "reactivated")
+    // every customer active in q-1 is, at q, either still active or
+    // freshly lapsed — the state machine loses nobody
+    quarters.sliding(2).foreach { case List(p, q) =>
+      assert(n(q, "active") + n(q, "lapsed") == activeNow(p),
+        s"$p -> $q: ${n(q, "active")} + ${n(q, "lapsed")} != ${activeNow(p)}")
+    }
+    // all four states occur somewhere
+    assert(Set("new", "active", "reactivated", "lapsed")
+      .forall(s => rows.keys.exists(_._2 == s)))
+  }
+
   test("q91: Gini stays in [0, (n-1)/n] and is zero only under equality") {
     val rows = graft.operators.RelationalQueries
       .queries("q91_supplier_gini")(spark, sf)
