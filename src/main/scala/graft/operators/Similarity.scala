@@ -239,7 +239,53 @@ object Similarity {
   }
 
 
+  /** ss30: NEAREST-CENTROID CLASSIFIER EVAL — the embedding-side
+    * analogue of tx10's classifier confusion: per-label centroids from
+    * a deterministic 80/20 split (train = vec_id % 5 ≠ 0), per-dim
+    * means rounded to 6 decimals (the ss28 cross-engine rule), held-out
+    * vectors classified by max cosine (ties → lowest label), scored as
+    * the full confusion matrix. The evaluation loop every embedding
+    * refresh runs before swapping models — ss27 says whether the space
+    * is healthy, this says whether it still SEPARATES the labels.
+    * (On this synthetic corpus the labels are near-random over
+    * near-orthogonal vectors, so measured accuracy sits at chance —
+    * the tx10 caveat: the operator SHAPE is the deliverable, and the
+    * spec pins structure, not accuracy.)
+    *
+    * Scale: centroid build is one label-keyed vector_avg aggregate;
+    * classification is a broadcast of ≤|labels| centroids against the
+    * held-out pass; the confusion rollup is labels².
+    */
+  def centroidEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dd2(a: Column, b: Column) =
+      graft.functions.GraftFunctions.double_dot(a, b)
+    val base = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", sqrt(dd2(col("e"), col("e"))))
+    val cents = base.filter(col("vec_id") % 5 =!= 0)
+      .groupBy(col("label").as("clabel"))
+      .agg(graft.functions.VectorAgg.vector_avg(col("e")).as("avg"))
+      .withColumn("c_emb", expr("transform(avg, x -> round(x, 6))"))
+      .withColumn("c_norm", sqrt(dd2(col("c_emb"), col("c_emb"))))
+      .select("clabel", "c_emb", "c_norm")
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("clabel"))
+    base.filter(col("vec_id") % 5 === 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dd2(col("e"), col("c_emb")) / (col("nrm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label").as("true_label"),
+        col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ss30_centroid_eval" -> ((s, d) => centroidEval(s, d)),
     "ss29_trained_benefit" -> ((s, d) => trainedBenefit(s, d)),
     "ss01_topk_bruteforce" -> ((s, d) => topkBrute(s, d)),
     "ss02_topk_lsh" -> ((s, d) => topkLsh(s, d)),
@@ -2132,6 +2178,41 @@ object Similarity {
         |  FROM r)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // ss30: split, per-label centroid training (per-dim avg round 6 —
+    // the ss28 rule), cosine argmax and the confusion rollup replayed
+    "ss30_centroid_eval" ->
+      s"""WITH v AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |u AS (SELECT label, unnest(generate_series(1, len(e))) AS dim,
+         |    unnest(e) AS x
+         |  FROM n WHERE vec_id % 5 <> 0),
+         |g AS (SELECT label, dim, round(avg(x), 6) AS cx
+         |  FROM u GROUP BY label, dim),
+         |cents AS MATERIALIZED (SELECT label AS clabel, e AS c_emb,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS c_norm
+         |  FROM (SELECT label, list(cx ORDER BY dim) AS e
+         |        FROM g GROUP BY label)),
+         |pred AS (SELECT vec_id, label, clabel FROM (
+         |    SELECT c.vec_id, c.label, q.clabel, row_number() OVER (
+         |      PARTITION BY c.vec_id ORDER BY
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          [c.e[i] * q.c_emb[i]
+         |           for i in generate_series(1, len(c.e))]),
+         |          (a, b) -> a + b) / (c.nrm * q.c_norm) DESC,
+         |        q.clabel) AS rn
+         |    FROM n c CROSS JOIN cents q
+         |    WHERE c.vec_id % 5 = 0)
+         |  WHERE rn = 1)
+         |SELECT label AS true_label, clabel AS pred_label,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM pred GROUP BY 1, 2
+         |ORDER BY true_label, pred_label""".stripMargin,
     // ss29: full replay — natural exact-5NN truth, the mod-97 seed
     // sample and both Lloyd rounds (ss28's machinery), both home-list
     // candidate joins; the rollup is pure integers so the hash is

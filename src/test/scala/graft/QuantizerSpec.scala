@@ -63,6 +63,21 @@ class QuantizerSpec extends SparkSpec {
       s"trained ${r.getLong(1)} !> seed ${r.getLong(0)}")
   }
 
+  test("centroid-eval confusion partitions the held-out set (ss30)") {
+    val rows = Similarity.centroidEval(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every held-out vector classified exactly once
+    val heldOut = graft.Tables.t(spark, sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.expr("vec_id % 5 = 0"))
+      .count()
+    assert(rows.map(_._3).sum == heldOut)
+    // predictions only ever name trained labels
+    val labels = rows.map(_._1).toSet
+    assert(rows.map(_._2).toSet.subsetOf(labels))
+    assert(rows.forall(_._3 >= 1L))
+  }
+
   test("training buys end-to-end 5-NN recall at equal probe budget (ss29)") {
     val rows = Similarity.trainedBenefit(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
