@@ -498,6 +498,58 @@ object Dedup {
 
   private val dd10DedupGroups: Q = dedupGroupsVia(connectedComponents)
 
+  /** dd28: TRANSITIVE-CHAINING AUDIT — the risk every union-find dedup
+    * silently carries: A~B and B~C certify edges, but the component
+    * {A,B,C} also merges A with C, which may sit BELOW the edge
+    * threshold (here: base → drop-1 → drop-2 chains, where the 2-hop
+    * pair loses two leading tokens). Per multi-member cluster: each
+    * member's exact STRING-shingle Jaccard to the cluster rep, rolled
+    * up as min/mean ×10⁴ with a `chained` flag (min below the 0.5 edge
+    * threshold = the cluster contains a member similar to its rep only
+    * transitively). This is the report that decides whether to ship
+    * components as-is or re-verify pairs against the canonical (the
+    * dd17/dd22 policy input).
+    *
+    * Output values use STRING shingles (the dd09 oracle rule) — edge
+    * MEMBERSHIP still rides the hashed kernel per the nearDupGraph
+    * contract (hash collisions can flip membership with P≈1e-11, never
+    * an emitted value).
+    *
+    * Scale: member-vs-rep is LINEAR in cluster size (never the
+    * quadratic within-cluster pair stage); shingle payloads join once
+    * per member.
+    */
+  private val dd28ChainAudit: Q = (s, d) => {
+    val (corpus, edges) = nearDupGraph(s, d)
+    val labels = connectedComponents(
+      corpus.select(col("doc_id").as("id")), edges)
+    val shs = corpus.select(col("doc_id"), array_distinct(
+        GraftFunctions.shingle_strings(col("text"))).as("shs"))
+      .persist() // member side + rep side
+    val mem = labels.select(col("id").as("doc_id"),
+      col("label").as("group_rep"))
+    val multi = mem.groupBy("group_rep")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2L)
+    mem.join(multi, Seq("group_rep"))
+      .filter(col("doc_id") =!= col("group_rep"))
+      .join(shs.select(col("doc_id"), col("shs").as("sh_m")), Seq("doc_id"))
+      .join(shs.select(col("doc_id").as("group_rep"),
+        col("shs").as("sh_r")), Seq("group_rep"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_m"), col("sh_r"))).cast("bigint"))
+      .withColumn("uni",
+        (size(col("sh_m")) + size(col("sh_r"))).cast("bigint") -
+          col("inter"))
+      .withColumn("jx", expr("inter * 10000 DIV uni"))
+      .groupBy("group_rep")
+      .agg(max("n_members").as("n_members"),
+        min("jx").as("min_j_to_rep_x10k"),
+        expr("sum(jx) DIV count(1)").as("mean_j_to_rep_x10k"))
+      .withColumn("chained", col("min_j_to_rep_x10k") < 5000L)
+      .orderBy("group_rep")
+  }
+
   /** dd17: QUALITY-AWARE CANONICAL SELECTION — dd10's clusters, but the
     * kept representative is the BEST document (here: most tokens — the
     * re-crawl copies are truncations, so the original wins), not the
@@ -1453,6 +1505,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dd27_shingle_sweep" -> dd27ShingleSweep,
+    "dd28_chain_audit" -> dd28ChainAudit,
     "dd26_band_planner" -> dd26BandPlanner,
     "dd25_bbit_minhash" -> dd25BbitMinhash,
     "dd24_semantic_dedup" -> dd24SemDedup,
@@ -1554,6 +1607,24 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // dd28: dd10's recursive-CC machinery + member-vs-rep string-shingle
+    // Jaccard and the chained rollup; DIV operands non-negative
+    "dd28_chain_audit" -> (dd10Sql + """,
+      |multi AS (SELECT group_rep, CAST(count(*) AS BIGINT) AS n_members
+      |  FROM lab GROUP BY 1 HAVING count(*) >= 2),
+      |sc AS (SELECT l.group_rep, m.n_members,
+      |    CAST(len(list_intersect(sm.sh, sr.sh)) AS BIGINT) * 10000
+      |      // (len(sm.sh) + len(sr.sh)
+      |          - len(list_intersect(sm.sh, sr.sh))) AS jx
+      |  FROM lab l JOIN multi m USING (group_rep)
+      |  JOIN sh sm ON sm.doc_id = l.id
+      |  JOIN sh sr ON sr.doc_id = l.group_rep
+      |  WHERE l.id <> l.group_rep)
+      |SELECT group_rep, max(n_members) AS n_members,
+      |  min(jx) AS min_j_to_rep_x10k,
+      |  CAST(sum(jx) // count(*) AS BIGINT) AS mean_j_to_rep_x10k,
+      |  (min(jx) < 5000) AS chained
+      |FROM sc GROUP BY group_rep ORDER BY group_rep""".stripMargin),
     // dd27: per-k shingle comprehensions, the dd25 pair protocol
     // and the integer rollup all replayed; DIV operands non-negative
     "dd27_shingle_sweep" ->

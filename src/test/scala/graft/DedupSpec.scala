@@ -336,6 +336,25 @@ class DedupSpec extends SparkSpec {
       .map(_.map(_._2._1).sum).toSet.size == 1)
   }
 
+  test("dd28 chain audit measures 2-hop drift inside dd10's clusters") {
+    val rows = Dedup.queries("dd28_chain_audit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, mn, mean, chained) =>
+      assert(n >= 2L && mn <= mean && mean <= 10000L)
+      assert(chained == (mn < 5000L))
+    }
+    // 3-member chains (base -> drop-1 -> drop-2) must show measurable
+    // 2-hop drift: the min member-to-rep similarity sits strictly
+    // below the mean somewhere
+    assert(rows.filter(_._2 == 3L).exists(x => x._3 < x._4))
+    // on THIS corpus the chains are mild (long docs, 2 tokens dropped):
+    // the audit's value is certifying that — components safe to ship
+    assert(rows.forall(x => x._3 > 5000L),
+      "unexpected sub-threshold chaining on the dd10 corpus")
+  }
+
   test("dd19 banded near-dup recall finds planted twins, not controls") {
     val rows = Dedup.queries("dd19_neardup_recall")(spark, sf)
       .collect().map(r => (r.getString(2), r.getDouble(3), r.getLong(4)))
