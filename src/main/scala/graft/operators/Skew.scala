@@ -49,6 +49,41 @@ object Skew {
         round(sum("o_totalprice"), 2).as("revenue"))
       .orderBy("c_nationkey")
 
+  /** q93: KEY-SKEW PROFILER — the diagnosis that decides whether q37's
+    * salting is needed and with how many buckets: per candidate join
+    * key, the key-count distribution summarized as exact integers
+    * (distinct keys, max/total rows, skew ×100 = max·n_keys DIV total —
+    * 100 means perfectly uniform) plus the derived salt factor
+    * ceil(max_rows / target) at a 1000-rows/bucket target. At 100 TB this profile is the cheap pre-pass (one count
+    * aggregate per key) that replaces discovering skew from a straggler
+    * task post-mortem.
+    *
+    * Scale: one (key → count) aggregate per profiled column — the same
+    * map-side-combine shape as any groupBy; the summary is a single-row
+    * rollup per key column.
+    */
+  private val q93SkewProfile: Q = (s, d) => {
+    def profile(df: DataFrame, keyCol: String,
+        label: String): DataFrame = {
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          max("c").as("max_rows"))
+        .select(lit(label).as("key"), col("n_keys"), col("n_rows"),
+          col("max_rows"),
+          expr("max_rows * n_keys * 100 DIV n_rows").as("skew_x100"),
+          expr("(max_rows + 999) DIV 1000").as("salt_factor"))
+    }
+    profile(t(s, d, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
+      .unionAll(profile(t(s, d, "lineitem"), "l_partkey",
+        "lineitem.l_partkey"))
+      .unionAll(profile(t(s, d, "lineitem"), "l_suppkey",
+        "lineitem.l_suppkey"))
+      .unionAll(profile(t(s, d, "orders"), "o_custkey",
+        "orders.o_custkey"))
+      .unionAll(profile(t(s, d, "events"), "user_id", "events.user_id"))
+      .orderBy("key")
+  }
+
   /** q38: sketch aggregates — HyperLogLog++ approximate distinct and
     * approximate percentiles. At 100 TB these replace exact distinct
     * counts (whose hash tables spill) with fixed-size mergeable state.
@@ -473,6 +508,7 @@ object Skew {
   }
 
   val queries: Map[String, Q] = Map(
+    "q93_skew_profile" -> q93SkewProfile,
     "q85_kmv_distinct" -> q85KmvDistinct,
     "q77_heavy_hitters" -> q77HeavyHitters,
     "q74_integrity_audit" -> q74IntegrityAudit,
@@ -488,6 +524,42 @@ object Skew {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q93: per-key count aggregates + the integer summary; DIV
+    // operands non-negative
+    "q93_skew_profile" ->
+      """WITH p1 AS (SELECT 'lineitem.l_orderkey' AS key,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS max_rows
+        |  FROM (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+        |        FROM lineitem GROUP BY 1)),
+        |p2 AS (SELECT 'lineitem.l_partkey',
+        |    CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+        |    CAST(max(c) AS BIGINT)
+        |  FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |        FROM lineitem GROUP BY 1)),
+        |p3 AS (SELECT 'lineitem.l_suppkey',
+        |    CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+        |    CAST(max(c) AS BIGINT)
+        |  FROM (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS c
+        |        FROM lineitem GROUP BY 1)),
+        |p4 AS (SELECT 'orders.o_custkey',
+        |    CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+        |    CAST(max(c) AS BIGINT)
+        |  FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+        |        FROM orders GROUP BY 1)),
+        |p5 AS (SELECT 'events.user_id',
+        |    CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+        |    CAST(max(c) AS BIGINT)
+        |  FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |        FROM events GROUP BY 1)),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+        |  UNION ALL SELECT * FROM p5)
+        |SELECT key, n_keys, n_rows, max_rows,
+        |  max_rows * n_keys * 100 // n_rows AS skew_x100,
+        |  (max_rows + 999) // 1000 AS salt_factor
+        |FROM u ORDER BY key""".stripMargin,
     "q85_kmv_distinct" ->
       """WITH dv AS (SELECT DISTINCT l_returnflag,
         |    CAST(l_partkey AS VARCHAR) AS v FROM lineitem),

@@ -832,6 +832,19 @@ class OperatorInvariantSpec extends SparkSpec {
       "personalized ranking identical to global PageRank")
   }
 
+  test("q93: skew profile summaries are internally consistent") {
+    val rows = graft.operators.Skew.queries("q93_skew_profile")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 5)
+    rows.foreach { case (k, nk, nr, mx, skew, salt) =>
+      // max is a real key's count: at least the uniform share, at most all
+      assert(mx * nk >= nr && mx <= nr, k)
+      assert(skew == mx * nk * 100 / nr && skew >= 100L, k)
+      assert(salt == (mx + 999L) / 1000L, k)
+    }
+  }
+
   test("q92: lifecycle states conserve the active population") {
     val rows = graft.operators.RelationalQueries
       .queries("q92_lifecycle")(spark, sf)
