@@ -403,12 +403,22 @@ object Multimodal {
     * bits, mm07's measurement) are all recovered; anything else the
     * bands surface is a genuine ≤6-bit coincidence, flagged unplanted.
     *
-    * Scale: only (band, 8-char value, id) triples shuffle; hashes
-    * rejoin per candidate after pair-level distinct (the dd04 payload
-    * rule). Never all-pairs.
+    * Scale: only (band, byte value, id) triples shuffle; the verify is
+    * codegen bit_count over BIGINT hashes and runs BEFORE the pair
+    * distinct (survivors are output-sized; the raw candidate multiset
+    * is not). Never all-pairs — but low-texture corpora concentrate
+    * mass in a few band values ('00000000' holds 15% of images here);
+    * the production knob at corpus scale is capping hot band values
+    * (dropping a band value never loses a pair below 8−(bands shared)
+    * bits; re-verify capped values against the exact-duplicate groupBy
+    * instead).
     */
   private def mm13HammingSearch: Q = (s, d) => {
     import s.implicits._
+    // the 64-bit hash rides as a BIGINT: bands are unsigned shifts and
+    // the verify is bit_count(xor) — whole-stage codegen, where the
+    // 64-step substring HOF per pair evaluated interpreted (the dd18
+    // rule) and cost 20 s at sf0.1 over the ~6M raw band candidates
     val hashes = t(s, d, "documents").select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -423,35 +433,37 @@ object Multimodal {
             Seq((id, px), (id + 1000000L, pert)).iterator.map {
               case (mid, p) =>
                 val (w, hh, dec) = decodeGray(encodeGrayPng(p))
-                (mid, dHash(w, hh, dec))
+                (mid, java.lang.Long.parseUnsignedLong(
+                  dHash(w, hh, dec), 2))
             }
           }
         }
-      }.toDF("media_id", "dhash")
+      }.toDF("media_id", "dh")
       .persist() // band explode + two verify rejoins
     val bands = hashes.select(col("media_id"), posexplode(expr(
-      "transform(sequence(0, 7), b -> substring(dhash, b * 8 + 1, 8))")))
+      "transform(sequence(0, 7), b -> shiftrightunsigned(dh, 8 * b) & 255)")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bval")
-    val cand = bands
+    // verify BEFORE the pair-level distinct: survivors (~7k at sf0.1)
+    // dedupe for free where the raw ~6M candidate multiset would need
+    // its own exchange; the hash side stays small enough that AQE
+    // broadcasts it (un-hinted — at corpus scale it shuffle-joins, and
+    // the production knob is capping hot band values, noted below)
+    bands
       .join(bands.select(col("band"), col("bval"),
         col("media_id").as("mb")), Seq("band", "bval"))
       .filter(col("media_id") < col("mb"))
       .select(col("media_id").as("media_a"), col("mb").as("media_b"))
-      .distinct()
-    cand
       .join(hashes.select(col("media_id").as("media_a"),
-        col("dhash").as("ha")), Seq("media_a"))
+        col("dh").as("ha")), Seq("media_a"))
       .join(hashes.select(col("media_id").as("media_b"),
-        col("dhash").as("hb")), Seq("media_b"))
-      .withColumn("hamming", expr(
-        """CAST(size(filter(sequence(1, 64),
-          |  i -> substring(ha, i, 1) <> substring(hb, i, 1))) AS BIGINT)"""
-          .stripMargin))
+        col("dh").as("hb")), Seq("media_b"))
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("hamming") <= 6)
+      .select("media_a", "media_b", "hamming")
+      .distinct()
       .withColumn("planted",
         col("media_b") === col("media_a") + lit(1000000L))
-      .select("media_a", "media_b", "hamming", "planted")
       .orderBy("media_a", "media_b")
   }
 
