@@ -1108,6 +1108,96 @@ object EventsStreaming {
       .orderBy("user_id", "window_start")
   }
 
+  case class LedgerState(chain: String, curW: Long, buf: List[Long])
+  case class LedgerOut(event_type: String, window_start: String,
+    n_events: Long, window_digest: String, chain: String)
+
+  /** st21: TAMPER-EVIDENT INGEST LEDGER — the pp35 idea made streaming:
+    * per (event_type, hour window), a content digest (md5 over the
+    * window's event ids in sorted order — a function of the SET, not
+    * arrival order) CHAINED through its predecessors
+    * (chainᵂ = md5(chainᵂ⁻¹ ‖ '|' ‖ digestᵂ), genesis constant), so any
+    * later rewrite of any historical window changes every subsequent
+    * chain value — the property an ingest audit needs to prove "nothing
+    * was dropped, duplicated or back-filled silently". Windows emit at
+    * close (the next active window's first event), like st20.
+    *
+    * The batch face replays the identical chain: per-window digests +
+    * a prefix fold per (type, window) — O(W²) folds on the tiny window
+    * grid, which is what keeps the DuckDB replay expressible
+    * (list_prepend genesis + list_reduce md5, the dotSql pattern).
+    *
+    * Scale: stream state per type = the chain head + the OPEN window's
+    * id buffer (bounded by per-window ingest volume, never history);
+    * the batch grid is types × retention hours.
+    */
+  def ledgerStream(events: DataFrame): Dataset[LedgerOut] = {
+    import events.sparkSession.implicits._
+    def tsu(r: Event): Long =
+      math.floorDiv(r.ts.getTime, 1000L) * 1000000L + r.ts.getNanos / 1000L
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def fmt(w: Long): String =
+      java.time.LocalDateTime.ofEpochSecond(w * 3600L, 0,
+        java.time.ZoneOffset.UTC).format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"))
+    events.as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[LedgerState, LedgerOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event],
+            state: GroupState[LedgerState]) =>
+          var st = state.getOption.getOrElse(
+            LedgerState("GENESIS", -1L, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[LedgerOut]()
+          rows.toSeq.sortBy(r => (tsu(r), r.event_id)).foreach { r =>
+            val w = tsu(r) / 3600000000L
+            if (st.curW >= 0L && w != st.curW) {
+              val dg = md5hex(st.buf.sorted.mkString(","))
+              val chain = md5hex(st.chain + "|" + dg)
+              out += LedgerOut(etype, fmt(st.curW), st.buf.length.toLong,
+                dg, chain)
+              st = LedgerState(chain, w, List(r.event_id))
+            } else if (st.curW < 0L) st = st.copy(curW = w,
+              buf = List(r.event_id))
+            else st = st.copy(buf = r.event_id :: st.buf)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** st21 driver face: window digests + per-window prefix chain fold. */
+  private val st21DigestLedger: Q = (s, d) => {
+    val cells = graft.Tables.t(s, d, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("w"))
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", sort_array(collect_list(col("event_id")))))
+          .as("dg"))
+      .persist() // both sides of the prefix join + the horizon scan
+    val mx = cells.groupBy(col("event_type").as("et"))
+      .agg(max("w").as("mxw"))
+    cells
+      .join(cells.select(col("event_type"), col("w").as("bw"),
+        col("dg").as("bdg")), Seq("event_type"))
+      .filter(col("bw") <= col("w"))
+      .groupBy("event_type", "w", "n", "dg")
+      .agg(sort_array(collect_list(struct(col("bw"), col("bdg"))))
+        .as("arr"))
+      .selectExpr("event_type", "w", "n", "dg",
+        "aggregate(arr, 'GENESIS'," +
+          " (acc, x) -> md5(concat(acc, '|', x.bdg))) AS chain")
+      .join(mx, col("event_type") === col("et") && col("w") < col("mxw"))
+      .select(col("event_type"),
+        date_format(expr("timestamp_seconds(w * 3600)"),
+          "yyyy-MM-dd HH:mm").as("window_start"),
+        col("n").as("n_events"), col("dg").as("window_digest"),
+        col("chain"))
+      .orderBy("event_type", "window_start")
+  }
+
   case class SeasonalState(np: Long, sp: Long, curDay: Long,
     curCnt: Long, alerted: Boolean)
   case class SeasonalOut(event_type: String, day: String, hr: Long,
@@ -1322,6 +1412,7 @@ object EventsStreaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st21_digest_ledger" -> st21DigestLedger,
     "st20_decayed_talkers" -> st20DecayedTalkers,
     "st19_seasonal_alerts" -> st19SeasonalAlerts,
     "st18_attribution" -> st18Attribution,
@@ -1445,6 +1536,31 @@ object EventsStreaming {
         |  n_events, n_users_exact, n_kept, kth_hash,
         |  15 * 281474976710656 // h48 AS est_users
         |FROM j ORDER BY window_start""".stripMargin,
+    // st21: window digests (sorted-id string_agg) + the prefix chain
+    // fold via list_prepend genesis + list_reduce md5 (the dotSql
+    // pattern); closed windows only
+    "st21_digest_ledger" ->
+      """WITH cells AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS w,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    md5(string_agg(CAST(event_id AS VARCHAR), ','
+        |      ORDER BY event_id)) AS dg
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT event_type AS et, max(w) AS mxw
+        |  FROM cells GROUP BY 1),
+        |pre AS (SELECT a.event_type, a.w, a.n, a.dg,
+        |    list_reduce(list_prepend('GENESIS',
+        |      list(b.dg ORDER BY b.w)),
+        |      (x, y) -> md5(x || '|' || y)) AS chain
+        |  FROM cells a JOIN cells b ON b.event_type = a.event_type
+        |    AND b.w <= a.w
+        |  GROUP BY a.event_type, a.w, a.n, a.dg)
+        |SELECT p.event_type,
+        |  strftime(make_timestamp(p.w * 3600000000), '%Y-%m-%d %H:%M')
+        |    AS window_start,
+        |  p.n AS n_events, p.dg AS window_digest, p.chain
+        |FROM pre p JOIN mx ON mx.et = p.event_type AND p.w < mx.mxw
+        |ORDER BY p.event_type, window_start""".stripMargin,
     // st20: the sequential decay fold replayed per user via prefix
     // lists + the proven scalar struct list_reduce (an accumulating
     // list-in-struct fold misbehaves in DuckDB); closed windows only

@@ -364,6 +364,42 @@ class StreamingSpec extends SparkSpec {
     assert(want.values.map(_._2).toSet.size > 1, "flat TV across windows")
   }
 
+  test("streaming digest ledger matches the st21 chain batch face") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect().map(r => EventsStreaming.Event(r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    // split mid-feed: the chain head AND an open window buffer carry
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.Event](spark)
+    val q = EventsStreaming.ledgerStream(input.toDF())
+      .writeStream.format("memory").queryName("ledger")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ledger").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    val want = EventsStreaming.queries("st21_digest_ledger")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(got == want,
+      s"stream-only: ${(got -- want).take(2)}; batch-only: ${(want -- got).take(2)}")
+    // the chain must actually chain: consecutive windows of a type
+    // never repeat a chain value, and digests are window-local
+    val byType = want.groupBy(_._1)
+    byType.values.foreach { ws =>
+      assert(ws.map(_._5).size == ws.size, "chain collision")
+    }
+  }
+
   test("streaming decayed counters match the st20 fold batch face") {
     val sf = "/root/testdata/sf0.001"
     val corpus = Tables.t(spark, sf, "events")
