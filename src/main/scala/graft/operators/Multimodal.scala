@@ -467,6 +467,34 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** mm14: NEAR-DUP IMAGE KEEP-SET — the image-side dd10: mm13's
+    * discovered ≤6-bit pairs grouped by connected components
+    * (min-label propagation), one canonical per group (lowest
+    * media_id — the original beats its re-encodes by id construction),
+    * every other member marked for drop. pp20 deduped EXACT dHash
+    * matches only; this closes the gap it documents (the hamming-1..6
+    * stragglers) with the same keep-set contract dedup pipelines
+    * consume.
+    *
+    * Scale: pairs from mm13's banded path (never all-pairs), CC rounds
+    * on the pair graph only, the keep flag a projection.
+    */
+  private def mm14NeardupKeepset: Q = (s, d) => {
+    val pairs = mm13HammingSearch(s, d)
+      .select(col("media_a").as("a"), col("media_b").as("b"))
+    val base = t(s, d, "documents")
+      .filter(length(col("text")) >= 16).select(col("doc_id"))
+    val nodes = base.select(col("doc_id").as("id"))
+      .unionAll(base.select((col("doc_id") + 1000000L).as("id")))
+    val labels = graft.operators.Dedup.connectedComponents(nodes, pairs)
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("group_size"), collect_list("id").as("ids"))
+      .select(explode(col("ids")).as("media_id"),
+        col("label").as("group_rep"), col("group_size"))
+      .withColumn("keep", col("media_id") === col("group_rep"))
+      .orderBy("media_id")
+  }
+
   /** pp20: MEDIA CURATION PIPELINE — pp01's flagship shape for images,
     * with the decode genuinely in the loop: ingest (originals +
     * perturbed re-encodes) → one decode pass per image emitting size,
@@ -680,6 +708,7 @@ object Multimodal {
     "mm06_energy_segments" -> mm06EnergySegments,
     "mm07_perceptual_dedup" -> mm07PerceptualDedup,
     "mm13_hamming_search" -> mm13HammingSearch,
+    "mm14_neardup_keepset" -> mm14NeardupKeepset,
     "mm09_keyframes" -> mm09Keyframes,
     "pp20_media_curation" -> pp20MediaCuration,
   )
@@ -875,6 +904,69 @@ object Multimodal {
         |  coalesce(adm.n_admitted, 0) AS n_admitted, adm.mean_luma
         |FROM raw LEFT JOIN gat USING (source) LEFT JOIN adm USING (source)
         |ORDER BY raw.source""".stripMargin,
+    // mm14: mm13's discovery replay + the dd10 recursive-CTE CC and
+    // keep-set rollup
+    "mm14_neardup_keepset" ->
+      """WITH RECURSIVE g AS (SELECT doc_id AS mid,
+        |    substring(text, 1, (length(text) // 16) * 16) AS px,
+        |    CAST(length(text) // 16 AS BIGINT) AS h
+        |  FROM documents WHERE length(text) >= 16),
+        |imgs AS (
+        |  SELECT mid AS media_id, px, h, 0 AS pert FROM g
+        |  UNION ALL SELECT mid + 1000000, px, h, 1 FROM g),
+        |ys AS (SELECT media_id, px, h, pert,
+        |    unnest(generate_series(0, CAST(h AS INT) - 1)) AS y FROM imgs),
+        |pix AS (SELECT media_id, h, y, xs.x AS x,
+        |    ord(substr(px, y * 16 + xs.x + 1, 1)) +
+        |      CASE WHEN pert = 1 AND (y * 16 + xs.x) % 7 = 0
+        |           THEN 1 ELSE 0 END AS v
+        |  FROM ys CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs),
+        |cells AS (SELECT media_id, ((x + 1) * 9 - 1) // 16 AS gx,
+        |    ((y + 1) * 8 - 1) // h AS gy,
+        |    CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+        |  FROM pix GROUP BY 1, 2, 3),
+        |grid AS (SELECT i.media_id, gxs.gx, gys.gy,
+        |    coalesce(c.s, 0) AS s, coalesce(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT media_id FROM imgs) i
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS gx) gxs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy) gys
+        |  LEFT JOIN cells c ON c.media_id = i.media_id
+        |    AND c.gx = gxs.gx AND c.gy = gys.gy),
+        |bits AS (SELECT a.media_id, a.gy * 8 + a.gx AS idx,
+        |    CASE WHEN a.s * b.n > b.s * a.n THEN '1' ELSE '0' END AS bit
+        |  FROM grid a JOIN grid b ON b.media_id = a.media_id
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |dh AS MATERIALIZED (SELECT media_id,
+        |    string_agg(bit, '' ORDER BY idx) AS dhash
+        |  FROM bits GROUP BY media_id),
+        |bands AS (SELECT media_id, b.b AS band,
+        |    substr(dhash, b.b * 8 + 1, 8) AS bval
+        |  FROM dh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b),
+        |cand AS (SELECT DISTINCT a.media_id AS media_a,
+        |    c.media_id AS media_b
+        |  FROM bands a JOIN bands c ON c.band = a.band
+        |    AND c.bval = a.bval AND a.media_id < c.media_id),
+        |hm AS (SELECT media_a, media_b,
+        |    CAST(len([i for i in generate_series(1, 64)
+        |              if substr(da.dhash, i, 1) <> substr(db.dhash, i, 1)])
+        |      AS BIGINT) AS hamming
+        |  FROM cand JOIN dh da ON da.media_id = cand.media_a
+        |    JOIN dh db ON db.media_id = cand.media_b),
+        |dup AS MATERIALIZED (SELECT media_a AS a, media_b AS b
+        |  FROM hm WHERE hamming <= 6),
+        |nodes AS (SELECT media_id AS id FROM imgs),
+        |sym AS (SELECT a, b FROM dup UNION ALL SELECT b, a FROM dup),
+        |r AS (SELECT id, id AS label FROM nodes
+        |  UNION
+        |  SELECT s.b AS id, r.label FROM r JOIN sym s ON s.a = r.id),
+        |lab AS MATERIALIZED (SELECT id, min(label) AS group_rep
+        |  FROM r GROUP BY id)
+        |SELECT l.id AS media_id, l.group_rep, g2.cnt AS group_size,
+        |  (l.id = l.group_rep) AS keep
+        |FROM lab l JOIN (SELECT group_rep, CAST(count(*) AS BIGINT)
+        |    AS cnt FROM lab GROUP BY 1) g2 USING (group_rep)
+        |ORDER BY media_id""".stripMargin,
     // mm13: mm07's pixel/dHash replay + the band self-join and
     // popcount verify; planted flag recomputed from the id offset
     "mm13_hamming_search" ->

@@ -321,6 +321,28 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(found.count(_._4) == truth.size)
   }
 
+  test("mm14: keep-set picks one canonical per component, pairs co-group") {
+    val rows = graft.operators.Multimodal
+      .queries("mm14_neardup_keepset")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val byGroup = rows.groupBy(_._2)
+    byGroup.foreach { case (rep, ms) =>
+      // exactly one keeper: the min-id member, which IS the rep
+      assert(ms.count(_._4) == 1 && ms.minBy(_._1)._1 == rep)
+      assert(ms.forall(_._3 == ms.length.toLong))
+    }
+    // every discovered near-dup pair landed in the same group
+    val label = rows.map(x => x._1 -> x._2).toMap
+    graft.operators.Multimodal.queries("mm13_hamming_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (a, b) =>
+        assert(label(a) == label(b), s"pair ($a,$b) split across groups")
+      }
+    // dedup bites: strictly fewer keepers than media
+    assert(rows.count(_._4) < rows.length)
+  }
+
   test("pp20: media curation funnel is monotone and the dedup bites") {
     val rows = Multimodal.queries("pp20_media_curation")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
