@@ -480,8 +480,13 @@ object Multimodal {
     * on the pair graph only, the keep flag a projection.
     */
   private def mm14NeardupKeepset: Q = (s, d) => {
+    // eager checkpoint BEFORE the CC loop: each propagation round
+    // references the edge list, and without it every round re-executes
+    // the whole mm13 discovery pipeline (decode + band join) — OOM'd at
+    // sf0.1 (the CLAUDE.md iterative-loop rule)
     val pairs = mm13HammingSearch(s, d)
       .select(col("media_a").as("a"), col("media_b").as("b"))
+      .localCheckpoint()
     val base = t(s, d, "documents")
       .filter(length(col("text")) >= 16).select(col("doc_id"))
     val nodes = base.select(col("doc_id").as("id"))
