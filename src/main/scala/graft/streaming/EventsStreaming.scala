@@ -149,18 +149,22 @@ object EventsStreaming {
   }
 
   /** Stream-STATIC enrichment join — the canonical streaming dimension
-    * lookup: each event joins the (small, slowly-changing) customer dim
-    * and rolls into tumbling 15-minute per-segment stats. The static
-    * side broadcasts per micro-batch, so the stream side is never
-    * shuffled for the join and NO join state is kept (unlike
-    * stream-stream joins) — at any throughput the only state is the
-    * watermark-bounded window aggregate. Works identically over a batch
-    * DataFrame (watermark is a no-op), which is how the oracle checks
-    * it (st05).
+    * lookup: each event joins the (slowly-changing) customer dim and
+    * rolls into tumbling 15-minute per-segment stats. The join is
+    * deliberately UN-HINTED: customer grows with SF (~15 B rows at the
+    * 100 TB target), so a forced broadcast re-ships the whole dim to
+    * every executor each micro-batch and OOMs the driver at scale.
+    * Un-hinted, Spark picks by size — auto-broadcast while the dim fits
+    * the threshold, shuffle of the micro-batch against the dim scan
+    * (or a bucketed dim for co-located lookup) beyond it. Either way NO
+    * join state is kept (unlike stream-stream joins) — at any
+    * throughput the only state is the watermark-bounded window
+    * aggregate. Works identically over a batch DataFrame (watermark is
+    * a no-op), which is how the oracle checks it (st05).
     */
   def enrichJoin(events: DataFrame, dim: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), "15 minutes"), col("c_mktsegment"))
       .agg(count(lit(1)).as("cnt"),
         round(sum("value"), 2).as("sum_value"))

@@ -72,7 +72,15 @@ class LocalClusterParitySpec extends SparkSpec {
     "q85_kmv_distinct",
     "dd21_containment_join", "pp20_media_curation", "gr09_copurchase",
     "ss20_graph_expand", "ss28_coarse_train",
-    "st20_decayed_talkers", "tx30_readability")
+    "st20_decayed_talkers", "tx30_readability",
+    // r7: st05 un-hinted stream-static enrich (size-based join choice
+    // must agree across executor JVMs); dd25/dd26/dd27 exercise integer
+    // repeated-squaring + wide shingle arrays across serialization
+    "st05_enrich_join", "dd25_bbit_minhash",
+    "dd26_band_planner", "dd27_shingle_sweep",
+    // r7: derived-k sizing — plan-build-time count + localCheckpoint
+    // across executor JVMs
+    "ss31_derived_k_ivf")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

@@ -78,6 +78,27 @@ class QuantizerSpec extends SparkSpec {
     assert(rows.forall(_._3 >= 1L))
   }
 
+  test("derived-k path: k = floor(sqrt(n)), every vector assigned (ss31)") {
+    val r = Similarity.derivedKIvf(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_vecs")
+    val k = r.getAs[Long]("k_derived")
+    val nCells = r.getAs[Long]("n_cells")
+    val sumSq = r.getAs[Long]("sum_sq_lists")
+    val maxList = r.getAs[Long]("max_list")
+    // the sizing rule itself
+    assert(k * k <= n && n < (k + 1) * (k + 1), s"k=$k n=$n")
+    assert(r.getAs[Long]("seed_step") == math.max(1L, n / k))
+    // the census is a partition of the corpus
+    assert(nCells >= 1 && nCells <= k, s"n_cells=$nCells k=$k")
+    assert(maxList >= (n + nCells - 1) / nCells) // max >= ceil(mean)
+    // Cauchy–Schwarz floor on the quadratic-stage bound
+    assert(sumSq * nCells >= n * n, s"sumSq=$sumSq nCells=$nCells n=$n")
+    // the retrieval point is live, not degenerate
+    assert(r.getAs[Long]("n_queries") == 50L)
+    assert(r.getAs[Long]("n_hit5") > 0L)
+    assert(r.getAs[Long]("n_candidates") >= r.getAs[Long]("n_hit5"))
+  }
+
   test("training buys end-to-end 5-NN recall at equal probe budget (ss29)") {
     val rows = Similarity.trainedBenefit(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
