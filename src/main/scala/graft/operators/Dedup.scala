@@ -377,7 +377,13 @@ object Dedup {
         coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).first()
       (r.getLong(0), r.getLong(1))
     }
-    var edges = canon(edges0.select(col("a"), col("b"))).persist()
+    // localCheckpoint, NOT persist: round 0's plan references this ~16
+    // times; a lazily-cached InMemoryRelation re-ran the canon build per
+    // reference before the cache filled (the dd20 racing-lazy-persist
+    // pattern, intra-job form) — measured 3.2 s vs 0.4 s for round 0 on
+    // mm14's 7 k-edge graph. Eager checkpoint = one materialization and
+    // every round reads an RDD scan, same as rounds 1+.
+    var edges = canon(edges0.select(col("a"), col("b"))).localCheckpoint()
     var prevSig = (-1L, -1L)
     var rounds = 0
     var converged = false
@@ -409,14 +415,13 @@ object Dedup {
       // (sym twice, its min-join twice, the dir/min-join pair twice
       // more), so un-truncated lineage grows 16^rounds — the plan tree
       // itself becomes the memory bound long before execution does.
-      // LAZY checkpoint + sig as the materializing action = ONE job per
-      // round: the eager-checkpoint + separate-sig pair cost two
-      // sequential jobs, and on contracted edge sets the loop is
-      // round-trip-latency bound, not data bound (r6 judge watch item —
-      // mm14 spent ~6 s on ~20 jobs over a 15 k-edge list). Safe from
-      // the dd20 lazy-persist race: sig is the SOLE consumer and runs
-      // synchronously before the next round's plan reads the blocks.
-      val next = canon(small).localCheckpoint(false)
+      // EAGER checkpoint + separate sig job: the lazy-checkpoint fold
+      // (sig as the materializing action) was A/B'd and measured ~3 s
+      // SLOWER on mm14 — the sig aggregate re-planned the whole round
+      // pipeline instead of reading materialized blocks. The sig job on
+      // checkpointed blocks costs ~0.1 s/round; the loop's real latency
+      // was the round-0 input cache (see above).
+      val next = canon(small).localCheckpoint()
       val s = sig(next)
       edges.unpersist()
       edges = next
