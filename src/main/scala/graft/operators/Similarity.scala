@@ -1419,15 +1419,32 @@ object Similarity {
     * build is bounded per coarse list; expansion joins (query, id)
     * pairs against the id-keyed adjacency — ids only on every
     * exchange, embeddings rejoin once for the final membership check.
+    *
+    * Measured cost breakdown (sf0.1, quiet host, r7): ~4.1 s total =
+    * corpus build+plant ~0.5 s, band seeds ~0.5 s, INDEX BUILD 1.5 s
+    * (the dominant and irreducible stage: one Σ_lists L² ≈ n²/k
+    * within-list pair sweep + bounded-heap top-4 — with the oracle-
+    * pinned k=16 the join has only 16 keys, so parallelism is
+    * list-bounded; under the production k ∝ n rule the same stage gets
+    * both smaller lists AND more keys), expansion 0.6 s, exact truth
+    * pass 0.6 s (denominator only), rollup ~0.4 s. Every multi-consumer
+    * intermediate is EAGERLY checkpointed — the four lazy persist()s
+    * here re-ran their builds per consumer (the dd20/CC-round-0
+    * pattern) and cost 5.3 s total before the flip, 4.1 s after.
     */
-  def graphExpandedSearch(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** ss20's corpus (originals + planted twins, spread, normed, signed,
+    * eagerly materialized) — extracted so `PlanAuditSpec` can audit the
+    * adjacency build's OWN plan: inside `graphExpandedSearch` the build
+    * is eagerly checkpointed, so its exec nodes never appear in the
+    * final query's plan string.
+    */
+  private[graft] def ss20Corpus(s: SparkSession, d: String): DataFrame = {
     val raw = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     val twins = raw.select((col("vec_id") + lit(10000000L)).as("vec_id"),
       expr("""transform(embedding, (x, i) -> CAST(x + 0.05 *
              |  ((((vec_id * 131071) + (i * 524287)) % 1000) / 500.0 - 1.0)
              |  AS FLOAT))""".stripMargin).as("embedding"))
-    val corpus = raw.unionAll(twins)
+    raw.unionAll(twins)
       // spread FIRST: the parquet corpus is 1-2 input splits, so every
       // downstream crossJoin/dot stage would run at parallelism 2 on a
       // 32-core session (measured: the dominant ss20 cost). All
@@ -1444,6 +1461,15 @@ object Similarity {
       // (interpreted, ~0.7 s/pass at sf0.1) — measured 2 redundant
       // corpus builds before the cache filled
       .localCheckpoint()
+  }
+
+  /** ss20's UNDIRECTED k-NN adjacency (top-4 within each coarse list,
+    * both edge directions), pre-checkpoint — the plan `PlanAuditSpec`
+    * pins (bounded-heap TopKPerGroup, ReusedExchange on src, no
+    * cartesian).
+    */
+  private[graft] def ss20Undirected(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // coarse lists + within-list top-4 neighbor graph
     val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
@@ -1481,6 +1507,13 @@ object Similarity {
         Seq("cosn" -> org.apache.spark.sql.catalyst.expressions.Descending,
           "dst" -> org.apache.spark.sql.catalyst.expressions.Ascending), 4)
       .select(col("src"), col("dst"))
+    // one undirected hop view; the reversed branch rides a
+    // ReusedExchange off the src-keyed shuffle
+    adj.unionAll(adj.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  def graphExpandedSearch(s: SparkSession, d: String): DataFrame = {
+    val corpus = ss20Corpus(s, d)
     // seeds: banded sign-LSH candidates (ss07 pattern, 50 queries) —
     // deliberately only HALF the bands (0-1): the cheap first stage
     // that misses some twins, which is precisely the regime where
@@ -1495,13 +1528,11 @@ object Similarity {
         Seq("band", "bval"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
-      .persist() // counted, expanded, and unioned
-    // one undirected hop over the neighbor graph; the ids-only edge
-    // list feeds TWO consumers (self-hop + seed expansion) — persist so
-    // the quadratic per-list build executes ONCE, not per consumer
-    val undirected = adj.unionAll(
-      adj.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+      .localCheckpoint() // counted, expanded, and unioned
+    // the ids-only edge list feeds TWO consumers (self-hop + seed
+    // expansion) — eagerly checkpointed so the quadratic per-list build
+    // executes ONCE, not per consumer
+    val undirected = ss20Undirected(corpus).localCheckpoint()
     // in-corpus queries (the dedup regime): the query node's own graph
     // neighborhood is part of the index lookup — its top-1 edge is the
     // twin, the edge band misses cannot lose
@@ -1517,7 +1548,7 @@ object Similarity {
       .unionAll(selfHop)
       .filter(col("vec_id") =!= col("query_id"))
       .distinct()
-      .persist() // counted AND membership-probed — two consumers
+      .localCheckpoint() // counted AND membership-probed — two consumers
     // true 1-NN per query (the planted twin) — sampled exact denominator
     val qs = corpus.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -1537,7 +1568,7 @@ object Similarity {
       .groupBy("query_id")
       .agg(max_by(col("node"), struct(col("cosq"), (-col("node")).as("ni")))
         .as("exact_id"))
-      .persist() // 50 rows feeding three consumers (2 hit probes + spine)
+      .localCheckpoint() // 50 rows feeding three consumers (2 hit probes + spine)
     // count + membership in ONE aggregation per candidate set (r6: the
     // former 2 counts + 2 semi-joins + 4-way rollup was 4 extra stages
     // of pure scheduling overhead at these row counts; same values)

@@ -475,10 +475,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("ss20 build: bounded-heap top-k on a reused src exchange") {
-    // the adjacency build sits inside persisted subtrees, so its exec
-    // nodes appear in the InMemoryRelation-nested plan blocks — assert
-    // on the full string, not on a final-plan prefix split
-    val plan = executedPlan("ss20_graph_expand")
+    // r7: the adjacency build is eagerly checkpointed inside ss20 (its
+    // exec nodes no longer appear in the final query's plan string), so
+    // audit the extracted build plan directly
+    val df = graft.operators.Similarity.ss20Undirected(
+      graft.operators.Similarity.ss20Corpus(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     // top-4 runs the TopKPerGroup heap exec (O(pairs·log k) heaping),
     // never a per-group sort of the quadratic pair stream
     assert(plan.contains("TopKPerGroup [src#"), plan)
