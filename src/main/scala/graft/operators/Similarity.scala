@@ -579,6 +579,9 @@ object Similarity {
            |    x -> CAST(x AS DOUBLE)) AS sub))""".stripMargin)).as("x"))
       .select(col("vec_id"), col("x.k").as("k"), col("x.sub").as("sub"))
       .withColumn("xx", dd("sub", "sub"))
+      // lazy persist, NOT eager checkpoint: A/B'd (r7) — the loop's
+      // first round materializes this once anyway, and the extra eager
+      // job measured +0.3 s
       .persist()
     // ss13's deterministic init, split per subspace
     var cents = coarseSeeds(corpus)

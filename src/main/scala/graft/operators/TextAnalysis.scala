@@ -480,7 +480,49 @@ object TextAnalysis {
       .orderBy("cid")
   }
 
+  /** tx31: VOCABULARY GROWTH CENSUS (Heaps-law curve) — the sizing
+    * study every tokenizer/vocab decision reads first: distinct token
+    * TRIGRAMS seen after the first N documents, swept over doc-count
+    * prefixes, next to the total gram volume of the prefix. The curve's
+    * knee says when additional data stops buying new vocabulary —
+    * trigrams, because this synthetic corpus has a 31-word unigram
+    * vocabulary that saturates inside the first 100 docs (the tx10
+    * caveat: the operator shape is the deliverable; trigrams give the
+    * curve real room, ~30 k possible).
+    *
+    * Scale: first-seen is ONE gram-keyed min aggregate (map-side
+    * combine collapses within-partition repeats — the canonical
+    * "vocabulary over 100 TB" shape); the prefix sweep is a 6-row
+    * broadcast θ-join against the gram table, never a per-cut rescan.
+    * All outputs integer — cross-engine hash exact by construction.
+    */
+  private val tx31VocabGrowth: Q = (s, d) => {
+    val tk = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3) // sequence(0,-1) descends (mm02)
+    val grams = tk.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, size(toks) - 3),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""
+        .stripMargin)).as("gram"))
+    val firstSeen = grams.groupBy("gram").agg(min("doc_id").as("fs"))
+    val docGrams = grams.groupBy("doc_id").agg(count(lit(1)).as("ngrams"))
+    val cuts = s.range(1).select(explode(array(
+      Seq(100L, 200L, 500L, 1000L, 2000L, 5000L).map(lit): _*))
+      .as("prefix_docs"))
+    val vocab = cuts.join(firstSeen, col("fs") < col("prefix_docs"))
+      .groupBy("prefix_docs").agg(count(lit(1)).as("vocab"))
+    val vol = cuts.join(docGrams, col("doc_id") < col("prefix_docs"))
+      .groupBy("prefix_docs").agg(sum("ngrams").as("prefix_grams"))
+    cuts.join(vol, Seq("prefix_docs"), "left")
+      .join(vocab, Seq("prefix_docs"), "left")
+      .select(col("prefix_docs"),
+        coalesce(col("prefix_grams"), lit(0L)).as("prefix_grams"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+      .orderBy("prefix_docs")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx31_vocab_growth" -> tx31VocabGrowth,
     "tx29_canary_audit" -> tx29CanaryAudit,
     "tx28_encoding_audit" -> tx28EncodingAudit,
     "tx24_source_drift" -> tx24SourceDrift,
@@ -504,6 +546,31 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // tx31: trigram build, first-seen min, prefix θ-joins replayed;
+    // all-integer outputs
+    "tx31_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |bg AS (SELECT doc_id,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |  FROM tk, LATERAL (SELECT
+        |    unnest(generate_series(1, len(toks) - 2)) AS i)),
+        |fs AS (SELECT gram, min(doc_id) AS fs FROM bg GROUP BY 1),
+        |dg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ngrams
+        |  FROM bg GROUP BY 1),
+        |cuts AS (SELECT CAST(unnest([100, 200, 500, 1000, 2000, 5000])
+        |    AS BIGINT) AS prefix_docs),
+        |v AS (SELECT prefix_docs, CAST(count(*) AS BIGINT) AS vocab
+        |  FROM cuts JOIN fs ON fs.fs < cuts.prefix_docs GROUP BY 1),
+        |p AS (SELECT prefix_docs, CAST(sum(ngrams) AS BIGINT)
+        |    AS prefix_grams
+        |  FROM cuts JOIN dg ON dg.doc_id < cuts.prefix_docs GROUP BY 1)
+        |SELECT c.prefix_docs,
+        |  CAST(coalesce(p.prefix_grams, 0) AS BIGINT) AS prefix_grams,
+        |  CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab
+        |FROM cuts c LEFT JOIN p USING (prefix_docs)
+        |LEFT JOIN v USING (prefix_docs)
+        |ORDER BY prefix_docs""".stripMargin,
     // tx29: planting + regex sweep + exposure rollup all replayed.
     "tx29_canary_audit" ->
       """WITH wire AS (SELECT doc_id, source, text ||

@@ -80,7 +80,10 @@ class LocalClusterParitySpec extends SparkSpec {
     "dd26_band_planner", "dd27_shingle_sweep",
     // r7: derived-k sizing — plan-build-time count + localCheckpoint
     // across executor JVMs
-    "ss31_derived_k_ivf")
+    "ss31_derived_k_ivf",
+    // r7: stateful per-stream packing scan — sortWithinPartitions +
+    // mapPartitions state must behave identically on real executors
+    "pp36_seq_packing")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
