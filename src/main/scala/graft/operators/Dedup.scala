@@ -535,6 +535,9 @@ object Dedup {
       corpus.select(col("doc_id").as("id")), edges)
     val shs = corpus.select(col("doc_id"), array_distinct(
         GraftFunctions.shingle_strings(col("text"))).as("shs"))
+      // lazy persist: eager checkpoint A/B'd (r7) at no win — the
+      // member/rep sides materialize within one job after the CC cost
+      // dominates, so the cache fills before any race
       .persist() // member side + rep side
     val mem = labels.select(col("id").as("doc_id"),
       col("label").as("group_rep"))

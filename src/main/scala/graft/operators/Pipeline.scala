@@ -358,7 +358,10 @@ object Pipeline {
         .as("shingle"))
       .select(col("source"), md5(col("shingle")).as("fp"))
       .distinct()
-      .persist() // both sides of the fingerprint join
+      // EAGER checkpoint (the ss20/CC round-0 lesson): the self-join's
+      // two map stages race a lazy cache and each re-ran the shingle
+      // explode + md5 + distinct
+      .localCheckpoint() // both sides of the fingerprint join
     val totals = sh.groupBy("source").agg(count(lit(1)).as("n_shingles"))
     sh.select(col("source").as("src_a"), col("fp"))
       .join(sh.select(col("source").as("src_b"), col("fp")), Seq("fp"))
