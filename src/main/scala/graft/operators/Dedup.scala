@@ -563,6 +563,89 @@ object Dedup {
       .orderBy("group_rep")
   }
 
+  /** dd29: INCREMENTAL ADMISSION AGAINST A FROZEN INDEX — the
+    * daily-ingest half of the dedup lifecycle (ss23 is the same move
+    * for IVF): a new batch (every 10th doc, re-encoded by dropping its
+    * first token — the dd22 perturbation) is admitted against the
+    * EXISTING corpus's minhash band index. The index side is the
+    * dd20/dd22 signature (8 md5 lanes → 4 two-lane bands) computed
+    * once and frozen — in production it is READ, not recomputed; only
+    * the batch hashes fresh text. Candidates come from band equality
+    * (new ⋈ frozen, never batch×corpus), are verified by exact trigram
+    * Jaccard, and a new doc is admitted iff no verified match reaches
+    * 0.5. Output per new doc: best verified base (−1 when none), the
+    * Jaccard ×10⁴, and the admit bit — the keep/drop feed a nightly
+    * ingest job writes.
+    *
+    * Scale: the batch side band-joins the frozen index on band keys
+    * (ids + 64-char keys on the exchange); shingle payloads rejoin for
+    * verified-candidate pairs only. Short docs (<3 tokens shingle to
+    * the whole text, which the perturbation changes) admit — the
+    * honest boundary of trigram fuzzing.
+    */
+  private val dd29IncrementalAdmission: Q = (s, d) => {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val dropTok = expr(
+      """CASE WHEN instr(text, ' ') > 0
+        |     THEN substring(text, instr(text, ' ') + 1)
+        |     ELSE text END""".stripMargin)
+    // the batch mixes near-dups (re-encodes) with genuinely novel docs
+    // (token-reversed — every trigram changes), so BOTH admission
+    // outcomes are live and oracle-pinned
+    val newBatch = docs.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 20000000L).as("doc_id"), dropTok.as("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+    // spread + EAGER checkpoint (the dd22/ss20 rule): each signature
+    // table feeds the band join AND a shingle rejoin
+    def sigOf(dfIn: DataFrame): DataFrame = dfIn
+      .repartition(32)
+      .withColumn("shingles",
+        array_distinct(GraftFunctions.shingle_strings(col("text"))))
+      .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
+      .select("doc_id", "shingles", "sig")
+      .localCheckpoint()
+    val index = sigOf(docs) // the frozen side
+    val batch = sigOf(newBatch)
+    def banded(df: DataFrame, idc: String): DataFrame = df
+      .select(col("doc_id").as(idc), posexplode(expr(
+        "transform(sequence(0, 3), b -> concat(sig[2*b], sig[2*b+1]))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+    val cand = banded(batch, "new_id")
+      .join(banded(index, "base_id"), Seq("band", "bkey"))
+      .select("new_id", "base_id").distinct()
+    val verified = cand
+      .join(batch.select(col("doc_id").as("new_id"),
+        col("shingles").as("sh_n")), Seq("new_id"))
+      .join(index.select(col("doc_id").as("base_id"),
+        col("shingles").as("sh_b")), Seq("base_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_n"), col("sh_b"))).cast("bigint"))
+      .withColumn("uni",
+        (size(col("sh_n")) + size(col("sh_b"))).cast("bigint") -
+          col("inter"))
+      .withColumn("j_x10k", expr("inter * 10000 DIV uni"))
+      .filter(col("j_x10k") >= 5000L)
+    import org.apache.spark.sql.expressions.Window
+    val wBest = Window.partitionBy("new_id")
+      .orderBy(col("j_x10k").desc, col("base_id"))
+    val best = verified
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("base_id").as("matched_base"),
+        col("j_x10k").as("best_j_x10k"))
+    newBatch.select(col("doc_id"))
+      .join(best.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("matched_base"), lit(-1L)).as("matched_base"),
+        coalesce(col("best_j_x10k"), lit(0L)).as("best_j_x10k"),
+        (col("matched_base").isNull).as("admitted"))
+      .orderBy("doc_id")
+  }
+
   /** dd17: QUALITY-AWARE CANONICAL SELECTION — dd10's clusters, but the
     * kept representative is the BEST document (here: most tokens — the
     * re-crawl copies are truncations, so the original wins), not the
@@ -1522,6 +1605,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dd27_shingle_sweep" -> dd27ShingleSweep,
     "dd28_chain_audit" -> dd28ChainAudit,
+    "dd29_incremental_admission" -> dd29IncrementalAdmission,
     "dd26_band_planner" -> dd26BandPlanner,
     "dd25_bbit_minhash" -> dd25BbitMinhash,
     "dd24_semantic_dedup" -> dd24SemDedup,
@@ -2081,6 +2165,83 @@ object Dedup {
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // dd22: discovery (md5-lane banding) + verify + recursive-CTE label
     // fixpoint, replayed end-to-end — hash equality pins the KEEP-SET.
+    // dd29: batch perturbation, both signature builds, the band join,
+    // the Jaccard verify and the best-match window all replayed; the
+    // nullable best-match coalesces to -1 so no column is nullable
+    "dd29_incremental_admission" ->
+      """WITH nb AS (SELECT doc_id + 20000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 30000000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |btk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |ntk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM nb),
+        |shb AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM btk),
+        |shn AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM ntk),
+        |sigb AS (SELECT doc_id,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7
+        |  FROM shb),
+        |sign AS (SELECT doc_id,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7
+        |  FROM shn),
+        |bandb AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sigb
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigb
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sigb
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigb),
+        |bandn AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sign
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sign
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sign
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sign),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+        |  FROM bandn n JOIN bandb b
+        |    ON n.band = b.band AND n.bkey = b.bkey),
+        |ver AS (SELECT cand.new_id, cand.base_id,
+        |    CAST(len(list_intersect(sn.sh, sb.sh)) AS BIGINT) * 10000
+        |      // (len(sn.sh) + len(sb.sh)
+        |         - len(list_intersect(sn.sh, sb.sh))) AS j_x10k
+        |  FROM cand JOIN shn sn ON sn.doc_id = cand.new_id
+        |  JOIN shb sb ON sb.doc_id = cand.base_id),
+        |hit AS (SELECT new_id, base_id AS matched_base,
+        |    j_x10k AS best_j_x10k
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+        |      ORDER BY j_x10k DESC, base_id) AS rn
+        |    FROM ver WHERE j_x10k >= 5000) WHERE rn = 1)
+        |SELECT n.doc_id,
+        |  CAST(coalesce(h.matched_base, -1) AS BIGINT) AS matched_base,
+        |  CAST(coalesce(h.best_j_x10k, 0) AS BIGINT) AS best_j_x10k,
+        |  h.matched_base IS NULL AS admitted
+        |FROM nb n LEFT JOIN hit h ON h.new_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "dd22_fuzzy_keepset" ->
       """WITH RECURSIVE
         |m1 AS (SELECT doc_id + 10000000 AS doc_id,

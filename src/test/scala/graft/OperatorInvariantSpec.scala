@@ -1202,4 +1202,24 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.last._2 == grams.length.toLong, "total gram volume")
     assert(rows.last._3 == grams.distinct.length.toLong, "full vocab")
   }
+
+  test("dd29: admission splits exactly on the planted batch structure") {
+    val rows = Dedup.queries("dd29_incremental_admission")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, base, j, admitted) =>
+      // admitted XOR matched, never both
+      assert(admitted == (base == -1L), s"$id: base=$base admitted=$admitted")
+      if (admitted) assert(j == 0L) else assert(j >= 5000L)
+      if (id >= 20000000L && id < 30000000L) {
+        // a re-encode matches, and specifically its own source doc
+        assert(!admitted, s"re-encode $id admitted")
+        assert(base == id - 20000000L, s"$id matched $base")
+      } else {
+        // token-reversed docs are novel: every trigram changed
+        assert(admitted, s"novel $id matched $base at j=$j")
+      }
+    }
+  }
 }
