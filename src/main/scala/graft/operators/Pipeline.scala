@@ -1140,7 +1140,40 @@ object Pipeline {
       .orderBy("source", "bin_id")
   }
 
+  /** pp37: DETERMINISTIC CORPUS SHUFFLE + SHARD MANIFEST — the
+    * data-order primitive under every reproducible training run: a
+    * seeded global shuffle (order = md5("seed42#" ‖ doc_id), the
+    * portable keyed-hash idiom) with hash-mod shard assignment, emitted
+    * as the per-shard manifest: doc/token counts plus an ORDER digest
+    * (md5 over doc_ids in shuffle order) — two runs of the pipeline
+    * compare manifests in O(shards) and any reorder, drop or
+    * re-seeding flips a digest (pp35 certifies shard CONTENT; this
+    * certifies shard ORDER). Shard = hash mod 16, so assignment is
+    * map-side and stateless; the only per-shard sequential structure is
+    * the digest fold, bounded by shard size (at 100 TB: shard count
+    * scales with corpus, digests fold per shard, the root compare stays
+    * O(shards)).
+    */
+  val pp37ShuffleShards: Q = (s, d) => {
+    val toks = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    t(s, d, "documents")
+      .withColumn("n_tokens", toks)
+      .withColumn("h", md5(concat(lit("seed42#"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard",
+        expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) % 16"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        md5(concat_ws(",", expr(
+          "transform(sort_array(collect_list(" +
+            "struct(h, CAST(doc_id AS STRING)))), x -> x.col2)")))
+          .as("order_digest"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pp37_shuffle_shards" -> pp37ShuffleShards,
     "pp36_seq_packing" -> pp36SequencePacking,
     "pp35_manifest" -> pp35Manifest,
     "pp34_soft_weights" -> pp34SoftWeights,
@@ -1195,6 +1228,22 @@ object Pipeline {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // pp37: seeded hash order + hash-mod shards + the order digest via
+    // string_agg ORDER BY h (≡ Spark's sort_array over (h, id) structs
+    // — h is md5-unique per doc)
+    "pp37_shuffle_shards" ->
+      """WITH sh AS (SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens,
+        |    md5('seed42#' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 16 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h))
+        |    AS order_digest
+        |FROM sh GROUP BY 1
+        |ORDER BY shard""".stripMargin,
     // pp36: the greedy stateful fold replayed as a recursive CTE (one
     // recursion step per (source, rn) row — by definition materialized,
     // the gr05/dd10 rule); dt MATERIALIZED so string_split doesn't

@@ -1222,4 +1222,19 @@ class OperatorInvariantSpec extends SparkSpec {
       }
     }
   }
+
+  test("pp37: seeded shuffle shards partition the corpus deterministically") {
+    val run1 = Pipeline.queries("pp37_shuffle_shards")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(run1.map(_._2).sum == nDocs, "shards must partition the corpus")
+    assert(run1.forall(r => r._1 >= 0L && r._1 < 16L))
+    // order digests are shard-unique (md5 over disjoint ordered id lists)
+    assert(run1.map(_._4).distinct.length == run1.length)
+    // determinism: a second evaluation reproduces every digest
+    val run2 = Pipeline.queries("pp37_shuffle_shards")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(run2.toSeq == run1.map(r => (r._1, r._4)).toSeq)
+  }
 }
