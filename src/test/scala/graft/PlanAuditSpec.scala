@@ -279,11 +279,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("source-overlap matrix shuffles fingerprints, never text (pp18)") {
+    // r7: the (source, fp) set is eagerly checkpointed (its build no
+    // longer appears in the final plan string) — the join now reads RDD
+    // scans of the materialized fingerprint set
     val plan = executedPlan("pp18_source_overlap")
       .split("== Initial Plan ==").head
-    // the pair join reads the cached distinct (source, fp) set (AQE stage
-    // reuse can collapse the second scan out of the printed final plan)
-    assert("InMemoryTableScan".r.findAllIn(plan).size >= 1, plan)
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2, plan)
+    // fingerprints only past the checkpoint: no text column anywhere
+    assert(!plan.contains("text#"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
