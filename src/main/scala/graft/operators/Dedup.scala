@@ -297,6 +297,10 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      // NO pre-partition: A/B'd (r7) — a forced repartition(32, a) here
+      // replaced AQE's broadcast of the (tiny) sym side with a shuffle
+      // join and cost dd22 1.35×; on edge sets that outgrow the
+      // broadcast threshold AQE flips to shuffle on its own
       .persist()
     var labels = nodes.select(col("id"), col("id").as("label")).persist()
     // Convergence witness: labels only ever decrease (min-propagation),
@@ -893,8 +897,13 @@ object Dedup {
     // nodes from the SPREAD shingle table, not the 3-partition raw
     // union (same ids by construction): every CC round's label scan
     // inherits the parallelism
+    // checkpoint the verified edge list: the CC loop's sym is a 2-branch
+    // union over it, so an un-materialized edges would run the whole
+    // band+verify pipeline twice inside round 0 (ReuseExchange only
+    // dedups the shared exchanges, not the tails)
+    val edgesCk = edges.localCheckpoint()
     val labels = connectedComponents(
-      sh.select(col("doc_id").as("id")), edges)
+      sh.select(col("doc_id").as("id")), edgesCk)
     labels.groupBy("label").agg(count(lit(1)).as("group_size"),
         collect_list("id").as("ids"))
       .select(explode(col("ids")).as("doc_id"),
