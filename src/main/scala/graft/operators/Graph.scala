@@ -205,6 +205,64 @@ object Graph {
     * Scale: degree/min-degree tables aggregate the condensed edge
     * list; the threshold joins run over ≤ max-degree rows.
     */
+  /** gr17: STRONGLY CONNECTED COMPONENTS on the DIRECTED 3-NN trade
+    * graph — the directional complement of gr03/dd10's undirected CC:
+    * "who trades into a mutually-reachable bloc" is a different
+    * question from "who touches whom" (an exporter feeding a bloc it
+    * never imports from is NOT in the bloc). The undirected support is
+    * near-complete, so — the gr16 rationale — SCC runs on the top-3
+    * out-edges per nation, whose asymmetry produces a real condensation
+    * (one-way feeders, multi-node cores, singletons).
+    *
+    * Algorithm: transitive closure by PATH DOUBLING (R ← R ∪ R∘R, a
+    * fixed ⌈log₂ n⌉+1 = 6 rounds on ≤25 nodes — no convergence
+    * actions), then SCC = mutual reachability, scc_id = min over
+    * {self} ∪ mutual partners. Closure is the right move ON A
+    * CONDENSED graph (≤ n² = 625 pairs, each round one self-join +
+    * distinct); on a fact-sized graph you'd run forward-backward
+    * min-label peeling instead — the closure pair set is the thing
+    * that does NOT scale, and the scaladoc boundary is the contract.
+    * Per-round localCheckpoint (the 2-refs-per-round plan-nesting
+    * rule). Output per nation: scc_id, scc_size, is_core.
+    */
+  val gr17Scc: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
+    val dirE = tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("src").cast("bigint").as("u"),
+        col("dst").cast("bigint").as("v"))
+      .localCheckpoint() // referenced by the doubling loop's base
+    var reach = dirE
+    for (_ <- 1 to 6) {
+      reach = reach.unionAll(
+          reach.select(col("u"), col("v").as("m"))
+            .join(reach.select(col("u").as("m"), col("v")), Seq("m"))
+            .select("u", "v"))
+        .distinct()
+        .localCheckpoint() // 2 refs/round: lineage doubles otherwise
+    }
+    val mutual = reach
+      .join(reach.select(col("v").as("u"), col("u").as("v")),
+        Seq("u", "v"), "left_semi")
+      .filter(col("u") =!= col("v"))
+    // nationkey is INT in parquet; DuckDB windows/keys return BIGINT
+    val nodes = t(s, d, "nation")
+      .select(col("n_nationkey").cast("bigint").as("id"))
+    val scc = nodes
+      .join(mutual.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("id"), col("mn")), Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("mn"), col("id"))).as("scc_id"))
+    scc.join(scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size")),
+        Seq("scc_id"))
+      .select(col("id"), col("scc_id"), col("scc_size"),
+        (col("scc_size") >= 2L).as("is_core"))
+      .orderBy("id")
+  }
+
   val gr16RichClub: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     // the condensed trade graph is near-complete (every nation trades
@@ -889,6 +947,7 @@ object Graph {
     "gr14_ppr_seeded" -> gr14Ppr,
     "gr15_trade_balance" -> gr15TradeBalance,
     "gr16_rich_club" -> gr16RichClub,
+    "gr17_scc" -> gr17Scc,
     "gr01_pagerank" -> gr01Pagerank,
     "gr02_triangles" -> gr02Triangles,
     "gr03_label_prop" -> gr03LabelProp,
@@ -986,6 +1045,30 @@ object Graph {
          |FROM a0 u LEFT JOIN fin f ON f.a = u.a AND f.b = u.b
          |ORDER BY u.a, u.b""".stripMargin
     },
+    // gr17: 3-NN directed edges + a RECURSIVE-CTE transitive closure
+    // (materialized by definition), mutual-pair SCC ids replayed
+    "gr17_scc" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |knn AS (SELECT src AS u, dst AS v FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst) AS rn
+         |    FROM edges WHERE src <> dst) WHERE rn <= 3),
+         |reach AS (SELECT u, v FROM knn
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN knn e ON e.u = r.v),
+         |mutual AS (SELECT r1.u AS id, min(r1.v) AS mn
+         |  FROM reach r1 JOIN reach r2 ON r2.u = r1.v AND r2.v = r1.u
+         |  WHERE r1.u <> r1.v GROUP BY 1),
+         |scc AS (SELECT CAST(n.n_nationkey AS BIGINT) AS id,
+         |    CAST(least(n.n_nationkey, coalesce(m.mn, n.n_nationkey))
+         |      AS BIGINT) AS scc_id
+         |  FROM nation n LEFT JOIN mutual m ON m.id = n.n_nationkey),
+         |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+         |  FROM scc GROUP BY 1)
+         |SELECT scc.id, scc.scc_id, sz.scc_size,
+         |  sz.scc_size >= 2 AS is_core
+         |FROM scc JOIN sz USING (scc_id)
+         |ORDER BY scc.id""".stripMargin,
     // gr16: undirected support, degree histograms and the threshold
     // theta-joins replayed; phi DIV operands non-negative
     "gr16_rich_club" ->

@@ -278,4 +278,22 @@ class GraphSpec extends SparkSpec {
     val finite = got.values.filter(_ >= 0).toSeq
     assert(finite.distinct.size > 2, s"degenerate costs: $finite")
   }
+
+  test("gr17: SCC ids are in-component minima and cores are closed") {
+    val rows = operators.Graph.queries("gr17_scc")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // one row per nation, ids distinct
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byScc = rows.groupBy(_._2)
+    rows.foreach { case (id, scc, size, core) =>
+      assert(scc <= id, s"scc_id $scc > member $id") // rep = min member
+      assert(size == byScc(scc).length.toLong, s"size mismatch at $id")
+      assert(core == (size >= 2L))
+    }
+    // every representative is a member of its own component
+    byScc.keys.foreach { rep =>
+      assert(byScc(rep).exists(_._1 == rep), s"rep $rep not a member")
+    }
+  }
 }
