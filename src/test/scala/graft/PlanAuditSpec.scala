@@ -368,7 +368,11 @@ class PlanAuditSpec extends SparkSpec {
     // must never appear anywhere in the composed pipeline
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("sorted_intersect_card"), plan)
+    // r7: the verified edge list is eagerly checkpointed (the kernel no
+    // longer shows in the final plan string) — the rollup reads RDD
+    // scans; the sorted_intersect_card verify itself is pinned by
+    // DedupSpec's in-JVM brute-force equality
+    assert(plan.contains("Scan ExistingRDD"), plan)
   }
 
   test("interval join's batch face: one user_id equijoin, no state store (st03)") {
