@@ -60,20 +60,34 @@ object Bench {
     // passes is the honest cost of the PLAN; contention only ever adds
     // time. Whole-surface sweeps (not back-to-back reruns) so the two
     // samples of a query sit ~minutes apart, outside a contention burst.
+    // A failed pass records Infinity, NOT its time-to-failure (ADVICE
+    // r7: min-of-2 would otherwise silently report a fast fail as the
+    // query's benchmark number). min() therefore only ever selects
+    // successful samples; a query that failed BOTH passes surfaces as
+    // "failed":[...] in the JSON line instead of a bogus timing.
     val timedPass = () => ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9
+               else Double.PositiveInfinity
       clearCaches()
       name -> dt
     }
     val passes = Seq(timedPass(), timedPass())
-    val results = ordered.map { case (name, _) =>
+    val allResults = ordered.map { case (name, _) =>
       name -> passes.map(_.toMap.apply(name)).min
     }
+    val failed = allResults.collect {
+      case (name, v) if v.isInfinity => name
+    }
+    val results = allResults.filterNot(_._2.isInfinity)
     // Millisecond precision keeps the whole line under ~2 KB — round 1's
     // 9-decimal values made a ~3.6 KB line whose head fell outside the
     // driver's tail capture, so it recorded parsed:null for the bench.
@@ -86,7 +100,10 @@ object Bench {
     // the output, and with 118 queries the line head falls off — r3 lost
     // the headline total that way. JSON member order is free, so put the
     // summary where truncation can't reach it.
-    val line = s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.mkString("\"failed\":[\"", "\",\"", "\"],")
+    val line = s"""{"queries":$qs,$failedJson"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json keeps only the stdout tail, which
     // truncates ~70% of per-query timings at the current surface size

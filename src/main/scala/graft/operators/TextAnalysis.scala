@@ -551,7 +551,7 @@ object TextAnalysis {
     "tx31_vocab_growth" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |bg AS (SELECT doc_id,
+        |bg AS MATERIALIZED (SELECT doc_id,
         |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
         |  FROM tk, LATERAL (SELECT
         |    unnest(generate_series(1, len(toks) - 2)) AS i)),

@@ -1208,30 +1208,74 @@ class OperatorInvariantSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3)))
     assert(rows.nonEmpty)
+    // Exact-split assertions only hold where the operator GUARANTEES
+    // them (ADVICE r7): a source with ≥5 tokens keeps trigram Jaccard
+    // ≥ 0.5 under the 1-token drop (re-encode must match) and flips
+    // every trigram under reversal (novel must admit). Short docs are
+    // the documented honest boundary and are exempt. The best-match
+    // identity also tolerates a corpus duplicate of the source text
+    // winning the (j desc, base_id asc) tie-break.
+    val srcText = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     rows.foreach { case (id, base, j, admitted) =>
-      // admitted XOR matched, never both
+      // structural invariants hold for EVERY row, short docs included
       assert(admitted == (base == -1L), s"$id: base=$base admitted=$admitted")
       if (admitted) assert(j == 0L) else assert(j >= 5000L)
+      val srcId = if (id >= 30000000L) id - 30000000L else id - 20000000L
+      val longSrc = srcText(srcId).split(" ", -1).length >= 5
       if (id >= 20000000L && id < 30000000L) {
-        // a re-encode matches, and specifically its own source doc
-        assert(!admitted, s"re-encode $id admitted")
-        assert(base == id - 20000000L, s"$id matched $base")
-      } else {
-        // token-reversed docs are novel: every trigram changed
+        if (longSrc) {
+          // a long-enough re-encode matches its own source doc — or an
+          // exact-duplicate of it with a smaller id
+          assert(!admitted, s"re-encode $id admitted")
+          assert(base == srcId || srcText(base) == srcText(srcId),
+            s"$id matched $base (not source $srcId or a duplicate)")
+        }
+      } else if (longSrc) {
+        // token-reversed long docs are novel: every trigram changed
         assert(admitted, s"novel $id matched $base at j=$j")
       }
     }
+    // the fixture must actually exercise both outcomes
+    assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
-  test("pp37: seeded shuffle shards partition the corpus deterministically") {
+  test("pp37: derived shards partition the corpus; digest = in-JVM fold") {
     val run1 = Pipeline.queries("pp37_shuffle_shards")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3)))
-    val nDocs = Tables.t(spark, sf, "documents").count()
-    assert(run1.map(_._2).sum == nDocs, "shards must partition the corpus")
-    assert(run1.forall(r => r._1 >= 0L && r._1 < 16L))
-    // order digests are shard-unique (md5 over disjoint ordered id lists)
-    assert(run1.map(_._4).distinct.length == run1.length)
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(run1.map(_._2).sum == docs.length.toLong,
+      "shards must partition the corpus")
+    // shard count is DERIVED: ⌈corpus_tokens / 4000⌉, never a fixed mod
+    def ntok(t: String): Long = t.count(_ == ' ').toLong + 1L
+    val totalTokens = docs.map(d => ntok(d._2)).sum
+    val nShards = math.max(1L, (totalTokens + 3999L) / 4000L)
+    assert(nShards > 1L, "fixture must exercise multi-shard derivation")
+    assert(run1.forall(r => r._1 >= 0L && r._1 < nShards),
+      s"shard ids must sit under the derived count $nShards")
+    // the order digest is pinned to an independent in-JVM reference
+    // fold: md5 over doc_ids joined by ',' in (h, id-string) order —
+    // any buffer/ordering change in the distributed aggregate breaks
+    // byte-equality here
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs
+      .map { case (id, _) => (id, md5hex(s"seed42#$id")) }
+      .groupBy { case (_, h) =>
+        java.lang.Long.parseLong(h.substring(0, 8), 16) % nShards }
+      .map { case (shard, members) =>
+        val ordered = members.sortBy { case (id, h) => (h, id.toString) }
+        shard -> md5hex(ordered.map(_._1.toString).mkString(","))
+      }
+    assert(run1.length == expected.size)
+    run1.foreach { case (shard, _, _, digest) =>
+      assert(expected(shard) == digest, s"shard $shard digest mismatch")
+    }
     // determinism: a second evaluation reproduces every digest
     val run2 = Pipeline.queries("pp37_shuffle_shards")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(3)))
