@@ -371,7 +371,7 @@ object Curation {
       // lazy persist: A/B'd vs eager checkpoint (r7) — consumers here
       // materialize sequentially, and the extra eager job measured
       // +0.15 s; the ss20/CC round-0 race does not bite
-      .persist()
+      .persist() // lazy-ok: eager A/B'd (r7) +0.15 s — sequential consumers, see comment above
     val cents = Similarity.coarseSeeds(corpus.filter(col("vec_id") < 10000000L))
       .select(col("vec_id").as("centroid_vec"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
@@ -461,7 +461,7 @@ object Curation {
       // lazy persist: A/B'd vs eager checkpoint (r7) — round 1
       // materializes it once, later rounds hit the cache; the eager job
       // measured +0.3 s
-      .persist()
+      .persist() // lazy-ok: eager A/B'd (r7) +0.3 s — round 1 materializes once, see comment above
     var cents = Similarity.coarseSeeds(corpus)
       .select(col("vec_id").as("cluster"), col("e").as("c"),
         col("nrm").as("cnrm"), lit(0L).as("n_members"))

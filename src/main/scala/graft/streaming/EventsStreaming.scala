@@ -1180,7 +1180,10 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"),
         md5(concat_ws(",", sort_array(collect_list(col("event_id")))))
           .as("dg"))
-      .persist() // both sides of the prefix join + the horizon scan
+      // eager (the dd20/ss20 rule): the final plan references the cell
+      // grid 3× (both sides of the prefix join + the horizon scan) — a
+      // lazy persist re-ran the events aggregate per reference
+      .localCheckpoint()
     val mx = cells.groupBy(col("event_type").as("et"))
       .agg(max("w").as("mxw"))
     cells

@@ -83,7 +83,11 @@ class LocalClusterParitySpec extends SparkSpec {
     "ss31_derived_k_ivf",
     // r7: stateful per-stream packing scan — sortWithinPartitions +
     // mapPartitions state must behave identically on real executors
-    "pp36_seq_packing")
+    "pp36_seq_packing",
+    // r8 (r7 judge item 3): dd29 checkpointed frozen index + band join
+    // across executor JVMs; gr17 path-doubling localCheckpoint chain;
+    // pp37 derived-shard collect_list digest buffers serialize
+    "dd29_incremental_admission", "gr17_scc", "pp37_shuffle_shards")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
