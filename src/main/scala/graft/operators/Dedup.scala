@@ -274,15 +274,13 @@ object Dedup {
     */
   private val dd09JaccardOracle: Q = (s, d) => {
     // array_distinct at build time → |A∪B| = |A|+|B|-|A∩B| (one set
-    // build per pair instead of two); EAGER checkpoint (the dd20/ss20
-    // rule): both join sides reference this in one plan — a lazy
-    // persist re-ran the fused shingle kernel per reference.
+    // build per pair instead of two); persist → the shingle construction
+    // (fused codegen kernel) runs once, not once per join side.
     val sh = t(s, d, "documents")
       .select(col("doc_id"),
         array_distinct(GraftFunctions.shingle_strings(col("text")))
           .as("shingles"))
-      .repartition(32)
-      .localCheckpoint()
+      .persist() // lazy-ok: eager A/B'd (r8) 1.38x SLOWER — checkpoint write beats the double kernel run on this one-join query
     sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
         col("doc_b") === col("doc_a") + 1)
