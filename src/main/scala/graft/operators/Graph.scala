@@ -32,7 +32,7 @@ object Graph {
   type Q = (SparkSession, String) => DataFrame
 
   /** The weighted nation→nation trade edge list. */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
       .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -256,6 +256,206 @@ object Graph {
         .select(col("u").as("id"), col("mn")), Seq("id"), "left")
       .select(col("id"),
         least(col("id"), coalesce(col("mn"), col("id"))).as("scc_id"))
+    scc.join(scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size")),
+        Seq("scc_id"))
+      .select(col("id"), col("scc_id"), col("scc_size"),
+        (col("scc_size") >= 2L).as("is_core"))
+      .orderBy("id")
+  }
+
+  /** Min-label FORWARD-BACKWARD SCC — the fact-scale algorithm gr17's
+    * scaladoc pins as the alternative to transitive closure (the
+    * coloring/FW-BW-peel family: Orzan '04, Slota et al. "MultiStep"
+    * SC'14). No closure pair set is ever built:
+    *
+    *  1. FORWARD min-label fixpoint: color(v) = min id that reaches v
+    *     (one join + one min-aggregate per round, O(diameter) rounds —
+    *     the CC propagation shape).
+    *  2. Each color class has exactly one root r (color(r) = r), and
+    *     SCC(r) is wholly inside class r with every v→r path staying in
+    *     the class — so a BACKWARD reachable-from-root sweep over
+    *     class-consistent edges (b grows along reversed edges,
+    *     O(diameter) rounds) marks exactly SCC(r), with scc_id = r =
+    *     the min member.
+    *  3. PEEL the assigned vertices and repeat; every round retires at
+    *     least one SCC per color class, so rounds ≤ longest SCC chain
+    *     in the condensation.
+    *
+    * State is O(V) labels + O(E) edges per round — linear shuffles,
+    * never pairs² — which is why this shape survives a fact-sized graph
+    * where gr17's path-doubling closure (deliberately scoped to the
+    * condensed 25-node graph) cannot. Convergence checks are
+    * constant-size driver counts over eagerly checkpointed rounds (the
+    * plan-nesting rule: every loop-carried frame is referenced more
+    * than once per round).
+    */
+  private[graft] def fwbwScc(nodes0: DataFrame, edges0: DataFrame)
+      : DataFrame = {
+    // (AQE stays ON: an A/B with it disabled ran 2.2× slower — the
+    // tiny hop joins degrade from broadcast to sort-merge without
+    // runtime stats. The per-stage AQE replan latency is paid down by
+    // minimizing STAGE COUNT instead: raw 2-hop chaining keeps each
+    // hop a broadcast join — no shuffle stage — so a whole fwd round
+    // is ~2 stages.)
+    var remNodes = nodes0.select(col("id").cast("bigint").as("id"))
+      .localCheckpoint()
+    var remaining = remNodes.count()
+    // Loop-frame partition count DERIVED from the live node count (the
+    // ss31 discipline): the iterative stages are scheduling-latency-
+    // bound over few bytes, and AQE re-plans every one of the ~30 tiny
+    // stages — single-task frames at this scale cut per-stage cost ~5×,
+    // while the divisor keeps parallelism growing linearly with |V| on
+    // a fact-sized graph. Only the loop frames coalesce; the fact-table
+    // edge DERIVATION below keeps full scan/join parallelism (coalesce
+    // collapses just the final reduce of the distinct).
+    def np(n: Long): Int =
+      math.max(1L, math.min(32L, n / 50000L + 1L)).toInt
+    def ck(df: DataFrame): DataFrame =
+      df.coalesce(np(remaining)).localCheckpoint()
+    var remEdges = ck(edges0.select(col("u").cast("bigint").as("u"),
+        col("v").cast("bigint").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var assigned: DataFrame = null
+    var peelGuard = 0
+    while (remaining > 0L && peelGuard < 64) {
+      peelGuard += 1
+      // 0. TRIM (the MultiStep accelerator, Slota et al. SC'14): a node
+      // with no remaining in-edge or no remaining out-edge cannot sit on
+      // a cycle — assign it as its own singleton SCC without paying a
+      // propagation fixpoint. Iterate: removing a feeder exposes the
+      // next layer. This retires feeder chains and post-peel stragglers
+      // at two cheap barriers per layer instead of a full FW-BW cycle.
+      var trimmedN = 1L
+      while (trimmedN > 0L && remaining > 0L) {
+        val cyclic = ck(remNodes
+          .join(remEdges.select(col("u").as("id")), Seq("id"), "left_semi")
+          .join(remEdges.select(col("v").as("id")), Seq("id"), "left_semi")
+          ) // 2 refs: trim anti-join + next remNodes
+        val trimmed = ck(remNodes.join(cyclic, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("scc_id"))
+          ) // refs: count + assigned union + edge peel
+        trimmedN = trimmed.count()
+        if (trimmedN > 0L) {
+          assigned = if (assigned == null) trimmed
+                     else ck(assigned.unionAll(trimmed))
+          remNodes = cyclic
+          remEdges = ck(remEdges
+            .join(trimmed.select(col("id").as("u")), Seq("u"), "left_anti")
+            .join(trimmed.select(col("id").as("v")), Seq("v"), "left_anti"))
+          remaining -= trimmedN
+        }
+      }
+      if (remaining == 0L) return assigned
+      // 1. forward min-label fixpoint, TWO raw hops per round:
+      // both hop joins broadcast the checkpointed edge frame under AQE
+      // (no shuffle stage), so a round costs ~2 stages while covering 2
+      // hops. 2 hops also bounds the raw path fan-out at |V|·deg² rows
+      // into the min-aggregate (4 raw hops — |V|·deg⁴ rows — and
+      // per-hop min-aggregates — 2 extra shuffle stages/hop — BOTH
+      // measured slower, r8). Convergence via the label-sum signature
+      // (strictly decreasing until fixpoint): a one-aggregate job over
+      // the checkpointed frame instead of a join-and-count.
+      var color = ck(remNodes.select(col("id"), col("id").as("c")))
+      var prevSig = Long.MaxValue
+      var converged = false
+      while (!converged) {
+        val hop1 = color.join(remEdges, col("id") === col("u"))
+          .select(col("v").as("id"), col("c"))
+        val hop2 = hop1.join(remEdges, col("id") === col("u"))
+          .select(col("v").as("id"), col("c"))
+        val next = ck(color.unionAll(hop1).unionAll(hop2)
+          .groupBy("id").agg(min("c").as("c"))
+          ) // 2 refs: the signature job + next round
+        val sig = next.agg(sum("c")).first().getLong(0)
+        converged = sig == prevSig
+        prevSig = sig
+        color = next
+      }
+      // 2. backward reachable-from-root sweep on class-consistent edges
+      val ce = remEdges
+        .join(color.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
+        .join(color.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+        .filter(col("cu") === col("cv"))
+        .select("u", "v")
+        .coalesce(np(remaining))
+        .localCheckpoint() // re-joined every backward round
+      var b = ck(color.filter(col("id") === col("c")).select("id"))
+      var bSize = b.count()
+      var grew = true
+      while (grew) {
+        // two raw hops per round (see the forward loop)
+        val back1 = ce.join(b.select(col("id").as("v")), Seq("v"))
+          .select(col("u").as("id"))
+        val back2 = ce.join(back1.select(col("id").as("v")), Seq("v"))
+          .select(col("u").as("id"))
+        val nb = ck(b.unionAll(back1).unionAll(back2)
+          .distinct()
+          ) // 2 refs: the size count + next round
+        val n2 = nb.count()
+        grew = n2 > bSize
+        bSize = n2
+        b = nb
+      }
+      // 3. assign and peel. |b| counts exactly the vertices assigned
+      // this round (b ⊆ color's ids), so the remaining total updates
+      // without a node recount, and a round that empties the graph
+      // skips the node/edge peel jobs entirely.
+      val newly = ck(color.join(b, Seq("id"))
+        .select(col("id"), col("c").as("scc_id"))
+        ) // refs: assigned union + node/edge anti-joins
+      assigned = if (assigned == null) newly
+                 else ck(assigned.unionAll(newly))
+      remaining -= bSize
+      if (remaining > 0L) {
+        remNodes = ck(remNodes.join(newly.select("id"), Seq("id"),
+          "left_anti"))
+        remEdges = ck(remEdges
+          .join(newly.select(col("id").as("u")), Seq("u"), "left_anti")
+          .join(newly.select(col("id").as("v")), Seq("v"), "left_anti"))
+      }
+    }
+    assigned
+  }
+
+  /** gr18: SCC on the ENTITY-LEVEL directed trade graph via [[fwbwScc]]
+    * — gr17's promised fact-scale algorithm, actually run at entity
+    * granularity instead of the 25-nation condensation. Nodes are
+    * customers and suppliers (supplier ids offset by 10⁷ to disjoin the
+    * key spaces); edges: supplier→customer for every DISTINCT trade
+    * pair (who supplies whom), customer→same-nation supplier (domestic
+    * capital recirculation) — the cycles are real: foreign trade flows
+    * home through a nation's suppliers. Both node sets are MOD-SAMPLED
+    * (c_custkey%50, s_suppkey%5) so the DuckDB oracle's recursive
+    * closure stays tractable (≤ 500² reach pairs at sf0.1); the Spark
+    * side never builds a closure and runs the identical plan shape
+    * unsampled at fact scale. `GraphSpec` pins fwbwScc ≡ gr17's
+    * closure-derived labels on the shared 3-NN nation graph.
+    */
+  val gr18SccFwbw: Q = (s, d) => {
+    val cust = t(s, d, "customer")
+      .filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").cast("bigint").as("id"),
+        col("c_nationkey").as("nk"))
+    val sup = t(s, d, "supplier")
+      .filter(col("s_suppkey") % 5 === 0)
+      .select((col("s_suppkey") + lit(10000000L)).as("id"),
+        col("s_nationkey").as("nk"), col("s_suppkey").as("sk"))
+    // trade edges carry their node ids IN the fact columns, so the
+    // mod-sampling applies at the scans (lineitem 1/5, orders 1/50 —
+    // the pruned orders side broadcasts into the one fact join) and no
+    // dimension join is needed at all
+    val trade = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      .filter(col("l_suppkey") % 5 === 0)
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey")
+          .filter(col("o_custkey") % 50 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + lit(10000000L)).cast("bigint").as("u"),
+        col("o_custkey").cast("bigint").as("v"))
+    val home = cust.select(col("id").as("u"), col("nk"))
+      .join(sup.select(col("id").as("v"), col("nk")), Seq("nk"))
+      .select("u", "v")
+    val nodes = cust.select("id").unionAll(sup.select("id"))
+    val scc = fwbwScc(nodes, trade.unionAll(home))
     scc.join(scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size")),
         Seq("scc_id"))
       .select(col("id"), col("scc_id"), col("scc_size"),
@@ -948,6 +1148,7 @@ object Graph {
     "gr15_trade_balance" -> gr15TradeBalance,
     "gr16_rich_club" -> gr16RichClub,
     "gr17_scc" -> gr17Scc,
+    "gr18_scc_fwbw" -> gr18SccFwbw,
     "gr01_pagerank" -> gr01Pagerank,
     "gr02_triangles" -> gr02Triangles,
     "gr03_label_prop" -> gr03LabelProp,
@@ -1069,6 +1270,42 @@ object Graph {
          |  sz.scc_size >= 2 AS is_core
          |FROM scc JOIN sz USING (scc_id)
          |ORDER BY scc.id""".stripMargin,
+    // gr18: the sampled entity trade graph + a recursive-CTE mutual-
+    // reachability closure (tractable BECAUSE of the mod-sampling; the
+    // Spark side runs FW-BW peeling and never builds a closure — the
+    // oracle certifies the OUTPUT, not the algorithm)
+    "gr18_scc_fwbw" ->
+      """WITH RECURSIVE
+        |cust AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    c_nationkey AS nk
+        |  FROM customer WHERE c_custkey % 50 = 0),
+        |sup AS (SELECT CAST(s_suppkey + 10000000 AS BIGINT) AS id,
+        |    s_nationkey AS nk, s_suppkey AS sk
+        |  FROM supplier WHERE s_suppkey % 5 = 0),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT s.id AS u, c.id AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cust c ON o_custkey = c.id
+        |  JOIN sup s ON l_suppkey = s.sk
+        |  UNION
+        |  SELECT c.id AS u, s.id AS v FROM cust c JOIN sup s
+        |  ON c.nk = s.nk),
+        |nodes AS (SELECT id FROM cust UNION ALL SELECT id FROM sup),
+        |reach AS (SELECT u, v FROM e WHERE u <> v
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |mutual AS (SELECT r1.u AS id, min(r1.v) AS mn
+        |  FROM reach r1 JOIN reach r2 ON r2.u = r1.v AND r2.v = r1.u
+        |  WHERE r1.u <> r1.v GROUP BY 1),
+        |scc AS (SELECT n.id,
+        |    CAST(least(n.id, coalesce(m.mn, n.id)) AS BIGINT) AS scc_id
+        |  FROM nodes n LEFT JOIN mutual m ON m.id = n.id),
+        |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+        |  FROM scc GROUP BY 1)
+        |SELECT scc.id, scc.scc_id, sz.scc_size,
+        |  sz.scc_size >= 2 AS is_core
+        |FROM scc JOIN sz USING (scc_id)
+        |ORDER BY scc.id""".stripMargin,
     // gr16: undirected support, degree histograms and the threshold
     // theta-joins replayed; phi DIV operands non-negative
     "gr16_rich_club" ->

@@ -296,4 +296,46 @@ class GraphSpec extends SparkSpec {
       assert(byScc(rep).exists(_._1 == rep), s"rep $rep not a member")
     }
   }
+
+  test("gr18: FW-BW peeling reproduces gr17's closure labels on the " +
+      "shared 3-NN nation graph") {
+    import org.apache.spark.sql.expressions.Window
+    // the exact 3-NN directed edge set gr17 condenses (Graph.scala)
+    val wTop = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
+    val dirE = Graph.tradeEdges(spark, sf)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("src").cast("bigint").as("u"),
+        col("dst").cast("bigint").as("v"))
+    val nodes = Tables.t(spark, sf, "nation")
+      .select(col("n_nationkey").cast("bigint").as("id"))
+    val fwbw = Graph.fwbwScc(nodes, dirE)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val closure = Graph.queries("gr17_scc")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fwbw.keySet == closure.keySet, "node coverage differs")
+    fwbw.foreach { case (id, scc) =>
+      assert(scc == closure(id), s"node $id: fwbw=$scc closure=${closure(id)}")
+    }
+    // non-degenerate: the fixture graph must have a multi-node core
+    assert(closure.groupBy(_._2).exists(_._2.size >= 2))
+  }
+
+  test("gr18: entity-graph SCC output is structurally consistent") {
+    val rows = Graph.queries("gr18_scc_fwbw")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byScc = rows.groupBy(_._2)
+    rows.foreach { case (id, scc, size, core) =>
+      assert(scc <= id, s"scc_id $scc > member $id")
+      assert(size == byScc(scc).length.toLong, s"size mismatch at $id")
+      assert(core == (size >= 2L))
+    }
+    byScc.keys.foreach { rep =>
+      assert(byScc(rep).exists(_._1 == rep), s"rep $rep not a member")
+    }
+  }
 }
