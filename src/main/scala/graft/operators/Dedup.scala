@@ -301,14 +301,23 @@ object Dedup {
     * shallow, so plain propagation is the right default).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // Loop-frame partition count DERIVED from the node count (the gr18/
+    // ss31 discipline): propagation stages are scheduling-latency-bound
+    // over few bytes — dd22's profile showed 96-task rounds of trivial
+    // data at 400-700 ms each — while the divisor keeps parallelism
+    // growing with |V| on a fact-sized graph
+    val np = math.max(1L, math.min(32L, nodes.count() / 50000L + 1L)).toInt
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       // NO pre-partition: A/B'd (r7) — a forced repartition(32, a) here
       // replaced AQE's broadcast of the (tiny) sym side with a shuffle
       // join and cost dd22 1.35×; on edge sets that outgrow the
       // broadcast threshold AQE flips to shuffle on its own
+      .coalesce(np) // each round re-builds the broadcast from these partitions
       .persist() // lazy-ok: loop-carried edge list; round 1 materializes it once
-    var labels = nodes.select(col("id"), col("id").as("label")).persist() // lazy-ok: loop-carried labels; replaced next round
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .coalesce(np)
+      .persist() // lazy-ok: loop-carried labels; replaced next round
     // Convergence witness: labels only ever decrease (min-propagation),
     // so sum(label) is strictly monotone until the fixpoint — one cheap
     // aggregate per round instead of a change-counting join. (Batching
@@ -324,6 +333,7 @@ object Dedup {
         .select(col("b").as("id"), col("label"))
         .unionAll(labels)
         .groupBy("id").agg(min("label").as("label"))
+        .coalesce(np)
       // Truncate lineage every few rounds: each round stacks a
       // join+agg on the previous plan, and past ~10 levels analysis/
       // optimization time dwarfs execution (a 50-round graph would carry
@@ -394,6 +404,12 @@ object Dedup {
     // mm14's 7 k-edge graph. Eager checkpoint = one materialization and
     // every round reads an RDD scan, same as rounds 1+.
     var edges = canon(edges0.select(col("a"), col("b"))).localCheckpoint()
+    // loop-frame partitions derived from the live edge count (the gr18/
+    // ss31 discipline — contraction stages are scheduling-bound over few
+    // bytes); the count job reads the just-checkpointed blocks, and each
+    // round reuses its sig count for free
+    var np = math.max(1L,
+      math.min(32L, edges.count() / 50000L + 1L)).toInt
     var prevSig = (-1L, -1L)
     var rounds = 0
     var converged = false
@@ -431,12 +447,13 @@ object Dedup {
       // pipeline instead of reading materialized blocks. The sig job on
       // checkpointed blocks costs ~0.1 s/round; the loop's real latency
       // was the round-0 input cache (see above).
-      val next = canon(small).localCheckpoint()
+      val next = canon(small).coalesce(np).localCheckpoint()
       val s = sig(next)
       edges.unpersist()
       edges = next
       converged = s == prevSig
       prevSig = s
+      np = math.max(1L, math.min(32L, s._1 / 50000L + 1L)).toInt
       rounds += 1
     }
     if (!converged) sys.error(
@@ -833,6 +850,16 @@ object Dedup {
     * edge-induced subgraph with per-round localCheckpoint. DuckDB
     * replays discovery, verification AND the label fixpoint (recursive
     * CTE), so the keep-set is pinned cross-engine end-to-end.
+    *
+    * Measured stage breakdown (r8, sf0.1, graft.Scratch listener):
+    * shingle build+checkpoint ~0.26 s; band self-join + array verify
+    * ~0.4 + 0.44 s on the pinned 32-task stages (CPU-bound kernel work
+    * — the intended cost); the former bottleneck was the CC loop at
+    * 3-4 rounds × ~0.43 s of 96-task stages over trivial bytes —
+    * scheduling, not compute. Deriving the loop-frame partition count
+    * from the node count (connectedComponents, the gr18/ss31
+    * discipline) took the query 5.1 → 3.4 s; what remains is the
+    * one-pass kernel work plus ~4 irreducible propagation barriers.
     */
   private val dd22FuzzyKeepset: Q = (s, d) => {
     val docs = t(s, d, "documents").select("doc_id", "text")
@@ -1188,11 +1215,19 @@ object Dedup {
     * C ≥ 0.8 MUST share a probe-prefix shingle (missing all k prefix
     * shingles caps the intersection at |A|−k < 0.8|A|), so candidates ⊇
     * qualifying pairs and the exact verify loses nothing. Shuffles carry
-    * (id, digest) only; the verify expands candidate pairs by the
-    * contained side's postings — the standard exact-set-join cost, paid
-    * only on candidates, never on the corpus square. Threshold compares
+    * (id, digest) only until the verify, which rejoins each candidate
+    * pair to two per-doc sorted hash ARRAYS and merge-intersects them
+    * in one kernel pass (the dd22 verify shape) — paid only on
+    * candidates, never on the corpus square. Threshold compares
     * cross-multiplied (5·inter ≥ 4·|A|) — all-integer, oracle-exact
     * against DuckDB's all-pairs replay.
+    *
+    * Measured stage breakdown (r8, sf0.1): prefix table + checkpoint
+    * ~0.5 s; prefix-probe join 2.15 s on 3 AQE-coalesced tasks → pinned
+    * to 32 (the dd20 rule); postings-expansion verify 1.3-1.7 s even
+    * fully spread (real work: ~|A| rows per pair through a ~1M-row hash
+    * join + count-groupBy) → replaced by the array-merge verify above.
+    * Net 5.0 → 2.3 s, oracle hash unchanged at sf0.01 and sf0.1.
     */
   private val dd21ContainmentJoin: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -1223,18 +1258,37 @@ object Dedup {
     // the pair-expansion verify; the container side is a plain shuffle
     // join on the per-doc size table (AQE may still broadcast it at
     // small SF — but we never FORCE a corpus-sized broadcast)
-    val docsz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // per-doc sorted shingle-hash arrays: the verify intersects TWO
+    // ARRAYS per candidate pair with the SortedIntersectCard merge
+    // kernel (the dd22 verify shape) instead of expanding the contained
+    // side's postings through a join + count-groupBy — the r8 profile
+    // showed that expansion verify at 1.3-1.7 s even fully spread (the
+    // work was real: ~|A| rows per pair through a 1M-row hash join);
+    // the array rejoin carries ~0.8 KB per pair instead. 5.0 → 2.6 s.
+    val docArr = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("arr"),
+        count(lit(1)).as("n_sh"))
+      .localCheckpoint() // both verify sides + the length filter
+    // the prefix-probe join stays postings-shaped (that IS the filter);
+    // pinned at 32 on the shingle key — AQE coalesced it to 3 tasks
+    // (ids-only bytes, CPU-bound; the dd20 rule) — and the pin's
+    // exchange is reused by the equi-join
     val cand = prefix
+      .repartition(32, col("sh"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
       .filter(col("a") =!= col("b"))
       .select("a", "b", "n_contained").distinct()
-      .join(docsz.select(col("doc_id").as("b"), col("n_sh").as("n_container")), "b")
+      .join(docArr.select(col("doc_id").as("b"),
+        col("n_sh").as("n_container")), "b")
       .filter(col("n_container") * 5 >= col("n_contained") * 4)
     cand
-      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b", "n_contained", "n_container")
-      .agg(count(lit(1)).as("n_shared"))
+      .join(docArr.select(col("doc_id").as("a"), col("arr").as("arr_a")),
+        "a")
+      .join(docArr.select(col("doc_id").as("b"), col("arr").as("arr_b")),
+        "b")
+      .withColumn("n_shared",
+        GraftFunctions.sorted_intersect_card(col("arr_a"), col("arr_b"))
+          .cast("bigint"))
       .filter(col("n_shared") * 5 >= col("n_contained") * 4)
       .select(col("a").as("contained_id"), col("b").as("container_id"),
         col("n_shared"), col("n_contained"), col("n_container"))
