@@ -1005,15 +1005,22 @@ object Dedup {
     * arithmetic, production-speed kernel), and pairing is an equijoin
     * on the planted offset — never all-pairs.
     */
-  private val dd18SimhashOracle: Q = (s, d) => {
+  /** dd18's signature table PRE-checkpoint — extracted (the ss20Corpus
+    * pattern) so `PlanAuditSpec` can audit the kernel build's own plan:
+    * the eager checkpoint below hides it from the final query's plan
+    * string. */
+  private[graft] def dd18Sigs(s: SparkSession, d: String): DataFrame =
     // fused codegen kernel (GraftHashes.md5SimHashBits): the HOF
     // formulation (64 interpreted filter() passes over the token sigs
     // per doc) measured 12.3 s at sf0.1; the kernel hashes each token
     // once and majority-votes in a tight loop — same bytes, ~40× less
-    val sigs = recrawl(s, d)
+    recrawl(s, d)
       .repartition(32)
       .withColumn("simhash", GraftFunctions.md5_simhash_bits(col("text")))
       .select("doc_id", "simhash")
+
+  private val dd18SimhashOracle: Q = (s, d) => {
+    val sigs = dd18Sigs(s, d)
       // eager (the dd20/ss20 rule): twin AND control joins consume
       // both sides — 4 plan refs re-ran the kernel under lazy persist
       .localCheckpoint()
@@ -1045,15 +1052,22 @@ object Dedup {
     * banding, the candidate join and both join branches — the
     * hash-compare certifies dd07's whole candidate-generation shape.
     */
-  private val dd19NeardupRecall: Q = (s, d) => {
+  /** dd19's signed/normed corpus PRE-checkpoint — extracted (the
+    * ss20Corpus pattern) so `PlanAuditSpec` can audit the sign-LSH
+    * kernel build's own plan. */
+  private[graft] def dd19Signed(s: SparkSession, d: String): DataFrame = {
     val base = t(s, d, "embeddings").select("vec_id", "embedding")
     val dup = base.select((col("vec_id") + lit(COPY_OFFSET)).as("vec_id"),
       expr("""transform(embedding, (x, i) -> CAST(x + 0.001 *
              |  ((((vec_id * 131071) + (i * 524287)) % 1000) / 500.0 - 1.0)
              |  AS FLOAT))""".stripMargin).as("embedding"))
-    val all = base.unionAll(dup)
+    base.unionAll(dup)
       .withColumn("norm", Similarity.l2norm(col("embedding")))
       .withColumn("sig", Similarity.signBucket(col("embedding")))
+  }
+
+  private val dd19NeardupRecall: Q = (s, d) => {
+    val all = dd19Signed(s, d)
       // eager (the dd20/ss20 rule): banding + two payload joins — a
       // lazy persist re-ran the norm/sig build per plan reference
       .localCheckpoint()

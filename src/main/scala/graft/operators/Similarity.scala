@@ -1425,15 +1425,21 @@ object Similarity {
     *
     * Measured cost breakdown (sf0.1, quiet host, r7): ~4.1 s total =
     * corpus build+plant ~0.5 s, band seeds ~0.5 s, INDEX BUILD 1.5 s
-    * (the dominant and irreducible stage: one Σ_lists L² ≈ n²/k
-    * within-list pair sweep + bounded-heap top-4 — with the oracle-
-    * pinned k=16 the join has only 16 keys, so parallelism is
-    * list-bounded; under the production k ∝ n rule the same stage gets
-    * both smaller lists AND more keys), expansion 0.6 s, exact truth
-    * pass 0.6 s (denominator only), rollup ~0.4 s. Every multi-consumer
-    * intermediate is EAGERLY checkpointed — the four lazy persist()s
-    * here re-ran their builds per consumer (the dd20/CC-round-0
-    * pattern) and cost 5.3 s total before the flip, 4.1 s after.
+    * (one Σ_lists L² ≈ n²/k within-list pair sweep + bounded-heap
+    * top-4), expansion 0.6 s, exact truth pass 0.6 s (denominator
+    * only), rollup ~0.4 s. Every multi-consumer intermediate is EAGERLY
+    * checkpointed — the four lazy persist()s here re-ran their builds
+    * per consumer (the dd20/CC-round-0 pattern) and cost 5.3 s total
+    * before the flip, 4.1 s after.
+    *
+    * r8 settles the residual: the build's pair join had only k=16 keys
+    * (16-way parallelism cap) — salting src%4 with a ×4 dst replication
+    * spread it to 64 key-groups, 4.9 → 3.9 s. The remaining stage
+    * profile is FLAT (largest stage 0.53 s, ~20 stages of 0.1-0.5 s
+    * across build/seeds/expansion/truth/rollup — graft.Scratch table),
+    * so there is no dominant stage left to cut: ~3.9 s is the
+    * documented bound for one full index build + expansion + sampled
+    * exact-truth evaluation in a single query.
     */
   /** ss20's corpus (originals + planted twins, spread, normed, signed,
     * eagerly materialized) — extracted so `PlanAuditSpec` can audit the
@@ -1498,10 +1504,22 @@ object Similarity {
     // top-4 via the bounded-heap exec (q66's operator), not a window:
     // same one exchange on src, but O(pairs·log 4) heaping instead of a
     // full per-partition sort of the quadratic pair stream
+    // SALT the quadratic pair join: with the oracle-pinned k=16 the
+    // cid key has only 16 values, so the pair sweep ran at 16-way
+    // parallelism regardless of cluster width. Salting the src side by
+    // src%4 and replicating the dst side ×4 gives 64 key-groups; every
+    // (src, dst) pair still appears exactly once (in src's salt), so
+    // the top-4 heap sees the identical pair stream. At the production
+    // k ∝ n sizing the salt is redundant but harmless (more keys than
+    // cores already).
+    val salts = 4
     val pairScored = listed.select(col("cid"), col("vec_id").as("src"),
         col("embedding").as("se"), col("nrm").as("sn"))
+      .withColumn("salt", pmod(col("src"), lit(salts)))
       .join(listed.select(col("cid"), col("vec_id").as("dst"),
-        col("embedding").as("de"), col("nrm").as("dn")), Seq("cid"))
+          col("embedding").as("de"), col("nrm").as("dn"))
+        .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})"))),
+        Seq("cid", "salt"))
       .filter(col("src") =!= col("dst"))
       .withColumn("cosn",
         dot(col("se"), col("de")) / (col("sn") * col("dn")))

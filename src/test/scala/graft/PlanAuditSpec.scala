@@ -315,16 +315,23 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("simhash twin runs the fused kernel map-side; pairing is equijoins (dd18)") {
+    // the signature build is eagerly checkpointed inside the query (the
+    // dd20/ss20 rule), so audit the builder's OWN plan for the kernel
+    // (the ss20Corpus pattern) and the full query for the join shape
+    val build = operators.Dedup.dd18Sigs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(build.contains("md5_simhash_bits"), build)
     val plan = executedPlan("dd18_simhash_oracle")
-    assert(plan.contains("md5_simhash_bits"), plan)
     // planted-offset pairing must plan as hash equijoins, never a product
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("near-dup recall twin is banded — kernel signatures, no product (dd19)") {
+    val build = operators.Dedup.dd19Signed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(build.contains("sign_lsh32"), build)
     val plan = executedPlan("dd19_neardup_recall")
-    assert(plan.contains("sign_lsh32"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
