@@ -521,7 +521,68 @@ object TextAnalysis {
       .orderBy("prefix_docs")
   }
 
+  /** tx32: COUNT-MIN SKETCH n-gram counting (Cormode & Muthukrishnan
+    * '05) — the fixed-width replacement for exact n-gram count tables.
+    * An exact trigram census carries one counter PER DISTINCT GRAM
+    * (vocabulary-sized state: Heaps' law says that grows ~n^0.8 — tx31
+    * measures it); the CMS carries d×w = 4×4096 counters TOTAL at any
+    * corpus size, counters merge by cell-wise addition (partial
+    * aggregates compose across executors/batches for free), and a
+    * point estimate reads min over d cells. The estimate NEVER
+    * undercounts, and overcounts only on all-d-rows collisions
+    * (P ≈ (density)^d per probe).
+    *
+    * Cross-engine exact: cell assignment is the pp37 portable-hash
+    * pattern (first 8 md5 hex chars of "seed#gram" → BIGINT mod w), so
+    * DuckDB rebuilds the identical sketch and the estimates — not just
+    * the bound — hash-match. The audit emits, for a deterministic
+    * probe set (every 100th doc's grams), the exact count, the CMS
+    * estimate and the overshoot; `OperatorInvariantSpec` pins est ≥
+    * true for every probe and the 2N/w Markov envelope on overshoot. The
+    * exact-count branch exists for the audit only — at 100 TB you ship
+    * the 16384-cell sketch and never materialize the census it replaces.
+    */
+  private val tx32CountMin: Q = (s, d) => {
+    val depth = 4
+    val width = 4096L
+    val tk = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    // corpus gram stream: feeds the sketch build AND the exact audit
+    // branch — eager (the dd20/ss20 rule)
+    val grams = tk.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, size(toks) - 3),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""
+        .stripMargin)).as("gram"))
+      .repartition(32)
+      .localCheckpoint()
+    def cellExpr(gramCol: String): String =
+      s"CAST(conv(substring(md5(concat(CAST(s AS STRING), '#', " +
+        s"$gramCol)), 1, 8), 16, 10) AS BIGINT) % $width"
+    // the sketch: one grouped count over (seed, cell) — 4·512 rows max
+    val sketch = grams
+      .select(explode(expr(s"sequence(0, ${depth - 1})")).as("s"),
+        col("gram").as("g"))
+      .groupBy(col("s"), expr(cellExpr("g")).as("cell"))
+      .agg(count(lit(1)).as("n"))
+    // deterministic probe set + exact truth (audit-only branch)
+    val probes = grams.filter(col("doc_id") % 100 === 0)
+      .select("gram").distinct()
+    val truth = grams.join(probes, Seq("gram"), "left_semi")
+      .groupBy("gram").agg(count(lit(1)).as("true_n"))
+    truth
+      .select(col("gram"), col("true_n"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("s"))
+      .withColumn("cell", expr(cellExpr("gram")))
+      .join(sketch, Seq("s", "cell"))
+      .groupBy("gram", "true_n").agg(min("n").as("cms_n"))
+      .select(col("gram"), col("true_n"), col("cms_n"),
+        (col("cms_n") - col("true_n")).as("overshoot"))
+      .orderBy("gram")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx32_countmin_ngrams" -> tx32CountMin,
     "tx31_vocab_growth" -> tx31VocabGrowth,
     "tx29_canary_audit" -> tx29CanaryAudit,
     "tx28_encoding_audit" -> tx28EncodingAudit,
@@ -548,6 +609,35 @@ object TextAnalysis {
   val oracleSql: Map[String, String] = Map(
     // tx31: trigram build, first-seen min, prefix θ-joins replayed;
     // all-integer outputs
+    // tx32: identical sketch rebuilt cell-for-cell (the pp37 portable
+    // md5→BIGINT cell hash), estimates join the same 4 rows per probe
+    "tx32_countmin_ngrams" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |bg AS MATERIALIZED (SELECT doc_id,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |  FROM tk, LATERAL (SELECT
+        |    unnest(generate_series(1, len(toks) - 2)) AS i)),
+        |seeds AS (SELECT unnest(generate_series(0, 3)) AS s),
+        |sk AS MATERIALIZED (SELECT s,
+        |    CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '#' || gram),
+        |      1, 8)) AS BIGINT) % 4096 AS cell,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM bg CROSS JOIN seeds GROUP BY 1, 2),
+        |truth AS MATERIALIZED (SELECT gram,
+        |    CAST(count(*) AS BIGINT) AS true_n
+        |  FROM bg WHERE gram IN (
+        |    SELECT DISTINCT gram FROM bg WHERE doc_id % 100 = 0)
+        |  GROUP BY 1),
+        |est AS (SELECT t.gram, t.true_n, min(sk.n) AS cms_n
+        |  FROM truth t CROSS JOIN seeds
+        |  JOIN sk ON sk.s = seeds.s AND sk.cell =
+        |    CAST(('0x' || substr(md5(CAST(seeds.s AS VARCHAR) || '#' ||
+        |      t.gram), 1, 8)) AS BIGINT) % 4096
+        |  GROUP BY 1, 2)
+        |SELECT gram, true_n, CAST(cms_n AS BIGINT) AS cms_n,
+        |  CAST(cms_n - true_n AS BIGINT) AS overshoot
+        |FROM est ORDER BY gram""".stripMargin,
     "tx31_vocab_growth" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),

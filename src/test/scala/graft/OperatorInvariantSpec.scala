@@ -1281,4 +1281,33 @@ class OperatorInvariantSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(3)))
     assert(run2.toSeq == run1.map(r => (r._1, r._4)).toSeq)
   }
+
+  test("tx32: CMS never undercounts; overshoot sits under the CMS bound") {
+    val rows = TextAnalysis.queries("tx32_countmin_ngrams")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (g, t, e, over) =>
+      // the structural CMS guarantee: min over d cells >= the true count
+      assert(over == e - t, s"$g: overshoot column inconsistent")
+      assert(over >= 0L, s"$g: CMS undercounted ($e < $t)")
+    }
+    // total stream length N: every gram increments one cell per seed row,
+    // so overshoot per probe is bounded by the load the OTHER grams put
+    // on its cells; 2N/w is the Markov envelope per row, taken to the
+    // min over 4 independent rows — a deterministic violation here means
+    // the cell hash is broken, not bad luck
+    val n = Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .map(_.getString(0).split(" ", -1).length)
+      .filter(_ >= 3).map(_ - 2).map(_.toLong).sum
+    val bound = math.max(1L, 2L * n / 4096L)
+    assert(rows.forall(_._4 <= bound),
+      s"overshoot exceeds 2N/w = $bound: ${rows.filter(_._4 > bound).take(3)}")
+    // non-degenerate in both directions: the fixture must show exact
+    // hits (all-4-cells-clean probes exist) AND genuine collisions
+    // (otherwise the bound assert above is vacuous)
+    assert(rows.exists(_._4 == 0L), "no exact probe — hash degenerate?")
+    assert(rows.exists(_._4 > 0L), "no collision — fixture too small")
+  }
 }
