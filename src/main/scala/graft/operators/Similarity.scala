@@ -164,6 +164,105 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** ss32: JOHNSON-LINDENSTRAUSS sign-projection recall — the
+    * dimensionality-reduction operating point the PQ/SQ family doesn't
+    * cover: project every vector through a DETERMINISTIC ±1 matrix
+    * (sign from integer parity of (i·131071 + j·524287) — the ss07 LCG
+    * discipline, replayable by any engine) from 16 to 6 dims, then
+    * measure what ranking by projected cosine costs: per query,
+    * |top-10_projected ∩ top-10_exact| and whether the top-1 survives.
+    * Achlioptas '01 says ±1 entries lose nothing over Gaussians, and
+    * the sign matrix needs NO stored model — any executor recomputes
+    * its row from the dimension index.
+    *
+    * The audit runs in the NEAR-DUP regime (ss07/dd19's planted twins,
+    * cos ≈ 0.9999): per query, the exact rank and the projected rank
+    * of its twin, and whether a projected top-10 scan still surfaces
+    * it. That is the question dim reduction must answer for a dedup/
+    * retrieval index — preserve the STRONG pairs; a first cut of this
+    * operator ranked arbitrary neighbors instead and measured top-10
+    * overlap ≈ 0.02/10 at sf0.1: 6 dims cannot order near-orthogonal
+    * noise (JL needs m ~ log n/ε² for ε-size gaps), and shipping that
+    * as the exhibit would certify nothing. Twin separation, by
+    * contrast, survives the projection with margin.
+    *
+    * Scale: the projection is a per-row map that cuts every downstream
+    * shuffle/index byte 16→6 dims (2.7×); the audit is the sampled
+    * certification you run BEFORE committing a corpus to the reduced
+    * space. Both cosine ranks ride ONE query-keyed window exchange.
+    * Cross-engine: every float reduction is the spelled-out in-order
+    * fold (the ss01 rule), so even unrounded rank comparisons agree
+    * and the hash match is exact.
+    */
+  /** The ±1 JL matrix (6 rows × 16 dims), signs from a splitmix64
+    * scramble of the (row, dim) index — deterministic constants of the
+    * algorithm, inlined literally into BOTH engines (the planesCte
+    * discipline). NOT an affine-mod-2 pattern: the first cut used
+    * parity of (i·131071 + j·524287), which with two odd multipliers
+    * collapses to (-1)^(i+j) — a RANK-1 matrix whose 6 "projections"
+    * were all the same vector (every projected cosine ±1, twin rank
+    * ~random). A sign matrix needs a nonlinear hash.
+    */
+  private[operators] val jlSigns: Array[Array[Int]] =
+    Array.tabulate(6, 16) { (j, i) =>
+      var z = j * 16L + i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1 else -1
+    }
+
+  /** One projected coordinate as an explicit left-assoc ± chain — the
+    * SAME token sequence on both engines (only the array base differs),
+    * so the IEEE add order is identical by construction. */
+  private[operators] def jlProjTerm(j: Int, oneBased: Boolean): String =
+    jlSigns(j).zipWithIndex.map { case (sg, i) =>
+      val idx = if (oneBased) i + 1 else i
+      s"${if (sg > 0) "+" else "-"} e[$idx]"
+    }.mkString("CAST(0.0 AS DOUBLE) ", " ", "")
+
+  def jlRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dd(a: String, b: String) =
+      graft.functions.GraftFunctions.double_dot(col(a), col(b))
+    val raw = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val twins = raw.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      expr("""transform(embedding, (x, i) -> CAST(x + 0.001 *
+             |  ((((vec_id * 131071) + (i * 524287)) % 1000) / 500.0 - 1.0)
+             |  AS FLOAT))""".stripMargin).as("embedding"))
+    val base = raw.unionAll(twins)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", sqrt(dd("e", "e")))
+      .withColumn("p", expr((0 until 6)
+        .map(jlProjTerm(_, oneBased = false))
+        .mkString("array(", ", ", ")")))
+      .withColumn("pnrm", sqrt(dd("p", "p")))
+      .persist() // lazy-ok: cheap norm projection over the embedding pool (category A/B'd: eager +0.3 s at the ss18 site)
+    val qs = base.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("e").as("q_e"),
+        col("nrm").as("q_nrm"), col("p").as("q_p"),
+        col("pnrm").as("q_pnrm"))
+    val pairs = base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_x", dd("e", "q_e") / (col("nrm") * col("q_nrm")))
+      .withColumn("cos_p", dd("p", "q_p") / (col("pnrm") * col("q_pnrm")))
+      .select("query_id", "vec_id", "cos_x", "cos_p")
+    val wx = Window.partitionBy("query_id")
+      .orderBy(col("cos_x").desc, col("vec_id"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("cos_p").desc, col("vec_id"))
+    pairs
+      .select(col("query_id"), col("vec_id"),
+        row_number().over(wx).as("rx"), row_number().over(wp).as("rp"))
+      .filter(col("vec_id") === col("query_id") + lit(10000000L))
+      .select(col("query_id"),
+        col("rx").cast("bigint").as("twin_rank_exact"),
+        col("rp").cast("bigint").as("twin_rank_proj"),
+        (col("rp") <= 10).as("found_at_10"))
+      .orderBy("query_id")
+  }
+
   /** ss29: TRAINED-QUANTIZER BENEFIT — the end-to-end payoff of ss28's
     * Lloyd training, measured as RETRIEVAL (ss28 certifies the training
     * itself; this answers the operator's actual question: does training
@@ -397,6 +496,7 @@ object Similarity {
     "ss27_embedding_health" -> ((s, d) => embeddingHealth(s, d)),
     "ss28_coarse_train" -> ((s, d) => coarseTrainAudit(s, d)),
     "ss31_derived_k_ivf" -> ((s, d) => derivedKIvf(s, d)),
+    "ss32_jl_recall" -> ((s, d) => jlRecall(s, d)),
   )
 
   /** ss22: INT8 SCALAR-QUANTIZATION RECALL — completes the measurement
@@ -2744,6 +2844,51 @@ object Similarity {
          |      CAST(d.n_exact AS DOUBLE), 2) AS recall_at_5
          |FROM denom d LEFT JOIN hits h ON d.query_id = h.query_id
          |ORDER BY d.query_id""".stripMargin,
+    // ss32: planting (dd19's LCG twins), the ±1 projection, both norms
+    // and both cosine ranks all replayed with the spelled-out in-order
+    // folds (the ss01 rule)
+    "ss32_jl_recall" ->
+      s"""WITH src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000,
+         |    [CAST(embedding[i] + 0.001 *
+         |       ((((vec_id * 131071) + ((i - 1) * 524287)) % 1000)
+         |        / 500.0 - 1.0) AS REAL)
+         |     for i in generate_series(1, len(embedding))]
+         |  FROM embeddings),
+         |v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM src),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |pj AS (SELECT vec_id, e, nrm,
+         |    [${(0 until 6).map(jlProjTerm(_, oneBased = true))
+               .mkString(",\n         |     ")}] AS p
+         |  FROM n),
+         |pn AS MATERIALIZED (SELECT vec_id, e, nrm, p,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(p, x -> x * x)), (a, b) -> a + b)) AS pnrm
+         |  FROM pj),
+         |pr AS (SELECT q.vec_id AS query_id, c.vec_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_x,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      [c.p[i] * q.p[i] for i in generate_series(1, len(c.p))]),
+         |      (a, b) -> a + b) / (c.pnrm * q.pnrm) AS cos_p
+         |  FROM pn c JOIN pn q ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+         |rk AS (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_x DESC, vec_id) AS rx,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_p DESC, vec_id) AS rp
+         |  FROM pr)
+         |SELECT query_id, CAST(rx AS BIGINT) AS twin_rank_exact,
+         |  CAST(rp AS BIGINT) AS twin_rank_proj,
+         |  rp <= 10 AS found_at_10
+         |FROM rk WHERE vec_id = query_id + 10000000
+         |ORDER BY query_id""".stripMargin,
     "ss01_topk_bruteforce" ->
       s"""WITH $normCte,
          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
