@@ -1309,6 +1309,97 @@ object Dedup {
       .orderBy("contained_id", "container_id")
   }
 
+  /** dd30: DEDUP-POLICY IMPACT REPORT — the number the whole dd family
+    * exists to produce for a data-curation review: per policy, how many
+    * documents and tokens does it actually remove from the SAME corpus?
+    * Policies compared on the dd10 re-crawl corpus (docs ∪ two mutated
+    * crawls): `exact` (md5 text identity — catches only the short docs
+    * whose mutation is a no-op), `jaccard_50` and `jaccard_80` (shingle
+    * Jaccard edges at both thresholds → connected components → keep the
+    * min-id representative). The two threshold policies share ONE
+    * candidate+verify pass (the dd20 nested-config rule: j computed
+    * once, two cutoff filters); cluster keep-sets come from the same CC
+    * machinery the production keep-set (dd22) uses.
+    *
+    * Scale: candidate pairs are the planted chain set here (the graph
+    * is the subject under test, not discovery — dd04/dd22 own
+    * discovery); verify shuffles ids + hashed shingle arrays once;
+    * rollups are per-policy single aggregates. Edge MEMBERSHIP rides
+    * hashed shingles (the dd10 rule: equals string-shingle Jaccard up
+    * to 64-bit collisions, P ≈ 1e-11 corpus-wide).
+    */
+  private val dd30PolicyImpact: Q = (s, d) => {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    // planting that SEPARATES the policies (a first cut reused the dd10
+    // drop-one-token chain and produced a degenerate report — J ≈ 0.97
+    // everywhere, both thresholds identical, exact zero):
+    //  m1 = exact copy for doc_id%5=0 (exact catches those), else
+    //       drop-1-token (J ≈ 0.97 — both thresholds merge);
+    //  m2 = drop the first ⌊n/3⌋ tokens (J ≈ 0.66 — inside (0.5, 0.8):
+    //       only the loose threshold merges it).
+    val dropTok = expr(
+      """CASE WHEN instr(text, ' ') > 0
+        |     THEN substring(text, instr(text, ' ') + 1)
+        |     ELSE text END""".stripMargin)
+    val m1 = docs.select((col("doc_id") + COPY_OFFSET).as("doc_id"),
+      when(col("doc_id") % 5 === 0, col("text"))
+        .otherwise(dropTok).as("text"))
+    val m2 = docs.select((col("doc_id") + 2 * COPY_OFFSET).as("doc_id"),
+      expr("""concat_ws(' ', slice(split(text, ' '),
+             |  size(split(text, ' ')) div 3 + 1,
+             |  size(split(text, ' '))
+             |    - size(split(text, ' ')) div 3))""".stripMargin)
+        .as("text"))
+    val corpus = docs.unionAll(m1).unionAll(m2)
+      .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("fp", md5(col("text")))
+      .repartition(32)
+      .localCheckpoint() // shingle build + exact rollup + 3 token joins
+    val sh = corpus.select(col("doc_id"), sort_array(array_distinct(
+        GraftFunctions.shingle_hashes64(col("text")))).as("sh"))
+      .localCheckpoint() // both sides of the verify join
+    val base = docs.select(col("doc_id").as("i"))
+    val cand = base.select(col("i").as("a"), (col("i") + COPY_OFFSET).as("b"))
+      .unionAll(base.select(col("i").as("a"),
+        (col("i") + 2 * COPY_OFFSET).as("b")))
+      .unionAll(base.select((col("i") + COPY_OFFSET).as("a"),
+        (col("i") + 2 * COPY_OFFSET).as("b")))
+    val jac = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("inter", GraftFunctions
+        .sorted_intersect_card(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("j", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select("a", "b", "j")
+      .localCheckpoint() // one verify pass, two threshold cutoffs
+    val ids = corpus.select(col("doc_id").as("id"))
+    val toks = corpus.select(col("doc_id").as("id"), col("ntok"))
+    def rollup(policy: String, labels: DataFrame): DataFrame =
+      labels.join(toks, Seq("id"))
+        .agg(count(lit(1)).as("docs_in"),
+          countDistinct(col("label")).as("docs_kept"),
+          sum(when(col("id") =!= col("label"), col("ntok"))
+            .otherwise(0L)).as("tokens_removed"))
+        .select(lit(policy).as("policy"), col("docs_in"),
+          col("docs_kept"),
+          (col("docs_in") - col("docs_kept")).as("docs_removed"),
+          col("tokens_removed"))
+    val exact = corpus.groupBy("fp").agg(min("doc_id").as("label"),
+        collect_list("doc_id").as("members"))
+      .select(explode(col("members")).as("id"), col("label"))
+    val j50 = connectedComponents(ids,
+      jac.filter(col("j") >= 0.5).select("a", "b"))
+      .select(col("id"), col("label"))
+    val j80 = connectedComponents(ids,
+      jac.filter(col("j") >= 0.8).select("a", "b"))
+      .select(col("id"), col("label"))
+    rollup("exact", exact)
+      .unionAll(rollup("jaccard_50", j50))
+      .unionAll(rollup("jaccard_80", j80))
+      .orderBy("policy")
+  }
+
   /** dd23: FUZZY benchmark decontamination — the paraphrase-leak gate
     * exact decontamination (pp03/pp07/pp10) structurally cannot close:
     * those flag a train doc only when a full 3-gram SHINGLE survives
@@ -1698,6 +1789,7 @@ object Dedup {
     "dd27_shingle_sweep" -> dd27ShingleSweep,
     "dd28_chain_audit" -> dd28ChainAudit,
     "dd29_incremental_admission" -> dd29IncrementalAdmission,
+    "dd30_policy_impact" -> dd30PolicyImpact,
     "dd26_band_planner" -> dd26BandPlanner,
     "dd25_bbit_minhash" -> dd25BbitMinhash,
     "dd24_semantic_dedup" -> dd24SemDedup,
@@ -2257,6 +2349,84 @@ object Dedup {
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // dd22: discovery (md5-lane banding) + verify + recursive-CTE label
     // fixpoint, replayed end-to-end — hash equality pins the KEEP-SET.
+    // dd30: corpus planting, the shared Jaccard verify, BOTH threshold
+    // CCs (recursive, materialized) and the exact-identity labels all
+    // replayed; rollups integer
+    "dd30_policy_impact" ->
+      """WITH RECURSIVE
+        |m1 AS (SELECT doc_id + 10000000 AS doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text
+        |         WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |m2 AS (SELECT doc_id + 20000000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[
+        |      (len(string_split(text, ' ')) // 3 + 1):], ' ') AS text
+        |  FROM documents),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+        |nt AS MATERIALIZED (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    md5(text) AS fp
+        |  FROM corpus),
+        |tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM corpus),
+        |sh AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM tk),
+        |cand AS (SELECT doc_id AS a, doc_id + 10000000 AS b FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 20000000 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id + 20000000 FROM documents),
+        |jac AS MATERIALIZED (SELECT a, b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / (len(sa.sh) + len(sb.sh)
+        |         - len(list_intersect(sa.sh, sb.sh))) AS j
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = cand.a
+        |  JOIN sh sb ON sb.doc_id = cand.b),
+        |sym50 AS (SELECT a, b FROM jac WHERE j >= 0.5
+        |  UNION ALL SELECT b, a FROM jac WHERE j >= 0.5),
+        |r50 AS (SELECT doc_id AS id, doc_id AS label FROM corpus
+        |  UNION SELECT s.b AS id, r.label FROM r50 r
+        |    JOIN sym50 s ON s.a = r.id),
+        |lab50 AS MATERIALIZED (SELECT id, min(label) AS label
+        |  FROM r50 GROUP BY id),
+        |sym80 AS (SELECT a, b FROM jac WHERE j >= 0.8
+        |  UNION ALL SELECT b, a FROM jac WHERE j >= 0.8),
+        |r80 AS (SELECT doc_id AS id, doc_id AS label FROM corpus
+        |  UNION SELECT s.b AS id, r.label FROM r80 r
+        |    JOIN sym80 s ON s.a = r.id),
+        |lab80 AS MATERIALIZED (SELECT id, min(label) AS label
+        |  FROM r80 GROUP BY id),
+        |labx AS (SELECT doc_id AS id,
+        |    min(doc_id) OVER (PARTITION BY fp) AS label
+        |  FROM nt)
+        |SELECT 'exact' AS policy, CAST(count(*) AS BIGINT) AS docs_in,
+        |  CAST(count(DISTINCT label) AS BIGINT) AS docs_kept,
+        |  CAST(count(*) - count(DISTINCT label) AS BIGINT)
+        |    AS docs_removed,
+        |  CAST(sum(CASE WHEN id <> label THEN ntok ELSE 0 END)
+        |    AS BIGINT) AS tokens_removed
+        |FROM labx JOIN nt ON nt.doc_id = labx.id
+        |UNION ALL
+        |SELECT 'jaccard_50', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT label) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT label) AS BIGINT),
+        |  CAST(sum(CASE WHEN id <> label THEN ntok ELSE 0 END)
+        |    AS BIGINT)
+        |FROM lab50 JOIN nt ON nt.doc_id = lab50.id
+        |UNION ALL
+        |SELECT 'jaccard_80', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT label) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT label) AS BIGINT),
+        |  CAST(sum(CASE WHEN id <> label THEN ntok ELSE 0 END)
+        |    AS BIGINT)
+        |FROM lab80 JOIN nt ON nt.doc_id = lab80.id
+        |ORDER BY policy""".stripMargin,
     // dd29: batch perturbation, both signature builds, the band join,
     // the Jaccard verify and the best-match window all replayed; the
     // nullable best-match coalesces to -1 so no column is nullable
