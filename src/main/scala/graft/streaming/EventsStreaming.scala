@@ -1205,6 +1205,106 @@ object EventsStreaming {
       .orderBy("event_type", "window_start")
   }
 
+  case class CmsState(curW: Long, cells: Array[Long])
+  case class CmsOut(event_type: String, window_start: String,
+    probe_user: Long, cms_est: Long)
+
+  /** st22: STREAMING COUNT-MIN TALKER MONITOR — tx32's sketch as
+    * stream state: per (event_type, hour window), a 4×64-cell CMS over
+    * user ids replaces the per-user map st12's exact top-talkers
+    * carries. State per type is the open window id + 256 longs — FIXED
+    * at any traffic volume (the whole point of a sketch in a stream:
+    * st12's map grows with distinct users per window; this never
+    * does). At window close (the st20/st21 emission discipline) the
+    * monitor reports the CMS estimate for a fixed 10-user probe set —
+    * never an undercount, per tx32's guarantee.
+    *
+    * The batch face rebuilds the identical sketch relationally (one
+    * (type, window, seed, cell) grouped count) and reads the same
+    * probes; cells hash via the pp37 portable md5→BIGINT idiom, so the
+    * DuckDB oracle hash-matches the ESTIMATES. `StreamingSpec` pins
+    * stream ≡ batch across a mid-feed state-store boundary.
+    */
+  def cmsStream(events: DataFrame): Dataset[CmsOut] = {
+    import events.sparkSession.implicits._
+    def tsu(r: Event): Long =
+      math.floorDiv(r.ts.getTime, 1000L) * 1000000L + r.ts.getNanos / 1000L
+    def fmt(w: Long): String =
+      java.time.LocalDateTime.ofEpochSecond(w * 3600L, 0,
+        java.time.ZoneOffset.UTC).format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def cell(seed: Int, user: Long): Int =
+      (java.lang.Long.parseLong(
+        md5hex(s"$seed#$user").substring(0, 8), 16) % 64L).toInt
+    def close(etype: String, st: CmsState): Seq[CmsOut] =
+      (0L until 10L).map { p =>
+        val probe = p * 50L
+        val est = (0 until 4).map(sd =>
+          st.cells(sd * 64 + cell(sd, probe))).min
+        CmsOut(etype, fmt(st.curW), probe, est)
+      }
+    events.as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CmsState, CmsOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event],
+            state: GroupState[CmsState]) =>
+          var st = state.getOption.getOrElse(
+            CmsState(-1L, Array.fill(256)(0L)))
+          val out = scala.collection.mutable.ArrayBuffer[CmsOut]()
+          rows.toSeq.sortBy(r => (tsu(r), r.event_id)).foreach { r =>
+            val w = tsu(r) / 3600000000L
+            if (st.curW >= 0L && w != st.curW) {
+              out ++= close(etype, st)
+              st = CmsState(w, Array.fill(256)(0L))
+            } else if (st.curW < 0L) st = CmsState(w, st.cells)
+            (0 until 4).foreach { sd =>
+              st.cells(sd * 64 + cell(sd, r.user_id)) += 1L
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** st22 driver face: the sketch rebuilt relationally per closed
+    * (type, window) cell, probes read via a 10-row broadcast grid. */
+  private val st22CmsMonitor: Q = (s, d) => {
+    val cellSql = "CAST(conv(substring(md5(concat(CAST(sd AS STRING)," +
+      " '#', CAST(uid AS STRING))), 1, 8), 16, 10) AS BIGINT) % 64"
+    val cells = graft.Tables.t(s, d, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("w"),
+        col("user_id").as("uid"))
+      .select(col("event_type"), col("w"), col("uid"),
+        explode(expr("sequence(0, 3)")).as("sd"))
+      .groupBy(col("event_type"), col("w"), col("sd"),
+        expr(cellSql).as("cell"))
+      .agg(count(lit(1)).as("n"))
+      // eager (the dd20/ss20 rule): probe join + the horizon scan
+      .localCheckpoint()
+    val mx = cells.groupBy(col("event_type").as("et"))
+      .agg(max("w").as("mxw"))
+    val probes = s.range(10).select((col("id") * 50L).as("uid"),
+      explode(expr("sequence(0, 3)")).as("sd"))
+      .withColumn("cell", expr(cellSql))
+    val grid = cells.select("event_type", "w").distinct()
+      .crossJoin(broadcast(probes))
+    grid
+      .join(cells, Seq("event_type", "w", "sd", "cell"), "left")
+      .groupBy(col("event_type"), col("w"), col("uid"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+      .join(mx, col("event_type") === col("et") && col("w") < col("mxw"))
+      .select(col("event_type"),
+        date_format(expr("timestamp_seconds(w * 3600)"),
+          "yyyy-MM-dd HH:mm").as("window_start"),
+        col("uid").as("probe_user"), col("cms_est"))
+      .orderBy("event_type", "window_start", "probe_user")
+  }
+
   case class SeasonalState(np: Long, sp: Long, curDay: Long,
     curCnt: Long, alerted: Boolean)
   case class SeasonalOut(event_type: String, day: String, hr: Long,
@@ -1419,6 +1519,7 @@ object EventsStreaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st22_cms_monitor" -> st22CmsMonitor,
     "st21_digest_ledger" -> st21DigestLedger,
     "st20_decayed_talkers" -> st20DecayedTalkers,
     "st19_seasonal_alerts" -> st19SeasonalAlerts,
@@ -1546,6 +1647,40 @@ object EventsStreaming {
     // st21: window digests (sorted-id string_agg) + the prefix chain
     // fold via list_prepend genesis + list_reduce md5 (the dotSql
     // pattern); closed windows only
+    // st22: the sketch rebuilt cell-for-cell (pp37 portable md5 cells),
+    // fixed 10-user probe grid, closed windows only (the st21 horizon)
+    "st22_cms_monitor" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS w,
+        |    user_id AS uid
+        |  FROM events),
+        |seeds AS (SELECT unnest(generate_series(0, 3)) AS sd),
+        |cells AS MATERIALIZED (SELECT event_type, w, sd,
+        |    CAST(('0x' || substr(md5(CAST(sd AS VARCHAR) || '#' ||
+        |      CAST(uid AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS cell,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ev CROSS JOIN seeds GROUP BY 1, 2, 3, 4),
+        |mx AS (SELECT event_type AS et, max(w) AS mxw
+        |  FROM cells GROUP BY 1),
+        |probes AS (SELECT p * 50 AS uid, sd,
+        |    CAST(('0x' || substr(md5(CAST(sd AS VARCHAR) || '#' ||
+        |      CAST(p * 50 AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS cell
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS p)
+        |  CROSS JOIN seeds),
+        |grid AS (SELECT DISTINCT event_type, w FROM cells),
+        |est AS (SELECT g.event_type, g.w, pr.uid,
+        |    min(coalesce(c.n, 0)) AS cms_est
+        |  FROM grid g CROSS JOIN probes pr
+        |  LEFT JOIN cells c ON c.event_type = g.event_type
+        |    AND c.w = g.w AND c.sd = pr.sd AND c.cell = pr.cell
+        |  GROUP BY 1, 2, 3)
+        |SELECT e.event_type,
+        |  strftime(make_timestamp(e.w * 3600000000), '%Y-%m-%d %H:%M')
+        |    AS window_start,
+        |  CAST(e.uid AS BIGINT) AS probe_user,
+        |  CAST(e.cms_est AS BIGINT) AS cms_est
+        |FROM est e JOIN mx ON mx.et = e.event_type AND e.w < mx.mxw
+        |ORDER BY e.event_type, window_start, probe_user""".stripMargin,
     "st21_digest_ledger" ->
       """WITH cells AS (SELECT event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS w,

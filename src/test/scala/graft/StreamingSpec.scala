@@ -400,6 +400,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS monitor matches the st22 sketch batch face") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect().map(r => EventsStreaming.Event(r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    // split mid-feed: an OPEN window's 256-cell sketch must survive the
+    // state-store boundary
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.Event](spark)
+    val q = EventsStreaming.cmsStream(input.toDF())
+      .writeStream.format("memory").queryName("cmsmon")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cmsmon").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = EventsStreaming.queries("st22_cms_monitor")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want,
+      s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+    // the CMS guarantee against the exact per-window truth: never an
+    // undercount, and the probe set must include genuinely active users
+    val truth = Tables.t(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("w"), col("user_id"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .view.mapValues(_.length.toLong).toMap
+    def fmtW(w: Long): String =
+      java.time.LocalDateTime.ofEpochSecond(w * 3600L, 0,
+        java.time.ZoneOffset.UTC).format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"))
+    val trueByKey = truth.map { case ((et, w, u), n) =>
+      (et, fmtW(w), u) -> n }
+    want.foreach { case (et, ws, u, est) =>
+      val tn = trueByKey.getOrElse((et, ws, u), 0L)
+      assert(est >= tn, s"CMS undercounted ($et,$ws,$u): $est < $tn")
+    }
+    assert(want.exists { case (et, ws, u, _) =>
+      trueByKey.getOrElse((et, ws, u), 0L) > 0L }, "no active probe")
+  }
+
   test("streaming decayed counters match the st20 fold batch face") {
     val sf = "/root/testdata/sf0.001"
     val corpus = Tables.t(spark, sf, "events")
