@@ -590,10 +590,16 @@ object Graph {
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 3)
       .select("src", "dst")
+    // EAGER (the dd20/ss20 rule, single-job form): the 3 LPA rounds are
+    // UNROLLED into one plan that references sym once per round — and
+    // gr11 adds 3 more references (degrees, both internal sides, m) —
+    // so a lazy persist re-ran the 4-table trade join per reference
+    // before the cache filled
     val sym = knn.unionAll(knn.select(col("dst").as("src"),
         col("src").as("dst")))
       .distinct()
-      .persist() // lazy-ok: loop-carried symmetric kNN edges; round 1 materializes once
+      .coalesce(1) // ≤75 condensed edges; broadcast rebuilds per round
+      .localCheckpoint()
     var labels = t(s, d, "nation")
       .select(col("n_nationkey").as("id"), col("n_nationkey").as("lbl"))
     for (_ <- 1 to 3) {
