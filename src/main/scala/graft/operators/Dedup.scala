@@ -1388,6 +1388,10 @@ object Dedup {
     val exact = corpus.groupBy("fp").agg(min("doc_id").as("label"),
         collect_list("doc_id").as("members"))
       .select(explode(col("members")).as("id"), col("label"))
+    // sequential CC loops: running the two threshold loops as
+    // concurrent Futures was A/B'd (r8) at 3.8 s vs 3.6 s sequential —
+    // the overlapped barriers gained nothing over the scheduler
+    // contention they added
     val j50 = connectedComponents(ids,
       jac.filter(col("j") >= 0.5).select("a", "b"))
       .select(col("id"), col("label"))
