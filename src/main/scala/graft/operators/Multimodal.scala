@@ -643,6 +643,63 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** mm15: LETTERBOX-CROP PLANNER over real decodes — the border-trim
+    * pass a vision ingest runs before patching: flat (single-valued)
+    * pixel rows at the top/bottom of a frame are letterbox bars and
+    * encoder padding, carrying zero training signal while costing
+    * patch-grid area (the mm11 waste, spent on blackness). Letterboxed
+    * media are PLANTED deterministically (media_id mod 4 == 0 encodes
+    * with 3 constant rows above and below — the mm10/mm12 planting
+    * discipline); every image is then REALLY decoded (`javax.imageio`)
+    * and scanned: leading/trailing all-equal rows trim, and the crop
+    * box is emitted with the retained-share ×10⁴ plus an md5 over the
+    * CROPPED pixel bytes — hash equality against the oracle's
+    * source-byte replay certifies decode + trim together (the mm08
+    * rule: ASCII pixels round-trip, so chr()-rebuilt strings md5 the
+    * same bytes).
+    *
+    * Scale: encode/decode/scan is one mapPartitions pass; pixels never
+    * shuffle — only the crop box and a 32-char fingerprint leave the
+    * executor.
+    */
+  private val mm15LetterboxCrop: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .repartition(32) // the pngTable spread rule
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val pad = Array.fill(48)(' '.toByte)
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val h0 = bytes.length / 16
+          if (h0 == 0) Iterator.empty
+          else {
+            val raster = bytes.take(16 * h0)
+            val px0 = if (id % 4 == 0) pad ++ raster ++ pad else raster
+            val (_, h, px) = decodeGray(encodeGrayPng(px0))
+            def flat(y: Int): Boolean = {
+              val c = px(y * 16)
+              var x = 1
+              while (x < 16 && px(y * 16 + x) == c) x += 1
+              x == 16
+            }
+            var top = 0
+            while (top < h && flat(top)) top += 1
+            var bottom = 0
+            if (top < h)
+              while (bottom < h - top && flat(h - 1 - bottom)) bottom += 1
+            val ch = h - top - bottom
+            val cropped = java.util.Arrays.copyOfRange(
+              px, top * 16, (top + ch) * 16)
+            Iterator((id, h.toLong, top.toLong, bottom.toLong, ch.toLong,
+              ch.toLong * 10000L / h, md5Hex(cropped)))
+          }
+        }
+      }.toDF("media_id", "h_padded", "top_trim", "bottom_trim",
+        "h_cropped", "retained_x10k", "crop_fp")
+      .orderBy("media_id")
+  }
+
   /** mm11: ASPECT-BUCKET / PAD-WASTE AUDIT over real decodes — the
     * table a vision-training pipeline sizes its resize buckets from:
     * every image's REAL decoded dimensions (`javax.imageio`, same
@@ -733,6 +790,7 @@ object Multimodal {
     "mm12_frame_runs" -> mm12FrameRunCollapse,
     "mm11_aspect_buckets" -> mm11AspectBuckets,
     "mm08_thumbnail" -> mm08Thumbnail,
+    "mm15_letterbox_crop" -> mm15LetterboxCrop,
     "mm01_media_ingest" -> mm01IngestMeta,
     "mm10_media_quarantine" -> mm10Quarantine,
     "mm02_frame_sample" -> mm02FrameSample,
@@ -1235,6 +1293,42 @@ object Multimodal {
         |SELECT band, n_images, min_h, max_h, src_px, padded_px,
         |  (padded_px - src_px) * 10000 // src_px AS pad_overhead_x10k
         |FROM agg ORDER BY band""".stripMargin,
+    // mm15: planting, the flat-row scan (replace(row, first_char, '')
+    // empty ⇔ single-valued row) and the cropped-byte md5 replayed
+    // from source bytes — hash equality re-certifies the real decode
+    "mm15_letterbox_crop" ->
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    substring(text, 1, CAST(16 * (length(text) // 16) AS INT))
+        |      AS raster
+        |  FROM documents WHERE length(text) >= 16),
+        |p AS (SELECT media_id,
+        |    CASE WHEN media_id % 4 = 0
+        |         THEN repeat(' ', 48) || raster || repeat(' ', 48)
+        |         ELSE raster END AS px
+        |  FROM g),
+        |rws AS (SELECT media_id, px, length(px) // 16 AS h,
+        |    unnest(generate_series(0, length(px) // 16 - 1)) AS y
+        |  FROM p),
+        |rf AS (SELECT media_id, px, h, y,
+        |    length(replace(
+        |      substring(px, CAST(y * 16 + 1 AS INT), 16),
+        |      substring(px, CAST(y * 16 + 1 AS INT), 1), '')) = 0
+        |      AS flat
+        |  FROM rws),
+        |tb AS (SELECT media_id, any_value(px) AS px, h,
+        |    coalesce(min(y) FILTER (NOT flat), h) AS top_trim,
+        |    CASE WHEN count(*) FILTER (NOT flat) = 0 THEN 0
+        |         ELSE h - 1 - max(y) FILTER (NOT flat) END AS bot
+        |  FROM rf GROUP BY media_id, h)
+        |SELECT media_id, CAST(h AS BIGINT) AS h_padded,
+        |  CAST(top_trim AS BIGINT) AS top_trim,
+        |  CAST(bot AS BIGINT) AS bottom_trim,
+        |  CAST(h - top_trim - bot AS BIGINT) AS h_cropped,
+        |  CAST((h - top_trim - bot) * 10000 // h AS BIGINT)
+        |    AS retained_x10k,
+        |  md5(substring(px, CAST(top_trim * 16 + 1 AS INT),
+        |    CAST((h - top_trim - bot) * 16 AS INT))) AS crop_fp
+        |FROM tb ORDER BY media_id""".stripMargin,
     "mm08_thumbnail" ->
       """WITH g AS (SELECT doc_id AS media_id,
         |    CAST(length(text) // 16 AS BIGINT) AS h,

@@ -93,7 +93,8 @@ class LocalClusterParitySpec extends SparkSpec {
     // stateful packing scans, tx32's sketch cell hashing, ss32's
     // inlined-literal projection folds, dd30's dual-threshold CC
     "gr18_scc_fwbw", "pp38_nfd_packing", "tx32_countmin_ngrams",
-    "ss32_jl_recall", "dd30_policy_impact", "st22_cms_monitor")
+    "ss32_jl_recall", "dd30_policy_impact", "st22_cms_monitor",
+    "mm15_letterbox_crop")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
