@@ -548,14 +548,16 @@ object TextAnalysis {
     val tk = t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-    // corpus gram stream: feeds the sketch build AND the exact audit
-    // branch — eager (the dd20/ss20 rule)
+    // corpus gram stream: feeds the sketch build AND the audit branch.
+    // Deliberately NOT checkpointed (A/B'd r8: 3.1 s with an eager
+    // checkpoint of the ~0.9M gram strings vs 2.4-2.6 s without — the
+    // block write costs more than re-running the cheap split+transform
+    // explode per consumer, and ReuseExchange dedups the repartition)
     val grams = tk.select(col("doc_id"), explode(expr(
       """transform(sequence(0, size(toks) - 3),
         |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""
         .stripMargin)).as("gram"))
       .repartition(32)
-      .localCheckpoint()
     def cellExpr(gramCol: String): String =
       s"CAST(conv(substring(md5(concat(CAST(s AS STRING), '#', " +
         s"$gramCol)), 1, 8), 16, 10) AS BIGINT) % $width"
