@@ -167,8 +167,9 @@ object Similarity {
   /** ss32: JOHNSON-LINDENSTRAUSS sign-projection recall — the
     * dimensionality-reduction operating point the PQ/SQ family doesn't
     * cover: project every vector through a DETERMINISTIC ±1 matrix
-    * (sign from integer parity of (i·131071 + j·524287) — the ss07 LCG
-    * discipline, replayable by any engine) from 16 to 6 dims, then
+    * (signs from a splitmix64 scramble of the (row, dim) index — see
+    * [[jlSigns]]; NOT an affine parity, which is rank-1 — replayable
+    * by any engine as an inlined literal) from 16 to 6 dims, then
     * measure what ranking by projected cosine costs: per query,
     * |top-10_projected ∩ top-10_exact| and whether the top-1 survives.
     * Achlioptas '01 says ±1 entries lose nothing over Gaussians, and

@@ -525,12 +525,23 @@ object TextAnalysis {
     * '05) — the fixed-width replacement for exact n-gram count tables.
     * An exact trigram census carries one counter PER DISTINCT GRAM
     * (vocabulary-sized state: Heaps' law says that grows ~n^0.8 — tx31
-    * measures it); the CMS carries d×w = 4×4096 counters TOTAL at any
-    * corpus size, counters merge by cell-wise addition (partial
-    * aggregates compose across executors/batches for free), and a
-    * point estimate reads min over d cells. The estimate NEVER
+    * measures it); the CMS carries d×w counters TOTAL (d = 4 rows,
+    * width w DERIVED below), counters merge by cell-wise addition
+    * (partial aggregates compose across executors/batches for free),
+    * and a point estimate reads min over d cells. The estimate NEVER
     * undercounts, and overcounts only on all-d-rows collisions
     * (P ≈ (density)^d per probe).
+    *
+    * The width is DERIVED from the corpus, not hardcoded (the
+    * ss31/pp37 sizing discipline): one constant-size distinct-gram
+    * count at plan-build time sets w = max(64, V div 8) — ~8 distinct
+    * grams per cell, so the per-probe collision term (density/w-ish)
+    * stays put as the corpus grows instead of saturating the way a
+    * fixed width does (the r8 cut hardcoded w=4096 after observing
+    * w=512 saturate at sf0.1 — this turns that observation into the
+    * rule; at sf0.01 the rule yields w≈2030, at sf0.1 w≈3401, and the
+    * DuckDB oracle re-derives w from its own count so both stay
+    * hash-green). `OperatorInvariantSpec` pins the ≤9 density bound.
     *
     * Cross-engine exact: cell assignment is the pp37 portable-hash
     * pattern (first 8 md5 hex chars of "seed#gram" → BIGINT mod w), so
@@ -542,13 +553,18 @@ object TextAnalysis {
     * exact-count branch exists for the audit only — at 100 TB you ship
     * the 16384-cell sketch and never materialize the census it replaces.
     */
+  /** The tx32 width rule, shared with `OperatorInvariantSpec`:
+    * ~8 distinct grams per cell, floor 64. */
+  private[graft] def cmsWidth(distinctGrams: Long): Long =
+    math.max(64L, distinctGrams / 8L)
+
   private val tx32CountMin: Q = (s, d) => {
     val depth = 4
-    val width = 4096L
     val tk = t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-    // corpus gram stream: feeds the sketch build AND the audit branch.
+    // corpus gram stream: feeds the width derivation, the sketch build
+    // AND the audit branch.
     // Deliberately NOT checkpointed (A/B'd r8: 3.1 s with an eager
     // checkpoint of the ~0.9M gram strings vs 2.4-2.6 s without — the
     // block write costs more than re-running the cheap split+transform
@@ -558,10 +574,14 @@ object TextAnalysis {
         |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""
         .stripMargin)).as("gram"))
       .repartition(32)
+    // derived width: ONE constant-size distinct count at plan-build
+    // time (scaladoc above) — the result is a scalar, so inlining it
+    // as a literal keeps the cell expression codegen-friendly
+    val width = cmsWidth(grams.select("gram").distinct().count())
     def cellExpr(gramCol: String): String =
       s"CAST(conv(substring(md5(concat(CAST(s AS STRING), '#', " +
         s"$gramCol)), 1, 8), 16, 10) AS BIGINT) % $width"
-    // the sketch: one grouped count over (seed, cell) — 4·512 rows max
+    // the sketch: one grouped count over (seed, cell) — 4·w rows max
     val sketch = grams
       .select(explode(expr(s"sequence(0, ${depth - 1})")).as("s"),
         col("gram").as("g"))
@@ -612,7 +632,9 @@ object TextAnalysis {
     // tx31: trigram build, first-seen min, prefix θ-joins replayed;
     // all-integer outputs
     // tx32: identical sketch rebuilt cell-for-cell (the pp37 portable
-    // md5→BIGINT cell hash), estimates join the same 4 rows per probe
+    // md5→BIGINT cell hash), estimates join the same 4 rows per probe;
+    // width RE-DERIVED from the oracle's own distinct-gram count
+    // (greatest(64, V // 8) — integer division, exact in both engines)
     "tx32_countmin_ngrams" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -620,10 +642,12 @@ object TextAnalysis {
         |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
         |  FROM tk, LATERAL (SELECT
         |    unnest(generate_series(1, len(toks) - 2)) AS i)),
+        |wd AS (SELECT greatest(64, count(DISTINCT gram) // 8) AS wth
+        |  FROM bg),
         |seeds AS (SELECT unnest(generate_series(0, 3)) AS s),
         |sk AS MATERIALIZED (SELECT s,
         |    CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || '#' || gram),
-        |      1, 8)) AS BIGINT) % 4096 AS cell,
+        |      1, 8)) AS BIGINT) % (SELECT wth FROM wd) AS cell,
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM bg CROSS JOIN seeds GROUP BY 1, 2),
         |truth AS MATERIALIZED (SELECT gram,
@@ -635,7 +659,7 @@ object TextAnalysis {
         |  FROM truth t CROSS JOIN seeds
         |  JOIN sk ON sk.s = seeds.s AND sk.cell =
         |    CAST(('0x' || substr(md5(CAST(seeds.s AS VARCHAR) || '#' ||
-        |      t.gram), 1, 8)) AS BIGINT) % 4096
+        |      t.gram), 1, 8)) AS BIGINT) % (SELECT wth FROM wd)
         |  GROUP BY 1, 2)
         |SELECT gram, true_n, CAST(cms_n AS BIGINT) AS cms_n,
         |  CAST(cms_n - true_n AS BIGINT) AS overshoot

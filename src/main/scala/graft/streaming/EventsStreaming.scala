@@ -1210,22 +1210,34 @@ object EventsStreaming {
     probe_user: Long, cms_est: Long)
 
   /** st22: STREAMING COUNT-MIN TALKER MONITOR — tx32's sketch as
-    * stream state: per (event_type, hour window), a 4×64-cell CMS over
-    * user ids replaces the per-user map st12's exact top-talkers
-    * carries. State per type is the open window id + 256 longs — FIXED
-    * at any traffic volume (the whole point of a sketch in a stream:
-    * st12's map grows with distinct users per window; this never
-    * does). At window close (the st20/st21 emission discipline) the
-    * monitor reports the CMS estimate for a fixed 10-user probe set —
-    * never an undercount, per tx32's guarantee.
+    * stream state: per (event_type, hour window), a 4×`width`-cell CMS
+    * over user ids replaces the per-user map st12's exact top-talkers
+    * carries. State per type is the open window id + 4·width longs —
+    * FIXED at any traffic volume (the whole point of a sketch in a
+    * stream: st12's map grows with distinct users per window; this
+    * never does). At window close (the st20/st21 emission discipline)
+    * the monitor reports the CMS estimate for a fixed 10-user probe
+    * set — never an undercount, per tx32's guarantee.
+    *
+    * `width` is DERIVED, not hardcoded (the ss31/pp37 sizing
+    * discipline): the driver face sizes it from one constant-size
+    * distinct-user count over the historical events table at
+    * plan-build time — w = max(16, U div 8), ~8 distinct users per
+    * cell — so the same query self-sizes across corpus scales instead
+    * of silently saturating the way tx32's first w=512 cut did. The
+    * stream face takes the derived width as its capacity plan (a live
+    * stream can't count its own future users; you provision state from
+    * the historical stat, exactly like any capacity knob).
     *
     * The batch face rebuilds the identical sketch relationally (one
     * (type, window, seed, cell) grouped count) and reads the same
-    * probes; cells hash via the pp37 portable md5→BIGINT idiom, so the
-    * DuckDB oracle hash-matches the ESTIMATES. `StreamingSpec` pins
-    * stream ≡ batch across a mid-feed state-store boundary.
+    * probes; cells hash via the pp37 portable md5→BIGINT idiom and the
+    * DuckDB oracle re-derives the width from its own distinct count,
+    * so the ESTIMATES hash-match at every SF with DIFFERENT widths.
+    * `StreamingSpec` pins stream ≡ batch across a mid-feed state-store
+    * boundary, and `OperatorInvariantSpec` pins the density bound.
     */
-  def cmsStream(events: DataFrame): Dataset[CmsOut] = {
+  def cmsStream(events: DataFrame, width: Int): Dataset[CmsOut] = {
     import events.sparkSession.implicits._
     def tsu(r: Event): Long =
       math.floorDiv(r.ts.getTime, 1000L) * 1000000L + r.ts.getNanos / 1000L
@@ -1238,12 +1250,12 @@ object EventsStreaming {
         .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     def cell(seed: Int, user: Long): Int =
       (java.lang.Long.parseLong(
-        md5hex(s"$seed#$user").substring(0, 8), 16) % 64L).toInt
+        md5hex(s"$seed#$user").substring(0, 8), 16) % width.toLong).toInt
     def close(etype: String, st: CmsState): Seq[CmsOut] =
       (0L until 10L).map { p =>
         val probe = p * 50L
         val est = (0 until 4).map(sd =>
-          st.cells(sd * 64 + cell(sd, probe))).min
+          st.cells(sd * width + cell(sd, probe))).min
         CmsOut(etype, fmt(st.curW), probe, est)
       }
     events.as[Event]
@@ -1253,16 +1265,16 @@ object EventsStreaming {
         (etype: String, rows: Iterator[Event],
             state: GroupState[CmsState]) =>
           var st = state.getOption.getOrElse(
-            CmsState(-1L, Array.fill(256)(0L)))
+            CmsState(-1L, Array.fill(4 * width)(0L)))
           val out = scala.collection.mutable.ArrayBuffer[CmsOut]()
           rows.toSeq.sortBy(r => (tsu(r), r.event_id)).foreach { r =>
             val w = tsu(r) / 3600000000L
             if (st.curW >= 0L && w != st.curW) {
               out ++= close(etype, st)
-              st = CmsState(w, Array.fill(256)(0L))
+              st = CmsState(w, Array.fill(4 * width)(0L))
             } else if (st.curW < 0L) st = CmsState(w, st.cells)
             (0 until 4).foreach { sd =>
-              st.cells(sd * 64 + cell(sd, r.user_id)) += 1L
+              st.cells(sd * width + cell(sd, r.user_id)) += 1L
             }
           }
           state.update(st)
@@ -1270,11 +1282,20 @@ object EventsStreaming {
       }
   }
 
+  /** The st22 width rule, shared by the driver face, the stream spec
+    * and the invariant spec: ~8 distinct users per cell, floor 16. */
+  def cmsWidth(distinctUsers: Long): Int =
+    math.max(16L, distinctUsers / 8L).toInt
+
   /** st22 driver face: the sketch rebuilt relationally per closed
-    * (type, window) cell, probes read via a 10-row broadcast grid. */
+    * (type, window) cell, probes read via a 10-row broadcast grid;
+    * width derived from one constant-size distinct-user count at
+    * plan-build time (see [[cmsStream]]'s scaladoc). */
   private val st22CmsMonitor: Q = (s, d) => {
+    val width = cmsWidth(graft.Tables.t(s, d, "events")
+      .select("user_id").distinct().count())
     val cellSql = "CAST(conv(substring(md5(concat(CAST(sd AS STRING)," +
-      " '#', CAST(uid AS STRING))), 1, 8), 16, 10) AS BIGINT) % 64"
+      s" '#', CAST(uid AS STRING))), 1, 8), 16, 10) AS BIGINT) % $width"
     val cells = graft.Tables.t(s, d, "events")
       .select(col("event_type"),
         expr("unix_micros(ts) DIV 3600000000").as("w"),
@@ -1648,23 +1669,29 @@ object EventsStreaming {
     // fold via list_prepend genesis + list_reduce md5 (the dotSql
     // pattern); closed windows only
     // st22: the sketch rebuilt cell-for-cell (pp37 portable md5 cells),
-    // fixed 10-user probe grid, closed windows only (the st21 horizon)
+    // fixed 10-user probe grid, closed windows only (the st21 horizon);
+    // width RE-DERIVED from the oracle's own distinct-user count
+    // (greatest(16, U // 8) — integer division, exact in both engines)
     "st22_cms_monitor" ->
       """WITH ev AS (SELECT event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS w,
         |    user_id AS uid
         |  FROM events),
+        |wd AS (SELECT greatest(16, count(DISTINCT user_id) // 8) AS wth
+        |  FROM events),
         |seeds AS (SELECT unnest(generate_series(0, 3)) AS sd),
         |cells AS MATERIALIZED (SELECT event_type, w, sd,
         |    CAST(('0x' || substr(md5(CAST(sd AS VARCHAR) || '#' ||
-        |      CAST(uid AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS cell,
+        |      CAST(uid AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % (SELECT wth FROM wd) AS cell,
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM ev CROSS JOIN seeds GROUP BY 1, 2, 3, 4),
         |mx AS (SELECT event_type AS et, max(w) AS mxw
         |  FROM cells GROUP BY 1),
         |probes AS (SELECT p * 50 AS uid, sd,
         |    CAST(('0x' || substr(md5(CAST(sd AS VARCHAR) || '#' ||
-        |      CAST(p * 50 AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS cell
+        |      CAST(p * 50 AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % (SELECT wth FROM wd) AS cell
         |  FROM (SELECT unnest(generate_series(0, 9)) AS p)
         |  CROSS JOIN seeds),
         |grid AS (SELECT DISTINCT event_type, w FROM cells),

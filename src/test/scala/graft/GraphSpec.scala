@@ -322,6 +322,138 @@ class GraphSpec extends SparkSpec {
     assert(closure.groupBy(_._2).exists(_._2.size >= 2))
   }
 
+  test("gr18: hub-factored home edges reproduce the bipartite-clique " +
+      "labels exactly, and no hub leaks into the output") {
+    // the REJECTED clique formulation, rebuilt inline as the truth:
+    // customer→supplier direct per nation (O(C·S/25) edges — fine at
+    // fixture scale, the reason gr18 now factors through hubs)
+    val cust = Tables.t(spark, sf, "customer")
+      .filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").cast("bigint").as("id"),
+        col("c_nationkey").as("nk"))
+    val sup = Tables.t(spark, sf, "supplier")
+      .filter(col("s_suppkey") % 5 === 0)
+      .select((col("s_suppkey") + lit(10000000L)).as("id"),
+        col("s_nationkey").as("nk"), col("s_suppkey").as("sk"))
+    val trade = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+      .filter(col("l_suppkey") % 5 === 0)
+      .join(Tables.t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+          .filter(col("o_custkey") % 50 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + lit(10000000L)).cast("bigint").as("u"),
+        col("o_custkey").cast("bigint").as("v"))
+    val clique = cust.select(col("id").as("u"), col("nk"))
+      .join(sup.select(col("id").as("v"), col("nk")), Seq("nk"))
+      .select("u", "v")
+    val nodes = cust.select("id").unionAll(sup.select("id"))
+    val truth = Graph.fwbwScc(nodes, trade.unionAll(clique))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Graph.queries("gr18_scc_fwbw")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == truth.keySet,
+      "hub output covers a different real-node set than the clique")
+    got.foreach { case (id, scc) =>
+      assert(id < 20000000L, s"hub node $id leaked into the output")
+      assert(scc == truth(id), s"node $id: hub=$scc clique=${truth(id)}")
+    }
+  }
+
+  test("gr18: fwbwScc returns an empty typed frame on empty input") {
+    val nodes = Tables.t(spark, sf, "nation")
+      .select(col("n_nationkey").cast("bigint").as("id")).limit(0)
+    val out = Graph.fwbwScc(nodes,
+      nodes.select(col("id").as("u"), col("id").as("v")))
+    assert(out.columns.toSeq == Seq("id", "scc_id"))
+    assert(out.count() == 0L)
+  }
+
+  test("gr19: unsampled audit counts match an in-JVM Tarjan SCC on " +
+      "the collected entity graph") {
+    val hubOff = 20000000L
+    val cust = Tables.t(spark, sf, "customer")
+      .select(col("c_custkey").cast("bigint"), col("c_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val sup = Tables.t(spark, sf, "supplier")
+      .select((col("s_suppkey") + lit(10000000L)).cast("bigint"),
+        col("s_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val trade = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+      .join(Tables.t(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + lit(10000000L)).cast("bigint"),
+        col("o_custkey").cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (trade ++
+      cust.map { case (id, nk) => (id, hubOff + nk) } ++
+      sup.map { case (id, nk) => (hubOff + nk, id) })
+      .filter(e => e._1 != e._2).distinct
+    val nodes = (cust.map(_._1) ++ sup.map(_._1) ++
+      (0 until 25).map(n => hubOff + n)).distinct
+    // iterative Tarjan (explicit stack — no recursion-depth dependence)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .withDefaultValue(Array.empty[Long])
+    val index = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.ArrayBuffer[Long]()
+    var counter = 0
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    def strongconnect(v0: Long): Unit = {
+      val work = scala.collection.mutable.ArrayBuffer[(Long, Int)]((v0, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.remove(work.length - 1)
+        if (pi == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack += v; onStack += v
+        }
+        var i = pi
+        var recursed = false
+        val ws = adj(v)
+        while (i < ws.length && !recursed) {
+          val w = ws(i)
+          if (!index.contains(w)) {
+            work += ((v, i + 1)); work += ((w, 0)); recursed = true
+          } else {
+            if (onStack(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+        }
+        if (!recursed) {
+          if (low(v) == index(v)) {
+            var done = false
+            val members = scala.collection.mutable.ArrayBuffer[Long]()
+            while (!done) {
+              val w = stack.remove(stack.length - 1)
+              onStack -= w; members += w
+              done = w == v
+            }
+            val rep = members.min
+            members.foreach(m => comp(m) = rep)
+          }
+          if (work.nonEmpty) {
+            val (p, _) = work(work.length - 1)
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    nodes.foreach(v => if (!index.contains(v)) strongconnect(v))
+    val real = comp.filter(_._1 < hubOff)
+    val sizes = real.groupBy(_._2).map(_._2.size)
+    val got = Graph.queries("gr19_scc_audit")(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == real.size.toLong, "n_nodes")
+    assert(r.getLong(1) == edges.length.toLong, "n_edges")
+    assert(r.getLong(2) == real.values.toSet.size.toLong, "n_scc")
+    assert(r.getLong(3) == sizes.max.toLong, "max_scc")
+    assert(r.getLong(4) == sizes.max.toLong * 10000L / real.size, "share")
+    // non-degenerate: the trade cycle must produce a real multi-node SCC
+    assert(sizes.max >= 2, "fixture graph has no cycle — audit vacuous")
+  }
+
   test("gr18: entity-graph SCC output is structurally consistent") {
     val rows = Graph.queries("gr18_scc_fwbw")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -408,11 +408,13 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => EventsStreaming.Event(r.getLong(0),
         r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
       .toSeq
-    // split mid-feed: an OPEN window's 256-cell sketch must survive the
-    // state-store boundary
+    // split mid-feed: an OPEN window's 4×w-cell sketch must survive the
+    // state-store boundary; width derived exactly like the driver face
+    val width = EventsStreaming.cmsWidth(Tables.t(spark, sf, "events")
+      .select("user_id").distinct().count())
     val (b1, b2) = corpus.splitAt(corpus.length / 2)
     val input = MemoryStream[EventsStreaming.Event](spark)
-    val q = EventsStreaming.cmsStream(input.toDF())
+    val q = EventsStreaming.cmsStream(input.toDF(), width)
       .writeStream.format("memory").queryName("cmsmon")
       .outputMode("append").start()
     try {
