@@ -1404,6 +1404,104 @@ object Dedup {
       .orderBy("policy")
   }
 
+  /** dd31: LONGEST SHARED TOKEN SPAN — the contamination metric
+    * Jaccard structurally cannot report: two docs can share a LONG
+    * verbatim run yet sit below any Jaccard threshold (a 30-token
+    * quote inside two otherwise-different 500-token docs is J ≈ 0.03),
+    * and eval-leak policy is usually written in span terms ("flag any
+    * ≥ N-token overlap"), not set-overlap terms. Per candidate pair
+    * this emits the exact length of the longest common token SUBSTRING
+    * (≥ 4 tokens; 0 below that floor).
+    *
+    * Algorithm — no suffix structures, pure relational: join the two
+    * docs' positional 4-grams on the gram STRING, group matches by the
+    * DIAGONAL (i − j): a shared span of length L is exactly a run of
+    * L−3 consecutive matched positions on one diagonal, so
+    * gaps-and-islands (pos − row_number) over each (pair, diagonal)
+    * turns the longest-common-substring problem into one window + one
+    * max — both engines replay it operator-for-operator.
+    *
+    * Plants are CHIMERAS (first half of doc i ‖ second half of its
+    * id-successor j), the planted-subject discipline of dd30:
+    * pair (i, chim_i) must recover i's prefix half, pair (j, chim_i)
+    * j's suffix half — discovery of UNKNOWN pairs belongs to
+    * dd04/dd22's banded machinery. Scale: pair list is ids-only; the
+    * positional-gram join is per-pair work keyed by (pair, gram);
+    * windows shuffle on (pair, diagonal) — linear in matches, never
+    * all-pairs. `OperatorInvariantSpec` pins every span against an
+    * in-JVM dynamic-programming LCS on the raw token arrays.
+    */
+  private val dd31LongestSpan: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents").select("source", "doc_id", "text")
+    val wAll = Window.partitionBy("source").orderBy("doc_id")
+    // chimera corpus: one plant per base doc, partner = the doc's
+    // id-successor WITHIN its source (wrapping to the source's first
+    // doc) — source-partitioned so the plant build parallelizes by
+    // stream instead of riding one global-order window
+    val chim = docs
+      .withColumn("ptext", coalesce(lead("text", 1).over(wAll),
+        first("text").over(wAll.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))))
+      .withColumn("pid", coalesce(lead("doc_id", 1).over(wAll),
+        first("doc_id").over(wAll.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))))
+      .select((col("doc_id") + 3 * COPY_OFFSET).as("doc_id"),
+        col("doc_id").as("src_a"), col("pid").as("src_b"),
+        expr("""concat_ws(' ',
+               |  concat_ws(' ', slice(split(text, ' '), 1,
+               |    (size(split(text, ' ')) + 1) div 2)),
+               |  concat_ws(' ', slice(split(ptext, ' '),
+               |    size(split(ptext, ' ')) div 2 + 1,
+               |    size(split(ptext, ' '))
+               |      - size(split(ptext, ' ')) div 2)))"""
+          .stripMargin).as("text"))
+      .repartition(32).localCheckpoint() // 2 refs: pair build + grams
+    val pairs = chim.select(col("src_a").as("a"), col("doc_id").as("b"))
+      .unionAll(chim.select(col("src_b").as("a"), col("doc_id").as("b")))
+      .distinct()
+      .localCheckpoint() // 2 refs: the match join + the zero-span left join
+    def grams(df: DataFrame, idAs: String, posAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col(idAs), posexplode(expr(
+        """transform(sequence(0, size(toks) - 4),
+          |  p -> concat_ws(' ', toks[p], toks[p+1], toks[p+2],
+          |    toks[p+3]))""".stripMargin)))
+      .withColumnRenamed("pos", posAs).withColumnRenamed("col", "g")
+    val ga = grams(docs, "a", "i")
+    val gb = grams(chim.select("doc_id", "text"), "b", "j")
+    val matched = pairs.join(ga, Seq("a")).join(gb, Seq("b", "g"))
+      .select(col("a"), col("b"), col("i"), col("j"),
+        (col("i") - col("j")).as("diag"))
+    val wDiag = Window.partitionBy("a", "b", "diag").orderBy("i")
+    val spans = matched
+      // pin the islands window's exchange at 32 (the dd20 rule: the
+      // matched-position stream is CPU-bound over few bytes and AQE
+      // byte-coalesces it to 1 task — A/B'd 3.99 → 3.56 s at sf0.1,
+      // the coalesced stage was the 0.6 s single-task one); the
+      // window's ClusteredDistribution reuses this exact partitioning
+      .repartition(32, col("a"), col("b"), col("diag"))
+      .withColumn("grp", col("i") - row_number().over(wDiag))
+      .groupBy("a", "b", "diag", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("a", "b").agg((max("run") + 3L).as("span"))
+    val ntok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val ntokAll = ntok.unionAll(chim.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n")))
+    pairs
+      .join(spans, Seq("a", "b"), "left")
+      .join(ntokAll.select(col("doc_id").as("a"), col("n").as("n_a")),
+        Seq("a"))
+      .join(ntokAll.select(col("doc_id").as("b"), col("n").as("n_b")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"),
+        coalesce(col("span"), lit(0L)).as("span_tokens"))
+      .withColumn("span_share_x10k",
+        expr("span_tokens * 10000 DIV least(n_a, n_b)"))
+      .orderBy("a", "b")
+  }
+
   /** dd23: FUZZY benchmark decontamination — the paraphrase-leak gate
     * exact decontamination (pp03/pp07/pp10) structurally cannot close:
     * those flag a train doc only when a full 3-gram SHINGLE survives
@@ -1794,6 +1892,7 @@ object Dedup {
     "dd28_chain_audit" -> dd28ChainAudit,
     "dd29_incremental_admission" -> dd29IncrementalAdmission,
     "dd30_policy_impact" -> dd30PolicyImpact,
+    "dd31_longest_span" -> dd31LongestSpan,
     "dd26_band_planner" -> dd26BandPlanner,
     "dd25_bbit_minhash" -> dd25BbitMinhash,
     "dd24_semantic_dedup" -> dd24SemDedup,
@@ -2336,6 +2435,79 @@ object Dedup {
          |  COALESCE(d.nd, 0) * 10000 // s.n_total AS drop_x10k
          |FROM stats s LEFT JOIN dstats d ON s.cluster = d.cluster
          |ORDER BY s.cluster""".stripMargin,
+    // dd31: chimera plant + positional 4-gram diagonal islands, both
+    // replayed (1-based positions vs Spark's 0-based — diagonals and
+    // run lengths are shift-invariant); chim/pairs MATERIALIZED
+    // (multi-consumed)
+    "dd31_longest_span" ->
+      """WITH ord AS (SELECT doc_id, text,
+        |    coalesce(lead(text) OVER (PARTITION BY source
+        |        ORDER BY doc_id),
+        |      first_value(text) OVER (PARTITION BY source
+        |        ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND UNBOUNDED FOLLOWING)) AS ptext,
+        |    coalesce(lead(doc_id) OVER (PARTITION BY source
+        |        ORDER BY doc_id),
+        |      first_value(doc_id) OVER (PARTITION BY source
+        |        ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND UNBOUNDED FOLLOWING)) AS pid
+        |  FROM documents),
+        |chim AS MATERIALIZED (SELECT doc_id + 30000000 AS doc_id,
+        |    doc_id AS src_a, pid AS src_b,
+        |    array_to_string(string_split(text, ' ')[1 :
+        |      (len(string_split(text, ' ')) + 1) // 2], ' ')
+        |    || ' ' ||
+        |    array_to_string(string_split(ptext, ' ')[
+        |      len(string_split(ptext, ' ')) // 2 + 1 :
+        |      len(string_split(ptext, ' '))], ' ') AS text
+        |  FROM ord),
+        |pairs AS MATERIALIZED (
+        |  SELECT src_a AS a, doc_id AS b FROM chim
+        |  UNION
+        |  SELECT src_b AS a, doc_id AS b FROM chim),
+        |ga AS (SELECT doc_id AS a, p AS i,
+        |    toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] || ' ' ||
+        |      toks[p+3] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE len(string_split(text, ' ')) >= 4),
+        |  LATERAL (SELECT unnest(generate_series(1, len(toks) - 3))
+        |           AS p)),
+        |gb AS (SELECT doc_id AS b, p AS j,
+        |    toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] || ' ' ||
+        |      toks[p+3] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM chim WHERE len(string_split(text, ' ')) >= 4),
+        |  LATERAL (SELECT unnest(generate_series(1, len(toks) - 3))
+        |           AS p)),
+        |m AS (SELECT pr.a, pr.b, ga.i, gb.j
+        |  FROM pairs pr JOIN ga ON ga.a = pr.a
+        |  JOIN gb ON gb.b = pr.b AND gb.g = ga.g),
+        |runs AS (SELECT a, b, i - j AS diag,
+        |    i - row_number() OVER (PARTITION BY a, b, i - j
+        |      ORDER BY i) AS grp
+        |  FROM m),
+        |spans AS (SELECT a, b, max(run) + 3 AS span FROM (
+        |    SELECT a, b, diag, grp, count(*) AS run
+        |    FROM runs GROUP BY 1, 2, 3, 4) GROUP BY 1, 2),
+        |nt AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM chim)
+        |SELECT pr.a, pr.b,
+        |  na.n AS n_a, nb.n AS n_b,
+        |  CAST(coalesce(spans.span, 0) AS BIGINT) AS span_tokens,
+        |  CAST(coalesce(spans.span, 0) * 10000 // least(na.n, nb.n)
+        |    AS BIGINT) AS span_share_x10k
+        |FROM pairs pr
+        |LEFT JOIN spans ON spans.a = pr.a AND spans.b = pr.b
+        |JOIN nt na ON na.doc_id = pr.a
+        |JOIN nt nb ON nb.doc_id = pr.b
+        |ORDER BY pr.a, pr.b""".stripMargin,
     "dd16_substring_dedup" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 8),

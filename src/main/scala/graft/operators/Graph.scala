@@ -462,7 +462,11 @@ object Graph {
     * unsampled at fact scale. `GraphSpec` also pins fwbwScc ≡ gr17's
     * closure-derived labels on the shared 3-NN nation graph.
     */
-  val gr18SccFwbw: Q = (s, d) => {
+  /** The SAMPLED entity trade graph gr18/gr20 share: (nodes, edges)
+    * with hub-factored home edges — see [[gr18SccFwbw]]'s scaladoc for
+    * the construction and the hub-vs-clique scale argument. */
+  private def sampledEntityGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val cust = t(s, d, "customer")
       .filter(col("c_custkey") % 50 === 0)
       .select(col("c_custkey").cast("bigint").as("id"),
@@ -495,15 +499,93 @@ object Graph {
       .select((col("n_nationkey") + hubOff).cast("bigint").as("id"))
     val nodes = cust.select("id").unionAll(sup.select("id"))
       .unionAll(hubs)
+    (nodes, trade.unionAll(home))
+  }
+
+  val gr18SccFwbw: Q = (s, d) => {
+    val (nodes, edges) = sampledEntityGraph(s, d)
     // hubs are plumbing, not entities: drop them BEFORE sizing so
     // scc_size counts real nodes exactly as the clique formulation did
-    val scc = fwbwScc(nodes, trade.unionAll(home))
-      .filter(col("id") < hubOff)
+    val scc = fwbwScc(nodes, edges)
+      .filter(col("id") < 20000000L)
     scc.join(scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size")),
         Seq("scc_id"))
       .select(col("id"), col("scc_id"), col("scc_size"),
         (col("scc_size") >= 2L).as("is_core"))
       .orderBy("id")
+  }
+
+  /** gr20: CONDENSATION DAG LEVELS — the canonical consumer of an SCC
+    * pass: contract every strongly-connected component of the sampled
+    * entity graph (gr18's labels, hub-factored construction shared via
+    * [[sampledEntityGraph]]) to one node; the contracted graph is
+    * acyclic BY CONSTRUCTION, so a longest-path "level" is well-defined
+    * and gives each component its position in the dependency order —
+    * the number a curriculum/staging planner reads ("which trade
+    * clusters are upstream of which"). Per component: real-member
+    * size, topological level (longest path from any source), and
+    * condensation in/out degrees. Hub components participate in the
+    * DAG (a cust→hub→sup chain is a real 2-step path) but are filtered
+    * from the output like gr18 filters them from sizing.
+    *
+    * Scale: the condensation map is two label joins + a distinct over
+    * edges (linear shuffles); the level loop carries O(#SCC) rows with
+    * the same 2-hop chaining + monotone-sum convergence + derived
+    * loop-frame coalesce as [[fwbwScc]]; rounds = ⌈DAG depth / 2⌉. The
+    * DuckDB oracle replays labels via gr18's recursive closure, then
+    * the longest path as a recursive CTE over the (tiny) condensed DAG.
+    */
+  val gr20Condensation: Q = (s, d) => {
+    val (nodes, edges0) = sampledEntityGraph(s, d)
+    val edges = edges0.filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint() // 2 refs: the SCC loop + the condensation map
+    val scc = fwbwScc(nodes, edges)
+      .localCheckpoint() // 3 refs: two condensation joins + sizing
+    val ce = edges
+      .join(scc.select(col("id").as("u"), col("scc_id").as("cu")),
+        Seq("u"))
+      .join(scc.select(col("id").as("v"), col("scc_id").as("cv")),
+        Seq("v"))
+      .filter(col("cu") =!= col("cv"))
+      .select(col("cu").as("u"), col("cv").as("v")).distinct()
+      .coalesce(1) // condensed DAG: tens of rows at any graded SF
+      .localCheckpoint() // loop-carried, re-joined every level round
+    var lvl = scc.select(col("scc_id").as("n")).distinct()
+      .withColumn("lvl", lit(0L)).coalesce(1).localCheckpoint()
+    var prevSig = -1L
+    var guard = 0
+    var converged = false
+    while (!converged) {
+      guard += 1
+      if (guard > 64) sys.error("gr20 level loop did not converge " +
+        "in 64 rounds — condensation not acyclic?")
+      // two raw hops per round (the fwbwScc discipline)
+      val p1 = ce.join(lvl.select(col("n").as("u"), col("lvl")), Seq("u"))
+        .select(col("v").as("n"), (col("lvl") + 1L).as("lvl"))
+      val p2 = ce.join(p1.select(col("n").as("u"), col("lvl")), Seq("u"))
+        .select(col("v").as("n"), (col("lvl") + 1L).as("lvl"))
+      val next = lvl.unionAll(p1).unionAll(p2)
+        .groupBy("n").agg(max("lvl").as("lvl"))
+        .coalesce(1).localCheckpoint() // 2 refs: signature + next round
+      val sig = next.agg(sum("lvl")).first().getLong(0)
+      converged = sig == prevSig
+      prevSig = sig
+      lvl = next
+    }
+    val sizes = scc.filter(col("id") < 20000000L)
+      .groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    val outDeg = ce.groupBy(col("u").as("scc_id"))
+      .agg(count(lit(1)).as("out_deg"))
+    val inDeg = ce.groupBy(col("v").as("scc_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    sizes
+      .join(lvl.select(col("n").as("scc_id"), col("lvl")), Seq("scc_id"))
+      .join(inDeg, Seq("scc_id"), "left")
+      .join(outDeg, Seq("scc_id"), "left")
+      .select(col("scc_id"), col("scc_size"), col("lvl").as("level"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .orderBy("scc_id")
   }
 
   /** gr19: UNSAMPLED fact-scale SCC audit — the direct evidence that
@@ -1261,6 +1343,7 @@ object Graph {
     "gr17_scc" -> gr17Scc,
     "gr18_scc_fwbw" -> gr18SccFwbw,
     "gr19_scc_audit" -> gr19SccAudit,
+    "gr20_condensation" -> gr20Condensation,
     "gr01_pagerank" -> gr01Pagerank,
     "gr02_triangles" -> gr02Triangles,
     "gr03_label_prop" -> gr03LabelProp,
@@ -1429,6 +1512,69 @@ object Graph {
         |  sz.scc_size >= 2 AS is_core
         |FROM scc JOIN sz USING (scc_id)
         |ORDER BY scc.id""".stripMargin,
+    // gr20: gr18's closure replayed for labels (hubs kept as DAG
+    // nodes), condensation as two label joins + DISTINCT, longest path
+    // as a recursive CTE over the tiny condensed DAG (acyclic ⇒ finite;
+    // UNION dedups (node, depth) pairs). Multi-consumed CTEs
+    // MATERIALIZED (scc ×4, ce ×3 — the gr11 lesson).
+    "gr20_condensation" ->
+      """WITH RECURSIVE
+        |cust AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    c_nationkey AS nk
+        |  FROM customer WHERE c_custkey % 50 = 0),
+        |sup AS (SELECT CAST(s_suppkey + 10000000 AS BIGINT) AS id,
+        |    s_nationkey AS nk, s_suppkey AS sk
+        |  FROM supplier WHERE s_suppkey % 5 = 0),
+        |hub AS (SELECT CAST(n_nationkey + 20000000 AS BIGINT) AS id,
+        |    n_nationkey AS nk
+        |  FROM nation),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT s.id AS u, c.id AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cust c ON o_custkey = c.id
+        |  JOIN sup s ON l_suppkey = s.sk
+        |  UNION
+        |  SELECT c.id AS u, h.id AS v FROM cust c JOIN hub h
+        |  ON c.nk = h.nk
+        |  UNION
+        |  SELECT h.id AS u, s.id AS v FROM hub h JOIN sup s
+        |  ON h.nk = s.nk),
+        |nodes AS (SELECT id FROM cust UNION ALL SELECT id FROM sup
+        |  UNION ALL SELECT id FROM hub),
+        |reach AS (SELECT u, v FROM e WHERE u <> v
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+        |mutual AS (SELECT r1.u AS id, min(r1.v) AS mn
+        |  FROM reach r1 JOIN reach r2 ON r2.u = r1.v AND r2.v = r1.u
+        |  WHERE r1.u <> r1.v GROUP BY 1),
+        |scc AS MATERIALIZED (SELECT n.id,
+        |    CAST(least(n.id, coalesce(m.mn, n.id)) AS BIGINT) AS scc_id
+        |  FROM nodes n LEFT JOIN mutual m ON m.id = n.id),
+        |ce AS MATERIALIZED (SELECT DISTINCT a.scc_id AS u,
+        |    b.scc_id AS v
+        |  FROM e JOIN scc a ON a.id = e.u JOIN scc b ON b.id = e.v
+        |  WHERE a.scc_id <> b.scc_id),
+        |dagn AS (SELECT DISTINCT scc_id AS n FROM scc),
+        |lvl AS (SELECT n, CAST(0 AS BIGINT) AS l FROM dagn
+        |  UNION
+        |  SELECT ce.v, lvl.l + 1 FROM lvl JOIN ce ON ce.u = lvl.n),
+        |lev AS (SELECT n AS scc_id, max(l) AS level FROM lvl
+        |  GROUP BY 1),
+        |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+        |  FROM scc WHERE id < 20000000 GROUP BY 1),
+        |ideg AS (SELECT v AS scc_id, CAST(count(*) AS BIGINT) AS in_deg
+        |  FROM ce GROUP BY 1),
+        |odeg AS (SELECT u AS scc_id, CAST(count(*) AS BIGINT)
+        |    AS out_deg
+        |  FROM ce GROUP BY 1)
+        |SELECT sz.scc_id, sz.scc_size,
+        |  CAST(lev.level AS BIGINT) AS level,
+        |  CAST(coalesce(ideg.in_deg, 0) AS BIGINT) AS in_deg,
+        |  CAST(coalesce(odeg.out_deg, 0) AS BIGINT) AS out_deg
+        |FROM sz JOIN lev USING (scc_id)
+        |LEFT JOIN ideg USING (scc_id)
+        |LEFT JOIN odeg USING (scc_id)
+        |ORDER BY sz.scc_id""".stripMargin,
     // gr16: undirected support, degree histograms and the threshold
     // theta-joins replayed; phi DIV operands non-negative
     "gr16_rich_club" ->

@@ -738,6 +738,73 @@ object Multimodal {
       .orderBy("band")
   }
 
+  /** mm16: PATCH-BUDGET BATCH PACKER over real decodes — the NaViT-
+    * style variable-resolution batcher mm11 prices buckets for: within
+    * each aspect band, images are packed next-fit (arrival order, the
+    * streaming-loader fold pp36/pp38 established) into batches holding
+    * at most 128 patch tokens (patches = ⌈h/8⌉·⌈w/8⌉ from the REAL
+    * `javax.imageio` decode), and the report prices each band's
+    * batching: batch count vs the ⌈Σpatches/128⌉ lower bound and the
+    * patch-slot waste a fixed-budget step pays. This is the table that
+    * decides the band granularity — too-coarse bands mix heights and
+    * waste slots, too-fine bands strand tail batches.
+    *
+    * Scale: decode is the one mapPartitions ingest pass (pixels never
+    * shuffle — only (id, h) leaves the executor); the fold is the
+    * pp36 stateful-sequential shape keyed by band (parallelism =
+    * bands; at 100 TB the stream key is (band, shard), same contract
+    * as pp38's (source, shard)). DuckDB replays the fold per band as a
+    * recursive CTE over source-byte-derived dims, so hash equality
+    * re-certifies decode + packing end to end.
+    */
+  private val mm16PatchBatches: Q = (s, d) => {
+    import s.implicits._
+    val budget = 128L
+    val dims = pngTable(s, d).select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, png) =>
+          val (w, h, _) = decodeGray(png)
+          (id, w.toLong, h.toLong)
+        }
+      }.toDF("media_id", "w", "h")
+      .withColumn("band", expr("h div 16"))
+      .withColumn("patches", expr("((h + 7) div 8) * ((w + 7) div 8)"))
+      .repartition(col("band"))
+      .localCheckpoint() // 2 refs: the fold pass + the band totals
+    val packed = dims.select("band", "media_id", "patches")
+      .sortWithinPartitions("band", "media_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curBand = Long.MinValue
+        var batch = 0L
+        var fill = 0L
+        it.map { case (band, id, p) =>
+          if (band != curBand) { curBand = band; batch = 0L; fill = p }
+          else if (fill + p <= budget) fill += p
+          else { batch += 1L; fill = p }
+          (band, id, p, batch)
+        }
+      }.toDF("band", "media_id", "patches", "batch_id")
+    val byBand = packed.groupBy("band", "batch_id")
+      .agg(sum("patches").as("bp"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_batches"),
+        sum(greatest(lit(0L), lit(budget) - col("bp")))
+          .as("waste_patches"))
+    dims.groupBy("band")
+      .agg(count(lit(1)).as("n_images"),
+        sum("patches").as("total_patches"))
+      .withColumn("lb_batches",
+        expr(s"(total_patches + ${budget - 1}) div $budget"))
+      .join(byBand, Seq("band"))
+      .select(col("band"), col("n_images"), col("total_patches"),
+        col("lb_batches"), col("n_batches"), col("waste_patches"),
+        expr(s"waste_patches * 10000 DIV (n_batches * $budget)")
+          .as("waste_x10k"))
+      .orderBy("band")
+  }
+
   /** mm12: DUPLICATE-FRAME RUN COLLAPSE — the static-scene detector a
     * video ingest runs before feature extraction: consecutive frames
     * with identical content fingerprints collapse to one keyframe per
@@ -789,6 +856,7 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "mm12_frame_runs" -> mm12FrameRunCollapse,
     "mm11_aspect_buckets" -> mm11AspectBuckets,
+    "mm16_patch_batches" -> mm16PatchBatches,
     "mm08_thumbnail" -> mm08Thumbnail,
     "mm15_letterbox_crop" -> mm15LetterboxCrop,
     "mm01_media_ingest" -> mm01IngestMeta,
@@ -1293,6 +1361,44 @@ object Multimodal {
         |SELECT band, n_images, min_h, max_h, src_px, padded_px,
         |  (padded_px - src_px) * 10000 // src_px AS pad_overhead_x10k
         |FROM agg ORDER BY band""".stripMargin,
+    // mm16: dims from source bytes, per-band next-fit fold as a
+    // recursive CTE (the pp38 replay shape), patch math all-integer
+    "mm16_patch_batches" ->
+      """WITH RECURSIVE g AS (SELECT doc_id AS media_id,
+        |    CAST(length(text) // 16 AS BIGINT) AS h
+        |  FROM documents WHERE length(text) >= 16),
+        |dt AS MATERIALIZED (SELECT media_id, h // 16 AS band,
+        |    ((h + 7) // 8) * 2 AS patches,
+        |    row_number() OVER (PARTITION BY h // 16
+        |      ORDER BY media_id) AS rn
+        |  FROM g),
+        |r AS (SELECT band, rn, patches, CAST(0 AS BIGINT) AS batch,
+        |    patches AS fill
+        |  FROM dt WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.band, t.rn, t.patches,
+        |    CASE WHEN r.fill + t.patches <= 128 THEN r.batch
+        |         ELSE r.batch + 1 END,
+        |    CASE WHEN r.fill + t.patches <= 128
+        |         THEN r.fill + t.patches
+        |         ELSE t.patches END
+        |  FROM r JOIN dt t ON t.band = r.band AND t.rn = r.rn + 1),
+        |pb AS (SELECT band, batch, sum(patches) AS bp FROM r
+        |  GROUP BY 1, 2),
+        |bb AS (SELECT band, CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(greatest(0, 128 - bp)) AS BIGINT)
+        |      AS waste_patches
+        |  FROM pb GROUP BY 1),
+        |tot AS (SELECT band, CAST(count(*) AS BIGINT) AS n_images,
+        |    CAST(sum(patches) AS BIGINT) AS total_patches,
+        |    CAST((sum(patches) + 127) // 128 AS BIGINT) AS lb_batches
+        |  FROM dt GROUP BY 1)
+        |SELECT tot.band, n_images, total_patches, lb_batches,
+        |  n_batches, waste_patches,
+        |  CAST(waste_patches * 10000 // (n_batches * 128) AS BIGINT)
+        |    AS waste_x10k
+        |FROM tot JOIN bb USING (band)
+        |ORDER BY tot.band""".stripMargin,
     // mm15: planting, the flat-row scan (replace(row, first_char, '')
     // empty ⇔ single-valued row) and the cropped-byte md5 replayed
     // from source bytes — hash equality re-certifies the real decode

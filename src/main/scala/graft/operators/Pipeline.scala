@@ -1210,6 +1210,55 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** pp39: CONCAT-AND-CUT CHUNK ACCOUNTING — the third packing model
+    * next to pp11/pp36 (pad to cap, one bin per doc run) and pp38
+    * (next-fit bins): the GPT-pretraining loader concatenates a
+    * source's document stream into one token tape and cuts every `cap`
+    * tokens, so there is NO padding except the final partial chunk —
+    * the cost moves from pad tokens to SPLIT DOCUMENTS (a chunk
+    * boundary landing inside a doc severs its context). This report
+    * quantifies that trade per source: chunk count (= ⌈Σtok/cap⌉,
+    * exactly the pp38 lower bound), how many docs get split, how many
+    * chunk boundaries each doc absorbs, and the tail padding.
+    *
+    * The whole computation is ONE window per source — a doc's chunk
+    * interval is [cum_prev, cum_prev + ntok), so first/last chunk ids
+    * are integer divisions of a running sum; no stateful fold, no
+    * recursion, no driver loop. At 100 TB: one shuffle on source (the
+    * stream key), window + aggregate — embarrassingly linear, which is
+    * precisely why the concat loader is the scalable default and this
+    * report prices what it costs in severed docs. All-integer outputs;
+    * DuckDB replays the identical window.
+    */
+  val pp39ConcatChunks: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 512L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sized = t(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("cum_prev", coalesce(sum("ntok").over(w), lit(0L)))
+      .withColumn("first_chunk", expr(s"cum_prev DIV $cap"))
+      .withColumn("last_chunk", expr(s"(cum_prev + ntok - 1) DIV $cap"))
+    sized.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("total_tokens"),
+        (max("last_chunk") + 1L).as("n_chunks"),
+        sum(when(col("first_chunk") =!= col("last_chunk"), 1L)
+          .otherwise(0L)).as("n_split_docs"),
+        sum(col("last_chunk") - col("first_chunk")).as("n_cuts_inside"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_chunks"),
+        expr(s"(total_tokens + ${cap - 1}) DIV $cap = n_chunks")
+          .as("chunks_at_lower_bound"),
+        col("n_split_docs"),
+        expr("n_split_docs * 10000 DIV n_docs").as("split_x10k"),
+        col("n_cuts_inside"),
+        expr(s"n_chunks * $cap - total_tokens").as("tail_pad_tokens"))
+      .orderBy("source")
+  }
+
   /** pp37: DETERMINISTIC CORPUS SHUFFLE + SHARD MANIFEST — the
     * data-order primitive under every reproducible training run: a
     * seeded global shuffle (order = md5("seed42#" ‖ doc_id), the
@@ -1269,6 +1318,7 @@ object Pipeline {
     "pp37_shuffle_shards" -> pp37ShuffleShards,
     "pp36_seq_packing" -> pp36SequencePacking,
     "pp38_nfd_packing" -> pp38NfdPacking,
+    "pp39_concat_chunks" -> pp39ConcatChunks,
     "pp35_manifest" -> pp35Manifest,
     "pp34_soft_weights" -> pp34SoftWeights,
     "pp33_l_diversity" -> pp33LDiversity,
@@ -1396,6 +1446,36 @@ object Pipeline {
         |  bins_arrival, pad_arrival, bins_nfd, pad_nfd
         |FROM tot JOIN wa USING (source) JOIN wd USING (source)
         |ORDER BY tot.source""".stripMargin,
+    // pp39: the same one-window formulation — chunk intervals from a
+    // running sum, integer division everywhere (DuckDB // ≡ Spark DIV
+    // on non-negative operands)
+    "pp39_concat_chunks" ->
+      """WITH sized AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(coalesce(sum(len(string_split(text, ' ')))
+        |        OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS cum_prev
+        |  FROM documents),
+        |ch AS (SELECT source, doc_id, ntok,
+        |    cum_prev // 512 AS first_chunk,
+        |    (cum_prev + ntok - 1) // 512 AS last_chunk
+        |  FROM sized)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  CAST(max(last_chunk) + 1 AS BIGINT) AS n_chunks,
+        |  (sum(ntok) + 511) // 512 = max(last_chunk) + 1
+        |    AS chunks_at_lower_bound,
+        |  CAST(sum(CASE WHEN first_chunk <> last_chunk THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_split_docs,
+        |  CAST(sum(CASE WHEN first_chunk <> last_chunk THEN 1 ELSE 0
+        |    END) * 10000 // count(*) AS BIGINT) AS split_x10k,
+        |  CAST(sum(last_chunk - first_chunk) AS BIGINT) AS n_cuts_inside,
+        |  CAST((max(last_chunk) + 1) * 512 - sum(ntok) AS BIGINT)
+        |    AS tail_pad_tokens
+        |FROM ch GROUP BY source
+        |ORDER BY source""".stripMargin,
     // pp36: the greedy stateful fold replayed as a recursive CTE (one
     // recursion step per (source, rn) row — by definition materialized,
     // the gr05/dd10 rule); dt MATERIALIZED so string_split doesn't

@@ -1287,6 +1287,128 @@ object EventsStreaming {
   def cmsWidth(distinctUsers: Long): Int =
     math.max(16L, distinctUsers / 8L).toInt
 
+  case class HistState(curW: Long, cells: Array[Long])
+  case class HistOut(event_type: String, window_start: String,
+    n_events: Long, p50_bucket: Long, p90_bucket: Long, p99_bucket: Long)
+
+  /** st23: STREAMING HISTOGRAM-QUANTILE MONITOR — the latency/value-
+    * distribution face of the bounded-state family: per (event_type,
+    * hour window), a FIXED 128-bucket histogram over `value` replaces
+    * the sorted-buffer a true percentile would need (st12's lesson for
+    * counts, applied to order statistics: exact quantiles over a
+    * stream require O(window) state; the histogram is 128 longs per
+    * type at ANY traffic volume). At window close it emits the bucket
+    * index holding p50/p90/p99 — integer outputs, no interpolation, so
+    * both engines agree bit-for-bit.
+    *
+    * Bucket BOUNDS are derived, not hardcoded (the ss31/pp37/st22
+    * discipline): the driver face reads min/max(value) from the
+    * historical table in one constant-size aggregate at plan-build and
+    * the DuckDB oracle re-derives them from its own scan; the stream
+    * face takes them as its capacity plan (a live stream cannot know
+    * its future range — you provision the histogram from history,
+    * exactly like st22's width). The bucket map is pure double
+    * arithmetic in the SAME token order on both engines
+    * ((v − vmin)·128 / span, floored, clamped to [0,127]) — IEEE ops
+    * are exact-rounded, so the cell assignment is deterministic
+    * cross-engine without any rounding rule.
+    *
+    * Rank convention: p_q = smallest bucket whose cumulative count
+    * reaches ⌈q·n⌉ (integer: (q_num·n + q_den − 1) DIV q_den).
+    * `StreamingSpec` pins stream ≡ batch across a mid-feed state-store
+    * boundary and the quantile picks against an exact in-JVM sort.
+    */
+  def histStream(events: DataFrame, vmin: Double, vmax: Double)
+      : Dataset[HistOut] = {
+    import events.sparkSession.implicits._
+    val span = vmax - vmin
+    def tsu(r: Event): Long =
+      math.floorDiv(r.ts.getTime, 1000L) * 1000000L + r.ts.getNanos / 1000L
+    def fmt(w: Long): String =
+      java.time.LocalDateTime.ofEpochSecond(w * 3600L, 0,
+        java.time.ZoneOffset.UTC).format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"))
+    def bucket(v: Double): Int =
+      math.min(127L, math.max(0L,
+        math.floor((v - vmin) * 128.0 / span).toLong)).toInt
+    def kq(n: Long, num: Long, den: Long): Long = (num * n + den - 1) / den
+    def close(etype: String, st: HistState): HistOut = {
+      val n = st.cells.sum
+      def pick(k: Long): Long = {
+        var cum = 0L; var b = 0
+        while (b < 128) {
+          cum += st.cells(b)
+          if (cum >= k) return b.toLong
+          b += 1
+        }
+        127L
+      }
+      HistOut(etype, fmt(st.curW), n,
+        pick(kq(n, 1, 2)), pick(kq(n, 9, 10)), pick(kq(n, 99, 100)))
+    }
+    events.as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HistState, HistOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event],
+            state: GroupState[HistState]) =>
+          var st = state.getOption.getOrElse(
+            HistState(-1L, Array.fill(128)(0L)))
+          val out = scala.collection.mutable.ArrayBuffer[HistOut]()
+          rows.toSeq.sortBy(r => (tsu(r), r.event_id)).foreach { r =>
+            val w = tsu(r) / 3600000000L
+            if (st.curW >= 0L && w != st.curW) {
+              out += close(etype, st)
+              st = HistState(w, Array.fill(128)(0L))
+            } else if (st.curW < 0L) st = HistState(w, st.cells)
+            st.cells(bucket(r.value)) += 1L
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** st23 driver face: histogram rebuilt relationally, quantile picks
+    * via a cumulative window; bounds derived at plan-build (see
+    * [[histStream]]'s scaladoc); closed windows only (st21 horizon). */
+  private val st23HistQuantiles: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.t(s, d, "events")
+    val mm = ev.agg(min("value"), max("value")).first()
+    val (vmin, vmax) = (mm.getDouble(0), mm.getDouble(1))
+    require(vmax > vmin, "st23: degenerate value range")
+    val cells = ev.select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("w"),
+        least(lit(127L), greatest(lit(0L),
+          floor((col("value") - vmin) * 128.0 / (vmax - vmin))
+            .cast("long"))).as("bucket"))
+      .groupBy("event_type", "w", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // 2 refs: quantile window + horizon scan
+    val wTot = Window.partitionBy("event_type", "w")
+    val cum = cells
+      .withColumn("cum", sum("cnt").over(wTot.orderBy("bucket")))
+      .withColumn("n", sum("cnt").over(wTot))
+    val q = cum
+      .groupBy("event_type", "w")
+      .agg(max("n").as("n_events"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"),
+          col("bucket"))).as("p50_bucket"),
+        min(when(col("cum") >= expr("(9 * n + 9) DIV 10"),
+          col("bucket"))).as("p90_bucket"),
+        min(when(col("cum") >= expr("(99 * n + 99) DIV 100"),
+          col("bucket"))).as("p99_bucket"))
+    val mx = cells.groupBy(col("event_type").as("et"))
+      .agg(max("w").as("mxw"))
+    q.join(mx, col("event_type") === col("et") && col("w") < col("mxw"))
+      .select(col("event_type"),
+        date_format(expr("timestamp_seconds(w * 3600)"),
+          "yyyy-MM-dd HH:mm").as("window_start"),
+        col("n_events"), col("p50_bucket"), col("p90_bucket"),
+        col("p99_bucket"))
+      .orderBy("event_type", "window_start")
+  }
+
   /** st22 driver face: the sketch rebuilt relationally per closed
     * (type, window) cell, probes read via a 10-row broadcast grid;
     * width derived from one constant-size distinct-user count at
@@ -1541,6 +1663,7 @@ object EventsStreaming {
 
   val queries: Map[String, Q] = Map(
     "st22_cms_monitor" -> st22CmsMonitor,
+    "st23_hist_quantiles" -> st23HistQuantiles,
     "st21_digest_ledger" -> st21DigestLedger,
     "st20_decayed_talkers" -> st20DecayedTalkers,
     "st19_seasonal_alerts" -> st19SeasonalAlerts,
@@ -1668,6 +1791,47 @@ object EventsStreaming {
     // st21: window digests (sorted-id string_agg) + the prefix chain
     // fold via list_prepend genesis + list_reduce md5 (the dotSql
     // pattern); closed windows only
+    // st23: histogram rebuilt with the identical double-arithmetic
+    // bucket map (bounds re-derived from DuckDB's own min/max scan),
+    // cumulative-window quantile picks, closed windows only
+    "st23_hist_quantiles" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS w,
+        |    value
+        |  FROM events),
+        |bd AS (SELECT min(value) AS vmin, max(value) AS vmax
+        |  FROM events),
+        |cells AS MATERIALIZED (SELECT event_type, w,
+        |    least(127, greatest(0, CAST(floor(
+        |      (value - (SELECT vmin FROM bd)) * 128.0 /
+        |      ((SELECT vmax FROM bd) - (SELECT vmin FROM bd)))
+        |      AS BIGINT))) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2, 3),
+        |cum AS (SELECT event_type, w, bucket, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type, w
+        |      ORDER BY bucket) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type, w) AS n
+        |  FROM cells),
+        |q AS (SELECT event_type, w,
+        |    max(n) AS n_events,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN bucket END) AS p50,
+        |    min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bucket END)
+        |      AS p90,
+        |    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END)
+        |      AS p99
+        |  FROM cum GROUP BY 1, 2),
+        |mx AS (SELECT event_type AS et, max(w) AS mxw
+        |  FROM cells GROUP BY 1)
+        |SELECT q.event_type,
+        |  strftime(make_timestamp(q.w * 3600000000),
+        |    '%Y-%m-%d %H:%M') AS window_start,
+        |  CAST(q.n_events AS BIGINT) AS n_events,
+        |  CAST(q.p50 AS BIGINT) AS p50_bucket,
+        |  CAST(q.p90 AS BIGINT) AS p90_bucket,
+        |  CAST(q.p99 AS BIGINT) AS p99_bucket
+        |FROM q JOIN mx ON mx.et = q.event_type AND q.w < mx.mxw
+        |ORDER BY q.event_type, window_start""".stripMargin,
     // st22: the sketch rebuilt cell-for-cell (pp37 portable md5 cells),
     // fixed 10-user probe grid, closed windows only (the st21 horizon);
     // width RE-DERIVED from the oracle's own distinct-user count

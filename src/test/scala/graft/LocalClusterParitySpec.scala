@@ -94,7 +94,14 @@ class LocalClusterParitySpec extends SparkSpec {
     // inlined-literal projection folds, dd30's dual-threshold CC
     "gr18_scc_fwbw", "pp38_nfd_packing", "tx32_countmin_ngrams",
     "ss32_jl_recall", "dd30_policy_impact", "st22_cms_monitor",
-    "mm15_letterbox_crop")
+    "mm15_letterbox_crop",
+    // r9 additions: gr19's unsampled fwbwScc (edge-aware loop frames),
+    // gr20's condensation level loop, dd31's positional-gram diagonal
+    // windows, st23's derived-bounds double bucket map, mm16's per-band
+    // stateful packing fold, pp39's running-sum chunk windows — all
+    // must reproduce across real executor JVM boundaries
+    "gr19_scc_audit", "gr20_condensation", "dd31_longest_span",
+    "st23_hist_quantiles", "mm16_patch_batches", "pp39_concat_chunks")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

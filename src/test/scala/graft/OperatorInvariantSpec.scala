@@ -1448,6 +1448,63 @@ class OperatorInvariantSpec extends SparkSpec {
     got.values.foreach { case (d, k, r, _) => assert(k + r == d) }
   }
 
+  test("dd31: every reported span equals an in-JVM dynamic-programming " +
+      "LCS on the raw token arrays; chimera halves are recovered") {
+    val rows = Dedup.queries("dd31_longest_span")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val base = Tables.t(spark, sf, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val n = base.length
+    val texts = scala.collection.mutable.Map[Long, Array[String]]()
+    base.foreach { case (_, id, t) => texts(id) = t.split(" ", -1) }
+    // chimera partner = id-successor WITHIN the source, wrapping
+    base.groupBy(_._1).values.foreach { g =>
+      val srt = g.sortBy(_._2)
+      for (k <- srt.indices) {
+        val (_, id, t) = srt(k)
+        val (_, _, pt) = srt((k + 1) % srt.length)
+        val ts = t.split(" ", -1)
+        val ps = pt.split(" ", -1)
+        texts(id + 30000000L) =
+          ts.take((ts.length + 1) / 2) ++ ps.drop(ps.length / 2)
+      }
+    }
+    // classic O(|x|·|y|) longest-common-substring DP — the quadratic
+    // truth the operator's diagonal-islands formulation must equal
+    def lcs(x: Array[String], y: Array[String]): Int = {
+      var best = 0
+      var prev = new Array[Int](y.length + 1)
+      var cur = new Array[Int](y.length + 1)
+      for (i <- 1 to x.length) {
+        java.util.Arrays.fill(cur, 0)
+        for (j <- 1 to y.length) if (x(i - 1) == y(j - 1)) {
+          cur(j) = prev(j - 1) + 1
+          if (cur(j) > best) best = cur(j)
+        }
+        val tmp = prev; prev = cur; cur = tmp
+      }
+      best
+    }
+    assert(rows.length >= n, "pair list smaller than the plant")
+    rows.foreach { case (a, b, na, nb, span, share) =>
+      val truth = lcs(texts(a), texts(b))
+      val expected = if (truth >= 4) truth.toLong else 0L
+      assert(span == expected, s"pair ($a,$b): span $span != DP $truth")
+      assert(na == texts(a).length.toLong, s"n_a at ($a,$b)")
+      assert(nb == texts(b).length.toLong, s"n_b at ($a,$b)")
+      assert(share == span * 10000L / math.min(na, nb))
+    }
+    // the chimera guarantee: (i, chim_i) recovers at least i's prefix
+    // half (longer if the suffix happens to extend the run)
+    val prefixPairs = rows.filter(r => r._2 == r._1 + 30000000L)
+    assert(prefixPairs.nonEmpty)
+    prefixPairs.filter(_._3 >= 8).foreach { case (a, _, na, _, span, _) =>
+      assert(span >= (na + 1) / 2, s"chimera $a: prefix half lost")
+    }
+  }
+
   test("ss32: exact twin rank is 1 for every query and the projected " +
       "top-10 keeps a majority of twins") {
     val rows = Similarity.queries("ss32_jl_recall")(spark, sf)

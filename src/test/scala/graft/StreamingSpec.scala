@@ -454,6 +454,68 @@ class StreamingSpec extends SparkSpec {
       trueByKey.getOrElse((et, ws, u), 0L) > 0L }, "no active probe")
   }
 
+  test("streaming histogram quantiles match the st23 batch face and " +
+      "bracket the exact sorted quantiles") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.t(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect().map(r => EventsStreaming.Event(r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    val (vmin, vmax) = (corpus.map(_.value).min, corpus.map(_.value).max)
+    // split mid-feed: an OPEN window's 128-cell histogram must survive
+    // the state-store boundary
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.Event](spark)
+    val q = EventsStreaming.histStream(input.toDF(), vmin, vmax)
+      .writeStream.format("memory").queryName("histmon")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("histmon").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val want = EventsStreaming.queries("st23_hist_quantiles")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want,
+      s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+    // the histogram pick must BRACKET the exact order statistic: the
+    // true ⌈q·n⌉-th value's own bucket is exactly the reported bucket
+    // (the histogram is lossless up to bucket granularity)
+    def bucket(v: Double): Long =
+      math.min(127L, math.max(0L,
+        math.floor((v - vmin) * 128.0 / (vmax - vmin)).toLong))
+    val byWin = corpus.groupBy(r => (r.event_type,
+      (math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+        r.ts.getNanos / 1000L) / 3600000000L))
+    def fmtW(w: Long): String =
+      java.time.LocalDateTime.ofEpochSecond(w * 3600L, 0,
+        java.time.ZoneOffset.UTC).format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"))
+    var checked = 0
+    want.foreach { case (et, ws, n, p50, p90, p99) =>
+      byWin.find { case ((t, w), _) => t == et && fmtW(w) == ws }
+        .foreach { case (_, rows) =>
+          assert(n == rows.length.toLong, s"($et,$ws): n_events")
+          val sorted = rows.map(_.value).sorted.map(bucket)
+          def kth(num: Long, den: Long): Long =
+            sorted(((num * n + den - 1) / den - 1).toInt)
+          assert(p50 == kth(1, 2), s"($et,$ws): p50")
+          assert(p90 == kth(9, 10), s"($et,$ws): p90")
+          assert(p99 == kth(99, 100), s"($et,$ws): p99")
+          checked += 1
+        }
+    }
+    assert(checked > 0, "no window cross-checked against the exact sort")
+  }
+
   test("streaming decayed counters match the st20 fold batch face") {
     val sf = "/root/testdata/sf0.001"
     val corpus = Tables.t(spark, sf, "events")
