@@ -553,6 +553,46 @@ object TextAnalysis {
     * exact-count branch exists for the audit only — at 100 TB you ship
     * the 16384-cell sketch and never materialize the census it replaces.
     */
+  /** tx33: SOURCE NOVELTY ATTRIBUTION — the data-mixing question tx31's
+    * growth curve doesn't answer: WHICH source buys the new vocabulary?
+    * Concatenate the sources in canonical (name) order and credit every
+    * distinct trigram to the FIRST source containing it; a source's
+    * marginal-new count against its own distinct-gram count is its
+    * novelty share — the number a mixture designer reads before paying
+    * for another crawl of a source whose grams the mix already has
+    * (the tx24 drift monitor says sources differ; this says by how
+    * many NEW grams). Order-dependence is the point: the attribution
+    * is "what does source s add to everything alphabetically before
+    * it", a deterministic, replayable convention (same spirit as
+    * tx31's doc-order prefixes).
+    *
+    * Scale: one gram-keyed min aggregate (map-side combine collapses
+    * within-partition repeats — the tx31 shape) plus per-source
+    * counter aggregates; nothing wider than a gram string ever
+    * shuffles. All-integer outputs.
+    */
+  private val tx33SourceNovelty: Q = (s, d) => {
+    val tk = t(s, d, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val grams = tk.select(col("source"), explode(expr(
+      """transform(sequence(0, size(toks) - 3),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""
+        .stripMargin)).as("gram"))
+    val perSrc = grams.groupBy("source")
+      .agg(count(lit(1)).as("gram_occurrences"),
+        countDistinct(col("gram")).as("distinct_grams"))
+    val marginal = grams.groupBy("gram").agg(min("source").as("source"))
+      .groupBy("source").agg(count(lit(1)).as("new_grams"))
+    perSrc.join(marginal, Seq("source"), "left")
+      .select(col("source"), col("gram_occurrences"),
+        col("distinct_grams"),
+        coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+      .withColumn("novelty_x10k",
+        expr("new_grams * 10000 DIV distinct_grams"))
+      .orderBy("source")
+  }
+
   /** The tx32 width rule, shared with `OperatorInvariantSpec`:
     * ~8 distinct grams per cell, floor 64. */
   private[graft] def cmsWidth(distinctGrams: Long): Long =
@@ -604,6 +644,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    "tx33_source_novelty" -> tx33SourceNovelty,
     "tx32_countmin_ngrams" -> tx32CountMin,
     "tx31_vocab_growth" -> tx31VocabGrowth,
     "tx29_canary_audit" -> tx29CanaryAudit,
@@ -629,6 +670,28 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // tx33: gram build + first-source min + per-source counters, all
+    // replayed; integer division exact both engines
+    "tx33_source_novelty" ->
+      """WITH tk AS (SELECT source, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |bg AS MATERIALIZED (SELECT source,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |  FROM tk, LATERAL (SELECT
+        |    unnest(generate_series(1, len(toks) - 2)) AS i)),
+        |ps AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS gram_occurrences,
+        |    CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams
+        |  FROM bg GROUP BY 1),
+        |fs AS (SELECT gram, min(source) AS source FROM bg GROUP BY 1),
+        |mg AS (SELECT source, CAST(count(*) AS BIGINT) AS new_grams
+        |  FROM fs GROUP BY 1)
+        |SELECT ps.source, ps.gram_occurrences, ps.distinct_grams,
+        |  CAST(coalesce(mg.new_grams, 0) AS BIGINT) AS new_grams,
+        |  CAST(coalesce(mg.new_grams, 0) * 10000 // ps.distinct_grams
+        |    AS BIGINT) AS novelty_x10k
+        |FROM ps LEFT JOIN mg USING (source)
+        |ORDER BY ps.source""".stripMargin,
     // tx31: trigram build, first-seen min, prefix θ-joins replayed;
     // all-integer outputs
     // tx32: identical sketch rebuilt cell-for-cell (the pp37 portable

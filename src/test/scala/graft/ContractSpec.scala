@@ -20,7 +20,11 @@ class ContractSpec extends SparkSpec {
     "dd03_minhash_signatures", "dd04_minhash_lsh_pairs", "dd05_simhash",
     "dd06_ngram_jaccard_pairs", "dd07_embedding_neardup", "q38_sketches",
     "ss03_topk_ivf", "tx05_fingerprint_hash64",
-    "tx07_source_signature")
+    "tx07_source_signature",
+    // r9: the unsampled fact-scale SCC audit — no SQL oracle CAN exist
+    // (a closure is what the loop avoids); pinned by GraphSpec's
+    // in-JVM Tarjan instead
+    "gr19_scc_audit")
 
   test("events.ts read adapts to both driver layouts (ns-long and us-ts)") {
     import org.apache.spark.sql.functions._

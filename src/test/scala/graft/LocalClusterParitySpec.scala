@@ -101,7 +101,8 @@ class LocalClusterParitySpec extends SparkSpec {
     // stateful packing fold, pp39's running-sum chunk windows — all
     // must reproduce across real executor JVM boundaries
     "gr19_scc_audit", "gr20_condensation", "dd31_longest_span",
-    "st23_hist_quantiles", "mm16_patch_batches", "pp39_concat_chunks")
+    "st23_hist_quantiles", "mm16_patch_batches", "pp39_concat_chunks",
+    "tx33_source_novelty")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
