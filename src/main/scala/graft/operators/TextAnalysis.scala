@@ -604,16 +604,18 @@ object TextAnalysis {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
     // corpus gram stream: feeds the width derivation, the sketch build
-    // AND the audit branch.
-    // Deliberately NOT checkpointed (A/B'd r8: 3.1 s with an eager
-    // checkpoint of the ~0.9M gram strings vs 2.4-2.6 s without — the
-    // block write costs more than re-running the cheap split+transform
-    // explode per consumer, and ReuseExchange dedups the repartition)
+    // AND the audit branch. r8 A/B'd an eager checkpoint SLOWER with
+    // three consumers (3.1 s vs 2.4-2.6 s); the r9 width job added a
+    // fourth full pass and flipped the call — re-A/B'd same-session:
+    // checkpointed 3.15/3.36 s vs un-checkpointed 3.59/3.97 s at
+    // sf0.1 (r8 code measured 2.84 on the same host — the remaining
+    // +0.3 s is the sizing job itself, the price of self-derivation)
     val grams = tk.select(col("doc_id"), explode(expr(
       """transform(sequence(0, size(toks) - 3),
         |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""
         .stripMargin)).as("gram"))
       .repartition(32)
+      .localCheckpoint()
     // derived width: ONE constant-size distinct count at plan-build
     // time (scaladoc above) — the result is a scalar, so inlining it
     // as a literal keeps the cell expression codegen-friendly
