@@ -506,6 +506,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  /** Final-plan-only view: AQE's toString appends the "Initial Plan"
+    * section, which double-counts exchanges for counting asserts. */
+  private def finalPlan(name: String): String = {
+    val s = executedPlan(name)
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("dd31: the islands window rides the pinned 32-way exchange, " +
+      "no product anywhere") {
+    val plan = executedPlan("dd31_longest_span")
+    // the user repartition(32, a, b, diag) must survive as a
+    // REPARTITION_BY_NUM exchange (AQE would otherwise byte-coalesce
+    // the CPU-bound matched-position stream to 1 task — the dd20 rule)
+    assert("REPARTITION_BY_NUM".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("pp39: one source-keyed exchange serves window AND rollup, " +
+      "no fold, no product") {
+    val plan = finalPlan("pp39_concat_chunks")
+    // the running-sum window and the per-source aggregate share one
+    // hash exchange; the only other exchange is the output sort's
+    // range partitioning
+    val hashEx = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$plan")
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("MapPartitions"), plan) // window math, not a fold
+  }
+
+  test("st23: both cumulative windows collapse into one (type, window) " +
+      "exchange; the horizon joins broadcast (st23)") {
+    val plan = finalPlan("st23_hist_quantiles")
+    // cells is checkpointed, so the final plan starts there: the cum +
+    // n windows must share ONE (event_type, w) hash exchange; the only
+    // other type-keyed exchange is the tiny horizon groupBy, which must
+    // then BROADCAST into the grid, never shuffle it
+    val hashEx = "Exchange hashpartitioning\\(event_type".r
+      .findAllMatchIn(plan).length
+    assert(hashEx <= 2, s"windows/rollup not sharing exchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   /** Surface-wide guard (round-5 verdict finding 1-3): a FORCED
     * `broadcast()` hint must never target a table whose row count grows
     * with the corpus — per-doc/per-media size tables, TPC-H
