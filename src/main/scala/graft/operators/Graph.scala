@@ -343,6 +343,12 @@ object Graph {
       // propagation fixpoint. Iterate: removing a feeder exposes the
       // next layer. This retires feeder chains and post-peel stragglers
       // at two cheap barriers per layer instead of a full FW-BW cycle.
+      // (r9 A/B, REJECTED: fusing 3 trim layers into one lazy plan to
+      // cut barriers re-references each layer's un-checkpointed frames
+      // — the 4³ duplicated semi-join subtrees all EXECUTE (ReuseExchange
+      // can't dedup broadcast semi-joins over checkpoint scans) and the
+      // same-session sweep ran gr19 17.1 s vs 10.9, gr18 6.7 vs 4.2:
+      // recompute beat the saved barriers. Per-layer checkpoints stay.)
       var trimmedN = 1L
       while (trimmedN > 0L && remaining > 0L) {
         val cyclic = ck(remNodes
