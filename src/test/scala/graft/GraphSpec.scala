@@ -454,6 +454,106 @@ class GraphSpec extends SparkSpec {
     assert(sizes.max >= 2, "fixture graph has no cycle — audit vacuous")
   }
 
+  test("gr20: condensation levels/degrees/sizes match an in-JVM " +
+      "Tarjan + DAG longest-path replay on the sampled graph") {
+    val hubOff = 20000000L
+    val cust = Tables.t(spark, sf, "customer")
+      .filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").cast("bigint"), col("c_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val sup = Tables.t(spark, sf, "supplier")
+      .filter(col("s_suppkey") % 5 === 0)
+      .select((col("s_suppkey") + lit(10000000L)).cast("bigint"),
+        col("s_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val trade = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+      .filter(col("l_suppkey") % 5 === 0)
+      .join(Tables.t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+          .filter(col("o_custkey") % 50 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + lit(10000000L)).cast("bigint"),
+        col("o_custkey").cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (trade ++
+      cust.map { case (id, nk) => (id, hubOff + nk) } ++
+      sup.map { case (id, nk) => (hubOff + nk, id) })
+      .filter(e => e._1 != e._2).distinct
+    val nodes = (cust.map(_._1) ++ sup.map(_._1) ++
+      (0 until 25).map(n => hubOff + n)).distinct
+    // Kosaraju-style SCC via two DFS passes (simple + iterative)
+    val fwd = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .withDefaultValue(Array.empty[Long])
+    val rev = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      .withDefaultValue(Array.empty[Long])
+    val seen = scala.collection.mutable.Set[Long]()
+    val order = scala.collection.mutable.ArrayBuffer[Long]()
+    nodes.foreach { s0 =>
+      if (!seen(s0)) {
+        val st = scala.collection.mutable.ArrayBuffer[(Long, Int)]((s0, 0))
+        seen += s0
+        while (st.nonEmpty) {
+          val (v, i) = st.remove(st.length - 1)
+          val ws = fwd(v)
+          if (i < ws.length) {
+            st += ((v, i + 1))
+            if (!seen(ws(i))) { seen += ws(i); st += ((ws(i), 0)) }
+          } else order += v
+        }
+      }
+    }
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    order.reverseIterator.foreach { s0 =>
+      if (!comp.contains(s0)) {
+        val members = scala.collection.mutable.ArrayBuffer[Long](s0)
+        comp(s0) = -1L
+        var i = 0
+        while (i < members.length) {
+          rev(members(i)).foreach { w =>
+            if (!comp.contains(w)) { comp(w) = -1L; members += w }
+          }
+          i += 1
+        }
+        val rep = members.min
+        members.foreach(m => comp(m) = rep)
+      }
+    }
+    // condensation + longest-path levels (hubs participate, like gr20)
+    val ce = edges.map(e => (comp(e._1), comp(e._2)))
+      .filter(p => p._1 != p._2).distinct
+    val dagNodes = comp.values.toSeq.distinct
+    val lvl = scala.collection.mutable.Map(dagNodes.map(_ -> 0L): _*)
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      changed = false; rounds += 1
+      assert(rounds <= dagNodes.length + 1, "condensation not acyclic")
+      ce.foreach { case (u, v) =>
+        if (lvl(u) + 1 > lvl(v)) { lvl(v) = lvl(u) + 1; changed = true }
+      }
+    }
+    val sizes = comp.toSeq.filter(_._1 < hubOff).groupBy(_._2)
+      .view.mapValues(_.size.toLong).toMap
+    val outD = ce.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inD = ce.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = Graph.queries("gr20_condensation")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == sizes.keySet, "real-SCC set differs")
+    got.foreach { case (scc, (size, level, ind, outd)) =>
+      assert(size == sizes(scc), s"scc $scc: size")
+      assert(level == lvl(scc), s"scc $scc: level")
+      assert(ind == inD.getOrElse(scc, 0L), s"scc $scc: in_deg")
+      assert(outd == outD.getOrElse(scc, 0L), s"scc $scc: out_deg")
+    }
+    // non-degenerate: the fixture DAG has real depth. (The level-0
+    // sources are typically filtered HUB singletons — nations with
+    // suppliers but no sampled customers — so real components start
+    // at level ≥ 1; what must hold is that depth actually propagates.)
+    assert(got.nonEmpty)
+    assert(got.values.exists(_._2 >= 2L), "DAG depth < 2 — fixture flat")
+  }
+
   test("gr18: entity-graph SCC output is structurally consistent") {
     val rows = Graph.queries("gr18_scc_fwbw")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
