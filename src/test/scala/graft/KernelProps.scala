@@ -236,3 +236,71 @@ object KernelProps extends Properties("GraftKernels") {
         stateOk && exactOk && sizeOk
     }
 }
+
+/** Property tests for the dd31 diagonal-islands LCS identity: the
+  * relational formulation (positional k-gram matches grouped by the
+  * i−j diagonal; longest consecutive run + k−1) equals the classic
+  * quadratic dynamic-programming longest common token substring —
+  * for ANY pair of token sequences, not just the planted corpus the
+  * OperatorInvariantSpec pins. A tiny vocabulary forces dense gram
+  * collisions (repeats, multiple diagonals, overlapping runs), the
+  * regime where a formulation bug would hide.
+  */
+object SpanLcsProps extends Properties("DiagonalIslandsLcs") {
+  import org.scalacheck.{Gen, Prop}
+
+  private val k = 4 // the dd31 gram width
+  private val toks: Gen[Array[String]] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.toArray))
+
+  private def dpLcs(x: Array[String], y: Array[String]): Int = {
+    var best = 0
+    var prev = new Array[Int](y.length + 1)
+    var cur = new Array[Int](y.length + 1)
+    for (i <- 1 to x.length) {
+      java.util.Arrays.fill(cur, 0)
+      for (j <- 1 to y.length) if (x(i - 1) == y(j - 1)) {
+        cur(j) = prev(j - 1) + 1
+        if (cur(j) > best) best = cur(j)
+      }
+      val tmp = prev; prev = cur; cur = tmp
+    }
+    best
+  }
+
+  /** The operator's relational pipeline, replayed on plain collections:
+    * positional k-grams, equi-match on the gram STRING, group by
+    * diagonal, longest consecutive-i run, + (k−1); 0 when no match. */
+  private def islandsLcs(x: Array[String], y: Array[String]): Int = {
+    def grams(t: Array[String]): Seq[(Int, String)] =
+      if (t.length < k) Seq.empty
+      else (0 to t.length - k).map(i => i -> t.slice(i, i + k).mkString(" "))
+    val gb = grams(y).groupBy(_._2)
+    val matches = grams(x).flatMap { case (i, g) =>
+      gb.getOrElse(g, Seq.empty).map { case (j, _) => (i, j) } }
+    if (matches.isEmpty) 0
+    else matches.groupBy { case (i, j) => i - j }.values.map { diag =>
+      val is = diag.map(_._1).sorted
+      // gaps-and-islands: run length = count per (i - rank) group
+      is.zipWithIndex.groupBy { case (i, r) => i - r }
+        .values.map(_.length).max
+    }.max + (k - 1)
+  }
+
+  property("diagonal islands equal the DP longest common substring") =
+    Prop.forAll(toks, toks) { (x, y) =>
+      val truth = dpLcs(x, y)
+      val expected = if (truth >= k) truth else 0
+      islandsLcs(x, y) == expected
+    }
+
+  property("a planted shared window is always recovered") =
+    Prop.forAll(toks, toks, Gen.chooseNum(4, 12)) { (x, y, w) =>
+      // splice the same w-token window into both sequences
+      val win = Array.tabulate(w)(i => s"W$i")
+      val xs = x ++ win ++ x
+      val ys = y ++ win ++ y
+      islandsLcs(xs, ys) >= w
+    }
+}
