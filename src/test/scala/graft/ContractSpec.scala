@@ -67,6 +67,19 @@ class ContractSpec extends SparkSpec {
       s"unexpected rows-only set: ${(q -- o).toSeq.sorted}")
   }
 
+  test("rows-only queries are run-to-run deterministic (byte-hash)") {
+    // the DuckDB oracle pins every other query's exact bytes; the
+    // rows-only remainder is the least-pinned surface, so pin at least
+    // DETERMINISM: two fresh builds of the same plan in one session
+    // must hash identically — an unstable sort, a nondeterministic
+    // sample, or an AQE-order-sensitive aggregate shows up here
+    rowsOnly.toSeq.sorted.foreach { name =>
+      val h1 = ResultHash.hash(SparkEntry.queries(name)(spark, sf))
+      val h2 = ResultHash.hash(SparkEntry.queries(name)(spark, sf))
+      assert(h1 == h2, s"$name: nondeterministic result ($h1 != $h2)")
+    }
+  }
+
   test("every query analyzes at smoke scale with a hash-safe schema") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val schema = fn(spark, sf).schema // analysis only — no execution
