@@ -27,7 +27,8 @@ object Scratch {
     run()
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    val stages = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Int)]()
+    val stages = scala.collection.mutable
+      .ArrayBuffer[(Int, String, Long, Int, Long, Long)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -35,17 +36,21 @@ object Scratch {
           val i = sc.stageInfo
           val dur = (for {c <- i.completionTime; s <- i.submissionTime}
             yield c - s).getOrElse(-1L)
+          val m = i.taskMetrics
           stages += ((i.stageId, i.name.takeWhile(_ != '\n').take(60), dur,
-            i.numTasks))
+            i.numTasks, m.shuffleWriteMetrics.bytesWritten,
+            m.shuffleReadMetrics.totalBytesRead))
         }
       })
     time("full")(run())
     Thread.sleep(500)
-    stages.sortBy(-_._3).take(25).foreach { case (id, n, d, t) =>
-      println(f"[scratch] stage $id%3d $d%6d ms tasks=$t%-3d $n")
+    stages.sortBy(-_._3).take(25).foreach { case (id, n, d, t, sw, sr) =>
+      println(f"[scratch] stage $id%3d $d%6d ms tasks=$t%-3d " +
+        f"shW=${sw / 1024}%8d KiB shR=${sr / 1024}%8d KiB $n")
     }
     println(s"[scratch] total stages: ${stages.size}, " +
-      s"sum ${stages.map(_._3).sum} ms")
+      s"sum ${stages.map(_._3).sum} ms, " +
+      s"shuffle write ${stages.map(_._5).sum / 1024} KiB")
     spark.stop()
   }
 }

@@ -1414,7 +1414,10 @@ object Dedup {
     * (≥ 4 tokens; 0 below that floor).
     *
     * Algorithm — no suffix structures, pure relational: join the two
-    * docs' positional 4-grams on the gram STRING, group matches by the
+    * docs' positional 4-grams on the gram's 8-byte xxhash64 (gram text
+    * stays out of the shuffle; the DuckDB oracle joins the strings —
+    * order- and collision-free at fixture scale, spec-pinned vs an
+    * in-JVM DP on the raw tokens), group matches by the
     * DIAGONAL (i − j): a shared span of length L is exactly a run of
     * L−3 consecutive matched positions on one diagonal, so
     * gaps-and-islands (pos − row_number) over each (pair, diagonal)
@@ -1456,11 +1459,15 @@ object Dedup {
                |    size(split(ptext, ' '))
                |      - size(split(ptext, ' ')) div 2)))"""
           .stripMargin).as("text"))
-      .repartition(32).localCheckpoint() // 2 refs: pair build + grams
+      .repartition(32).localCheckpoint() // 3 refs: pair build + grams + token counts
     val pairs = chim.select(col("src_a").as("a"), col("doc_id").as("b"))
       .unionAll(chim.select(col("src_b").as("a"), col("doc_id").as("b")))
       .distinct()
       .localCheckpoint() // 2 refs: the match join + the zero-span left join
+    // the match join keys on an 8-byte xxhash64 of the gram (the dd21
+    // shuffle-key discipline) so gram TEXT never rides the shuffle —
+    // a hash collision could only LENGTHEN a run, and both the in-JVM
+    // DP spec and the planted-chimera oracle would catch the artifact
     def grams(df: DataFrame, idAs: String, posAs: String): DataFrame = df
       .select(col("doc_id").as(idAs), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 4)
@@ -1468,10 +1475,11 @@ object Dedup {
         """transform(sequence(0, size(toks) - 4),
           |  p -> concat_ws(' ', toks[p], toks[p+1], toks[p+2],
           |    toks[p+3]))""".stripMargin)))
-      .withColumnRenamed("pos", posAs).withColumnRenamed("col", "g")
+      .withColumnRenamed("pos", posAs)
+      .select(col(idAs), col(posAs), xxhash64(col("col")).as("gh"))
     val ga = grams(docs, "a", "i")
     val gb = grams(chim.select("doc_id", "text"), "b", "j")
-    val matched = pairs.join(ga, Seq("a")).join(gb, Seq("b", "g"))
+    val matched = pairs.join(ga, Seq("a")).join(gb, Seq("b", "gh"))
       .select(col("a"), col("b"), col("i"), col("j"),
         (col("i") - col("j")).as("diag"))
     val wDiag = Window.partitionBy("a", "b", "diag").orderBy("i")

@@ -334,8 +334,12 @@ object Graph {
     // peel unions never need a null branch
     var assigned: DataFrame =
       remNodes.select(col("id"), col("id").as("scc_id")).limit(0)
-    var peelGuard = 0
-    while (remaining > 0L && peelGuard < 64) {
+    // non-convergence guard derived from the live node count (every
+    // round retires ≥1 node, so rounds ≤ n; 64 floor keeps the bound
+    // meaningful on tiny fixtures)
+    val maxPeel = math.max(64L, remaining)
+    var peelGuard = 0L
+    while (remaining > 0L && peelGuard < maxPeel) {
       peelGuard += 1
       // 0. TRIM (the MultiStep accelerator, Slota et al. SC'14): a node
       // with no remaining in-edge or no remaining out-edge cannot sit on
@@ -439,7 +443,7 @@ object Graph {
     // a partial assignment would otherwise surface only as an opaque
     // oracle hash diff — fail LOUDLY like connectedComponentsStar does
     if (remaining > 0L)
-      sys.error(s"fwbwScc did not converge in 64 peel rounds " +
+      sys.error(s"fwbwScc did not converge in $maxPeel peel rounds " +
         s"($remaining nodes unassigned)")
     assigned
   }
@@ -546,38 +550,25 @@ object Graph {
     val edges = edges0.filter(col("u") =!= col("v")).distinct()
       .localCheckpoint() // 2 refs: the SCC loop + the condensation map
     val scc = fwbwScc(nodes, edges)
-      .localCheckpoint() // 3 refs: two condensation joins + sizing
-    val ce = edges
+      .localCheckpoint() // 4 refs: two condensation joins + sizing + ids
+    val sccIds = scc.select(col("scc_id").as("n")).distinct()
+      .localCheckpoint() // 2 refs: the width-sizing count + level seed
+    // loop-frame width DERIVES from the live condensation size (the
+    // fwbwScc np() rule): a near-acyclic graph condenses to ~|V|
+    // components and a hardcoded single-partition frame would run the
+    // whole level loop serial; at graded SFs this resolves to 1
+    val nScc = sccIds.count()
+    val npC = npScc(nScc)
+    val ce0 = edges
       .join(scc.select(col("id").as("u"), col("scc_id").as("cu")),
         Seq("u"))
       .join(scc.select(col("id").as("v"), col("scc_id").as("cv")),
         Seq("v"))
       .filter(col("cu") =!= col("cv"))
       .select(col("cu").as("u"), col("cv").as("v")).distinct()
-      .coalesce(1) // condensed DAG: tens of rows at any graded SF
+    val ce = (if (npC == 1) ce0.coalesce(1) else ce0.repartition(npC))
       .localCheckpoint() // loop-carried, re-joined every level round
-    var lvl = scc.select(col("scc_id").as("n")).distinct()
-      .withColumn("lvl", lit(0L)).coalesce(1).localCheckpoint()
-    var prevSig = -1L
-    var guard = 0
-    var converged = false
-    while (!converged) {
-      guard += 1
-      if (guard > 64) sys.error("gr20 level loop did not converge " +
-        "in 64 rounds — condensation not acyclic?")
-      // two raw hops per round (the fwbwScc discipline)
-      val p1 = ce.join(lvl.select(col("n").as("u"), col("lvl")), Seq("u"))
-        .select(col("v").as("n"), (col("lvl") + 1L).as("lvl"))
-      val p2 = ce.join(p1.select(col("n").as("u"), col("lvl")), Seq("u"))
-        .select(col("v").as("n"), (col("lvl") + 1L).as("lvl"))
-      val next = lvl.unionAll(p1).unionAll(p2)
-        .groupBy("n").agg(max("lvl").as("lvl"))
-        .coalesce(1).localCheckpoint() // 2 refs: signature + next round
-      val sig = next.agg(sum("lvl")).first().getLong(0)
-      converged = sig == prevSig
-      prevSig = sig
-      lvl = next
-    }
+    val lvl = dagLevels(ce, sccIds, npC, math.max(64L, nScc))
     val sizes = scc.filter(col("id") < 20000000L)
       .groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
     val outDeg = ce.groupBy(col("u").as("scc_id"))
@@ -592,6 +583,51 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"))
       .orderBy("scc_id")
+  }
+
+  /** Loop-frame width for an O(#SCC)-row condensation frame — the
+    * fwbwScc np() node rule applied to the live component count. */
+  private[graft] def npScc(n: Long): Int =
+    math.max(1L, math.min(32L, n / 50000L + 1L)).toInt
+
+  /** Longest-path levels over a condensed (acyclic) edge list `ce`
+    * (columns u, v) starting every node in `sccIds` (column n) at
+    * level 0 — gr20's loop body, extracted so GraphSpec can pin both
+    * the levels and the DERIVED frame width. Two raw hops per round
+    * (the fwbwScc discipline), monotone level-sum convergence, every
+    * loop-carried frame coalesced to `npC` and eagerly checkpointed
+    * (2 refs each: signature + next round). */
+  private[graft] def dagLevels(ce: DataFrame, sccIds: DataFrame,
+      npC: Int, maxRounds: Long): DataFrame = {
+    // width > 1 needs a real repartition: the level frame is few BYTES
+    // (two longs per SCC) so AQE byte-coalesces the aggregate to 1
+    // task and a bare coalesce(npC) can never grow it back — the dd20
+    // CPU-bound-over-few-bytes rule. npC == 1 keeps the shuffle-free
+    // coalesce (the graded-SF path: plan and hash unchanged vs r9).
+    def frame(df: DataFrame): DataFrame =
+      (if (npC == 1) df.coalesce(1) else df.repartition(npC))
+        .localCheckpoint() // 2 refs per round: signature + next round
+    var lvl = frame(sccIds.withColumn("lvl", lit(0L)))
+    var prevSig = -1L
+    var guard = 0L
+    var converged = false
+    while (!converged) {
+      guard += 1
+      // bound derived from the live SCC count (rounds ≤ ⌈depth/2⌉ ≤ n)
+      if (guard > maxRounds) sys.error("dagLevels did not converge " +
+        s"in $maxRounds rounds — condensation not acyclic?")
+      val p1 = ce.join(lvl.select(col("n").as("u"), col("lvl")), Seq("u"))
+        .select(col("v").as("n"), (col("lvl") + 1L).as("lvl"))
+      val p2 = ce.join(p1.select(col("n").as("u"), col("lvl")), Seq("u"))
+        .select(col("v").as("n"), (col("lvl") + 1L).as("lvl"))
+      val next = frame(lvl.unionAll(p1).unionAll(p2)
+        .groupBy("n").agg(max("lvl").as("lvl")))
+      val sig = next.agg(sum("lvl")).first().getLong(0)
+      converged = sig == prevSig
+      prevSig = sig
+      lvl = next
+    }
+    lvl
   }
 
   /** gr19: UNSAMPLED fact-scale SCC audit — the direct evidence that

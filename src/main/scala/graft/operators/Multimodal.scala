@@ -39,7 +39,18 @@ object Multimodal {
   /** Genuine PNG payloads: each document's bytes become the pixels of a
     * REAL 8-bit grayscale PNG (width 16, height ⌊nbytes/16⌋, tail bytes
     * truncated — truncation, not padding, so the oracle's substr replays
-    * the pixel source exactly). `content` holds actual encoder output
+    * the pixel source exactly).
+    *
+    * ASCII-corpus assumption (whole png-derived family: mm05/mm08/mm15/
+    * mm16…): the Spark side sizes images from UTF-8 BYTES
+    * (`text.getBytes`) while the DuckDB oracles replay with
+    * character-based `length(text)`/`substring` — identical only while
+    * the corpus is ASCII (which the synthetic documents table is, and
+    * the hash equality itself certifies per run). A multibyte corpus
+    * would need the oracles rewritten over `encode(text)` BLOB slices
+    * (byte-wise octet_length/substring), not just octet_length.
+    *
+    * `content` holds actual encoder output
     * (`javax.imageio`), not a fake: mm01/mm05 then round-trip it through
     * a real decode, and the DuckDB hash-compare over the SOURCE bytes
     * certifies the decode was lossless pixel-for-pixel.

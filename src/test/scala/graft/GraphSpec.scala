@@ -554,6 +554,35 @@ class GraphSpec extends SparkSpec {
     assert(got.values.exists(_._2 >= 2L), "DAG depth < 2 — fixture flat")
   }
 
+  test("gr20 loop frames: width derives from the live SCC count " +
+      "(npScc), and dagLevels carries exactly that width") {
+    // the np() rule applied to the condensation size: 1 partition up
+    // to 50k components, then linear growth, capped at 32
+    assert(Graph.npScc(1L) == 1)
+    assert(Graph.npScc(49999L) == 1)
+    assert(Graph.npScc(50000L) == 2)
+    assert(Graph.npScc(500000L) == 11)
+    assert(Graph.npScc(10000000L) == 32)
+    // dagLevels' loop-carried frame is coalesced to the requested
+    // width — the r9 hardcoded coalesce(1) is gone (a chain DAG
+    // 0→1→2→3→4 at npC=4 must come back 4-way AND correctly leveled)
+    import spark.implicits._
+    val ce = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("u", "v").repartition(4)
+    val ids = (0L to 4L).toDF("n")
+    val lvl = Graph.dagLevels(ce, ids, 4, 64L)
+    assert(lvl.rdd.getNumPartitions == 4,
+      s"frame width ${lvl.rdd.getNumPartitions}, expected the derived 4")
+    val got = lvl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // and the acyclicity guard still fires, bounded by the given rounds
+    val cyc = Seq((0L, 1L), (1L, 0L)).toDF("u", "v")
+    val ex = intercept[RuntimeException] {
+      Graph.dagLevels(cyc, Seq(0L, 1L).toDF("n"), 1, 8L)
+    }
+    assert(ex.getMessage.contains("8 rounds"))
+  }
+
   test("gr18: entity-graph SCC output is structurally consistent") {
     val rows = Graph.queries("gr18_scc_fwbw")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
