@@ -908,6 +908,8 @@ object GraftFunctions {
     GraftShim.column(CharDiversity(GraftShim.expression(c)))
   def readability_stats(c: Column): Column =
     GraftShim.column(ReadabilityStats(GraftShim.expression(c)))
+  def bpe_subword_count(c: Column, spec: String): Column =
+    GraftShim.column(BpeSubwordCount(GraftShim.expression(c), spec))
 
   /** Make the functions callable from spark.sql text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

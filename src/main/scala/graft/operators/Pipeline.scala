@@ -1068,20 +1068,26 @@ object Pipeline {
     * fertility (subword tokens per whitespace word ×10⁴ — the standard
     * tokenizer-efficiency metric; high fertility = the vocab fragments
     * this language) and compression (non-space chars per subword ×100).
-    * The subword count is tx06's deterministic ceil(len/4) BPE-ish
-    * estimate via the fused text_stats codegen kernel (one byte scan for
-    * words + subwords + chars — the tx01/02/03 perf lesson), so the
-    * whole audit is exact integer arithmetic the oracle replays.
+    * r10 upgrade: the subword count is the REAL tx34-trained BPE
+    * tokenizer ([[graft.functions.BpeSubwordCount]] codegen kernel),
+    * not tx06's ceil(len/4) estimate — the audit now reports actual
+    * vocabulary fit (tx35 carries the estimate-vs-real comparison per
+    * doc). Whitespace words and non-space chars still come from the
+    * fused text_stats byte scan; everything stays exact integer
+    * arithmetic the oracle replays (training loop included).
     *
-    * Scale: per-row projection (codegen) + one counter-only groupBy on
-    * a low-cardinality key — linear, no wide rows on any exchange.
+    * Scale: one plan-build word-count job (the bounded tx34 collect) +
+    * per-row projection (codegen) + one counter-only groupBy on a
+    * low-cardinality key — linear, no wide rows on any exchange.
     */
   private val pp32TokenizerFertility: Q = (s, d) => {
     val st = graft.functions.GraftFunctions.text_stats(col("text"))
+    val spec = TextAnalysis.bpeSpecFor(s, d)
     t(s, d, "documents")
       .select(col("lang"), col("source"),
         st.getField("n_tokens").as("w"),
-        st.getField("n_subwords").as("sw"),
+        graft.functions.GraftFunctions.bpe_subword_count(col("text"), spec)
+          .as("sw"),
         st.getField("n_nospace").as("nsp"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
@@ -1259,6 +1265,59 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** pp40: CONCAT-AND-CUT UNDER THE REAL TOKENIZER — pp39's chunk
+    * accounting priced twice per source, once in whitespace tokens
+    * (what the cheap model budgets) and once in tx34-trained BPE
+    * subwords (what the loader actually emits), in ONE pass: both
+    * running sums ride the same (source, doc_id) window, so the
+    * comparison costs one extra column, not one extra shuffle. The
+    * deliverable is the mis-pricing report: chunk_ratio_x100 says how
+    * many more real chunks the corpus cuts into than the whitespace
+    * budget predicted (≈ fertility), and the split-doc counts say
+    * whether the extra cuts land inside documents — the number that
+    * decides if a whitespace-budgeted data order survives contact with
+    * the real tokenizer.
+    *
+    * Scale: pp39's argument verbatim — one shuffle on the stream key,
+    * one window, one aggregate; the kernel adds a per-row text scan.
+    * All-integer outputs; DuckDB replays the window AND the tokenizer
+    * training (the shared bpe prefix).
+    */
+  val pp40ConcatChunksBpe: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 512L
+    val spec = TextAnalysis.bpeSpecFor(s, d)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sized = t(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("wtok"),
+        graft.functions.GraftFunctions.bpe_subword_count(col("text"), spec)
+          .as("stok"))
+      .withColumn("cum_w", coalesce(sum("wtok").over(w), lit(0L)))
+      .withColumn("cum_s", coalesce(sum("stok").over(w), lit(0L)))
+      .withColumn("fw", expr(s"cum_w DIV $cap"))
+      .withColumn("lw", expr(s"(cum_w + wtok - 1) DIV $cap"))
+      .withColumn("fs", expr(s"cum_s DIV $cap"))
+      .withColumn("ls", expr(s"(cum_s + stok - 1) DIV $cap"))
+    sized.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("wtok").as("ws_tokens"), sum("stok").as("sw_tokens"),
+        (max("lw") + 1L).as("chunks_ws"),
+        (max("ls") + 1L).as("chunks_bpe"),
+        sum(when(col("fw") =!= col("lw"), 1L).otherwise(0L))
+          .as("split_ws"),
+        sum(when(col("fs") =!= col("ls"), 1L).otherwise(0L))
+          .as("split_bpe"))
+      .select(col("source"), col("n_docs"),
+        col("ws_tokens"), col("sw_tokens"),
+        col("chunks_ws"), col("chunks_bpe"),
+        expr("chunks_bpe * 100 DIV chunks_ws").as("chunk_ratio_x100"),
+        col("split_ws"), col("split_bpe"),
+        expr("sw_tokens * 10000 DIV ws_tokens").as("fertility_x10k"))
+      .orderBy("source")
+  }
+
   /** pp37: DETERMINISTIC CORPUS SHUFFLE + SHARD MANIFEST — the
     * data-order primitive under every reproducible training run: a
     * seeded global shuffle (order = md5("seed42#" ‖ doc_id), the
@@ -1319,6 +1378,7 @@ object Pipeline {
     "pp36_seq_packing" -> pp36SequencePacking,
     "pp38_nfd_packing" -> pp38NfdPacking,
     "pp39_concat_chunks" -> pp39ConcatChunks,
+    "pp40_concat_chunks_bpe" -> pp40ConcatChunksBpe,
     "pp35_manifest" -> pp35Manifest,
     "pp34_soft_weights" -> pp34SoftWeights,
     "pp33_l_diversity" -> pp33LDiversity,
@@ -1563,15 +1623,15 @@ object Pipeline {
         |    AS modal_share_x10k
         |FROM cells GROUP BY 1, 2 ORDER BY lang, len_band""".stripMargin,
     // pp32: word/subword/char counters replayed with tx06's formulas.
-    "pp32_tokenizer_fertility" ->
-      """WITH q AS (SELECT lang, source,
-        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+    // pp32 (r10): real subword counts — the shared BPE training replay
+    // feeds per-doc docsw, then the same integer fertility rollup
+    "pp32_tokenizer_fertility" -> (TextAnalysis.bpeDocPrefixSql +
+      """,q AS (SELECT d.lang, d.source,
+        |    CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1
         |      AS BIGINT) AS w,
-        |    CAST(list_sum(list_transform(string_split(text, ' '),
-        |        t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
-        |      AS BIGINT) AS sw,
-        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nsp
-        |  FROM documents)
+        |    docsw.n_subwords AS sw,
+        |    CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS nsp
+        |  FROM documents d JOIN docsw USING (doc_id))
         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(w) AS BIGINT) AS n_words,
         |  CAST(sum(sw) AS BIGINT) AS n_subwords,
@@ -1579,7 +1639,39 @@ object Pipeline {
         |    AS fertility_x10k,
         |  CAST(sum(nsp) AS BIGINT) * 100 // CAST(sum(sw) AS BIGINT)
         |    AS chars_per_subword_x100
-        |FROM q GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+        |FROM q GROUP BY 1, 2 ORDER BY lang, source""".stripMargin),
+    // pp40: the pp39 window replayed twice over the shared cumulative
+    // sums — whitespace AND real-subword chunking, one window each side
+    "pp40_concat_chunks_bpe" -> (TextAnalysis.bpeDocPrefixSql +
+      """,sized AS (SELECT d.source, d.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS wtok,
+        |    docsw.n_subwords AS stok
+        |  FROM documents d JOIN docsw USING (doc_id)),
+        |cums AS (SELECT source, doc_id, wtok, stok,
+        |    CAST(coalesce(sum(wtok) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_w,
+        |    CAST(coalesce(sum(stok) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_s
+        |  FROM sized)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(wtok) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(stok) AS BIGINT) AS sw_tokens,
+        |  CAST(max((cum_w + wtok - 1) // 512) + 1 AS BIGINT)
+        |    AS chunks_ws,
+        |  CAST(max((cum_s + stok - 1) // 512) + 1 AS BIGINT)
+        |    AS chunks_bpe,
+        |  CAST((max((cum_s + stok - 1) // 512) + 1) * 100
+        |    // (max((cum_w + wtok - 1) // 512) + 1) AS BIGINT)
+        |    AS chunk_ratio_x100,
+        |  CAST(sum(CASE WHEN cum_w // 512 <> (cum_w + wtok - 1) // 512
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS split_ws,
+        |  CAST(sum(CASE WHEN cum_s // 512 <> (cum_s + stok - 1) // 512
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS split_bpe,
+        |  CAST(sum(stok) * 10000 // sum(wtok) AS BIGINT)
+        |    AS fertility_x10k
+        |FROM cums GROUP BY source ORDER BY source""".stripMargin),
     // pp30: the full importance pipeline replayed — same md5 bucket hash,
     // same ×10⁶ DIV rate-difference weights, same per-source top-20%.
     "pp30_importance_select" ->

@@ -593,6 +593,187 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** BPE knobs, shared with the oracle generator and the specs:
+    * training vocab capped at the top `BPE_CAP` words by (freq DESC,
+    * word ASC) — the bounded driver collect that makes the merge loop
+    * constant-size by construction (real distributed BPE trainers work
+    * exactly this way: word counting is the distributed pass, merges
+    * run on the bounded count table). Merge count DERIVES from the
+    * capped vocab (the tx32 derive-the-knob discipline), structurally
+    * bounded by `BPE_UNROLL` — the number of steps the static oracle
+    * SQL unrolls (steps beyond the derived count are relational
+    * no-ops; a corpus deriving more would fail the oracle LOUDLY, not
+    * silently truncate).
+    */
+  private[graft] val BPE_CAP = 4096
+  private[graft] val BPE_UNROLL = 24
+  private[graft] def bpeMergeCount(vocab: Int): Int =
+    math.min(BPE_UNROLL, math.max(8, vocab / 2))
+
+  /** The ONE distributed pass BPE training needs: word → corpus
+    * frequency, capped. Empty split artifacts are excluded (they
+    * tokenize to zero subwords in every implementation). */
+  private[graft] def bpeWordFreqs(s: SparkSession, d: String)
+      : Seq[(String, Long)] =
+    t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(BPE_CAP)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** tx34: BPE MERGE-TABLE TRAINING — the corpus-derived subword
+    * tokenizer every token-denominated operator in the repo has been
+    * estimating around (tx06's ceil(len/4), whitespace counts in
+    * pp32/pp36/pp39). Output is the learned merge table itself:
+    * (rank, lhs, rhs, pair_count) — certified cross-engine, because
+    * the DuckDB oracle REPLAYS THE TRAINING LOOP relationally: each
+    * unrolled step recounts weighted adjacent pairs, picks the same
+    * (count DESC, lhs, rhs) winner, and applies the merge as a
+    * gaps-and-islands parity selection over candidate positions (a
+    * single simultaneous left-priority pass is a fixpoint for its own
+    * pair, so one islands pass per step is exact — no recursion).
+    *
+    * Scale: the corpus-sized work is ONE word-count aggregate; the
+    * merge loop runs on the ≤`BPE_CAP`-row frequency table on the
+    * driver (documented bounded collect, the ss20 centroid-read
+    * shape). See [[graft.functions.Bpe]] for the pinned semantics.
+    */
+  private val tx34BpeMerges: Q = (s, d) => {
+    val wf = bpeWordFreqs(s, d)
+    val merges = graft.functions.Bpe.train(wf, bpeMergeCount(wf.length))
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => ((i + 1).toLong, l, r, c) }
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** tx35: REAL SUBWORD TOKEN COUNTS per document — the upgrade from
+    * tx06's ceil(len/4) estimate to counts under the tx34-trained
+    * tokenizer, side by side with the estimate (the estimates-vs-real
+    * audit a budget owner reads before trusting either number).
+    * Encode runs in the [[graft.functions.BpeSubwordCount]] codegen
+    * kernel (merge table parsed once per spec via a static cache,
+    * per-word counts memoized — per row it is one text scan). The
+    * oracle re-derives the merge table from its own scan (unrolled
+    * training replay) and joins every doc word to its trained
+    * symbolization length — encode ≡ training evolution by the
+    * merges-in-rank-order definition, so the two formulations are
+    * equal BY CONSTRUCTION, not by luck.
+    *
+    * Scale: one plan-build word-count job + one kernel scan over the
+    * corpus; nothing shuffles but the word-frequency aggregate.
+    */
+  /** Train on `d`'s corpus and serialize for the kernel — the one
+    * plan-build job every consumer of the trained tokenizer runs
+    * (tx35, pp32, pp40). */
+  private[graft] def bpeSpecFor(s: SparkSession, d: String): String = {
+    val wf = bpeWordFreqs(s, d)
+    graft.functions.Bpe.spec(
+      graft.functions.Bpe.train(wf, bpeMergeCount(wf.length)))
+  }
+
+  private val tx35SubwordTokens: Q = (s, d) => {
+    val spec = bpeSpecFor(s, d)
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        GraftFunctions.bpe_subword_count(col("text"), spec)
+          .as("n_subwords"),
+        expr("CAST((length(text) + 3) DIV 4 AS BIGINT)").as("est_tokens"))
+      .withColumn("fertility_x100", expr("n_subwords * 100 DIV n_words"))
+      .orderBy("doc_id")
+  }
+
+  /** The unrolled relational BPE training replay both BPE oracles
+    * share (generated, `BPE_UNROLL` steps): per step — weighted pair
+    * counts over the capped vocab, deterministic argmax, islands-parity
+    * merge application. `s{m}` is each distinct corpus word's
+    * symbolization after m merges; `b{m}` is the step-m winner (empty
+    * once the derived merge count is exceeded, making later steps
+    * identity). Every multi-consumed CTE is MATERIALIZED (the dd13
+    * plan-nesting lesson, oracle side).
+    */
+  private def bpeChainSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |wc AS MATERIALIZED (SELECT w FROM w0 ORDER BY f DESC, w LIMIT 4096),
+      |mm AS (SELECT least(24, greatest(8, count(*) // 2)) AS mx FROM wc),
+      |s0 AS MATERIALIZED (SELECT w, f, string_split(w, '') AS sym FROM w0)
+      |""".stripMargin
+    for (m <- 1 to BPE_UNROLL) {
+      val p = s"s${m - 1}"
+      sb ++= s""",p$m AS (SELECT sym[i] AS l, sym[i + 1] AS r,
+        |    CAST(sum(f) AS BIGINT) AS c
+        |  FROM $p s JOIN wc USING (w),
+        |    LATERAL (SELECT unnest(generate_series(1, len(sym) - 1)) AS i)
+        |  GROUP BY 1, 2),
+        |b$m AS MATERIALIZED (SELECT l, r, c FROM p$m
+        |  WHERE (SELECT mx FROM mm) >= $m ORDER BY c DESC, l, r LIMIT 1),
+        |a$m AS (SELECT s.w, i,
+        |    i - row_number() OVER (PARTITION BY s.w ORDER BY i) AS isl
+        |  FROM $p s, b$m b,
+        |    LATERAL (SELECT unnest(generate_series(1, len(sym) - 1)) AS i)
+        |  WHERE sym[i] = b.l AND sym[i + 1] = b.r),
+        |sel$m AS MATERIALIZED (SELECT w, i FROM (
+        |    SELECT w, i, row_number() OVER (PARTITION BY w, isl ORDER BY i)
+        |      AS rn FROM a$m) WHERE rn % 2 = 1),
+        |pos$m AS (SELECT s.w, s.f, s.sym, p.i FROM $p s,
+        |  LATERAL (SELECT unnest(generate_series(1, len(sym))) AS i) p),
+        |s$m AS MATERIALIZED (SELECT pos.w, pos.f,
+        |    list(CASE WHEN sel.i IS NOT NULL
+        |      THEN pos.sym[pos.i] || pos.sym[pos.i + 1]
+        |      ELSE pos.sym[pos.i] END ORDER BY pos.i) AS sym
+        |  FROM pos$m pos
+        |  LEFT JOIN sel$m sel ON sel.w = pos.w AND sel.i = pos.i
+        |  LEFT JOIN sel$m prev ON prev.w = pos.w AND prev.i = pos.i - 1
+        |  WHERE prev.i IS NULL
+        |  GROUP BY pos.w, pos.f)
+        |""".stripMargin
+    }
+    sb.toString
+  }
+
+  private[graft] def tx34OracleSql: String =
+    bpeChainSql +
+      (1 to BPE_UNROLL).map(m =>
+        s"SELECT CAST($m AS BIGINT) AS merge_rank, l AS lhs, r AS rhs," +
+          s" c AS pair_count FROM b$m")
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY merge_rank")
+
+  /** bpeChainSql extended to per-document real subword counts
+    * (`docsw`: doc_id, n_subwords) — the prefix every oracle that
+    * consumes the trained tokenizer downstream shares (tx35, pp32,
+    * pp40). */
+  private[graft] def bpeDocPrefixSql: String =
+    bpeChainSql +
+      s""",ns AS (SELECT w, CAST(len(sym) AS BIGINT) AS nsub
+        |  FROM s$BPE_UNROLL),
+        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |docsw AS MATERIALIZED (SELECT doc_id,
+        |    CAST(coalesce(sum(ns.nsub), 0) AS BIGINT) AS n_subwords
+        |  FROM dw LEFT JOIN ns ON ns.w = dw.w GROUP BY doc_id)
+        |""".stripMargin
+
+  private[graft] def tx35OracleSql: String =
+    bpeDocPrefixSql +
+      s"""SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+        |  docsw.n_subwords,
+        |  CAST((length(d.text) + 3) // 4 AS BIGINT) AS est_tokens,
+        |  docsw.n_subwords * 100
+        |    // CAST(len(string_split(d.text, ' ')) AS BIGINT)
+        |    AS fertility_x100
+        |FROM documents d JOIN docsw USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+
   /** The tx32 width rule, shared with `OperatorInvariantSpec`:
     * ~8 distinct grams per cell, floor 64. */
   private[graft] def cmsWidth(distinctGrams: Long): Long =
@@ -646,6 +827,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    "tx34_bpe_merges" -> tx34BpeMerges,
+    "tx35_subword_tokens" -> tx35SubwordTokens,
     "tx33_source_novelty" -> tx33SourceNovelty,
     "tx32_countmin_ngrams" -> tx32CountMin,
     "tx31_vocab_growth" -> tx31VocabGrowth,
@@ -672,6 +855,10 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // tx34/tx35: the full BPE training loop replayed relationally
+    // (generated, BPE_UNROLL steps — see bpeChainSql's scaladoc)
+    "tx34_bpe_merges" -> tx34OracleSql,
+    "tx35_subword_tokens" -> tx35OracleSql,
     // tx33: gram build + first-source min + per-source counters, all
     // replayed; integer division exact both engines
     "tx33_source_novelty" ->

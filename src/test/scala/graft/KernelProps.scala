@@ -304,3 +304,89 @@ object SpanLcsProps extends Properties("DiagonalIslandsLcs") {
       islandsLcs(xs, ys) >= w
     }
 }
+
+/** Property tests for the BPE tokenizer's two formulation identities
+  * (graft.functions.Bpe): (1) the kernel's greedy left-to-right scan
+  * equals the gaps-and-islands parity selection the DuckDB oracle
+  * replays — candidate positions grouped into consecutive islands,
+  * odd-ranked positions merged — for ANY symbol sequence and pair
+  * (runs of identical symbols are the adversarial case); (2) encoding
+  * by applying merges in rank order reproduces the training-time
+  * evolution of every in-vocab word. Plus the invariants each merge
+  * pass must keep: character conservation and single-pass fixpoint.
+  */
+object BpeProps extends Properties("BpeTokenizer") {
+  import org.scalacheck.{Gen, Prop}
+  import graft.functions.Bpe
+
+  private val sym: Gen[String] = Gen.oneOf("a", "b", "c", "ab", "ba")
+  private val syms: Gen[Array[String]] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, sym).map(_.toArray))
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+  private val wordTable: Gen[Seq[(String, Long)]] =
+    Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.distinct.map(w => w -> (w.length + 1L))))
+
+  /** The oracle's relational formulation, replayed on collections:
+    * candidates → islands by (i − rank) → keep odd ranks → rebuild. */
+  private def islandsApply(s: Array[String], l: String, r: String)
+      : Array[String] = {
+    val cand = (0 until s.length - 1).filter(i => s(i) == l && s(i + 1) == r)
+    val sel = cand.zipWithIndex
+      .groupBy { case (i, rk) => i - rk } // islands of consecutive i
+      .values.flatMap(_.map(_._1).sorted.zipWithIndex
+        .collect { case (i, off) if off % 2 == 0 => i })
+      .toSet
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (sel(i)) { out += l + r; i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  property("greedy scan equals the oracle's islands-parity selection") =
+    Prop.forAll(syms, sym, sym) { (s, l, r) =>
+      Bpe.applyMerge(s, l, r).toSeq == islandsApply(s, l, r).toSeq
+    }
+
+  property("one pass is a fixpoint and conserves characters") =
+    Prop.forAll(syms, sym, sym) { (s, l, r) =>
+      val m = Bpe.applyMerge(s, l, r)
+      val noPair = (0 until m.length - 1)
+        .forall(i => !(m(i) == l && m(i + 1) == r))
+      noPair && m.mkString == s.mkString
+    }
+
+  property("training is input-order invariant") =
+    Prop.forAll(wordTable) { wt =>
+      Bpe.train(wt, 8) == Bpe.train(wt.reverse, 8)
+    }
+
+  property("encode reproduces the training evolution of vocab words") =
+    Prop.forAll(wordTable) { wt =>
+      val merges = Bpe.train(wt, 8)
+      val pairs = merges.map { case (l, r, _) => (l, r) }.toArray
+      // replay training per word and compare symbol counts
+      wt.forall { case (w, _) =>
+        var s: Array[String] = w.map(_.toString).toArray
+        pairs.foreach { case (l, r) => s = Bpe.applyMerge(s, l, r) }
+        Bpe.encodeCount(w, pairs) == s.length
+      }
+    }
+
+  property("kernel subwordCount sums per-word encode over the text") =
+    Prop.forAll(wordTable) { wt =>
+      val merges = Bpe.train(wt, 8)
+      val spec = Bpe.spec(merges)
+      val pairs = merges.map { case (l, r, _) => (l, r) }.toArray
+      val text = wt.map(_._1).mkString(" ")
+      val expect = wt.map { case (w, _) => Bpe.encodeCount(w, pairs).toLong }.sum
+      Bpe.subwordCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text),
+        spec) == expect
+    }
+}

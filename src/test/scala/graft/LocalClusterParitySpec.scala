@@ -102,7 +102,11 @@ class LocalClusterParitySpec extends SparkSpec {
     // must reproduce across real executor JVM boundaries
     "gr19_scc_audit", "gr20_condensation", "dd31_longest_span",
     "st23_hist_quantiles", "mm16_patch_batches", "pp39_concat_chunks",
-    "tx33_source_novelty")
+    "tx33_source_novelty",
+    // r10 additions: tx34/tx35's driver-trained merge table + the
+    // BpeSubwordCount kernel (spec string + static caches must
+    // serialize and re-prime in executor JVMs)
+    "tx34_bpe_merges", "tx35_subword_tokens")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

@@ -780,13 +780,20 @@ class OperatorInvariantSpec extends SparkSpec {
   }
 
   test("pp32: fertility audit equals an exact in-JVM recompute") {
+    import graft.functions.Bpe
     val docs = Tables.t(spark, sf, "documents")
       .select("lang", "source", "text").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // r10: real subword counts — replay the tx34 training in-JVM
+    val wf = docs.flatMap(_._3.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+      .toSeq.sortBy { case (w, f) => (-f, w) }.take(4096)
+    val pairs = Bpe.train(wf, math.min(24, math.max(8, wf.length / 2)))
+      .map { case (l, r, _) => (l, r) }.toArray
     val want = docs.groupBy(x => (x._1, x._2)).map { case (k, xs) =>
       val w = xs.map(x => x._3.count(_ == ' ').toLong + 1).sum
-      val sw = xs.map(_._3.split(" ", -1).map(t =>
-        (t.length + 3L) / 4L).sum).sum
+      val sw = xs.map(_._3.split(" ", -1).filter(_.nonEmpty).map(t =>
+        Bpe.encodeCount(t, pairs).toLong).sum).sum
       val nsp = xs.map(_._3.count(_ != ' ').toLong).sum
       k -> ((xs.length.toLong, w, sw, sw * 10000L / w, nsp * 100L / sw))
     }
@@ -1583,5 +1590,47 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(EventsStreaming.cmsWidth(1500L) == 187)
     assert(EventsStreaming.cmsWidth(150L) == 18)
     assert(EventsStreaming.cmsWidth(10L) == 16, "floor must hold")
+  }
+
+  test("tx34/tx35: merge table and per-doc subword counts match an " +
+      "in-JVM word-count + train + encode replay") {
+    import graft.functions.Bpe
+    val texts = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent word-frequency table (cap + ordering replayed)
+    val wf = texts.values.toSeq.flatMap(_.split(" ", -1))
+      .filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+      .toSeq.sortBy { case (w, f) => (-f, w) }.take(4096)
+    val m = math.min(24, math.max(8, wf.length / 2))
+    val merges = Bpe.train(wf, m)
+    val gotMerges = TextAnalysis.queries("tx34_bpe_merges")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(gotMerges.toSeq == merges.zipWithIndex.map {
+      case ((l, r, c), i) => ((i + 1).toLong, l, r, c) },
+      "merge table differs from the in-JVM training replay")
+    // per-doc subword counts: encode every word with the merge ranks
+    val pairs = merges.map { case (l, r, _) => (l, r) }.toArray
+    val got = TextAnalysis.queries("tx35_subword_tokens")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val nSub = toks.filter(_.nonEmpty)
+        .map(w => Bpe.encodeCount(w, pairs).toLong).sum
+      val (nw, ns, est, fert) = got(id)
+      assert(nw == toks.length, s"doc $id n_words")
+      assert(ns == nSub, s"doc $id n_subwords $ns != $nSub")
+      assert(est == (text.length + 3) / 4, s"doc $id est_tokens")
+      assert(fert == ns * 100 / nw, s"doc $id fertility")
+    }
+    // the tokenizer is non-degenerate on this corpus: real compression
+    // (fewer subwords than chars) and real splitting (more than words)
+    val totSub = got.values.map(_._2).sum
+    val totW = got.values.map(_._1).sum
+    assert(totSub > totW, "every word merged to one token - merges too strong")
+    assert(totSub < texts.values.map(_.length).sum, "no merging happened")
   }
 }
