@@ -964,6 +964,70 @@ object Dedup {
     * ExactSubstr finds MAXIMAL repeats; fixed-width spans are the
     * bounded-state approximation that parallelizes as two hash shuffles.
     */
+  /** dd32: REPEATED-SPAN REMOVAL — the cut dd16 only flags (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * the ExactSubstr deliverable): every corpus-recurring ≥8-token span
+    * keeps its CANONICAL occurrence (first in (doc_id, pos) order) and
+    * every later occurrence is cut — per doc this emits the cleaned
+    * text's fingerprint plus the removal accounting. Canonicality
+    * needs no counts join: rank occurrences per fingerprint by
+    * (doc_id, pos); rank ≥ 2 IS "redundant" (a rank-2 row exists only
+    * when the span recurs), the dd14 keep-one contract at span
+    * granularity. A token is removed when ANY redundant 8-window in
+    * its doc covers it (union of windows, dd31's positional
+    * arithmetic) — so a canonical occurrence's tokens can still fall
+    * to a DIFFERENT overlapping redundant span, exactly as in the
+    * reference algorithm. Self-repeats within one doc cut too.
+    *
+    * Scale: the span table is one stride-1 fingerprint pass (doc, pos,
+    * md5) — linear; one fp-keyed window ranks occurrences (fingerprints
+    * shuffle, never text); covered positions collapse to a per-doc
+    * sorted int array that rejoins the doc-keyed token table (removed
+    * arrays are ≤ doc length — no token-level shuffle anywhere); the
+    * rebuild is a per-row indexed filter. `OperatorInvariantSpec` pins
+    * cleaned fingerprints + conservation against an in-JVM replay; the
+    * DuckDB oracle replays the whole pipeline (explode formulation —
+    * same bytes, dd18's twin rule).
+    */
+  private val dd32SpanRemoval: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, d, "documents")
+      .repartition(32)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .localCheckpoint() // 2 refs: span build + cleaned-text rebuild
+    val spans = toks
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, CAST(size(toks) - 8 AS INT)),
+          |          i -> array_join(slice(toks, i + 1, 8), ' '))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("fp"))
+    val w = Window.partitionBy("fp").orderBy("doc_id", "pos")
+    val removedPos = spans
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 2)
+      .select(col("doc_id"),
+        explode(expr("sequence(pos, pos + 7)")).as("p"))
+      .distinct()
+    val remArr = removedPos.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("rem"))
+    toks.join(remArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("rem"), expr("CAST(array() AS array<int>)"))
+          .as("rem"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("rem")).cast("long").as("n_removed"),
+        md5(concat_ws(" ",
+          expr("filter(toks, (t, i) -> NOT array_contains(rem, i))")))
+          .as("fp_clean"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        (col("n_tokens") - col("n_removed")).as("n_kept"),
+        expr("n_removed * 10000 DIV n_tokens").as("removed_x10k"),
+        col("fp_clean"))
+      .orderBy("doc_id")
+  }
+
   private val dd16SubstringDedup: Q = (s, d) => {
     val spans = t(s, d, "documents")
       // spread + EAGER materialization (the dd20 rule): the count and
@@ -1909,6 +1973,7 @@ object Dedup {
     "dd14_line_dedup" -> dd14LineDedup,
     "dd15_lsh_recall" -> dd15LshRecall,
     "dd16_substring_dedup" -> dd16SubstringDedup,
+    "dd32_span_removal" -> dd32SpanRemoval,
     "dd22_fuzzy_keepset" -> dd22FuzzyKeepset,
     "dd01_dedup_exact" -> dd01Exact,
     "dd02_dedup_exact_hash" -> dd02ExactHash,
@@ -2516,6 +2581,40 @@ object Dedup {
         |JOIN nt na ON na.doc_id = pr.a
         |JOIN nt nb ON nb.doc_id = pr.b
         |ORDER BY pr.a, pr.b""".stripMargin,
+    // dd32: the full removal pipeline replayed — same md5 span
+    // fingerprints, same (doc_id, pos) canonical rank, same covered-
+    // position union, cleaned text rebuilt token-by-token (1-based
+    // positions; ranks and windows are shift-invariant)
+    "dd32_span_removal" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |spans AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(toks[i : i + 7], ' ')) AS fp
+        |  FROM tk, LATERAL (SELECT
+        |    unnest(generate_series(1, len(toks) - 7)) AS i)
+        |  WHERE len(toks) >= 8),
+        |red AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (
+        |      PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM spans)
+        |  WHERE rn >= 2),
+        |rem AS MATERIALIZED (SELECT DISTINCT doc_id, p
+        |  FROM red, LATERAL (SELECT
+        |    unnest(generate_series(pos, pos + 7)) AS p)),
+        |tokpos AS (SELECT doc_id, i AS p, toks[i] AS tok FROM tk,
+        |  LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+        |agg AS (SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(rem.p) AS BIGINT) AS n_removed,
+        |    md5(coalesce(array_to_string(
+        |      list(t.tok ORDER BY t.p) FILTER (WHERE rem.p IS NULL),
+        |      ' '), '')) AS fp_clean
+        |  FROM tokpos t LEFT JOIN rem
+        |    ON rem.doc_id = t.doc_id AND rem.p = t.p
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_removed,
+        |  n_tokens - n_removed AS n_kept,
+        |  n_removed * 10000 // n_tokens AS removed_x10k, fp_clean
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "dd16_substring_dedup" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 8),

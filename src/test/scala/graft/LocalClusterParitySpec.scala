@@ -105,8 +105,10 @@ class LocalClusterParitySpec extends SparkSpec {
     "tx33_source_novelty",
     // r10 additions: tx34/tx35's driver-trained merge table + the
     // BpeSubwordCount kernel (spec string + static caches must
-    // serialize and re-prime in executor JVMs)
-    "tx34_bpe_merges", "tx35_subword_tokens")
+    // serialize and re-prime in executor JVMs), pp40's twin-token
+    // window, dd32's canonical-rank span cut
+    "tx34_bpe_merges", "tx35_subword_tokens", "pp40_concat_chunks_bpe",
+    "dd32_span_removal")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

@@ -1633,4 +1633,51 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(totSub > totW, "every word merged to one token - merges too strong")
     assert(totSub < texts.values.map(_.length).sum, "no merging happened")
   }
+
+  test("dd32: span removal matches an in-JVM canonical-rank replay; " +
+      "token conservation holds and real cuts happen") {
+    val texts = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // span table in (doc_id, pos) order; canonical = first occurrence
+    val spans = texts.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      if (t.length < 8) Seq.empty
+      else (0 to t.length - 8).map(p =>
+        (md5hex(t.slice(p, p + 8).mkString(" ")), id, p))
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val removed = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.Set[Int]]
+    spans.sortBy { case (_, id, p) => (id, p) }.foreach { case (fp, id, p) =>
+      if (!seen.add(fp)) {
+        val s0 = removed.getOrElseUpdate(id,
+          scala.collection.mutable.Set.empty)
+        s0 ++= (p until p + 8)
+      }
+    }
+    val got = Dedup.queries("dd32_span_removal")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+    assert(got.keySet == texts.map(_._1).toSet)
+    texts.foreach { case (id, text) =>
+      val t = text.split(" ", -1)
+      val rem = removed.getOrElse(id, scala.collection.mutable.Set.empty)
+      val cleaned = t.zipWithIndex.collect {
+        case (tok, i) if !rem(i) => tok }.mkString(" ")
+      val (nt, nr, nk, fp) = got(id)
+      assert(nt == t.length, s"doc $id n_tokens")
+      assert(nr == rem.size, s"doc $id n_removed $nr != ${rem.size}")
+      assert(nk + nr == nt, s"doc $id conservation")
+      assert(fp == md5hex(cleaned), s"doc $id cleaned fingerprint")
+    }
+    // the corpus has natural recurrence — the operator must CUT
+    assert(got.values.exists(_._2 > 0L), "no spans removed - degenerate")
+    // and keep most of the corpus (removal is surgical, not wholesale)
+    val totR = got.values.map(_._2).sum
+    val totT = got.values.map(_._1).sum
+    assert(totR * 10 < totT, s"removed $totR of $totT tokens")
+  }
 }
