@@ -486,6 +486,8 @@ object Similarity {
     "ss16_nprobe_sweep" -> ((s, d) => ivfNprobeSweep(s, d)),
     "ss17_multiprobe_lsh" -> ((s, d) => multiprobeSweep(s, d)),
     "ss18_ivfpq_search" -> ((s, d) => ivfPqSearch(s, d)),
+    // lambda, not the val ref: the map initializes before the val below
+    "ss33_persisted_index" -> ((s, d) => ss33PersistedIndex(s, d)),
     "ss19_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)),
     "ss20_graph_expand" -> ((s, d) => graphExpandedSearch(s, d)),
     "ss21_kcenter_seed" -> ((s, d) => kcenterSeed(s, d)),
@@ -1364,6 +1366,17 @@ object Similarity {
     * replays coarse, codes, ADC and refine end-to-end.
     */
   def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    val (base, assigned, codes, probes) = ivfPqBuild(s, d)
+    ivfPqProbe(base, assigned, codes, probes)
+  }
+
+  /** ss18's BUILD stage, split at the index boundary (the two
+    * artifacts a production system persists: inverted lists + PQ
+    * codes). Returns (base, assigned lists, codes, query probes) —
+    * ss18 probes them in-plan; ss33 round-trips lists and codes
+    * through BUCKETED tables first. */
+  private def ivfPqBuild(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val m = 8
     val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1384,18 +1397,8 @@ object Similarity {
       .select(col("vec_id"), col("ccid").as("cluster"))
     val probes = ranked.filter(col("crn") <= 2 && col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("ccid").as("cluster"))
-    val cand = assigned.join(probes, Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    // stage 2 — PQ codes + ADC on the candidates only (ss13's codebook,
-    // conditional per-subspace sums: reducer-order-independent)
-    val cents = coarseSeeds(base)
-      .select(row_number().over(Window.orderBy("vec_id")).as("cid"),
-        col("embedding").as("c_emb"))
-      .select(col("cid"), explode(expr(
-        s"transform(sequence(0, ${m - 1}), k -> struct(k, slice(c_emb, k * 8 + 1, 8) AS sub))")).as("x"))
-      .select(col("cid"), col("x.k").as("k"), col("x.sub").as("c_sub"))
-      .withColumn("c_cc", dot(col("c_sub"), col("c_sub")))
+    // stage 2 — PQ codes (ss13's codebook, deterministic argmin)
+    val cents = pqCentroids(base)
     val subs = base
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${m - 1}), k -> struct(k, slice(embedding, k * 8 + 1, 8) AS sub))")).as("x"))
@@ -1410,6 +1413,40 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("k"),
         col("cid").as("code"))
+    (base, assigned, codes, probes)
+  }
+
+  /** The 8×16 PQ codebook ss18/ss33 share (subspace slices of the
+    * coarse seeds with their self-dot). */
+  private def pqCentroids(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 8
+    coarseSeeds(base)
+      .select(row_number().over(Window.orderBy("vec_id")).as("cid"),
+        col("embedding").as("c_emb"))
+      .select(col("cid"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), k -> struct(k, slice(c_emb, k * 8 + 1, 8) AS sub))")).as("x"))
+      .select(col("cid"), col("x.k").as("k"), col("x.sub").as("c_sub"))
+      .withColumn("c_cc", dot(col("c_sub"), col("c_sub")))
+  }
+
+  /** ss18's PROBE stage: candidate generation from the inverted
+    * lists, ADC over the codes, exact refine — agnostic to whether
+    * `assigned`/`codes` are in-plan frames (ss18) or reloaded bucketed
+    * tables (ss33). */
+  private def ivfPqProbe(base: DataFrame, assigned: DataFrame,
+      codes: DataFrame, probes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 8
+    val cand = assigned.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val cents = pqCentroids(base)
+    val subs = base
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), k -> struct(k, slice(embedding, k * 8 + 1, 8) AS sub))")).as("x"))
+      .select(col("vec_id"), col("x.k").as("k"), col("x.sub").as("sub"))
+      .withColumn("v_xx", dot(col("sub"), col("sub")))
     val dtab = subs.filter(col("vec_id") < 10)
       .join(broadcast(cents), Seq("k"))
       .select(col("vec_id").as("dq"), col("k").as("dk"),
@@ -1447,6 +1484,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine_raw"), 4).as("cosine"))
       .orderBy("query_id", "rank")
+  }
+
+  /** ss33: INDEX PERSISTENCE — the lifecycle gap between ss18 (builds
+    * its inverted lists and PQ codes in-plan every run) and ss23
+    * (assumes a frozen index): BUILD writes both artifacts as BUCKETED
+    * tables (lists by cluster, codes by vec id — `Bucketing`'s zero-
+    * shuffle contract), PROBE reloads them from the catalog and runs
+    * ss18's candidate→ADC→refine path against the reloaded tables.
+    * The deliverable is ss18's exact result (same oracle hash) off a
+    * PERSISTED index — plus the plan property that makes persistence
+    * pay at 100 TB: the billion-row codes table is read pre-bucketed
+    * on its join key, so the ADC join shuffles only the candidate ids,
+    * NEVER the codes. PlanAudit asserts both bucketed scans, and —
+    * with auto-broadcast closed, the BucketingSpec discipline — that
+    * both probe joins plan bucket-aligned SortMergeJoins with zero
+    * Exchange on the index side (at fixture scale AQE broadcasts the
+    * tiny CODES side instead, which is also shuffle-free for them).
+    *
+    * Scale: the write is one-time index construction (real systems
+    * amortize it over every query); rebuild-per-run here is the honest
+    * benchmark cost. Buckets = 8 at fixture scale; a production build
+    * sizes buckets from the corpus (the pp37 shard rule).
+    */
+  val ss33PersistedIndex: Q = (s, d) => {
+    val (base, assigned, codes, probes) = ivfPqBuild(s, d)
+    Bucketing.writeBucketed(assigned, "graft_ivf_lists", "cluster", 8)
+    Bucketing.writeBucketed(codes, "graft_pq_codes", "neighbor_id", 8)
+    ivfPqProbe(base, s.table("graft_ivf_lists"),
+      s.table("graft_pq_codes"), probes)
   }
 
   /** ss19: END-TO-END RECALL of the composed IVF→PQ-ADC→refine path.
@@ -3241,6 +3307,14 @@ object Similarity {
     // ss18: coarse IVF assignment, PQ codes/ADC on the probed candidates,
     // exact-cosine refine of the ADC top-10 — all replayed directly.
     "ss18_ivfpq_search" ->
+      (ivfpqPipelineSql + """
+        |SELECT query_id, "rank", neighbor_id,
+        |  round(cosine_raw, 4) AS cosine
+        |FROM fin WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin),
+    // ss33: the SAME pipeline — persistence must be invisible to the
+    // result, so the oracle is ss18's replay verbatim (the bucketed
+    // round-trip is a physical-layout property, asserted by PlanAudit)
+    "ss33_persisted_index" ->
       (ivfpqPipelineSql + """
         |SELECT query_id, "rank", neighbor_id,
         |  round(cosine_raw, 4) AS cosine

@@ -540,6 +540,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("MapPartitions"), plan) // window math, not a fold
   }
 
+  test("ss33: the probe reads BOTH index tables pre-bucketed, and no " +
+      "Exchange sits on the codes side of the ADC join") {
+    val plan = finalPlan("ss33_persisted_index")
+    // the reloaded scans must carry bucket metadata — this is the whole
+    // point of persisting the index (co-location established at write)
+    assert(plan.contains("graft_pq_codes"), plan)
+    assert(plan.contains("graft_ivf_lists"), plan)
+    val bucketed = "Bucketed: true".r.findAllMatchIn(plan).length
+    assert(bucketed >= 2, s"expected both index scans bucketed:\n$plan")
+    // at fixture scale AQE broadcasts the tiny codes side — fine (a
+    // broadcast is not a shuffle of the codes). The fact-scale property
+    // needs the broadcast path closed, exactly like BucketingSpec: with
+    // auto-broadcast off, both probe joins must plan bucket-aligned
+    // SortMergeJoins with ZERO Exchange on the index-table side — only
+    // the candidate/probe streams move to the index layout, never the
+    // reverse.
+    def noExchangeAboveScan(p: String, table: String): Unit = {
+      val lines = p.split("\n")
+      def depth(l: String): Int = l.indexWhere(c => c.isLetter || c == '*')
+      val scanIdx = lines.indexWhere(_.contains(table))
+      assert(scanIdx >= 0, p)
+      var d = depth(lines(scanIdx))
+      var i = scanIdx - 1
+      var joined = false
+      while (i >= 0 && !joined && d > 0) {
+        val di = depth(lines(i))
+        if (di >= 0 && di < d) { // an ancestor
+          d = di
+          if (lines(i).contains("Join")) joined = true
+          else assert(!lines(i).contains("Exchange"),
+            s"$table side shuffled before its join:\n${lines(i)}\n$p")
+        }
+        i -= 1
+      }
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smjPlan = finalPlan("ss33_persisted_index")
+      assert("SortMergeJoin \\[neighbor_id#".r
+        .findFirstIn(smjPlan).isDefined, smjPlan)
+      noExchangeAboveScan(smjPlan, "graft_pq_codes")
+      noExchangeAboveScan(smjPlan, "graft_ivf_lists")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("st23: both cumulative windows collapse into one (type, window) " +
       "exchange; the horizon joins broadcast (st23)") {
     val plan = finalPlan("st23_hist_quantiles")
