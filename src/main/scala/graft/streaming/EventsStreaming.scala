@@ -723,6 +723,75 @@ object EventsStreaming {
           .as("admitted_tokens"))
       .orderBy("source")
 
+  /** st24 corpus: st10's arrival clock with BOTH token notions per doc
+    * — the whitespace formula the cheap gate budgets and the REAL
+    * tx34-trained subword count (the `BpeSubwordCount` kernel; the
+    * trained spec is the capacity plan — a live stream cannot train on
+    * its own future, you provision from history, the st22/st23
+    * discipline). */
+  def realBudgetCorpus(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.operators.TextAnalysis.bpeSpecFor(s, d)
+    graft.Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+          .as("wtok"),
+        graft.functions.GraftFunctions.bpe_subword_count(col("text"), spec)
+          .as("stok"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id") * 7).as("ts"))
+  }
+
+  /** The real-token budget DERIVES from the whitespace one at the
+    * corpus fertility (1000 whitespace tokens' worth of subwords), so
+    * the two gates target the same spend and the report isolates
+    * per-source MIS-PRICING, not a budget mismatch. One constant-size
+    * plan-build agg; DuckDB re-derives via a scalar subquery. */
+  def realBudget(corpus: DataFrame): Long = {
+    val r = corpus.agg(sum("stok"), sum("wtok")).first()
+    1000L * r.getLong(0) / r.getLong(1)
+  }
+
+  /** st24: TOKEN-BUDGET ADMISSION UNDER THE REAL TOKENIZER — st10's
+    * gate re-priced: the same arrival stream admitted twice, once by
+    * the whitespace budget (1000/source) and once by the real-subword
+    * budget (derived, see [[realBudget]]), off ONE shared per-source
+    * window (two running sums, one exchange — the pp40 shape). The
+    * report per source: admissions under each gate, the disagreement
+    * counts (ws_only = docs the cheap gate admits that blow the real
+    * budget — the overspend; real_only = docs it wrongly rejects), and
+    * the REAL token cost of the whitespace decision. The stream face
+    * is [[tokenBudgetStream]] on the subword column with the derived
+    * budget — per-source cumulative state, one long per source —
+    * pinned stream ≡ batch across state-store boundaries in
+    * `StreamingSpec`.
+    *
+    * Scale: one plan-build word-count job (tx34's bounded collect) +
+    * one source-keyed window + counters; the kernel is a per-row scan.
+    */
+  private val st24RealBudget: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val c = realBudgetCorpus(s, d)
+      .localCheckpoint() // 2 refs: the budget agg + the gate window
+    val b = realBudget(c)
+    val w = Window.partitionBy("source").orderBy("ts", "doc_id")
+    c.withColumn("cw", sum("wtok").over(w))
+      .withColumn("cs", sum("stok").over(w))
+      .select(col("source"), col("stok"),
+        (col("cw") <= 1000L).as("aw"), (col("cs") <= b).as("ar"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_seen"),
+        sum(when(col("aw"), 1L).otherwise(0L)).as("adm_ws"),
+        sum(when(col("ar"), 1L).otherwise(0L)).as("adm_real"),
+        sum(when(col("aw") && !col("ar"), 1L).otherwise(0L))
+          .as("ws_only"),
+        sum(when(!col("aw") && col("ar"), 1L).otherwise(0L))
+          .as("real_only"),
+        sum(when(col("aw"), col("stok")).otherwise(0L))
+          .as("ws_real_tokens"))
+      .withColumn("real_budget", lit(b))
+      .orderBy("source")
+  }
+
   case class LateEvent(event_id: Long, user_id: Long, ts: Timestamp,
     arr: Long)
   case class LateOut(event_id: Long, user_id: Long, late: Boolean,
@@ -1684,7 +1753,8 @@ object EventsStreaming {
     "st06_interval_outer" -> st06IntervalOuter,
     "st07_dedup_replay" -> st07DedupReplay,
     "st09_neardup_admission" -> st09NeardupAdmission,
-    "st10_token_budget" -> st10TokenBudget)
+    "st10_token_budget" -> st10TokenBudget,
+    "st24_real_budget" -> st24RealBudget)
 
   val oracleSql: Map[String, String] = Map(
     // st18: q87's journey/endpoint/remainder chain replayed pre-rollup;
@@ -2056,6 +2126,34 @@ object EventsStreaming {
         |  CAST(sum(CASE WHEN cum <= 1000 THEN n_tokens ELSE 0 END)
         |    AS BIGINT) AS admitted_tokens
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // st24: the shared BPE training prefix feeds per-doc real counts;
+    // the real budget re-derives via a scalar subquery; both gates ride
+    // one per-source window (arrival clock ≡ doc_id order)
+    "st24_real_budget" ->
+      (graft.operators.TextAnalysis.bpeDocPrefixSql +
+      """,c AS (SELECT d.doc_id, d.source,
+        |    CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1
+        |      AS BIGINT) AS wtok,
+        |    docsw.n_subwords AS stok
+        |  FROM documents d JOIN docsw USING (doc_id)),
+        |bud AS (SELECT 1000 * sum(stok) // sum(wtok) AS b FROM c),
+        |g AS (SELECT source, doc_id, wtok, stok,
+        |    sum(wtok) OVER (PARTITION BY source ORDER BY doc_id) AS cw,
+        |    sum(stok) OVER (PARTITION BY source ORDER BY doc_id) AS cs
+        |  FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_seen,
+        |  CAST(sum(CASE WHEN cw <= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS adm_ws,
+        |  CAST(sum(CASE WHEN cs <= (SELECT b FROM bud) THEN 1 ELSE 0
+        |    END) AS BIGINT) AS adm_real,
+        |  CAST(sum(CASE WHEN cw <= 1000 AND cs > (SELECT b FROM bud)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS ws_only,
+        |  CAST(sum(CASE WHEN cw > 1000 AND cs <= (SELECT b FROM bud)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS real_only,
+        |  CAST(sum(CASE WHEN cw <= 1000 THEN stok ELSE 0 END)
+        |    AS BIGINT) AS ws_real_tokens,
+        |  CAST((SELECT b FROM bud) AS BIGINT) AS real_budget
+        |FROM g GROUP BY source ORDER BY source""".stripMargin),
     "st09_neardup_admission" ->
       """WITH corpus AS (
         |  SELECT doc_id, text, 1704067200 + doc_id * 7 AS arr_s

@@ -252,6 +252,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming REAL-token budget gate (st24) matches the batch " +
+      "face across batches with the derived budget") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus0 = EventsStreaming.realBudgetCorpus(spark, sf)
+    val budget = EventsStreaming.realBudget(corpus0)
+    assert(budget > 1000L, s"real budget $budget should exceed the " +
+      "whitespace 1000 (fertility > 1)")
+    // the SAME stream machinery st10 uses, fed the subword column
+    val corpus = corpus0
+      .select(col("doc_id"), col("source"),
+        col("stok").as("n_tokens"), col("ts"))
+      .orderBy("ts", "doc_id")
+      .collect().map(r => EventsStreaming.BudgetDoc(r.getLong(0),
+        r.getString(1), r.getLong(2), r.getTimestamp(3))).toSeq
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[EventsStreaming.BudgetDoc](spark)
+    val q = EventsStreaming.tokenBudgetStream(input.toDF(), budget)
+      .writeStream.format("memory").queryName("realbudget")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("realbudget")
+      .select("doc_id", "admitted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = EventsStreaming.tokenBudgetBatch(
+        EventsStreaming.realBudgetCorpus(spark, sf)
+          .select(col("doc_id"), col("source"),
+            col("stok").as("n_tokens"), col("ts")), budget)
+      .select("doc_id", "admitted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    // and the per-source report's admission counts agree with the gate
+    val bySrc = EventsStreaming.queries("st24_real_budget")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val corpusSrc = EventsStreaming.realBudgetCorpus(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val admBySrc = got.toSeq.groupBy { case (id, _) => corpusSrc(id) }
+      .map { case (src, xs) => src -> xs.count(_._2).toLong }
+    assert(bySrc == admBySrc, "report adm_real differs from the gate")
+  }
+
   test("streaming late-data audit matches the st11 batch face across batches") {
     val sf = "/root/testdata/sf0.001"
     val corpus = EventsStreaming.lateCorpus(spark, sf)
