@@ -488,6 +488,7 @@ object Similarity {
     "ss18_ivfpq_search" -> ((s, d) => ivfPqSearch(s, d)),
     // lambda, not the val ref: the map initializes before the val below
     "ss33_persisted_index" -> ((s, d) => ss33PersistedIndex(s, d)),
+    "ss34_delta_index" -> ((s, d) => ss34DeltaIndex(s, d)),
     "ss19_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)),
     "ss20_graph_expand" -> ((s, d) => graphExpandedSearch(s, d)),
     "ss21_kcenter_seed" -> ((s, d) => kcenterSeed(s, d)),
@@ -1398,22 +1399,31 @@ object Similarity {
     val probes = ranked.filter(col("crn") <= 2 && col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("ccid").as("cluster"))
     // stage 2 — PQ codes (ss13's codebook, deterministic argmin)
-    val cents = pqCentroids(base)
-    val subs = base
-      .select(col("vec_id"), explode(expr(
+    val codes = codesFor(base, pqCentroids(base))
+    (base, assigned, codes, probes)
+  }
+
+  /** Subvector slices + self-dots of a segment (queries or corpus). */
+  private def pqSubs(seg: DataFrame): DataFrame = {
+    val m = 8
+    seg.select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${m - 1}), k -> struct(k, slice(embedding, k * 8 + 1, 8) AS sub))")).as("x"))
       .select(col("vec_id"), col("x.k").as("k"), col("x.sub").as("sub"))
       .withColumn("v_xx", dot(col("sub"), col("sub")))
+  }
+
+  /** PQ codes of one segment under a (possibly FROZEN) codebook. */
+  private def codesFor(seg: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wCode = Window.partitionBy("vec_id", "k")
       .orderBy(col("dist"), col("cid"))
-    val codes = subs.join(broadcast(cents), Seq("k"))
+    pqSubs(seg).join(broadcast(cents), Seq("k"))
       .withColumn("dist",
         col("v_xx") + col("c_cc") - lit(2.0) * dot(col("sub"), col("c_sub")))
       .withColumn("rn", row_number().over(wCode))
       .filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("k"),
         col("cid").as("code"))
-    (base, assigned, codes, probes)
   }
 
   /** The 8×16 PQ codebook ss18/ss33 share (subspace slices of the
@@ -1435,19 +1445,24 @@ object Similarity {
     * `assigned`/`codes` are in-plan frames (ss18) or reloaded bucketed
     * tables (ss33). */
   private def ivfPqProbe(base: DataFrame, assigned: DataFrame,
-      codes: DataFrame, probes: DataFrame): DataFrame = {
+      codes: DataFrame, probes: DataFrame): DataFrame =
+    refineTop3(base,
+      adcTop10(base, pqCentroids(base), assigned, codes, probes))
+
+  /** Candidate generation + ADC top-10 for ONE index segment (its
+    * inverted lists + codes) under a possibly-frozen codebook;
+    * `corpus` supplies the query subvectors. Segments are independent
+    * — ss34 runs this per segment and merges at refine (the LSM
+    * segment-search shape). */
+  private def adcTop10(corpus: DataFrame, cents: DataFrame,
+      assigned: DataFrame, codes: DataFrame, probes: DataFrame)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = 8
     val cand = assigned.join(probes, Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    val cents = pqCentroids(base)
-    val subs = base
-      .select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${m - 1}), k -> struct(k, slice(embedding, k * 8 + 1, 8) AS sub))")).as("x"))
-      .select(col("vec_id"), col("x.k").as("k"), col("x.sub").as("sub"))
-      .withColumn("v_xx", dot(col("sub"), col("sub")))
-    val dtab = subs.filter(col("vec_id") < 10)
+    val dtab = pqSubs(corpus.filter(col("vec_id") < 10))
       .join(broadcast(cents), Seq("k"))
       .select(col("vec_id").as("dq"), col("k").as("dk"),
         col("cid").as("dcid"),
@@ -1457,7 +1472,7 @@ object Similarity {
       .orderBy(col("adc"), col("neighbor_id"))
     val perSub = (0 until m).map(k =>
       sum(when(col("k") === k, col("d"))).as(s"d$k"))
-    val adc10 = cand
+    cand
       .join(codes, Seq("neighbor_id"))
       .join(broadcast(dtab),
         col("query_id") === col("dq") && col("k") === col("dk") &&
@@ -1468,13 +1483,18 @@ object Similarity {
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= 10)
       .select("query_id", "neighbor_id")
-    // stage 3 — exact refine: float vectors touched only for the top-10
+  }
+
+  /** Exact-cosine refine of an ADC candidate set → global top-3:
+    * float vectors touched only for the candidates. */
+  private def refineTop3(corpus: DataFrame, adc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wFinal = Window.partitionBy("query_id")
       .orderBy(col("cosine_raw").desc, col("neighbor_id"))
-    adc10
-      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
+    adc
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("norm")), Seq("neighbor_id"))
-      .join(broadcast(base.filter(col("vec_id") < 10)
+      .join(broadcast(corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("norm").as("q_norm"))), Seq("query_id"))
       .withColumn("cosine_raw",
@@ -1513,6 +1533,68 @@ object Similarity {
     Bucketing.writeBucketed(codes, "graft_pq_codes", "neighbor_id", 8)
     ivfPqProbe(base, s.table("graft_ivf_lists"),
       s.table("graft_pq_codes"), probes)
+  }
+
+  /** ss34: DELTA INGEST + SEGMENTED SEARCH — the step after ss33's
+    * persistence that makes the index a LIVE system: a new batch
+    * (vec_id % 10 = 7, ss23's ingest convention) is admitted WITHOUT
+    * touching the base segment — assigned and PQ-coded under the
+    * quantizer/codebook FROZEN on the base partition (ss23's no-rebuild
+    * contract; seed 97 lands in the delta, so the frozen codebook
+    * genuinely differs from a full-corpus one), written as its own pair
+    * of bucketed tables (same keys and bucket count as the base
+    * segment). Search is per-SEGMENT — each segment's candidate→ADC
+    * top-10 runs against its own bucketed tables — and the segments
+    * merge only at the exact refine (global top-3), the LSM shape
+    * every production vector store uses (FAISS shards, Lucene
+    * segments): ingest cost is O(delta), base bytes are never
+    * rewritten, and a compaction (re-running ss33's build over
+    * base ∪ delta) is a POLICY decision priced by ss23's growth
+    * report, not a correctness requirement. `from_delta` marks which
+    * results the new batch contributed.
+    *
+    * Scale: ss33's bucketed-probe argument per segment (only candidate
+    * ids shuffle, never codes); the delta write is one broadcast-
+    * centroid pass over the batch. The DuckDB oracle replays the
+    * frozen-codebook pipeline with a per-(query, segment) ADC window.
+    */
+  val ss34DeltaIndex: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val all = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .persist() // lazy-ok: cheap norm projection over the embedding pool (category A/B'd: eager +0.3 s at the ss18 site)
+    val baseSeg = all.filter(col("vec_id") % 10 =!= 7)
+    val deltaSeg = all.filter(col("vec_id") % 10 === 7)
+    val coarse = coarseSeeds(baseSeg)
+      .select(col("vec_id").as("ccid"), col("embedding").as("cc_emb"),
+        col("norm").as("cc_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("ccid"))
+    def ranked(seg: DataFrame): DataFrame = seg.crossJoin(broadcast(coarse))
+      .withColumn("ccos",
+        dot(col("embedding"), col("cc_emb")) / (col("norm") * col("cc_norm")))
+      .withColumn("crn", row_number().over(wAssign))
+    def assign(seg: DataFrame): DataFrame = ranked(seg)
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("ccid").as("cluster"))
+    val probes = ranked(all.filter(col("vec_id") < 10))
+      .filter(col("crn") <= 2)
+      .select(col("vec_id").as("query_id"), col("ccid").as("cluster"))
+    val cents = pqCentroids(baseSeg)
+    Bucketing.writeBucketed(assign(baseSeg), "graft_ivf_base",
+      "cluster", 8)
+    Bucketing.writeBucketed(assign(deltaSeg), "graft_ivf_delta",
+      "cluster", 8)
+    Bucketing.writeBucketed(codesFor(baseSeg, cents), "graft_pq_base",
+      "neighbor_id", 8)
+    Bucketing.writeBucketed(codesFor(deltaSeg, cents), "graft_pq_delta",
+      "neighbor_id", 8)
+    val adcB = adcTop10(all, cents, s.table("graft_ivf_base"),
+      s.table("graft_pq_base"), probes)
+    val adcD = adcTop10(all, cents, s.table("graft_ivf_delta"),
+      s.table("graft_pq_delta"), probes)
+    refineTop3(all, adcB.unionAll(adcD))
+      .withColumn("from_delta", col("neighbor_id") % 10 === 7)
   }
 
   /** ss19: END-TO-END RECALL of the composed IVF→PQ-ADC→refine path.
@@ -3319,6 +3401,15 @@ object Similarity {
         |SELECT query_id, "rank", neighbor_id,
         |  round(cosine_raw, 4) AS cosine
         |FROM fin WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin),
+    // ss34: the frozen-codebook segmented variant — centroid CTEs
+    // restricted to the base segment, ADC top-10 per (query, segment)
+    // window, refine merges; from_delta derives from the id convention
+    "ss34_delta_index" ->
+      (ss34PipelineSql + """
+        |SELECT query_id, "rank", neighbor_id,
+        |  round(cosine_raw, 4) AS cosine,
+        |  neighbor_id % 10 = 7 AS from_delta
+        |FROM fin WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin),
     // ss19: the composed pipeline's recall gate (ss07/ss11/ss15 pin each
     // stage; this pins the assembled IVF→ADC→refine path end-to-end).
     "ss19_ivfpq_recall" ->
@@ -3635,6 +3726,24 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY cosine_raw DESC, neighbor_id) AS "rank"
          |  FROM ref)""".stripMargin
+
+  /** ss34's oracle = ivfpqPipelineSql with three verified surgical
+    * edits: both centroid CTEs frozen on the base segment, and the ADC
+    * top-10 window partitioned per (query, segment). `require` guards
+    * fail the build loudly if the base string drifts. */
+  private lazy val ss34PipelineSql: String = {
+    val frozen = ivfpqPipelineSql.replace("vec_id % 97 = 0",
+      "vec_id % 97 = 0 AND vec_id % 10 <> 7")
+    require(frozen.sliding(40).count(
+      _.startsWith("vec_id % 97 = 0 AND vec_id % 10 <> 7")) == 2,
+      "ss34 centroid-freeze surgery missed its two sites")
+    val adcWindow = "row_number() OVER (PARTITION BY query_id\n" +
+      "        ORDER BY d0 + d1"
+    require(frozen.contains(adcWindow), "ss34 ADC-window surgery missed")
+    frozen.replace(adcWindow,
+      "row_number() OVER (PARTITION BY query_id, " +
+        "(neighbor_id % 10 = 7)\n        ORDER BY d0 + d1")
+  }
 
   // ss17: the oracle runs the DIRECT two-config formulation (home-only
   // candidates and multiprobe candidates each ranked independently);

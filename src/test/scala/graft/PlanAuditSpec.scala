@@ -582,6 +582,11 @@ class PlanAuditSpec extends SparkSpec {
         .findFirstIn(smjPlan).isDefined, smjPlan)
       noExchangeAboveScan(smjPlan, "graft_pq_codes")
       noExchangeAboveScan(smjPlan, "graft_ivf_lists")
+      // ss34: the segmented variant keeps the property on ALL FOUR
+      // segment tables — base bytes are never rewritten OR reshuffled
+      val segPlan = finalPlan("ss34_delta_index")
+      Seq("graft_pq_base", "graft_pq_delta", "graft_ivf_base",
+        "graft_ivf_delta").foreach(noExchangeAboveScan(segPlan, _))
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
