@@ -696,42 +696,53 @@ object TextAnalysis {
     * identity). Every multi-consumed CTE is MATERIALIZED (the dd13
     * plan-nesting lesson, oracle side).
     */
-  private def bpeChainSql: String = {
+  /** `pre` disambiguates every CTE name so two chains (e.g. tx36's
+    * half-corpus vs full-corpus trainings) compose in one statement;
+    * `srcWhere` restricts the training corpus. The default ("", no
+    * filter) reproduces the tx34/tx35/pp32/pp40/st24 oracle text
+    * byte-for-byte. */
+  private def bpeChainSql(pre: String = "", srcWhere: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= """WITH w0 AS MATERIALIZED (
+    sb ++= s"""${pre}w0 AS MATERIALIZED (
       |  SELECT w, CAST(count(*) AS BIGINT) AS f
-      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents$srcWhere)
       |  WHERE w <> '' GROUP BY w),
-      |wc AS MATERIALIZED (SELECT w FROM w0 ORDER BY f DESC, w LIMIT 4096),
-      |mm AS (SELECT least(24, greatest(8, count(*) // 2)) AS mx FROM wc),
-      |s0 AS MATERIALIZED (SELECT w, f, string_split(w, '') AS sym FROM w0)
+      |${pre}wc AS MATERIALIZED (SELECT w FROM ${pre}w0
+      |  ORDER BY f DESC, w LIMIT 4096),
+      |${pre}mm AS (SELECT least(24, greatest(8, count(*) // 2)) AS mx
+      |  FROM ${pre}wc),
+      |${pre}s0 AS MATERIALIZED (SELECT w, f, string_split(w, '') AS sym
+      |  FROM ${pre}w0)
       |""".stripMargin
     for (m <- 1 to BPE_UNROLL) {
-      val p = s"s${m - 1}"
-      sb ++= s""",p$m AS (SELECT sym[i] AS l, sym[i + 1] AS r,
+      val p = s"${pre}s${m - 1}"
+      sb ++= s""",${pre}p$m AS (SELECT sym[i] AS l, sym[i + 1] AS r,
         |    CAST(sum(f) AS BIGINT) AS c
-        |  FROM $p s JOIN wc USING (w),
+        |  FROM $p s JOIN ${pre}wc USING (w),
         |    LATERAL (SELECT unnest(generate_series(1, len(sym) - 1)) AS i)
         |  GROUP BY 1, 2),
-        |b$m AS MATERIALIZED (SELECT l, r, c FROM p$m
-        |  WHERE (SELECT mx FROM mm) >= $m ORDER BY c DESC, l, r LIMIT 1),
-        |a$m AS (SELECT s.w, i,
+        |${pre}b$m AS MATERIALIZED (SELECT l, r, c FROM ${pre}p$m
+        |  WHERE (SELECT mx FROM ${pre}mm) >= $m
+        |  ORDER BY c DESC, l, r LIMIT 1),
+        |${pre}a$m AS (SELECT s.w, i,
         |    i - row_number() OVER (PARTITION BY s.w ORDER BY i) AS isl
-        |  FROM $p s, b$m b,
+        |  FROM $p s, ${pre}b$m b,
         |    LATERAL (SELECT unnest(generate_series(1, len(sym) - 1)) AS i)
         |  WHERE sym[i] = b.l AND sym[i + 1] = b.r),
-        |sel$m AS MATERIALIZED (SELECT w, i FROM (
+        |${pre}sel$m AS MATERIALIZED (SELECT w, i FROM (
         |    SELECT w, i, row_number() OVER (PARTITION BY w, isl ORDER BY i)
-        |      AS rn FROM a$m) WHERE rn % 2 = 1),
-        |pos$m AS (SELECT s.w, s.f, s.sym, p.i FROM $p s,
+        |      AS rn FROM ${pre}a$m) WHERE rn % 2 = 1),
+        |${pre}pos$m AS (SELECT s.w, s.f, s.sym, p.i FROM $p s,
         |  LATERAL (SELECT unnest(generate_series(1, len(sym))) AS i) p),
-        |s$m AS MATERIALIZED (SELECT pos.w, pos.f,
+        |${pre}s$m AS MATERIALIZED (SELECT pos.w, pos.f,
         |    list(CASE WHEN sel.i IS NOT NULL
         |      THEN pos.sym[pos.i] || pos.sym[pos.i + 1]
         |      ELSE pos.sym[pos.i] END ORDER BY pos.i) AS sym
-        |  FROM pos$m pos
-        |  LEFT JOIN sel$m sel ON sel.w = pos.w AND sel.i = pos.i
-        |  LEFT JOIN sel$m prev ON prev.w = pos.w AND prev.i = pos.i - 1
+        |  FROM ${pre}pos$m pos
+        |  LEFT JOIN ${pre}sel$m sel ON sel.w = pos.w AND sel.i = pos.i
+        |  LEFT JOIN ${pre}sel$m prev ON prev.w = pos.w
+        |    AND prev.i = pos.i - 1
         |  WHERE prev.i IS NULL
         |  GROUP BY pos.w, pos.f)
         |""".stripMargin
@@ -740,19 +751,79 @@ object TextAnalysis {
   }
 
   private[graft] def tx34OracleSql: String =
-    bpeChainSql +
+    "WITH " + bpeChainSql() +
       (1 to BPE_UNROLL).map(m =>
         s"SELECT CAST($m AS BIGINT) AS merge_rank, l AS lhs, r AS rhs," +
           s" c AS pair_count FROM b$m")
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY merge_rank")
 
+  /** tx36: TOKENIZER DRIFT — the version-pinning audit every pipeline
+    * that retrains its tokenizer needs: train the tx34 merges TWICE,
+    * once on the even-doc half of the corpus (yesterday's snapshot)
+    * and once on all of it, and diff the merge tables rank by rank.
+    * The first disagreeing rank is where tokenizations start to
+    * diverge (BPE merges are a prefix-sensitive chain: everything
+    * after the first flip can differ), i.e. the rank at which cached
+    * token counts, packing plans and budgets stop being comparable
+    * across corpus versions. Ties flipping under halved frequencies
+    * are exactly the instability this surfaces.
+    *
+    * Scale: two bounded word-count aggregates + two driver merge
+    * loops (the tx34 shape twice); output is ≤ BPE_UNROLL rows. The
+    * DuckDB oracle replays BOTH trainings (the prefixed chain
+    * generator) and the same full-outer rank diff.
+    */
+  private val tx36TokenizerDrift: Q = (s, d) => {
+    def train(docsFilter: DataFrame => DataFrame)
+        : Seq[(String, String)] = {
+      val wf = docsFilter(t(s, d, "documents"))
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w"))
+        .limit(BPE_CAP)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.functions.Bpe.train(wf, bpeMergeCount(wf.length))
+        .map { case (l, r, _) => (l, r) }
+    }
+    val h = train(_.filter(col("doc_id") % 2 === 0))
+    val f = train(identity)
+    import s.implicits._
+    (1 to math.max(h.length, f.length)).map { i =>
+      val (hp, fp) = (h.lift(i - 1), f.lift(i - 1))
+      (i.toLong, hp.map(_._1), hp.map(_._2), fp.map(_._1), fp.map(_._2),
+        hp.nonEmpty && hp == fp)
+    }.toDF("merge_rank", "lhs_half", "rhs_half", "lhs_full", "rhs_full",
+      "agree")
+      .orderBy("merge_rank")
+  }
+
+  private[graft] def tx36OracleSql: String = {
+    def merged(pre: String): String =
+      (1 to BPE_UNROLL).map(m =>
+        s"SELECT CAST($m AS BIGINT) AS merge_rank, l AS lhs, r AS rhs" +
+          s" FROM ${pre}b$m")
+        .mkString("(\n", "\nUNION ALL\n", "\n)")
+    "WITH " + bpeChainSql("h", " WHERE doc_id % 2 = 0") + "," +
+      bpeChainSql("f") +
+      s""",mh AS (SELECT * FROM ${merged("h")}),
+        |mf AS (SELECT * FROM ${merged("f")})
+        |SELECT coalesce(mh.merge_rank, mf.merge_rank) AS merge_rank,
+        |  mh.lhs AS lhs_half, mh.rhs AS rhs_half,
+        |  mf.lhs AS lhs_full, mf.rhs AS rhs_full,
+        |  (mh.lhs IS NOT NULL AND mf.lhs IS NOT NULL
+        |    AND mh.lhs = mf.lhs AND mh.rhs = mf.rhs) AS agree
+        |FROM mh FULL OUTER JOIN mf ON mh.merge_rank = mf.merge_rank
+        |ORDER BY merge_rank""".stripMargin
+  }
+
   /** bpeChainSql extended to per-document real subword counts
     * (`docsw`: doc_id, n_subwords) — the prefix every oracle that
     * consumes the trained tokenizer downstream shares (tx35, pp32,
     * pp40). */
   private[graft] def bpeDocPrefixSql: String =
-    bpeChainSql +
+    "WITH " + bpeChainSql() +
       s""",ns AS (SELECT w, CAST(len(sym) AS BIGINT) AS nsub
         |  FROM s$BPE_UNROLL),
         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -829,6 +900,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "tx34_bpe_merges" -> tx34BpeMerges,
     "tx35_subword_tokens" -> tx35SubwordTokens,
+    "tx36_tokenizer_drift" -> tx36TokenizerDrift,
     "tx33_source_novelty" -> tx33SourceNovelty,
     "tx32_countmin_ngrams" -> tx32CountMin,
     "tx31_vocab_growth" -> tx31VocabGrowth,
@@ -859,6 +931,7 @@ object TextAnalysis {
     // (generated, BPE_UNROLL steps — see bpeChainSql's scaladoc)
     "tx34_bpe_merges" -> tx34OracleSql,
     "tx35_subword_tokens" -> tx35OracleSql,
+    "tx36_tokenizer_drift" -> tx36OracleSql,
     // tx33: gram build + first-source min + per-source counters, all
     // replayed; integer division exact both engines
     "tx33_source_novelty" ->
