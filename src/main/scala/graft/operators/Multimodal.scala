@@ -816,6 +816,87 @@ object Multimodal {
       .orderBy("band")
   }
 
+  /** mm17: VLM SAMPLE PACKER — the batcher a vision-LANGUAGE loader
+    * actually runs, composing mm16's patch accounting with the tx34
+    * tokenizer: each document is an (image, caption) sample whose
+    * context cost is patch tokens (⌈h/8⌉·⌈w/8⌉ from the REAL decode;
+    * 0 for the text-only docs too short to raster) PLUS real subword
+    * tokens, packed next-fit in (source, doc_id) arrival order into
+    * 512-token contexts (the pp36 stream fold keyed by source). The
+    * report prices each source's batching — batch count vs the
+    * ⌈Σcost/512⌉ bound, slot waste, and the image share of the spend
+    * (img_share_x10k), the number that decides patch budgets vs text
+    * budgets when the two modalities compete for one context.
+    *
+    * Scale: decode is the one mapPartitions ingest pass (only (id, h,
+    * w) leaves the executor); the subword kernel is a per-row scan;
+    * the fold is the pp36 stateful-sequential shape keyed by source
+    * ((source, shard) at 100 TB). DuckDB replays dims from source
+    * bytes, the tokenizer training, and the fold per source as a
+    * recursive CTE — one hash certifies decode + tokenizer + packing.
+    */
+  private val mm17VlmBatches: Q = (s, d) => {
+    import s.implicits._
+    val budget = 512L
+    val spec = graft.operators.TextAnalysis.bpeSpecFor(s, d)
+    val dims = pngTable(s, d).select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, png) =>
+          val (w, h, _) = decodeGray(png)
+          (id, w.toLong, h.toLong)
+        }
+      }.toDF("media_id", "w", "h")
+      .withColumn("patches", expr("((h + 7) div 8) * ((w + 7) div 8)"))
+    val sized = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.GraftFunctions.bpe_subword_count(col("text"), spec)
+          .as("stok"))
+      .join(dims.select(col("media_id").as("doc_id"), col("patches")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("stok"),
+        coalesce(col("patches"), lit(0L)).as("patches"))
+      .withColumn("cost", col("patches") + col("stok"))
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .localCheckpoint() // 2 refs: the fold pass + the source totals
+    val packed = sized
+      .select("source", "doc_id", "cost")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curSrc: String = null
+        var batch = 0L
+        var fill = 0L
+        it.map { case (src, id, c) =>
+          if (src != curSrc) { curSrc = src; batch = 0L; fill = c }
+          else if (fill + c <= budget) fill += c
+          else { batch += 1L; fill = c }
+          (src, id, c, batch)
+        }
+      }.toDF("source", "doc_id", "cost", "batch_id")
+    val bySrc = packed.groupBy("source", "batch_id")
+      .agg(sum("cost").as("bc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batches"),
+        sum(greatest(lit(0L), lit(budget) - col("bc"))).as("waste_slots"))
+    sized.groupBy("source")
+      .agg(count(lit(1)).as("n_samples"),
+        sum("patches").as("patch_tokens"),
+        sum("stok").as("text_tokens"),
+        sum("cost").as("total_tokens"))
+      .withColumn("lb_batches",
+        expr(s"(total_tokens + ${budget - 1}) div $budget"))
+      .join(bySrc, Seq("source"))
+      .select(col("source"), col("n_samples"), col("patch_tokens"),
+        col("text_tokens"), col("total_tokens"), col("lb_batches"),
+        col("n_batches"), col("waste_slots"),
+        expr(s"waste_slots * 10000 DIV (n_batches * $budget)")
+          .as("waste_x10k"),
+        expr("patch_tokens * 10000 DIV total_tokens")
+          .as("img_share_x10k"))
+      .orderBy("source")
+  }
+
   /** mm12: DUPLICATE-FRAME RUN COLLAPSE — the static-scene detector a
     * video ingest runs before feature extraction: consecutive frames
     * with identical content fingerprints collapse to one keyframe per
@@ -868,6 +949,7 @@ object Multimodal {
     "mm12_frame_runs" -> mm12FrameRunCollapse,
     "mm11_aspect_buckets" -> mm11AspectBuckets,
     "mm16_patch_batches" -> mm16PatchBatches,
+    "mm17_vlm_batches" -> mm17VlmBatches,
     "mm08_thumbnail" -> mm08Thumbnail,
     "mm15_letterbox_crop" -> mm15LetterboxCrop,
     "mm01_media_ingest" -> mm01IngestMeta,
@@ -1374,6 +1456,51 @@ object Multimodal {
         |FROM agg ORDER BY band""".stripMargin,
     // mm16: dims from source bytes, per-band next-fit fold as a
     // recursive CTE (the pp38 replay shape), patch math all-integer
+    // mm17: dims from source bytes + the shared tokenizer training +
+    // the per-source next-fit fold as a recursive CTE — one hash
+    // certifies decode + tokenizer + packing together
+    "mm17_vlm_batches" ->
+      ("WITH RECURSIVE " + graft.operators.TextAnalysis.bpeDocCtes +
+      """,dm AS (SELECT doc_id, CASE WHEN length(text) >= 16
+        |    THEN (((length(text) // 16) + 7) // 8) * 2
+        |    ELSE 0 END AS patches
+        |  FROM documents),
+        |sz AS MATERIALIZED (SELECT d.doc_id, d.source,
+        |    dm.patches + docsw.n_subwords AS cost,
+        |    dm.patches AS patches, docsw.n_subwords AS stok,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY d.doc_id) AS rn
+        |  FROM documents d JOIN dm USING (doc_id)
+        |    JOIN docsw USING (doc_id)),
+        |r AS (SELECT source, rn, cost, CAST(0 AS BIGINT) AS batch,
+        |    cost AS fill
+        |  FROM sz WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn, t.cost,
+        |    CASE WHEN r.fill + t.cost <= 512 THEN r.batch
+        |         ELSE r.batch + 1 END,
+        |    CASE WHEN r.fill + t.cost <= 512 THEN r.fill + t.cost
+        |         ELSE t.cost END
+        |  FROM r JOIN sz t ON t.source = r.source AND t.rn = r.rn + 1),
+        |pb AS (SELECT source, batch, sum(cost) AS bc FROM r
+        |  GROUP BY 1, 2),
+        |bb AS (SELECT source, CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(greatest(0, 512 - bc)) AS BIGINT) AS waste_slots
+        |  FROM pb GROUP BY 1),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(patches) AS BIGINT) AS patch_tokens,
+        |    CAST(sum(stok) AS BIGINT) AS text_tokens,
+        |    CAST(sum(cost) AS BIGINT) AS total_tokens,
+        |    CAST((sum(cost) + 511) // 512 AS BIGINT) AS lb_batches
+        |  FROM sz GROUP BY 1)
+        |SELECT tot.source, n_samples, patch_tokens, text_tokens,
+        |  total_tokens, lb_batches, n_batches, waste_slots,
+        |  CAST(waste_slots * 10000 // (n_batches * 512) AS BIGINT)
+        |    AS waste_x10k,
+        |  CAST(patch_tokens * 10000 // total_tokens AS BIGINT)
+        |    AS img_share_x10k
+        |FROM tot JOIN bb USING (source)
+        |ORDER BY tot.source""".stripMargin),
     "mm16_patch_batches" ->
       """WITH RECURSIVE g AS (SELECT doc_id AS media_id,
         |    CAST(length(text) // 16 AS BIGINT) AS h

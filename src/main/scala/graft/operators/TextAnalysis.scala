@@ -822,8 +822,12 @@ object TextAnalysis {
     * (`docsw`: doc_id, n_subwords) — the prefix every oracle that
     * consumes the trained tokenizer downstream shares (tx35, pp32,
     * pp40). */
-  private[graft] def bpeDocPrefixSql: String =
-    "WITH " + bpeChainSql() +
+  private[graft] def bpeDocPrefixSql: String = "WITH " + bpeDocCtes
+
+  /** The same CTE list without the WITH keyword, for oracles that need
+    * `WITH RECURSIVE` in front (mm17's packing fold). */
+  private[graft] def bpeDocCtes: String =
+    bpeChainSql() +
       s""",ns AS (SELECT w, CAST(len(sym) AS BIGINT) AS nsub
         |  FROM s$BPE_UNROLL),
         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
