@@ -989,7 +989,9 @@ object Dedup {
     * DuckDB oracle replays the whole pipeline (explode formulation —
     * same bytes, dd18's twin rule).
     */
-  private val dd32SpanRemoval: Q = (s, d) => {
+  /** dd32's removal frame — (doc_id, toks, rem sorted positions) —
+    * shared with dd33's before/after audit. */
+  private def spanRemovalFrame(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = t(s, d, "documents")
       .repartition(32)
@@ -1015,6 +1017,10 @@ object Dedup {
       .select(col("doc_id"), col("toks"),
         coalesce(col("rem"), expr("CAST(array() AS array<int>)"))
           .as("rem"))
+  }
+
+  private val dd32SpanRemoval: Q = (s, d) => {
+    spanRemovalFrame(s, d)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("rem")).cast("long").as("n_removed"),
@@ -1026,6 +1032,53 @@ object Dedup {
         expr("n_removed * 10000 DIV n_tokens").as("removed_x10k"),
         col("fp_clean"))
       .orderBy("doc_id")
+  }
+
+  /** dd33: REMOVAL-EFFECTIVENESS AUDIT — the measurement that closes
+    * the dd32 loop: re-run the recurrence census on the CLEANED corpus
+    * and put it beside the original. Removal does NOT trivially
+    * extinguish recurrence — cutting a span joins its neighbors, so
+    * NEW 8-grams form across cut boundaries and can themselves recur —
+    * and this is the table that says whether one pass sufficed or the
+    * pipeline needs iteration (Lee et al. run ExactSubstr to a
+    * fixpoint for exactly this reason). Two rows (before/after), all
+    * integer: span positions, redundant positions (rank ≥ 2 under the
+    * dd32 canonical order), distinct and recurring fingerprints.
+    *
+    * Scale: dd32's linear machinery twice; the census is one fp-keyed
+    * window + one constant-size aggregate per phase.
+    */
+  private val dd33RemovalAudit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    def stats(docs: DataFrame, phase: String): DataFrame = {
+      val spans = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, CAST(size(toks) - 8 AS INT)),
+            |          i -> array_join(slice(toks, i + 1, 8), ' '))"""
+            .stripMargin)))
+        .select(col("doc_id"), col("pos"), md5(col("col")).as("fp"))
+      val w = Window.partitionBy("fp").orderBy("doc_id", "pos")
+      spans.withColumn("rn", row_number().over(w))
+        .agg(count(lit(1)).as("n_positions"),
+          sum(when(col("rn") >= 2, 1L).otherwise(0L)).as("n_redundant"),
+          countDistinct(col("fp")).as("distinct_fps"),
+          countDistinct(when(col("rn") === 2, col("fp")))
+            .as("recurring_fps"))
+        .select(lit(phase).as("phase"), col("n_positions"),
+          col("n_redundant"),
+          expr("n_redundant * 10000 DIV n_positions")
+            .as("redundant_x10k"),
+          col("distinct_fps"), col("recurring_fps"))
+    }
+    val cleaned = spanRemovalFrame(s, d)
+      .select(col("doc_id"), concat_ws(" ",
+        expr("filter(toks, (t, i) -> NOT array_contains(rem, i))"))
+        .as("text"))
+    stats(t(s, d, "documents"), "before")
+      .unionAll(stats(cleaned, "after"))
+      .orderBy("phase")
   }
 
   private val dd16SubstringDedup: Q = (s, d) => {
@@ -1974,6 +2027,7 @@ object Dedup {
     "dd15_lsh_recall" -> dd15LshRecall,
     "dd16_substring_dedup" -> dd16SubstringDedup,
     "dd32_span_removal" -> dd32SpanRemoval,
+    "dd33_removal_audit" -> dd33RemovalAudit,
     "dd22_fuzzy_keepset" -> dd22FuzzyKeepset,
     "dd01_dedup_exact" -> dd01Exact,
     "dd02_dedup_exact_hash" -> dd02ExactHash,
@@ -2615,6 +2669,63 @@ object Dedup {
         |  n_tokens - n_removed AS n_kept,
         |  n_removed * 10000 // n_tokens AS removed_x10k, fp_clean
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // dd33: the dd32 chain + cleaned text, then the SAME census over
+    // both corpora (rank ≥ 2 under the canonical order)
+    "dd33_removal_audit" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |spans AS MATERIALIZED (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(toks[i : i + 7], ' ')) AS fp
+        |  FROM tk, LATERAL (SELECT
+        |    unnest(generate_series(1, len(toks) - 7)) AS i)
+        |  WHERE len(toks) >= 8),
+        |red AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (
+        |      PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM spans)
+        |  WHERE rn >= 2),
+        |rem AS MATERIALIZED (SELECT DISTINCT doc_id, p
+        |  FROM red, LATERAL (SELECT
+        |    unnest(generate_series(pos, pos + 7)) AS p)),
+        |tokpos AS (SELECT doc_id, i AS p, toks[i] AS tok FROM tk,
+        |  LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+        |ct AS MATERIALIZED (SELECT t.doc_id,
+        |    coalesce(array_to_string(
+        |      list(t.tok ORDER BY t.p) FILTER (WHERE rem.p IS NULL),
+        |      ' '), '') AS text
+        |  FROM tokpos t LEFT JOIN rem
+        |    ON rem.doc_id = t.doc_id AND rem.p = t.p
+        |  GROUP BY t.doc_id),
+        |r1 AS (SELECT fp, row_number() OVER (
+        |    PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM spans),
+        |tk2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ct),
+        |spans2 AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(toks[i : i + 7], ' ')) AS fp
+        |  FROM tk2, LATERAL (SELECT
+        |    unnest(generate_series(1, len(toks) - 7)) AS i)
+        |  WHERE len(toks) >= 8),
+        |r2 AS (SELECT fp, row_number() OVER (
+        |    PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM spans2),
+        |st AS (
+        |  SELECT 'before' AS phase,
+        |    CAST(count(*) AS BIGINT) AS n_positions,
+        |    CAST(sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_redundant,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fps,
+        |    CAST(count(DISTINCT CASE WHEN rn = 2 THEN fp END)
+        |      AS BIGINT) AS recurring_fps
+        |  FROM r1
+        |  UNION ALL
+        |  SELECT 'after',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT fp) AS BIGINT),
+        |    CAST(count(DISTINCT CASE WHEN rn = 2 THEN fp END)
+        |      AS BIGINT)
+        |  FROM r2)
+        |SELECT phase, n_positions, n_redundant,
+        |  n_redundant * 10000 // n_positions AS redundant_x10k,
+        |  distinct_fps, recurring_fps
+        |FROM st ORDER BY phase""".stripMargin,
     "dd16_substring_dedup" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 8),

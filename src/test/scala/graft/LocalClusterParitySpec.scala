@@ -109,7 +109,8 @@ class LocalClusterParitySpec extends SparkSpec {
     // window, dd32's canonical-rank span cut
     "tx34_bpe_merges", "tx35_subword_tokens", "pp40_concat_chunks_bpe",
     "dd32_span_removal", "ss33_persisted_index", "st24_real_budget",
-    "ss34_delta_index", "tx36_tokenizer_drift", "mm17_vlm_batches")
+    "ss34_delta_index", "tx36_tokenizer_drift", "mm17_vlm_batches",
+    "dd33_removal_audit")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
