@@ -989,34 +989,49 @@ object Dedup {
     * DuckDB oracle replays the whole pipeline (explode formulation —
     * same bytes, dd18's twin rule).
     */
-  /** dd32's removal frame — (doc_id, toks, rem sorted positions) —
-    * shared with dd33's before/after audit. */
-  private def spanRemovalFrame(s: SparkSession, d: String): DataFrame = {
+  /** Positional 8-gram fingerprints of a (doc_id, toks) frame —
+    * (doc_id, pos, fp), the dd16/dd32/dd33 census primitive. */
+  private def posSpans(toks: DataFrame): DataFrame = toks
+    .filter(size(col("toks")) >= 8)
+    .select(col("doc_id"), posexplode(expr(
+      """transform(sequence(0, CAST(size(toks) - 8 AS INT)),
+        |          i -> array_join(slice(toks, i + 1, 8), ' '))"""
+        .stripMargin)))
+    .select(col("doc_id"), col("pos"), md5(col("col")).as("fp"))
+
+  /** Canonical-occurrence rank per fingerprint (the dd32 order). */
+  private def rankSpans(spans: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = t(s, d, "documents")
-      .repartition(32)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .localCheckpoint() // 2 refs: span build + cleaned-text rebuild
-    val spans = toks
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, CAST(size(toks) - 8 AS INT)),
-          |          i -> array_join(slice(toks, i + 1, 8), ' '))"""
-          .stripMargin)))
-      .select(col("doc_id"), col("pos"), md5(col("col")).as("fp"))
-    val w = Window.partitionBy("fp").orderBy("doc_id", "pos")
-    val removedPos = spans
-      .withColumn("rn", row_number().over(w))
+    spans.withColumn("rn", row_number().over(
+      Window.partitionBy("fp").orderBy("doc_id", "pos")))
+  }
+
+  /** (doc_id, toks, rem) from an already-RANKED span table. */
+  private def removalFromRanked(toks: DataFrame, ranked: DataFrame)
+      : DataFrame = {
+    val remArr = ranked
       .filter(col("rn") >= 2)
       .select(col("doc_id"),
         explode(expr("sequence(pos, pos + 7)")).as("p"))
       .distinct()
-    val remArr = removedPos.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(sort_array(collect_list(col("p"))).as("rem"))
     toks.join(remArr, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("rem"), expr("CAST(array() AS array<int>)"))
           .as("rem"))
+  }
+
+  private def docToks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .repartition(32)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .localCheckpoint() // 2 refs: span build + cleaned-text rebuild
+
+  /** dd32's removal frame — (doc_id, toks, rem sorted positions). */
+  private def spanRemovalFrame(s: SparkSession, d: String): DataFrame = {
+    val toks = docToks(s, d)
+    removalFromRanked(toks, rankSpans(posSpans(toks)))
   }
 
   private val dd32SpanRemoval: Q = (s, d) => {
@@ -1049,35 +1064,29 @@ object Dedup {
     * window + one constant-size aggregate per phase.
     */
   private val dd33RemovalAudit: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    def stats(docs: DataFrame, phase: String): DataFrame = {
-      val spans = docs
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(0, CAST(size(toks) - 8 AS INT)),
-            |          i -> array_join(slice(toks, i + 1, 8), ' '))"""
-            .stripMargin)))
-        .select(col("doc_id"), col("pos"), md5(col("col")).as("fp"))
-      val w = Window.partitionBy("fp").orderBy("doc_id", "pos")
-      spans.withColumn("rn", row_number().over(w))
-        .agg(count(lit(1)).as("n_positions"),
-          sum(when(col("rn") >= 2, 1L).otherwise(0L)).as("n_redundant"),
-          countDistinct(col("fp")).as("distinct_fps"),
-          countDistinct(when(col("rn") === 2, col("fp")))
-            .as("recurring_fps"))
-        .select(lit(phase).as("phase"), col("n_positions"),
-          col("n_redundant"),
-          expr("n_redundant * 10000 DIV n_positions")
-            .as("redundant_x10k"),
-          col("distinct_fps"), col("recurring_fps"))
-    }
-    val cleaned = spanRemovalFrame(s, d)
+    def census(ranked: DataFrame, phase: String): DataFrame = ranked
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("rn") >= 2, 1L).otherwise(0L)).as("n_redundant"),
+        countDistinct(col("fp")).as("distinct_fps"),
+        countDistinct(when(col("rn") === 2, col("fp")))
+          .as("recurring_fps"))
+      .select(lit(phase).as("phase"), col("n_positions"),
+        col("n_redundant"),
+        expr("n_redundant * 10000 DIV n_positions")
+          .as("redundant_x10k"),
+        col("distinct_fps"), col("recurring_fps"))
+    // ONE ranked span table serves both the before-census and the
+    // removal itself (dd32 rebuilt it per consumer before r10)
+    val toks = docToks(s, d)
+    val ranked = rankSpans(posSpans(toks))
+      .localCheckpoint() // 2 refs: before-census + removal positions
+    val cleaned = removalFromRanked(toks, ranked)
       .select(col("doc_id"), concat_ws(" ",
         expr("filter(toks, (t, i) -> NOT array_contains(rem, i))"))
         .as("text"))
-    stats(t(s, d, "documents"), "before")
-      .unionAll(stats(cleaned, "after"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    census(ranked, "before")
+      .unionAll(census(rankSpans(posSpans(cleaned)), "after"))
       .orderBy("phase")
   }
 
