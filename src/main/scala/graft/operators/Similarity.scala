@@ -490,6 +490,7 @@ object Similarity {
     "ss33_persisted_index" -> ((s, d) => ss33PersistedIndex(s, d)),
     "ss34_delta_index" -> ((s, d) => ss34DeltaIndex(s, d)),
     "ss19_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)),
+    "ss35_frozen_recall" -> ((s, d) => ss35FrozenRecall(s, d)),
     "ss20_graph_expand" -> ((s, d) => graphExpandedSearch(s, d)),
     "ss21_kcenter_seed" -> ((s, d) => kcenterSeed(s, d)),
     "ss22_sq_recall" -> ((s, d) => sqRecall(s, d)),
@@ -1630,6 +1631,48 @@ object Similarity {
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("neighbor_id"))
     val got3 = ivfPqSearch(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact3.join(broadcast(got3), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hit"))
+      .withColumn("recall_at_3",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+      .orderBy("query_id")
+  }
+
+  /** ss35: FROZEN-INDEX RECALL — ss19's gate pointed at the ss34 path:
+    * recall@3 of the frozen-quantizer SEGMENTED search against the
+    * exact cosine top-3, per query. Read beside ss19 (the full-retrain
+    * pipeline's recall, same table shape) this prices the no-rebuild
+    * policy: how much recall the frozen codebook and per-segment
+    * top-10 cuts give up vs retraining on every ingest — the number
+    * that, with ss23's growth report, decides WHEN compaction is due
+    * rather than whether search still works. A regression in any ss34
+    * stage (frozen assignment, delta coding, segment merge) moves a
+    * pinned integer here.
+    *
+    * Scale: ss34's own plan plus one broadcast exact top-3 over the
+    * 10 query rows — the audit costs one extra constant-size join.
+    */
+  def ss35FrozenRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+    val qs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val exact3 = base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val got3 = ss34DeltaIndex(s, d)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     exact3.join(broadcast(got3), Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
@@ -3410,6 +3453,27 @@ object Similarity {
         |  round(cosine_raw, 4) AS cosine,
         |  neighbor_id % 10 = 7 AS from_delta
         |FROM fin WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin),
+    // ss35: the ss19 recall tail over the FROZEN segmented chain's fin
+    "ss35_frozen_recall" ->
+      (ss34PipelineSql + """,
+        |p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    """.stripMargin + dotSql + """ / (c.nrm * q.nrm) AS cos_raw
+        |  FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |exact3 AS (SELECT query_id, neighbor_id
+        |  FROM (SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_raw DESC, neighbor_id) AS rn
+        |    FROM p2) WHERE rn <= 3),
+        |got3 AS (SELECT query_id, neighbor_id FROM fin
+        |  WHERE "rank" <= 3)
+        |SELECT e.query_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_at_3
+        |FROM exact3 e LEFT JOIN got3 g ON g.query_id = e.query_id
+        |  AND g.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin),
     // ss19: the composed pipeline's recall gate (ss07/ss11/ss15 pin each
     // stage; this pins the assembled IVF→ADC→refine path end-to-end).
     "ss19_ivfpq_recall" ->

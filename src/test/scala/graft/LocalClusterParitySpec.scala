@@ -110,7 +110,7 @@ class LocalClusterParitySpec extends SparkSpec {
     "tx34_bpe_merges", "tx35_subword_tokens", "pp40_concat_chunks_bpe",
     "dd32_span_removal", "ss33_persisted_index", "st24_real_budget",
     "ss34_delta_index", "tx36_tokenizer_drift", "mm17_vlm_batches",
-    "dd33_removal_audit")
+    "dd33_removal_audit", "ss35_frozen_recall")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
