@@ -1680,4 +1680,81 @@ class OperatorInvariantSpec extends SparkSpec {
     val totT = got.values.map(_._1).sum
     assert(totR * 10 < totT, s"removed $totR of $totT tokens")
   }
+
+  test("mm17/pp40/tx36: in-JVM replays — VLM fold, twin-token chunking, " +
+      "and the drift diff all reproduce from raw text") {
+    import graft.functions.Bpe
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(x => (x._2, x._1))
+    def trainOn(ds: Seq[String]): Array[(String, String)] = {
+      val wf = ds.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+        .toSeq.sortBy { case (w, f) => (-f, w) }.take(4096)
+      Bpe.train(wf, math.min(24, math.max(8, wf.length / 2)))
+        .map { case (l, r, _) => (l, r) }.toArray
+    }
+    val pairs = trainOn(docs.map(_._3))
+    def nsub(text: String): Long = text.split(" ", -1)
+      .filter(_.nonEmpty).map(w => Bpe.encodeCount(w, pairs).toLong).sum
+    // mm17: patches from the ASCII byte raster + next-fit fold per source
+    def patches(text: String): Long = {
+      val h = text.getBytes("UTF-8").length / 16
+      if (h == 0) 0L else ((h + 7) / 8).toLong * 2L
+    }
+    val mmWant = docs.groupBy(_._2).map { case (srcK, xs) =>
+      val costs = xs.sortBy(_._1).map(x => patches(x._3) + nsub(x._3))
+      var batches = 1L; var fill = 0L; var waste = 0L
+      costs.zipWithIndex.foreach { case (c, i) =>
+        if (i == 0) fill = c
+        else if (fill + c <= 512L) fill += c
+        else { batches += 1L; waste += math.max(0L, 512L - fill); fill = c }
+      }
+      waste += math.max(0L, 512L - fill)
+      srcK -> ((xs.length.toLong, xs.map(x => patches(x._3)).sum,
+        xs.map(x => nsub(x._3)).sum, batches, waste))
+    }
+    val mmGot = graft.operators.Multimodal.queries("mm17_vlm_batches")(
+        spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(6), r.getLong(7)))).toMap
+    assert(mmGot.keySet == mmWant.keySet)
+    mmWant.foreach { case (k, v) => assert(mmGot(k) == v, s"mm17 $k") }
+    // pp40: both chunkings from running sums per source
+    val ppWant = docs.groupBy(_._2).map { case (srcK, xs) =>
+      val ws = xs.sortBy(_._1).map(_._3.split(" ", -1).length.toLong)
+      val sw = xs.sortBy(_._1).map(x => nsub(x._3))
+      def chunks(ts: Seq[Long]): (Long, Long) = { // (n_chunks, n_split)
+        var cum = 0L; var split = 0L; var last = 0L
+        ts.foreach { t =>
+          val f = cum / 512L; val l = (cum + t - 1) / 512L
+          if (f != l) split += 1L
+          last = l; cum += t
+        }
+        (last + 1L, split)
+      }
+      srcK -> ((chunks(ws), chunks(sw)))
+    }
+    val ppGot = graft.operators.Pipeline.queries("pp40_concat_chunks_bpe")(
+        spark, sf).collect()
+      .map(r => r.getString(0) -> (((r.getLong(4), r.getLong(7)),
+        (r.getLong(5), r.getLong(8))))).toMap
+    assert(ppGot.keySet == ppWant.keySet)
+    ppWant.foreach { case (k, v) => assert(ppGot(k) == v, s"pp40 $k") }
+    // tx36: the drift diff equals diffing two in-JVM trainings
+    val half = trainOn(docs.filter(_._1 % 2 == 0).map(_._3))
+    val gotDrift = TextAnalysis.queries("tx36_tokenizer_drift")(spark, sf)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(3)), r.getBoolean(5)))
+    assert(gotDrift.length == math.max(half.length, pairs.length))
+    gotDrift.foreach { case (rank, lh, lf, agree) =>
+      val i = rank.toInt - 1
+      assert(lh == half.lift(i).map(_._1), s"tx36 rank $rank half")
+      assert(lf == pairs.lift(i).map(_._1), s"tx36 rank $rank full")
+      assert(agree == (half.lift(i).nonEmpty &&
+        half.lift(i) == pairs.lift(i).map(p => (p._1, p._2))),
+        s"tx36 rank $rank agree")
+    }
+  }
 }
