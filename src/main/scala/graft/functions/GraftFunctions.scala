@@ -920,6 +920,13 @@ object GraftFunctions {
       "simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "poly_hash_mod", es => PolyHashMod(es.head), "scala_udf")
+    // 2nd arg = the merge-table spec, a foldable string literal (build
+    // it with graft_op('tx34_bpe_merges') or pass a saved table's
+    // "lhs rhs" lines joined by \n)
+    reg.createOrReplaceTempFunction(
+      "bpe_subword_count",
+      es => BpeSubwordCount(es.head,
+        java.util.Objects.toString(es(1).eval(), "")), "scala_udf")
     // SQL-addressable operators for sessions built WITHOUT GraftExtensions
     val treg = spark.sessionState.tableFunctionRegistry
     treg.createOrReplaceTempFunction("graft_op", GraftOps.opPlan _, "scala_udf")

@@ -86,6 +86,11 @@ class GraftFunctionsSpec extends SparkSpec {
       .collect()(0)
     assert(r.getLong(0) == GraftHashes.simhash64(UTF8String.fromString("a b c")))
     assert(r.getLong(1) == GraftHashes.rollingHash64(UTF8String.fromString("abc")))
+    // the tokenizer kernel from plain SQL: spec as a string literal
+    val b = spark.sql(
+      "select bpe_subword_count('ab ab cd', 'a b')").collect()(0)
+    // merge (a,b): 'ab' -> 1 token, 'ab' -> 1, 'cd' -> 2
+    assert(b.getLong(0) == 4L)
   }
 
   test("minhash_sig: identical texts share all lanes; near-dups share most") {
