@@ -99,4 +99,37 @@ class SkewSpec extends SparkSpec {
       }
     }
   }
+
+  test("AQE skew-join splits a planted hot partition (skew=true in the " +
+      "final SMJ) and results match the non-adaptive join") {
+    // salting (above) is the MANUAL skew remedy; this pins the AUTOMATIC
+    // one the 100 TB mandate names: AQE detecting an oversized shuffle
+    // partition at runtime and splitting it. Thresholds are lowered to
+    // fixture scale in a child session (runtime AQE confs are
+    // session-scoped; the shared session is untouched).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import s2.implicits._
+    // hot key 0 carries 200x the rows of every other key
+    val fact = (0 until 21000).map(i =>
+      (if (i < 20000) 0L else (i % 100).toLong, s"payload-$i"))
+      .toDF("k", "v").repartition(8)
+    val dim = (0L until 100L).map(k => (k, s"dim-$k")).toDF("k", "name")
+    val joined = fact.join(dim, Seq("k"))
+    // collect on the df itself: count() would execute a DIFFERENT
+    // QueryExecution and leave this one's adaptive plan unfinalized
+    // (the PlanAuditSpec rule)
+    val n = joined.collect().length
+    assert(n == 21000, s"join lost rows: $n")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("skew=true"),
+      s"AQE did not flag the hot partition:\n$plan")
+  }
 }
