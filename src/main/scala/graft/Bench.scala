@@ -125,33 +125,50 @@ object Bench {
       val rxSf = """"sf":"([^"]*)"""".r
       val rxKV = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
       val best = scala.collection.mutable.Map.empty[String, Double]
-      val recent = scala.collection.mutable.Map.empty[String, Double]
+      // All matching full sweeps in timestamp order; the recent baseline
+      // is the MEDIAN of the last 3 per query. A single-sweep "latest"
+      // baseline degenerates when the latest sweep IS the all-history
+      // best (r10: ss25 fired on best==last, one baseline in disguise);
+      // the median of 3 keeps the two baselines independent.
+      val sweeps = scala.collection.mutable.ArrayBuffer
+        .empty[Map[String, Double]]
       val prior = Option(new java.io.File("bench_history").listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.endsWith(".json") &&
           !f.getName.contains("_partial"))
         .sortBy(_.getName) // timestamped names — last is most recent
-      var nHist = 0
       prior.foreach { f =>
         val s = java.nio.file.Files.readString(f.toPath)
         if (rxSf.findFirstMatchIn(s).exists(_.group(1) == sfDir)) {
-          nHist += 1
-          recent.clear() // keep only the latest matching sweep
-          rxQ.findFirstMatchIn(s).foreach { m =>
-            rxKV.findAllMatchIn(m.group(1)).foreach { kv =>
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          rxQ.findFirstMatchIn(s).foreach { qm =>
+            rxKV.findAllMatchIn(qm.group(1)).foreach { kv =>
               val (k, v) = (kv.group(1), kv.group(2).toDouble)
               if (!best.contains(k) || v < best(k)) best(k) = v
-              recent(k) = v
+              m(k) = v
             }
           }
+          if (m.nonEmpty) sweeps += m.toMap // skip truncated/unparseable
         }
+      }
+      val nHist = sweeps.size
+      def recentMedian(q: String): Option[Double] = {
+        val vs = sweeps.takeRight(3).flatMap(_.get(q)).sorted
+        if (vs.isEmpty) None
+        else if (vs.size % 2 == 1) Some(vs(vs.size / 2))
+        else Some((vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0)
       }
       def fires(cur: Double, base: Double): Boolean =
         cur > 1.5 * base && cur - base > 0.8
       val drifts = results.flatMap { case (name, cur) =>
-        (best.get(name), recent.get(name)) match {
+        (best.get(name), recentMedian(name)) match {
           case (Some(b), Some(r)) if fires(cur, b) && fires(cur, r) =>
             Some((name, cur, b, r))
+          // no recent history for this query (new query, or every
+          // recent sweep failed to parse): degrade to best-only rather
+          // than silently suppressing the drift (ADVICE r10)
+          case (Some(b), None) if fires(cur, b) =>
+            Some((name, cur, b, Double.NaN))
           case _ => None
         }
       }.sortBy { case (_, cur, b, _) => b - cur } // worst absolute first
@@ -160,14 +177,15 @@ object Bench {
           s"history for $sfDir — nothing to compare")
       else if (drifts.isEmpty)
         System.err.println(s"[bench] drift watch: clean vs the " +
-          s"per-query best of $nHist prior sweeps AND the latest sweep " +
-          "(>1.5x & >0.8s on both)")
+          s"per-query best of $nHist prior sweeps AND the median of the " +
+          "last 3 (>1.5x & >0.8s on both)")
       else {
         System.err.println(s"[bench] drift watch: ${drifts.size} " +
           s"queries above 1.5x & +0.8s of BOTH their best across $nHist " +
-          "sweeps and the latest sweep — A/B these (same session, " +
-          "SPARK_GRAFT_BENCH_ONLY, worktree at the suspect commit):")
-        System.err.println(f"[bench]   ${"query"}%-28s ${"cur_s"}%8s ${"best_s"}%8s ${"last_s"}%8s")
+          "sweeps and the median of the last 3 — A/B these (same " +
+          "session, SPARK_GRAFT_BENCH_ONLY, worktree at the suspect " +
+          "commit):")
+        System.err.println(f"[bench]   ${"query"}%-28s ${"cur_s"}%8s ${"best_s"}%8s ${"med3_s"}%8s")
         drifts.foreach { case (name, cur, b, r) =>
           System.err.println(
             f"[bench]   $name%-28s $cur%8.2f $b%8.2f $r%8.2f")

@@ -61,9 +61,17 @@ object Bpe {
   }
 
   /** Greedy merge-table training over a word-frequency table.
-    * Deterministic: ties on pair count break by (lhs, rhs) string order.
-    * Returns (lhs, rhs, pairCount) in rank order, ≤ maxMerges entries
-    * (shorter if the vocabulary merges to single symbols first).
+    * Deterministic: ties on pair count break by (lhs, rhs) in UTF-8
+    * BYTE order — the collation Spark's UTF8String sort and DuckDB's
+    * ORDER BY share; Java String compareTo (UTF-16 code units) would
+    * diverge for supplementary-plane symbols (ADVICE r10). Residual
+    * ASCII-corpus assumption: the initial alphabet splits words by
+    * UTF-16 code unit (`_.toString`), so a supplementary-plane char
+    * splits into surrogate halves; the encode kernel splits the same
+    * way, so train/encode stay mutually consistent, but a DuckDB
+    * oracle splitting by codepoint would see a different alphabet —
+    * same documented boundary as the png family
+    * (Multimodal.scala:44-52).
     */
   def train(words: Seq[(String, Long)], maxMerges: Int)
       : Seq[(String, String, Long)] = {
@@ -84,13 +92,35 @@ object Bpe {
       }
       if (cnt.isEmpty) exhausted = true
       else {
-        val ((l, r), c) = cnt.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = cnt.minBy(identity)(Ordering.fromLessThan[((String, String), Long)] {
+          case (((l1, r1), c1), ((l2, r2), c2)) =>
+            if (c1 != c2) c1 > c2 // higher count wins
+            else {
+              val dl = utf8Compare(l1, l2)
+              if (dl != 0) dl < 0 else utf8Compare(r1, r2) < 0
+            }
+        })
         out += ((l, r, c))
         syms = syms.map { case (s, f) => (applyMerge(s, l, r), f) }
         m += 1
       }
     }
     out.toSeq
+  }
+
+  /** Unsigned UTF-8 byte-order comparison — the tie-break collation
+    * shared with Spark's UTF8String sort and DuckDB's ORDER BY. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Encode one word: chars, then every merge once in rank order. */

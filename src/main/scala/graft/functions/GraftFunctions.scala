@@ -922,11 +922,25 @@ object GraftFunctions {
       "poly_hash_mod", es => PolyHashMod(es.head), "scala_udf")
     // 2nd arg = the merge-table spec, a foldable string literal (build
     // it with graft_op('tx34_bpe_merges') or pass a saved table's
-    // "lhs rhs" lines joined by \n)
+    // "lhs rhs" lines joined by \n). A NULL or non-foldable spec is an
+    // error, not the empty spec: silently degrading to zero merges
+    // would return per-character counts — a quiet wrong answer on the
+    // REPL/HTTP surface (ADVICE r10).
     reg.createOrReplaceTempFunction(
       "bpe_subword_count",
-      es => BpeSubwordCount(es.head,
-        java.util.Objects.toString(es(1).eval(), "")), "scala_udf")
+      es => {
+        if (es.length != 2) throw new IllegalArgumentException(
+          "bpe_subword_count(text, spec) takes exactly 2 arguments")
+        if (!es(1).foldable) throw new IllegalArgumentException(
+          "bpe_subword_count: the merge-table spec (arg 2) must be a " +
+            "foldable string literal")
+        val spec = es(1).eval()
+        if (spec == null) throw new IllegalArgumentException(
+          "bpe_subword_count: the merge-table spec (arg 2) is NULL — " +
+            "pass the 'lhs rhs' merge lines (empty string = no merges, " +
+            "per-character counts, must be explicit)")
+        BpeSubwordCount(es.head, spec.toString)
+      }, "scala_udf")
     // SQL-addressable operators for sessions built WITHOUT GraftExtensions
     val treg = spark.sessionState.tableFunctionRegistry
     treg.createOrReplaceTempFunction("graft_op", GraftOps.opPlan _, "scala_udf")

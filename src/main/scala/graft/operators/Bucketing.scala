@@ -10,6 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * co-location is established once at write time and reused by every
   * subsequent join/aggregation on that key. `BucketingSpec` proves the
   * Exchange disappears from the physical plan.
+  *
+  * SINGLE-WRITER CONTRACT (ADVICE r10): `writeBucketed` drops and
+  * recursively deletes the table's warehouse directory before
+  * rewriting, and the ss33/ss34/ss36 index operators write under fixed
+  * global names (graft_ivf_lists, graft_pq_codes, graft_ivf_base, …).
+  * Two concurrent sessions sharing a warehouse (e.g. parallel
+  * REPL/HTTP `graft_op` calls, which execute at plan-build time) can
+  * clobber each other mid-probe. The sequential Verify/Bench drivers
+  * satisfy this by construction; a multi-tenant deployment must
+  * namespace the table names per run (suffix a session/run id) or
+  * serialize writers externally.
   */
 object Bucketing {
 

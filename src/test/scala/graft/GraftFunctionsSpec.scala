@@ -91,6 +91,37 @@ class GraftFunctionsSpec extends SparkSpec {
       "select bpe_subword_count('ab ab cd', 'a b')").collect()(0)
     // merge (a,b): 'ab' -> 1 token, 'ab' -> 1, 'cd' -> 2
     assert(b.getLong(0) == 4L)
+    // a NULL or non-foldable spec is an error, never the empty spec
+    // (silent zero-merge degradation = per-char counts, ADVICE r10)
+    val eNull = intercept[Exception] {
+      spark.sql("select bpe_subword_count('ab', NULL)").collect()
+    }
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+    val eNonFold = intercept[Exception] {
+      spark.sql(
+        "select bpe_subword_count(t, t) from (select 'a b' AS t)").collect()
+    }
+    assert(eNonFold.getMessage.contains("foldable"), eNonFold.getMessage)
+    // the empty spec stays legal, but only when EXPLICIT
+    val e0 = spark.sql("select bpe_subword_count('ab cd', '')").collect()(0)
+    assert(e0.getLong(0) == 4L)
+  }
+
+  test("Bpe.train tie-break uses UTF-8 byte order (cross-engine collation)") {
+    // U+FFFD (UTF-8: EF BF BD) vs U+10000 (UTF-16: surrogate pair
+    // D800 DC00; UTF-8: F0 90 80 80) ORDER SWAPS between collations:
+    // UTF-16 code units say U+D800 < U+FFFD, UTF-8 bytes say EF < F0.
+    // Merge 1 fuses the surrogate halves into the supplementary symbol
+    // (rhs DC00 encodes '?' < 'y', deterministic under both orders);
+    // merge 2 then ties (supp,"y") against ("�","x") at count 2 —
+    // the trainer must pick the UTF-8 winner U+FFFD.
+    val supp = new String(Character.toChars(0x10000))
+    val wt = Seq(supp + "y" -> 2L, "�x" -> 2L)
+    val merges = graft.functions.Bpe.train(wt, 2)
+    assert(merges(0)._1 == "\uD800".toString && merges(0)._2 == "\uDC00",
+      s"merge 1 should fuse the surrogate halves, got ${merges(0)}")
+    assert(merges(1)._1 == "�",
+      s"expected U+FFFD merge (UTF-8 order), got U+${merges(1)._1.codePointAt(0).toHexString}")
   }
 
   test("minhash_sig: identical texts share all lanes; near-dups share most") {
