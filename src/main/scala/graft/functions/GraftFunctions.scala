@@ -217,6 +217,30 @@ object GraftHashes {
     c
   }
 
+  private val spaceSep = UTF8String.fromString(" ")
+
+  /** Space-join of `toks` minus the 0-based positions in SORTED `rem` —
+    * byte-identical to `concat_ws(' ', filter(toks, (t, i) -> NOT
+    * array_contains(rem, i)))` (null elements skipped without a
+    * separator, concat_ws semantics), but a single two-pointer merge:
+    * O(len + removed) where the HOF's per-token array_contains scan is
+    * O(len × removed) — quadratic on a boilerplate-heavy doc with most
+    * tokens removed (the dd32/dd33 cleaned-text rebuild, VERDICT r10
+    * finding 3).
+    */
+  def removeTokensAt(toks: ArrayData, rem: ArrayData): UTF8String = {
+    val n = toks.numElements(); val m = rem.numElements()
+    val kept = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var i = 0; var j = 0
+    while (i < n) {
+      while (j < m && rem.getInt(j) < i) j += 1
+      if (!(j < m && rem.getInt(j) == i) && !toks.isNullAt(i))
+        kept += toks.getUTF8String(i)
+      i += 1
+    }
+    UTF8String.concatWs(spaceSep, kept.toSeq: _*)
+  }
+
   /** 3-token shingle STRINGS with the exact semantics of
     * `split(text, ' ')` + `concat_ws` (empty tokens preserved, <3 tokens
     * collapses to the whole text) — the portable construction the DuckDB
@@ -752,6 +776,25 @@ case class SortedIntersectCard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Linear cleaned-text rebuild — see [[GraftHashes.removeTokensAt]]. */
+case class RemoveTokensAt(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "remove_tokens_at"
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(StringType), ArrayType(IntegerType))
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftHashes.removeTokensAt(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GraftHashes.removeTokensAt($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 32-bit sign-LSH signature of an array<float> embedding column. */
 case class SignLsh32(child: Expression) extends UnaryExpression
     with ImplicitCastInputTypes {
@@ -910,6 +953,9 @@ object GraftFunctions {
     GraftShim.column(ReadabilityStats(GraftShim.expression(c)))
   def bpe_subword_count(c: Column, spec: String): Column =
     GraftShim.column(BpeSubwordCount(GraftShim.expression(c), spec))
+  def remove_tokens_at(toks: Column, rem: Column): Column =
+    GraftShim.column(RemoveTokensAt(
+      GraftShim.expression(toks), GraftShim.expression(rem)))
 
   /** Make the functions callable from spark.sql text. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

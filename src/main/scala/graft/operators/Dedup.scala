@@ -984,7 +984,10 @@ object Dedup {
     * shuffle, never text); covered positions collapse to a per-doc
     * sorted int array that rejoins the doc-keyed token table (removed
     * arrays are ≤ doc length — no token-level shuffle anywhere); the
-    * rebuild is a per-row indexed filter. `OperatorInvariantSpec` pins
+    * rebuild is the linear remove_tokens_at codegen kernel (two-pointer
+    * merge of toks × sorted rem — the HOF filter's per-token
+    * array_contains was O(len × removed) per doc, quadratic on a
+    * boilerplate-heavy web doc). `OperatorInvariantSpec` pins
     * cleaned fingerprints + conservation against an in-JVM replay; the
     * DuckDB oracle replays the whole pipeline (explode formulation —
     * same bytes, dd18's twin rule).
@@ -1039,8 +1042,10 @@ object Dedup {
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("rem")).cast("long").as("n_removed"),
-        md5(concat_ws(" ",
-          expr("filter(toks, (t, i) -> NOT array_contains(rem, i))")))
+        // linear two-pointer rebuild (byte-identical to the HOF
+        // concat_ws+filter formulation the oracle replays, but
+        // O(len + removed) instead of O(len × removed) per doc)
+        md5(GraftFunctions.remove_tokens_at(col("toks"), col("rem")))
           .as("fp_clean"))
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
         (col("n_tokens") - col("n_removed")).as("n_kept"),
@@ -1081,9 +1086,9 @@ object Dedup {
     val ranked = rankSpans(posSpans(toks))
       .localCheckpoint() // 2 refs: before-census + removal positions
     val cleaned = removalFromRanked(toks, ranked)
-      .select(col("doc_id"), concat_ws(" ",
-        expr("filter(toks, (t, i) -> NOT array_contains(rem, i))"))
-        .as("text"))
+      .select(col("doc_id"),
+        GraftFunctions.remove_tokens_at(col("toks"), col("rem"))
+          .as("text"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     census(ranked, "before")
       .unionAll(census(rankSpans(posSpans(cleaned)), "after"))

@@ -36,6 +36,20 @@ object KernelProps extends Properties("GraftKernels") {
       (0 until got.numElements()).map(got.getUTF8String(_).toString) == want
     }
 
+  property("removeTokensAt equals the concat_ws+filter reference") =
+    Prop.forAll(
+      Gen.listOf(Gen.oneOf(token, Gen.const(""))).map(_.take(30)),
+      Gen.listOf(Gen.chooseNum(-2, 35))) { (toks, remRaw) =>
+      val rem = remRaw.distinct.sorted.toArray
+      val want = toks.zipWithIndex
+        .filterNot { case (_, i) => rem.contains(i) }
+        .map(_._1).mkString(" ")
+      val got = GraftHashes.removeTokensAt(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(rem))
+      got.toString == want
+    }
+
   property("polyHashMod matches a BigInt fold and stays in [0, p)") =
     Prop.forAll(text) { t =>
       val p = BigInt(1000000007L)
