@@ -1095,6 +1095,87 @@ object Dedup {
       .orderBy("phase")
   }
 
+  /** dd34: EXACTSUBSTR FIXPOINT — iterate the dd32 cut until the dd33
+    * recurrence census reaches zero. One pass does NOT suffice in
+    * general: cutting a span splices its neighbors, and the spliced
+    * 8-grams can themselves recur across docs (Lee et al. run
+    * ExactSubstr to a fixpoint for exactly this reason — dd33 only
+    * MEASURES whether one pass sufficed; this operator closes the
+    * loop). Output: one census row per round — round 0 is the raw
+    * corpus, the final row always has n_redundant = 0.
+    *
+    * Convergence: every round with a positive census removes at least
+    * one full 8-token window, so n_positions (= Σ max(0, len−7))
+    * strictly decreases — the loop terminates. The round GUARD derives
+    * from the live round-0 census (the gr18 shape): recurrence decays
+    * geometrically in practice (the planted boundary-chimera spec
+    * converges in 2 cuts; the fixture corpus in 1), so a corpus still
+    * recurring after max(8, ⌈log2(p0)⌉) cuts is a data anomaly the
+    * operator refuses to silently grind through — loud
+    * IllegalStateException with the census trajectory.
+    *
+    * Scale: per round, exactly dd32's linear machinery (fingerprints
+    * shuffle, never text; the rebuild is the remove_tokens_at kernel);
+    * the per-round census is a constant-size (1-row) driver read — the
+    * documented convergence-signature pattern; every loop-carried
+    * frame is eagerly checkpointed (2 refs each: census+removal /
+    * spans+removal).
+    */
+  private val dd34ExactSubstrFixpoint: Q = (s, d) =>
+    exactSubstrFixpoint(s, docToks(s, d))
+
+  /** The dd34 loop over an arbitrary (doc_id, toks) frame — exposed so
+    * the spec can drive it on a planted boundary-chimera corpus where
+    * pass 1 provably leaves spliced recurrences (both loop branches
+    * live).
+    */
+  private[graft] def exactSubstrFixpoint(s: SparkSession,
+      toks0: DataFrame): DataFrame = {
+    var toks = toks0
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    var round = 0L
+    var maxRounds = -1L
+    var done = false
+    while (!done) {
+      val ranked = rankSpans(posSpans(toks))
+        .localCheckpoint() // 2 refs: census read + removal positions
+      val c = ranked.agg(
+        count(lit(1)).as("n_positions"),
+        coalesce(sum(when(col("rn") >= 2, 1L).otherwise(0L)), lit(0L))
+          .as("n_redundant"),
+        countDistinct(col("fp")).as("distinct_fps"),
+        countDistinct(when(col("rn") === 2, col("fp")))
+          .as("recurring_fps")).head() // constant-size: one census row
+      val (pos, red, dfp, rfp) =
+        (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+      rows += ((round, pos, red,
+        if (pos == 0) 0L else red * 10000L / pos, dfp, rfp))
+      if (maxRounds < 0) // derive the guard from the LIVE round-0 state
+        maxRounds = math.max(8L,
+          (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, pos))).toLong)
+      if (red == 0L) done = true
+      else {
+        if (round >= maxRounds) throw new IllegalStateException(
+          s"dd34_exactsubstr_fixpoint: census still positive after " +
+            s"$round cuts (guard $maxRounds); trajectory = " +
+            rows.map(r => s"${r._1}:${r._3}").mkString(", "))
+        toks = removalFromRanked(toks, ranked)
+          .select(col("doc_id"),
+            GraftFunctions.remove_tokens_at(col("toks"), col("rem"))
+              .as("text"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .localCheckpoint() // 2 refs next round: spans + removal
+        round += 1L
+      }
+    }
+    import s.implicits._
+    rows.toSeq
+      .toDF("round", "n_positions", "n_redundant", "redundant_x10k",
+        "distinct_fps", "recurring_fps")
+      .orderBy("round")
+  }
+
   private val dd16SubstringDedup: Q = (s, d) => {
     val spans = t(s, d, "documents")
       // spread + EAGER materialization (the dd20 rule): the count and
@@ -2042,6 +2123,7 @@ object Dedup {
     "dd16_substring_dedup" -> dd16SubstringDedup,
     "dd32_span_removal" -> dd32SpanRemoval,
     "dd33_removal_audit" -> dd33RemovalAudit,
+    "dd34_exactsubstr_fixpoint" -> dd34ExactSubstrFixpoint,
     "dd22_fuzzy_keepset" -> dd22FuzzyKeepset,
     "dd01_dedup_exact" -> dd01Exact,
     "dd02_dedup_exact_hash" -> dd02ExactHash,
@@ -2740,6 +2822,102 @@ object Dedup {
         |  n_redundant * 10000 // n_positions AS redundant_x10k,
         |  distinct_fps, recurring_fps
         |FROM st ORDER BY phase""".stripMargin,
+    // dd34: the fixpoint unrolled to 2 cuts / 3 censuses (ample at
+    // fixture scale — the corpus converges after 1 cut; a corpus
+    // needing more rounds produces extra Spark rows and fails the
+    // hash LOUDLY). Census rows emit only while the previous round
+    // was still recurring, so both engines stop at the same round.
+    // Every chained CTE is MATERIALIZED (the dd13/gr04 inlining rule:
+    // DuckDB re-expands multi-referenced CTEs per consumer).
+    "dd34_exactsubstr_fixpoint" ->
+      """WITH tk0 AS MATERIALIZED (SELECT doc_id,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |spans0 AS MATERIALIZED (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(toks[i : i + 7], ' ')) AS fp
+        |  FROM tk0, LATERAL (SELECT
+        |    unnest(generate_series(1, len(toks) - 7)) AS i)
+        |  WHERE len(toks) >= 8),
+        |r0 AS MATERIALIZED (SELECT doc_id, pos, fp, row_number() OVER (
+        |    PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM spans0),
+        |c0 AS MATERIALIZED (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_positions,
+        |    CAST(coalesce(sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_redundant,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fps,
+        |    CAST(count(DISTINCT CASE WHEN rn = 2 THEN fp END)
+        |      AS BIGINT) AS recurring_fps
+        |  FROM r0),
+        |rem0 AS MATERIALIZED (SELECT DISTINCT doc_id, p
+        |  FROM r0, LATERAL (SELECT
+        |    unnest(generate_series(pos, pos + 7)) AS p)
+        |  WHERE rn >= 2),
+        |tokpos0 AS (SELECT doc_id, i AS p, toks[i] AS tok FROM tk0,
+        |  LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+        |tk1 AS MATERIALIZED (SELECT t.doc_id, string_split(
+        |    coalesce(array_to_string(
+        |      list(t.tok ORDER BY t.p) FILTER (WHERE rem0.p IS NULL),
+        |      ' '), ''), ' ') AS toks
+        |  FROM tokpos0 t LEFT JOIN rem0
+        |    ON rem0.doc_id = t.doc_id AND rem0.p = t.p
+        |  GROUP BY t.doc_id),
+        |spans1 AS MATERIALIZED (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(toks[i : i + 7], ' ')) AS fp
+        |  FROM tk1, LATERAL (SELECT
+        |    unnest(generate_series(1, len(toks) - 7)) AS i)
+        |  WHERE len(toks) >= 8),
+        |r1 AS MATERIALIZED (SELECT doc_id, pos, fp, row_number() OVER (
+        |    PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM spans1),
+        |c1 AS MATERIALIZED (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_positions,
+        |    CAST(coalesce(sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_redundant,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fps,
+        |    CAST(count(DISTINCT CASE WHEN rn = 2 THEN fp END)
+        |      AS BIGINT) AS recurring_fps
+        |  FROM r1),
+        |rem1 AS MATERIALIZED (SELECT DISTINCT doc_id, p
+        |  FROM r1, LATERAL (SELECT
+        |    unnest(generate_series(pos, pos + 7)) AS p)
+        |  WHERE rn >= 2),
+        |tokpos1 AS (SELECT doc_id, i AS p, toks[i] AS tok FROM tk1,
+        |  LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+        |tk2 AS MATERIALIZED (SELECT t.doc_id, string_split(
+        |    coalesce(array_to_string(
+        |      list(t.tok ORDER BY t.p) FILTER (WHERE rem1.p IS NULL),
+        |      ' '), ''), ' ') AS toks
+        |  FROM tokpos1 t LEFT JOIN rem1
+        |    ON rem1.doc_id = t.doc_id AND rem1.p = t.p
+        |  GROUP BY t.doc_id),
+        |spans2 AS MATERIALIZED (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(toks[i : i + 7], ' ')) AS fp
+        |  FROM tk2, LATERAL (SELECT
+        |    unnest(generate_series(1, len(toks) - 7)) AS i)
+        |  WHERE len(toks) >= 8),
+        |r2 AS (SELECT fp, row_number() OVER (
+        |    PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM spans2),
+        |c2 AS MATERIALIZED (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_positions,
+        |    CAST(coalesce(sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_redundant,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fps,
+        |    CAST(count(DISTINCT CASE WHEN rn = 2 THEN fp END)
+        |      AS BIGINT) AS recurring_fps
+        |  FROM r2),
+        |allr AS (
+        |  SELECT CAST(0 AS BIGINT) AS round, * FROM c0
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), * FROM c1
+        |  WHERE (SELECT n_redundant FROM c0) > 0
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), * FROM c2
+        |  WHERE (SELECT n_redundant FROM c0) > 0
+        |    AND (SELECT n_redundant FROM c1) > 0)
+        |SELECT round, n_positions, n_redundant,
+        |  CASE WHEN n_positions = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE n_redundant * 10000 // n_positions END
+        |    AS redundant_x10k,
+        |  distinct_fps, recurring_fps
+        |FROM allr ORDER BY round""".stripMargin,
     "dd16_substring_dedup" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 8),

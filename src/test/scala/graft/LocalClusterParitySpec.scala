@@ -110,7 +110,11 @@ class LocalClusterParitySpec extends SparkSpec {
     "tx34_bpe_merges", "tx35_subword_tokens", "pp40_concat_chunks_bpe",
     "dd32_span_removal", "ss33_persisted_index", "st24_real_budget",
     "ss34_delta_index", "tx36_tokenizer_drift", "mm17_vlm_batches",
-    "dd33_removal_audit", "ss35_frozen_recall")
+    "dd33_removal_audit", "ss35_frozen_recall",
+    // r11 additions: dd34's driver fixpoint loop (per-round census
+    // reads + checkpointed loop frames + the remove_tokens_at kernel
+    // must reproduce across real executor JVMs)
+    "dd34_exactsubstr_fixpoint")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

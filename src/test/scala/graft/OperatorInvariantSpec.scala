@@ -1681,6 +1681,43 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(totR * 10 < totT, s"removed $totR of $totT tokens")
   }
 
+  test("dd34: fixpoint iterates past pass 1 on a planted boundary " +
+      "chimera; positions monotone decreasing; final census zero") {
+    // Docs 3 and 4 share NO 8-gram originally (their middles differ),
+    // but pass 1 cuts both middles (each recurs against its 8-token
+    // donor doc) and the SPLICED texts u1..u7 v1..v7 become identical
+    // — the spliced 8-grams exist only after the cut, so pass 1
+    // provably leaves boundary-formed recurrence and the loop MUST
+    // take a second cut (the Lee et al. fixpoint argument in vivo).
+    val s8 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val p8 = (1 to 8).map(i => s"p$i").mkString(" ")
+    val u7 = (1 to 7).map(i => s"u$i").mkString(" ")
+    val v7 = (1 to 7).map(i => s"v$i").mkString(" ")
+    import spark.implicits._
+    val toks0 = Seq(
+      1L -> s8, 2L -> p8,
+      3L -> s"$u7 $s8 $v7", 4L -> s"$u7 $p8 $v7")
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val got = Dedup.exactSubstrFixpoint(spark, toks0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // round 0: 1+1+15+15 = 32 positions, the two donated middles
+    // redundant; round 1: 16 positions, doc 4's 7 spliced windows all
+    // redundant behind doc 3's; round 2: doc 4 fully cut, clean.
+    assert(got.toSeq == Seq(
+      (0L, 32L, 2L, 625L, 30L, 2L),
+      (1L, 16L, 7L, 4375L, 9L, 7L),
+      (2L, 9L, 0L, 0L, 9L, 0L)), got.toSeq.toString)
+    // the structural contracts the operator promises on ANY corpus
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.reverse.toSeq
+      && got.map(_._2).distinct.length == got.length,
+      "n_positions must strictly decrease across cut rounds")
+    assert(got.last._3 == 0L, "final census must be zero")
+    assert(got.init.forall(_._3 > 0L),
+      "non-final rounds must still be recurring")
+  }
+
   test("mm17/pp40/tx36: in-JVM replays — VLM fold, twin-token chunking, " +
       "and the drift diff all reproduce from raw text") {
     import graft.functions.Bpe
