@@ -491,6 +491,8 @@ object Similarity {
     "ss34_delta_index" -> ((s, d) => ss34DeltaIndex(s, d)),
     "ss19_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)),
     "ss35_frozen_recall" -> ((s, d) => ss35FrozenRecall(s, d)),
+    "ss36_compacted_recall" -> ((s, d) => ss36CompactedRecall(s, d)),
+    "ss37_compaction_report" -> ((s, d) => ss37CompactionReport(s, d)),
     "ss20_graph_expand" -> ((s, d) => graphExpandedSearch(s, d)),
     "ss21_kcenter_seed" -> ((s, d) => kcenterSeed(s, d)),
     "ss22_sq_recall" -> ((s, d) => sqRecall(s, d)),
@@ -1681,6 +1683,123 @@ object Similarity {
       .withColumn("recall_at_3",
         round(col("n_hit").cast("double") / col("n_exact"), 4))
       .orderBy("query_id")
+  }
+
+  /** ss36: SEGMENT COMPACTION — the missing second half of the
+    * ss33/ss34 index lifecycle (ingest → segment → COMPACT): rebuild
+    * the index over base ∪ delta with a RETRAINED quantizer/codebook
+    * (the union's own coarse seeds and PQ centroids — the delta's
+    * seed-97 vector re-enters the codebook that ss34 froze it out of),
+    * write the result as ONE compacted segment pair of bucketed tables
+    * (same keys/bucket count as every other segment — a future delta
+    * stacks on top unchanged), and probe it through the identical
+    * candidate→ADC→refine path. The output is the gate: per query,
+    * exact-top-3 hits of the FROZEN segmented path (ss34/ss35's
+    * numbers) beside the COMPACTED path — `n_promoted` counts the
+    * exact neighbors compaction recovered, i.e. the recall the
+    * no-rebuild policy was renting. Read with ss37's cost column this
+    * is the when-to-compact decision ss23's growth report prices.
+    *
+    * Scale: compaction is THE deliberate full-rewrite of the lifecycle
+    * (rows_written = corpus, vs O(delta) per ingest) — it runs as one
+    * ss33 build: broadcast-centroid passes, bucketed writes, and a
+    * probe that shuffles candidate ids only (PlanAudit holds the
+    * compacted scans to the same zero-Exchange contract as ss33/ss34).
+    * The exact side is the 10-query broadcast recall denominator.
+    */
+  def ss36CompactedRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the frozen segmented path's answers (ss34's writes + probe)
+    val frozen3 = ss34DeltaIndex(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("fhit"))
+    // COMPACT: retrained single-segment rebuild over base ∪ delta
+    val (all, assigned, codes, probes) = ivfPqBuild(s, d)
+    Bucketing.writeBucketed(assigned, "graft_ivf_compact", "cluster", 8)
+    Bucketing.writeBucketed(codes, "graft_pq_compact", "neighbor_id", 8)
+    val compact3 = ivfPqProbe(all, s.table("graft_ivf_compact"),
+      s.table("graft_pq_compact"), probes)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("chit"))
+    val qs = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val exact3 = all.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    exact3
+      .join(broadcast(frozen3), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(compact3), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("fhit"), lit(0))).cast("bigint")
+          .as("n_hit_frozen"),
+        sum(coalesce(col("chit"), lit(0))).cast("bigint")
+          .as("n_hit_compacted"),
+        sum(when(col("chit").isNotNull && col("fhit").isNull, 1L)
+          .otherwise(0L)).as("n_promoted"))
+      .withColumn("recall_frozen",
+        round(col("n_hit_frozen").cast("double") / col("n_exact"), 4))
+      .withColumn("recall_compacted",
+        round(col("n_hit_compacted").cast("double") / col("n_exact"), 4))
+      .orderBy("query_id")
+  }
+
+  /** ss37: COMPACTION COST/BENEFIT REPORT — ss23's growth report
+    * evaluated on both sides of the compaction decision: the `frozen`
+    * phase replays the post-ingest state (every vector assigned under
+    * the base-trained centroids — ss23's per-list growth/imbalance
+    * numbers), the `compacted` phase re-assigns the SAME corpus under
+    * the retrained union centroids (growth resets to zero, the piled-up
+    * delta redistributes). `rows_written` is the price of each state:
+    * O(delta) for the ingest that produced the frozen phase, the full
+    * corpus for the rebuild — beside ss36's recall columns this is the
+    * entire compact-or-wait trade on one screen.
+    *
+    * Scale: two broadcast-centroid argmax passes and a 16-row-per-phase
+    * aggregate — the report costs two map-side scans, nothing shuffles
+    * but 32 list counters.
+    */
+  def ss37CompactionReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .withColumn("is_new", (col("vec_id") % 10 === 7).cast("int"))
+    def cents(seg: DataFrame): DataFrame = coarseSeeds(seg)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    def lists(cs: DataFrame, phase: String, newFlag: Column): DataFrame =
+      all.crossJoin(broadcast(cs))
+        .withColumn("ccos",
+          dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), newFlag.as("nf"), col("cid").as("cluster"))
+        .groupBy("cluster")
+        .agg(count(when(col("nf") === 0, 1)).as("n_base"),
+          count(when(col("nf") === 1, 1)).as("n_new"))
+        .withColumn("n_total", col("n_base") + col("n_new"))
+        .withColumn("phase", lit(phase))
+    val frozen = lists(cents(all.filter(col("is_new") === 0)),
+      "frozen", col("is_new"))
+    val compacted = lists(cents(all), "compacted", lit(0))
+    val tot = all.agg(count(lit(1)).cast("long").as("corpus_n"),
+      sum(col("is_new")).cast("long").as("delta_n"))
+    frozen.unionByName(compacted).crossJoin(broadcast(tot))
+      .select(col("phase"), col("cluster"),
+        col("n_base"), col("n_new"), col("n_total"),
+        expr("n_new * 10000 div n_base").as("growth_x10k"),
+        expr("n_total * 10000 div corpus_n").as("share_x10k"),
+        when(col("phase") === "frozen", col("delta_n"))
+          .otherwise(col("corpus_n")).as("rows_written"))
+      .orderBy("phase", "cluster")
   }
 
   /** ss20: GRAPH-EXPANSION candidate refinement — the neighbor-graph
@@ -3474,6 +3593,91 @@ object Similarity {
         |FROM exact3 e LEFT JOIN got3 g ON g.query_id = e.query_id
         |  AND g.neighbor_id = e.neighbor_id
         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin),
+    // ss36: frozen fin (ss34's chain) + compacted fin_c (the retrained
+    // ivfpq chain, CTEs renamed) + the exact-top-3 recall tail joining
+    // both — one hash certifies the whole compact-vs-frozen gate
+    "ss36_compacted_recall" ->
+      (ss34PipelineSql + "," + ss36CompactedBodySql + """,
+        |p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    """.stripMargin + dotSql + """ / (c.nrm * q.nrm) AS cos_raw
+        |  FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |exact3 AS (SELECT query_id, neighbor_id
+        |  FROM (SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_raw DESC, neighbor_id) AS rn
+        |    FROM p2) WHERE rn <= 3),
+        |gf AS (SELECT query_id, neighbor_id FROM fin WHERE "rank" <= 3),
+        |gc AS (SELECT query_id, neighbor_id FROM fin_c
+        |  WHERE "rank" <= 3)
+        |SELECT e.query_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_hit_frozen,
+        |  CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_hit_compacted,
+        |  CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL
+        |      AND f.neighbor_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_promoted,
+        |  round(CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1
+        |    ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_frozen,
+        |  round(CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1
+        |    ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_compacted
+        |FROM exact3 e
+        |LEFT JOIN gf f ON f.query_id = e.query_id
+        |  AND f.neighbor_id = e.neighbor_id
+        |LEFT JOIN gc c ON c.query_id = e.query_id
+        |  AND c.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin),
+    // ss37: ss23's maintenance report on both sides of the compaction
+    // decision — frozen (base-trained centroids) vs compacted
+    // (retrained union centroids), with the rewrite cost per phase
+    "ss37_compaction_report" ->
+      s"""WITH $normCte,
+         |tagged AS (SELECT vec_id, e, nrm,
+         |    CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END AS is_new
+         |  FROM n),
+         |fcents AS (SELECT vec_id AS cid, e, nrm FROM tagged
+         |  WHERE is_new = 0 AND vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |rcents AS (SELECT vec_id AS cid, e, nrm FROM tagged
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |fscored AS (SELECT c.vec_id, c.is_new, q.cid,
+         |    $dotSql / (c.nrm * q.nrm) AS ccos
+         |  FROM tagged c CROSS JOIN fcents q),
+         |fassigned AS (SELECT vec_id, is_new, cid AS cluster FROM (
+         |    SELECT vec_id, is_new, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY ccos DESC, cid) AS crn
+         |    FROM fscored) WHERE crn = 1),
+         |flists AS (SELECT cluster,
+         |    count(*) FILTER (is_new = 0) AS n_base,
+         |    count(*) FILTER (is_new = 1) AS n_new,
+         |    count(*) AS n_total
+         |  FROM fassigned GROUP BY cluster),
+         |rscored AS (SELECT c.vec_id, q.cid,
+         |    $dotSql / (c.nrm * q.nrm) AS ccos
+         |  FROM tagged c CROSS JOIN rcents q),
+         |rassigned AS (SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY ccos DESC, cid) AS crn
+         |    FROM rscored) WHERE crn = 1),
+         |rlists AS (SELECT cluster, count(*) AS n_base,
+         |    CAST(0 AS BIGINT) AS n_new, count(*) AS n_total
+         |  FROM rassigned GROUP BY cluster),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS corpus_n,
+         |    CAST(sum(is_new) AS BIGINT) AS delta_n FROM tagged),
+         |u AS (
+         |  SELECT 'frozen' AS phase, cluster, n_base, n_new, n_total,
+         |    corpus_n, delta_n AS rows_written
+         |  FROM flists CROSS JOIN tot
+         |  UNION ALL
+         |  SELECT 'compacted', cluster, n_base, n_new, n_total,
+         |    corpus_n, corpus_n
+         |  FROM rlists CROSS JOIN tot)
+         |SELECT phase, cluster, n_base, n_new, n_total,
+         |  n_new * 10000 // n_base AS growth_x10k,
+         |  n_total * 10000 // corpus_n AS share_x10k,
+         |  rows_written
+         |FROM u ORDER BY phase, cluster""".stripMargin,
     // ss19: the composed pipeline's recall gate (ss07/ss11/ss15 pin each
     // stage; this pins the assembled IVF→ADC→refine path end-to-end).
     "ss19_ivfpq_recall" ->
@@ -3807,6 +4011,27 @@ object Similarity {
     frozen.replace(adcWindow,
       "row_number() OVER (PARTITION BY query_id, " +
         "(neighbor_id % 10 = 7)\n        ORDER BY d0 + d1")
+  }
+
+  /** ss36's oracle needs BOTH `fin`s in one statement: the frozen
+    * segmented chain (ss34PipelineSql) plus the retrained compacted
+    * chain — the latter is ivfpqPipelineSql's body with every CTE
+    * renamed `*_c` (word-boundary rename; the shared v/n norm CTEs
+    * stay shared). `require` guards fail the build loudly on drift.
+    */
+  private lazy val ss36CompactedBodySql: String = {
+    val parts = ivfpqPipelineSql.split(
+      java.util.regex.Pattern.quote(normCte + ","), 2)
+    require(parts.length == 2 && parts(0) == "WITH ",
+      "ss36 surgery: normCte prefix not found in ivfpqPipelineSql")
+    val names = Seq("cents", "ascored", "aranked", "assigned", "probes",
+      "cand", "pcent", "csub", "cs", "vsub", "vs", "asg", "codes",
+      "dtab", "padc", "adc10", "ref", "fin")
+    val body = names.foldLeft(parts(1)) { (acc, nm) =>
+      acc.replaceAll("\\b" + nm + "\\b", nm + "_c") }
+    names.foreach(nm => require(body.contains(nm + "_c AS ("),
+      s"ss36 surgery: CTE $nm not renamed"))
+    body
   }
 
   // ss17: the oracle runs the DIRECT two-config formulation (home-only

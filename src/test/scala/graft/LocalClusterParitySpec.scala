@@ -113,8 +113,11 @@ class LocalClusterParitySpec extends SparkSpec {
     "dd33_removal_audit", "ss35_frozen_recall",
     // r11 additions: dd34's driver fixpoint loop (per-round census
     // reads + checkpointed loop frames + the remove_tokens_at kernel
-    // must reproduce across real executor JVMs)
-    "dd34_exactsubstr_fixpoint")
+    // must reproduce across real executor JVMs); ss36's compaction
+    // (bucketed writes + reload + dual-path recall join) and ss37's
+    // two-phase centroid report
+    "dd34_exactsubstr_fixpoint", "ss36_compacted_recall",
+    "ss37_compaction_report")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

@@ -1718,6 +1718,36 @@ class OperatorInvariantSpec extends SparkSpec {
       "non-final rounds must still be recurring")
   }
 
+  test("ss37: the frozen phase IS ss23's growth report, and the " +
+      "compacted phase resets growth on the full-rewrite cost") {
+    import graft.operators.Similarity
+    val ss23 = Similarity.queries("ss23_ivf_maintain")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    val ss37 = Similarity.queries("ss37_compaction_report")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    val frozen = ss37.filter(_._1 == "frozen").sortBy(_._2)
+    // the compact-or-wait decision must be priced off the SAME numbers
+    // the maintenance report alarms on — cluster by cluster
+    assert(frozen.map(x => (x._2, x._3, x._4, x._5, x._6, x._7)).toSeq
+      == ss23, "ss37 frozen phase drifted from ss23's report")
+    val compacted = ss37.filter(_._1 == "compacted")
+    assert(compacted.nonEmpty)
+    compacted.foreach { x =>
+      assert(x._4 == 0L && x._6 == 0L,
+        s"compacted list ${x._2}: growth must reset, got $x")
+    }
+    val corpusN = frozen.map(_._5).sum
+    assert(frozen.head._8 == frozen.map(_._4).sum,
+      "frozen rows_written must equal the delta size")
+    assert(compacted.head._8 == corpusN,
+      "compacted rows_written must equal the full corpus")
+    assert(compacted.map(_._5).sum == corpusN,
+      "compaction must conserve the corpus")
+  }
+
   test("mm17/pp40/tx36: in-JVM replays — VLM fold, twin-token chunking, " +
       "and the drift diff all reproduce from raw text") {
     import graft.functions.Bpe

@@ -587,6 +587,12 @@ class PlanAuditSpec extends SparkSpec {
       val segPlan = finalPlan("ss34_delta_index")
       Seq("graft_pq_base", "graft_pq_delta", "graft_ivf_base",
         "graft_ivf_delta").foreach(noExchangeAboveScan(segPlan, _))
+      // ss36: the COMPACTED segment re-enters the same contract — the
+      // rebuild pays its full rewrite once, then probes exchange-free
+      // exactly like the segments it replaced
+      val compactPlan = finalPlan("ss36_compacted_recall")
+      Seq("graft_pq_compact", "graft_ivf_compact")
+        .foreach(noExchangeAboveScan(compactPlan, _))
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
