@@ -49,6 +49,11 @@ object Multimodal {
     * the hash equality itself certifies per run). A multibyte corpus
     * would need the oracles rewritten over `encode(text)` BLOB slices
     * (byte-wise octet_length/substring), not just octet_length.
+    * `OperatorInvariantSpec`'s "png-family ASCII boundary" test makes
+    * the assumption an explicit gate (octet_length == length over the
+    * fixture corpus) and pins the exact divergence a planted multibyte
+    * doc produces (byte sizing emits a 4-patch grid where the char
+    * replay emits none, with different gathered pixel values).
     *
     * `content` holds actual encoder output
     * (`javax.imageio`), not a fake: mm01/mm05 then round-trip it through

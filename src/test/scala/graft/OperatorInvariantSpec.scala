@@ -1718,6 +1718,60 @@ class OperatorInvariantSpec extends SparkSpec {
       "non-final rounds must still be recurring")
   }
 
+  test("png-family ASCII boundary: the fixture corpus is pure ASCII, " +
+      "and a planted multibyte doc diverges exactly where documented") {
+    // The mm05/mm08/mm15/mm16 DuckDB oracles replay Spark's BYTE-based
+    // image sizing with CHARACTER length/substr (Multimodal.scala ASCII
+    // note). (1) assert the assumption on the real fixture — an
+    // explicit gate, not just per-run hash luck; (2) pin the exact
+    // divergence a multibyte corpus would produce, so the failure mode
+    // is documented by a passing test instead of discovered as N
+    // baffling oracle mismatches.
+    val nonAscii = Tables.t(spark, sf, "documents")
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii == 0L, "fixture corpus is no longer pure ASCII — " +
+      "the png-family char-based oracles must move to BLOB slices")
+    // planted: 32 chars of 'é' = 64 UTF-8 bytes. Byte sizing (Spark):
+    // h = 64/16 = 4 → one 4x4 patch row. Char sizing (the oracle's
+    // replay): h = 32//16 = 2 < 4 → ZERO patches. And the byte gather
+    // reads C3/A9 surrogateless UTF-8 bytes where a char replay would
+    // read codepoint 233 — shapes AND values diverge.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mb").toFile
+    dir.deleteOnExit()
+    Seq((1L, "ab" * 32, "web"), (2L, "é" * 32, "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.queries("mm05_patch_grid")(spark, dir.toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map("%02x".format(_)).mkString
+    def patches(bytes: Array[Byte]): Seq[(Long, Long, String)] = {
+      val h = bytes.length / 16
+      for (pr <- 0 until h / 4; pc <- 0 until 4) yield {
+        val p = for (ry <- 0 until 4; rx <- 0 until 4)
+          yield bytes((pr * 4 + ry) * 16 + pc * 4 + rx)
+        (pr.toLong, pc.toLong, md5hex(p.toArray))
+      }
+    }
+    // ASCII doc: byte replay == char replay == Spark output (agreement)
+    val asciiWant = patches("ab".repeat(32).getBytes("UTF-8"))
+    assert(got.filter(_._1 == 1L).map(x => (x._2, x._3, x._4)).toSeq
+      == asciiWant)
+    // multibyte doc: Spark emits the BYTE-sized grid...
+    val byteWant = patches("é".repeat(32).getBytes("UTF-8"))
+    assert(byteWant.size == 4)
+    assert(got.filter(_._1 == 2L).map(x => (x._2, x._3, x._4)).toSeq
+      == byteWant)
+    // ...while the char-based oracle formulation (px = first
+    // (chars//16)*16 CHARS, h = chars//16) yields none: h = 2 < 4
+    val charH = ("é" * 32).length / 16
+    assert(charH < 4 && charH != "é".repeat(32).getBytes("UTF-8").length / 16,
+      "divergence boundary moved — update the Multimodal ASCII note")
+  }
+
   test("ss37: the frozen phase IS ss23's growth report, and the " +
       "compacted phase resets growth on the full-rewrite cost") {
     import graft.operators.Similarity
