@@ -11,6 +11,36 @@ import org.apache.spark.sql.SparkSession
   * unreferenced columns — noop writes everything the query produces).
   */
 object Bench {
+
+  /** Median of the last ≤3 sweeps' values for one query — the drift
+    * watch's RECENT baseline. A single-latest baseline degenerates
+    * when the latest sweep IS the all-history best (r10: ss25 fired on
+    * best==last — one baseline in disguise; the A/B attributed both
+    * numbers to host load). None when the query has no recent history.
+    */
+  private[graft] def recentMedian(
+      sweeps: Seq[Map[String, Double]], q: String): Option[Double] = {
+    val vs = sweeps.takeRight(3).flatMap(_.get(q)).sorted
+    if (vs.isEmpty) None
+    else if (vs.size % 2 == 1) Some(vs(vs.size / 2))
+    else Some((vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0)
+  }
+
+  private[graft] def breaches(cur: Double, base: Double): Boolean =
+    cur > 1.5 * base && cur - base > 0.8
+
+  /** Fires only when `cur` breaches BOTH the all-history best and the
+    * median-of-last-3; with no recent median (new query, or every
+    * recent sweep unparseable) degrades to best-only instead of
+    * silently suppressing (ADVICE r10).
+    */
+  private[graft] def driftFires(cur: Double, best: Option[Double],
+      med3: Option[Double]): Boolean = (best, med3) match {
+    case (Some(b), Some(r)) => breaches(cur, b) && breaches(cur, r)
+    case (Some(b), None) => breaches(cur, b)
+    case _ => false
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -152,25 +182,11 @@ object Bench {
         }
       }
       val nHist = sweeps.size
-      def recentMedian(q: String): Option[Double] = {
-        val vs = sweeps.takeRight(3).flatMap(_.get(q)).sorted
-        if (vs.isEmpty) None
-        else if (vs.size % 2 == 1) Some(vs(vs.size / 2))
-        else Some((vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0)
-      }
-      def fires(cur: Double, base: Double): Boolean =
-        cur > 1.5 * base && cur - base > 0.8
       val drifts = results.flatMap { case (name, cur) =>
-        (best.get(name), recentMedian(name)) match {
-          case (Some(b), Some(r)) if fires(cur, b) && fires(cur, r) =>
-            Some((name, cur, b, r))
-          // no recent history for this query (new query, or every
-          // recent sweep failed to parse): degrade to best-only rather
-          // than silently suppressing the drift (ADVICE r10)
-          case (Some(b), None) if fires(cur, b) =>
-            Some((name, cur, b, Double.NaN))
-          case _ => None
-        }
+        val (b, r) = (best.get(name), recentMedian(sweeps.toSeq, name))
+        if (driftFires(cur, b, r))
+          Some((name, cur, b.get, r.getOrElse(Double.NaN)))
+        else None
       }.sortBy { case (_, cur, b, _) => b - cur } // worst absolute first
       if (nHist == 0)
         System.err.println("[bench] drift watch: no prior full-sweep " +
