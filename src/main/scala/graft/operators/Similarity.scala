@@ -493,6 +493,7 @@ object Similarity {
     "ss35_frozen_recall" -> ((s, d) => ss35FrozenRecall(s, d)),
     "ss36_compacted_recall" -> ((s, d) => ss36CompactedRecall(s, d)),
     "ss37_compaction_report" -> ((s, d) => ss37CompactionReport(s, d)),
+    "ss38_purge_compaction" -> ((s, d) => ss38PurgeCompaction(s, d)),
     "ss20_graph_expand" -> ((s, d) => graphExpandedSearch(s, d)),
     "ss21_kcenter_seed" -> ((s, d) => kcenterSeed(s, d)),
     "ss22_sq_recall" -> ((s, d) => sqRecall(s, d)),
@@ -1800,6 +1801,70 @@ object Similarity {
         when(col("phase") === "frozen", col("delta_n"))
           .otherwise(col("corpus_n")).as("rows_written"))
       .orderBy("phase", "cluster")
+  }
+
+  /** ss38: PURGE COMPACTION — the erasure-driven compaction ss24
+    * deferred: ss24 keeps tombstones IN the inverted lists and filters
+    * at rerank (correct, cheap, but dead bytes accumulate and every
+    * query pays the filter). ss38 performs the purge: rebuild the
+    * index over LIVE vectors only — retrained centroids (the purged
+    * geometry no longer bends around erased regions), dead rows
+    * PHYSICALLY ABSENT from the written segment (GDPR reclamation is a
+    * storage property, not a predicate — the spec proves the table
+    * contains zero tombstoned ids) — and probe the purged bucketed
+    * table through the identical IVF path. Output per (query, rank):
+    * the purged index's top-3 beside ss24's filtered answer (`agrees`)
+    * — retraining can legitimately move candidates between lists, so
+    * agreement is measured, not assumed.
+    *
+    * Scale: one broadcast-centroid pass over the live corpus + one
+    * bucketed write (the purge IS the rewrite — rows_written = live
+    * corpus, the cost ss37 prices); the probe shuffles only the
+    * constant-size query frame to the index layout (PlanAudit holds
+    * the purged scan exchange-free). At 100 TB the live filter is a
+    * partition-pruned anti-join against the tombstone ledger.
+    */
+  def ss38PurgeCompaction(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ss24's filtered-at-rerank answers (tombstones still in lists)
+    val filtered = tombstoneSearch(s, d)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("ss24_id"))
+    // PURGE: live-only rebuild, retrained centroids
+    val live = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 10 =!= 3)
+      .withColumn("norm", l2norm(col("embedding")))
+    val cents = coarseSeeds(live)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val ranked = live.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("crn", row_number().over(wAssign))
+    val lists = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        col("embedding"), col("norm"))
+    Bucketing.writeBucketed(lists, "graft_ivf_purged", "cluster", 8)
+    val probes = ranked.filter(col("crn") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cid").as("cluster"))
+    val cand = s.table("graft_ivf_purged").join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val purged3 = cand.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("neighbor_id"), round(col("cos_raw"), 4).as("cosine"))
+    purged3.join(filtered, Seq("query_id", "rank"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("ss24_id"),
+        (col("neighbor_id") === col("ss24_id")).as("agrees"))
+      .orderBy("query_id", "rank")
   }
 
   /** ss20: GRAPH-EXPANSION candidate refinement — the neighbor-graph
@@ -3420,6 +3485,69 @@ object Similarity {
          |FROM live l JOIN naive nv
          |  ON nv.query_id = l.query_id AND nv.rank = l.rank
          |ORDER BY l.query_id, l.rank""".stripMargin,
+    // ss38: ss24's live chain (filtered at rerank under full-corpus
+    // centroids) + the purged chain (live-only corpus, retrained
+    // centroids, dead rows absent by construction) joined per rank
+    "ss38_purge_compaction" ->
+      s"""WITH $normCte,
+         |tg AS (SELECT vec_id, e, nrm,
+         |    CASE WHEN vec_id % 10 = 3 THEN 1 ELSE 0 END AS dead
+         |  FROM n),
+         |cents AS (SELECT vec_id AS cid, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |ascored AS (SELECT c.vec_id, c.dead, q.cid,
+         |    $dotSql / (c.nrm * q.nrm) AS ccos
+         |  FROM tg c CROSS JOIN cents q),
+         |aranked AS (SELECT vec_id, dead, cid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn
+         |  FROM ascored),
+         |assigned AS (SELECT vec_id, cid AS cluster, dead FROM aranked
+         |  WHERE crn = 1),
+         |probed AS (SELECT vec_id AS query_id, cid AS cluster FROM aranked
+         |  WHERE crn <= 2 AND vec_id < 10 AND dead = 0),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.dead,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM probed p JOIN assigned a ON a.cluster = p.cluster
+         |  JOIN n c ON c.vec_id = a.vec_id
+         |  JOIN n q ON q.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |live AS (SELECT query_id, rank, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |    FROM cand WHERE dead = 0) WHERE rank <= 3),
+         |lv AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 10 <> 3),
+         |pcents AS (SELECT vec_id AS cid, e, nrm FROM lv
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |pscored AS (SELECT c.vec_id, q.cid,
+         |    $dotSql / (c.nrm * q.nrm) AS ccos
+         |  FROM lv c CROSS JOIN pcents q),
+         |pranked AS (SELECT vec_id, cid, ccos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn
+         |  FROM pscored),
+         |passigned AS (SELECT vec_id, cid AS cluster FROM pranked
+         |  WHERE crn = 1),
+         |pprobed AS (SELECT vec_id AS query_id, cid AS cluster
+         |  FROM pranked WHERE crn <= 2 AND vec_id < 10),
+         |pcand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM pprobed p JOIN passigned a ON a.cluster = p.cluster
+         |  JOIN n c ON c.vec_id = a.vec_id
+         |  JOIN n q ON q.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |purged3 AS (SELECT query_id, rank, neighbor_id, cosine FROM (
+         |    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |    FROM pcand) WHERE rank <= 3)
+         |SELECT pg.query_id, pg.rank, pg.neighbor_id, pg.cosine,
+         |  l.neighbor_id AS ss24_id,
+         |  pg.neighbor_id = l.neighbor_id AS agrees
+         |FROM purged3 pg JOIN live l
+         |  ON l.query_id = pg.query_id AND l.rank = pg.rank
+         |ORDER BY pg.query_id, pg.rank""".stripMargin,
     "ss23_ivf_maintain" ->
       s"""WITH $normCte,
          |tagged AS (SELECT vec_id, e, nrm,

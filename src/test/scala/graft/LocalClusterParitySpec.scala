@@ -117,7 +117,7 @@ class LocalClusterParitySpec extends SparkSpec {
     // (bucketed writes + reload + dual-path recall join) and ss37's
     // two-phase centroid report
     "dd34_exactsubstr_fixpoint", "ss36_compacted_recall",
-    "ss37_compaction_report")
+    "ss37_compaction_report", "ss38_purge_compaction")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

@@ -1802,6 +1802,29 @@ class OperatorInvariantSpec extends SparkSpec {
       "compaction must conserve the corpus")
   }
 
+  test("ss38: the purged segment physically contains ZERO tombstoned " +
+      "ids, conserves the live corpus, and its results align with ss24") {
+    import graft.operators.Similarity
+    val rows = Similarity.queries("ss38_purge_compaction")(spark, sf)
+      .collect() // executes the rebuild + bucketed write
+    // GDPR reclamation is a STORAGE property: the written index table
+    // must not contain a single dead id (ss24 merely filters them)
+    val tbl = spark.table("graft_ivf_purged")
+    assert(tbl.filter(col("vec_id") % 10 === 3).count() == 0L,
+      "tombstoned vectors survived the purge rewrite")
+    val liveN = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 =!= 3).count()
+    assert(tbl.count() == liveN, "purge must conserve the live corpus")
+    // every live query gets a full top-3, never a dead neighbor
+    val qids = rows.map(_.getLong(0)).distinct.sorted
+    assert(qids.toSeq == (0L until 10L).filter(_ % 10 != 3).toSeq)
+    rows.foreach { r =>
+      assert(r.getLong(2) % 10 != 3, s"dead neighbor surfaced: $r")
+      assert(r.getLong(4) % 10 != 3, s"ss24 leaked a dead id: $r")
+    }
+    assert(rows.length == qids.length * 3)
+  }
+
   test("mm17/pp40/tx36: in-JVM replays — VLM fold, twin-token chunking, " +
       "and the drift diff all reproduce from raw text") {
     import graft.functions.Bpe

@@ -593,6 +593,10 @@ class PlanAuditSpec extends SparkSpec {
       val compactPlan = finalPlan("ss36_compacted_recall")
       Seq("graft_pq_compact", "graft_ivf_compact")
         .foreach(noExchangeAboveScan(compactPlan, _))
+      // ss38: the PURGED segment likewise — dead rows reclaimed at
+      // rewrite, probe still shuffle-free on the index side
+      val purgePlan = finalPlan("ss38_purge_compaction")
+      noExchangeAboveScan(purgePlan, "graft_ivf_purged")
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
