@@ -792,6 +792,106 @@ object EventsStreaming {
       .orderBy("source")
   }
 
+  case class EraEv(event_id: Long, user_id: Long, tsu: Long)
+  case class EraFlag(event_id: Long, user_id: Long, tsu: Long,
+    req: Boolean, sup: Boolean)
+
+  /** st25 corpus: the event feed in integer micros, with the planted
+    * erasure convention — an event whose id % 97 = 0 is an ERASURE
+    * REQUEST by its user at its event time (the st09/st11
+    * deterministic-plant pattern; the synthetic feed carries no real
+    * erasure signal). */
+  def erasureCorpus(s: SparkSession, d: String): DataFrame =
+    graft.Tables.t(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"))
+
+  /** Batch truth for the erasure flags: a user's `erased_at` is the
+    * MIN event time over their requests; every STRICTLY LATER event of
+    * theirs is suppressed (the request row itself passes — it's the
+    * instruction, not the data). One user_id join, integer micros
+    * end-to-end. */
+  def erasureFlagBatch(ev: DataFrame): DataFrame = {
+    val era = ev.filter(col("event_id") % 97 === 0)
+      .groupBy("user_id").agg(min(col("tsu")).as("erased_at"))
+    ev.join(era, Seq("user_id"), "left")
+      .withColumn("req", col("event_id") % 97 === 0)
+      .withColumn("sup",
+        col("erased_at").isNotNull && col("tsu") > col("erased_at"))
+      .select("event_id", "user_id", "tsu", "req", "sup")
+  }
+
+  /** st25 stream face: per-user erasure state is ONE long (the
+    * earliest request time seen) — bounded by user count, never event
+    * count. Events are flagged as they flow; a request tightens the
+    * state for everything after it. Matches [[erasureFlagBatch]]
+    * exactly when the feed arrives in event-time order (the spec's
+    * contract); a LATE erasure request cannot retract rows an earlier
+    * micro-batch already emitted — the stream under-suppresses until
+    * the periodic batch replay / purge compaction (ss38) heals it,
+    * which is precisely why production erasure pipelines pair a
+    * streaming gate with a batch sweep.
+    */
+  def erasureFlagStream(events: Dataset[EraEv]): Dataset[EraFlag] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, EraFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EraEv], state: GroupState[Long]) =>
+          var erasedAt = state.getOption.getOrElse(Long.MaxValue)
+          val out = rows.toSeq.sortBy(e => (e.tsu, e.event_id)).map { e =>
+            val req = e.event_id % 97 == 0
+            val sup = e.tsu > erasedAt
+            if (req) erasedAt = math.min(erasedAt, e.tsu)
+            EraFlag(e.event_id, uid, e.tsu, req, sup)
+          }
+          if (erasedAt != Long.MaxValue) state.update(erasedAt)
+          out.iterator
+      }
+  }
+
+  /** st25: STREAMING ERASURE LEDGER — the compliance monitor that ties
+    * the tombstone lifecycle (ss24 filter → ss38 purge) into the
+    * stream: per hour window, total traffic, erasure REQUESTS filed,
+    * events SUPPRESSED (rows from already-erased users still flowing —
+    * the live PII the gate must drop), the suppressed share, and the
+    * cumulative erased-user count — the curve that says how much of
+    * the corpus the next purge compaction reclaims and whether
+    * suppression load justifies running it sooner.
+    *
+    * Scale: one user_id join (the erasure ledger is per-user minima —
+    * at 100 TB a broadcast bitmap/Bloom), one window-keyed aggregate;
+    * the cumulative column runs over #windows rows (hours), a
+    * constant-size ledger frame, not the event stream.
+    */
+  private val st25ErasureLedger: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = erasureCorpus(s, d)
+      .localCheckpoint() // 2 refs: erased-at build + the flag join
+    val flags = erasureFlagBatch(ev)
+      .withColumn("w", expr("tsu div 3600000000"))
+    val perW = flags.groupBy("w").agg(
+      count(lit(1)).as("n_events"),
+      sum(when(col("req"), 1L).otherwise(0L)).as("n_requests"),
+      sum(when(col("sup"), 1L).otherwise(0L)).as("n_suppressed"))
+    val eraW = ev.filter(col("event_id") % 97 === 0)
+      .groupBy("user_id").agg(min(col("tsu")).as("erased_at"))
+      .withColumn("w", expr("erased_at div 3600000000"))
+      .groupBy("w").agg(count(lit(1)).as("n_new_erased"))
+    val wOrd = Window.orderBy("w")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perW.join(eraW, Seq("w"), "left")
+      .withColumn("n_new", coalesce(col("n_new_erased"), lit(0L)))
+      .withColumn("cum_erased_users", sum("n_new").over(wOrd))
+      .select(
+        date_format(timestamp_micros(col("w") * 3600000000L),
+          "yyyy-MM-dd HH:mm").as("window_start"),
+        col("n_events"), col("n_requests"), col("n_suppressed"),
+        expr("n_suppressed * 10000 div n_events").as("suppressed_x10k"),
+        col("cum_erased_users"))
+      .orderBy("window_start")
+  }
+
   case class LateEvent(event_id: Long, user_id: Long, ts: Timestamp,
     arr: Long)
   case class LateOut(event_id: Long, user_id: Long, late: Boolean,
@@ -1754,7 +1854,8 @@ object EventsStreaming {
     "st07_dedup_replay" -> st07DedupReplay,
     "st09_neardup_admission" -> st09NeardupAdmission,
     "st10_token_budget" -> st10TokenBudget,
-    "st24_real_budget" -> st24RealBudget)
+    "st24_real_budget" -> st24RealBudget,
+    "st25_erasure_ledger" -> st25ErasureLedger)
 
   val oracleSql: Map[String, String] = Map(
     // st18: q87's journey/endpoint/remainder chain replayed pre-rollup;
@@ -2227,6 +2328,37 @@ object EventsStreaming {
         |    AS n_dropped,
         |  round(sum(CASE WHEN rn = 1 THEN value END), 2) AS admitted_value
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // st25: planted erasure requests (id % 97), per-user min request
+    // time, strict-after suppression, hourly ledger + running erased
+    // count — integer micros end-to-end
+    "st25_erasure_ledger" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS w
+        |  FROM events),
+        |era AS (SELECT user_id, min(tsu) AS erased_at FROM e
+        |  WHERE event_id % 97 = 0 GROUP BY user_id),
+        |fl AS (SELECT e.w,
+        |    CASE WHEN e.event_id % 97 = 0 THEN 1 ELSE 0 END AS req,
+        |    CASE WHEN era.erased_at IS NOT NULL
+        |         AND e.tsu > era.erased_at THEN 1 ELSE 0 END AS sup
+        |  FROM e LEFT JOIN era USING (user_id)),
+        |pw AS (SELECT w, count(*) AS n_events,
+        |    CAST(sum(req) AS BIGINT) AS n_requests,
+        |    CAST(sum(sup) AS BIGINT) AS n_suppressed
+        |  FROM fl GROUP BY w),
+        |ew AS (SELECT erased_at // 3600000000 AS w,
+        |    count(*) AS n_new FROM era GROUP BY 1),
+        |led AS (SELECT pw.w, pw.n_events, pw.n_requests,
+        |    pw.n_suppressed, coalesce(ew.n_new, 0) AS n_new
+        |  FROM pw LEFT JOIN ew USING (w))
+        |SELECT strftime(make_timestamp(w * 3600000000),
+        |    '%Y-%m-%d %H:%M') AS window_start,
+        |  n_events, n_requests, n_suppressed,
+        |  n_suppressed * 10000 // n_events AS suppressed_x10k,
+        |  CAST(sum(n_new) OVER (ORDER BY w) AS BIGINT)
+        |    AS cum_erased_users
+        |FROM led ORDER BY window_start""".stripMargin,
     "st01_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

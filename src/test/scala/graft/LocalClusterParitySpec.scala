@@ -117,7 +117,8 @@ class LocalClusterParitySpec extends SparkSpec {
     // (bucketed writes + reload + dual-path recall join) and ss37's
     // two-phase centroid report
     "dd34_exactsubstr_fixpoint", "ss36_compacted_recall",
-    "ss37_compaction_report", "ss38_purge_compaction")
+    "ss37_compaction_report", "ss38_purge_compaction",
+    "st25_erasure_ledger")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

@@ -252,6 +252,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming erasure gate (st25) matches the batch flags across " +
+      "state-store boundaries; ledger counts reconcile") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = EventsStreaming.erasureCorpus(spark, sf)
+    val ordered = ev.orderBy("tsu", "event_id").collect()
+      .map(r => EventsStreaming.EraEv(r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSeq
+    assert(ordered.exists(_.event_id % 97 == 0), "no planted requests")
+    // event-time-ordered feed in 3 micro-batches (the stream face's
+    // documented contract; a LATE request can't retract emitted rows)
+    val chunks = ordered.grouped((ordered.length + 2) / 3).toSeq
+    val input = MemoryStream[EventsStreaming.EraEv](spark)
+    val q = EventsStreaming.erasureFlagStream(input.toDS())
+      .writeStream.format("memory").queryName("eraflags")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("eraflags")
+      .select("event_id", "req", "sup").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+      .toMap
+    val want = EventsStreaming.erasureFlagBatch(ev)
+      .select("event_id", "req", "sup").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+      .toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    // suppression is real on this corpus, and the request rows pass
+    assert(want.values.exists(_._2), "no suppressed events — degenerate")
+    want.foreach { case (id, (req, sup)) =>
+      if (req) assert(!sup || got(id)._2, s"request row $id")
+    }
+    // the ledger's totals reconcile with the flag truth
+    val ledger = EventsStreaming.queries("st25_erasure_ledger")(spark, sf)
+      .collect()
+    assert(ledger.map(_.getLong(1)).sum == want.size)
+    assert(ledger.map(_.getLong(3)).sum ==
+      want.values.count(_._2).toLong)
+    assert(ledger.last.getLong(5) ==
+      EventsStreaming.erasureFlagBatch(ev).filter(col("req"))
+        .select("user_id").distinct().count())
+  }
+
   test("streaming REAL-token budget gate (st24) matches the batch " +
       "face across batches with the derived budget") {
     val sf = "/root/testdata/sf0.001"
