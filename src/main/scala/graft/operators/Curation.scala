@@ -721,7 +721,169 @@ object Curation {
       .orderBy("source")
   }
 
+  /** ss39: HYBRID RETRIEVAL — Reciprocal Rank Fusion of a LEXICAL and a
+    * VECTOR ranked list over the same item universe (the embedded
+    * documents, `vec_id ⋈ doc_id`), the production RAG retrieval shape
+    * (Cormack, Clarke & Büttcher SIGIR'09: RRF(d) = Σ_lists 1/(k +
+    * rank_l(d)), k = 60). Each modality produces its top-20 per query
+    * (10 query items, `doc_id < 10`, excluded from their own candidate
+    * sets): the lexical list scores candidates by IDF-weighted distinct-
+    * trigram overlap (Σ over shared gram types of n_items·100 DIV df —
+    * integer-exact, no log), the vector list is the ss01 exact-cosine
+    * ranking on the item's embedding. Fusion is over RANKS, never raw
+    * scores — the whole point of RRF is that the two score scales are
+    * incomparable — with contributions as exact integers (10⁸ DIV
+    * (60 + rank), 0 when absent from a list). Output: top-5 fused per
+    * query with both source ranks, so a reader sees WHICH modality won
+    * each slot.
+    *
+    * Scale: the lexical candidate join carries (gram-md5, id) only —
+    * the inverted-index shape (tx18) with the 10-query side broadcast;
+    * df is a window count over the distinct (doc, gram) set (the tx16
+    * lesson). The vector side is the broadcast-brute baseline over the
+    * embedded subset; in production ANY list source plugs in (ss18's
+    * IVFPQ, tx19's BM25) because the fusion layer consumes ranks only.
+    * The fused frame is queries×40 rows — driver-trivial at any corpus
+    * size.
+    */
+  /** The dual-modality candidate POOL ss39/ss41 fuse: per-query lexical
+    * and vector top-20 lists over the embedded-document item universe,
+    * outer-joined on (query, cand) with absent-list ranks coalesced to
+    * 0. One definition so the flagship fusion and the k-sweep share the
+    * identical pool (the dd20 shared-candidate rule).
+    */
+  private def hybridPool(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // item universe: documents that HAVE an embedding — both modalities
+    // of the same item (consumed by grams, the vector scan and stats →
+    // spread + eager checkpoint, the dd20 rule)
+    val items = t(s, d, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .withColumn("nrm", Similarity.l2norm(col("embedding")))
+      .join(t(s, d, "documents").select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .repartition(32)
+      .localCheckpoint()
+    val stats = items.agg(count(lit(1)).cast("bigint").as("n_items"))
+    // lexical list: IDF-weighted distinct-trigram overlap, ranked
+    val grams = items
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.GraftFunctions.shingle_strings(col("text"))))
+          .as("g"))
+      .select(col("doc_id"), md5(col("g")).as("g"))
+    val withDf = grams // feeds the query side AND the candidate side
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("g")).cast("bigint"))
+      .localCheckpoint()
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("lex_score").desc, col("cand_id"))
+    val lexTop = broadcast(withDf.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("g")))
+      .join(withDf.select(col("doc_id").as("cand_id"), col("g"),
+        col("df")), Seq("g"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(expr("n_items * 100 DIV df")).as("lex_score"))
+      .withColumn("lex_rank", row_number().over(wLex).cast("bigint"))
+      .filter(col("lex_rank") <= 20)
+      .select("query_id", "cand_id", "lex_rank")
+    // vector list: exact cosine (FloatDot fold — bit-equal to the
+    // oracle's sequential list_reduce), ranked
+    val qv = items.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wVec = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    val vecTop = items.select(col("doc_id").as("cand_id"), col("embedding"),
+        col("nrm"))
+      .crossJoin(broadcast(qv))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos_raw", Similarity.dot(col("embedding"), col("q_emb")) /
+        (col("nrm") * col("q_nrm")))
+      .withColumn("vec_rank", row_number().over(wVec).cast("bigint"))
+      .filter(col("vec_rank") <= 20)
+      .select("query_id", "cand_id", "vec_rank")
+    lexTop.join(vecTop, Seq("query_id", "cand_id"), "outer")
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L)))
+  }
+
+  /** One integer RRF contribution column: 10⁸ DIV (k + rank), 0 when
+    * the item is absent from that list. */
+  private def rrfContrib(rankCol: String, k: Int): Column = expr(
+    s"""CASE WHEN $rankCol > 0 THEN 100000000 DIV ($k + $rankCol)
+       |     ELSE CAST(0 AS BIGINT) END""".stripMargin)
+
+  val ss39HybridRrf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    // RRF fusion over ranks — exact integer contributions
+    val wFuse = Window.partitionBy("query_id")
+      .orderBy(col("rrf_x").desc, col("cand_id"))
+    hybridPool(s, d)
+      .withColumn("rrf_x",
+        rrfContrib("lex_rank", 60) + rrfContrib("vec_rank", 60))
+      .withColumn("rank", row_number().over(wFuse).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        col("lex_rank"), col("vec_rank"), col("rrf_x"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** ss41: RRF DISCOUNT SWEEP — the one free parameter ss39 fixes at
+    * the published k = 60, swept over {10, 60, 240} on the IDENTICAL
+    * candidate pool (one outer-joined frame feeds all three configs —
+    * the dd20 shared-pool rule). Small k is winner-take-all (a single
+    * list's rank-1 outscores any deep dual membership: 10⁸/11 >
+    * 2·10⁸/30); large k is consensus (two rank-20 memberships beat a
+    * lone rank-1: 2·10⁸/260 > 10⁸/241) — the sweep measures where
+    * this corpus's fused top-5 flips between those regimes. Per k:
+    * how many fused top-1s are the vector list's #1, the lexical
+    * list's #1, and how many of the 50 fused top-5 slots hold
+    * dual-list items — the three numbers a retrieval stack reads
+    * before pinning k.
+    *
+    * Scale: the pool is queries×≤40 rows; the three rank windows and
+    * the rollup are driver-trivial at any corpus size — the expensive
+    * stages (the two ranked lists) are computed ONCE upstream.
+    */
+  val ss41RrfKSweep: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ks = Seq(10, 60, 240)
+    val pool = ks.foldLeft(hybridPool(s, d)) { (acc, k) =>
+      acc.withColumn(s"rrf$k",
+        rrfContrib("lex_rank", k) + rrfContrib("vec_rank", k))
+    }
+    val ranked = ks.foldLeft(pool) { (acc, k) =>
+      acc.withColumn(s"rk$k", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(col(s"rrf$k").desc, col("cand_id"))))
+    }
+    def top1IsVec(k: Int) = sum(when(
+      col(s"rk$k") === 1 && col("vec_rank") === 1L, 1L).otherwise(0L))
+      .as(s"v$k")
+    def top1IsLex(k: Int) = sum(when(
+      col(s"rk$k") === 1 && col("lex_rank") === 1L, 1L).otherwise(0L))
+      .as(s"l$k")
+    def top5Dual(k: Int) = sum(when(
+      col(s"rk$k") <= 5 && col("lex_rank") > 0L && col("vec_rank") > 0L,
+      1L).otherwise(0L)).as(s"d$k")
+    ranked.agg(top1IsVec(10), top1IsLex(10), top5Dual(10),
+        top1IsVec(60), top1IsLex(60), top5Dual(60),
+        top1IsVec(240), top1IsLex(240), top5Dual(240))
+      .selectExpr(
+        """stack(3, CAST(10 AS BIGINT), v10, l10, d10,
+          |         CAST(60 AS BIGINT), v60, l60, d60,
+          |         CAST(240 AS BIGINT), v240, l240, d240)
+          |  AS (k, top1_is_vec1, top1_is_lex1, top5_dual)"""
+          .stripMargin)
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ss39_hybrid_rrf" -> ss39HybridRrf,
+    "ss41_rrf_k_sweep" -> ss41RrfKSweep,
     "tx27_boilerplate" -> tx27BoilerplateAudit,
     "tx26_rake_keywords" -> tx26RakeKeywords,
     "tx25_bigram_surprisal" -> tx25BigramSurprisal,
@@ -775,7 +937,120 @@ object Curation {
        |        FROM g$i g GROUP BY g.cluster) t
        |  JOIN m$i USING (cluster))""".stripMargin
 
+  /** ss39/ss41 shared oracle prefix: item universe, trigram df,
+    * IDF-weighted lexical ranks, exact-cosine vector ranks (the
+    * Similarity fold discipline) and the outer-joined pool `fu`.
+    * `//` ≡ DIV on the non-negative operands; explicit ON + coalesce
+    * on the outer join (USING-coalescing across engines is not relied
+    * on). */
+  private val hybridPoolSql: String =
+      s"""WITH it AS (SELECT e.vec_id AS doc_id, d.text,
+         |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |n AS (SELECT doc_id, emb AS e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM it),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM it),
+         |tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+         |  FROM it),
+         |sh AS (SELECT doc_id,
+         |    CASE WHEN len(tk) < 3 THEN [text]
+         |         ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+         |               for i in generate_series(1, len(tk) - 2)] END
+         |      AS sh
+         |  FROM tk),
+         |gr AS (SELECT DISTINCT doc_id, md5(g) AS g
+         |  FROM sh, LATERAL (SELECT unnest(sh) AS g)),
+         |gdf AS (SELECT doc_id, g,
+         |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS df
+         |  FROM gr),
+         |lex AS (SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+         |    sum(st.n_items * 100 // c.df) AS lex_score
+         |  FROM gdf q JOIN gdf c USING (g) CROSS JOIN st
+         |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+         |  GROUP BY 1, 2),
+         |lt AS (SELECT query_id, cand_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY lex_score DESC, cand_id) AS BIGINT) AS lex_rank
+         |  FROM lex QUALIFY lex_rank <= 20),
+         |vec AS (SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+         |    ${Similarity.dotSql} / (c.nrm * q.nrm) AS cos_raw
+         |  FROM n c JOIN n q ON q.doc_id < 10 AND c.doc_id <> q.doc_id),
+         |vt AS (SELECT query_id, cand_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, cand_id) AS BIGINT) AS vec_rank
+         |  FROM vec QUALIFY vec_rank <= 20),
+         |fu AS (SELECT
+         |    coalesce(lt.query_id, vt.query_id) AS query_id,
+         |    coalesce(lt.cand_id, vt.cand_id) AS cand_id,
+         |    CAST(coalesce(lt.lex_rank, 0) AS BIGINT) AS lex_rank,
+         |    CAST(coalesce(vt.vec_rank, 0) AS BIGINT) AS vec_rank
+         |  FROM lt FULL OUTER JOIN vt
+         |    ON lt.query_id = vt.query_id AND lt.cand_id = vt.cand_id)"""
+        .stripMargin
+
+  /** One DuckDB RRF contribution term (mirrors [[rrfContrib]]). */
+  private def rrfSql(rankCol: String, k: Int): String =
+    s"""CASE WHEN $rankCol > 0 THEN 100000000 // ($k + $rankCol)
+       |              ELSE 0 END""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ss39_hybrid_rrf" ->
+      s"""$hybridPoolSql,
+         |rr AS (SELECT query_id, cand_id, lex_rank, vec_rank,
+         |    CAST(${rrfSql("lex_rank", 60)}
+         |       + ${rrfSql("vec_rank", 60)} AS BIGINT) AS rrf_x
+         |  FROM fu)
+         |SELECT query_id, "rank", cand_id, lex_rank, vec_rank, rrf_x
+         |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_x DESC, cand_id) AS BIGINT) AS "rank" FROM rr)
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // ss41: the same pool, three discount configs, the rollup —
+    // row_number windows + counters all replayed
+    "ss41_rrf_k_sweep" ->
+      s"""$hybridPoolSql,
+         |rr AS (SELECT query_id, cand_id, lex_rank, vec_rank,
+         |    CAST(${rrfSql("lex_rank", 10)}
+         |       + ${rrfSql("vec_rank", 10)} AS BIGINT) AS rrf10,
+         |    CAST(${rrfSql("lex_rank", 60)}
+         |       + ${rrfSql("vec_rank", 60)} AS BIGINT) AS rrf60,
+         |    CAST(${rrfSql("lex_rank", 240)}
+         |       + ${rrfSql("vec_rank", 240)} AS BIGINT) AS rrf240
+         |  FROM fu),
+         |rk AS (SELECT query_id, cand_id, lex_rank, vec_rank,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf10 DESC, cand_id) AS rk10,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf60 DESC, cand_id) AS rk60,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf240 DESC, cand_id) AS rk240
+         |  FROM rr),
+         |a AS (SELECT
+         |    CAST(count(*) FILTER (rk10 = 1 AND vec_rank = 1)
+         |      AS BIGINT) AS v10,
+         |    CAST(count(*) FILTER (rk10 = 1 AND lex_rank = 1)
+         |      AS BIGINT) AS l10,
+         |    CAST(count(*) FILTER (rk10 <= 5 AND lex_rank > 0
+         |      AND vec_rank > 0) AS BIGINT) AS d10,
+         |    CAST(count(*) FILTER (rk60 = 1 AND vec_rank = 1)
+         |      AS BIGINT) AS v60,
+         |    CAST(count(*) FILTER (rk60 = 1 AND lex_rank = 1)
+         |      AS BIGINT) AS l60,
+         |    CAST(count(*) FILTER (rk60 <= 5 AND lex_rank > 0
+         |      AND vec_rank > 0) AS BIGINT) AS d60,
+         |    CAST(count(*) FILTER (rk240 = 1 AND vec_rank = 1)
+         |      AS BIGINT) AS v240,
+         |    CAST(count(*) FILTER (rk240 = 1 AND lex_rank = 1)
+         |      AS BIGINT) AS l240,
+         |    CAST(count(*) FILTER (rk240 <= 5 AND lex_rank > 0
+         |      AND vec_rank > 0) AS BIGINT) AS d240
+         |  FROM rk)
+         |SELECT CAST(10 AS BIGINT) AS k, v10 AS top1_is_vec1,
+         |  l10 AS top1_is_lex1, d10 AS top5_dual FROM a
+         |UNION ALL SELECT CAST(60 AS BIGINT), v60, l60, d60 FROM a
+         |UNION ALL SELECT CAST(240 AS BIGINT), v240, l240, d240 FROM a
+         |ORDER BY k""".stripMargin,
     "tx27_boilerplate" ->
       """WITH base AS (SELECT doc_id, source,
         |    string_split(text, ' ') AS toks FROM documents),

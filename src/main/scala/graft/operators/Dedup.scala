@@ -614,51 +614,67 @@ object Dedup {
     * the whole text, which the perturbation changes) admit — the
     * honest boundary of trigram fuzzing.
     */
-  private val dd29IncrementalAdmission: Q = (s, d) => {
-    val docs = t(s, d, "documents").select("doc_id", "text")
-    val dropTok = expr(
-      """CASE WHEN instr(text, ' ') > 0
-        |     THEN substring(text, instr(text, ' ') + 1)
-        |     ELSE text END""".stripMargin)
-    // the batch mixes near-dups (re-encodes) with genuinely novel docs
-    // (token-reversed — every trigram changes), so BOTH admission
-    // outcomes are live and oracle-pinned
-    val newBatch = docs.filter(col("doc_id") % 10 === 7)
+  // ——— the dd29/dd35 admission machinery, ONE set of definitions so
+  //     the in-plan and persisted-index formulations cannot drift ———
+
+  /** The dd22 re-encode perturbation (drop the first token) — the
+    * near-dup half of every admission batch. */
+  private val dropTok: Column = expr(
+    """CASE WHEN instr(text, ' ') > 0
+      |     THEN substring(text, instr(text, ' ') + 1)
+      |     ELSE text END""".stripMargin)
+
+  /** The ingest batch: near-dups (first-token drop, the dd22
+    * perturbation) + genuinely novel docs (token-reversed — every
+    * trigram changes), so BOTH admission outcomes are live. */
+  private def admissionBatch(docs: DataFrame): DataFrame = {
+    docs.filter(col("doc_id") % 10 === 7)
       .select((col("doc_id") + 20000000L).as("doc_id"), dropTok.as("text"))
       .unionAll(docs.filter(col("doc_id") % 10 === 3)
         .select((col("doc_id") + 30000000L).as("doc_id"),
           array_join(reverse(split(col("text"), " ")), " ").as("text")))
-    // spread + EAGER checkpoint (the dd22/ss20 rule): each signature
-    // table feeds the band join AND a shingle rejoin
-    def sigOf(dfIn: DataFrame): DataFrame = dfIn
-      .repartition(32)
-      .withColumn("shingles",
-        array_distinct(GraftFunctions.shingle_strings(col("text"))))
-      .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
-      .select("doc_id", "shingles", "sig")
-      .localCheckpoint()
-    val index = sigOf(docs) // the frozen side
-    val batch = sigOf(newBatch)
-    def banded(df: DataFrame, idc: String): DataFrame = df
-      .select(col("doc_id").as(idc), posexplode(expr(
-        "transform(sequence(0, 3), b -> concat(sig[2*b], sig[2*b+1]))")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bkey")
-    val cand = banded(batch, "new_id")
-      .join(banded(index, "base_id"), Seq("band", "bkey"))
-      .select("new_id", "base_id").distinct()
-    val verified = cand
-      .join(batch.select(col("doc_id").as("new_id"),
-        col("shingles").as("sh_n")), Seq("new_id"))
-      .join(index.select(col("doc_id").as("base_id"),
-        col("shingles").as("sh_b")), Seq("base_id"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_n"), col("sh_b"))).cast("bigint"))
-      .withColumn("uni",
-        (size(col("sh_n")) + size(col("sh_b"))).cast("bigint") -
-          col("inter"))
-      .withColumn("j_x10k", expr("inter * 10000 DIV uni"))
-      .filter(col("j_x10k") >= 5000L)
+  }
+
+  /** Signatures (8 md5 lanes over distinct trigram shingles) — spread +
+    * EAGER checkpoint (the dd22/ss20 rule): each signature table feeds
+    * the band join AND a shingle rejoin. */
+  private def admissionSig(dfIn: DataFrame): DataFrame = dfIn
+    .repartition(32)
+    .withColumn("shingles",
+      array_distinct(GraftFunctions.shingle_strings(col("text"))))
+    .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
+    .select("doc_id", "shingles", "sig")
+    .localCheckpoint()
+
+  /** 4 two-lane bands per doc → (id, band, bkey) postings. */
+  private def admissionBands(df: DataFrame, idc: String): DataFrame = df
+    .select(col("doc_id").as(idc), posexplode(expr(
+      "transform(sequence(0, 3), b -> concat(sig[2*b], sig[2*b+1]))")))
+    .withColumnRenamed("pos", "band")
+    .withColumnRenamed("col", "bkey")
+
+  /** Exact trigram-Jaccard verify of band candidates against ONE
+    * shingle store → the qualifying (new_id, base_id, j_x10k) pairs.
+    * Kept per-store so segmented indexes (dd36) verify each segment
+    * bucket-aligned instead of shuffling a union. */
+  private def admissionVerify(batch: DataFrame, cand: DataFrame,
+      baseSh: DataFrame): DataFrame = cand
+    .join(batch.select(col("doc_id").as("new_id"),
+      col("shingles").as("sh_n")), Seq("new_id"))
+    .join(baseSh, Seq("base_id"))
+    .withColumn("inter",
+      size(array_intersect(col("sh_n"), col("sh_b"))).cast("bigint"))
+    .withColumn("uni",
+      (size(col("sh_n")) + size(col("sh_b"))).cast("bigint") -
+        col("inter"))
+    .withColumn("j_x10k", expr("inter * 10000 DIV uni"))
+    .filter(col("j_x10k") >= 5000L)
+    .select("new_id", "base_id", "j_x10k")
+
+  /** Per-new-doc best-match window over the verified pairs → the
+    * admission table. */
+  private def admissionDecision(newBatch: DataFrame,
+      verified: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wBest = Window.partitionBy("new_id")
       .orderBy(col("j_x10k").desc, col("base_id"))
@@ -674,6 +690,158 @@ object Dedup {
         coalesce(col("matched_base"), lit(-1L)).as("matched_base"),
         coalesce(col("best_j_x10k"), lit(0L)).as("best_j_x10k"),
         (col("matched_base").isNull).as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** verify + decide against a single shingle store — the dd29/dd35
+    * shape. */
+  private def admissionVerdict(newBatch: DataFrame, batch: DataFrame,
+      cand: DataFrame, baseSh: DataFrame): DataFrame =
+    admissionDecision(newBatch, admissionVerify(batch, cand, baseSh))
+
+  private val dd29IncrementalAdmission: Q = (s, d) => {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val newBatch = admissionBatch(docs)
+    val index = admissionSig(docs) // the frozen side
+    val batch = admissionSig(newBatch)
+    val cand = admissionBands(batch, "new_id")
+      .join(admissionBands(index, "base_id"), Seq("band", "bkey"))
+      .select("new_id", "base_id").distinct()
+    admissionVerdict(newBatch, batch, cand,
+      index.select(col("doc_id").as("base_id"),
+        col("shingles").as("sh_b")))
+  }
+
+  /** dd35: PERSISTED BAND INDEX — dd29's admission run against an index
+    * that lives in STORAGE, not in the plan (the ss33 move for the
+    * dedup family): the base corpus's band postings and shingle store
+    * are written as BUCKETED tables (postings by a single concatenated
+    * band key — bucket alignment wants one join key — shingles by base
+    * id), reloaded from the catalog, and probed by the identical
+    * candidate→verify→verdict path. The deliverable is dd29's EXACT
+    * result (same oracle hash) off a persisted index — plus the plan
+    * property that makes nightly ingest cheap at 100 TB: the
+    * corpus-sized postings and shingle tables are read pre-bucketed on
+    * their join keys, so each probe join shuffles only the (small)
+    * batch side, NEVER the index. PlanAudit asserts both bucketed
+    * scans and, with auto-broadcast closed, zero Exchange on the index
+    * side of both joins.
+    *
+    * Scale: the write is one-time index construction (amortized over
+    * every nightly batch in production; rebuilt per run here — the
+    * honest benchmark cost, the ss33 note). Buckets = 8 at fixture
+    * scale; production sizes them from the corpus (the pp37 rule).
+    * Single-writer contract on the fixed table names per Bucketing's
+    * scaladoc.
+    */
+  private val dd35PersistedBands: Q = (s, d) => {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val newBatch = admissionBatch(docs)
+    val index = admissionSig(docs)
+    Bucketing.writeBucketed(
+      admissionBands(index, "base_id")
+        .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
+          col("base_id")),
+      "graft_dedup_bands", "bandkey", 8)
+    Bucketing.writeBucketed(
+      index.select(col("doc_id").as("base_id"),
+        col("shingles").as("sh_b")),
+      "graft_dedup_shingles", "base_id", 8)
+    val batch = admissionSig(newBatch)
+    val cand = admissionBands(batch, "new_id")
+      .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
+        col("new_id"))
+      .join(s.table("graft_dedup_bands"), Seq("bandkey"))
+      .select("new_id", "base_id").distinct()
+    admissionVerdict(newBatch, batch, cand, s.table("graft_dedup_shingles"))
+  }
+
+  /** dd36: DELTA-SEGMENT BAND INDEX — the ss34 move for the dedup
+    * family, closing the index lifecycle dd35 opened: day-1's ADMITTED
+    * (novel) docs are APPENDED as their own bucketed segment — base
+    * postings are never rewritten, ingest cost is O(admitted) — and
+    * day-2 probes base ∪ delta per-segment. The payoff this operator
+    * exists to demonstrate: a day-2 re-encode of a day-1 novel doc is
+    * caught ONLY because day-1's admissions joined the index
+    * (matched_seg = 'delta'), while re-encodes of base docs still
+    * resolve against the base segment — dedup against a frozen-only
+    * index silently re-admits every near-dup of recent ingest.
+    *
+    * Day 1 = token-reversed docs (novel, the dd29 convention, ids
+    * +30000000). Day 2 = first-token-drop re-encodes of base docs
+    * (+20000000) AND of the day-1 docs (+10000000 on top). Output per
+    * day-2 doc: the dd29 verdict columns + matched_seg
+    * ('base'/'delta'/'none', derived from the matched id range).
+    *
+    * Scale: both probe joins are bucket-aligned on the persisted
+    * segments (only the day-2 band postings shuffle — the dd35
+    * property, per segment); the delta write reuses day-1's already-
+    * checkpointed signatures filtered to the admitted set. Segment
+    * count stays bounded by compaction (the ss36 policy — here one
+    * delta, the minimal live case).
+    */
+  private val dd36DeltaBandIndex: Q = (s, d) => {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val base = admissionSig(docs)
+    Bucketing.writeBucketed(
+      admissionBands(base, "base_id")
+        .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
+          col("base_id")),
+      "graft_band_base", "bandkey", 8)
+    Bucketing.writeBucketed(
+      base.select(col("doc_id").as("base_id"), col("shingles").as("sh_b")),
+      "graft_sh_base", "base_id", 8)
+    // day 1: novel ingest, admitted against the base segment only
+    val day1 = docs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        array_join(reverse(split(col("text"), " ")), " ").as("text"))
+    val sig1 = admissionSig(day1)
+    val cand1 = admissionBands(sig1, "new_id")
+      .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
+        col("new_id"))
+      .join(s.table("graft_band_base"), Seq("bandkey"))
+      .select("new_id", "base_id").distinct()
+    val admitted1 = admissionVerdict(day1, sig1, cand1,
+        s.table("graft_sh_base"))
+      .filter(col("admitted")).select("doc_id")
+    // the admitted docs BECOME the delta segment (feeds two writes →
+    // eager checkpoint)
+    val sig1adm = sig1.join(admitted1, Seq("doc_id")).localCheckpoint()
+    Bucketing.writeBucketed(
+      admissionBands(sig1adm, "base_id")
+        .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
+          col("base_id")),
+      "graft_band_delta", "bandkey", 8)
+    Bucketing.writeBucketed(
+      sig1adm.select(col("doc_id").as("base_id"),
+        col("shingles").as("sh_b")),
+      "graft_sh_delta", "base_id", 8)
+    // day 2: re-encodes of base docs AND of the day-1 novel docs
+    val day2 = docs.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        dropTok.as("text"))
+      .unionAll(day1.select((col("doc_id") + 10000000L).as("doc_id"),
+        dropTok.as("text")))
+    val sig2 = admissionSig(day2)
+    val bands2 = admissionBands(sig2, "new_id")
+      .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
+        col("new_id"))
+      .localCheckpoint() // probes BOTH segments
+    // per-SEGMENT candidates and verifies (each join bucket-aligned on
+    // its own segment tables); segments merge only at the verified-pair
+    // stream — the ss34 per-segment-search shape
+    def segVerified(bandTable: String, shTable: String): DataFrame =
+      admissionVerify(sig2,
+        bands2.join(s.table(bandTable), Seq("bandkey"))
+          .select("new_id", "base_id").distinct(),
+        s.table(shTable))
+    admissionDecision(day2,
+        segVerified("graft_band_base", "graft_sh_base")
+          .unionAll(segVerified("graft_band_delta", "graft_sh_delta")))
+      .withColumn("matched_seg", expr(
+        """CASE WHEN matched_base < 0 THEN 'none'
+          |     WHEN matched_base >= 30000000 THEN 'delta'
+          |     ELSE 'base' END""".stripMargin))
       .orderBy("doc_id")
   }
 
@@ -2111,6 +2279,8 @@ object Dedup {
     "dd27_shingle_sweep" -> dd27ShingleSweep,
     "dd28_chain_audit" -> dd28ChainAudit,
     "dd29_incremental_admission" -> dd29IncrementalAdmission,
+    "dd35_persisted_bands" -> dd35PersistedBands,
+    "dd36_delta_band_index" -> dd36DeltaBandIndex,
     "dd30_policy_impact" -> dd30PolicyImpact,
     "dd31_longest_span" -> dd31LongestSpan,
     "dd26_band_planner" -> dd26BandPlanner,
@@ -2215,6 +2385,83 @@ object Dedup {
       |  (s.id = c.canonical_id) AS is_canonical
       |FROM sel s JOIN canon c USING (group_rep)
       |ORDER BY doc_id""".stripMargin
+
+  /** The dd29/dd35 admission replay (shared: dd35's persisted-index
+    * formulation must produce dd29's exact bytes). */
+  private val dd29AdmissionSql: String =
+      """WITH nb AS (SELECT doc_id + 20000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 30000000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |btk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |ntk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM nb),
+        |shb AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM btk),
+        |shn AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM ntk),
+        |sigb AS (SELECT doc_id,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7
+        |  FROM shb),
+        |sign AS (SELECT doc_id,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7
+        |  FROM shn),
+        |bandb AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sigb
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigb
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sigb
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigb),
+        |bandn AS (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sign
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sign
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sign
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sign),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+        |  FROM bandn n JOIN bandb b
+        |    ON n.band = b.band AND n.bkey = b.bkey),
+        |ver AS (SELECT cand.new_id, cand.base_id,
+        |    CAST(len(list_intersect(sn.sh, sb.sh)) AS BIGINT) * 10000
+        |      // (len(sn.sh) + len(sb.sh)
+        |         - len(list_intersect(sn.sh, sb.sh))) AS j_x10k
+        |  FROM cand JOIN shn sn ON sn.doc_id = cand.new_id
+        |  JOIN shb sb ON sb.doc_id = cand.base_id),
+        |hit AS (SELECT new_id, base_id AS matched_base,
+        |    j_x10k AS best_j_x10k
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+        |      ORDER BY j_x10k DESC, base_id) AS rn
+        |    FROM ver WHERE j_x10k >= 5000) WHERE rn = 1)
+        |SELECT n.doc_id,
+        |  CAST(coalesce(h.matched_base, -1) AS BIGINT) AS matched_base,
+        |  CAST(coalesce(h.best_j_x10k, 0) AS BIGINT) AS best_j_x10k,
+        |  h.matched_base IS NULL AS admitted
+        |FROM nb n LEFT JOIN hit h ON h.new_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // dd28: dd10's recursive-CC machinery + member-vs-rep string-shingle
@@ -3016,30 +3263,33 @@ object Dedup {
     // dd29: batch perturbation, both signature builds, the band join,
     // the Jaccard verify and the best-match window all replayed; the
     // nullable best-match coalesces to -1 so no column is nullable
-    "dd29_incremental_admission" ->
-      """WITH nb AS (SELECT doc_id + 20000000 AS doc_id,
-        |    CASE WHEN instr(text, ' ') > 0
-        |         THEN substring(text, instr(text, ' ') + 1)
-        |         ELSE text END AS text
-        |  FROM documents WHERE doc_id % 10 = 7
-        |  UNION ALL
-        |  SELECT doc_id + 30000000,
-        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
-        |  FROM documents WHERE doc_id % 10 = 3),
-        |btk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+    "dd29_incremental_admission" -> dd29AdmissionSql,
+    // dd35 = dd29 off the PERSISTED index — byte-identical result is
+    // the contract, so the oracle is the same replay
+    "dd35_persisted_bands" -> dd29AdmissionSql,
+    // dd36: both ingest days replayed end-to-end — day-1 admission
+    // against base, the admitted set becoming the delta, day-2's
+    // union-of-segments candidates, verify and verdict. Multi-
+    // referenced CTEs MATERIALIZED (the gr04/gr11 inlining hazard)
+    "dd36_delta_band_index" ->
+      """WITH btk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
         |  FROM documents),
-        |ntk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
-        |  FROM nb),
         |shb AS MATERIALIZED (SELECT doc_id,
         |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
         |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
         |            for i in generate_series(1, len(tk) - 2)] END) AS sh
         |  FROM btk),
-        |shn AS MATERIALIZED (SELECT doc_id,
+        |d1 AS MATERIALIZED (SELECT doc_id + 30000000 AS doc_id,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |      AS text
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |d1tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM d1),
+        |sh1 AS MATERIALIZED (SELECT doc_id,
         |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
         |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
         |            for i in generate_series(1, len(tk) - 2)] END) AS sh
-        |  FROM ntk),
+        |  FROM d1tk),
         |sigb AS (SELECT doc_id,
         |    list_min([md5(s || '#0') for s in sh]) AS s0,
         |    list_min([md5(s || '#1') for s in sh]) AS s1,
@@ -3050,7 +3300,7 @@ object Dedup {
         |    list_min([md5(s || '#6') for s in sh]) AS s6,
         |    list_min([md5(s || '#7') for s in sh]) AS s7
         |  FROM shb),
-        |sign AS (SELECT doc_id,
+        |sig1 AS (SELECT doc_id,
         |    list_min([md5(s || '#0') for s in sh]) AS s0,
         |    list_min([md5(s || '#1') for s in sh]) AS s1,
         |    list_min([md5(s || '#2') for s in sh]) AS s2,
@@ -3059,36 +3309,94 @@ object Dedup {
         |    list_min([md5(s || '#5') for s in sh]) AS s5,
         |    list_min([md5(s || '#6') for s in sh]) AS s6,
         |    list_min([md5(s || '#7') for s in sh]) AS s7
-        |  FROM shn),
-        |bandb AS (
+        |  FROM sh1),
+        |bandb AS MATERIALIZED (
         |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sigb
         |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigb
         |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sigb
         |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigb),
-        |bandn AS (
-        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sign
-        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sign
-        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sign
-        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sign),
-        |cand AS (SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
-        |  FROM bandn n JOIN bandb b
+        |band1 AS MATERIALIZED (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sig1
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sig1
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sig1
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sig1),
+        |cand1 AS (SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+        |  FROM band1 n JOIN bandb b
         |    ON n.band = b.band AND n.bkey = b.bkey),
-        |ver AS (SELECT cand.new_id, cand.base_id,
+        |ver1 AS (SELECT cand1.new_id, cand1.base_id,
         |    CAST(len(list_intersect(sn.sh, sb.sh)) AS BIGINT) * 10000
         |      // (len(sn.sh) + len(sb.sh)
         |         - len(list_intersect(sn.sh, sb.sh))) AS j_x10k
-        |  FROM cand JOIN shn sn ON sn.doc_id = cand.new_id
-        |  JOIN shb sb ON sb.doc_id = cand.base_id),
-        |hit AS (SELECT new_id, base_id AS matched_base,
+        |  FROM cand1 JOIN sh1 sn ON sn.doc_id = cand1.new_id
+        |  JOIN shb sb ON sb.doc_id = cand1.base_id),
+        |adm1 AS MATERIALIZED (SELECT doc_id FROM d1
+        |  WHERE doc_id NOT IN
+        |    (SELECT new_id FROM ver1 WHERE j_x10k >= 5000)),
+        |shd AS MATERIALIZED (SELECT * FROM sh1
+        |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+        |bandd AS MATERIALIZED (SELECT * FROM band1
+        |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+        |d2 AS (SELECT doc_id + 20000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END
+        |  FROM d1),
+        |d2tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM d2),
+        |sh2 AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM d2tk),
+        |sig2 AS (SELECT doc_id,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7
+        |  FROM sh2),
+        |band2 AS MATERIALIZED (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sig2
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sig2
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sig2
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sig2),
+        |cand2 AS (
+        |  SELECT n.doc_id AS new_id, b.doc_id AS base_id
+        |    FROM band2 n JOIN bandb b
+        |      ON n.band = b.band AND n.bkey = b.bkey
+        |  UNION
+        |  SELECT n.doc_id, b.doc_id
+        |    FROM band2 n JOIN bandd b
+        |      ON n.band = b.band AND n.bkey = b.bkey),
+        |shu AS (SELECT * FROM shb UNION ALL SELECT * FROM shd),
+        |ver2 AS (SELECT cand2.new_id, cand2.base_id,
+        |    CAST(len(list_intersect(sn.sh, sb.sh)) AS BIGINT) * 10000
+        |      // (len(sn.sh) + len(sb.sh)
+        |         - len(list_intersect(sn.sh, sb.sh))) AS j_x10k
+        |  FROM cand2 JOIN sh2 sn ON sn.doc_id = cand2.new_id
+        |  JOIN shu sb ON sb.doc_id = cand2.base_id),
+        |hit2 AS (SELECT new_id, base_id AS matched_base,
         |    j_x10k AS best_j_x10k
         |  FROM (SELECT *, row_number() OVER (PARTITION BY new_id
         |      ORDER BY j_x10k DESC, base_id) AS rn
-        |    FROM ver WHERE j_x10k >= 5000) WHERE rn = 1)
+        |    FROM ver2 WHERE j_x10k >= 5000) WHERE rn = 1)
         |SELECT n.doc_id,
         |  CAST(coalesce(h.matched_base, -1) AS BIGINT) AS matched_base,
         |  CAST(coalesce(h.best_j_x10k, 0) AS BIGINT) AS best_j_x10k,
-        |  h.matched_base IS NULL AS admitted
-        |FROM nb n LEFT JOIN hit h ON h.new_id = n.doc_id
+        |  h.matched_base IS NULL AS admitted,
+        |  CASE WHEN h.matched_base IS NULL THEN 'none'
+        |       WHEN h.matched_base >= 30000000 THEN 'delta'
+        |       ELSE 'base' END AS matched_seg
+        |FROM d2 n LEFT JOIN hit2 h ON h.new_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin,
     "dd22_fuzzy_keepset" ->
       """WITH RECURSIVE

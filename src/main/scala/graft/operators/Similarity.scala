@@ -285,6 +285,69 @@ object Similarity {
     * against the corpus, checkpointed once for both consumers; the
     * rollup is two single-row aggregates.
     */
+  /** ss40: DIMENSION-BUDGET SWEEP (matryoshka prefix truncation) — the
+    * tuning curve of PREFIX-dim retrieval, the deployment question MRL
+    * embeddings (Kusupati et al. NeurIPS'22) exist to answer: serve at
+    * m dims instead of 64 and every index byte, shuffle and dot product
+    * shrinks 64/m — what does recall pay? For m ∈ {8, 16, 32, 64}: rank
+    * the corpus per query by cosine over the FIRST m coordinates, score
+    * against the full-dim exact top-5 (m = 64 IS the truth — the sweep
+    * self-sanity-checks at hits = 50, top1 = 10). Output per m:
+    * Σ |top5@m ∩ top5@full| over the 10 queries and how often the
+    * full-dim top-1 survives in the truncated top-5. ss32's JL row is
+    * the random-projection point of the same curve; this is the
+    * zero-transform (prefix) point a tiered serving stack actually
+    * uses (coarse search at m dims, refine at 64).
+    *
+    * Scale: ONE broadcast-brute pass computes all three cosines per
+    * pair (the slices share the scan); the three rank windows ride the
+    * SAME query-keyed exchange; the rollup is a single-row aggregate
+    * unpivoted to 3 rows. Every float reduction is the in-order fold
+    * (FloatDot ≡ the oracle's list_reduce), so even unrounded rank
+    * comparisons agree cross-engine.
+    */
+  def dimBudgetSweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ms = Seq(8, 16, 32, 64) // 64 = full dim = the truth column
+    def norms(df: DataFrame, c: String, p: String): DataFrame =
+      ms.foldLeft(df) { (acc, m) =>
+        acc.withColumn(s"$p$m",
+          if (m == 64) l2norm(col(c)) else l2norm(slice(col(c), 1, m)))
+      }
+    val corpus = norms(
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding", "n")
+    val qs = norms(
+      t(s, d, "embeddings").select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")).filter(col("query_id") < 10),
+      "q_emb", "qn")
+    def rn(m: Int) = row_number().over(Window.partitionBy("query_id")
+      .orderBy(col(s"cos$m").desc, col("cand_id")))
+    def cos(m: Int): Column =
+      (if (m == 64) dot(col("embedding"), col("q_emb"))
+       else dot(slice(col("embedding"), 1, m), slice(col("q_emb"), 1, m))) /
+        (col(s"n$m") * col(s"qn$m"))
+    val ranked = ms.foldLeft(
+      ms.foldLeft(corpus.withColumn("cand_id", col("vec_id"))
+          .crossJoin(broadcast(qs))
+          .filter(col("cand_id") =!= col("query_id"))) { (acc, m) =>
+        acc.withColumn(s"cos$m", cos(m))
+      }) { (acc, m) => acc.withColumn(s"rn$m", rn(m)) }
+    def hits(m: Int) = sum(when(col(s"rn$m") <= 5 && col("rn64") <= 5, 1L)
+      .otherwise(0L)).as(s"h$m")
+    def top1(m: Int) = sum(when(col("rn64") === 1 && col(s"rn$m") <= 5, 1L)
+      .otherwise(0L)).as(s"t$m")
+    ranked.agg(hits(8), top1(8), hits(16), top1(16), hits(32), top1(32),
+        hits(64), top1(64))
+      .selectExpr(
+        """stack(4, CAST(8 AS BIGINT), h8, t8,
+          |         CAST(16 AS BIGINT), h16, t16,
+          |         CAST(32 AS BIGINT), h32, t32,
+          |         CAST(64 AS BIGINT), h64, t64)
+          |  AS (m, hits_at5, top1_in5)""".stripMargin)
+      .orderBy("m")
+  }
+
   def trainedBenefit(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dd2(a: Column, b: Column) =
@@ -505,6 +568,7 @@ object Similarity {
     "ss28_coarse_train" -> ((s, d) => coarseTrainAudit(s, d)),
     "ss31_derived_k_ivf" -> ((s, d) => derivedKIvf(s, d)),
     "ss32_jl_recall" -> ((s, d) => jlRecall(s, d)),
+    "ss40_dim_budget" -> ((s, d) => dimBudgetSweep(s, d)),
   )
 
   /** ss22: INT8 SCALAR-QUANTIZATION RECALL — completes the measurement
@@ -2610,6 +2674,17 @@ object Similarity {
       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
       |  FROM v)""".stripMargin
+  /** ss40's prefix-dim folds: the dotSql/normCte machinery bounded to
+    * the first `m` coordinates — same in-order accumulation as the
+    * Spark side's FloatDot over slice(embedding, 1, m). */
+  private def prefixDotSql(m: Int): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [c.e[i] * q.e[i] for i in generate_series(1, $m)]),
+       |      (a, b) -> a + b)""".stripMargin
+  private def prefixNormSql(sl: String): String =
+    s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform($sl, x -> x * x)), (a, b) -> a + b))""".stripMargin
+
   // shared with Dedup's dd19 oracle (same banding machinery, dedup lens)
   private[operators] val dotSql: String =
     """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -3220,6 +3295,57 @@ object Similarity {
          |      CAST(d.n_exact AS DOUBLE), 2) AS recall_at_5
          |FROM denom d LEFT JOIN hits h ON d.query_id = h.query_id
          |ORDER BY d.query_id""".stripMargin,
+    // ss40: all four prefix-dim cosines, the four rank windows and
+    // the intersection rollup replayed; m = 64 is the self-checking
+    // truth row (hits = 5·queries, top1 = queries)
+    "ss40_dim_budget" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, e,
+         |    ${prefixNormSql("e[1:8]")} AS n8,
+         |    ${prefixNormSql("e[1:16]")} AS n16,
+         |    ${prefixNormSql("e[1:32]")} AS n32,
+         |    ${prefixNormSql("e")} AS n64
+         |  FROM v),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${prefixDotSql(8)} / (c.n8 * q.n8) AS cos8,
+         |    ${prefixDotSql(16)} / (c.n16 * q.n16) AS cos16,
+         |    ${prefixDotSql(32)} / (c.n32 * q.n32) AS cos32,
+         |    ${prefixDotSql(64)} / (c.n64 * q.n64) AS cos64
+         |  FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, cand_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos8 DESC, cand_id) AS rn8,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos16 DESC, cand_id) AS rn16,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos32 DESC, cand_id) AS rn32,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos64 DESC, cand_id) AS rn64
+         |  FROM p),
+         |a AS (SELECT
+         |    CAST(count(*) FILTER (rn8 <= 5 AND rn64 <= 5) AS BIGINT)
+         |      AS h8,
+         |    CAST(count(*) FILTER (rn64 = 1 AND rn8 <= 5) AS BIGINT)
+         |      AS t8,
+         |    CAST(count(*) FILTER (rn16 <= 5 AND rn64 <= 5) AS BIGINT)
+         |      AS h16,
+         |    CAST(count(*) FILTER (rn64 = 1 AND rn16 <= 5) AS BIGINT)
+         |      AS t16,
+         |    CAST(count(*) FILTER (rn32 <= 5 AND rn64 <= 5) AS BIGINT)
+         |      AS h32,
+         |    CAST(count(*) FILTER (rn64 = 1 AND rn32 <= 5) AS BIGINT)
+         |      AS t32,
+         |    CAST(count(*) FILTER (rn64 <= 5) AS BIGINT) AS h64,
+         |    CAST(count(*) FILTER (rn64 = 1) AS BIGINT) AS t64
+         |  FROM r)
+         |SELECT CAST(8 AS BIGINT) AS m, h8 AS hits_at5, t8 AS top1_in5
+         |FROM a
+         |UNION ALL SELECT CAST(16 AS BIGINT), h16, t16 FROM a
+         |UNION ALL SELECT CAST(32 AS BIGINT), h32, t32 FROM a
+         |UNION ALL SELECT CAST(64 AS BIGINT), h64, t64 FROM a
+         |ORDER BY m""".stripMargin,
     // ss32: planting (dd19's LCG twins), the ±1 projection, both norms
     // and both cosine ranks all replayed with the spelled-out in-order
     // folds (the ss01 rule)

@@ -196,4 +196,55 @@ class CurationSpec extends SparkSpec {
     // is untested code riding a green gate
     assert(removedAny.forall(_ > 0), removedAny.mkString(","))
   }
+
+  test("ss39: RRF arithmetic exact per row, ordering and provenance " +
+      "classes all live") {
+    val rows = Curation.ss39HybridRrf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // 10 queries x fused top-5
+    assert(rows.length == 50, s"rows: ${rows.length}")
+    def contrib(rank: Long): Long =
+      if (rank > 0) 100000000L / (60L + rank) else 0L
+    rows.foreach { case (q, rk, cand, lr, vr, rrf) =>
+      assert(rk >= 1 && rk <= 5)
+      assert(lr >= 0 && lr <= 20 && vr >= 0 && vr <= 20, s"($q,$cand)")
+      assert(lr > 0 || vr > 0, s"($q,$cand) in neither list")
+      // the fusion arithmetic is exactly the published formula
+      assert(rrf == contrib(lr) + contrib(vr),
+        s"($q,$cand): rrf $rrf != ${contrib(lr) + contrib(vr)}")
+    }
+    // rrf non-increasing within each query, ties broken by cand id asc
+    rows.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 > b._6 || (a._6 == b._6 && a._3 < b._3),
+            s"ordering violated: $a then $b")
+        case _ =>
+      }
+    }
+    // all three provenance classes are live on this corpus: items both
+    // lists agree on, lexical-only picks, vector-only picks — the
+    // fusion genuinely mixes modalities instead of mirroring one
+    assert(rows.exists(r => r._4 > 0 && r._5 > 0), "no dual-list row")
+    assert(rows.exists(r => r._4 > 0 && r._5 == 0), "no lexical-only row")
+    assert(rows.exists(r => r._5 > 0 && r._4 == 0), "no vector-only row")
+  }
+
+  test("ss41: discount sweep well-formed; consensus regime visible at " +
+      "the large-k end") {
+    val rows = Curation.ss41RrfKSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(10L, 60L, 240L))
+    rows.foreach { case (k, v, l, dual) =>
+      assert(v >= 0 && v <= 10 && l >= 0 && l <= 10, s"k=$k: $v/$l")
+      assert(dual >= 0 && dual <= 50, s"k=$k: dual $dual")
+    }
+    val byK = rows.map(r => r._1 -> r._4).toMap
+    // larger discount favors dual-list consensus items — the regime
+    // shift the sweep exists to show (live on this corpus: 6 -> 9)
+    assert(byK(240L) >= byK(10L), s"no consensus shift: $byK")
+    assert(rows.exists(_._4 > 0), "no dual-membership item anywhere")
+  }
 }

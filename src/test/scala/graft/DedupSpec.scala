@@ -423,4 +423,42 @@ class DedupSpec extends SparkSpec {
     assert(fuzzyOnly.nonEmpty && fuzzyOnly.forall(_._1 >= 1000000L),
       s"unexpected fuzzy-only naturals: ${fuzzyOnly.map(_._1).toSeq}")
   }
+
+  test("dd35: the persisted-index admission equals dd29 byte for byte") {
+    // the whole contract: moving the band postings + shingle store into
+    // bucketed storage must not change a single verdict
+    val inPlan = SparkEntry.queries("dd29_incremental_admission")(spark, sf)
+      .collect().toSeq
+    val persisted = SparkEntry.queries("dd35_persisted_bands")(spark, sf)
+      .collect().toSeq
+    assert(persisted == inPlan,
+      s"persisted-index verdicts diverge: ${persisted.diff(inPlan).take(3)}")
+  }
+
+  test("dd36: delta matches exist, attribute to their day-1 origin, " +
+      "and segments never cross") {
+    val rows = SparkEntry.queries("dd36_delta_band_index")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3),
+        r.getString(4)))
+    // the append mattered: day-2 re-encodes of day-1 novel docs are
+    // caught BY THE DELTA — a frozen-only index would re-admit them
+    val delta = rows.filter(_._4 == "delta")
+    assert(delta.nonEmpty, "no delta-segment match")
+    delta.foreach { case (id, base, adm, _) =>
+      assert(!adm, s"$id delta-matched yet admitted")
+      assert(base == id - 10000000L,
+        s"$id delta match $base is not its day-1 origin")
+    }
+    // base re-encodes resolve against the base segment
+    rows.filter(_._1 < 30000000L).foreach { case (id, base, _, seg) =>
+      assert(seg != "delta", s"base re-encode $id matched delta ($base)")
+    }
+    assert(rows.exists(r => r._4 == "base"), "no base-segment match")
+    // segment tag is consistent with the matched id range
+    rows.foreach { case (id, base, _, seg) =>
+      val expect = if (base < 0) "none"
+        else if (base >= 30000000L) "delta" else "base"
+      assert(seg == expect, s"$id: seg $seg vs base $base")
+    }
+  }
 }

@@ -118,7 +118,13 @@ class LocalClusterParitySpec extends SparkSpec {
     // two-phase centroid report
     "dd34_exactsubstr_fixpoint", "ss36_compacted_recall",
     "ss37_compaction_report", "ss38_purge_compaction",
-    "st25_erasure_ledger")
+    "st25_erasure_ledger",
+    // r11 session-2 additions: ss39's dual-modality rank fusion (two
+    // window families + outer join across executors), ss40's four
+    // sliced-prefix FloatDot rank windows, dd35's bucketed band/shingle
+    // reload probed from executor JVMs
+    "ss39_hybrid_rrf", "ss40_dim_budget", "dd35_persisted_bands",
+    "ss41_rrf_k_sweep", "dd36_delta_band_index")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

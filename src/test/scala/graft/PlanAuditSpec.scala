@@ -514,6 +514,48 @@ class PlanAuditSpec extends SparkSpec {
     if (cut >= 0) s.substring(0, cut) else s
   }
 
+  /** Walk ancestors of `table`'s scan line up to its first Join: none
+    * may be an Exchange — the bucketed index side must reach its join
+    * unshuffled (shared by the ss33/ss34/ss36/ss38/dd35 audits). */
+  private def noExchangeAboveScan(p: String, table: String): Unit = {
+    val lines = p.split("\n")
+    def depth(l: String): Int = l.indexWhere(c => c.isLetter || c == '*')
+    val scanIdx = lines.indexWhere(_.contains(table))
+    assert(scanIdx >= 0, p)
+    var d = depth(lines(scanIdx))
+    var i = scanIdx - 1
+    var joined = false
+    while (i >= 0 && !joined && d > 0) {
+      val di = depth(lines(i))
+      if (di >= 0 && di < d) { // an ancestor
+        d = di
+        if (lines(i).contains("Join")) joined = true
+        else assert(!lines(i).contains("Exchange"),
+          s"$table side shuffled before its join:\n${lines(i)}\n$p")
+      }
+      i -= 1
+    }
+  }
+
+  test("dd35: both persisted dedup-index tables read pre-bucketed; " +
+      "with auto-broadcast closed neither shuffles before its join") {
+    val plan = finalPlan("dd35_persisted_bands")
+    assert(plan.contains("graft_dedup_bands"), plan)
+    assert(plan.contains("graft_dedup_shingles"), plan)
+    val bucketed = "Bucketed: true".r.findAllMatchIn(plan).length
+    assert(bucketed >= 2, s"expected both index scans bucketed:\n$plan")
+    // fact-scale property (the ss33 discipline): only the batch's band
+    // postings and the candidate ids move to the index layout — the
+    // corpus-sized postings/shingle tables never shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smjPlan = finalPlan("dd35_persisted_bands")
+      noExchangeAboveScan(smjPlan, "graft_dedup_bands")
+      noExchangeAboveScan(smjPlan, "graft_dedup_shingles")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("dd31: the islands window rides the pinned 32-way exchange, " +
       "no product anywhere") {
     val plan = executedPlan("dd31_longest_span")
@@ -556,25 +598,6 @@ class PlanAuditSpec extends SparkSpec {
     // SortMergeJoins with ZERO Exchange on the index-table side — only
     // the candidate/probe streams move to the index layout, never the
     // reverse.
-    def noExchangeAboveScan(p: String, table: String): Unit = {
-      val lines = p.split("\n")
-      def depth(l: String): Int = l.indexWhere(c => c.isLetter || c == '*')
-      val scanIdx = lines.indexWhere(_.contains(table))
-      assert(scanIdx >= 0, p)
-      var d = depth(lines(scanIdx))
-      var i = scanIdx - 1
-      var joined = false
-      while (i >= 0 && !joined && d > 0) {
-        val di = depth(lines(i))
-        if (di >= 0 && di < d) { // an ancestor
-          d = di
-          if (lines(i).contains("Join")) joined = true
-          else assert(!lines(i).contains("Exchange"),
-            s"$table side shuffled before its join:\n${lines(i)}\n$p")
-        }
-        i -= 1
-      }
-    }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val smjPlan = finalPlan("ss33_persisted_index")

@@ -339,4 +339,22 @@ class SimilaritySpec extends SparkSpec {
       centers :+= best._1
     }
   }
+
+  test("ss40: truth row exact, top1 bounded by hits, wider prefix " +
+      "no worse across the sweep ends") {
+    val rows = Similarity.dimBudgetSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(8L, 16L, 32L, 64L))
+    val byM = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    // m = 64 IS the truth: the sweep self-checks
+    assert(byM(64L) == ((50L, 10L)), s"truth row: ${byM(64L)}")
+    rows.foreach { case (m, h, t) =>
+      assert(h >= 0 && h <= 50 && t >= 0 && t <= 10, s"m=$m out of range")
+      // rn64 = 1 implies rn64 <= 5, so top1 hits are a subset
+      assert(t <= h, s"m=$m: top1 $t > hits $h")
+    }
+    // the curve's ends order correctly (interior points may tie on
+    // this near-random corpus — the tx10 shape caveat)
+    assert(byM(8L)._1 <= byM(32L)._1, s"8 dims beat 32: $byM")
+  }
 }
