@@ -780,13 +780,23 @@ object Dedup {
     * count stays bounded by compaction (the ss36 policy — here one
     * delta, the minimal live case).
     */
-  private val dd36DeltaBandIndex: Q = (s, d) => {
+  /** The band postings of `sig` in single-key (bandkey, idc) form —
+    * the persisted-segment layout. */
+  private def bandPostings(sig: DataFrame, idc: String): DataFrame =
+    admissionBands(sig, idc)
+      .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
+        col(idc))
+
+  /** dd36/dd37 shared scaffold: writes the base segment, runs day-1's
+    * novel ingest and its admission against it, builds day-2's batch
+    * and band postings. Returns (base sigs, day-1 ADMITTED sigs
+    * [checkpointed — feeds two writes], day-2 batch, day-2 sigs,
+    * day-2 postings [checkpointed — probes ≥2 segment tables]). */
+  private def deltaScaffold(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = t(s, d, "documents").select("doc_id", "text")
     val base = admissionSig(docs)
-    Bucketing.writeBucketed(
-      admissionBands(base, "base_id")
-        .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
-          col("base_id")),
+    Bucketing.writeBucketed(bandPostings(base, "base_id"),
       "graft_band_base", "bandkey", 8)
     Bucketing.writeBucketed(
       base.select(col("doc_id").as("base_id"), col("shingles").as("sh_b")),
@@ -796,26 +806,13 @@ object Dedup {
       .select((col("doc_id") + 30000000L).as("doc_id"),
         array_join(reverse(split(col("text"), " ")), " ").as("text"))
     val sig1 = admissionSig(day1)
-    val cand1 = admissionBands(sig1, "new_id")
-      .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
-        col("new_id"))
+    val cand1 = bandPostings(sig1, "new_id")
       .join(s.table("graft_band_base"), Seq("bandkey"))
       .select("new_id", "base_id").distinct()
     val admitted1 = admissionVerdict(day1, sig1, cand1,
         s.table("graft_sh_base"))
       .filter(col("admitted")).select("doc_id")
-    // the admitted docs BECOME the delta segment (feeds two writes →
-    // eager checkpoint)
     val sig1adm = sig1.join(admitted1, Seq("doc_id")).localCheckpoint()
-    Bucketing.writeBucketed(
-      admissionBands(sig1adm, "base_id")
-        .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
-          col("base_id")),
-      "graft_band_delta", "bandkey", 8)
-    Bucketing.writeBucketed(
-      sig1adm.select(col("doc_id").as("base_id"),
-        col("shingles").as("sh_b")),
-      "graft_sh_delta", "base_id", 8)
     // day 2: re-encodes of base docs AND of the day-1 novel docs
     val day2 = docs.filter(col("doc_id") % 10 === 7)
       .select((col("doc_id") + 20000000L).as("doc_id"),
@@ -823,10 +820,27 @@ object Dedup {
       .unionAll(day1.select((col("doc_id") + 10000000L).as("doc_id"),
         dropTok.as("text")))
     val sig2 = admissionSig(day2)
-    val bands2 = admissionBands(sig2, "new_id")
-      .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
-        col("new_id"))
-      .localCheckpoint() // probes BOTH segments
+    val bands2 = bandPostings(sig2, "new_id").localCheckpoint()
+    (base, sig1adm, day2, sig2, bands2)
+  }
+
+  /** The matched-segment tag, derived from the matched id range (the
+    * compacted index carries no segment column — attribution must not
+    * depend on physical layout). */
+  private val matchedSeg: Column = expr(
+    """CASE WHEN matched_base < 0 THEN 'none'
+      |     WHEN matched_base >= 30000000 THEN 'delta'
+      |     ELSE 'base' END""".stripMargin)
+
+  private val dd36DeltaBandIndex: Q = (s, d) => {
+    val (_, sig1adm, day2, sig2, bands2) = deltaScaffold(s, d)
+    // the admitted docs BECOME the delta segment
+    Bucketing.writeBucketed(bandPostings(sig1adm, "base_id"),
+      "graft_band_delta", "bandkey", 8)
+    Bucketing.writeBucketed(
+      sig1adm.select(col("doc_id").as("base_id"),
+        col("shingles").as("sh_b")),
+      "graft_sh_delta", "base_id", 8)
     // per-SEGMENT candidates and verifies (each join bucket-aligned on
     // its own segment tables); segments merge only at the verified-pair
     // stream — the ss34 per-segment-search shape
@@ -838,10 +852,45 @@ object Dedup {
     admissionDecision(day2,
         segVerified("graft_band_base", "graft_sh_base")
           .unionAll(segVerified("graft_band_delta", "graft_sh_delta")))
-      .withColumn("matched_seg", expr(
-        """CASE WHEN matched_base < 0 THEN 'none'
-          |     WHEN matched_base >= 30000000 THEN 'delta'
-          |     ELSE 'base' END""".stripMargin))
+      .withColumn("matched_seg", matchedSeg)
+      .orderBy("doc_id")
+  }
+
+  /** dd37: BAND-INDEX COMPACTION — the ss36 move closing the dd35/dd36
+    * lifecycle: base ∪ delta rewritten as ONE compacted bucketed
+    * segment pair (segment count back to 1 — the policy that bounds
+    * dd36's per-segment probe fan-out as deltas accumulate), probed by
+    * the identical single-segment path. The contract is dd36's EXACT
+    * bytes: band candidates over a union-of-postings table equal the
+    * union of per-segment candidates, and the verify is pair-local, so
+    * compaction provably changes no verdict (unlike ss36, where
+    * retraining the quantizer may move candidates — band keys are
+    * content hashes, layout-free). matched_seg derives from the id
+    * range, so even the attribution column survives the physical merge.
+    *
+    * Scale: the compaction pays one full rewrite of both tables (the
+    * honest cost ss37 prices); every nightly probe thereafter touches
+    * one segment instead of k. Same bucket keys and count as the
+    * segments it replaces.
+    */
+  private val dd37CompactedBands: Q = (s, d) => {
+    val (base, sig1adm, day2, sig2, bands2) = deltaScaffold(s, d)
+    // compact: ONE postings table, ONE shingle store over base ∪ delta
+    Bucketing.writeBucketed(
+      bandPostings(base, "base_id")
+        .unionAll(bandPostings(sig1adm, "base_id")),
+      "graft_band_compact", "bandkey", 8)
+    Bucketing.writeBucketed(
+      base.select(col("doc_id").as("base_id"), col("shingles").as("sh_b"))
+        .unionAll(sig1adm.select(col("doc_id").as("base_id"),
+          col("shingles").as("sh_b"))),
+      "graft_sh_compact", "base_id", 8)
+    admissionDecision(day2,
+        admissionVerify(sig2,
+          bands2.join(s.table("graft_band_compact"), Seq("bandkey"))
+            .select("new_id", "base_id").distinct(),
+          s.table("graft_sh_compact")))
+      .withColumn("matched_seg", matchedSeg)
       .orderBy("doc_id")
   }
 
@@ -2281,6 +2330,7 @@ object Dedup {
     "dd29_incremental_admission" -> dd29IncrementalAdmission,
     "dd35_persisted_bands" -> dd35PersistedBands,
     "dd36_delta_band_index" -> dd36DeltaBandIndex,
+    "dd37_compacted_bands" -> dd37CompactedBands,
     "dd30_policy_impact" -> dd30PolicyImpact,
     "dd31_longest_span" -> dd31LongestSpan,
     "dd26_band_planner" -> dd26BandPlanner,
@@ -2461,6 +2511,136 @@ object Dedup {
         |  CAST(coalesce(h.best_j_x10k, 0) AS BIGINT) AS best_j_x10k,
         |  h.matched_base IS NULL AS admitted
         |FROM nb n LEFT JOIN hit h ON h.new_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin
+
+  /** The dd36/dd37 two-day replay (shared: dd37's compacted index
+    * must produce dd36's exact bytes). */
+  private val dd36DeltaSql: String =
+      """WITH btk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |shb AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM btk),
+        |d1 AS MATERIALIZED (SELECT doc_id + 30000000 AS doc_id,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |      AS text
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |d1tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM d1),
+        |sh1 AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM d1tk),
+        |sigb AS (SELECT doc_id,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7
+        |  FROM shb),
+        |sig1 AS (SELECT doc_id,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7
+        |  FROM sh1),
+        |bandb AS MATERIALIZED (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sigb
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigb
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sigb
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigb),
+        |band1 AS MATERIALIZED (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sig1
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sig1
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sig1
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sig1),
+        |cand1 AS (SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+        |  FROM band1 n JOIN bandb b
+        |    ON n.band = b.band AND n.bkey = b.bkey),
+        |ver1 AS (SELECT cand1.new_id, cand1.base_id,
+        |    CAST(len(list_intersect(sn.sh, sb.sh)) AS BIGINT) * 10000
+        |      // (len(sn.sh) + len(sb.sh)
+        |         - len(list_intersect(sn.sh, sb.sh))) AS j_x10k
+        |  FROM cand1 JOIN sh1 sn ON sn.doc_id = cand1.new_id
+        |  JOIN shb sb ON sb.doc_id = cand1.base_id),
+        |adm1 AS MATERIALIZED (SELECT doc_id FROM d1
+        |  WHERE doc_id NOT IN
+        |    (SELECT new_id FROM ver1 WHERE j_x10k >= 5000)),
+        |shd AS MATERIALIZED (SELECT * FROM sh1
+        |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+        |bandd AS MATERIALIZED (SELECT * FROM band1
+        |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+        |d2 AS (SELECT doc_id + 20000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END
+        |  FROM d1),
+        |d2tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |  FROM d2),
+        |sh2 AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+        |  FROM d2tk),
+        |sig2 AS (SELECT doc_id,
+        |    list_min([md5(s || '#0') for s in sh]) AS s0,
+        |    list_min([md5(s || '#1') for s in sh]) AS s1,
+        |    list_min([md5(s || '#2') for s in sh]) AS s2,
+        |    list_min([md5(s || '#3') for s in sh]) AS s3,
+        |    list_min([md5(s || '#4') for s in sh]) AS s4,
+        |    list_min([md5(s || '#5') for s in sh]) AS s5,
+        |    list_min([md5(s || '#6') for s in sh]) AS s6,
+        |    list_min([md5(s || '#7') for s in sh]) AS s7
+        |  FROM sh2),
+        |band2 AS MATERIALIZED (
+        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sig2
+        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sig2
+        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sig2
+        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sig2),
+        |cand2 AS (
+        |  SELECT n.doc_id AS new_id, b.doc_id AS base_id
+        |    FROM band2 n JOIN bandb b
+        |      ON n.band = b.band AND n.bkey = b.bkey
+        |  UNION
+        |  SELECT n.doc_id, b.doc_id
+        |    FROM band2 n JOIN bandd b
+        |      ON n.band = b.band AND n.bkey = b.bkey),
+        |shu AS (SELECT * FROM shb UNION ALL SELECT * FROM shd),
+        |ver2 AS (SELECT cand2.new_id, cand2.base_id,
+        |    CAST(len(list_intersect(sn.sh, sb.sh)) AS BIGINT) * 10000
+        |      // (len(sn.sh) + len(sb.sh)
+        |         - len(list_intersect(sn.sh, sb.sh))) AS j_x10k
+        |  FROM cand2 JOIN sh2 sn ON sn.doc_id = cand2.new_id
+        |  JOIN shu sb ON sb.doc_id = cand2.base_id),
+        |hit2 AS (SELECT new_id, base_id AS matched_base,
+        |    j_x10k AS best_j_x10k
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+        |      ORDER BY j_x10k DESC, base_id) AS rn
+        |    FROM ver2 WHERE j_x10k >= 5000) WHERE rn = 1)
+        |SELECT n.doc_id,
+        |  CAST(coalesce(h.matched_base, -1) AS BIGINT) AS matched_base,
+        |  CAST(coalesce(h.best_j_x10k, 0) AS BIGINT) AS best_j_x10k,
+        |  h.matched_base IS NULL AS admitted,
+        |  CASE WHEN h.matched_base IS NULL THEN 'none'
+        |       WHEN h.matched_base >= 30000000 THEN 'delta'
+        |       ELSE 'base' END AS matched_seg
+        |FROM d2 n LEFT JOIN hit2 h ON h.new_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -3271,133 +3451,10 @@ object Dedup {
     // against base, the admitted set becoming the delta, day-2's
     // union-of-segments candidates, verify and verdict. Multi-
     // referenced CTEs MATERIALIZED (the gr04/gr11 inlining hazard)
-    "dd36_delta_band_index" ->
-      """WITH btk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
-        |  FROM documents),
-        |shb AS MATERIALIZED (SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
-        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
-        |  FROM btk),
-        |d1 AS MATERIALIZED (SELECT doc_id + 30000000 AS doc_id,
-        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
-        |      AS text
-        |  FROM documents WHERE doc_id % 10 = 3),
-        |d1tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
-        |  FROM d1),
-        |sh1 AS MATERIALIZED (SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
-        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
-        |  FROM d1tk),
-        |sigb AS (SELECT doc_id,
-        |    list_min([md5(s || '#0') for s in sh]) AS s0,
-        |    list_min([md5(s || '#1') for s in sh]) AS s1,
-        |    list_min([md5(s || '#2') for s in sh]) AS s2,
-        |    list_min([md5(s || '#3') for s in sh]) AS s3,
-        |    list_min([md5(s || '#4') for s in sh]) AS s4,
-        |    list_min([md5(s || '#5') for s in sh]) AS s5,
-        |    list_min([md5(s || '#6') for s in sh]) AS s6,
-        |    list_min([md5(s || '#7') for s in sh]) AS s7
-        |  FROM shb),
-        |sig1 AS (SELECT doc_id,
-        |    list_min([md5(s || '#0') for s in sh]) AS s0,
-        |    list_min([md5(s || '#1') for s in sh]) AS s1,
-        |    list_min([md5(s || '#2') for s in sh]) AS s2,
-        |    list_min([md5(s || '#3') for s in sh]) AS s3,
-        |    list_min([md5(s || '#4') for s in sh]) AS s4,
-        |    list_min([md5(s || '#5') for s in sh]) AS s5,
-        |    list_min([md5(s || '#6') for s in sh]) AS s6,
-        |    list_min([md5(s || '#7') for s in sh]) AS s7
-        |  FROM sh1),
-        |bandb AS MATERIALIZED (
-        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sigb
-        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigb
-        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sigb
-        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigb),
-        |band1 AS MATERIALIZED (
-        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sig1
-        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sig1
-        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sig1
-        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sig1),
-        |cand1 AS (SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
-        |  FROM band1 n JOIN bandb b
-        |    ON n.band = b.band AND n.bkey = b.bkey),
-        |ver1 AS (SELECT cand1.new_id, cand1.base_id,
-        |    CAST(len(list_intersect(sn.sh, sb.sh)) AS BIGINT) * 10000
-        |      // (len(sn.sh) + len(sb.sh)
-        |         - len(list_intersect(sn.sh, sb.sh))) AS j_x10k
-        |  FROM cand1 JOIN sh1 sn ON sn.doc_id = cand1.new_id
-        |  JOIN shb sb ON sb.doc_id = cand1.base_id),
-        |adm1 AS MATERIALIZED (SELECT doc_id FROM d1
-        |  WHERE doc_id NOT IN
-        |    (SELECT new_id FROM ver1 WHERE j_x10k >= 5000)),
-        |shd AS MATERIALIZED (SELECT * FROM sh1
-        |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
-        |bandd AS MATERIALIZED (SELECT * FROM band1
-        |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
-        |d2 AS (SELECT doc_id + 20000000 AS doc_id,
-        |    CASE WHEN instr(text, ' ') > 0
-        |         THEN substring(text, instr(text, ' ') + 1)
-        |         ELSE text END AS text
-        |  FROM documents WHERE doc_id % 10 = 7
-        |  UNION ALL
-        |  SELECT doc_id + 10000000,
-        |    CASE WHEN instr(text, ' ') > 0
-        |         THEN substring(text, instr(text, ' ') + 1)
-        |         ELSE text END
-        |  FROM d1),
-        |d2tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
-        |  FROM d2),
-        |sh2 AS MATERIALIZED (SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
-        |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-        |            for i in generate_series(1, len(tk) - 2)] END) AS sh
-        |  FROM d2tk),
-        |sig2 AS (SELECT doc_id,
-        |    list_min([md5(s || '#0') for s in sh]) AS s0,
-        |    list_min([md5(s || '#1') for s in sh]) AS s1,
-        |    list_min([md5(s || '#2') for s in sh]) AS s2,
-        |    list_min([md5(s || '#3') for s in sh]) AS s3,
-        |    list_min([md5(s || '#4') for s in sh]) AS s4,
-        |    list_min([md5(s || '#5') for s in sh]) AS s5,
-        |    list_min([md5(s || '#6') for s in sh]) AS s6,
-        |    list_min([md5(s || '#7') for s in sh]) AS s7
-        |  FROM sh2),
-        |band2 AS MATERIALIZED (
-        |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM sig2
-        |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM sig2
-        |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM sig2
-        |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM sig2),
-        |cand2 AS (
-        |  SELECT n.doc_id AS new_id, b.doc_id AS base_id
-        |    FROM band2 n JOIN bandb b
-        |      ON n.band = b.band AND n.bkey = b.bkey
-        |  UNION
-        |  SELECT n.doc_id, b.doc_id
-        |    FROM band2 n JOIN bandd b
-        |      ON n.band = b.band AND n.bkey = b.bkey),
-        |shu AS (SELECT * FROM shb UNION ALL SELECT * FROM shd),
-        |ver2 AS (SELECT cand2.new_id, cand2.base_id,
-        |    CAST(len(list_intersect(sn.sh, sb.sh)) AS BIGINT) * 10000
-        |      // (len(sn.sh) + len(sb.sh)
-        |         - len(list_intersect(sn.sh, sb.sh))) AS j_x10k
-        |  FROM cand2 JOIN sh2 sn ON sn.doc_id = cand2.new_id
-        |  JOIN shu sb ON sb.doc_id = cand2.base_id),
-        |hit2 AS (SELECT new_id, base_id AS matched_base,
-        |    j_x10k AS best_j_x10k
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY new_id
-        |      ORDER BY j_x10k DESC, base_id) AS rn
-        |    FROM ver2 WHERE j_x10k >= 5000) WHERE rn = 1)
-        |SELECT n.doc_id,
-        |  CAST(coalesce(h.matched_base, -1) AS BIGINT) AS matched_base,
-        |  CAST(coalesce(h.best_j_x10k, 0) AS BIGINT) AS best_j_x10k,
-        |  h.matched_base IS NULL AS admitted,
-        |  CASE WHEN h.matched_base IS NULL THEN 'none'
-        |       WHEN h.matched_base >= 30000000 THEN 'delta'
-        |       ELSE 'base' END AS matched_seg
-        |FROM d2 n LEFT JOIN hit2 h ON h.new_id = n.doc_id
-        |ORDER BY n.doc_id""".stripMargin,
+    "dd36_delta_band_index" -> dd36DeltaSql,
+    // dd37 = dd36 off the COMPACTED single segment — byte-identical
+    // verdicts are the contract, so the oracle is the same replay
+    "dd37_compacted_bands" -> dd36DeltaSql,
     "dd22_fuzzy_keepset" ->
       """WITH RECURSIVE
         |m1 AS (SELECT doc_id + 10000000 AS doc_id,

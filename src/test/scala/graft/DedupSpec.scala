@@ -461,4 +461,17 @@ class DedupSpec extends SparkSpec {
       assert(seg == expect, s"$id: seg $seg vs base $base")
     }
   }
+
+  test("dd37: compacting base + delta into one segment changes no " +
+      "verdict byte") {
+    // band keys are content hashes, so a union-of-postings table yields
+    // exactly the union of per-segment candidates; the verify is
+    // pair-local — compaction is provably verdict-neutral
+    val segmented = SparkEntry.queries("dd36_delta_band_index")(spark, sf)
+      .collect().toSeq
+    val compacted = SparkEntry.queries("dd37_compacted_bands")(spark, sf)
+      .collect().toSeq
+    assert(compacted == segmented,
+      s"compaction changed verdicts: ${compacted.diff(segmented).take(3)}")
+  }
 }

@@ -124,7 +124,8 @@ class LocalClusterParitySpec extends SparkSpec {
     // sliced-prefix FloatDot rank windows, dd35's bucketed band/shingle
     // reload probed from executor JVMs
     "ss39_hybrid_rrf", "ss40_dim_budget", "dd35_persisted_bands",
-    "ss41_rrf_k_sweep", "dd36_delta_band_index")
+    "ss41_rrf_k_sweep", "dd36_delta_band_index",
+    "dd37_compacted_bands")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
