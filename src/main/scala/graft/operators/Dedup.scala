@@ -2226,9 +2226,12 @@ object Dedup {
       .select(col("doc_id"), array_distinct(
         GraftFunctions.shingle_strings(col("text"))).as("sh"))
       .persist() // lazy-ok: 128-row sampled pair set
+    // broadcast the (bounded-by-construction) right side: the pair
+    // histogram is a BroadcastNestedLoopJoin, never a CartesianProduct
+    // (the ContractSpec whole-surface hygiene gate)
     val hist = sample.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-      .join(sample.select(col("doc_id").as("b"), col("sh").as("sh_b")),
-        col("a") < col("b"))
+      .join(broadcast(sample.select(col("doc_id").as("b"),
+        col("sh").as("sh_b"))), col("a") < col("b"))
       .selectExpr(
         "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) /" +
           " (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))" +
