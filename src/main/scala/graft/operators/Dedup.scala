@@ -2223,9 +2223,12 @@ object Dedup {
     // is invisible (a real corpus's near-dup mass plays this role)
     val sample = ids.unionAll(ids.select(col("doc_id") + COPY_OFFSET))
       .join(recrawl(s, d), Seq("doc_id"))
+    // eager checkpoint: the 128-row sample feeds BOTH sides of the
+    // pair histogram (the multi-consumer rule), and it bounds the
+    // broadcast hint below to a materialized constant-size frame
       .select(col("doc_id"), array_distinct(
         GraftFunctions.shingle_strings(col("text"))).as("sh"))
-      .persist() // lazy-ok: 128-row sampled pair set
+      .localCheckpoint()
     // broadcast the (bounded-by-construction) right side: the pair
     // histogram is a BroadcastNestedLoopJoin, never a CartesianProduct
     // (the ContractSpec whole-surface hygiene gate)
