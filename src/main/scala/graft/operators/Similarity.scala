@@ -348,6 +348,62 @@ object Similarity {
       .orderBy("m")
   }
 
+  /** ss42: HARD-NEGATIVE MINING — the training-data op on the OTHER
+    * side of retrieval: ss39 serves queries, this builds the
+    * (anchor, hard negative) pairs a contrastive retriever/embedder
+    * trains on (DPR/SimCSE practice: the most similar NON-duplicates
+    * are the informative negatives). Per anchor: exact-cosine top-5
+    * over the corpus EXCLUDING near-duplicates (cosine ≥ 0.99 — on
+    * this corpus exactly the planted ss07 twins), because a duplicate
+    * mislabeled as a negative is a false negative that poisons the
+    * loss — the classic in-batch-negatives failure dedup exists to
+    * prevent. Twins ARE planted (the ss07 protocol), so the exclusion
+    * branch is live and measured: n_excluded ≥ 1 for every anchor,
+    * and the twin — which would otherwise top every list — never
+    * appears as a negative.
+    *
+    * Scale: one broadcast-anchor pass (the ss01 shape); the dup gate
+    * is a predicate on the scored stream (zero extra shuffles — the
+    * ss24 tombstone pattern); in production the top-k pool comes from
+    * ss18's index and the exclusion joins dd10's cluster labels
+    * instead of a cosine threshold — both swaps are rank-layer-
+    * invisible. Exact in-order folds keep even the 0.99 threshold
+    * comparison bit-identical cross-engine.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val twins = base.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      expr("""transform(embedding, (x, i) -> CAST(x + 0.001 *
+             |  ((((vec_id * 131071) + (i * 524287)) % 1000) / 500.0 - 1.0)
+             |  AS FLOAT))""".stripMargin).as("embedding"))
+    // consumed by the anchor projection AND the scan side — eager
+    // checkpoint (the multi-consumer rule)
+    val corpus = base.unionAll(twins)
+      .withColumn("norm", l2norm(col("embedding")))
+      .localCheckpoint()
+    val anchors = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"))
+    val wRank = Window.partitionBy("anchor_id")
+      .orderBy(col("cos_raw").desc, col("negative_id"))
+    val wAnchor = Window.partitionBy("anchor_id")
+    corpus.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("negative_id", col("vec_id"))
+      .withColumn("cos_raw", dot(col("embedding"), col("a_emb")) /
+        (col("norm") * col("a_norm")))
+      .withColumn("is_dup", col("cos_raw") >= 0.99)
+      .withColumn("n_excluded",
+        sum(when(col("is_dup"), 1L).otherwise(0L)).over(wAnchor))
+      .filter(!col("is_dup"))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("anchor_id"), col("rank"), col("negative_id"),
+        round(col("cos_raw"), 4).as("cosine"), col("n_excluded"))
+      .orderBy("anchor_id", "rank")
+  }
+
   def trainedBenefit(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dd2(a: Column, b: Column) =
@@ -569,6 +625,7 @@ object Similarity {
     "ss31_derived_k_ivf" -> ((s, d) => derivedKIvf(s, d)),
     "ss32_jl_recall" -> ((s, d) => jlRecall(s, d)),
     "ss40_dim_budget" -> ((s, d) => dimBudgetSweep(s, d)),
+    "ss42_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
   )
 
   /** ss22: INT8 SCALAR-QUANTIZATION RECALL — completes the measurement
@@ -3295,6 +3352,41 @@ object Similarity {
          |      CAST(d.n_exact AS DOUBLE), 2) AS recall_at_5
          |FROM denom d LEFT JOIN hits h ON d.query_id = h.query_id
          |ORDER BY d.query_id""".stripMargin,
+    // ss42: planting (the ss07 twins), the dup gate at cosine ≥ 0.99,
+    // the per-anchor exclusion census and the post-exclusion ranking
+    // all replayed with the in-order folds
+    "ss42_hard_negatives" ->
+      s"""WITH src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000,
+         |    [CAST(embedding[i] + 0.001 *
+         |       ((((vec_id * 131071) + ((i - 1) * 524287)) % 1000)
+         |        / 500.0 - 1.0) AS REAL)
+         |     for i in generate_series(1, len(embedding))]
+         |  FROM embeddings),
+         |v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM src),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |p AS (SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+         |    $dotSql / (c.nrm * q.nrm) AS cos_raw
+         |  FROM n c JOIN n q
+         |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |x AS (SELECT anchor_id, negative_id, cos_raw,
+         |    cos_raw >= 0.99 AS is_dup,
+         |    CAST(count(*) FILTER (WHERE cos_raw >= 0.99)
+         |      OVER (PARTITION BY anchor_id) AS BIGINT) AS n_excluded
+         |  FROM p)
+         |SELECT anchor_id, "rank", negative_id,
+         |  round(cos_raw, 4) AS cosine, n_excluded
+         |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos_raw DESC, negative_id) AS BIGINT) AS "rank"
+         |  FROM x WHERE NOT is_dup)
+         |WHERE "rank" <= 5 ORDER BY anchor_id, "rank"""".stripMargin,
     // ss40: all four prefix-dim cosines, the four rank windows and
     // the intersection rollup replayed; m = 64 is the self-checking
     // truth row (hits = 5·queries, top1 = queries)

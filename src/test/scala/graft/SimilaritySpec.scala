@@ -357,4 +357,23 @@ class SimilaritySpec extends SparkSpec {
     // this near-random corpus — the tx10 shape caveat)
     assert(byM(8L)._1 <= byM(32L)._1, s"8 dims beat 32: $byM")
   }
+
+  test("ss42: no duplicate ever mined as a negative; every anchor's " +
+      "twin is excluded") {
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.length == 50, s"rows: ${rows.length}")
+    rows.foreach { case (a, rk, neg, cos, nx) =>
+      // the dup gate held: nothing at or above the near-dup bar is a
+      // negative (a duplicate labeled negative poisons the loss)
+      assert(cos < 0.99, s"anchor $a mined near-dup $neg (cos $cos)")
+      // the anchor's own planted twin in particular never leaks
+      assert(neg != a + 10000000L, s"anchor $a mined its own twin")
+      assert(rk >= 1 && rk <= 5)
+      // the exclusion branch is live: at least the planted twin
+      assert(nx >= 1L, s"anchor $a excluded nothing")
+    }
+    assert(rows.map(_._1).distinct.length == 10)
+  }
 }
