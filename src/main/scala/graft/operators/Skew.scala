@@ -507,7 +507,84 @@ object Skew {
       .orderBy("l_returnflag")
   }
 
+  /** q94: MERGEABLE QUANTILE SKETCH with a certified error envelope —
+    * the quantile member of the custom sketch family (q85 KMV: how
+    * many distincts; q77 Misra-Gries: who dominates; tx32 CMS: how
+    * often; this: WHERE the distribution sits). A deterministic
+    * MRL/KLL-ladder `TypedImperativeAggregate` (k = 128 per level,
+    * even-index compaction — no RNG) summarizes lineitem extended
+    * prices as lossless integer cents; per φ ∈ {1, 25, 50, 75, 99} the
+    * query then AUDITS the estimate against the data: the true rank of
+    * the sketch's answer must sit within 2·err + 1 of the rank target,
+    * where err is the sketch's own exactly-tracked compaction-error
+    * bound. Sketch state (and therefore the estimate and err) is
+    * partitioning-dependent — the q77 rule — so the OUTPUT carries
+    * only exact values (the true φ-quantile via percentile_disc, n)
+    * plus the guarantee evaluated as a boolean; the oracle replays the
+    * exact side and expects TRUE, so a hash match certifies the
+    * envelope held on this run's actual merge tree.
+    *
+    * Scale: O(k·log(n/k)) longs of state per partition, mergeable
+    * under any tree (partial aggregates compose across executors /
+    * micro-batches); the exact twin is the fixture-scale audit you
+    * drop at 100 TB. The rank audit is one broadcast of 5 rows against
+    * the fact scan.
+    */
+  private val q94QuantileSketch: Q = (s, d) => {
+    import graft.functions.QuantileSketch.quantile_sketch
+    val phis = Seq(1, 25, 50, 75, 99)
+    // lossless integer cents (the q80 rule: floor(v·100 + 0.5), never
+    // a raw double→int cast); consumed by the sketch aggregate, the
+    // exact-quantile aggregate and the rank audit → eager checkpoint
+    val cents = t(s, d, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .as("cents"))
+      .localCheckpoint()
+    val sk = cents.agg(quantile_sketch(col("cents"), 128, phis).as("qs"))
+    val est = sk.select(col("qs.n").as("n_rows"), col("qs.err").as("err"),
+        posexplode(col("qs.qs")))
+      .select(col("n_rows"), col("err"),
+        element_at(typedLit(phis.map(_.toLong)), col("pos") + 1)
+          .as("phi"),
+        col("col").as("est_q"))
+    // true rank of each estimate: one broadcast of 5 rows vs the scan
+    val audited = cents.crossJoin(broadcast(est))
+      .groupBy("phi", "n_rows", "err", "est_q")
+      .agg(sum(when(col("cents") <= col("est_q"), 1L).otherwise(0L))
+        .as("true_rank"))
+      .withColumn("target", expr("greatest(1L, n_rows * phi DIV 100)"))
+      .withColumn("envelope_ok",
+        expr("abs(true_rank - target) <= 2 * err + 1"))
+    // exact quantiles (partitioning-independent — the output bytes)
+    graft.Tables.register(s, d)
+    // percentile_disc returns DOUBLE; the value is an exactly-integral
+    // cents amount (< 2^53), so the BIGINT cast is lossless — the one
+    // case the "never CAST double->int" rule permits
+    val exact = s.sql(
+      """SELECT CAST(1 AS BIGINT) AS phi, CAST(percentile_disc(0.01)
+        |    WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS exact_q FROM lineitem
+        |UNION ALL SELECT 25, CAST(percentile_disc(0.25)
+        |    WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 50, CAST(percentile_disc(0.50)
+        |    WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 75, CAST(percentile_disc(0.75)
+        |    WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 99, CAST(percentile_disc(0.99)
+        |    WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) FROM lineitem""".stripMargin)
+    exact.join(audited.select("phi", "n_rows", "envelope_ok"),
+        Seq("phi"))
+      .select(col("phi"), col("exact_q"), col("n_rows"),
+        col("envelope_ok"))
+      .orderBy("phi")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q94_quantile_sketch" -> q94QuantileSketch,
     "q93_skew_profile" -> q93SkewProfile,
     "q85_kmv_distinct" -> q85KmvDistinct,
     "q77_heavy_hitters" -> q77HeavyHitters,
@@ -524,6 +601,30 @@ object Skew {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q94: exact quantiles over lossless cents replayed via the q54
+    // cume_dist pairing (percentile_disc(p) ≡ min value with
+    // cume_dist ≥ p); the envelope gate is a constant TRUE the Spark
+    // side must have measured (the q77 sketch-guarantee pattern)
+    "q94_quantile_sketch" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+        |    AS BIGINT) AS cents FROM lineitem),
+        |r AS (SELECT cents, cume_dist() OVER (ORDER BY cents) AS cd
+        |  FROM c),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM c),
+        |e AS (
+        |  SELECT CAST(1 AS BIGINT) AS phi,
+        |    min(cents) FILTER (WHERE cd >= 0.01) AS exact_q FROM r
+        |  UNION ALL SELECT 25, min(cents) FILTER (WHERE cd >= 0.25)
+        |    FROM r
+        |  UNION ALL SELECT 50, min(cents) FILTER (WHERE cd >= 0.50)
+        |    FROM r
+        |  UNION ALL SELECT 75, min(cents) FILTER (WHERE cd >= 0.75)
+        |    FROM r
+        |  UNION ALL SELECT 99, min(cents) FILTER (WHERE cd >= 0.99)
+        |    FROM r)
+        |SELECT phi, exact_q, (SELECT n_rows FROM n) AS n_rows,
+        |  true AS envelope_ok
+        |FROM e ORDER BY phi""".stripMargin,
     // q93: per-key count aggregates + the integer summary; DIV
     // operands non-negative
     "q93_skew_profile" ->

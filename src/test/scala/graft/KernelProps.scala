@@ -249,6 +249,65 @@ object KernelProps extends Properties("GraftKernels") {
         val sizeOk = merged.size <= k
         stateOk && exactOk && sizeOk
     }
+
+  // skewed long streams: duplicates + heavy values stress the
+  // compaction ladder (a uniform stream barely compacts)
+  private val qsStream: Gen[List[Long]] = for {
+    n <- Gen.chooseNum(0, 600)
+    xs <- Gen.listOfN(n, Gen.frequency(
+      3 -> Gen.chooseNum(-1000L, 1000L),
+      1 -> Gen.oneOf(7L, 7L, 42L, Long.MinValue / 2, Long.MaxValue / 2)))
+  } yield xs
+
+  property("quantileSketch envelope holds under arbitrary chunk/merge " +
+      "splits") =
+    Prop.forAll(qsStream, Gen.chooseNum(1, 7), Gen.chooseNum(8, 32)) {
+      (xs, nChunks, k) =>
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.BoundReference
+        import org.apache.spark.sql.types.LongType
+        val phis = Seq(1, 25, 50, 75, 99)
+        val agg = graft.functions.QuantileSketch(
+          BoundReference(0, LongType, nullable = true), k, phis)
+        val chunks = xs.grouped(math.max(1, xs.size / nChunks + 1)).toList
+        val partials = chunks.map { ch =>
+          var b = agg.createAggregationBuffer()
+          ch.foreach(x => b = agg.update(b, InternalRow(x)))
+          agg.deserialize(agg.serialize(b)) // executor round-trip
+        }
+        val merged = partials match {
+          case Nil => agg.createAggregationBuffer()
+          case h :: t => t.foldLeft(h)(agg.merge)
+        }
+        val out = agg.eval(merged)
+        if (xs.isEmpty) out == null
+        else {
+          val row = out.asInstanceOf[InternalRow]
+          val n = row.getLong(0)
+          val err = row.getLong(1)
+          val qs = row.getArray(2).toLongArray()
+          val sortedXs = xs.sorted
+          val nOk = n == xs.size
+          // no compactions possible below k inserts per chunk merge
+          // path => err can be 0 or small; always non-negative
+          val errOk = err >= 0L
+          // THE guarantee (see QuantileSketch scaladoc): for every
+          // target, the returned value's true rank sits within
+          // 2·err + 1 of the target, under ANY split/merge tree
+          val envOk = phis.zip(qs).forall { case (p, v) =>
+            val target = math.max(1L, n * p / 100L)
+            val trueRank = sortedXs.count(_ <= v).toLong
+            math.abs(trueRank - target) <= 2L * err + 1L
+          }
+          // exact regime: a single never-compacted buffer answers the
+          // discrete quantile exactly
+          val exactOk = err > 0L || phis.zip(qs).forall { case (p, v) =>
+            val target = math.max(1L, n * p / 100L)
+            v == sortedXs((target - 1L).toInt)
+          }
+          nOk && errOk && envOk && exactOk
+        }
+    }
 }
 
 /** Property tests for the dd31 diagonal-islands LCS identity: the

@@ -125,7 +125,10 @@ class LocalClusterParitySpec extends SparkSpec {
     // reload probed from executor JVMs
     "ss39_hybrid_rrf", "ss40_dim_budget", "dd35_persisted_bands",
     "ss41_rrf_k_sweep", "dd36_delta_band_index",
-    "dd37_compacted_bands", "ss42_hard_negatives")
+    "dd37_compacted_bands", "ss42_hard_negatives",
+    // q94's QuantileSketch buffers (level ladder + error counter) must
+    // serialize and merge across executor JVM boundaries
+    "q94_quantile_sketch")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
