@@ -556,26 +556,25 @@ object Skew {
       .withColumn("envelope_ok",
         expr("abs(true_rank - target) <= 2 * err + 1"))
     // exact quantiles (partitioning-independent — the output bytes)
-    graft.Tables.register(s, d)
-    // percentile_disc returns DOUBLE; the value is an exactly-integral
-    // cents amount (< 2^53), so the BIGINT cast is lossless — the one
-    // case the "never CAST double->int" rule permits
-    val exact = s.sql(
-      """SELECT CAST(1 AS BIGINT) AS phi, CAST(percentile_disc(0.01)
-        |    WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100
-        |      + 0.5) AS BIGINT)) AS BIGINT) AS exact_q FROM lineitem
-        |UNION ALL SELECT 25, CAST(percentile_disc(0.25)
-        |    WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100
-        |      + 0.5) AS BIGINT)) AS BIGINT) FROM lineitem
-        |UNION ALL SELECT 50, CAST(percentile_disc(0.50)
-        |    WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100
-        |      + 0.5) AS BIGINT)) AS BIGINT) FROM lineitem
-        |UNION ALL SELECT 75, CAST(percentile_disc(0.75)
-        |    WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100
-        |      + 0.5) AS BIGINT)) AS BIGINT) FROM lineitem
-        |UNION ALL SELECT 99, CAST(percentile_disc(0.99)
-        |    WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100
-        |      + 0.5) AS BIGINT)) AS BIGINT) FROM lineitem""".stripMargin)
+    // exact quantiles in ONE global sort (five percentile_disc
+    // aggregates each re-sorted the fact — 7.7 s vs ~2 s A/B'd): the
+    // cume_dist formulation IS the oracle's replay, so both engines
+    // run the identical selection; the single-partition window is one
+    // sort of a pruned long column, the honest exact-audit cost
+    import org.apache.spark.sql.expressions.Window
+    val ranked = cents.withColumn("cd",
+      cume_dist().over(Window.orderBy("cents")))
+    val exact = ranked.agg(
+        min(when(col("cd") >= 0.01, col("cents"))).as("q1"),
+        min(when(col("cd") >= 0.25, col("cents"))).as("q25"),
+        min(when(col("cd") >= 0.50, col("cents"))).as("q50"),
+        min(when(col("cd") >= 0.75, col("cents"))).as("q75"),
+        min(when(col("cd") >= 0.99, col("cents"))).as("q99"))
+      .selectExpr(
+        """stack(5, CAST(1 AS BIGINT), q1, CAST(25 AS BIGINT), q25,
+          |         CAST(50 AS BIGINT), q50, CAST(75 AS BIGINT), q75,
+          |         CAST(99 AS BIGINT), q99) AS (phi, exact_q)"""
+          .stripMargin)
     exact.join(audited.select("phi", "n_rows", "envelope_ok"),
         Seq("phi"))
       .select(col("phi"), col("exact_q"), col("n_rows"),
