@@ -40,11 +40,16 @@ final class QuantileState(
   * RNG), but contents depend on arrival order, so the state — and
   * therefore the estimated values and the accumulated `err` — are
   * partitioning-dependent. Consumers must emit only exact values plus
-  * the sketch's GUARANTEES evaluated as booleans (q94): the estimate
-  * for rank target t satisfies |true_rank(v̂) − t| ≤ 2·err + 1 under
-  * ANY merge tree (est_rank is within err of true rank, the walk
-  * overshoots t by less than the max item weight, and the ladder
-  * guarantees max_weight − 1 ≤ err).
+  * the sketch's GUARANTEES evaluated as booleans (q94). The guarantee
+  * is a RANK INTERVAL, not a point rank: for rank target t the
+  * estimate v̂ satisfies count(x < v̂) ≤ t + 2·err AND
+  * count(x ≤ v̂) ≥ t − 2·err under ANY merge tree. (With duplicates
+  * v̂ occupies the whole rank range (count(<v̂), count(≤v̂)]; a point
+  * audit on count(≤v̂) alone overshoots by the duplicate mass of v̂
+  * even on an exact never-compacted sketch. The interval follows from
+  * the walk: the weighted rank just before including v̂ is < t, the
+  * weighted rank through v̂ is ≥ t, and each weighted rank is within
+  * the compaction budget of its true counterpart.)
   *
   * eval() returns (n, err, quantile values at the requested φ/100
   * targets) — n is exact and partitioning-independent; err and the

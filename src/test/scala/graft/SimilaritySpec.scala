@@ -366,8 +366,10 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length == 50, s"rows: ${rows.length}")
     rows.foreach { case (a, rk, neg, cos, nx) =>
       // the dup gate held: nothing at or above the near-dup bar is a
-      // negative (a duplicate labeled negative poisons the loss)
-      assert(cos < 0.99, s"anchor $a mined near-dup $neg (cos $cos)")
+      // negative (a duplicate labeled negative poisons the loss).
+      // <= not <: the output column is round(cos_raw, 4), so a
+      // legitimate raw cosine in [0.98995, 0.99) rounds UP to 0.99
+      assert(cos <= 0.99, s"anchor $a mined near-dup $neg (cos $cos)")
       // the anchor's own planted twin in particular never leaks
       assert(neg != a + 10000000L, s"anchor $a mined its own twin")
       assert(rk >= 1 && rk <= 5)
