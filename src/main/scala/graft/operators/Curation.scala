@@ -163,18 +163,19 @@ object Curation {
     * operator-limited; the oracle pins the rewrite either way.)
     */
   val tx21VocabGrowth: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     // checkpoints = 5-doc ingestion batches (doc_id order), so the
-    // curve has one point per batch regardless of how sources overlap
+    // curve has one point per batch regardless of how sources overlap.
+    // The batch COUNT grows with the corpus (doc_id div 5), so the
+    // accumulation is Ranks.globalRunningSum — a range-partitioned
+    // parallel prefix, not an unpartitioned window (the pp16 funnel)
     val firstTouch = t(s, d, "documents")
       .select(expr("doc_id div 5").as("batch"),
         explode(split(col("text"), " ")).as("term"))
       .groupBy("term").agg(min(col("batch")).as("first_batch"))
-    firstTouch.groupBy("first_batch")
+    val counts = firstTouch.groupBy("first_batch")
       .agg(count(lit(1)).as("n_new_terms"))
-      .withColumn("cum_vocab", sum("n_new_terms").over(
-        Window.orderBy("first_batch")
-          .rowsBetween(Window.unboundedPreceding, 0)))
+    graft.operators.Ranks.globalRunningSum(
+        counts, col("n_new_terms"), "cum_vocab", col("first_batch"))
       .select(col("first_batch").as("batch"), col("n_new_terms"),
         col("cum_vocab"))
       .orderBy("batch")
@@ -187,12 +188,13 @@ object Curation {
     * cleanest quartile trains first. Deterministic end to end: the
     * ORDER BY carries the doc_id tiebreak, so stage boundaries are
     * reproducible across engines and cluster sizes. Scale: a per-row
-    * score projection + ONE global sort for ntile; at 100 TB you'd
-    * range-partition on the same (score, doc_id) key — identical
-    * semantics, no single-reducer funnel.
+    * score projection + Ranks.globalNtile — NTILE computed in closed
+    * form from the range-partitioned exact global rank and a 1-row
+    * broadcast count, so the sort is np-way parallel (an unpartitioned
+    * ntile window would plan a SinglePartition Exchange: the
+    * one-reducer funnel the r11 verdict flagged).
     */
   val pp14Curriculum: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val tk = split(col("text"), " ")
     val nTok = size(tk).cast("bigint")
     val nDistinct = size(array_distinct(tk)).cast("bigint")
@@ -206,10 +208,12 @@ object Curation {
         when(meanLen >= 2.0 && meanLen <= 12.0, 2L).otherwise(0L) +
         when(dupFrac <= 0.6, 1L).otherwise(0L) +
         when(symFrac <= 0.1, 1L).otherwise(0L)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    t(s, d, "documents")
+    val scored = t(s, d, "documents")
       .select(col("doc_id"), score.as("score"))
-      .withColumn("stage", ntile(4).over(w).cast("bigint"))
+    Ranks.globalNtile(scored, 4, "stage",
+        col("score").desc, col("doc_id"))
+      .select(col("doc_id"), col("score"), col("stage").cast("bigint")
+        .as("stage"))
       .orderBy("doc_id")
   }
 

@@ -936,11 +936,12 @@ object RelationalQueries {
     * is the join key marketing systems consume.
     *
     * Scale: the heavy part is one custkey-keyed aggregate over orders
-    * (partial aggregation exact — counts/sums/max). The ntile windows
-    * are global sorts, but over the CUSTOMER dimension (one row per
-    * customer, not per fact); at 100 TB you swap exact ntile for
-    * percentile boundaries from q72's partition-sort machinery and a
-    * broadcast bucket lookup — same output contract.
+    * (partial aggregation exact — counts/sums/max). The three exact
+    * quintile assignments are Ranks.globalNtile — NTILE in closed form
+    * from the range-partitioned global rank and a broadcast count, so
+    * each is an np-way parallel sort of the customer dimension, never
+    * a SinglePartition funnel (the pp14 rewrite; the customer dim is
+    * SF-growing, so the r11 window audit bans the unpartitioned form).
     */
   private val q81Rfm: Q = (s, d) => {
     val ord = t(s, d, "orders")
@@ -954,16 +955,19 @@ object RelationalQueries {
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         expr("CAST(datediff(anchor, last_order) AS BIGINT)"))
-    val r = ntile(5).over(
-      Window.orderBy(col("recency_days"), col("o_custkey")))
-    val f = ntile(5).over(
-      Window.orderBy(col("frequency").desc, col("o_custkey")))
-    val m = ntile(5).over(
-      Window.orderBy(col("monetary_cents").desc, col("o_custkey")))
-    per.select(col("o_custkey"), col("recency_days"), col("frequency"),
+    // chained: each globalNtile range-shuffles the (materialized)
+    // running frame — three parallel dimension sorts, zero funnels
+    val withR = Ranks.globalNtile(per, 5, "r_score",
+      col("recency_days"), col("o_custkey"))
+    val withF = Ranks.globalNtile(withR, 5, "f_score",
+      col("frequency").desc, col("o_custkey"))
+    val withM = Ranks.globalNtile(withF, 5, "m_score",
+      col("monetary_cents").desc, col("o_custkey"))
+    withM.select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary_cents"),
-        r.cast("bigint").as("r_score"), f.cast("bigint").as("f_score"),
-        m.cast("bigint").as("m_score"))
+        col("r_score").cast("bigint").as("r_score"),
+        col("f_score").cast("bigint").as("f_score"),
+        col("m_score").cast("bigint").as("m_score"))
       .withColumn("segment",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .orderBy("o_custkey")
@@ -1163,10 +1167,11 @@ object RelationalQueries {
     * rank where each class ends.
     *
     * Scale: the heavy join/aggregate is lineitem-sized and partial-agg
-    * friendly; the ranking window is a global sort but over the PART
-    * dimension (one row per part — the q81 ntile rationale; at 100 TB
-    * swap in q72's partition-sort percentile machinery for the
-    * boundaries, same output contract).
+    * friendly; the rank AND the running revenue come from ONE
+    * Ranks.globalRankAndRunningSum pass — a range-partitioned parallel
+    * sort of the part dimension with broadcast per-partition offsets
+    * (the part dim is SF-growing, so the unpartitioned window form is
+    * the one-task funnel the r11 verdict flagged on pp16).
     */
   private val q88AbcPareto: Q = (s, d) => {
     val rev = t(s, d, "lineitem")
@@ -1174,12 +1179,10 @@ object RelationalQueries {
         expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)" +
           " AS BIGINT)").as("cents"))
       .groupBy("l_partkey").agg(sum("cents").as("rev_cents"))
-    val w = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
-    val classed = rev
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .withColumn("cum", sum("rev_cents")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .crossJoin(broadcast(rev.agg(sum("rev_cents").as("tot"))))
+    val ranked = Ranks.globalRankAndRunningSum(rev, col("rev_cents"),
+      "rnk", "cum", col("rev_cents").desc, col("l_partkey"))
+    val classed = ranked
+      .crossJoin(broadcast(ranked.agg(sum("rev_cents").as("tot"))))
       .withColumn("cum_share_x10k", expr("cum * 10000 div tot"))
       .withColumn("abc_class",
         when(col("cum_share_x10k") <= 8000L, "A")

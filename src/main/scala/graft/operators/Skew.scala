@@ -538,9 +538,14 @@ object Skew {
     // lossless integer cents (the q80 rule: floor(v·100 + 0.5), never
     // a raw double→int cast); consumed by the sketch aggregate, the
     // exact-quantile aggregate and the rank audit → eager checkpoint
+    // spread to full width BEFORE the checkpoint (the dd20 rule: the
+    // parquet scan arrives 2-3 partitions at this SF and every
+    // downstream pass — sketch partials, the rank shuffle's sampling +
+    // write — would run at that width)
     val cents = t(s, d, "lineitem")
       .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
         .as("cents"))
+      .repartition(32)
       .localCheckpoint()
     val sk = cents.agg(quantile_sketch(col("cents"), 128, phis).as("qs"))
     val est = sk.select(col("qs.n").as("n_rows"), col("qs.err").as("err"),
@@ -549,44 +554,36 @@ object Skew {
         element_at(typedLit(phis.map(_.toLong)), col("pos") + 1)
           .as("phi"),
         col("col").as("est_q"))
-    // rank-INTERVAL audit of each estimate: one broadcast of 5 rows
-    // vs the scan. With duplicated cents a point audit (|count(<=v) -
-    // target|) overshoots by the full duplicate mass of the returned
-    // value even when the sketch behaved exactly as designed — the
-    // tie-correct envelope bounds count(<v) from above and count(<=v)
-    // from below, each within the 2·err compaction budget
-    val audited = cents.crossJoin(broadcast(est))
+    // ONE pass over the globally-ranked cents computes BOTH the
+    // rank-INTERVAL audit and the exact quantiles. The global rank is
+    // Ranks.globalRowNumber — a range-partitioned parallel sort, not
+    // an unpartitioned cume_dist window (SinglePartition Exchange +
+    // one-task sort of the fact; the r11 verdict's q94 note). Ties on
+    // cents need no tiebreak: the VALUE at a rank position is
+    // tie-invariant even though tied rows permute.
+    //   exact_q(phi) = the value at rank t = min ceil(phi·n/100)
+    //     (min cents among rank·100 ≥ phi·n — positions ≥ t hold
+    //      values ≥ v_t and v_t is attained at t), identical bytes to
+    //     the oracle's `min cents with cume_dist ≥ phi/100`.
+    //   audit: a point audit on count(<=v̂) overshoots by the full
+    //     duplicate mass of the returned value even on a sketch that
+    //     behaved as designed — the tie-correct envelope bounds
+    //     count(<v̂) above and count(<=v̂) below, each within 2·err.
+    val ranked = graft.operators.Ranks.globalRowNumber(
+      cents, "rnk", col("cents"))
+    val audited = ranked.crossJoin(broadcast(est))
       .groupBy("phi", "n_rows", "err", "est_q")
       .agg(
         sum(when(col("cents") < col("est_q"), 1L).otherwise(0L))
           .as("rank_lt"),
         sum(when(col("cents") <= col("est_q"), 1L).otherwise(0L))
-          .as("rank_le"))
+          .as("rank_le"),
+        min(when(col("rnk") * 100 >= col("n_rows") * col("phi"),
+          col("cents"))).as("exact_q"))
       .withColumn("target", expr("greatest(1L, n_rows * phi DIV 100)"))
       .withColumn("envelope_ok",
         expr("rank_lt <= target + 2 * err AND rank_le >= target - 2 * err"))
-    // exact quantiles (partitioning-independent — the output bytes)
-    // exact quantiles in ONE global sort (five percentile_disc
-    // aggregates each re-sorted the fact — 7.7 s vs ~2 s A/B'd): the
-    // cume_dist formulation IS the oracle's replay, so both engines
-    // run the identical selection; the single-partition window is one
-    // sort of a pruned long column, the honest exact-audit cost
-    import org.apache.spark.sql.expressions.Window
-    val ranked = cents.withColumn("cd",
-      cume_dist().over(Window.orderBy("cents")))
-    val exact = ranked.agg(
-        min(when(col("cd") >= 0.01, col("cents"))).as("q1"),
-        min(when(col("cd") >= 0.25, col("cents"))).as("q25"),
-        min(when(col("cd") >= 0.50, col("cents"))).as("q50"),
-        min(when(col("cd") >= 0.75, col("cents"))).as("q75"),
-        min(when(col("cd") >= 0.99, col("cents"))).as("q99"))
-      .selectExpr(
-        """stack(5, CAST(1 AS BIGINT), q1, CAST(25 AS BIGINT), q25,
-          |         CAST(50 AS BIGINT), q50, CAST(75 AS BIGINT), q75,
-          |         CAST(99 AS BIGINT), q99) AS (phi, exact_q)"""
-          .stripMargin)
-    exact.join(audited.select("phi", "n_rows", "envelope_ok"),
-        Seq("phi"))
+    audited
       .select(col("phi"), col("exact_q"), col("n_rows"),
         col("envelope_ok"))
       .orderBy("phi")

@@ -128,7 +128,13 @@ class LocalClusterParitySpec extends SparkSpec {
     "dd37_compacted_bands", "ss42_hard_negatives",
     // q94's QuantileSketch buffers (level ladder + error counter) must
     // serialize and merge across executor JVM boundaries
-    "q94_quantile_sketch")
+    "q94_quantile_sketch",
+    // r12: the Ranks range-partitioned global-rank rewrites — the
+    // monotonically_increasing_id bit layout, checkpointed pid frames
+    // and broadcast offset joins must reproduce across real executor
+    // JVMs (q94 above also rides Ranks now)
+    "pp16_shuffle_shard", "pp14_curriculum", "q81_rfm",
+    "q88_abc_pareto", "tx21_vocab_growth", "pp23_compaction_plan")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

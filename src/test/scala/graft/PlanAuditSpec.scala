@@ -716,4 +716,95 @@ class PlanAuditSpec extends SparkSpec {
       }
     assert(bad.isEmpty, bad.distinct.mkString("\n"))
   }
+
+  /** Surface-wide guard (round-11 verdict finding 1): a SinglePartition
+    * shuffle Exchange must never sit over an SF-growing subtree — that
+    * is the one-task funnel Spark plans for an unpartitioned
+    * window/sort (pp16's row_number, pp14's ntile, q94's cume_dist,
+    * all rewritten onto Ranks' range-partitioned machinery this
+    * round). Legit SinglePartition exchanges are statically BOUNDED
+    * below: a global or bounded-key aggregate (1 row / enum
+    * cardinality / the np-row Ranks offset frame), a LIMIT, a literal
+    * id-subset filter, or a local relation. A checkpointed RDD scan is
+    * treated as UNBOUNDED (the pre-checkpoint builder is invisible
+    * here — the dd18Sigs audit rule), so a funnel cannot hide behind
+    * localCheckpoint.
+    */
+  test("no SinglePartition exchange over an SF-growing subtree (surface-wide)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+    val growing = Tables.names.toSet -- Set("region", "nation")
+    // enum-like / constant-dim / np-bounded grouping keys (superset of
+    // the broadcast audit's list; __graft_pid is Ranks' partition-id
+    // frame, abc_class a 3-value classification, first_day/month/w
+    // time buckets — time grows with the horizon, not the corpus SF)
+    val boundedKeys = Set("source", "split", "token", "event_type", "band",
+      "label", "cohort", "cid", "k", "probe_i", "bucket", "stage", "seg",
+      "age_band", "lang", "quality_band", "pair_type", "med",
+      "c_nationkey", "s_nationkey", "n_nationkey", "n_regionkey",
+      "r_regionkey", "__graft_pid", "abc_class", "first_day", "month",
+      "window", "w", "day", "hour",
+      // TPC-H enum dims with SF-independent cardinality: 25 brands,
+      // 25 nations / 5 regions by name, and the fixed 64-dim embedding
+      // coordinate index (ss27's per-dimension variance grid)
+      "p_brand", "n_name", "r_name", "dim")
+
+    def literallyBounded(cond: Expression): Boolean = cond.exists {
+      case LessThan(_, r) if r.foldable => true
+      case LessThanOrEqual(_, r) if r.foldable => true
+      case EqualTo(_, r) if r.foldable => true
+      case GreaterThan(l, _) if l.foldable => true
+      case GreaterThanOrEqual(l, _) if l.foldable => true
+      case In(_, list) if list.forall(_.foldable) => true
+      case _: InSet => true
+      case _ => false
+    }
+
+    def boundedAgg(grouping: Seq[Expression]): Boolean =
+      grouping.isEmpty ||
+        grouping.flatMap(_.references.toSeq.map(_.name)).forall(boundedKeys)
+
+    def offending(p: SparkPlan): Seq[String] = p match {
+      case _: LocalTableScanExec | _: RangeExec => Nil
+      case _: GlobalLimitExec | _: LocalLimitExec => Nil
+      case _: TakeOrderedAndProjectExec | _: CollectLimitExec => Nil
+      case a: HashAggregateExec if boundedAgg(a.groupingExpressions) => Nil
+      case a: ObjectHashAggregateExec
+        if boundedAgg(a.groupingExpressions) => Nil
+      case a: SortAggregateExec if boundedAgg(a.groupingExpressions) => Nil
+      case f: FilterExec if literallyBounded(f.condition) => Nil
+      case scan: FileSourceScanExec =>
+        val path = scan.relation.location.rootPaths.mkString(",")
+        growing.filter(t => path.contains(s"$t.parquet")).toSeq
+      case r: RDDScanExec => Seq(s"checkpointed-rdd(${r.nodeName})")
+      case other => other.children.flatMap(offending)
+    }
+
+    // AQE wraps the executed plan in an opaque AdaptiveSparkPlanExec
+    // leaf; the STATIC plan (EnsureRequirements applied, no adaptive
+    // wrapper) is what decides whether a SinglePartition exchange
+    // exists, so plan with AQE off for the traversal
+    val bad =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .flatMap { case (name, q) =>
+            val hits =
+              try {
+                q(spark, sf).queryExecution.executedPlan.collect {
+                  case e: ShuffleExchangeExec
+                    if e.outputPartitioning == SinglePartition =>
+                    offending(e.child)
+                }.flatten
+              } finally spark.sharedState.cacheManager.clearCache()
+            hits.map(t => s"$name funnels an SF-growing subtree " +
+              s"through a SinglePartition exchange: $t")
+          }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(bad.isEmpty, bad.distinct.mkString("\n"))
+  }
 }

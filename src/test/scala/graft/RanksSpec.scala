@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.Ranks
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins Ranks' range-partitioned global rank/ntile/running-sum
+  * machinery BIT-IDENTICAL to Spark's own single-partition windows —
+  * the equivalence every rewritten query (pp16/pp14/q81/q88/q94/tx21/
+  * pp23) rests on. Deliberately adversarial inputs: skewed duplicate
+  * keys (ties must stay inside one range partition), negative values,
+  * a descending sort dimension, sizes around the bucket count (the
+  * ntile q=0 branch), and a many-partition unordered source — plus an
+  * explicit pin of the monotonically_increasing_id bit layout
+  * (partition id << 33 | record number) that the local rank is read
+  * from, so a Spark upgrade that changed the layout fails HERE, not as
+  * 301 silent oracle mismatches.
+  */
+class RanksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic pseudo-random rows, scattered over 7 partitions in
+    * hash order (so nothing about the input order is helpful). */
+  private def corpus(n: Int): DataFrame =
+    spark.range(n).repartition(7)
+      .select(col("id"),
+        (pmod(xxhash64(col("id")), lit(97L)) - 40L).as("k"),
+        pmod(xxhash64(col("id"), lit(1L)), lit(5L)).as("v"))
+
+  test("globalRowNumber equals the single-partition row_number " +
+      "(ties, negatives, unordered many-partition input)") {
+    val df = corpus(1000)
+    val got = Ranks.globalRowNumber(df, "rn", col("k"), col("id"))
+      .select("id", "rn")
+    val want = df.select(col("id"),
+      row_number().over(Window.orderBy(col("k"), col("id")))
+        .cast("bigint").as("rn"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "globalRowNumber diverged from row_number()")
+  }
+
+  test("globalRunningSum equals the single-partition running sum") {
+    val df = corpus(800)
+    val got = Ranks.globalRunningSum(df, col("v"), "cum",
+      col("k"), col("id")).select("id", "cum")
+    val want = df.select(col("id"),
+      sum("v").over(Window.orderBy(col("k"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint").as("cum"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "globalRunningSum diverged from the window running sum")
+  }
+
+  test("globalRankAndRunningSum equals both windows on a DESC order") {
+    val df = corpus(600)
+    val got = Ranks.globalRankAndRunningSum(df, col("v"), "rn", "cum",
+      col("k").desc, col("id")).select("id", "rn", "cum")
+    val w = Window.orderBy(col("k").desc, col("id"))
+    val want = df.select(col("id"),
+      row_number().over(w).cast("bigint").as("rn"),
+      sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint").as("cum"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "globalRankAndRunningSum diverged from the windows")
+  }
+
+  test("globalNtile equals ntile() across bucket counts and the " +
+      "n < buckets small-n regime") {
+    for ((n, buckets) <- Seq((1000, 4), (997, 5), (3, 7), (1, 4),
+        (16, 16))) {
+      val df = corpus(n)
+      val got = Ranks.globalNtile(df, buckets, "b",
+        col("k"), col("id")).select("id", "b")
+      val want = df.select(col("id"),
+        ntile(buckets).over(Window.orderBy(col("k"), col("id")))
+          .cast("bigint").as("b"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"globalNtile($buckets) diverged from ntile() at n=$n")
+    }
+  }
+
+  test("empty input yields empty output, no crash") {
+    val df = corpus(0)
+    assert(Ranks.globalRowNumber(df, "rn", col("k"), col("id"))
+      .count() == 0L)
+    assert(Ranks.globalNtile(df, 4, "b", col("k"), col("id"))
+      .count() == 0L)
+  }
+
+  test("monotonically_increasing_id bit layout pin: pid<<33 | record") {
+    // the helper reads local rank from the low 33 bits and partition
+    // id from a 33-bit shift; if a Spark upgrade changes the layout,
+    // this minimal reproduction fails first
+    val rows = spark.range(100).coalesce(1).repartition(3)
+      .withColumn("mid", monotonically_increasing_id())
+      .select(shiftright(col("mid"), 33).as("pid"),
+        col("mid").bitwiseAND(lit((1L << 33) - 1)).as("rec"),
+        spark_partition_id().cast("bigint").as("spid"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2),
+        s"mid upper bits != spark_partition_id: $r")
+    }
+    // record numbers are dense 0..k-1 within each partition
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val recs = rs.map(_.getLong(1)).sorted
+      assert(recs.sameElements(recs.indices.map(_.toLong)),
+        s"record numbers not dense from 0: ${recs.mkString(",")}")
+    }
+  }
+}
