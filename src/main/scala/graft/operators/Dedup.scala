@@ -894,6 +894,106 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd38: ERASURE PURGE OF THE BAND INDEX — the dd-family ss38,
+    * closing the lifecycle symmetry gap the r11 verdict named: st25's
+    * erasure ledger (users who filed a request on the event stream)
+    * drives a rebuild of the dd35/dd36 persisted band index over LIVE
+    * documents only, so an erased user's shingle postings are
+    * PHYSICALLY ABSENT from storage (GDPR reclamation as a storage
+    * property — the spec proves zero erased ids in the written
+    * tables), not filtered at query time. Ownership maps doc → user by
+    * doc_id % 1000; every planted id offset (1e7/2e7/3e7) is a
+    * multiple of 1000, so re-encodes and delta copies inherit their
+    * original's owner and an erasure wipes the whole family.
+    *
+    * The purged verdict comes from PROBING the purged tables (the
+    * production path — PlanAudit holds both scans bucketed and
+    * exchange-free). The pre-purge verdict is reconstructed PROVABLY
+    * rather than re-probed: band keys are content hashes and the
+    * Jaccard verify is pair-local, so the unpurged pair stream is
+    * exactly (purged pairs) ∪ (erased-base pairs) — the dd37
+    * layout-free-equality trick applied to erasure. Per day-2 doc the
+    * output carries both verdicts plus `match_was_erased` (the old
+    * best match belonged to an erased user) and `flipped` (the purge
+    * changed admission) — a flip is structurally admit-only (purging
+    * removes pairs, it cannot create them; the spec pins flipped ⟹
+    * match_was_erased ∧ ¬old_admitted ∧ admitted).
+    *
+    * Scale: the purge pays one rewrite of both tables over live docs
+    * (the honest cost, as ss38/ss37 price it — at 100 TB the live
+    * filter is a broadcast anti-join against the per-user ledger);
+    * probes stay bucket-aligned per dd35, and only band postings /
+    * id pairs ever shuffle.
+    */
+  /** dd38's purge + probe builder, PRE-checkpoint: writes the purged
+    * tables and returns the probe-verify frame unmaterialized so
+    * `PlanAuditSpec` can audit the probe's own plan (eager checkpoints
+    * hide builds from plan strings — the dd18Sigs rule). Also returns
+    * the pieces the operator body needs downstream. */
+  private[graft] def dd38PurgedVerify(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+         DataFrame) = {
+    val (base, sig1adm, day2, sig2, bands2) = deltaScaffold(s, d)
+    // st25's ledger rule: an event with id % 97 = 0 is an erasure
+    // request by its user
+    val erased = graft.streaming.EventsStreaming.erasureCorpus(s, d)
+      .filter(col("event_id") % 97 === 0)
+      .select(col("user_id").as("owner")).distinct()
+      .localCheckpoint() // 2 refs: the liveness tag + match_was_erased
+    val tagged = base.unionByName(sig1adm)
+      .withColumn("owner", pmod(col("doc_id"), lit(1000L)))
+      .join(erased.withColumn("is_erased", lit(true)), Seq("owner"),
+        "left")
+      .withColumn("is_erased", coalesce(col("is_erased"), lit(false)))
+      .drop("owner")
+      .localCheckpoint() // 4 refs: two purged writes + erased verify pair
+    val liveSigs = tagged.filter(!col("is_erased")).drop("is_erased")
+    // the purge IS the rewrite: live-only postings + shingle store
+    Bucketing.writeBucketed(bandPostings(liveSigs, "base_id"),
+      "graft_band_purged", "bandkey", 8)
+    Bucketing.writeBucketed(
+      liveSigs.select(col("doc_id").as("base_id"),
+        col("shingles").as("sh_b")),
+      "graft_sh_purged", "base_id", 8)
+    // purged verdict: probe the WRITTEN tables (the production path)
+    val verLive = admissionVerify(sig2,
+      bands2.join(s.table("graft_band_purged"), Seq("bandkey"))
+        .select("new_id", "base_id").distinct(),
+      s.table("graft_sh_purged"))
+    (day2, sig2, bands2, erased, tagged, verLive)
+  }
+
+  private val dd38ErasurePurge: Q = (s, d) => {
+    val (day2, sig2, bands2, erased, tagged, verLiveRaw) =
+      dd38PurgedVerify(s, d)
+    val verLive = verLiveRaw
+      .localCheckpoint() // 2 refs: purged decision + the unpurged union
+    val erasedSigs = tagged.filter(col("is_erased")).drop("is_erased")
+    // erased-base pairs, in-plan (never written anywhere)
+    val verErased = admissionVerify(sig2,
+      bands2.join(bandPostings(erasedSigs, "base_id"), Seq("bandkey"))
+        .select("new_id", "base_id").distinct(),
+      erasedSigs.select(col("doc_id").as("base_id"),
+        col("shingles").as("sh_b")))
+    val purged = admissionDecision(day2, verLive)
+      .withColumn("matched_seg", matchedSeg)
+    val old = admissionDecision(day2, verLive.unionAll(verErased))
+      .select(col("doc_id"),
+        col("matched_base").as("old_matched_base"),
+        col("admitted").as("old_admitted"))
+    purged.join(old, Seq("doc_id"))
+      .join(erased.withColumn("was_erased", lit(true)),
+        pmod(col("old_matched_base"), lit(1000L)) === col("owner") &&
+          col("old_matched_base") >= 0L, "left")
+      .withColumn("match_was_erased",
+        coalesce(col("was_erased"), lit(false)))
+      .withColumn("flipped", col("admitted") =!= col("old_admitted"))
+      .select(col("doc_id"), col("matched_base"), col("best_j_x10k"),
+        col("admitted"), col("matched_seg"), col("old_matched_base"),
+        col("match_was_erased"), col("flipped"))
+      .orderBy("doc_id")
+  }
+
   /** dd17: QUALITY-AWARE CANONICAL SELECTION — dd10's clusters, but the
     * kept representative is the BEST document (here: most tokens — the
     * re-crawl copies are truncations, so the original wins), not the
@@ -2337,6 +2437,7 @@ object Dedup {
     "dd35_persisted_bands" -> dd35PersistedBands,
     "dd36_delta_band_index" -> dd36DeltaBandIndex,
     "dd37_compacted_bands" -> dd37CompactedBands,
+    "dd38_erasure_purge" -> dd38ErasurePurge,
     "dd30_policy_impact" -> dd30PolicyImpact,
     "dd31_longest_span" -> dd31LongestSpan,
     "dd26_band_planner" -> dd26BandPlanner,
@@ -2519,9 +2620,11 @@ object Dedup {
         |FROM nb n LEFT JOIN hit h ON h.new_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin
 
-  /** The dd36/dd37 two-day replay (shared: dd37's compacted index
-    * must produce dd36's exact bytes). */
-  private val dd36DeltaSql: String =
+  /** The dd36/dd37/dd38 two-day replay BODY, through the unpurged
+    * best-match CTE `hit2` (shared prefix: dd37's compacted index and
+    * dd38's purge reconstruction must both produce dd36-consistent
+    * bytes — the hybridPoolSql factoring pattern). */
+  private val dd36DeltaBodySql: String =
       """WITH btk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
         |  FROM documents),
         |shb AS MATERIALIZED (SELECT doc_id,
@@ -2638,7 +2741,10 @@ object Dedup {
         |    j_x10k AS best_j_x10k
         |  FROM (SELECT *, row_number() OVER (PARTITION BY new_id
         |      ORDER BY j_x10k DESC, base_id) AS rn
-        |    FROM ver2 WHERE j_x10k >= 5000) WHERE rn = 1)
+        |    FROM ver2 WHERE j_x10k >= 5000) WHERE rn = 1)""".stripMargin
+
+  /** dd36/dd37 tail: the unpurged verdicts. */
+  private val dd36DeltaSql: String = dd36DeltaBodySql + """
         |SELECT n.doc_id,
         |  CAST(coalesce(h.matched_base, -1) AS BIGINT) AS matched_base,
         |  CAST(coalesce(h.best_j_x10k, 0) AS BIGINT) AS best_j_x10k,
@@ -2647,6 +2753,41 @@ object Dedup {
         |       WHEN h.matched_base >= 30000000 THEN 'delta'
         |       ELSE 'base' END AS matched_seg
         |FROM d2 n LEFT JOIN hit2 h ON h.new_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin
+
+  /** dd38 tail: the purge replayed as the provable pair-stream filter
+    * — the purged index's verdicts are ver2 restricted to live bases
+    * (content-hash band keys + pair-local verify make probing the
+    * physically purged tables and filtering the pair stream the same
+    * operation; the Spark side PROBES, this replay FILTERS, and the
+    * hash match certifies the equivalence on every corpus). Erasure =
+    * st25's ledger rule; ownership = id % 1000 (offsets are multiples
+    * of 1000). */
+  private val dd38PurgeSql: String = dd36DeltaBodySql + """,
+        |era AS MATERIALIZED (SELECT DISTINCT user_id FROM events
+        |  WHERE event_id % 97 = 0),
+        |hitp AS (SELECT new_id, base_id AS matched_base,
+        |    j_x10k AS best_j_x10k
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+        |      ORDER BY j_x10k DESC, base_id) AS rn
+        |    FROM ver2 WHERE j_x10k >= 5000
+        |      AND base_id % 1000 NOT IN (SELECT user_id FROM era))
+        |  WHERE rn = 1)
+        |SELECT n.doc_id,
+        |  CAST(coalesce(p.matched_base, -1) AS BIGINT) AS matched_base,
+        |  CAST(coalesce(p.best_j_x10k, 0) AS BIGINT) AS best_j_x10k,
+        |  p.matched_base IS NULL AS admitted,
+        |  CASE WHEN p.matched_base IS NULL THEN 'none'
+        |       WHEN p.matched_base >= 30000000 THEN 'delta'
+        |       ELSE 'base' END AS matched_seg,
+        |  CAST(coalesce(h.matched_base, -1) AS BIGINT)
+        |    AS old_matched_base,
+        |  coalesce(h.matched_base % 1000 IN (SELECT user_id FROM era),
+        |    false) AS match_was_erased,
+        |  ((p.matched_base IS NULL) <> (h.matched_base IS NULL))
+        |    AS flipped
+        |FROM d2 n LEFT JOIN hitp p ON p.new_id = n.doc_id
+        |LEFT JOIN hit2 h ON h.new_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -3461,6 +3602,7 @@ object Dedup {
     // dd37 = dd36 off the COMPACTED single segment — byte-identical
     // verdicts are the contract, so the oracle is the same replay
     "dd37_compacted_bands" -> dd36DeltaSql,
+    "dd38_erasure_purge" -> dd38PurgeSql,
     "dd22_fuzzy_keepset" ->
       """WITH RECURSIVE
         |m1 AS (SELECT doc_id + 10000000 AS doc_id,

@@ -474,4 +474,48 @@ class DedupSpec extends SparkSpec {
     assert(compacted == segmented,
       s"compaction changed verdicts: ${compacted.diff(segmented).take(3)}")
   }
+
+  test("dd38: erasure purge — zero erased ids in the written tables, " +
+      "old verdicts reconstruct dd36 on survivors, flips are " +
+      "admit-only and erasure-caused") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("dd38_erasure_purge")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3),
+        r.getString(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))
+    // GDPR is a STORAGE property: the physically written postings and
+    // shingle store contain no erased id (ownership = id % 1000)
+    val erased = graft.streaming.EventsStreaming.erasureCorpus(spark, sf)
+      .filter(col("event_id") % 97 === 0)
+      .select(col("user_id").as("owner")).distinct()
+    for (tbl <- Seq("graft_band_purged", "graft_sh_purged")) {
+      val hits = spark.table(tbl)
+        .withColumn("owner", pmod(col("base_id"), lit(1000L)))
+        .join(erased, Seq("owner")).count()
+      assert(hits == 0L, s"$tbl still holds $hits erased-doc rows")
+    }
+    // purging removes pairs, it cannot create them: every flip is a
+    // re-admission whose pre-purge best match belonged to an erased
+    // user (the silent-readmission risk the ledger exists to surface)
+    val flips = rows.filter(_._7)
+    assert(flips.nonEmpty, "no flipped verdict — the purge was vacuous")
+    flips.foreach { case (id, mb, adm, seg, _, wasErased, _) =>
+      assert(adm && mb == -1L && seg == "none" && wasErased,
+        s"$id: flip is not an erasure-caused re-admission")
+    }
+    // survivors are byte-stable: when the old match was live, the
+    // purged verdict is identical to dd36's
+    val dd36 = SparkEntry.queries("dd36_delta_band_index")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    rows.filterNot(_._6).foreach { case (id, mb, adm, _, omb, _, fl) =>
+      assert(!fl && mb == omb, s"$id: live-match verdict moved")
+      val (b36, _, a36) = dd36(id)
+      assert(mb == b36 && adm == a36,
+        s"$id: purged verdict diverges from dd36 on a survivor")
+    }
+    // the comparison column itself matches dd36's attribution
+    rows.foreach { case (id, _, _, _, omb, _, _) =>
+      assert(omb == dd36(id)._1, s"$id: old_matched_base != dd36")
+    }
+  }
 }

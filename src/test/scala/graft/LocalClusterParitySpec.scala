@@ -134,7 +134,10 @@ class LocalClusterParitySpec extends SparkSpec {
     // and broadcast offset joins must reproduce across real executor
     // JVMs (q94 above also rides Ranks now)
     "pp16_shuffle_shard", "pp14_curriculum", "q81_rfm",
-    "q88_abc_pareto", "tx21_vocab_growth", "pp23_compaction_plan")
+    "q88_abc_pareto", "tx21_vocab_growth", "pp23_compaction_plan",
+    // r12: dd38's purge writes + probes bucketed tables and
+    // reconstructs the unpurged verdict across executor JVMs
+    "dd38_erasure_purge")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

@@ -556,6 +556,39 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("dd38: the purged index tables read pre-bucketed; with " +
+      "auto-broadcast closed neither shuffles before its probe join") {
+    // the probe is eagerly checkpointed inside the operator (2-ref
+    // rule), which hides it from the final query's plan string — audit
+    // the extracted pre-checkpoint builder (the dd18Sigs pattern)
+    def probePlan(): String = {
+      val df = graft.operators.Dedup.dd38PurgedVerify(spark, sf)._6
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val cut = p.indexOf("== Initial Plan ==")
+      if (cut >= 0) p.substring(0, cut) else p
+    }
+    val plan = probePlan()
+    assert(plan.contains("graft_band_purged"), plan)
+    assert(plan.contains("graft_sh_purged"), plan)
+    // the dd35 fact-scale property holds through the purge: the
+    // rewritten (live-only) postings/shingle tables never shuffle —
+    // only the day-2 band postings and candidate ids move. Bucketing
+    // is asserted here too: with broadcast open the planner may skip
+    // the bucketed layout on a broadcast side, so the SMJ plan is
+    // where both scans must exploit it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smjPlan = probePlan()
+      val bucketed = "Bucketed: true".r.findAllMatchIn(smjPlan).length
+      assert(bucketed >= 2,
+        s"expected both purged scans bucketed:\n$smjPlan")
+      noExchangeAboveScan(smjPlan, "graft_band_purged")
+      noExchangeAboveScan(smjPlan, "graft_sh_purged")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("dd31: the islands window rides the pinned 32-way exchange, " +
       "no product anywhere") {
     val plan = executedPlan("dd31_longest_span")
