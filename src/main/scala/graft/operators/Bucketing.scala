@@ -28,6 +28,34 @@ object Bucketing {
     * layout requires the table catalog — a path-only parquet write
     * cannot carry bucket metadata.
     */
+  /** Write `df` as a plain (UNbucketed) managed table — the sidecar
+    * form for 1-row stats frames. Never bucket these: a single-bucket
+    * scan claims HashPartitioning(key, 1), and a UNION of such scans
+    * feeding a global aggregate satisfied the planner's distribution
+    * requirement per-child — the final agg ran per-partition with NO
+    * exchange and returned one row PER SEGMENT (observed on tx38's
+    * stats merge; plain tables plan the normal partial+final shape).
+    */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    dropWithLocation(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  private def dropWithLocation(spark: SparkSession, table: String)
+      : Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
     val spark = df.sparkSession

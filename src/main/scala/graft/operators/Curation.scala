@@ -557,6 +557,132 @@ object Curation {
       .orderBy("token", "rnk")
   }
 
+  /** The (token, doc_id, dl, tf) posting rows of a corpus — the full
+    * inverted-index payload tx37/tx38 persist (tf shuffle carries
+    * counters + dl, text never leaves the scan). */
+  private def bm25Postings(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", split(col("text"), " "))
+    .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
+      explode(col("toks")).as("token"))
+    .groupBy("token", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+
+  /** 1-row per-segment corpus stats, MERGEABLE across segments:
+    * (n_docs, sum_dl) — avgdl = Σsum_dl / Σn_docs reproduces
+    * avg(dl) exactly (integer sums, one double division — the same
+    * arithmetic Spark's Average and DuckDB's avg run). */
+  private def bm25Stats(docs: DataFrame): DataFrame = docs
+    .select(size(split(col("text"), " ")).cast("bigint").as("dl"))
+    .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+  /** BM25 top-5 per query term over a (probed) posting stream + merged
+    * stats — the serve-side tail shared by tx19/tx37/tx38. The score
+    * expression TEXT is identical to the oracle's (same parse tree,
+    * same IEEE evaluation order). */
+  private def bm25Serve(postings: DataFrame, stats: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfx = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("token")
+      .orderBy(col("score").desc, col("doc_id"))
+    postings.join(dfx, Seq("token"))
+      .crossJoin(broadcast(stats.select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))))
+      .withColumn("score", expr(
+        "round(((n_docs - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 4)"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 5)
+      .select("token", "rnk", "doc_id", "tf", "dl", "score")
+      .orderBy("token", "rnk")
+  }
+
+  private val bm25Terms = Seq("query", "table", "stream")
+
+  /** tx19's in-plan formulation over an arbitrary (doc_id, text)
+    * frame — the truth side of tx38's segment-merge spec. */
+  private[graft] def bm25InPlan(docs: DataFrame): DataFrame =
+    bm25Serve(
+      bm25Postings(docs).filter(col("token").isin(bm25Terms: _*)),
+      bm25Stats(docs))
+
+  /** tx37: PERSISTED TEXT INDEX, BM25-SERVED — the ss33/dd35 move for
+    * the text-retrieval family, closing the r11 gap that tx18/tx19
+    * rebuilt their index in-plan every run: the FULL inverted index
+    * (every (token, doc, dl, tf) posting) is written as a bucketed
+    * table keyed by token, corpus stats (n_docs, Σdl) as a 1-row
+    * sidecar, and BM25 for a query-term set is served ENTIRELY from
+    * storage. df derives from the probed postings themselves (per-term
+    * count), so serving touches nothing but the filtered index rows.
+    *
+    * The plan property this exists for (PlanAudit): the term predicate
+    * PUSHES into the bucketed scan (In(token, …) in PushedFilters) and
+    * the df aggregate + rank window both ride the bucket layout —
+    * with auto-broadcast closed the serve side plans ZERO Exchange on
+    * the index table. Contract: tx19's exact bytes (the oracle is
+    * tx19's own replay — byte-identity IS the gate, the dd35 rule).
+    *
+    * Scale: the write is one-time index construction (amortized over
+    * every query in production, rebuilt per run here — the honest
+    * benchmark cost); a query-term probe reads only its buckets'
+    * matching rows. Buckets = 8 at fixture scale (the pp37 sizing
+    * rule).
+    */
+  val tx37PersistedTextIndex: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Bucketing.writeBucketed(bm25Postings(docs), "graft_text_postings",
+      "token", 8)
+    Bucketing.writeTable(bm25Stats(docs), "graft_text_stats")
+    bm25Serve(
+      s.table("graft_text_postings")
+        .filter(col("token").isin(bm25Terms: _*)),
+      s.table("graft_text_stats"))
+  }
+
+  /** tx38: DELTA-SEGMENT TEXT INDEX — the dd36 move for the text
+    * index, closing tx37's lifecycle: a new ingest batch (re-encodes
+    * of every doc_id % 10 = 7 doc, first token dropped — the
+    * established +2·10⁷ convention) appends as its OWN bucketed
+    * segment pair (base postings never rewritten — ingest is
+    * O(batch)), and BM25 is served per segment and MERGED AT SCORING:
+    * each segment's postings are probed bucket-aligned, the streams
+    * union, and df / n_docs / avgdl recombine from the per-segment
+    * sidecars (df = Σ per-segment df since a doc lives in exactly one
+    * segment; avgdl = Σsum_dl / Σn_docs — integer sums, exact). The
+    * spec pins the serve byte-identical to ONE index over the union
+    * corpus, and the oracle replays exactly that union — so the hash
+    * certifies that segment-merged scoring loses nothing.
+    *
+    * Scale: the delta write is O(batch); every query probes k segment
+    * tables bucket-aligned and shuffles only the probed rows (3 terms
+    * × top postings), never an index. Segment count stays bounded by
+    * compaction (the dd37 policy; tx37's single segment is the
+    * compacted form).
+    */
+  val tx38DeltaTextIndex: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val dropTok = expr(
+      """CASE WHEN instr(text, ' ') > 0
+        |     THEN substring(text, instr(text, ' ') + 1)
+        |     ELSE text END""".stripMargin)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        dropTok.as("text"))
+    Bucketing.writeBucketed(bm25Postings(docs), "graft_tpost_base",
+      "token", 8)
+    Bucketing.writeTable(bm25Stats(docs), "graft_tstats_base")
+    Bucketing.writeBucketed(bm25Postings(delta), "graft_tpost_delta",
+      "token", 8)
+    Bucketing.writeTable(bm25Stats(delta), "graft_tstats_delta")
+    // per-segment probes (each bucket-aligned); merge at scoring
+    val probed = s.table("graft_tpost_base")
+      .filter(col("token").isin(bm25Terms: _*))
+      .unionAll(s.table("graft_tpost_delta")
+        .filter(col("token").isin(bm25Terms: _*)))
+    val stats = s.table("graft_tstats_base")
+      .unionAll(s.table("graft_tstats_delta"))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    bm25Serve(probed, stats)
+  }
+
   /** tx20: BIGRAM NOVELTY — the memorization/boilerplate signal: for each
     * doc, the fraction of its DISTINCT token bigrams that occur in no
     * other document. Low novelty ⇒ templated/duplicated prose (candidate
@@ -893,6 +1019,8 @@ object Curation {
     "tx25_bigram_surprisal" -> tx25BigramSurprisal,
     "tx18_inverted_index" -> tx18InvertedIndex,
     "tx19_bm25" -> tx19Bm25,
+    "tx37_persisted_text_index" -> tx37PersistedTextIndex,
+    "tx38_delta_text_index" -> tx38DeltaTextIndex,
     "tx20_bigram_novelty" -> tx20BigramNovelty,
     "pp05_quality_filter" -> pp05QualityFilter,
     "pp26_line_clean" -> pp26LineClean,
@@ -999,7 +1127,33 @@ object Curation {
     s"""CASE WHEN $rankCol > 0 THEN 100000000 // ($k + $rankCol)
        |              ELSE 0 END""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+    /** tx19's replay — shared verbatim by tx37 (persisted index must
+    * serve tx19's exact bytes) and, with the union-corpus substitution,
+    * by tx38. */
+  private val tx19Bm25Sql: String =
+      """WITH d2 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 avg(dl) AS avgdl FROM d2),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM d2),
+        |tf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE token IN ('query', 'table', 'stream')
+        |       GROUP BY token, doc_id, dl),
+        |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT token, doc_id, tf, dl,
+        |    round(((n_docs - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 4) AS score
+        |  FROM tf JOIN dfx USING (token) CROSS JOIN stats),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY token
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM scored)
+        |SELECT token, rnk, doc_id, tf, dl, score
+        |FROM ranked WHERE rnk <= 5 ORDER BY token, rnk""".stripMargin
+
+val oracleSql: Map[String, String] = Map(
     "ss39_hybrid_rrf" ->
       s"""$hybridPoolSql,
          |rr AS (SELECT query_id, cand_id, lex_rank, vec_rank,
@@ -1214,28 +1368,24 @@ object Curation {
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS postings
         |FROM ranked WHERE rn <= 3
         |GROUP BY token, df, cf ORDER BY token""".stripMargin,
-    "tx19_bm25" ->
-      """WITH d2 AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |  FROM documents),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |                 avg(dl) AS avgdl FROM d2),
-        |tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM d2),
-        |tf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
-        |       FROM tok WHERE token IN ('query', 'table', 'stream')
-        |       GROUP BY token, doc_id, dl),
-        |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
-        |        FROM tf GROUP BY token),
-        |scored AS (
-        |  SELECT token, doc_id, tf, dl,
-        |    round(((n_docs - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 4) AS score
-        |  FROM tf JOIN dfx USING (token) CROSS JOIN stats),
-        |ranked AS (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY token
-        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM scored)
-        |SELECT token, rnk, doc_id, tf, dl, score
-        |FROM ranked WHERE rnk <= 5 ORDER BY token, rnk""".stripMargin,
+    "tx19_bm25" -> tx19Bm25Sql,
+    // tx37: byte-identity to tx19 IS the gate (the dd35 rule) — the
+    // oracle is tx19's own replay
+    "tx37_persisted_text_index" -> tx19Bm25Sql,
+    // tx38: one index over the UNION corpus — the hash certifies that
+    // per-segment serving with merged stats loses nothing
+    "tx38_delta_text_index" -> tx19Bm25Sql.replace(
+      "FROM documents)",
+      """FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000,
+        |    string_split(CASE WHEN instr(text, ' ') > 0
+        |      THEN substring(text, instr(text, ' ') + 1)
+        |      ELSE text END, ' '),
+        |    CAST(len(string_split(CASE WHEN instr(text, ' ') > 0
+        |      THEN substring(text, instr(text, ' ') + 1)
+        |      ELSE text END, ' ')) AS BIGINT)
+        |  FROM documents WHERE doc_id % 10 = 7)""".stripMargin),
     // pp26: DuckDB replays the 8-token line segmentation (dd14's oracle
     // frame), the three integer-compare rules, and the kept-line
     // fingerprint; list comprehensions mirror Spark's filter() lambdas.

@@ -247,4 +247,42 @@ class CurationSpec extends SparkSpec {
     assert(byK(240L) >= byK(10L), s"no consensus shift: $byK")
     assert(rows.exists(_._4 > 0), "no dual-membership item anywhere")
   }
+
+  test("tx37: BM25 served from the persisted index equals tx19 byte " +
+      "for byte") {
+    // the whole contract: moving the inverted index + corpus stats
+    // into storage must not change a single score bit (the dd35 rule)
+    val inPlan = SparkEntry.queries("tx19_bm25")(spark, sf)
+      .collect().toSeq
+    val served = SparkEntry.queries("tx37_persisted_text_index")(spark, sf)
+      .collect().toSeq
+    assert(served == inPlan,
+      s"persisted-index BM25 diverges: ${served.diff(inPlan).take(3)}")
+  }
+
+  test("tx38: segment-merged BM25 equals one index over the union " +
+      "corpus; the delta segment is live in the ranking") {
+    val served = SparkEntry.queries("tx38_delta_text_index")(spark, sf)
+      .collect().toSeq
+    // in-plan union-corpus truth (tx19's own machinery over base ∪
+    // delta): per-segment probing + merged (df, n_docs, Σdl) must be
+    // byte-identical — stats merging is exact integer arithmetic
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val dropTok = expr(
+      """CASE WHEN instr(text, ' ') > 0
+        |     THEN substring(text, instr(text, ' ') + 1)
+        |     ELSE text END""".stripMargin)
+    val union = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          dropTok.as("text")))
+    val truth = Curation.bm25InPlan(union).collect().toSeq
+    assert(served == truth,
+      s"segment-merged BM25 diverges: ${served.diff(truth).take(3)}")
+    // delta postings are live: a delta doc ranks (the re-encode of a
+    // term-heavy base doc carries the same tf at shorter dl)
+    assert(served.exists(_.getLong(2) >= 20000000L),
+      "no delta doc in any top-5 — the delta segment is dead")
+  }
 }

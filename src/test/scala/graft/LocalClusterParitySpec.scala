@@ -136,8 +136,10 @@ class LocalClusterParitySpec extends SparkSpec {
     "pp16_shuffle_shard", "pp14_curriculum", "q81_rfm",
     "q88_abc_pareto", "tx21_vocab_growth", "pp23_compaction_plan",
     // r12: dd38's purge writes + probes bucketed tables and
-    // reconstructs the unpurged verdict across executor JVMs
-    "dd38_erasure_purge")
+    // reconstructs the unpurged verdict across executor JVMs; tx37/
+    // tx38 serve BM25 from persisted segments with merged stats
+    "dd38_erasure_purge", "tx37_persisted_text_index",
+    "tx38_delta_text_index")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

@@ -589,6 +589,35 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("tx37: BM25 serve pushes the term predicate into the bucketed " +
+      "postings scan; with auto-broadcast closed the index never " +
+      "shuffles") {
+    val plan = finalPlan("tx37_persisted_text_index")
+    assert(plan.contains("graft_text_postings"), plan)
+    // the term probe reaches the scan as a pushed filter — the serve
+    // reads only matching rows, never the corpus-sized index
+    assert(plan.contains("PushedFilters: [In(token"), plan)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smjPlan = finalPlan("tx37_persisted_text_index")
+      // df aggregate + rank window + the df rejoin all ride the bucket
+      // layout: zero Exchange above the postings scan before its join
+      noExchangeAboveScan(smjPlan, "graft_text_postings")
+      assert("Bucketed: true".r.findAllMatchIn(smjPlan).nonEmpty,
+        s"postings scan not bucketed:\n$smjPlan")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("tx38: both segment scans push the term filter; segments merge " +
+      "only at the probed-row stream") {
+    val plan = finalPlan("tx38_delta_text_index")
+    assert(plan.contains("graft_tpost_base"), plan)
+    assert(plan.contains("graft_tpost_delta"), plan)
+    assert("PushedFilters: \\[In\\(token".r.findAllMatchIn(plan).size >= 2,
+      s"expected the term predicate pushed into BOTH segment scans:\n$plan")
+  }
+
   test("dd31: the islands window rides the pinned 32-way exchange, " +
       "no product anywhere") {
     val plan = executedPlan("dd31_longest_span")
