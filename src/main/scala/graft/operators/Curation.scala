@@ -946,12 +946,16 @@ object Curation {
     s"""CASE WHEN $rankCol > 0 THEN 100000000 DIV ($k + $rankCol)
        |     ELSE CAST(0 AS BIGINT) END""".stripMargin)
 
-  val ss39HybridRrf: Q = (s, d) => {
+  /** The RRF fusion tail — consumes a (query_id, cand_id, lex_rank,
+    * vec_rank) pool and nothing else, which IS the "any list source
+    * plugs in" contract: ss39 feeds it in-plan lists, ss43 feeds it
+    * the persisted-index lists, and the rank layer is the same code
+    * path (the spec's invariance argument is structural). */
+  private[graft] def rrfFuse(pool: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // RRF fusion over ranks — exact integer contributions
     val wFuse = Window.partitionBy("query_id")
       .orderBy(col("rrf_x").desc, col("cand_id"))
-    hybridPool(s, d)
+    pool
       .withColumn("rrf_x",
         rrfContrib("lex_rank", 60) + rrfContrib("vec_rank", 60))
       .withColumn("rank", row_number().over(wFuse).cast("bigint"))
@@ -959,6 +963,79 @@ object Curation {
       .select(col("query_id"), col("rank"), col("cand_id"),
         col("lex_rank"), col("vec_rank"), col("rrf_x"))
       .orderBy("query_id", "rank")
+  }
+
+  val ss39HybridRrf: Q = (s, d) => rrfFuse(hybridPool(s, d))
+
+  /** ss43: HYBRID RETRIEVAL SERVED FROM THE PERSISTED INDEXES — the
+    * production serving shape the r11 verdict asked ss39 to prove:
+    * the lexical arm is full doc-query BM25 off tx37's persisted
+    * inverted index (query = the query doc's distinct tokens probed
+    * against the token-bucketed postings; per-term scores quantized to
+    * exact integers ×10⁴ BEFORE summation so the cross-term
+    * accumulation is order-free — the oracle-portability rule), the
+    * vector arm is ss33's persisted IVFPQ path verbatim (bucketed
+    * lists + codes, candidate→ADC→refine top-3), and the fusion layer
+    * is ss39's own [[rrfFuse]] — the rank contract means swapping both
+    * list sources touches zero fusion code.
+    *
+    * Scale: the postings probe is a broadcast of ~10 query-token sets
+    * against the bucketed index (df + the probe join ride the bucket
+    * layout; the synthetic ~31-word vocabulary makes the probe touch
+    * most postings here — real vocabularies make it selective); the
+    * IVFPQ arm shuffles candidate ids only (the ss33 plan, PlanAudit-
+    * held). Index writes are the honest per-run construction cost, as
+    * everywhere in the persisted family.
+    */
+  val ss43ServedHybrid: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    // lexical arm: rebuild + probe the persisted text index
+    val docs = t(s, d, "documents")
+    Bucketing.writeBucketed(bm25Postings(docs), "graft_text_postings",
+      "token", 8)
+    Bucketing.writeTable(bm25Stats(docs), "graft_text_stats")
+    val embIds = t(s, d, "embeddings").select(col("vec_id"))
+    val qtok = docs.filter(col("doc_id") < 10)
+      .join(embIds.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val post = s.table("graft_text_postings")
+    val dfx = post.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = s.table("graft_text_stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("lex_score").desc, col("cand_id"))
+    val lex = post.join(broadcast(qtok), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfx, Seq("token"))
+      .crossJoin(broadcast(stats))
+      // integer per-term contribution — EXACT same expression text as
+      // the oracle; floor(x*1e4 + 0.5) quantizes the deterministic
+      // per-(term, doc) double so the cross-term SUM is order-free
+      .withColumn("c", expr(
+        "CAST(floor(((n_docs - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(col("query_id"), col("doc_id").as("cand_id"))
+      .agg(sum("c").as("lex_score"))
+      // universe filter on the AGGREGATED pair frame, not the posting
+      // stream: a pre-aggregate semi-join on doc_id pushes below the
+      // token join and forces a doc_id shuffle of the token-bucketed
+      // index (the audit caught it); per-candidate filtering commutes
+      // with the per-pair sum, so the bytes are identical
+      .join(embIds.withColumnRenamed("vec_id", "cand_id"),
+        Seq("cand_id"), "left_semi")
+      .withColumn("lex_rank", row_number().over(wLex).cast("bigint"))
+      .filter(col("lex_rank") <= 20)
+      .select("query_id", "cand_id", "lex_rank")
+    // vector arm: the persisted IVFPQ path, verbatim
+    val vec = Similarity.ss33PersistedIndex(s, d)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("rank").as("vec_rank"))
+    rrfFuse(
+      lex.join(vec, Seq("query_id", "cand_id"), "outer")
+        .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+        .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L))))
   }
 
   /** ss41: RRF DISCOUNT SWEEP — the one free parameter ss39 fixes at
@@ -1013,6 +1090,7 @@ object Curation {
 
   val queries: Map[String, Q] = Map(
     "ss39_hybrid_rrf" -> ss39HybridRrf,
+    "ss43_served_hybrid" -> ss43ServedHybrid,
     "ss41_rrf_k_sweep" -> ss41RrfKSweep,
     "tx27_boilerplate" -> tx27BoilerplateAudit,
     "tx26_rake_keywords" -> tx26RakeKeywords,
@@ -1154,7 +1232,60 @@ object Curation {
         |FROM ranked WHERE rnk <= 5 ORDER BY token, rnk""".stripMargin
 
 val oracleSql: Map[String, String] = Map(
-    "ss39_hybrid_rrf" ->
+        // ss43: the ivfpq replay (ss33's own chain, ending in `fin`) is
+    // the vector arm; the lexical arm replays full doc-query BM25 with
+    // per-term integer quantization BEFORE the cross-term sum (order-
+    // free); fusion is the exact-integer RRF — all composed in one
+    // statement with s43-prefixed CTEs (no collisions with the ivfpq
+    // chain's names)
+    "ss43_served_hybrid" -> (Similarity.ivfpqPipelineSql + """,
+      |s43d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |s43stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                    avg(dl) AS avgdl FROM s43d),
+      |s43tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM s43d),
+      |s43tf AS MATERIALIZED (SELECT token, doc_id, dl,
+      |    CAST(count(*) AS BIGINT) AS tf
+      |  FROM s43tok GROUP BY token, doc_id, dl),
+      |s43df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+      |  FROM s43tf GROUP BY token),
+      |s43qt AS (SELECT DISTINCT doc_id AS query_id,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE doc_id < 10
+      |    AND doc_id IN (SELECT vec_id FROM embeddings)),
+      |s43sc AS (SELECT q.query_id, f.doc_id AS cand_id,
+      |    SUM(CAST(floor(((n_docs - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) * 10000 + 0.5) AS BIGINT)) AS lex_score
+      |  FROM s43qt q JOIN s43tf f USING (token)
+      |  JOIN s43df USING (token) CROSS JOIN s43stats
+      |  WHERE f.doc_id <> q.query_id
+      |    AND f.doc_id IN (SELECT vec_id FROM embeddings)
+      |  GROUP BY q.query_id, f.doc_id),
+      |s43lex AS (SELECT query_id, cand_id, lex_rank FROM (
+      |    SELECT query_id, cand_id,
+      |      CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY lex_score DESC, cand_id) AS BIGINT) AS lex_rank
+      |    FROM s43sc) WHERE lex_rank <= 20),
+      |s43vec AS (SELECT query_id, neighbor_id AS cand_id,
+      |    CAST("rank" AS BIGINT) AS vec_rank FROM fin WHERE "rank" <= 3),
+      |s43pool AS (SELECT
+      |    coalesce(l.query_id, v.query_id) AS query_id,
+      |    coalesce(l.cand_id, v.cand_id) AS cand_id,
+      |    coalesce(l.lex_rank, 0) AS lex_rank,
+      |    coalesce(v.vec_rank, 0) AS vec_rank
+      |  FROM s43lex l FULL OUTER JOIN s43vec v
+      |    ON v.query_id = l.query_id AND v.cand_id = l.cand_id),
+      |s43sco AS (SELECT query_id, cand_id, lex_rank, vec_rank,
+      |    (CASE WHEN lex_rank > 0 THEN 100000000 // (60 + lex_rank)
+      |          ELSE CAST(0 AS BIGINT) END)
+      |    + (CASE WHEN vec_rank > 0 THEN 100000000 // (60 + vec_rank)
+      |            ELSE CAST(0 AS BIGINT) END) AS rrf_x
+      |  FROM s43pool)
+      |SELECT query_id, "rank", cand_id, lex_rank, vec_rank, rrf_x
+      |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_x DESC, cand_id) AS BIGINT) AS "rank" FROM s43sco)
+      |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin),
+"ss39_hybrid_rrf" ->
       s"""$hybridPoolSql,
          |rr AS (SELECT query_id, cand_id, lex_rank, vec_rank,
          |    CAST(${rrfSql("lex_rank", 60)}

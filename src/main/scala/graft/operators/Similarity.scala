@@ -4260,7 +4260,7 @@ object Similarity {
   /** The IVF→PQ-ADC→refine pipeline (through the `fin` ranking CTE) in
     * DuckDB terms — shared by the ss18 result oracle and the ss19
     * recall oracle. */
-  private lazy val ivfpqPipelineSql: String =
+  private[operators] lazy val ivfpqPipelineSql: String =
       s"""WITH $normCte,
          |cents AS (SELECT vec_id AS ccid, e, nrm FROM n
          |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),

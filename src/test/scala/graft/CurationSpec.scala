@@ -248,6 +248,46 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(_._4 > 0), "no dual-membership item anywhere")
   }
 
+  test("ss43: the fusion layer is rank-invariant (same code path as " +
+      "ss39, RRF arithmetic exact per row); the vector arm IS ss33; " +
+      "both modalities live") {
+    val rows = SparkEntry.queries("ss43_served_hybrid")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // per-row RRF arithmetic recheck: rrf_x is a pure function of the
+    // two ranks — the rank contract that lets any list source plug in
+    rows.foreach { case (q, _, c, lr, vr, x) =>
+      def contrib(r: Long) = if (r > 0) 100000000L / (60L + r) else 0L
+      assert(x == contrib(lr) + contrib(vr),
+        s"($q,$c): rrf_x $x != f($lr, $vr)")
+    }
+    // the vector arm is ss33's persisted-index answer verbatim
+    val ss33 = SparkEntry.queries("ss33_persisted_index")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1))
+      .toMap
+    rows.filter(_._5 > 0).foreach { case (q, _, c, _, vr, _) =>
+      assert(ss33.get((q, c)).contains(vr),
+        s"($q,$c): vec_rank $vr != ss33's ${ss33.get((q, c))}")
+    }
+    // both list sources surface in the fused top-5
+    assert(rows.exists(r => r._4 > 0 && r._5 == 0), "no lexical-only row")
+    assert(rows.exists(r => r._5 > 0 && r._4 == 0), "no vector-only row")
+    // rank-layer invariance, pinned on a synthetic pool: the SAME
+    // rrfFuse both operators call, fed hand-built ranks, reproduces
+    // the hand-computed fusion — the layer never looks at scores
+    import spark.implicits._
+    val pool = Seq((1L, 100L, 1L, 0L), (1L, 101L, 0L, 1L),
+        (1L, 102L, 2L, 2L), (1L, 103L, 20L, 3L))
+      .toDF("query_id", "cand_id", "lex_rank", "vec_rank")
+    val fused = Curation.rrfFuse(pool).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(5)))
+    // 102: 1e8/62*2 = 3225806; 100/101: 1e8/61 = 1639344 (id tiebreak);
+    // 103: 1e8/80 + 1e8/63 = 1250000 + 1587301 = 2837301
+    assert(fused.toSeq == Seq((1L, 102L, 3225806L), (2L, 103L, 2837301L),
+      (3L, 100L, 1639344L), (4L, 101L, 1639344L)),
+      s"fusion layer moved: ${fused.toSeq}")
+  }
+
   test("tx37: BM25 served from the persisted index equals tx19 byte " +
       "for byte") {
     // the whole contract: moving the inverted index + corpus stats

@@ -139,7 +139,10 @@ class LocalClusterParitySpec extends SparkSpec {
     // reconstructs the unpurged verdict across executor JVMs; tx37/
     // tx38 serve BM25 from persisted segments with merged stats
     "dd38_erasure_purge", "tx37_persisted_text_index",
-    "tx38_delta_text_index")
+    "tx38_delta_text_index",
+    // r12: ss43 composes BOTH persisted-index arms + the fusion layer
+    // across executor JVMs
+    "ss43_served_hybrid")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

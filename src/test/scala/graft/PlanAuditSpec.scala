@@ -618,6 +618,18 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the term predicate pushed into BOTH segment scans:\n$plan")
   }
 
+  test("ss43: the lexical probe joins the bucketed postings without " +
+      "shuffling the index; with auto-broadcast closed the scan feeds " +
+      "its join exchange-free") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan("ss43_served_hybrid")
+      assert(plan.contains("graft_text_postings"), plan)
+      noExchangeAboveScan(plan, "graft_text_postings")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("dd31: the islands window rides the pinned 32-way exchange, " +
       "no product anywhere") {
     val plan = executedPlan("dd31_longest_span")
