@@ -41,19 +41,23 @@ object Multimodal {
     * truncated — truncation, not padding, so the oracle's substr replays
     * the pixel source exactly).
     *
-    * ASCII-corpus assumption (whole png-derived family: mm05/mm08/mm15/
-    * mm16…): the Spark side sizes images from UTF-8 BYTES
-    * (`text.getBytes`) while the DuckDB oracles replay with
-    * character-based `length(text)`/`substring` — identical only while
-    * the corpus is ASCII (which the synthetic documents table is, and
-    * the hash equality itself certifies per run). A multibyte corpus
-    * would need the oracles rewritten over `encode(text)` BLOB slices
-    * (byte-wise octet_length/substring), not just octet_length.
-    * `OperatorInvariantSpec`'s "png-family ASCII boundary" test makes
-    * the assumption an explicit gate (octet_length == length over the
-    * fixture corpus) and pins the exact divergence a planted multibyte
-    * doc produces (byte sizing emits a 4-patch grid where the char
-    * replay emits none, with different gathered pixel values).
+    * BYTE-TRUE oracles (r12, closing the r11 ASCII boundary for the
+    * core png family): mm05/mm08/mm15/mm16's DuckDB replays now slice
+    * HEX PAIRS of the UTF-8 bytes (`hex(encode(text))`, 2 chars = 1
+    * byte; sizes via `strlen`) and fingerprint md5 over the HEX STRING
+    * of the byte slice — this DuckDB build has no BLOB md5/substring,
+    * so hex is the one byte-faithful domain both engines share. The
+    * Spark sides hash `hexUpper(bytes)` to match. These four hold on
+    * ANY corpus — verified against a planted multibyte corpus (é/漢/π
+    * docs) in r12, Spark vs DuckDB bit-equal on all four.
+    *
+    * ASCII-corpus assumption (REMAINING char-replay family: mm01/mm04/
+    * mm06/mm10/mm12…): those oracles still replay with character
+    * `length`/`substring`/`chr`, identical to byte semantics only
+    * while the corpus is ASCII (which the synthetic documents table
+    * is). `OperatorInvariantSpec`'s "png-family ASCII boundary" test
+    * keeps that gate explicit, and pins mm05's byte-true behavior on a
+    * planted multibyte doc.
     *
     * `content` holds actual encoder output
     * (`javax.imageio`), not a fake: mm01/mm05 then round-trip it through
@@ -124,6 +128,22 @@ object Multimodal {
     }
     (w, h, out)
   }
+
+  /** Uppercase hex of raw bytes — DuckDB's hex(BLOB) form. The
+    * mm05/mm08/mm15 fingerprints hash THIS string rather than the raw
+    * slice: this DuckDB build has no BLOB md5/substring, so hex is the
+    * one byte-faithful domain both engines can slice and hash on ANY
+    * corpus (multibyte included) — the r11 verdict's byte-slice item.
+    */
+  private def hexUpper(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02X"))
+    sb.toString
+  }
+
+  /** md5 of the hex form — the byte-true fingerprint. */
+  private def md5HexOfHex(bytes: Array[Byte]): String =
+    md5Hex(hexUpper(bytes).getBytes("UTF-8"))
 
   private def md5Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -652,7 +672,7 @@ object Multimodal {
               }
               ty += 1
             }
-            Iterator((id, 8L, th.toLong, luma, md5Hex(tb)))
+            Iterator((id, 8L, th.toLong, luma, md5HexOfHex(tb)))
           }
         }
       }.toDF("media_id", "t_width", "t_height", "t_luma_sum", "thumb_fp")
@@ -708,7 +728,7 @@ object Multimodal {
             val cropped = java.util.Arrays.copyOfRange(
               px, top * 16, (top + ch) * 16)
             Iterator((id, h.toLong, top.toLong, bottom.toLong, ch.toLong,
-              ch.toLong * 10000L / h, md5Hex(cropped)))
+              ch.toLong * 10000L / h, md5HexOfHex(cropped)))
           }
         }
       }.toDF("media_id", "h_padded", "top_trim", "bottom_trim",
@@ -1004,7 +1024,7 @@ object Multimodal {
               }
               ry += 1
             }
-            (id, pr.toLong, pc.toLong, 16L, md5Hex(patch))
+            (id, pr.toLong, pc.toLong, 16L, md5HexOfHex(patch))
           }
         }
       }
@@ -1367,25 +1387,31 @@ object Multimodal {
         |SELECT media_id, min(fi) AS seg_start, max(fi) AS seg_end,
         |  count(*) AS n_frames, CAST(sum(energy) AS BIGINT) AS seg_energy
         |FROM a GROUP BY media_id, grp ORDER BY media_id, seg_start""".stripMargin,
+    // BYTE-TRUE replay (r12): slices move from characters to hex pairs
+    // of the UTF-8 bytes (2 hex chars = 1 byte), so the oracle holds on
+    // ANY corpus — the fingerprint domain is md5(hex(bytes)) on both
+    // sides (this DuckDB has no BLOB md5/substring; hex is the one
+    // byte-faithful domain both engines share)
     "mm05_patch_grid" ->
       """WITH g AS (
-        |  SELECT doc_id AS media_id, text,
-        |    CAST(length(text) // 16 AS BIGINT) AS h
-        |  FROM documents WHERE length(text) >= 16),
-        |pr AS (SELECT media_id, text,
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hb,
+        |    CAST(strlen(text) // 16 AS BIGINT) AS h
+        |  FROM documents WHERE strlen(text) >= 16),
+        |pr AS (SELECT media_id, hb,
         |    unnest(generate_series(0, h // 4 - 1)) AS pr
         |  FROM g),
-        |pp AS (SELECT media_id, text, pr,
+        |pp AS (SELECT media_id, hb, pr,
         |    unnest(generate_series(0, 3)) AS pc FROM pr),
         |p AS (SELECT media_id, pr, pc,
-        |    substring(text, CAST((pr * 4 + 0) * 16 + pc * 4 + 1 AS INT), 4)
-        |    || substring(text, CAST((pr * 4 + 1) * 16 + pc * 4 + 1 AS INT), 4)
-        |    || substring(text, CAST((pr * 4 + 2) * 16 + pc * 4 + 1 AS INT), 4)
-        |    || substring(text, CAST((pr * 4 + 3) * 16 + pc * 4 + 1 AS INT), 4)
+        |    substring(hb, CAST(((pr * 4 + 0) * 16 + pc * 4) * 2 + 1 AS INT), 8)
+        |    || substring(hb, CAST(((pr * 4 + 1) * 16 + pc * 4) * 2 + 1 AS INT), 8)
+        |    || substring(hb, CAST(((pr * 4 + 2) * 16 + pc * 4) * 2 + 1 AS INT), 8)
+        |    || substring(hb, CAST(((pr * 4 + 3) * 16 + pc * 4) * 2 + 1 AS INT), 8)
         |      AS patch
         |  FROM pp)
         |SELECT media_id, pr AS patch_row, pc AS patch_col,
-        |  CAST(length(patch) AS BIGINT) AS patch_bytes, md5(patch) AS patch_fp
+        |  CAST(length(patch) // 2 AS BIGINT) AS patch_bytes,
+        |  md5(patch) AS patch_fp
         |FROM p ORDER BY media_id, patch_row, patch_col""".stripMargin,
     "mm04_av_sync" ->
       """WITH video AS (
@@ -1508,8 +1534,8 @@ object Multimodal {
         |ORDER BY tot.source""".stripMargin),
     "mm16_patch_batches" ->
       """WITH RECURSIVE g AS (SELECT doc_id AS media_id,
-        |    CAST(length(text) // 16 AS BIGINT) AS h
-        |  FROM documents WHERE length(text) >= 16),
+        |    CAST(strlen(text) // 16 AS BIGINT) AS h
+        |  FROM documents WHERE strlen(text) >= 16),
         |dt AS MATERIALIZED (SELECT media_id, h // 16 AS band,
         |    ((h + 7) // 8) * 2 AS patches,
         |    row_number() OVER (PARTITION BY h // 16
@@ -1545,23 +1571,28 @@ object Multimodal {
     // mm15: planting, the flat-row scan (replace(row, first_char, '')
     // empty ⇔ single-valued row) and the cropped-byte md5 replayed
     // from source bytes — hash equality re-certifies the real decode
+    // BYTE-TRUE replay (r12, the mm05 note): the raster is hex pairs
+    // (row = 32 hex chars); the flat-row test removes the first PAIR —
+    // a hex string empties under pair-replace iff it is that pair
+    // tiled, i.e. the row is single-valued; crop_fp = md5 over the hex
+    // slice, matching Spark's md5(hex(bytes))
     "mm15_letterbox_crop" ->
       """WITH g AS (SELECT doc_id AS media_id,
-        |    substring(text, 1, CAST(16 * (length(text) // 16) AS INT))
-        |      AS raster
-        |  FROM documents WHERE length(text) >= 16),
+        |    substring(hex(encode(text)), 1,
+        |      CAST(32 * (strlen(text) // 16) AS INT)) AS raster
+        |  FROM documents WHERE strlen(text) >= 16),
         |p AS (SELECT media_id,
         |    CASE WHEN media_id % 4 = 0
-        |         THEN repeat(' ', 48) || raster || repeat(' ', 48)
+        |         THEN repeat('20', 48) || raster || repeat('20', 48)
         |         ELSE raster END AS px
         |  FROM g),
-        |rws AS (SELECT media_id, px, length(px) // 16 AS h,
-        |    unnest(generate_series(0, length(px) // 16 - 1)) AS y
+        |rws AS (SELECT media_id, px, length(px) // 32 AS h,
+        |    unnest(generate_series(0, length(px) // 32 - 1)) AS y
         |  FROM p),
         |rf AS (SELECT media_id, px, h, y,
         |    length(replace(
-        |      substring(px, CAST(y * 16 + 1 AS INT), 16),
-        |      substring(px, CAST(y * 16 + 1 AS INT), 1), '')) = 0
+        |      substring(px, CAST(y * 32 + 1 AS INT), 32),
+        |      substring(px, CAST(y * 32 + 1 AS INT), 2), '')) = 0
         |      AS flat
         |  FROM rws),
         |tb AS (SELECT media_id, any_value(px) AS px, h,
@@ -1575,31 +1606,41 @@ object Multimodal {
         |  CAST(h - top_trim - bot AS BIGINT) AS h_cropped,
         |  CAST((h - top_trim - bot) * 10000 // h AS BIGINT)
         |    AS retained_x10k,
-        |  md5(substring(px, CAST(top_trim * 16 + 1 AS INT),
-        |    CAST((h - top_trim - bot) * 16 AS INT))) AS crop_fp
+        |  md5(substring(px, CAST(top_trim * 32 + 1 AS INT),
+        |    CAST((h - top_trim - bot) * 32 AS INT))) AS crop_fp
         |FROM tb ORDER BY media_id""".stripMargin,
+    // BYTE-TRUE replay (r12, the mm05 note): byte i of the raster is
+    // the hex pair at 2i+1; its value decodes via strpos on a
+    // '123456789ABCDEF' alphabet (a missing '0' maps to 0 — exactly
+    // the nibble value); the thumbnail fingerprint re-encodes each
+    // pooled value as an lpad-2 hex pair and md5s the hex string,
+    // matching Spark's md5(hex(bytes)) on any corpus
     "mm08_thumbnail" ->
       """WITH g AS (SELECT doc_id AS media_id,
-        |    CAST(length(text) // 16 AS BIGINT) AS h,
-        |    substring(text, 1, CAST((length(text) // 16) * 16 AS INT))
-        |      AS px
-        |  FROM documents WHERE length(text) >= 32),
+        |    CAST(strlen(text) // 16 AS BIGINT) AS h,
+        |    substring(hex(encode(text)), 1,
+        |      CAST((strlen(text) // 16) * 32 AS INT)) AS px
+        |  FROM documents WHERE strlen(text) >= 32),
         |t AS (SELECT media_id, h // 2 AS th, px FROM g WHERE h >= 2),
         |rows_ AS (SELECT media_id, th, px,
         |    unnest(generate_series(0, th - 1)) AS ty FROM t),
-        |cells AS (SELECT r.media_id, r.th, r.ty, tx.tx,
-        |    (ord(substring(r.px, CAST(2*r.ty*16 + 2*tx.tx + 1 AS INT), 1))
-        |   + ord(substring(r.px, CAST(2*r.ty*16 + 2*tx.tx + 2 AS INT), 1))
-        |   + ord(substring(r.px, CAST((2*r.ty+1)*16 + 2*tx.tx + 1 AS INT), 1))
-        |   + ord(substring(r.px, CAST((2*r.ty+1)*16 + 2*tx.tx + 2 AS INT), 1)))
+        |cells AS (SELECT media_id, th, ty, tx,
+        |    (strpos('123456789ABCDEF', substring(px, CAST((2*ty*16 + 2*tx) * 2 + 1 AS INT), 1)) * 16
+        |   + strpos('123456789ABCDEF', substring(px, CAST((2*ty*16 + 2*tx) * 2 + 2 AS INT), 1))
+        |   + strpos('123456789ABCDEF', substring(px, CAST((2*ty*16 + 2*tx + 1) * 2 + 1 AS INT), 1)) * 16
+        |   + strpos('123456789ABCDEF', substring(px, CAST((2*ty*16 + 2*tx + 1) * 2 + 2 AS INT), 1))
+        |   + strpos('123456789ABCDEF', substring(px, CAST(((2*ty+1)*16 + 2*tx) * 2 + 1 AS INT), 1)) * 16
+        |   + strpos('123456789ABCDEF', substring(px, CAST(((2*ty+1)*16 + 2*tx) * 2 + 2 AS INT), 1))
+        |   + strpos('123456789ABCDEF', substring(px, CAST(((2*ty+1)*16 + 2*tx + 1) * 2 + 1 AS INT), 1)) * 16
+        |   + strpos('123456789ABCDEF', substring(px, CAST(((2*ty+1)*16 + 2*tx + 1) * 2 + 2 AS INT), 1)))
         |      // 4 AS v
-        |  FROM rows_ r CROSS JOIN
-        |    (SELECT unnest(generate_series(0, 7)) AS tx) tx)
+        |  FROM (SELECT r.media_id, r.th, r.ty, r.px,
+        |          unnest(generate_series(0, 7)) AS tx FROM rows_ r))
         |SELECT media_id, CAST(8 AS BIGINT) AS t_width,
         |  max(th) AS t_height,
         |  CAST(sum(v) AS BIGINT) AS t_luma_sum,
-        |  md5(string_agg(chr(CAST(v AS INT)), '' ORDER BY ty * 8 + tx))
-        |    AS thumb_fp
+        |  md5(string_agg(lpad(hex(CAST(v AS BIGINT)), 2, '0'), ''
+        |    ORDER BY ty * 8 + tx)) AS thumb_fp
         |FROM cells GROUP BY media_id ORDER BY media_id""".stripMargin,
     // mm10: verdicts from the planting rule, accepted values from the
     // source bytes — agreement proves quarantine caught exactly the

@@ -1718,24 +1718,26 @@ class OperatorInvariantSpec extends SparkSpec {
       "non-final rounds must still be recurring")
   }
 
-  test("png-family ASCII boundary: the fixture corpus is pure ASCII, " +
-      "and a planted multibyte doc diverges exactly where documented") {
-    // The mm05/mm08/mm15/mm16 DuckDB oracles replay Spark's BYTE-based
-    // image sizing with CHARACTER length/substr (Multimodal.scala ASCII
-    // note). (1) assert the assumption on the real fixture — an
-    // explicit gate, not just per-run hash luck; (2) pin the exact
-    // divergence a multibyte corpus would produce, so the failure mode
-    // is documented by a passing test instead of discovered as N
-    // baffling oracle mismatches.
+  test("png-family ASCII boundary: the fixture corpus is pure ASCII " +
+      "(gate for the remaining char-replay family), and mm05 is " +
+      "byte-true on a planted multibyte doc") {
+    // r12: mm05/mm08/mm15/mm16's oracles moved to hex byte slices and
+    // hold on ANY corpus (verified Spark-vs-DuckDB on a planted
+    // multibyte corpus this round). The REMAINING mm oracles
+    // (mm01/mm04/mm06/mm10/mm12…) still replay with character
+    // semantics, so the ASCII gate on the fixture stays — defense in
+    // depth, per the verdict.
     val nonAscii = Tables.t(spark, sf, "documents")
       .filter(octet_length(col("text")) =!= length(col("text"))).count()
     assert(nonAscii == 0L, "fixture corpus is no longer pure ASCII — " +
-      "the png-family char-based oracles must move to BLOB slices")
-    // planted: 32 chars of 'é' = 64 UTF-8 bytes. Byte sizing (Spark):
-    // h = 64/16 = 4 → one 4x4 patch row. Char sizing (the oracle's
-    // replay): h = 32//16 = 2 < 4 → ZERO patches. And the byte gather
-    // reads C3/A9 surrogateless UTF-8 bytes where a char replay would
-    // read codepoint 233 — shapes AND values diverge.
+      "the remaining char-based mm oracles must move to hex slices " +
+      "(the mm05/mm08/mm15 r12 form)")
+    // planted: 32 chars of 'é' = 64 UTF-8 bytes → byte sizing gives
+    // h = 4 → one 4x4 patch row (a char replay would give h = 2 →
+    // none). Pin mm05's output on BOTH docs against an in-JVM byte
+    // replay with the hex-domain fingerprint (md5 over the uppercase
+    // hex of the 16 gathered bytes — the cross-engine fp domain, since
+    // DuckDB lacks BLOB md5/substring).
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mb").toFile
     dir.deleteOnExit()
@@ -1748,28 +1750,26 @@ class OperatorInvariantSpec extends SparkSpec {
     def md5hex(b: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(b).map("%02x".format(_)).mkString
+    def hexUp(b: Seq[Byte]): String =
+      b.map(x => f"${x & 0xff}%02X").mkString
     def patches(bytes: Array[Byte]): Seq[(Long, Long, String)] = {
       val h = bytes.length / 16
       for (pr <- 0 until h / 4; pc <- 0 until 4) yield {
         val p = for (ry <- 0 until 4; rx <- 0 until 4)
           yield bytes((pr * 4 + ry) * 16 + pc * 4 + rx)
-        (pr.toLong, pc.toLong, md5hex(p.toArray))
+        (pr.toLong, pc.toLong, md5hex(hexUp(p).getBytes("UTF-8")))
       }
     }
-    // ASCII doc: byte replay == char replay == Spark output (agreement)
+    // ASCII doc: byte grid, hex-domain fps
     val asciiWant = patches("ab".repeat(32).getBytes("UTF-8"))
     assert(got.filter(_._1 == 1L).map(x => (x._2, x._3, x._4)).toSeq
       == asciiWant)
-    // multibyte doc: Spark emits the BYTE-sized grid...
+    // multibyte doc: the BYTE-sized grid with C3/A9 UTF-8 bytes in the
+    // gather — the case the old char-based oracle could not replay
     val byteWant = patches("é".repeat(32).getBytes("UTF-8"))
     assert(byteWant.size == 4)
     assert(got.filter(_._1 == 2L).map(x => (x._2, x._3, x._4)).toSeq
       == byteWant)
-    // ...while the char-based oracle formulation (px = first
-    // (chars//16)*16 CHARS, h = chars//16) yields none: h = 2 < 4
-    val charH = ("é" * 32).length / 16
-    assert(charH < 4 && charH != "é".repeat(32).getBytes("UTF-8").length / 16,
-      "divergence boundary moved — update the Multimodal ASCII note")
   }
 
   test("ss37: the frozen phase IS ss23's growth report, and the " +
