@@ -1007,7 +1007,12 @@ object Curation {
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val wLex = Window.partitionBy("query_id")
       .orderBy(col("lex_score").desc, col("cand_id"))
-    val lex = post.join(broadcast(qtok), Seq("token"))
+    // no broadcast() hint on qtok: its semi-join reaches the
+    // SF-growing embeddings scan, which the surface-wide forced-
+    // broadcast audit rightly bans — AQE broadcasts the 10-doc token
+    // frame at runtime on its own, and with auto-broadcast closed the
+    // SMJ still leaves the bucketed postings side exchange-free
+    val lex = post.join(qtok, Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(dfx, Seq("token"))
       .crossJoin(broadcast(stats))

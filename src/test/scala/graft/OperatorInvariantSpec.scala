@@ -1562,8 +1562,11 @@ class OperatorInvariantSpec extends SparkSpec {
         if (top < h)
           while (bottom < h - top && flat(h - 1 - bottom)) bottom += 1
         val ch = h - top - bottom
+        // r12: crop_fp lives in the hex domain (md5 over the uppercase
+        // hex of the cropped bytes — the byte-true cross-engine form)
         val fp = md5hex(java.util.Arrays.copyOfRange(
-          px, top * 16, (top + ch) * 16))
+            px, top * 16, (top + ch) * 16)
+          .map(x => f"${x & 0xff}%02X").mkString.getBytes("UTF-8"))
         assert(got(id) == ((h.toLong, top.toLong, bottom.toLong,
           ch.toLong, ch.toLong * 10000L / h, fp)),
           s"media $id: plan diverged from the byte replay")
