@@ -683,6 +683,204 @@ object Curation {
     bm25Serve(probed, stats)
   }
 
+  /** pp41: END-TO-END RAG CURATION FLAGSHIP — the r11 verdict's
+    * stretch item: the one composed report a 100 TB curation run
+    * ships, chaining the proven stages over the raw corpus into a
+    * funnel of exact integers:
+    *
+    *   0_raw        → corpus census (docs, tokens)
+    *   1_fuzzy_dedup→ dd22's machinery on the raw table (md5-lane
+    *                  bands → trigram-Jaccard verify at the 2·∩ ≥ ∪
+    *                  integer threshold → connected components; keep
+    *                  = min-id representative)
+    *   2_quality    → pp05's four gates on the survivors
+    *   3_chunks     → pp08's stride-180/width-200 chunking of the
+    *                  surviving documents (count + char mass)
+    *   4_embeddings → ss27's per-dimension variance audit restricted
+    *                  to surviving vectors (count + max share ×10⁴)
+    *   5_retrieval  → ss39's hybrid RRF over the SURVIVING embedded
+    *                  corpus (queries = the 10 smallest surviving
+    *                  embedded ids, collected at plan build — a
+    *                  constant-k driver read, the documented pattern),
+    *                  reported as fused-slot provenance counts
+    *
+    * Every value is a BIGINT (no float crosses the engine boundary),
+    * and the whole funnel — recursive CC included — replays as ONE
+    * DuckDB statement, so the hash certifies the composition, not just
+    * the stages. Scale: each stage is its proven operator's shape
+    * (banded candidates, ids-only shuffles, broadcast query frames,
+    * derived CC loop width); the funnel metrics are 14 rows.
+    */
+  val pp41RagFlagship: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val nTokRaw = size(split(col("text"), " ")).cast("bigint")
+    // ---- stage 1: fuzzy dedup keep-set (dd22 machinery, portable
+    // verify: trigram STRING shingles both for banding and Jaccard)
+    val sh = docs.repartition(32)
+      .withColumn("shingles", array_distinct(
+        graft.functions.GraftFunctions.shingle_strings(col("text"))))
+      .withColumn("sig", graft.functions.GraftFunctions
+        .md5_min_lanes(col("shingles"), 8))
+      .select("doc_id", "shingles", "sig")
+      .localCheckpoint() // multi-ref: band sides, verify payloads, nodes
+    val banded = sh.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), b -> concat(sig[2*b], sig[2*b+1]))")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b")),
+        Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val edges = cand
+      .repartition(32, col("a"))
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")),
+        Seq("a"))
+      .repartition(32, col("b"))
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")),
+        Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("bigint") + size(col("sh_b")) - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("a", "b")
+      .localCheckpoint() // the CC loop's sym is a 2-branch union over it
+    val labels = Dedup.connectedComponents(
+        sh.select(col("doc_id").as("id")), edges)
+      .localCheckpoint() // 2 refs: keep-set + the kept census
+    val reps = labels.filter(col("id") === col("label"))
+      .select(col("id").as("doc_id"))
+    // ---- stage 2: quality gate (pp05's exact flags)
+    val tk = split(col("text"), " ")
+    val nTok = size(tk).cast("bigint")
+    val nDistinct = size(array_distinct(tk)).cast("bigint")
+    val meanLen = (col("n_chars") - (nTok - lit(1))).cast("double") / nTok
+    val symFrac = (col("n_chars") - length(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).cast("double") /
+      col("n_chars")
+    val dupFrac = lit(1.0) - nDistinct.cast("double") / nTok
+    val qual = docs.select(col("doc_id"), nTok.as("n_tokens"),
+      (nTok >= 10 && nTok <= 1000 &&
+        meanLen >= 2.0 && meanLen <= 12.0 &&
+        dupFrac <= 0.6 && symFrac <= 0.1).as("keep_q"))
+    val surv = reps
+      .join(qual.filter(col("keep_q")).select("doc_id", "n_tokens"),
+        Seq("doc_id"))
+      .localCheckpoint() // refs: census, chunks, embed join, items
+    // ---- stage 3: pp08 chunking of the survivors
+    val chunkM = surv.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .select(col("n_chars"), explode(expr(
+        "sequence(0, CAST((n_chars - 1) div 180 AS INT))")).as("ci"))
+      .select(least(lit(200L), col("n_chars") - col("ci") * 180L)
+        .as("clen"))
+      .agg(count(lit(1)).as("n_chunks"), sum("clen").as("n_chunk_chars"))
+    // ---- stage 4: ss27 embedding health over surviving vectors
+    val sEmb = t(s, d, "embeddings")
+      .join(surv.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val perDim = sEmb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)")
+          .as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("s1"),
+        sum(expr("q * q")).as("s2"))
+      .withColumn("varn2", expr("n * s2 - s1 * s1"))
+    val embM = perDim.agg(
+      max(col("n")).as("n_vecs"),
+      expr("max(varn2) * 10000 div sum(varn2)").as("var_share_max_x10k"))
+    // ---- stage 5: hybrid RRF over the surviving embedded corpus;
+    // queries = the 10 smallest surviving embedded ids, read at plan
+    // build (constant-k driver read) so the query frames are literal
+    val items = sEmb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .withColumn("nrm", Similarity.l2norm(col("embedding")))
+      .repartition(32)
+      .localCheckpoint() // refs: grams, vec corpus side, both q frames
+    val qIds: Array[Long] = items.select("doc_id").orderBy("doc_id")
+      .limit(10).collect().map(_.getLong(0))
+    val nItems = items.agg(count(lit(1)).cast("bigint").as("n_items"))
+    val grams = items.select(col("doc_id"), explode(array_distinct(
+        graft.functions.GraftFunctions.shingle_strings(col("text"))))
+        .as("g"))
+      .select(col("doc_id"), md5(col("g")).as("g"))
+    val withDf = grams
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("g")).cast("bigint"))
+      .localCheckpoint() // 2 refs: query side + candidate side
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("lex_score").desc, col("cand_id"))
+    val lexTop = broadcast(withDf
+        .filter(col("doc_id").isin(qIds: _*))
+        .select(col("doc_id").as("query_id"), col("g")))
+      .join(withDf.select(col("doc_id").as("cand_id"), col("g"),
+        col("df")), Seq("g"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .crossJoin(broadcast(nItems))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(expr("n_items * 100 DIV df")).as("lex_score"))
+      .withColumn("lex_rank", row_number().over(wLex).cast("bigint"))
+      .filter(col("lex_rank") <= 20)
+      .select("query_id", "cand_id", "lex_rank")
+    val qv = items.filter(col("doc_id").isin(qIds: _*))
+      .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wVec = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    val vecTop = items.select(col("doc_id").as("cand_id"),
+        col("embedding"), col("nrm"))
+      .crossJoin(broadcast(qv))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos_raw", Similarity.dot(col("embedding"), col("q_emb")) /
+        (col("nrm") * col("q_nrm")))
+      .withColumn("vec_rank", row_number().over(wVec).cast("bigint"))
+      .filter(col("vec_rank") <= 20)
+      .select("query_id", "cand_id", "vec_rank")
+    val fused = rrfFuse(
+      lexTop.join(vecTop, Seq("query_id", "cand_id"), "outer")
+        .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+        .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L))))
+    val retM = fused.agg(
+      count(lit(1)).as("n_slots"),
+      sum(when(col("lex_rank") > 0 && col("vec_rank") > 0, 1L)
+        .otherwise(0L)).as("n_dual"),
+      sum(when(col("lex_rank") > 0 && col("vec_rank") === 0, 1L)
+        .otherwise(0L)).as("n_lex_only"),
+      sum(when(col("vec_rank") > 0 && col("lex_rank") === 0, 1L)
+        .otherwise(0L)).as("n_vec_only"))
+    // ---- the funnel report
+    val rawM = docs.agg(count(lit(1)).as("n_docs"),
+      sum(nTokRaw).as("n_tokens"))
+    val dedupM = labels.agg(
+      sum(when(col("id") === col("label"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("id") =!= col("label"), 1L).otherwise(0L))
+        .as("n_dropped"))
+    val qualM = surv.agg(count(lit(1)).as("q_docs"),
+      sum("n_tokens").as("q_tokens"))
+    rawM.crossJoin(broadcast(dedupM)).crossJoin(broadcast(qualM))
+      .crossJoin(broadcast(chunkM)).crossJoin(broadcast(embM))
+      .crossJoin(broadcast(retM))
+      .select(expr(
+        """stack(14,
+          |  '0_raw', 'n_docs', n_docs,
+          |  '0_raw', 'n_tokens', n_tokens,
+          |  '1_fuzzy_dedup', 'n_kept', n_kept,
+          |  '1_fuzzy_dedup', 'n_dropped', n_dropped,
+          |  '2_quality', 'n_docs', q_docs,
+          |  '2_quality', 'n_tokens', q_tokens,
+          |  '3_chunks', 'n_chunks', n_chunks,
+          |  '3_chunks', 'n_chunk_chars', n_chunk_chars,
+          |  '4_embeddings', 'n_vecs', n_vecs,
+          |  '4_embeddings', 'var_share_max_x10k', var_share_max_x10k,
+          |  '5_retrieval', 'n_slots', n_slots,
+          |  '5_retrieval', 'n_dual', n_dual,
+          |  '5_retrieval', 'n_lex_only', n_lex_only,
+          |  '5_retrieval', 'n_vec_only', n_vec_only)
+          |  AS (stage, metric, value)""".stripMargin))
+      .orderBy("stage", "metric")
+  }
+
   /** tx20: BIGRAM NOVELTY — the memorization/boilerplate signal: for each
     * doc, the fraction of its DISTINCT token bigrams that occur in no
     * other document. Low novelty ⇒ templated/duplicated prose (candidate
@@ -1106,6 +1304,7 @@ object Curation {
     "tx38_delta_text_index" -> tx38DeltaTextIndex,
     "tx20_bigram_novelty" -> tx20BigramNovelty,
     "pp05_quality_filter" -> pp05QualityFilter,
+    "pp41_rag_flagship" -> ((s, d) => pp41RagFlagship(s, d)),
     "pp26_line_clean" -> pp26LineClean,
     "pp06_mixture_rebalance" -> pp06MixtureRebalance,
     "pp14_curriculum" -> pp14Curriculum,
@@ -1555,6 +1754,180 @@ val oracleSql: Map[String, String] = Map(
         |      FILTER (WHERE NOT (r_short OR r_stop OR r_lowdiv)), ''))
         |    AS clean_fp
         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // pp41: the WHOLE funnel — banded fuzzy dedup with recursive CC,
+    // pp05 gates, pp08 chunking, ss27 variance, ss39 hybrid fusion —
+    // replayed as ONE statement over p41-prefixed CTEs; every value is
+    // a BIGINT. Queries = the 10 smallest surviving embedded ids (the
+    // Spark side collects them at plan build; the replay derives the
+    // same set relationally).
+    "pp41_rag_flagship" -> s"""WITH RECURSIVE
+      |p41tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |p41sh AS MATERIALIZED (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(tk) < 3 THEN [text]
+      |      ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |            for i in generate_series(1, len(tk) - 2)] END) AS sh
+      |  FROM p41tk),
+      |p41sig AS (SELECT doc_id,
+      |    list_min([md5(x || '#0') for x in sh]) AS s0,
+      |    list_min([md5(x || '#1') for x in sh]) AS s1,
+      |    list_min([md5(x || '#2') for x in sh]) AS s2,
+      |    list_min([md5(x || '#3') for x in sh]) AS s3,
+      |    list_min([md5(x || '#4') for x in sh]) AS s4,
+      |    list_min([md5(x || '#5') for x in sh]) AS s5,
+      |    list_min([md5(x || '#6') for x in sh]) AS s6,
+      |    list_min([md5(x || '#7') for x in sh]) AS s7
+      |  FROM p41sh),
+      |p41band AS MATERIALIZED (
+      |  SELECT doc_id, 0 AS band, s0 || s1 AS bkey FROM p41sig
+      |  UNION ALL SELECT doc_id, 1, s2 || s3 FROM p41sig
+      |  UNION ALL SELECT doc_id, 2, s4 || s5 FROM p41sig
+      |  UNION ALL SELECT doc_id, 3, s6 || s7 FROM p41sig),
+      |p41cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM p41band a JOIN p41band b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |p41edge AS MATERIALIZED (SELECT a, b FROM p41cand
+      |  JOIN p41sh sa ON sa.doc_id = p41cand.a
+      |  JOIN p41sh sb ON sb.doc_id = p41cand.b
+      |  WHERE 2 * len(list_intersect(sa.sh, sb.sh)) >=
+      |    len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+      |p41sym AS (SELECT a, b FROM p41edge
+      |  UNION ALL SELECT b, a FROM p41edge),
+      |p41r AS (SELECT doc_id AS id, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT p41sym.b AS id, p41r.label
+      |  FROM p41r JOIN p41sym ON p41sym.a = p41r.id),
+      |p41lab AS MATERIALIZED (SELECT id, min(label) AS label
+      |  FROM p41r GROUP BY id),
+      |p41qual AS (SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n_tokens,
+      |    ((len(tk) >= 10 AND len(tk) <= 1000)
+      |     AND (CAST(n_chars - (len(tk) - 1) AS DOUBLE) / len(tk) >= 2.0
+      |          AND CAST(n_chars - (len(tk) - 1) AS DOUBLE) / len(tk) <= 12.0)
+      |     AND (1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) <= 0.6)
+      |     AND (CAST(n_chars - length(regexp_replace(lower(text),
+      |            '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / n_chars <= 0.1))
+      |      AS keep_q
+      |  FROM (SELECT d.doc_id, d.text, d.n_chars,
+      |          string_split(d.text, ' ') AS tk FROM documents d)),
+      |p41sv AS MATERIALIZED (SELECT q.doc_id, q.n_tokens
+      |  FROM p41qual q JOIN p41lab l ON l.id = q.doc_id AND l.id = l.label
+      |  WHERE q.keep_q),
+      |p41chunk AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(least(200, n_chars - ci * 180)) AS BIGINT)
+      |      AS n_chunk_chars
+      |  FROM (SELECT d.n_chars,
+      |          unnest(generate_series(0, (d.n_chars - 1) // 180)) AS ci
+      |        FROM documents d JOIN p41sv USING (doc_id))),
+      |p41dim AS (SELECT CAST(i - 1 AS BIGINT) AS dim, qs[i] AS q
+      |  FROM (SELECT list_transform(e.embedding,
+      |          x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+      |            AS qs
+      |        FROM embeddings e JOIN p41sv s ON s.doc_id = e.vec_id),
+      |    LATERAL (SELECT unnest(generate_series(1, len(qs))) AS i)),
+      |p41pd AS (SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS s1,
+      |    CAST(sum(q * q) AS BIGINT) AS s2
+      |  FROM p41dim GROUP BY 1),
+      |p41emb AS (SELECT CAST(max(n) AS BIGINT) AS n_vecs,
+      |    CAST(max(n * s2 - s1 * s1) * 10000
+      |      // sum(n * s2 - s1 * s1) AS BIGINT) AS var_share_max_x10k
+      |  FROM p41pd),
+      |p41it AS MATERIALIZED (SELECT e.vec_id AS doc_id, d.text,
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      |  JOIN p41sv s ON s.doc_id = e.vec_id),
+      |p41n AS (SELECT doc_id, emb AS e,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |  FROM p41it),
+      |p41q AS (SELECT doc_id FROM p41it ORDER BY doc_id LIMIT 10),
+      |p41st AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM p41it),
+      |p41gr AS MATERIALIZED (SELECT DISTINCT doc_id, md5(g) AS g
+      |  FROM (SELECT doc_id,
+      |          CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+      |            ELSE [string_split(text, ' ')[i] || ' ' ||
+      |                  string_split(text, ' ')[i+1] || ' ' ||
+      |                  string_split(text, ' ')[i+2]
+      |                  for i in generate_series(1,
+      |                    len(string_split(text, ' ')) - 2)] END AS sh
+      |        FROM p41it),
+      |    LATERAL (SELECT unnest(sh) AS g)),
+      |p41gdf AS (SELECT doc_id, g,
+      |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS df
+      |  FROM p41gr),
+      |p41lex AS (SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+      |    CAST(sum(st.n_items * 100 // c.df) AS BIGINT) AS lex_score
+      |  FROM p41gdf q JOIN p41gdf c USING (g) CROSS JOIN p41st st
+      |  WHERE q.doc_id IN (SELECT doc_id FROM p41q)
+      |    AND c.doc_id <> q.doc_id
+      |  GROUP BY 1, 2),
+      |p41lt AS (SELECT query_id, cand_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY lex_score DESC, cand_id) AS BIGINT) AS lex_rank
+      |  FROM p41lex QUALIFY lex_rank <= 20),
+      |p41vec AS (SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+      |    ${Similarity.dotSql} / (c.nrm * q.nrm) AS cos_raw
+      |  FROM p41n c JOIN p41n q
+      |    ON q.doc_id IN (SELECT doc_id FROM p41q)
+      |      AND c.doc_id <> q.doc_id),
+      |p41vt AS (SELECT query_id, cand_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_raw DESC, cand_id) AS BIGINT) AS vec_rank
+      |  FROM p41vec QUALIFY vec_rank <= 20),
+      |p41fu AS (SELECT
+      |    coalesce(lt.query_id, vt.query_id) AS query_id,
+      |    coalesce(lt.cand_id, vt.cand_id) AS cand_id,
+      |    CAST(coalesce(lt.lex_rank, 0) AS BIGINT) AS lex_rank,
+      |    CAST(coalesce(vt.vec_rank, 0) AS BIGINT) AS vec_rank
+      |  FROM p41lt lt FULL OUTER JOIN p41vt vt
+      |    ON lt.query_id = vt.query_id AND lt.cand_id = vt.cand_id),
+      |p41rk AS (SELECT query_id, cand_id, lex_rank, vec_rank,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      (CASE WHEN lex_rank > 0 THEN 100000000 // (60 + lex_rank)
+      |            ELSE 0 END)
+      |      + (CASE WHEN vec_rank > 0 THEN 100000000 // (60 + vec_rank)
+      |              ELSE 0 END) DESC, cand_id) AS rk
+      |  FROM p41fu),
+      |p41ret AS (SELECT CAST(count(*) AS BIGINT) AS n_slots,
+      |    CAST(sum(CASE WHEN lex_rank > 0 AND vec_rank > 0 THEN 1
+      |             ELSE 0 END) AS BIGINT) AS n_dual,
+      |    CAST(sum(CASE WHEN lex_rank > 0 AND vec_rank = 0 THEN 1
+      |             ELSE 0 END) AS BIGINT) AS n_lex_only,
+      |    CAST(sum(CASE WHEN vec_rank > 0 AND lex_rank = 0 THEN 1
+      |             ELSE 0 END) AS BIGINT) AS n_vec_only
+      |  FROM p41rk WHERE rk <= 5),
+      |p41raw AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM p41tk),
+      |p41ded AS (SELECT
+      |    CAST(sum(CASE WHEN id = label THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_kept,
+      |    CAST(sum(CASE WHEN id <> label THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dropped
+      |  FROM p41lab),
+      |p41qm AS (SELECT CAST(count(*) AS BIGINT) AS q_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS q_tokens FROM p41sv)
+      |SELECT stage, metric, value FROM (
+      |  SELECT '0_raw' AS stage, 'n_docs' AS metric, n_docs AS value
+      |    FROM p41raw
+      |  UNION ALL SELECT '0_raw', 'n_tokens', n_tokens FROM p41raw
+      |  UNION ALL SELECT '1_fuzzy_dedup', 'n_kept', n_kept FROM p41ded
+      |  UNION ALL SELECT '1_fuzzy_dedup', 'n_dropped', n_dropped
+      |    FROM p41ded
+      |  UNION ALL SELECT '2_quality', 'n_docs', q_docs FROM p41qm
+      |  UNION ALL SELECT '2_quality', 'n_tokens', q_tokens FROM p41qm
+      |  UNION ALL SELECT '3_chunks', 'n_chunks', n_chunks FROM p41chunk
+      |  UNION ALL SELECT '3_chunks', 'n_chunk_chars', n_chunk_chars
+      |    FROM p41chunk
+      |  UNION ALL SELECT '4_embeddings', 'n_vecs', n_vecs FROM p41emb
+      |  UNION ALL SELECT '4_embeddings', 'var_share_max_x10k',
+      |    var_share_max_x10k FROM p41emb
+      |  UNION ALL SELECT '5_retrieval', 'n_slots', n_slots FROM p41ret
+      |  UNION ALL SELECT '5_retrieval', 'n_dual', n_dual FROM p41ret
+      |  UNION ALL SELECT '5_retrieval', 'n_lex_only', n_lex_only
+      |    FROM p41ret
+      |  UNION ALL SELECT '5_retrieval', 'n_vec_only', n_vec_only
+      |    FROM p41ret)
+      |ORDER BY stage, metric""".stripMargin,
     "pp05_quality_filter" ->
       """WITH q AS (
         |  SELECT doc_id, n_chars,

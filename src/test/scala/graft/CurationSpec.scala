@@ -288,6 +288,36 @@ class CurationSpec extends SparkSpec {
       s"fusion layer moved: ${fused.toSeq}")
   }
 
+  test("pp41: the curation funnel is monotone, every stage is live, " +
+      "and the retrieval slots partition by provenance") {
+    val m = SparkEntry.queries("pp41_rag_flagship")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val nDocs = m(("0_raw", "n_docs"))
+    val kept = m(("1_fuzzy_dedup", "n_kept"))
+    val qDocs = m(("2_quality", "n_docs"))
+    // funnel monotonicity: each stage only removes
+    assert(kept + m(("1_fuzzy_dedup", "n_dropped")) == nDocs)
+    assert(qDocs <= kept, s"quality grew the corpus: $qDocs > $kept")
+    assert(m(("2_quality", "n_tokens")) <= m(("0_raw", "n_tokens")))
+    assert(m(("4_embeddings", "n_vecs")) <= qDocs)
+    // every stage is live on the fixture (a dead stage means the
+    // composition silently skipped work)
+    assert(m(("1_fuzzy_dedup", "n_dropped")) > 0, "dedup dropped nothing")
+    assert(qDocs < kept, "quality gated nothing")
+    assert(m(("3_chunks", "n_chunks")) >= qDocs,
+      "every surviving doc chunks at least once")
+    assert(m(("4_embeddings", "n_vecs")) > 0 &&
+      m(("4_embeddings", "var_share_max_x10k")) >= 10000L / 64,
+      "max variance share below the uniform floor")
+    // retrieval slots partition exactly by provenance
+    assert(m(("5_retrieval", "n_slots")) ==
+      m(("5_retrieval", "n_dual")) + m(("5_retrieval", "n_lex_only")) +
+        m(("5_retrieval", "n_vec_only")))
+    assert(m(("5_retrieval", "n_slots")) == 50L,
+      "expected 10 surviving queries x fused top-5")
+  }
+
   test("tx37: BM25 served from the persisted index equals tx19 byte " +
       "for byte") {
     // the whole contract: moving the inverted index + corpus stats

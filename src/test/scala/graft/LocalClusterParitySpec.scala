@@ -141,8 +141,9 @@ class LocalClusterParitySpec extends SparkSpec {
     "dd38_erasure_purge", "tx37_persisted_text_index",
     "tx38_delta_text_index",
     // r12: ss43 composes BOTH persisted-index arms + the fusion layer
-    // across executor JVMs
-    "ss43_served_hybrid")
+    // across executor JVMs; pp41 chains dedup CC + gates + fusion into
+    // the one composed funnel (plan-build query-id collect included)
+    "ss43_served_hybrid", "pp41_rag_flagship")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
