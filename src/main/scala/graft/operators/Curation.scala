@@ -881,6 +881,116 @@ object Curation {
       .orderBy("stage", "metric")
   }
 
+  /** tx38's ingest-day scaffold: the base corpus and its re-encode
+    * delta batch (the +2·10⁷ convention) — shared by tx38/tx39/tx40. */
+  private def textDelta(docs: DataFrame): DataFrame = {
+    val dropTok = expr(
+      """CASE WHEN instr(text, ' ') > 0
+        |     THEN substring(text, instr(text, ' ') + 1)
+        |     ELSE text END""".stripMargin)
+    docs.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        dropTok.as("text"))
+  }
+
+  /** tx39: TEXT-INDEX COMPACTION — the dd37 move completing tx37/tx38's
+    * lifecycle: base ∪ delta rewritten as ONE compacted segment pair
+    * (segment count back to 1 — the policy bounding tx38's per-segment
+    * probe fan-out), served by tx37's single-segment path. Unlike the
+    * vector compaction (ss36, where retraining may move candidates),
+    * BM25 compaction is PROVABLY score-neutral: a doc lives in exactly
+    * one segment, so union postings give df = Σ per-segment df, and the
+    * stats sidecar merge (Σn, Σdl) is exact integer arithmetic — the
+    * compacted serve is byte-identical to tx38's segment-merged serve,
+    * and the oracle (tx38's own union replay) certifies it.
+    *
+    * Scale: compaction pays one full rewrite of postings + sidecar (the
+    * honest cost, as dd37/ss36 price it); every query thereafter probes
+    * one segment instead of k.
+    */
+  val tx39CompactedTextIndex: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val delta = textDelta(docs)
+    Bucketing.writeBucketed(
+      bm25Postings(docs).unionAll(bm25Postings(delta)),
+      "graft_tpost_compact", "token", 8)
+    Bucketing.writeTable(
+      bm25Stats(docs).unionAll(bm25Stats(delta))
+        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")),
+      "graft_tstats_compact")
+    bm25Serve(
+      s.table("graft_tpost_compact")
+        .filter(col("token").isin(bm25Terms: _*)),
+      s.table("graft_tstats_compact"))
+  }
+
+  /** tx40: ERASURE PURGE OF THE TEXT INDEX — the dd38/ss38 move for
+    * the third index family, completing the GDPR story across all
+    * three (vectors: ss38; dedup bands: dd38; text postings: this).
+    * st25's erasure ledger (event_id % 97 requests; ownership doc_id %
+    * 1000 — offsets are multiples of 1000, so the delta re-encodes
+    * inherit their original's owner) drives a rebuild of the tx38
+    * base∪delta index over LIVE docs only: an erased user's postings
+    * are PHYSICALLY ABSENT from the written tables.
+    *
+    * Unlike dd38 (content-hash band keys ⇒ verdict-neutral on
+    * survivors), a BM25 purge is NOT score-neutral: df, n_docs and
+    * avgdl are corpus-relative, so every surviving score shifts — the
+    * honest contract is therefore FROM-SCRATCH EQUIVALENCE (the purged
+    * serve is byte-identical to an index built over the live corpus;
+    * the oracle replays exactly that) plus an explicit rank diff: each
+    * purged top-5 row carries the doc's rank in the UNPURGED top-5 (0
+    * when the purge promoted it from below) and, per term, how many
+    * erased docs sat in the unpurged top-5.
+    *
+    * Scale: the purge pays one live-only rewrite (the dd38 cost
+    * story); the ledger is a per-user broadcast anti-join; serving is
+    * tx37's pushed-filter bucketed probe.
+    */
+  val tx40TextPurge: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val union = docs.select("doc_id", "text")
+      .unionAll(textDelta(docs))
+    val erased = graft.streaming.EventsStreaming.erasureCorpus(s, d)
+      .filter(col("event_id") % 97 === 0)
+      .select(col("user_id").as("owner")).distinct()
+      .localCheckpoint() // 2 refs: the live filter + the erased-above count
+    val live = union
+      .withColumn("owner", pmod(col("doc_id"), lit(1000L)))
+      .join(erased, Seq("owner"), "left_anti")
+      .drop("owner")
+    Bucketing.writeBucketed(bm25Postings(live), "graft_tpost_live",
+      "token", 8)
+    Bucketing.writeTable(bm25Stats(live), "graft_tstats_live")
+    val purged = bm25Serve(
+      s.table("graft_tpost_live")
+        .filter(col("token").isin(bm25Terms: _*)),
+      s.table("graft_tstats_live"))
+    // the unpurged top-5 (tx38's union corpus, in-plan) — consumed
+    // twice (old-rank join + erased-in-old-top5 census)
+    val oldRanked = bm25Serve(
+        bm25Postings(union).filter(col("token").isin(bm25Terms: _*)),
+        bm25Stats(union))
+      .select(col("token"), col("doc_id"), col("rnk").as("old_rnk"))
+      .localCheckpoint()
+    val erasedAbove = oldRanked
+      .withColumn("owner", pmod(col("doc_id"), lit(1000L)))
+      .join(erased.withColumn("e", lit(true)), Seq("owner"), "left")
+      .withColumn("is_erased", coalesce(col("e"), lit(false)))
+      .groupBy("token")
+      .agg(sum(when(col("is_erased"), 1L).otherwise(0L))
+        .as("n_erased_in_old_top5"))
+    purged
+      .join(oldRanked, Seq("token", "doc_id"), "left")
+      .join(erasedAbove, Seq("token"), "left")
+      .select(col("token"), col("rnk"), col("doc_id"), col("tf"),
+        col("dl"), col("score"),
+        coalesce(col("old_rnk"), lit(0L)).as("old_rnk"),
+        coalesce(col("n_erased_in_old_top5"), lit(0L))
+          .as("n_erased_in_old_top5"))
+      .orderBy("token", "rnk")
+  }
+
   /** tx20: BIGRAM NOVELTY — the memorization/boilerplate signal: for each
     * doc, the fraction of its DISTINCT token bigrams that occur in no
     * other document. Low novelty ⇒ templated/duplicated prose (candidate
@@ -1302,6 +1412,8 @@ object Curation {
     "tx19_bm25" -> tx19Bm25,
     "tx37_persisted_text_index" -> tx37PersistedTextIndex,
     "tx38_delta_text_index" -> tx38DeltaTextIndex,
+    "tx39_compacted_text_index" -> ((s, d) => tx39CompactedTextIndex(s, d)),
+    "tx40_text_purge" -> ((s, d) => tx40TextPurge(s, d)),
     "tx20_bigram_novelty" -> tx20BigramNovelty,
     "pp05_quality_filter" -> pp05QualityFilter,
     "pp41_rag_flagship" -> ((s, d) => pp41RagFlagship(s, d)),
@@ -1707,6 +1819,80 @@ val oracleSql: Map[String, String] = Map(
     // tx37: byte-identity to tx19 IS the gate (the dd35 rule) — the
     // oracle is tx19's own replay
     "tx37_persisted_text_index" -> tx19Bm25Sql,
+    // tx39: compaction is provably score-neutral (df/stats merges are
+    // exact), so the gate IS tx38's union replay byte-for-byte
+    "tx39_compacted_text_index" -> tx19Bm25Sql.replace(
+      "FROM documents)",
+      """FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000,
+        |    string_split(CASE WHEN instr(text, ' ') > 0
+        |      THEN substring(text, instr(text, ' ') + 1)
+        |      ELSE text END, ' '),
+        |    CAST(len(string_split(CASE WHEN instr(text, ' ') > 0
+        |      THEN substring(text, instr(text, ' ') + 1)
+        |      ELSE text END, ' ')) AS BIGINT)
+        |  FROM documents WHERE doc_id % 10 = 7)""".stripMargin),
+    // tx40: the purged serve replayed from scratch over the LIVE
+    // corpus (the from-scratch-equivalence contract), the unpurged
+    // top-5 over the full union, and the rank-diff join
+    "tx40_text_purge" ->
+      """WITH uni AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000,
+        |    CASE WHEN instr(text, ' ') > 0
+        |      THEN substring(text, instr(text, ' ') + 1)
+        |      ELSE text END
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |era AS MATERIALIZED (SELECT DISTINCT user_id FROM events
+        |  WHERE event_id % 97 = 0),
+        |liv AS (SELECT * FROM uni
+        |  WHERE doc_id % 1000 NOT IN (SELECT user_id FROM era)),
+        |pd2 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM liv),
+        |pst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    avg(dl) AS avgdl FROM pd2),
+        |ptf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM pd2)
+        |  WHERE token IN ('query', 'table', 'stream')
+        |  GROUP BY token, doc_id, dl),
+        |pdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM ptf GROUP BY token),
+        |psc AS (SELECT token, doc_id, tf, dl,
+        |    round(((n_docs - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 4) AS score
+        |  FROM ptf JOIN pdf USING (token) CROSS JOIN pst),
+        |prk AS (SELECT *, CAST(row_number() OVER (PARTITION BY token
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM psc),
+        |od2 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM uni),
+        |ost AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    avg(dl) AS avgdl FROM od2),
+        |otf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM od2)
+        |  WHERE token IN ('query', 'table', 'stream')
+        |  GROUP BY token, doc_id, dl),
+        |odf AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM otf GROUP BY token),
+        |osc AS (SELECT token, doc_id,
+        |    round(((n_docs - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 4) AS score
+        |  FROM otf JOIN odf USING (token) CROSS JOIN ost),
+        |ork AS MATERIALIZED (SELECT token, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY token
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS old_rnk
+        |  FROM osc QUALIFY old_rnk <= 5),
+        |oea AS (SELECT token,
+        |    CAST(sum(CASE WHEN doc_id % 1000 IN (SELECT user_id FROM era)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_erased_in_old_top5
+        |  FROM ork GROUP BY token)
+        |SELECT p.token, p.rnk, p.doc_id, p.tf, p.dl, p.score,
+        |  CAST(coalesce(o.old_rnk, 0) AS BIGINT) AS old_rnk,
+        |  CAST(coalesce(e.n_erased_in_old_top5, 0) AS BIGINT)
+        |    AS n_erased_in_old_top5
+        |FROM prk p
+        |LEFT JOIN ork o ON o.token = p.token AND o.doc_id = p.doc_id
+        |LEFT JOIN oea e ON e.token = p.token
+        |WHERE p.rnk <= 5
+        |ORDER BY p.token, p.rnk""".stripMargin,
     // tx38: one index over the UNION corpus — the hash certifies that
     // per-segment serving with merged stats loses nothing
     "tx38_delta_text_index" -> tx19Bm25Sql.replace(

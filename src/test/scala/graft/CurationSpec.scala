@@ -318,6 +318,67 @@ class CurationSpec extends SparkSpec {
       "expected 10 surviving queries x fused top-5")
   }
 
+  test("tx39: compacting base + delta text segments changes no score " +
+      "byte (BM25 stats merges are exact)") {
+    val segmented = SparkEntry.queries("tx38_delta_text_index")(spark, sf)
+      .collect().toSeq
+    val compacted = SparkEntry.queries("tx39_compacted_text_index")(
+      spark, sf).collect().toSeq
+    assert(compacted == segmented,
+      s"text compaction moved scores: ${compacted.diff(segmented).take(3)}")
+  }
+
+  test("tx40: text purge — zero erased ids in the written postings, " +
+      "purged serve equals a from-scratch live index, evictions live") {
+    import org.apache.spark.sql.functions._
+    // sf0.01, not the suite default: the eviction-liveness asserts are
+    // corpus-dependent (at sf0.001 only 10 users are erased and none
+    // of their docs reaches an unpurged top-5; at sf0.01 six do)
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("tx40_text_purge")(spark, sf)
+      .collect()
+    // GDPR is a storage property (the dd38 rule): the written postings
+    // hold no erased id
+    val erased = graft.streaming.EventsStreaming.erasureCorpus(spark, sf)
+      .filter(col("event_id") % 97 === 0)
+      .select(col("user_id").as("owner")).distinct()
+    val hits = spark.table("graft_tpost_live")
+      .withColumn("owner", pmod(col("doc_id"), lit(1000L)))
+      .join(erased, Seq("owner")).count()
+    assert(hits == 0L, s"graft_tpost_live holds $hits erased-doc rows")
+    // no erased doc surfaces in any purged top-5
+    val erasedSet = erased.collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(!erasedSet(r.getLong(2) % 1000L),
+        s"erased doc ${r.getLong(2)} served from the purged index")
+    }
+    // from-scratch equivalence: the purged serve is byte-identical to
+    // an index built directly over the live corpus (BM25 purge is NOT
+    // score-neutral — df/n/avgdl shift — so THIS is the contract)
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val dropTok = expr(
+      """CASE WHEN instr(text, ' ') > 0
+        |     THEN substring(text, instr(text, ' ') + 1)
+        |     ELSE text END""".stripMargin)
+    val union = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          dropTok.as("text")))
+    val live = union.withColumn("owner", pmod(col("doc_id"), lit(1000L)))
+      .join(erased, Seq("owner"), "left_anti").drop("owner")
+    val truth = Curation.bm25InPlan(live).collect().toSeq
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq ==
+      truth.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))),
+      "purged serve diverges from the from-scratch live index")
+    // the purge visibly changed the ranking on this corpus
+    assert(rows.exists(_.getLong(7) > 0L),
+      "no erased doc sat in any unpurged top-5 — the purge was vacuous")
+    assert(rows.exists(_.getLong(6) == 0L),
+      "no promotion from below — eviction slots did not refill")
+  }
+
   test("tx37: BM25 served from the persisted index equals tx19 byte " +
       "for byte") {
     // the whole contract: moving the inverted index + corpus stats

@@ -143,7 +143,10 @@ class LocalClusterParitySpec extends SparkSpec {
     // r12: ss43 composes BOTH persisted-index arms + the fusion layer
     // across executor JVMs; pp41 chains dedup CC + gates + fusion into
     // the one composed funnel (plan-build query-id collect included)
-    "ss43_served_hybrid", "pp41_rag_flagship")
+    "ss43_served_hybrid", "pp41_rag_flagship",
+    // r12: the text-index lifecycle close — compaction byte-identity
+    // and the erasure purge's dual-ranking join across executor JVMs
+    "tx39_compacted_text_index", "tx40_text_purge")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
