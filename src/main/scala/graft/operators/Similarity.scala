@@ -592,6 +592,7 @@ object Similarity {
     "ss01_topk_bruteforce" -> ((s, d) => topkBrute(s, d)),
     "ss02_topk_lsh" -> ((s, d) => topkLsh(s, d)),
     "ss03_topk_ivf" -> ((s, d) => topkIvf(s, d)),
+    "ss44_filtered_search" -> ((s, d) => filteredSearch(s, d)),
     "ss04_range_search" -> ((s, d) => rangeSearch(s, d)),
     "ss05_centroid_assign" -> ((s, d) => centroidAssign(s, d)),
     "ss06_knn_graph" -> ((s, d) => knnGraph(s, d)),
@@ -2683,6 +2684,128 @@ object Similarity {
     * cosine. The centroid matrix is collected once on the driver (16×64
     * floats) and rides into codegen via the NearestCentroids expression.
     */
+  /** ss44: FILTERED VECTOR SEARCH — the query shape a production RAG
+    * stack actually serves ("top-k similar WHERE source = X"), and the
+    * strategy decision it forces. Two filters sweep the selectivity
+    * axis on the same corpus — `tight` (one source, ~5% of the
+    * universe) and `broad` (the length-4 source names, ~50%) — and for
+    * each, BOTH strategies run against the exact filtered truth:
+    *
+    *   PRE-filter:  restrict the probed IVF lists to matching docs,
+    *                then exact-cosine top-3 — correct at any
+    *                selectivity, but the filter join touches the
+    *                candidate stream;
+    *   POST-filter: plain IVF top-10, THEN filter, take the first 3 —
+    *                cheaper, but a tight filter STARVES it (few of the
+    *                unfiltered top-10 match; post_kept < 3 and recall
+    *                collapses — the measured failure mode that decides
+    *                the strategy, Qdrant/Milvus-style).
+    *
+    * Output per (filter, query): the matching-universe size, the
+    * pre-filter candidate count, and each strategy's hits against the
+    * exact filtered top-3 — all BIGINTs. The expected reading at
+    * sf0.01: broad ≈ both strategies fine; tight ≈ pre holds recall
+    * while post starves.
+    *
+    * Scale: the coarse quantizer and probes are the ss03/ss18
+    * machinery (16-centroid broadcast, nprobe 2); the filter rides the
+    * candidate stream as a predicate/semi-join (ids only); the exact
+    * truth is the sampled 10-query denominator (the ss19 rule). At
+    * 100 TB the metadata predicate pushes into the list scan of a
+    * partitioned/bucketed index — the pre-filter plan IS dd35's
+    * bucketed-probe shape with one more join key.
+    */
+  def filteredSearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .join(t(s, d, "documents")
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      .withColumn("norm", l2norm(col("embedding")))
+      .repartition(32)
+      .localCheckpoint() // consumed by seeds, assignment, truth, probes
+    val cents = coarseSeeds(all)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val rankedA = all.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("crn", row_number().over(wAssign))
+    val assigned = rankedA.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        col("embedding"), col("norm"), col("source"))
+      .localCheckpoint() // consumed by both strategies × both filters
+    val probes = rankedA.filter(col("crn") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cid").as("cluster"))
+    val qv = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val queries = qv.select("query_id")
+    def cos = dot(col("embedding"), col("q_emb")) /
+      (col("norm") * col("q_norm"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    // plain IVF top-10 (shared by both filters' post strategy)
+    val top10 = assigned.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos_raw", cos)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10)
+      .select("query_id", "vec_id", "source", "rn")
+      .localCheckpoint() // consumed per filter
+    def strategyReport(label: String, pred: Column): DataFrame = {
+      val matching = assigned.filter(pred)
+      val nMatch = matching.agg(count(lit(1)).as("n_match"))
+      // exact filtered truth: brute over the matching universe
+      val exact3 = matching.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 3)
+        .select("query_id", "vec_id")
+        .localCheckpoint() // joined by both strategies' hit counts
+      // PRE: candidates restricted to matching docs before ranking
+      val pre = matching.join(probes, Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", row_number().over(wq))
+      val preCand = pre.groupBy("query_id")
+        .agg(count(lit(1)).as("n_pre_cand"))
+      val preHits = pre.filter(col("rn") <= 3)
+        .select("query_id", "vec_id")
+        .join(exact3, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("pre_hits"))
+      // POST: filter the plain top-10, keep the first 3 survivors
+      val postSurv = top10.filter(pred)
+        .withColumn("srn", row_number().over(Window
+          .partitionBy("query_id").orderBy("rn")))
+      val postKept = postSurv.groupBy("query_id")
+        .agg(count(lit(1)).as("post_kept"))
+      val postHits = postSurv.filter(col("srn") <= 3)
+        .select("query_id", "vec_id")
+        .join(exact3, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("post_hits"))
+      queries
+        .join(preCand, Seq("query_id"), "left")
+        .join(preHits, Seq("query_id"), "left")
+        .join(postKept, Seq("query_id"), "left")
+        .join(postHits, Seq("query_id"), "left")
+        .crossJoin(broadcast(nMatch))
+        .select(lit(label).as("filter"), col("query_id"),
+          col("n_match"),
+          coalesce(col("n_pre_cand"), lit(0L)).as("n_pre_cand"),
+          coalesce(col("pre_hits"), lit(0L)).as("pre_hits"),
+          coalesce(col("post_kept"), lit(0L)).as("post_kept"),
+          coalesce(col("post_hits"), lit(0L)).as("post_hits"))
+    }
+    strategyReport("tight", col("source") === "src7")
+      .unionAll(strategyReport("broad", length(col("source")) === 4))
+      .orderBy("filter", "query_id")
+  }
+
   def topkIvf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.NearestCentroids
@@ -2743,6 +2866,143 @@ object Similarity {
        |      list_transform($sl, x -> x * x)), (a, b) -> a + b))""".stripMargin
 
   // shared with Dedup's dd19 oracle (same banding machinery, dedup lens)
+  /** ss44's replay: coarse assignment, both filters, both
+    * strategies, exact filtered truths — one statement. */
+  private lazy val ss44Sql: String =
+      s"""WITH v AS (SELECT e.vec_id, d.source,
+         |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |n AS (SELECT vec_id, source, e,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+         |  FROM v),
+         |s44c AS (SELECT vec_id AS cid, e, nrm FROM n
+         |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16),
+         |s44as AS (SELECT c.vec_id, q.cid,
+         |    $dotSql / (c.nrm * q.nrm) AS ccos
+         |  FROM n c CROSS JOIN s44c q),
+         |s44ar AS MATERIALIZED (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS crn
+         |  FROM s44as),
+         |s44a AS MATERIALIZED (SELECT n.vec_id, a.cid AS cluster,
+         |    n.e, n.nrm, n.source
+         |  FROM n JOIN s44ar a ON a.vec_id = n.vec_id AND a.crn = 1),
+         |s44p AS (SELECT vec_id AS query_id, cid AS cluster
+         |  FROM s44ar WHERE crn <= 2 AND vec_id < 10),
+         |s44q AS (SELECT vec_id AS query_id, e, nrm FROM n
+         |  WHERE vec_id < 10),
+         |s44t10 AS MATERIALIZED (SELECT query_id, vec_id, source, rn
+         |  FROM (SELECT q.query_id, c.vec_id, c.source,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY $dotSql / (c.nrm * q.nrm) DESC, c.vec_id)
+         |        AS rn
+         |    FROM s44a c JOIN s44p p2 ON p2.cluster = c.cluster
+         |    JOIN s44q q ON q.query_id = p2.query_id
+         |      AND c.vec_id <> q.query_id)
+         |  WHERE rn <= 10),
+         |s44tm AS (SELECT * FROM s44a WHERE source = 'src7'),
+         |s44tnm AS (SELECT CAST(count(*) AS BIGINT) AS n_match
+         |  FROM s44tm),
+         |s44tex AS MATERIALIZED (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY $dotSql / (c.nrm * q.nrm) DESC, c.vec_id) AS rn
+         |  FROM s44tm c CROSS JOIN s44q q
+         |  WHERE c.vec_id <> q.query_id) WHERE rn <= 3),
+         |s44tpr AS MATERIALIZED (
+         |  SELECT q.query_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY $dotSql / (c.nrm * q.nrm) DESC, c.vec_id) AS rn
+         |  FROM s44tm c JOIN s44p p2 ON p2.cluster = c.cluster
+         |  JOIN s44q q ON q.query_id = p2.query_id
+         |    AND c.vec_id <> q.query_id),
+         |s44tpc AS (SELECT query_id,
+         |    CAST(count(*) AS BIGINT) AS n_pre_cand
+         |  FROM s44tpr GROUP BY 1),
+         |s44tph AS (SELECT r.query_id,
+         |    CAST(count(*) AS BIGINT) AS pre_hits
+         |  FROM s44tpr r JOIN s44tex e
+         |    ON e.query_id = r.query_id AND e.vec_id = r.vec_id
+         |  WHERE r.rn <= 3 GROUP BY 1),
+         |s44tps AS (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rn)
+         |      AS srn
+         |  FROM s44t10 WHERE source = 'src7'),
+         |s44tpk AS (SELECT query_id,
+         |    CAST(count(*) AS BIGINT) AS post_kept
+         |  FROM s44tps GROUP BY 1),
+         |s44tpp AS (SELECT t.query_id,
+         |    CAST(count(*) AS BIGINT) AS post_hits
+         |  FROM s44tps t JOIN s44tex e
+         |    ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+         |  WHERE t.srn <= 3 GROUP BY 1),
+         |s44tout AS (SELECT 'tight' AS filter, q.query_id,
+         |    nm.n_match,
+         |    CAST(coalesce(pc.n_pre_cand, 0) AS BIGINT) AS n_pre_cand,
+         |    CAST(coalesce(ph.pre_hits, 0) AS BIGINT) AS pre_hits,
+         |    CAST(coalesce(pk.post_kept, 0) AS BIGINT) AS post_kept,
+         |    CAST(coalesce(pp.post_hits, 0) AS BIGINT) AS post_hits
+         |  FROM (SELECT DISTINCT query_id FROM s44q) q
+         |  CROSS JOIN s44tnm nm
+         |  LEFT JOIN s44tpc pc ON pc.query_id = q.query_id
+         |  LEFT JOIN s44tph ph ON ph.query_id = q.query_id
+         |  LEFT JOIN s44tpk pk ON pk.query_id = q.query_id
+         |  LEFT JOIN s44tpp pp ON pp.query_id = q.query_id),
+         |s44bm AS (SELECT * FROM s44a WHERE length(source) = 4),
+         |s44bnm AS (SELECT CAST(count(*) AS BIGINT) AS n_match
+         |  FROM s44bm),
+         |s44bex AS MATERIALIZED (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY $dotSql / (c.nrm * q.nrm) DESC, c.vec_id) AS rn
+         |  FROM s44bm c CROSS JOIN s44q q
+         |  WHERE c.vec_id <> q.query_id) WHERE rn <= 3),
+         |s44bpr AS MATERIALIZED (
+         |  SELECT q.query_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY $dotSql / (c.nrm * q.nrm) DESC, c.vec_id) AS rn
+         |  FROM s44bm c JOIN s44p p2 ON p2.cluster = c.cluster
+         |  JOIN s44q q ON q.query_id = p2.query_id
+         |    AND c.vec_id <> q.query_id),
+         |s44bpc AS (SELECT query_id,
+         |    CAST(count(*) AS BIGINT) AS n_pre_cand
+         |  FROM s44bpr GROUP BY 1),
+         |s44bph AS (SELECT r.query_id,
+         |    CAST(count(*) AS BIGINT) AS pre_hits
+         |  FROM s44bpr r JOIN s44bex e
+         |    ON e.query_id = r.query_id AND e.vec_id = r.vec_id
+         |  WHERE r.rn <= 3 GROUP BY 1),
+         |s44bps AS (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rn)
+         |      AS srn
+         |  FROM s44t10 WHERE length(source) = 4),
+         |s44bpk AS (SELECT query_id,
+         |    CAST(count(*) AS BIGINT) AS post_kept
+         |  FROM s44bps GROUP BY 1),
+         |s44bpp AS (SELECT t.query_id,
+         |    CAST(count(*) AS BIGINT) AS post_hits
+         |  FROM s44bps t JOIN s44bex e
+         |    ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+         |  WHERE t.srn <= 3 GROUP BY 1),
+         |s44bout AS (SELECT 'broad' AS filter, q.query_id,
+         |    nm.n_match,
+         |    CAST(coalesce(pc.n_pre_cand, 0) AS BIGINT) AS n_pre_cand,
+         |    CAST(coalesce(ph.pre_hits, 0) AS BIGINT) AS pre_hits,
+         |    CAST(coalesce(pk.post_kept, 0) AS BIGINT) AS post_kept,
+         |    CAST(coalesce(pp.post_hits, 0) AS BIGINT) AS post_hits
+         |  FROM (SELECT DISTINCT query_id FROM s44q) q
+         |  CROSS JOIN s44bnm nm
+         |  LEFT JOIN s44bpc pc ON pc.query_id = q.query_id
+         |  LEFT JOIN s44bph ph ON ph.query_id = q.query_id
+         |  LEFT JOIN s44bpk pk ON pk.query_id = q.query_id
+         |  LEFT JOIN s44bpp pp ON pp.query_id = q.query_id),
+         |s44all AS (SELECT * FROM s44tout
+         |  UNION ALL SELECT * FROM s44bout)
+         |SELECT filter, query_id, n_match, n_pre_cand, pre_hits,
+         |  post_kept, post_hits
+         |FROM s44all ORDER BY filter, query_id""".stripMargin
+
   private[operators] val dotSql: String =
     """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |      [c.e[i] * q.e[i] for i in generate_series(1, len(c.e))]),
@@ -3904,6 +4164,7 @@ object Similarity {
     // ss33: the SAME pipeline — persistence must be invisible to the
     // result, so the oracle is ss18's replay verbatim (the bucketed
     // round-trip is a physical-layout property, asserted by PlanAudit)
+    "ss44_filtered_search" -> ss44Sql,
     "ss33_persisted_index" ->
       (ivfpqPipelineSql + """
         |SELECT query_id, "rank", neighbor_id,

@@ -146,7 +146,10 @@ class LocalClusterParitySpec extends SparkSpec {
     "ss43_served_hybrid", "pp41_rag_flagship",
     // r12: the text-index lifecycle close — compaction byte-identity
     // and the erasure purge's dual-ranking join across executor JVMs
-    "tx39_compacted_text_index", "tx40_text_purge")
+    "tx39_compacted_text_index", "tx40_text_purge",
+    // r12: ss44's dual-strategy filtered search (NearestCentroids-free
+    // portable assignment + two filter predicates) across executor JVMs
+    "ss44_filtered_search")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

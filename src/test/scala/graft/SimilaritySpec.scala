@@ -358,6 +358,31 @@ class SimilaritySpec extends SparkSpec {
     assert(byM(8L)._1 <= byM(32L)._1, s"8 dims beat 32: $byM")
   }
 
+  test("ss44: pre-filter dominates post-filter structurally; tight " +
+      "selectivity starves post-filter on this corpus; bounds hold") {
+    val rows = Similarity.queries("ss44_filtered_search")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    rows.foreach { case (f, q, nMatch, preCand, preHits, kept, postHits) =>
+      // post's candidate set is a subset of pre's, and the exact top-3
+      // are the 3 best over ALL matching docs — so any exact-top-3 doc
+      // post finds, pre finds too (at most 2 matching docs beat it)
+      assert(preHits >= postHits, s"$f/$q: post beat pre")
+      assert(preHits <= 3 && postHits <= 3 && kept <= 10)
+      assert(preCand <= nMatch, s"$f/$q: more candidates than matches")
+    }
+    // the teaching point is live: the tight filter starves the
+    // post-filter somewhere, the broad filter never does
+    assert(rows.exists(r => r._1 == "tight" && r._6 < 3L),
+      "tight filter never starved post-filter")
+    assert(rows.filter(_._1 == "broad").forall(_._6 >= 3L),
+      "broad filter starved post-filter")
+    // and pre-filter recall is strictly better overall on tight
+    val tight = rows.filter(_._1 == "tight")
+    assert(tight.map(_._5).sum > tight.map(_._7).sum,
+      "pre-filter showed no recall advantage under the tight filter")
+  }
+
   test("ss42: no duplicate ever mined as a negative; every anchor's " +
       "twin is excluded") {
     val rows = Similarity.hardNegatives(spark, sf).collect()
