@@ -37,6 +37,30 @@ object GraftOps {
   /** All operator names, sorted — the `graft_ops()` listing. */
   def availableOps: Seq[String] = graft.SparkEntry.queries.keys.toSeq.sorted
 
+  /** Operators that PUBLISH persisted index generations at plan-build
+    * time (Bucketing.publish call sites). Under the TVF surface these
+    * run on a cloned session with a per-invocation
+    * `spark.graft.indexNamespace`, so interleaved/concurrent graft_op
+    * calls never share a manifest or table: invocation A's pinned
+    * generation cannot be aged out by invocation B publishing twice
+    * before A's deferred collection runs (the r12 ADVICE clobber
+    * hazard). Verify/Bench call SparkEntry.queries directly and keep
+    * the fixed un-namespaced names.
+    */
+  private[graft] val indexWritingOps: Set[String] = Set(
+    "ss33_persisted_index", "ss34_delta_index", "ss36_compacted_recall",
+    "ss38_purge_compaction", "dd35_persisted_bands",
+    "dd36_delta_band_index", "dd37_compacted_bands", "dd38_erasure_purge",
+    "tx37_persisted_text_index", "tx38_delta_text_index",
+    "tx39_compacted_text_index", "tx40_text_purge", "ss43_served_hybrid")
+
+  private val opInvocations = new java.util.concurrent.atomic.AtomicLong
+
+  /** A JVM-unique, invocation-unique namespace suffix (pid guards two
+    * REPL processes sharing one warehouse). */
+  private def freshNamespace(): String =
+    s"_op${ProcessHandle.current().pid()}x${opInvocations.incrementAndGet()}"
+
   private def stringArg(e: Expression, fn: String, what: String): String = {
     if (!e.foldable || e.dataType != StringType)
       throw new IllegalArgumentException(
@@ -66,7 +90,16 @@ object GraftOps {
       throw new IllegalArgumentException(
         s"unknown graft operator '$name' — run graft_ops() to list " +
           s"the ${availableOps.length} available operators"))
-    q(s, dir).queryExecution.analyzed
+    // index-publishing ops build on a cloned session with a private
+    // namespace (same SparkContext — the plan inlines into the caller
+    // fine; the clone only isolates conf + catalog entries)
+    val buildSession =
+      if (indexWritingOps(name)) {
+        val s2 = s.newSession()
+        s2.conf.set("spark.graft.indexNamespace", freshNamespace())
+        s2
+      } else s
+    q(buildSession, dir).queryExecution.analyzed
   }
 
   /** `graft_ops()` builder: a one-column relation of operator names. */

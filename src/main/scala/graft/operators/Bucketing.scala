@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Bucketed-table helpers (no reference counterpart; pure scale tooling).
+/** Bucketed-table helpers + ATOMIC VERSIONED INDEX PUBLICATION (no
+  * reference counterpart; pure scale tooling).
   *
   * At 100 TB the dominant cost of a fact⋈fact equi-join is shuffling both
   * sides. Writing the tables bucketed by the join key (same bucket count
@@ -11,23 +12,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * subsequent join/aggregation on that key. `BucketingSpec` proves the
   * Exchange disappears from the physical plan.
   *
-  * SINGLE-WRITER CONTRACT (ADVICE r10): `writeBucketed` drops and
-  * recursively deletes the table's warehouse directory before
-  * rewriting, and the ss33/ss34/ss36 index operators write under fixed
-  * global names (graft_ivf_lists, graft_pq_codes, graft_ivf_base, …).
-  * Two concurrent sessions sharing a warehouse (e.g. parallel
-  * REPL/HTTP `graft_op` calls, which execute at plan-build time) can
-  * clobber each other mid-probe. The sequential Verify/Bench drivers
-  * satisfy this by construction; a multi-tenant deployment must
-  * namespace the table names per run (suffix a session/run id) or
-  * serialize writers externally.
+  * PUBLICATION CONTRACT (r12 verdict item 1 — replaces the r10/r11
+  * single-writer DROP+rewrite): every persisted index family (IVFPQ
+  * vectors, dedup band postings, BM25 text postings) publishes through
+  * [[publish]]:
+  *
+  *   1. every table of the family is written under a GENERATION suffix
+  *      (`graft_text_postings__g7`) while the manifest still points at
+  *      the prior generation — a crash mid-write leaves the serving
+  *      generation untouched;
+  *   2. the manifest — one pointer FILE per family under
+  *      `<warehouse>/graft_manifest/` — is swapped LAST by an atomic
+  *      rename (`Files.move(..., ATOMIC_MOVE)`), so a reader resolves
+  *      old-or-new, never a mix: all tables of a family flip together
+  *      (postings+stats, lists+codes);
+  *   3. the PREVIOUS generation is retained as a grace window (an
+  *      in-flight reader that resolved just before the swap keeps its
+  *      files), generations before it are dropped.
+  *
+  * CONCURRENCY: two writers of the SAME family+namespace still race on
+  * the generation counter (last swap wins; both write valid
+  * generations, so readers are never broken — the loser's work is
+  * garbage-collected two publishes later). The TVF surface
+  * (`graft_op`), where concurrent invocations are real, namespaces
+  * every invocation via `spark.graft.indexNamespace` (appended to
+  * family AND table names), making concurrent index ops fully disjoint
+  * — see GraftOps. Verify/Bench leave the namespace unset and keep the
+  * fixed names.
+  *
+  * Manifest resolution is per-session-catalog: `published` serves the
+  * generation the manifest names, which the CURRENT session registered
+  * when it published. A fresh session atop an old warehouse re-runs the
+  * index build (the in-memory catalog forgot the table metadata; bucket
+  * specs are not reconstructable from bare parquet dirs).
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed managed table (overwriting). Bucketed
-    * layout requires the table catalog — a path-only parquet write
-    * cannot carry bucket metadata.
-    */
+  // ---------------- low-level writers (generation-agnostic) ----------
+
   /** Write `df` as a plain (UNbucketed) managed table — the sidecar
     * form for 1-row stats frames. Never bucket these: a single-bucket
     * scan claims HashPartitioning(key, 1), and a UNION of such scans
@@ -41,12 +63,17 @@ object Bucketing {
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  private def warehousePath(spark: SparkSession): java.io.File =
+    new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+
   private def dropWithLocation(spark: SparkSession, table: String)
       : Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      table.toLowerCase)
+    // An in-memory catalog forgets tables across sessions while their
+    // warehouse directories persist — clear both so re-creation never
+    // hits LOCATION_ALREADY_EXISTS.
+    val loc = new java.io.File(warehousePath(spark), table.toLowerCase)
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
@@ -58,21 +85,7 @@ object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
-    val spark = df.sparkSession
-    // An in-memory catalog forgets tables across sessions while their
-    // warehouse directories persist — clear both so re-creation never
-    // hits LOCATION_ALREADY_EXISTS.
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      table.toLowerCase)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(loc)
-    }
+    dropWithLocation(df.sparkSession, table)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
@@ -86,5 +99,164 @@ object Bucketing {
     import org.apache.spark.sql.functions.col
     spark.table(leftTable)
       .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+  }
+
+  // ---------------- atomic versioned publication ----------------------
+
+  /** One table of an index family. `bucketKey = None` → plain sidecar
+    * table (the stats-frame rule above). */
+  case class Part(table: String, df: DataFrame,
+      bucketKey: Option[String] = None, buckets: Int = 8,
+      sorted: Boolean = true)
+
+  /** Per-invocation/tenant isolation suffix (empty under Verify/Bench;
+    * set by the graft_op TVF surface). Appended to family and table
+    * names, so concurrent namespaced publishes never share a manifest
+    * or a warehouse directory. */
+  def namespace(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.indexNamespace").getOrElse("")
+
+  private def manifestDir(spark: SparkSession): java.io.File =
+    new java.io.File(warehousePath(spark), "graft_manifest")
+
+  private def pointerFile(spark: SparkSession, fam: String): java.io.File =
+    new java.io.File(manifestDir(spark), fam.toLowerCase)
+
+  private def genFile(spark: SparkSession, fam: String, gen: Long)
+      : java.io.File =
+    new java.io.File(manifestDir(spark), s"${fam.toLowerCase}.g$gen")
+
+  private def readGen(f: java.io.File): Option[Long] =
+    if (!f.isFile) None
+    else scala.util.Try(
+      java.nio.file.Files.readString(f.toPath).trim.toLong).toOption
+
+  /** part → concrete table name recorded by generation `gen`'s
+    * manifest (empty if that generation never completed its manifest —
+    * only reachable for never-pointed-to generations). */
+  private def readParts(spark: SparkSession, fam: String, gen: Long)
+      : Map[String, String] = {
+    val f = genFile(spark, fam, gen)
+    if (!f.isFile) Map.empty
+    else java.nio.file.Files.readString(f.toPath).linesIterator
+      .filter(_.contains('\t')).map { l =>
+        val Array(p, t) = l.split('\t'); p -> t
+      }.toMap
+  }
+
+  /** The generation a reader of `family` should serve, or None before
+    * the first successful publish. */
+  def currentGen(spark: SparkSession, family: String): Option[Long] =
+    readGen(pointerFile(spark, family + namespace(spark)))
+
+  /** Serving generation, required. */
+  def servingGen(spark: SparkSession, family: String): Long =
+    currentGen(spark, family).getOrElse(throw new IllegalStateException(
+      s"index family '$family${namespace(spark)}' has no published " +
+        "generation — publish() must succeed before readers resolve"))
+
+  /** part → serving table name, from ONE pointer read — every part a
+    * reader opens through this map belongs to the same generation (the
+    * never-a-mix rule; two independent resolutions could straddle a
+    * concurrent swap). */
+  def publishedTables(spark: SparkSession, family: String)
+      : Map[String, String] =
+    readParts(spark, family + namespace(spark),
+      servingGen(spark, family))
+
+  /** One-part convenience reader (single-table families / specs). */
+  def published(spark: SparkSession, family: String, part: String)
+      : DataFrame =
+    spark.table(publishedTables(spark, family)(part))
+
+  /** Atomically publish a new generation of `family`:
+    *
+    *   1. write every part under the next generation suffix;
+    *   2. write the generation MANIFEST (part → table listing; with
+    *      `carryForward` the previous generation's parts not re-named
+    *      here are carried into it UN-rewritten — the LSM append:
+    *      dd36/tx38 add a delta segment without touching base bytes,
+    *      while a full publish flips the family to exactly the new
+    *      parts — the dd37/tx39 compaction);
+    *   3. swap the pointer file LAST by atomic rename — the single
+    *      publish point: a reader resolves the whole old set or the
+    *      whole new set, never a mix;
+    *   4. garbage-collect tables referenced by neither the new nor the
+    *      previous manifest (the previous generation is the in-flight-
+    *      reader grace window).
+    *
+    * Returns part → concrete table name for the generation just
+    * published, so the publishing query reads exactly what it wrote
+    * with zero re-resolution. Any failure before step 3 leaves the
+    * prior generation serving and the pointer untouched (BucketingSpec
+    * kills a publish mid-write and proves the reader still serves the
+    * prior bytes); the orphaned generation's directories are
+    * overwritten by the next successful publish and collected by its
+    * GC.
+    */
+  def publish(spark: SparkSession, family: String, parts: Seq[Part],
+      carryForward: Boolean = false): Map[String, String] = {
+    require(parts.nonEmpty, "publish needs at least one part")
+    val ns = namespace(spark)
+    val fam = family + ns
+    // "__" is the physical-name separator; a family containing it
+    // could alias another family's GC scan prefix
+    require(!fam.contains("__") && parts.forall(p =>
+      p.table.nonEmpty && !p.table.contains("__g")),
+      s"family/part names must not contain '__'/'__g': $fam")
+    val prevGen = readGen(pointerFile(spark, fam))
+    val gen = prevGen.getOrElse(0L) + 1L
+    val prevParts = prevGen.map(readParts(spark, fam, _))
+      .getOrElse(Map.empty)
+    // family-qualified physical names: two families may use the same
+    // part name (dd36 and dd37 both carry a graft_band_base segment)
+    // without sharing a byte (the ADVICE r12 aliasing rule)
+    val written = parts.map { p =>
+      val tbl = s"${fam}__${p.table}__g$gen"
+      p.bucketKey match {
+        case Some(k) => writeBucketed(p.df, tbl, k, p.buckets, p.sorted)
+        case None => writeTable(p.df, tbl)
+      }
+      p.table -> tbl
+    }.toMap
+    val names =
+      if (carryForward) prevParts ++ written else written
+    // generation manifest, then the atomic pointer swap
+    val gf = genFile(spark, fam, gen)
+    gf.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(gf.toPath,
+      names.map { case (p, t) => s"$p\t$t" }.mkString("", "\n", "\n"))
+    val pf = pointerFile(spark, fam)
+    val tmp = new java.io.File(pf.getParentFile, s"${pf.getName}.tmp$gen")
+    java.nio.file.Files.writeString(tmp.toPath, gen.toString)
+    java.nio.file.Files.move(tmp.toPath, pf.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC: referenced = new ∪ previous manifest (grace window); ANY
+    // other generation directory under this family's physical prefix
+    // is dead — including parts retired generations ago (a per-part
+    // scan leaked dd36-style base segments once a compaction stopped
+    // naming them; the family-wide scan does not).
+    val referenced = (names.values ++ prevParts.values)
+      .map(_.toLowerCase).toSet
+    val famRx = ("^" + java.util.regex.Pattern.quote(
+      s"${fam.toLowerCase}__") + ".+__g\\d+$").r
+    Option(warehousePath(spark).listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        val n = f.getName
+        if (famRx.findFirstIn(n).isDefined && !referenced.contains(n))
+          dropWithLocation(spark, n)
+      }
+    // manifests older than the grace window go too
+    Option(manifestDir(spark).listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        val n = f.getName
+        val p = s"${fam.toLowerCase}.g"
+        if (n.startsWith(p) &&
+            scala.util.Try(n.stripPrefix(p).toLong).toOption
+              .exists(_ < gen - 1L))
+          f.delete()
+      }
+    names
   }
 }

@@ -738,22 +738,24 @@ object Dedup {
     val docs = t(s, d, "documents").select("doc_id", "text")
     val newBatch = admissionBatch(docs)
     val index = admissionSig(docs)
-    Bucketing.writeBucketed(
-      admissionBands(index, "base_id")
-        .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
-          col("base_id")),
-      "graft_dedup_bands", "bandkey", 8)
-    Bucketing.writeBucketed(
-      index.select(col("doc_id").as("base_id"),
-        col("shingles").as("sh_b")),
-      "graft_dedup_shingles", "base_id", 8)
+    // atomic versioned publication: postings + shingle store flip
+    // together behind one manifest swap (Bucketing's contract)
+    val tbls = Bucketing.publish(s, "dd35", Seq(
+      Bucketing.Part("graft_dedup_bands",
+        admissionBands(index, "base_id")
+          .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
+            col("base_id")), Some("bandkey")),
+      Bucketing.Part("graft_dedup_shingles",
+        index.select(col("doc_id").as("base_id"),
+          col("shingles").as("sh_b")), Some("base_id"))))
     val batch = admissionSig(newBatch)
     val cand = admissionBands(batch, "new_id")
       .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
         col("new_id"))
-      .join(s.table("graft_dedup_bands"), Seq("bandkey"))
+      .join(s.table(tbls("graft_dedup_bands")), Seq("bandkey"))
       .select("new_id", "base_id").distinct()
-    admissionVerdict(newBatch, batch, cand, s.table("graft_dedup_shingles"))
+    admissionVerdict(newBatch, batch, cand,
+      s.table(tbls("graft_dedup_shingles")))
   }
 
   /** dd36: DELTA-SEGMENT BAND INDEX — the ss34 move for the dedup
@@ -792,25 +794,28 @@ object Dedup {
     * and band postings. Returns (base sigs, day-1 ADMITTED sigs
     * [checkpointed — feeds two writes], day-2 batch, day-2 sigs,
     * day-2 postings [checkpointed — probes ≥2 segment tables]). */
-  private def deltaScaffold(s: SparkSession, d: String)
+  private def deltaScaffold(s: SparkSession, d: String, family: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = t(s, d, "documents").select("doc_id", "text")
     val base = admissionSig(docs)
-    Bucketing.writeBucketed(bandPostings(base, "base_id"),
-      "graft_band_base", "bandkey", 8)
-    Bucketing.writeBucketed(
-      base.select(col("doc_id").as("base_id"), col("shingles").as("sh_b")),
-      "graft_sh_base", "base_id", 8)
+    // generation 1 of the caller's family: the base segment pair
+    // (family-qualified names — dd36 and dd37 each own their segments)
+    val tbls = Bucketing.publish(s, family, Seq(
+      Bucketing.Part("graft_band_base", bandPostings(base, "base_id"),
+        Some("bandkey")),
+      Bucketing.Part("graft_sh_base",
+        base.select(col("doc_id").as("base_id"),
+          col("shingles").as("sh_b")), Some("base_id"))))
     // day 1: novel ingest, admitted against the base segment only
     val day1 = docs.filter(col("doc_id") % 10 === 3)
       .select((col("doc_id") + 30000000L).as("doc_id"),
         array_join(reverse(split(col("text"), " ")), " ").as("text"))
     val sig1 = admissionSig(day1)
     val cand1 = bandPostings(sig1, "new_id")
-      .join(s.table("graft_band_base"), Seq("bandkey"))
+      .join(s.table(tbls("graft_band_base")), Seq("bandkey"))
       .select("new_id", "base_id").distinct()
     val admitted1 = admissionVerdict(day1, sig1, cand1,
-        s.table("graft_sh_base"))
+        s.table(tbls("graft_sh_base")))
       .filter(col("admitted")).select("doc_id")
     val sig1adm = sig1.join(admitted1, Seq("doc_id")).localCheckpoint()
     // day 2: re-encodes of base docs AND of the day-1 novel docs
@@ -833,22 +838,27 @@ object Dedup {
       |     ELSE 'base' END""".stripMargin)
 
   private val dd36DeltaBandIndex: Q = (s, d) => {
-    val (_, sig1adm, day2, sig2, bands2) = deltaScaffold(s, d)
-    // the admitted docs BECOME the delta segment
-    Bucketing.writeBucketed(bandPostings(sig1adm, "base_id"),
-      "graft_band_delta", "bandkey", 8)
-    Bucketing.writeBucketed(
-      sig1adm.select(col("doc_id").as("base_id"),
-        col("shingles").as("sh_b")),
-      "graft_sh_delta", "base_id", 8)
+    val (_, sig1adm, day2, sig2, bands2) = deltaScaffold(s, d, "dd36")
+    // the admitted docs BECOME the delta segment — published as an
+    // APPEND generation: the manifest carries the base tables forward
+    // UN-rewritten (ingest cost O(admitted), the LSM contract now
+    // crash-atomic: a reader resolves gen-1's base-only set or gen-2's
+    // base∪delta set, never a torn state)
+    val tbls = Bucketing.publish(s, "dd36", Seq(
+      Bucketing.Part("graft_band_delta", bandPostings(sig1adm, "base_id"),
+        Some("bandkey")),
+      Bucketing.Part("graft_sh_delta",
+        sig1adm.select(col("doc_id").as("base_id"),
+          col("shingles").as("sh_b")), Some("base_id"))),
+      carryForward = true)
     // per-SEGMENT candidates and verifies (each join bucket-aligned on
     // its own segment tables); segments merge only at the verified-pair
     // stream — the ss34 per-segment-search shape
-    def segVerified(bandTable: String, shTable: String): DataFrame =
+    def segVerified(bandPart: String, shPart: String): DataFrame =
       admissionVerify(sig2,
-        bands2.join(s.table(bandTable), Seq("bandkey"))
+        bands2.join(s.table(tbls(bandPart)), Seq("bandkey"))
           .select("new_id", "base_id").distinct(),
-        s.table(shTable))
+        s.table(tbls(shPart)))
     admissionDecision(day2,
         segVerified("graft_band_base", "graft_sh_base")
           .unionAll(segVerified("graft_band_delta", "graft_sh_delta")))
@@ -874,22 +884,24 @@ object Dedup {
     * segments it replaces.
     */
   private val dd37CompactedBands: Q = (s, d) => {
-    val (base, sig1adm, day2, sig2, bands2) = deltaScaffold(s, d)
+    val (base, sig1adm, day2, sig2, bands2) = deltaScaffold(s, d, "dd37")
     // compact: ONE postings table, ONE shingle store over base ∪ delta
-    Bucketing.writeBucketed(
-      bandPostings(base, "base_id")
-        .unionAll(bandPostings(sig1adm, "base_id")),
-      "graft_band_compact", "bandkey", 8)
-    Bucketing.writeBucketed(
-      base.select(col("doc_id").as("base_id"), col("shingles").as("sh_b"))
-        .unionAll(sig1adm.select(col("doc_id").as("base_id"),
-          col("shingles").as("sh_b"))),
-      "graft_sh_compact", "base_id", 8)
+    // — a FULL publish, so the manifest flips the family from the
+    // segment set to the compacted pair in one pointer swap and the
+    // obsolete segments age out through the GC grace window
+    val tbls = Bucketing.publish(s, "dd37", Seq(
+      Bucketing.Part("graft_band_compact",
+        bandPostings(base, "base_id")
+          .unionAll(bandPostings(sig1adm, "base_id")), Some("bandkey")),
+      Bucketing.Part("graft_sh_compact",
+        base.select(col("doc_id").as("base_id"), col("shingles").as("sh_b"))
+          .unionAll(sig1adm.select(col("doc_id").as("base_id"),
+            col("shingles").as("sh_b"))), Some("base_id"))))
     admissionDecision(day2,
         admissionVerify(sig2,
-          bands2.join(s.table("graft_band_compact"), Seq("bandkey"))
+          bands2.join(s.table(tbls("graft_band_compact")), Seq("bandkey"))
             .select("new_id", "base_id").distinct(),
-          s.table("graft_sh_compact")))
+          s.table(tbls("graft_sh_compact"))))
       .withColumn("matched_seg", matchedSeg)
       .orderBy("doc_id")
   }
@@ -933,7 +945,7 @@ object Dedup {
   private[graft] def dd38PurgedVerify(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
          DataFrame) = {
-    val (base, sig1adm, day2, sig2, bands2) = deltaScaffold(s, d)
+    val (base, sig1adm, day2, sig2, bands2) = deltaScaffold(s, d, "dd38")
     // st25's ledger rule: an event with id % 97 = 0 is an erasure
     // request by its user
     val erased = graft.streaming.EventsStreaming.erasureCorpus(s, d)
@@ -948,18 +960,21 @@ object Dedup {
       .drop("owner")
       .localCheckpoint() // 4 refs: two purged writes + erased verify pair
     val liveSigs = tagged.filter(!col("is_erased")).drop("is_erased")
-    // the purge IS the rewrite: live-only postings + shingle store
-    Bucketing.writeBucketed(bandPostings(liveSigs, "base_id"),
-      "graft_band_purged", "bandkey", 8)
-    Bucketing.writeBucketed(
-      liveSigs.select(col("doc_id").as("base_id"),
-        col("shingles").as("sh_b")),
-      "graft_sh_purged", "base_id", 8)
+    // the purge IS the rewrite: live-only postings + shingle store,
+    // published as a FULL generation — the pointer swap is the moment
+    // the erased postings stop being servable, and a crash mid-purge
+    // leaves the old generation intact rather than a half-purged index
+    val tbls = Bucketing.publish(s, "dd38", Seq(
+      Bucketing.Part("graft_band_purged", bandPostings(liveSigs, "base_id"),
+        Some("bandkey")),
+      Bucketing.Part("graft_sh_purged",
+        liveSigs.select(col("doc_id").as("base_id"),
+          col("shingles").as("sh_b")), Some("base_id"))))
     // purged verdict: probe the WRITTEN tables (the production path)
     val verLive = admissionVerify(sig2,
-      bands2.join(s.table("graft_band_purged"), Seq("bandkey"))
+      bands2.join(s.table(tbls("graft_band_purged")), Seq("bandkey"))
         .select("new_id", "base_id").distinct(),
-      s.table("graft_sh_purged"))
+      s.table(tbls("graft_sh_purged")))
     (day2, sig2, bands2, erased, tagged, verLive)
   }
 

@@ -1655,10 +1655,14 @@ object Similarity {
     */
   val ss33PersistedIndex: Q = (s, d) => {
     val (base, assigned, codes, probes) = ivfPqBuild(s, d)
-    Bucketing.writeBucketed(assigned, "graft_ivf_lists", "cluster", 8)
-    Bucketing.writeBucketed(codes, "graft_pq_codes", "neighbor_id", 8)
-    ivfPqProbe(base, s.table("graft_ivf_lists"),
-      s.table("graft_pq_codes"), probes)
+    // atomic versioned publication (r12 verdict item 1): lists + codes
+    // flip together behind one manifest swap; the probe reads the
+    // generation it just wrote (pinned via the returned names)
+    val tbls = Bucketing.publish(s, "ss33", Seq(
+      Bucketing.Part("graft_ivf_lists", assigned, Some("cluster")),
+      Bucketing.Part("graft_pq_codes", codes, Some("neighbor_id"))))
+    ivfPqProbe(base, s.table(tbls("graft_ivf_lists")),
+      s.table(tbls("graft_pq_codes")), probes)
   }
 
   /** ss34: DELTA INGEST + SEGMENTED SEARCH — the step after ss33's
@@ -1707,18 +1711,19 @@ object Similarity {
       .filter(col("crn") <= 2)
       .select(col("vec_id").as("query_id"), col("ccid").as("cluster"))
     val cents = pqCentroids(baseSeg)
-    Bucketing.writeBucketed(assign(baseSeg), "graft_ivf_base",
-      "cluster", 8)
-    Bucketing.writeBucketed(assign(deltaSeg), "graft_ivf_delta",
-      "cluster", 8)
-    Bucketing.writeBucketed(codesFor(baseSeg, cents), "graft_pq_base",
-      "neighbor_id", 8)
-    Bucketing.writeBucketed(codesFor(deltaSeg, cents), "graft_pq_delta",
-      "neighbor_id", 8)
-    val adcB = adcTop10(all, cents, s.table("graft_ivf_base"),
-      s.table("graft_pq_base"), probes)
-    val adcD = adcTop10(all, cents, s.table("graft_ivf_delta"),
-      s.table("graft_pq_delta"), probes)
+    // all four segment tables publish as ONE family generation — a
+    // reader never sees a base/delta (or lists/codes) mix
+    val tbls = Bucketing.publish(s, "ss34", Seq(
+      Bucketing.Part("graft_ivf_base", assign(baseSeg), Some("cluster")),
+      Bucketing.Part("graft_ivf_delta", assign(deltaSeg), Some("cluster")),
+      Bucketing.Part("graft_pq_base", codesFor(baseSeg, cents),
+        Some("neighbor_id")),
+      Bucketing.Part("graft_pq_delta", codesFor(deltaSeg, cents),
+        Some("neighbor_id"))))
+    val adcB = adcTop10(all, cents, s.table(tbls("graft_ivf_base")),
+      s.table(tbls("graft_pq_base")), probes)
+    val adcD = adcTop10(all, cents, s.table(tbls("graft_ivf_delta")),
+      s.table(tbls("graft_pq_delta")), probes)
     refineTop3(all, adcB.unionAll(adcD))
       .withColumn("from_delta", col("neighbor_id") % 10 === 7)
   }
@@ -1837,10 +1842,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), lit(1).as("fhit"))
     // COMPACT: retrained single-segment rebuild over base ∪ delta
     val (all, assigned, codes, probes) = ivfPqBuild(s, d)
-    Bucketing.writeBucketed(assigned, "graft_ivf_compact", "cluster", 8)
-    Bucketing.writeBucketed(codes, "graft_pq_compact", "neighbor_id", 8)
-    val compact3 = ivfPqProbe(all, s.table("graft_ivf_compact"),
-      s.table("graft_pq_compact"), probes)
+    val tbls = Bucketing.publish(s, "ss36", Seq(
+      Bucketing.Part("graft_ivf_compact", assigned, Some("cluster")),
+      Bucketing.Part("graft_pq_compact", codes, Some("neighbor_id"))))
+    val compact3 = ivfPqProbe(all, s.table(tbls("graft_ivf_compact")),
+      s.table(tbls("graft_pq_compact")), probes)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("chit"))
     val qs = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -1967,11 +1973,12 @@ object Similarity {
     val lists = ranked.filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cluster"),
         col("embedding"), col("norm"))
-    Bucketing.writeBucketed(lists, "graft_ivf_purged", "cluster", 8)
+    val tbls = Bucketing.publish(s, "ss38", Seq(
+      Bucketing.Part("graft_ivf_purged", lists, Some("cluster"))))
     val probes = ranked.filter(col("crn") <= 2 && col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("cid").as("cluster"))
-    val cand = s.table("graft_ivf_purged").join(probes, Seq("cluster"))
+    val cand = s.table(tbls("graft_ivf_purged")).join(probes, Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("neighbor_id", col("vec_id"))
       .withColumn("cos_raw",

@@ -335,6 +335,8 @@ class CurationSpec extends SparkSpec {
     // corpus-dependent (at sf0.001 only 10 users are erased and none
     // of their docs reaches an unpurged top-5; at sf0.01 six do)
     val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf).isDirectory,
+      s"cross-SF fixture $sf not present on this machine")
     val rows = SparkEntry.queries("tx40_text_purge")(spark, sf)
       .collect()
     // GDPR is a storage property (the dd38 rule): the written postings
@@ -342,7 +344,8 @@ class CurationSpec extends SparkSpec {
     val erased = graft.streaming.EventsStreaming.erasureCorpus(spark, sf)
       .filter(col("event_id") % 97 === 0)
       .select(col("user_id").as("owner")).distinct()
-    val hits = spark.table("graft_tpost_live")
+    val hits = graft.operators.Bucketing.published(spark, "tx40",
+        "graft_tpost_live")
       .withColumn("owner", pmod(col("doc_id"), lit(1000L)))
       .join(erased, Seq("owner")).count()
     assert(hits == 0L, s"graft_tpost_live holds $hits erased-doc rows")

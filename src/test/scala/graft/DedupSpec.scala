@@ -488,7 +488,8 @@ class DedupSpec extends SparkSpec {
       .filter(col("event_id") % 97 === 0)
       .select(col("user_id").as("owner")).distinct()
     for (tbl <- Seq("graft_band_purged", "graft_sh_purged")) {
-      val hits = spark.table(tbl)
+      // resolve through the publication manifest (the serving path)
+      val hits = graft.operators.Bucketing.published(spark, "dd38", tbl)
         .withColumn("owner", pmod(col("base_id"), lit(1000L)))
         .join(erased, Seq("owner")).count()
       assert(hits == 0L, s"$tbl still holds $hits erased-doc rows")

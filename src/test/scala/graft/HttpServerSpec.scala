@@ -109,6 +109,33 @@ class HttpServerSpec extends SparkSpec {
     assert(body2.contains("displaced"), body2)
   }
 
+  test("index-publishing operators over the TVF surface: interleaved " +
+      "invocations never cross-talk (per-invocation namespace)") {
+    // the r12 ADVICE clobber hazard: invocation A's plan-build publish,
+    // then several B publishes of the SAME op, then A's deferred
+    // collection. Un-namespaced, B's generations would age A's pinned
+    // tables out of the GC grace window; the per-invocation namespace
+    // makes every invocation's family private.
+    val sf = "/root/testdata/sf0.001"
+    val q = s"SELECT * FROM graft_op('tx37_persisted_text_index', '$sf')"
+    val a = graft.dialect.KsqlDialect.sql(spark, q) // publish #A
+    val want = graft.dialect.KsqlDialect.sql(spark, q).collect().toSeq
+    graft.dialect.KsqlDialect.sql(spark, q).collect() // more publishes
+    graft.dialect.KsqlDialect.sql(spark, q).collect()
+    // A's deferred collection still serves ITS generation, byte-true
+    assert(a.collect().toSeq == want,
+      "interleaved graft_op index invocations cross-talked")
+    // and the namespaced invocations never touched the fixed family
+    // names Verify/Bench use (isolated manifests per invocation)
+    val fixedGen = graft.operators.Bucketing.currentGen(spark, "tx37")
+    val srv = get(s"http://localhost:$port/api?query=" +
+      java.net.URLEncoder.encode(
+        s"SELECT count(*) AS n FROM graft_op('dd35_persisted_bands', '$sf')",
+        "UTF-8"))
+    assert(srv._1 == 200, srv._2)
+    assert(graft.operators.Bucketing.currentGen(spark, "tx37") == fixedGen)
+  }
+
   test("graft_ops() lists operators; unknown operator → 500 with hint") {
     val (code, body) = get(s"http://localhost:$port/api?query=" +
       java.net.URLEncoder.encode(

@@ -1812,7 +1812,8 @@ class OperatorInvariantSpec extends SparkSpec {
       .collect() // executes the rebuild + bucketed write
     // GDPR reclamation is a STORAGE property: the written index table
     // must not contain a single dead id (ss24 merely filters them)
-    val tbl = spark.table("graft_ivf_purged")
+    val tbl = graft.operators.Bucketing.published(spark, "ss38",
+      "graft_ivf_purged")
     assert(tbl.filter(col("vec_id") % 10 === 3).count() == 0L,
       "tombstoned vectors survived the purge rewrite")
     val liveN = Tables.t(spark, sf, "embeddings")

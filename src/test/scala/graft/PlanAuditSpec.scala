@@ -624,8 +624,8 @@ class PlanAuditSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val plan = finalPlan("ss43_served_hybrid")
-      assert(plan.contains("graft_text_postings"), plan)
-      noExchangeAboveScan(plan, "graft_text_postings")
+      assert(plan.contains("graft_s43_postings"), plan)
+      noExchangeAboveScan(plan, "graft_s43_postings")
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }

@@ -87,6 +87,46 @@ class RanksSpec extends SparkSpec {
       .count() == 0L)
     assert(Ranks.globalNtile(df, 4, "b", col("k"), col("id"))
       .count() == 0L)
+    assert(Ranks.ntileBoundary(df, 4,
+      Seq(Ranks.NtileSpec("b", col("k"), col("id")))).count() == 0L)
+  }
+
+  test("ntileBoundary equals ntile() — tie-heavy, negative, desc and " +
+      "wide-range metrics, multi-spec, and the n < buckets regime") {
+    // k: 97 distinct values over up to 1000 rows — every quintile
+    // boundary lands INSIDE an equal-metric group, exercising the
+    // phase-2 tiebreak search; w: ~5e9-range metric (multiple
+    // histogram-refinement rounds); -k: descending via negation
+    for ((n, buckets) <- Seq((1000, 5), (997, 4), (3, 7), (1, 4),
+        (16, 16), (256, 2))) {
+      val df = corpus(n).withColumn("w",
+        xxhash64(col("id"), lit(7L)) % lit(5000000000L))
+      val got = Ranks.ntileBoundary(df, buckets, Seq(
+          Ranks.NtileSpec("bk", col("k"), col("id")),
+          Ranks.NtileSpec("bkd", -col("k"), col("id")),
+          Ranks.NtileSpec("bw", col("w"), col("id"))))
+        .select("id", "bk", "bkd", "bw")
+      val want = df.select(col("id"),
+        ntile(buckets).over(Window.orderBy(col("k"), col("id")))
+          .cast("bigint").as("bk"),
+        ntile(buckets).over(Window.orderBy(col("k").desc, col("id")))
+          .cast("bigint").as("bkd"),
+        ntile(buckets).over(Window.orderBy(col("w"), col("id")))
+          .cast("bigint").as("bw"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"ntileBoundary($buckets) diverged from ntile() at n=$n")
+    }
+  }
+
+  test("ntileBoundary rejects null metrics loudly (a null would " +
+      "silently vanish from the histograms and shift every rank)") {
+    val df = corpus(50).withColumn("k",
+      when(col("id") === 7L, lit(null)).otherwise(col("k")))
+    val e = intercept[Exception] {
+      Ranks.ntileBoundary(df, 4,
+        Seq(Ranks.NtileSpec("b", col("k"), col("id")))).count()
+    }
+    assert(e.getMessage.contains("non-null"), e.getMessage)
   }
 
   test("monotonically_increasing_id bit layout pin: pid<<33 | record") {
