@@ -18,13 +18,33 @@ object Bench {
     * best==last — one baseline in disguise; the A/B attributed both
     * numbers to host load). None when the query has no recent history.
     */
-  private[graft] def recentMedian(
-      sweeps: Seq[Map[String, Double]], q: String): Option[Double] = {
-    val vs = sweeps.takeRight(3).flatMap(_.get(q)).sorted
-    if (vs.isEmpty) None
-    else if (vs.size % 2 == 1) Some(vs(vs.size / 2))
-    else Some((vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0)
+  private[graft] def medianOfLast3(vs: Seq[Double]): Option[Double] = {
+    val t = vs.takeRight(3).sorted
+    if (t.isEmpty) None
+    else if (t.size % 2 == 1) Some(t(t.size / 2))
+    else Some((t(t.size / 2 - 1) + t(t.size / 2)) / 2.0)
   }
+
+  private[graft] def recentMedian(
+      sweeps: Seq[Map[String, Double]], q: String): Option[Double] =
+    medianOfLast3(sweeps.flatMap(_.get(q)))
+
+  /** Values of `q` across full sweeps ELIGIBLE for its baselines: an
+    * "accepted rewrite" cutoff (bench_rebaseline.json: query →
+    * yyyyMMdd_HHmmss stamp at the rewrite's first post-commit sweep)
+    * truncates history to sweeps at/after the stamp, so a deliberate
+    * perf trade stops flagging by RULE rather than by history rollover
+    * (r12 verdict finding 1). No cutoff → all sweeps. Stamps compare
+    * lexicographically (zero-padded timestamp format).
+    */
+  private[graft] def eligibleValues(
+      sweeps: Seq[(String, Map[String, Double])],
+      cutoffs: Map[String, String], q: String): Seq[Double] =
+    sweeps.collect {
+      case (stamp, m)
+          if cutoffs.get(q).forall(stamp >= _) && m.contains(q) =>
+        m(q)
+    }
 
   private[graft] def breaches(cur: Double, base: Double): Boolean =
     cur > 1.5 * base && cur - base > 0.8
@@ -154,14 +174,15 @@ object Bench {
       val rxQ = """"queries":\{([^}]*)\}""".r
       val rxSf = """"sf":"([^"]*)"""".r
       val rxKV = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-      val best = scala.collection.mutable.Map.empty[String, Double]
-      // All matching full sweeps in timestamp order; the recent baseline
-      // is the MEDIAN of the last 3 per query. A single-sweep "latest"
-      // baseline degenerates when the latest sweep IS the all-history
-      // best (r10: ss25 fired on best==last, one baseline in disguise);
-      // the median of 3 keeps the two baselines independent.
+      // All matching full sweeps in timestamp order (stamp kept — the
+      // accepted-rewrite cutoffs truncate per query); the recent
+      // baseline is the MEDIAN of the last 3 eligible values. A
+      // single-sweep "latest" baseline degenerates when the latest
+      // sweep IS the all-history best (r10: ss25 fired on best==last,
+      // one baseline in disguise); the median of 3 keeps the two
+      // baselines independent.
       val sweeps = scala.collection.mutable.ArrayBuffer
-        .empty[Map[String, Double]]
+        .empty[(String, Map[String, Double])]
       val prior = Option(new java.io.File("bench_history").listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.endsWith(".json") &&
@@ -173,17 +194,26 @@ object Bench {
           val m = scala.collection.mutable.Map.empty[String, Double]
           rxQ.findFirstMatchIn(s).foreach { qm =>
             rxKV.findAllMatchIn(qm.group(1)).foreach { kv =>
-              val (k, v) = (kv.group(1), kv.group(2).toDouble)
-              if (!best.contains(k) || v < best(k)) best(k) = v
-              m(k) = v
+              m(kv.group(1)) = kv.group(2).toDouble
             }
           }
-          if (m.nonEmpty) sweeps += m.toMap // skip truncated/unparseable
+          if (m.nonEmpty) // skip truncated/unparseable
+            sweeps += ((f.getName.stripPrefix("bench_")
+              .stripSuffix(".json"), m.toMap))
         }
+      }
+      // accepted-rewrite cutoffs (query → first post-rewrite stamp)
+      val cutoffs: Map[String, String] = {
+        val f = new java.io.File("bench_rebaseline.json")
+        if (!f.isFile) Map.empty
+        else """"([A-Za-z0-9_]+)"\s*:\s*"([0-9_]+)"""".r
+          .findAllMatchIn(java.nio.file.Files.readString(f.toPath))
+          .map(m => m.group(1) -> m.group(2)).toMap
       }
       val nHist = sweeps.size
       val drifts = results.flatMap { case (name, cur) =>
-        val (b, r) = (best.get(name), recentMedian(sweeps.toSeq, name))
+        val vals = eligibleValues(sweeps.toSeq, cutoffs, name)
+        val (b, r) = (vals.minOption, medianOfLast3(vals))
         if (driftFires(cur, b, r))
           Some((name, cur, b.get, r.getOrElse(Double.NaN)))
         else None

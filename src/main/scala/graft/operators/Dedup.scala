@@ -638,7 +638,7 @@ object Dedup {
   /** Signatures (8 md5 lanes over distinct trigram shingles) — spread +
     * EAGER checkpoint (the dd22/ss20 rule): each signature table feeds
     * the band join AND a shingle rejoin. */
-  private def admissionSig(dfIn: DataFrame): DataFrame = dfIn
+  private[graft] def admissionSig(dfIn: DataFrame): DataFrame = dfIn
     .repartition(32)
     .withColumn("shingles",
       array_distinct(GraftFunctions.shingle_strings(col("text"))))
@@ -784,7 +784,7 @@ object Dedup {
     */
   /** The band postings of `sig` in single-key (bandkey, idc) form —
     * the persisted-segment layout. */
-  private def bandPostings(sig: DataFrame, idc: String): DataFrame =
+  private[graft] def bandPostings(sig: DataFrame, idc: String): DataFrame =
     admissionBands(sig, idc)
       .select(concat_ws(":", col("band"), col("bkey")).as("bandkey"),
         col(idc))

@@ -45,4 +45,44 @@ class BenchDriftSpec extends AnyFunSuite {
     // last 3 sweeps contain q twice: median of (1.0, 3.0) = 2.0
     assert(Bench.recentMedian(h, "q").contains(2.0))
   }
+
+  private def stamped(vs: (String, Double)*): Seq[(String, Map[String, Double])] =
+    vs.map { case (st, v) => st -> Map("q" -> v) }
+
+  test("accepted-rewrite cutoff truncates BOTH baselines by rule, not " +
+      "by history rollover (r12 finding 1)") {
+    // pre-rewrite history at ~0.4 s, rewrite accepted at stamp _15,
+    // post-rewrite sweeps at ~1.3 s; current run 1.4 s
+    val h = stamped("20260816_10" -> 0.40, "20260816_11" -> 0.41,
+      "20260816_12" -> 0.42, "20260816_16" -> 1.30, "20260816_17" -> 1.28)
+    val cut = Map("q" -> "20260816_15")
+    // un-truncated, the all-history best would breach (1.4 vs 0.40)
+    assert(Bench.breaches(1.4, 0.40))
+    val vals = Bench.eligibleValues(h, cut, "q")
+    assert(vals == Seq(1.30, 1.28), vals)
+    assert(!Bench.driftFires(1.4, vals.minOption,
+      Bench.medianOfLast3(vals)))
+    // a REAL regression on top of the accepted rewrite still fires
+    assert(Bench.driftFires(3.0, vals.minOption,
+      Bench.medianOfLast3(vals)))
+  }
+
+  test("no cutoff → full history; cutoff with no post-rewrite sweeps " +
+      "yet → no baseline, no flag (new-query semantics)") {
+    val h = stamped("20260816_10" -> 0.40, "20260816_11" -> 0.45)
+    assert(Bench.eligibleValues(h, Map.empty, "q") == Seq(0.40, 0.45))
+    val vals = Bench.eligibleValues(h, Map("q" -> "20260816_20"), "q")
+    assert(vals.isEmpty)
+    assert(!Bench.driftFires(9.9, vals.minOption,
+      Bench.medianOfLast3(vals)))
+  }
+
+  test("cutoffs are per-query: other queries keep their full history") {
+    val h = Seq(
+      "20260816_10" -> Map("q" -> 0.40, "p" -> 1.0),
+      "20260816_16" -> Map("q" -> 1.30, "p" -> 1.1))
+    val cut = Map("q" -> "20260816_15")
+    assert(Bench.eligibleValues(h, cut, "p") == Seq(1.0, 1.1))
+    assert(Bench.eligibleValues(h, cut, "q") == Seq(1.30))
+  }
 }
