@@ -52,7 +52,8 @@ object GraftOps {
     "ss38_purge_compaction", "dd35_persisted_bands",
     "dd36_delta_band_index", "dd37_compacted_bands", "dd38_erasure_purge",
     "tx37_persisted_text_index", "tx38_delta_text_index",
-    "tx39_compacted_text_index", "tx40_text_purge", "ss43_served_hybrid")
+    "tx39_compacted_text_index", "tx40_text_purge", "ss43_served_hybrid",
+    "st26_index_handoff", "pp42_publish_lifecycle")
 
   private val opInvocations = new java.util.concurrent.atomic.AtomicLong
 

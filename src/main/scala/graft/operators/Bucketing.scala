@@ -169,6 +169,27 @@ object Bucketing {
       : DataFrame =
     spark.table(publishedTables(spark, family)(part))
 
+  /** Erase a family completely — pointer, generation manifests, and
+    * every physical table under its prefix. For operators that DEMO
+    * the lifecycle from a known state (pp42 needs deterministic
+    * generation numbers for its oracle) and for tests; production
+    * families never call this. */
+  def resetFamily(spark: SparkSession, family: String): Unit = {
+    val fam = family + namespace(spark)
+    val pf = pointerFile(spark, fam)
+    if (pf.isFile) pf.delete()
+    Option(manifestDir(spark).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"${fam.toLowerCase}.g"))
+      .foreach(_.delete())
+    val famRx = ("^" + java.util.regex.Pattern.quote(
+      s"${fam.toLowerCase}__") + ".+__g\\d+$").r
+    Option(warehousePath(spark).listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        if (famRx.findFirstIn(f.getName).isDefined)
+          dropWithLocation(spark, f.getName)
+      }
+  }
+
   /** Atomically publish a new generation of `family`:
     *
     *   1. write every part under the next generation suffix;

@@ -567,7 +567,7 @@ object Curation {
   /** The (token, doc_id, dl, tf) posting rows of a corpus — the full
     * inverted-index payload tx37/tx38 persist (tf shuffle carries
     * counters + dl, text never leaves the scan). */
-  private def bm25Postings(docs: DataFrame): DataFrame = docs
+  private[graft] def bm25Postings(docs: DataFrame): DataFrame = docs
     .withColumn("toks", split(col("text"), " "))
     .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
       explode(col("toks")).as("token"))
@@ -577,7 +577,7 @@ object Curation {
     * (n_docs, sum_dl) — avgdl = Σsum_dl / Σn_docs reproduces
     * avg(dl) exactly (integer sums, one double division — the same
     * arithmetic Spark's Average and DuckDB's avg run). */
-  private def bm25Stats(docs: DataFrame): DataFrame = docs
+  private[graft] def bm25Stats(docs: DataFrame): DataFrame = docs
     .select(size(split(col("text"), " ")).cast("bigint").as("dl"))
     .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
 
@@ -585,7 +585,7 @@ object Curation {
     * stats — the serve-side tail shared by tx19/tx37/tx38. The score
     * expression TEXT is identical to the oracle's (same parse tree,
     * same IEEE evaluation order). */
-  private def bm25Serve(postings: DataFrame, stats: DataFrame)
+  private[graft] def bm25Serve(postings: DataFrame, stats: DataFrame)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfx = postings.groupBy("token").agg(count(lit(1)).as("df"))
@@ -602,7 +602,7 @@ object Curation {
       .orderBy("token", "rnk")
   }
 
-  private val bm25Terms = Seq("query", "table", "stream")
+  private[graft] val bm25Terms = Seq("query", "table", "stream")
 
   /** tx19's in-plan formulation over an arbitrary (doc_id, text)
     * frame — the truth side of tx38's segment-merge spec. */
@@ -938,6 +938,58 @@ object Curation {
       s.table(tbls("graft_tpost_compact"))
         .filter(col("token").isin(bm25Terms: _*)),
       s.table(tbls("graft_tstats_compact")))
+  }
+
+  /** pp42: THE PUBLICATION LIFECYCLE, ORACLE-GATED — r13's atomic
+    * versioned index publication (Bucketing.publish) demonstrated as a
+    * first-class operator: from a reset family, three generations
+    * publish in sequence — (1) FULL build of the base segment pair,
+    * (2) carry-forward APPEND of the tx38-convention delta (the
+    * manifest now lists base UNTOUCHED + delta — the LSM ingest), (3)
+    * FULL compaction flip (the manifest drops to the compacted pair).
+    * The output is each generation's manifest census (gen, part,
+    * n_rows), read back from the just-published tables and eagerly
+    * materialized (≤4 rows per census) BEFORE the next publish — so
+    * the query itself witnesses that generation 1's tables were
+    * readable while generation 3's GC later collects them (grace
+    * window = one generation). The DuckDB oracle replays every census
+    * from the raw corpus: the carry-forward row for `post_base` at gen
+    * 2 must equal gen 1's byte-for-byte — the append-without-rewrite
+    * contract as a hash.
+    *
+    * Scale: three index writes (the honest lifecycle cost, as
+    * tx37/38/39 price it) + three bounded census aggregates; the
+    * manifest swap is one atomic rename per generation.
+    */
+  val pp42PublishLifecycle: Q = (s, d) => {
+    val B = Bucketing
+    B.resetFamily(s, "pp42") // deterministic generations for the oracle
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val delta = textDelta(docs)
+    def census(gen: Long, names: Map[String, String]): DataFrame =
+      names.toSeq.sortBy(_._1).map { case (p, tbl) =>
+        s.table(tbl).agg(count(lit(1)).as("n_rows"))
+          .select(lit(gen).as("gen"), lit(p).as("part"), col("n_rows"))
+      }.reduce(_.unionAll(_))
+        // eager: gen-1 tables leave the grace window when gen 3
+        // publishes — the census must hold its bytes (≤4 rows)
+        .localCheckpoint()
+    val g1 = B.publish(s, "pp42", Seq(
+      B.Part("post_base", bm25Postings(docs), Some("token")),
+      B.Part("stats_base", bm25Stats(docs))))
+    val c1 = census(1L, g1)
+    val g2 = B.publish(s, "pp42", Seq(
+      B.Part("post_delta", bm25Postings(delta), Some("token")),
+      B.Part("stats_delta", bm25Stats(delta))), carryForward = true)
+    val c2 = census(2L, g2)
+    val g3 = B.publish(s, "pp42", Seq(
+      B.Part("post_compact",
+        bm25Postings(docs.unionAll(delta)), Some("token")),
+      B.Part("stats_compact",
+        bm25Stats(docs).unionAll(bm25Stats(delta))
+          .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))))
+    val c3 = census(3L, g3)
+    c1.unionAll(c2).unionAll(c3).orderBy("gen", "part")
   }
 
   /** tx40: ERASURE PURGE OF THE TEXT INDEX — the dd38/ss38 move for
@@ -1440,6 +1492,7 @@ object Curation {
     "tx20_bigram_novelty" -> tx20BigramNovelty,
     "pp05_quality_filter" -> pp05QualityFilter,
     "pp41_rag_flagship" -> ((s, d) => pp41RagFlagship(s, d)),
+    "pp42_publish_lifecycle" -> ((s, d) => pp42PublishLifecycle(s, d)),
     "pp26_line_clean" -> pp26LineClean,
     "pp06_mixture_rebalance" -> pp06MixtureRebalance,
     "pp14_curriculum" -> pp14Curriculum,
@@ -1969,6 +2022,36 @@ val oracleSql: Map[String, String] = Map(
     // a BIGINT. Queries = the 10 smallest surviving embedded ids (the
     // Spark side collects them at plan build; the replay derives the
     // same set relationally).
+    // pp42: every generation's manifest census replayed from the raw
+    // corpus — the gen-2 post_base row must equal gen-1's (the append-
+    // without-rewrite contract as a hash); post_compact = base + delta
+    // (disjoint doc ids)
+    "pp42_publish_lifecycle" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 20000000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |         THEN substring(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |bp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT DISTINCT token, doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents))),
+        |dp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT DISTINCT token, doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM delta)))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS gen, 'post_base' AS part,
+        |    n AS n_rows FROM bp
+        |  UNION ALL SELECT 1, 'stats_base', 1
+        |  UNION ALL SELECT 2, 'post_base', n FROM bp
+        |  UNION ALL SELECT 2, 'post_delta', n FROM dp
+        |  UNION ALL SELECT 2, 'stats_base', 1
+        |  UNION ALL SELECT 2, 'stats_delta', 1
+        |  UNION ALL SELECT 3, 'post_compact', bp.n + dp.n FROM bp, dp
+        |  UNION ALL SELECT 3, 'stats_compact', 1)
+        |ORDER BY gen, part""".stripMargin,
     "pp41_rag_flagship" -> s"""WITH RECURSIVE
       |p41tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk
       |  FROM documents),

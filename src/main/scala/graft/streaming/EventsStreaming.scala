@@ -308,6 +308,102 @@ object EventsStreaming {
       .orderBy("window_start", "lang")
   }
 
+  /** The st26 hand-off ingest stream: the doc_id % 10 = 7 slice of the
+    * ingest corpus (originals + their 60-second re-crawl copies) —
+    * "today's crawl" arriving against a base index built over the rest
+    * of the corpus. (The +1000000 copy ids keep the residue: 10⁶ ≡ 0
+    * mod 10, so one filter covers originals and copies.) */
+  def handoffCorpus(s: SparkSession, d: String): DataFrame =
+    ingestCorpus(s, d).filter(pmod(col("doc_id"), lit(10L)) === 7L)
+
+  /** st04's admission gates emitting the admitted DOC ROWS (append
+    * mode) instead of the window rollup — the stream face that feeds a
+    * persisted-index delta segment from foreachBatch (StreamingSpec
+    * drives it through real micro-batches; dropDuplicatesWithinWatermark
+    * emits first arrivals immediately, so admitted docs flow into the
+    * batch in which they arrive). */
+  def curatedAdmissions(docs: DataFrame): DataFrame = {
+    val nTokens = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    docs
+      .withColumn("n_tokens", nTokens)
+      .filter(col("n_tokens") >= 10 && col("n_chars") >= 50)
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "text")
+  }
+
+  /** BM25 serve over EVERY segment currently in `family`'s manifest —
+    * segment-count-agnostic (tx38's merge-at-scoring: union the probed
+    * postings, Σ the per-segment sidecars), so the batch face's single
+    * delta and a stream's N micro-batch deltas serve IDENTICAL bytes.
+    * One pinned manifest resolution (the never-a-mix rule). */
+  private[graft] def handoffServe(s: SparkSession, family: String)
+      : DataFrame = {
+    val tbls = graft.operators.Bucketing.publishedTables(s, family)
+    def arm(prefix: String): Seq[DataFrame] = tbls.toSeq.collect {
+      case (p, t) if p.startsWith(prefix) => t
+    }.sorted.map(s.table)
+    val probed = arm("tpost_")
+      .map(_.filter(col("token").isin(
+        graft.operators.Curation.bm25Terms: _*)))
+      .reduce(_.unionAll(_))
+    val stats = arm("tstats_").reduce(_.unionAll(_))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    graft.operators.Curation.bm25Serve(probed, stats)
+  }
+
+  /** st26: STREAMING INGEST → PERSISTED-INDEX HAND-OFF — the seam
+    * between the st family's admission gates and the index families'
+    * delta-segment lifecycle (the r12 verdict's stretch item): today's
+    * crawl flows through st04's quality gate + watermark dedup and the
+    * ADMITTED docs append to yesterday's BM25 index as a delta segment
+    * through the atomic manifest (carryForward publish — base bytes
+    * never rewritten, a reader resolves the whole old or whole new
+    * segment set). Serving is segment-merged (tx38's exact arithmetic),
+    * so the index answers with today's docs the moment the pointer
+    * swaps.
+    *
+    * This batch face publishes ONE delta of the deterministically-
+    * curated admissions (first-arrival-wins row_number — st04's rule);
+    * `StreamingSpec` drives the SAME gates through a real
+    * foreachBatch stream writing one delta PER MICRO-BATCH and pins
+    * the merged serve byte-identical to this face — the segmentation-
+    * invariance contract, now proven across the streaming boundary.
+    *
+    * Scale: ingest cost is O(admitted batch) (postings of the batch +
+    * a 1-row sidecar + a manifest swap); the base index is never
+    * touched; serving probes each segment bucket-aligned with the term
+    * predicate pushed into every scan (the tx37/tx38 plan properties).
+    */
+  private val st26IndexHandoff: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val C = graft.operators.Curation
+    val B = graft.operators.Bucketing
+    val base = graft.Tables.t(s, d, "documents")
+      .filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+      .select("doc_id", "text")
+    B.publish(s, "st26", Seq(
+      B.Part("tpost_base", C.bm25Postings(base), Some("token")),
+      B.Part("tstats_base", C.bm25Stats(base))))
+    val nTokens = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("bigint")
+    val w = Window.partitionBy("fp").orderBy("ts", "doc_id")
+    val admitted = handoffCorpus(s, d)
+      .withColumn("n_tokens", nTokens)
+      .filter(col("n_tokens") >= 10 && col("n_chars") >= 50)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text")
+    B.publish(s, "st26", Seq(
+      B.Part("tpost_delta0", C.bm25Postings(admitted), Some("token")),
+      B.Part("tstats_delta0", C.bm25Stats(admitted))),
+      carryForward = true)
+    handoffServe(s, "st26")
+  }
+
   /** st06: the outer interval join's batch face (driver-checkable).
     * Unmatched clicks surface with null view columns; the sort pins
     * NULLS FIRST explicitly on both engines.
@@ -1855,9 +1951,47 @@ object EventsStreaming {
     "st09_neardup_admission" -> st09NeardupAdmission,
     "st10_token_budget" -> st10TokenBudget,
     "st24_real_budget" -> st24RealBudget,
-    "st25_erasure_ledger" -> st25ErasureLedger)
+    "st25_erasure_ledger" -> st25ErasureLedger,
+    "st26_index_handoff" -> st26IndexHandoff)
 
   val oracleSql: Map[String, String] = Map(
+    // st26: BM25 over base ∪ admitted — the serve is segment-merged on
+    // the Spark side (union postings, Σ sidecars), but a doc lives in
+    // exactly one segment, so the flat-corpus replay is byte-identical
+    // (tx38's proven equivalence). Admissions replay as the gate
+    // predicate on the %10=7 originals: the 60-s re-crawl copies are
+    // exact text duplicates, so first-arrival dedup keeps precisely
+    // the originals, and gates agree between original and copy.
+    "st26_index_handoff" ->
+      """WITH corp AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 7
+        |    AND CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |        AS BIGINT) >= 10
+        |    AND n_chars >= 50),
+        |d2 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM corp),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 avg(dl) AS avgdl FROM d2),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM d2),
+        |tf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE token IN ('query', 'table', 'stream')
+        |       GROUP BY token, doc_id, dl),
+        |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT token, doc_id, tf, dl,
+        |    round(((n_docs - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 4) AS score
+        |  FROM tf JOIN dfx USING (token) CROSS JOIN stats),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY token
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM scored)
+        |SELECT token, rnk, doc_id, tf, dl, score
+        |FROM ranked WHERE rnk <= 5 ORDER BY token, rnk""".stripMargin,
     // st18: q87's journey/endpoint/remainder chain replayed pre-rollup;
     // journey cast to BIGINT (DuckDB window sums are HUGEINT).
     "st18_attribution" ->

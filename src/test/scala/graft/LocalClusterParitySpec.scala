@@ -149,7 +149,13 @@ class LocalClusterParitySpec extends SparkSpec {
     "tx39_compacted_text_index", "tx40_text_purge",
     // r12: ss44's dual-strategy filtered search (NearestCentroids-free
     // portable assignment + two filter predicates) across executor JVMs
-    "ss44_filtered_search")
+    "ss44_filtered_search",
+    // r13: st26's streaming→index hand-off batch face — two manifest
+    // publishes (base + carry-forward delta) and the segment-merged
+    // serve must reproduce across real executor JVMs; pp42's three-
+    // generation publish lifecycle (reset → build → append → compact,
+    // checkpointed per-generation censuses) likewise
+    "st26_index_handoff", "pp42_publish_lifecycle")
 
   test("local-cluster executors reproduce in-process results exactly") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")

@@ -171,6 +171,55 @@ class StreamingSpec extends SparkSpec {
     assert(got.size > 5) // several windows, not a degenerate comparison
   }
 
+  test("st26: a foreachBatch stream appends per-micro-batch delta " +
+      "segments whose merged serve is byte-identical to the batch face") {
+    import StreamingSpec.Doc
+    val sf = "/root/testdata/sf0.001"
+    val C = graft.operators.Curation
+    val B = graft.operators.Bucketing
+    // yesterday's base index, published under the STREAM's own family
+    val base = Tables.t(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+      .select("doc_id", "text")
+    B.publish(spark, "st26s", Seq(
+      B.Part("tpost_base", C.bm25Postings(base), Some("token")),
+      B.Part("tstats_base", C.bm25Stats(base))))
+    // today's crawl in arrival order, streamed in 3 real micro-batches
+    val corpus = EventsStreaming.handoffCorpus(spark, sf)
+      .orderBy("ts", "doc_id")
+      .collect().map(r => Doc(r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3), r.getTimestamp(4))).toSeq
+    val chunks = corpus.grouped(corpus.length / 3 + 1).toSeq
+    assert(chunks.length >= 2, "corpus too small for a multi-batch probe")
+    val input = MemoryStream[Doc](spark)
+    val q = EventsStreaming.curatedAdmissions(input.toDF())
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the hand-off: each micro-batch's admissions append as their
+        // own delta segment through the atomic carry-forward manifest
+        if (!batch.isEmpty) {
+          B.publish(spark, "st26s", Seq(
+            B.Part(s"tpost_d$id", C.bm25Postings(batch), Some("token")),
+            B.Part(s"tstats_d$id", C.bm25Stats(batch))),
+            carryForward = true)
+          ()
+        }
+      }.start()
+    try chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    // segmentation is real: ≥2 stream-written delta segments
+    val parts = B.publishedTables(spark, "st26s").keySet
+    assert(parts.count(_.startsWith("tpost_d")) >= 2, parts)
+    // and invisible to the serve: byte-identical to the batch face's
+    // single-delta publish (collect order is bm25Serve's own total sort)
+    val got = EventsStreaming.handoffServe(spark, "st26s")
+      .collect().toSeq
+    val want = SparkEntry.queries("st26_index_handoff")(spark, sf)
+      .collect().toSeq
+    assert(got.nonEmpty && got == want,
+      "stream-written delta segments served different bytes")
+  }
+
   test("streaming near-dup band claims match the st09 batch face") {
     import StreamingSpec.NdDoc
     val sf = "/root/testdata/sf0.001"
