@@ -480,8 +480,12 @@ object RelationalQueries {
       .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("ps"),
         count(lit(1)).as("cnt"))
       .select(col("o_orderstatus"),
-        round(col("ps")(0), 2).as("median_price"),
-        round(col("ps")(1), 2).as("p90_price"), col("cnt"))
+        // shared-multiply floor-quantizer, not round(_, 2): round()
+        // diverges cross-engine at half-cent boundaries on
+        // interpolated quantiles (the q64 sf0.001 case, r13)
+        expr("floor(ps[0] * 100 + 0.5) / 100").as("median_price"),
+        expr("floor(ps[1] * 100 + 0.5) / 100").as("p90_price"),
+        col("cnt"))
       .orderBy("o_orderstatus")
 
   /** q51: time-series RESAMPLE + GAP FILL — project events onto a dense
@@ -2073,8 +2077,8 @@ object RelationalQueries {
         |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
     "q50_percentiles" ->
       """SELECT o_orderstatus,
-        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+        |  floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS median_price,
+        |  floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90_price,
         |  count(*) AS cnt
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q47_distinct_filter_agg" ->

@@ -167,8 +167,15 @@ object Skew {
     val pcts = pctExact.join(pctApprox, Seq("l_returnflag"))
     distincts.join(pcts, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
-        round(col("ep50"), 2).as("exact_p50"),
-        round(col("ep99"), 2).as("exact_p99"),
+        // floor-quantizer, NOT round(_, 2): both engines compute the
+        // same interpolated double, but round() semantics diverge at
+        // half-cent boundaries — DuckDB multiplies by 100 in double
+        // (52724.24499…×100 rounds UP to exactly 5272424.5 → .25)
+        // while Spark HALF_UPs the exact decimal (→ .24). The floor
+        // form shares the multiply on both sides, so the boundary
+        // resolves identically (bit sf0.001's R group)
+        expr("floor(ep50 * 100 + 0.5) / 100").as("exact_p50"),
+        expr("floor(ep99 * 100 + 0.5) / 100").as("exact_p99"),
         (abs(col("ap") - col("exact_parts")) <=
           col("exact_parts") * 0.10).as("parts_ok"),
         (abs(col("ao") - col("exact_orders")) <=
@@ -343,12 +350,11 @@ object Skew {
     ranked.groupBy("l_returnflag")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("l_returnflag"),
-        round(col("p50_lo") +
-          (col("p50_hi") - col("p50_lo")) * col("p50_f"), 2)
-          .as("p50_price"),
-        round(col("p99_lo") +
-          (col("p99_hi") - col("p99_lo")) * col("p99_f"), 2)
-          .as("p99_price"))
+        // floor-quantizer, not round(_, 2) — the q64 half-cent rule
+        expr("floor((p50_lo + (p50_hi - p50_lo) * p50_f) * 100 + 0.5)" +
+          " / 100").as("p50_price"),
+        expr("floor((p99_lo + (p99_hi - p99_lo) * p99_f) * 100 + 0.5)" +
+          " / 100").as("p99_price"))
       .orderBy("l_returnflag")
   }
 
@@ -377,10 +383,13 @@ object Skew {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
-        round(max(col("med")), 4).as("med"),
-        round(max(col("mad")), 4).as("mad"),
-        round(max(when(col("is_out"), col("value"))), 4)
-          .as("max_outlier"))
+        // floor-quantizer at scale 4, not round(_, 4) — interpolated
+        // medians can land on half-boundary digits where the two
+        // engines' round() semantics split (the q64 rule)
+        expr("floor(max(med) * 10000 + 0.5) / 10000").as("med"),
+        expr("floor(max(mad) * 10000 + 0.5) / 10000").as("mad"),
+        expr("floor(max(CASE WHEN is_out THEN value END) * 10000 + 0.5)" +
+          " / 10000").as("max_outlier"))
       .orderBy("event_type")
   }
 
@@ -702,8 +711,8 @@ object Skew {
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
-        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS exact_p99,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS exact_p50,
+        |  floor(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5) / 100 AS exact_p99,
         |  TRUE AS parts_ok, TRUE AS orders_ok,
         |  TRUE AS p50_ok, TRUE AS p99_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -771,15 +780,19 @@ object Skew {
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers,
-        |  round(max(med), 4) AS med, round(max(mad), 4) AS mad,
-        |  round(max(CASE WHEN is_out THEN value END), 4) AS max_outlier
+        |  floor(max(med) * 10000 + 0.5) / 10000 AS med,
+        |  floor(max(mad) * 10000 + 0.5) / 10000 AS mad,
+        |  floor(max(CASE WHEN is_out THEN value END) * 10000 + 0.5) / 10000 AS max_outlier
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q72: the oracle is the ENGINE-NATIVE continuous quantile — equality
-    // proves the sort-based formulation reproduces it exactly
+    // proves the sort-based formulation reproduces it exactly. Output
+    // rides the shared-multiply floor-quantizer, not round(_, 2): the
+    // interpolated double is identical cross-engine but round()
+    // diverges at half-cent boundaries (sf0.001's R group, r13).
     "q72_percentile_sorted" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
-        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50_price,
+        |  floor(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5) / 100 AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q71_funnel" ->
       """WITH v AS (SELECT user_id,
