@@ -731,8 +731,9 @@ object Dedup {
     * every nightly batch in production; rebuilt per run here — the
     * honest benchmark cost, the ss33 note). Buckets = 8 at fixture
     * scale; production sizes them from the corpus (the pp37 rule).
-    * Single-writer contract on the fixed table names per Bucketing's
-    * scaladoc.
+    * Published through Bucketing's atomic versioned manifest (r13):
+    * postings + shingle store flip together, crash-safe, namespaced
+    * under the TVF surface.
     */
   private val dd35PersistedBands: Q = (s, d) => {
     val docs = t(s, d, "documents").select("doc_id", "text")

@@ -48,8 +48,12 @@ class SkewSpec extends SparkSpec {
         (r.getDouble(1), r.getDouble(2))).toMap
     val buffered = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("round(percentile(l_extendedprice, 0.5), 2)").as("p50"),
-        expr("round(percentile(l_extendedprice, 0.99), 2)").as("p99"))
+      // same floor-quantizer as the query (round(_, 2) splits from it
+      // at half-cent boundaries — the r13 q64/q72 rule)
+      .agg(expr("floor(percentile(l_extendedprice, 0.5) * 100 + 0.5)" +
+          " / 100").as("p50"),
+        expr("floor(percentile(l_extendedprice, 0.99) * 100 + 0.5)" +
+          " / 100").as("p99"))
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2))).toMap
     assert(sorted == buffered, s"$sorted vs $buffered")
