@@ -40,11 +40,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * — see GraftOps. Verify/Bench leave the namespace unset and keep the
   * fixed names.
   *
-  * Manifest resolution is per-session-catalog: `published` serves the
-  * generation the manifest names, which the CURRENT session registered
-  * when it published. A fresh session atop an old warehouse re-runs the
-  * index build (the in-memory catalog forgot the table metadata; bucket
-  * specs are not reconstructable from bare parquet dirs).
+  * COLD START: the manifest records each part's bucket layout, and the
+  * generation tables are EXTERNAL at fixed warehouse locations — so
+  * [[restore]] re-registers a published family in a fresh session from
+  * the manifest alone (schema inferred from parquet, CLUSTERED BY spec
+  * from the manifest), preserving the zero-shuffle join contract
+  * without a rebuild.
   */
 object Bucketing {
 
@@ -60,8 +61,19 @@ object Bucketing {
     */
   def writeTable(df: DataFrame, table: String): Unit = {
     dropWithLocation(df.sparkSession, table)
-    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    // explicit path (same layout a managed table would get) → EXTERNAL:
+    // a catalog-only drop leaves the bytes, which is what lets
+    // restore() re-register a published index in a cold session;
+    // dropWithLocation deletes the directory explicitly on rewrite, so
+    // overwrite semantics are unchanged
+    df.write.mode("overwrite").format("parquet")
+      .option("path", tableLocation(df.sparkSession, table))
+      .saveAsTable(table)
   }
+
+  private def tableLocation(spark: SparkSession, table: String): String =
+    new java.io.File(warehousePath(spark), table.toLowerCase)
+      .getAbsolutePath
 
   private def warehousePath(spark: SparkSession): java.io.File =
     new java.io.File(
@@ -87,6 +99,7 @@ object Bucketing {
       buckets: Int, sorted: Boolean = true): Unit = {
     dropWithLocation(df.sparkSession, table)
     val w = df.write.mode("overwrite").format("parquet")
+      .option("path", tableLocation(df.sparkSession, table))
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
@@ -131,18 +144,35 @@ object Bucketing {
     else scala.util.Try(
       java.nio.file.Files.readString(f.toPath).trim.toLong).toOption
 
-  /** part → concrete table name recorded by generation `gen`'s
-    * manifest (empty if that generation never completed its manifest —
-    * only reachable for never-pointed-to generations). */
-  private def readParts(spark: SparkSession, fam: String, gen: Long)
-      : Map[String, String] = {
+  /** One manifest entry: the concrete table plus the layout needed to
+    * re-register it in a COLD session (bucket spec is catalog
+    * metadata, not parquet metadata — without it a fresh session could
+    * read the bytes but would lose the zero-shuffle join contract). */
+  private[graft] case class ManifestEntry(table: String,
+      bucketKey: Option[String], buckets: Int, sorted: Boolean)
+
+  /** part → manifest entry recorded by generation `gen`'s manifest
+    * (empty if that generation never completed its manifest — only
+    * reachable for never-pointed-to generations). */
+  private def readEntries(spark: SparkSession, fam: String, gen: Long)
+      : Map[String, ManifestEntry] = {
     val f = genFile(spark, fam, gen)
     if (!f.isFile) Map.empty
     else java.nio.file.Files.readString(f.toPath).linesIterator
       .filter(_.contains('\t')).map { l =>
-        val Array(p, t) = l.split('\t'); p -> t
+        l.split('\t') match {
+          case Array(p, t, k, b, s) =>
+            p -> ManifestEntry(t,
+              if (k.isEmpty) None else Some(k), b.toInt, s.toBoolean)
+          case arr => // pre-r13 two-field manifests stay readable
+            arr(0) -> ManifestEntry(arr(1), None, 0, sorted = false)
+        }
       }.toMap
   }
+
+  private def readParts(spark: SparkSession, fam: String, gen: Long)
+      : Map[String, String] =
+    readEntries(spark, fam, gen).map { case (p, e) => p -> e.table }
 
   /** The generation a reader of `family` should serve, or None before
     * the first successful publish. */
@@ -168,6 +198,37 @@ object Bucketing {
   def published(spark: SparkSession, family: String, part: String)
       : DataFrame =
     spark.table(publishedTables(spark, family)(part))
+
+  /** COLD-START: re-register the serving generation's tables in a
+    * session whose catalog has forgotten them (fresh JVM over a
+    * surviving warehouse — the manifest records each part's bucket
+    * layout precisely because bucket specs are catalog metadata, not
+    * parquet metadata). Each missing part is re-created as an external
+    * table over its directory with the recorded CLUSTERED BY spec, so
+    * a restored reader keeps the zero-shuffle join contract
+    * (BucketingSpec asserts the restored join plans no Exchange).
+    * Idempotent; returns part → table. */
+  def restore(spark: SparkSession, family: String)
+      : Map[String, String] = {
+    val fam = family + namespace(spark)
+    val entries = readEntries(spark, fam, servingGen(spark, family))
+    entries.foreach { case (_, e) =>
+      if (!spark.catalog.tableExists(e.table)) {
+        val loc = new java.io.File(warehousePath(spark),
+          e.table.toLowerCase)
+        require(loc.isDirectory,
+          s"published table ${e.table} has no data directory at $loc")
+        val schema = spark.read.parquet(loc.getAbsolutePath).schema.toDDL
+        val bucketSql = e.bucketKey.map { k =>
+          (if (e.sorted) s" CLUSTERED BY (`$k`) SORTED BY (`$k`)"
+           else s" CLUSTERED BY (`$k`)") + s" INTO ${e.buckets} BUCKETS"
+        }.getOrElse("")
+        spark.sql(s"CREATE TABLE ${e.table} ($schema) USING parquet" +
+          bucketSql + s" LOCATION '${loc.getAbsolutePath}'")
+      }
+    }
+    entries.map { case (p, e) => p -> e.table }
+  }
 
   /** Erase a family completely — pointer, generation manifests, and
     * every physical table under its prefix. For operators that DEMO
@@ -227,26 +288,32 @@ object Bucketing {
       s"family/part names must not contain '__'/'__g': $fam")
     val prevGen = readGen(pointerFile(spark, fam))
     val gen = prevGen.getOrElse(0L) + 1L
-    val prevParts = prevGen.map(readParts(spark, fam, _))
+    val prevEntries = prevGen.map(readEntries(spark, fam, _))
       .getOrElse(Map.empty)
+    val prevParts = prevEntries.map { case (p, e) => p -> e.table }
     // family-qualified physical names: two families may use the same
     // part name (dd36 and dd37 both carry a graft_band_base segment)
     // without sharing a byte (the ADVICE r12 aliasing rule)
-    val written = parts.map { p =>
+    val written: Map[String, ManifestEntry] = parts.map { p =>
       val tbl = s"${fam}__${p.table}__g$gen"
       p.bucketKey match {
         case Some(k) => writeBucketed(p.df, tbl, k, p.buckets, p.sorted)
         case None => writeTable(p.df, tbl)
       }
-      p.table -> tbl
+      p.table -> ManifestEntry(tbl, p.bucketKey, p.buckets, p.sorted)
     }.toMap
-    val names =
-      if (carryForward) prevParts ++ written else written
-    // generation manifest, then the atomic pointer swap
+    val entries =
+      if (carryForward) prevEntries ++ written else written
+    val names = entries.map { case (p, e) => p -> e.table }
+    // generation manifest (table + bucket layout per part — enough for
+    // a cold session to re-register, see restore()), then the atomic
+    // pointer swap
     val gf = genFile(spark, fam, gen)
     gf.getParentFile.mkdirs()
     java.nio.file.Files.writeString(gf.toPath,
-      names.map { case (p, t) => s"$p\t$t" }.mkString("", "\n", "\n"))
+      entries.map { case (p, e) =>
+        s"$p\t${e.table}\t${e.bucketKey.getOrElse("")}\t${e.buckets}\t${e.sorted}"
+      }.mkString("", "\n", "\n"))
     val pf = pointerFile(spark, fam)
     val tmp = new java.io.File(pf.getParentFile, s"${pf.getName}.tmp$gen")
     java.nio.file.Files.writeString(tmp.toPath, gen.toString)

@@ -129,6 +129,41 @@ class BucketingSpec extends SparkSpec {
       "grace window must keep the PREVIOUS generation's tables")
   }
 
+  test("restore: a cold catalog re-serves a published family from the " +
+      "manifest alone — same bytes AND the bucket layout survives " +
+      "(zero-Exchange self-join after restore)") {
+    val df = spark.range(500).select(col("id"),
+      pmod(xxhash64(col("id")), lit(37L)).as("k"))
+    val names = Bucketing.publish(spark, "t_cold", Seq(
+      Bucketing.Part("p", df, Some("id"), buckets = 4)))
+    val want = Bucketing.published(spark, "t_cold", "p")
+      .collect().map(_.toSeq).toSet
+    // catalog-only amnesia: generation tables are EXTERNAL, so DROP
+    // forgets the metadata but keeps every byte (the fresh-JVM shape,
+    // simulated in-process)
+    spark.sql(s"DROP TABLE ${names("p")}")
+    assert(!spark.catalog.tableExists(names("p")))
+    assert(whDir(names("p")).isDirectory, "DROP purged external bytes")
+    val restored = Bucketing.restore(spark, "t_cold")
+    assert(restored == names)
+    assert(Bucketing.published(spark, "t_cold", "p")
+      .collect().map(_.toSeq).toSet == want)
+    // the restored table still carries the bucket spec: a same-key
+    // self-join must plan with ZERO Exchange (the whole point of
+    // recording the layout in the manifest)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table(restored("p"))
+      val joined = t.join(t.withColumnRenamed("k", "k2"), Seq("id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"restored table lost its bucket layout:\n$plan")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("publish: namespaced sessions are fully disjoint — own " +
       "manifests, own physical tables, no cross-talk") {
     val s1 = spark.newSession(); val s2 = spark.newSession()
