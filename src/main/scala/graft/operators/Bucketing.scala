@@ -98,7 +98,19 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
     dropWithLocation(df.sparkSession, table)
-    val w = df.write.mode("overwrite").format("parquet")
+    // ONE file per bucket (guide §6 file sizing): a bucketed write
+    // emits a file per (input task × bucket it sees) — the 32-partition
+    // band/shingle frames wrote 256-264 ~10 KB files per table
+    // (measured, r13), paying per-file create+commit on the write and
+    // a footer open per file on EVERY probe scan. HashPartitioning and
+    // the bucket assignment share the same Murmur3-pmod hash, so
+    // repartition(buckets, key) lands each task exactly one bucket →
+    // `buckets` files. Same rows, same bucket spec, layout-only; at
+    // production scale this is the standard cluster-by-bucket-key
+    // shuffle before a bucketed write (write.distribution-mode=hash).
+    val clustered = df.repartition(buckets,
+      org.apache.spark.sql.functions.col(key))
+    val w = clustered.write.mode("overwrite").format("parquet")
       .option("path", tableLocation(df.sparkSession, table))
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
@@ -294,6 +306,14 @@ object Bucketing {
     // family-qualified physical names: two families may use the same
     // part name (dd36 and dd37 both carry a graft_band_base segment)
     // without sharing a byte (the ADVICE r12 aliasing rule)
+    // Parts write SEQUENTIALLY, deliberately (guide §2.6 concurrent
+    // part writes A/B'd and REJECTED, r13: publish-family micro-bench
+    // 55.4 s sequential vs 67.0 s concurrent — parts of one family
+    // share lazily-persisted upstreams (ss34's normed pool, the PQ
+    // quantizer pipelines), and concurrent materialization re-runs
+    // the shared build per part before the cache fills, the dd20
+    // lazy-persist race; sequential writes fill the cache on part 1
+    // and reuse it on parts 2..n).
     val written: Map[String, ManifestEntry] = parts.map { p =>
       val tbl = s"${fam}__${p.table}__g$gen"
       p.bucketKey match {
