@@ -44,7 +44,59 @@ object Tables {
     * the UTC session every graft entry point builds). Either way the
     * column downstream queries see is a micros TimestampType named `ts`.
     */
+  // Memoized per (session, dir, name) — every spark.read.parquet call
+  // re-lists the path and re-reads footers for schema inference
+  // (~30 ms/table); operators call t() 1-4× per query build, INSIDE
+  // the bench's timed region, so the sweep was paying the same
+  // metadata work ~2000×. The memo caches the resolved DataFrame —
+  // the logical PLAN with its file index and schema, never row data
+  // (every action still scans the parquet), so bench/oracle honesty
+  // is untouched (guide §6: file listing is driver-side work to do
+  // once, which is also what a catalog table or registered view
+  // does). Weak session keys: must not pin a stopped session.
+  //
+  // Freshness token: a shallow listing of the table directory
+  // (name+size+mtime per file, ~0.1 ms) — a REWRITTEN path (the
+  // driver regenerating a layout, ContractSpec's ts-adaptivity test)
+  // invalidates its entry instead of serving a stale file index,
+  // which would FAILED_READ_FILE on the replaced parts.
+  private val scans =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), (Long, DataFrame)]]()
+
+  private def dirToken(sfDir: String, name: String): Long = {
+    val d = new java.io.File(s"$sfDir/$name.parquet")
+    val fs = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+    fs.foldLeft(d.lastModified()) { (h, f) =>
+      31L * (31L * (31L * h + f.getName.hashCode) + f.length()) +
+        f.lastModified()
+    }
+  }
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    synchronized {
+      val m = {
+        val got = scans.get(spark)
+        if (got != null) got
+        else {
+          val fresh = scala.collection.mutable
+            .Map.empty[(String, String), (Long, DataFrame)]
+          scans.put(spark, fresh)
+          fresh
+        }
+      }
+      val tok = dirToken(sfDir, name)
+      m.get((sfDir, name)) match {
+        case Some((t0, df)) if t0 == tok => df
+        case _ =>
+          val df = tUncached(spark, sfDir, name)
+          m.put((sfDir, name), (tok, df))
+          df
+      }
+    }
+
+  private def tUncached(spark: SparkSession, sfDir: String,
+      name: String): DataFrame =
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")

@@ -568,6 +568,11 @@ object Curation {
     * inverted-index payload tx37/tx38 persist (tf shuffle carries
     * counters + dl, text never leaves the scan). */
   private[graft] def bm25Postings(docs: DataFrame): DataFrame = docs
+    // spread the 1-partition documents scan before tokenize+explode
+    // (r13 Scratch on ss43: the whole corpus tokenized in ONE task —
+    // the dd20 explicit-count rule; grouped counters shuffle, text
+    // never does)
+    .repartition(32)
     .withColumn("toks", split(col("text"), " "))
     .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
       explode(col("toks")).as("token"))

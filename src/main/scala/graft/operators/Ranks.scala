@@ -369,4 +369,119 @@ object Ranks {
     }
     out.drop(helperCols: _*)
   }
+
+  /** WEIGHTED boundary selection — [[ntileBoundary]]'s two-phase
+    * histogram refinement with per-row non-negative BIGINT weights:
+    * for each target T (a cumulative-weight threshold) find the
+    * SMALLEST key (metric, tiebreak) whose inclusive running weight
+    * W(≤ key) in (metric asc, tiebreak asc) order reaches T. This is
+    * the Pareto/ABC boundary primitive: "the key where cumulative
+    * revenue crosses 80 %" is the key at weighted rank T — found by
+    * counter-only aggregate rounds (each histograms the active range
+    * into ≤65536 cells with sum(weight) per cell), never by
+    * materializing per-row ranks or running sums. Monotonicity of W
+    * makes the minimal key well-defined; because W jumps only at
+    * positive-weight rows, the minimal key always carries weight > 0,
+    * so the phase-2 tiebreak search inside the boundary metric group
+    * always converges.
+    *
+    * Targets are built from the TOTAL weight (returned by the same
+    * initial stats action that sizes the search ranges) via
+    * `targetsOf` — callers' thresholds are shares of the total.
+    * Each target must be in [1, totalWeight]. `df` should be
+    * materialized (each round re-scans it). Returns
+    * (totalWeight, target → (metricVal, tiebreakVal)).
+    */
+  def keysAtWeightedRanks(df: DataFrame, metric: Column,
+      tiebreak: Column, weight: Column,
+      targetsOf: Long => Seq[Long]): (Long, Map[Long, (Long, Long)]) = {
+    val work = df.select(metric.cast("bigint").as("__gm"),
+      tiebreak.cast("bigint").as("__gt"),
+      weight.cast("bigint").as("__gw"))
+    val stat = work.agg(sum(col("__gw")).as("__w"),
+      min(col("__gm")).as("__mlo"), max(col("__gm")).as("__mhi"),
+      min(col("__gt")).as("__tlo"), max(col("__gt")).as("__thi"),
+      sum(when(col("__gm").isNull || col("__gt").isNull ||
+        col("__gw").isNull || col("__gw") < 0L, 1L).otherwise(0L))
+        .as("__bad")).head()
+    require(!stat.isNullAt(0), "keysAtWeightedRanks: empty frame")
+    require(stat.getLong(5) == 0L,
+      "keysAtWeightedRanks: null keys/weights or negative weights")
+    val totW = stat.getLong(0)
+    val (mlo, mhi) = (stat.getLong(1), stat.getLong(2))
+    val (tlo, thi) = (stat.getLong(3), stat.getLong(4))
+    Seq(BigInt(mhi) - BigInt(mlo), BigInt(thi) - BigInt(tlo)).foreach(sp
+      => require(sp < BigInt(Long.MaxValue) - 1,
+        "keysAtWeightedRanks: key range spans >2^63"))
+    val targets = targetsOf(totW)
+    require(targets.forall(t => t >= 1L && t <= totW),
+      s"keysAtWeightedRanks: targets $targets outside [1, $totW]")
+    // search state per target: phase M refines the metric range; on
+    // convergence v is recorded and the search re-arms over the
+    // tiebreak range predicated on metric = v with the residual weight
+    case class WState(t: Long, phaseT: Boolean, lo: Long, hi: Long,
+        resid: Long, v: Long, done: Boolean, c: Long)
+    def settle(st: WState): WState =
+      if (st.done || st.lo < st.hi) st
+      else if (st.phaseT) st.copy(done = true, c = st.lo)
+      else settle(WState(st.t, phaseT = true, tlo, thi, st.resid,
+        st.lo, done = false, 0L))
+    var states: Seq[WState] = targets.distinct.map(t =>
+      settle(WState(t, phaseT = false, mlo, mhi, t, 0L,
+        done = false, 0L)))
+    while (states.exists(!_.done)) {
+      val ranges = states.collect { case st if !st.done =>
+        (st.phaseT, st.v, st.lo, st.hi)
+      }.distinct
+      val widths = ranges.map { case (_, _, lo, hi) =>
+        val span = hi - lo
+        span / math.min(HIST_CELLS, span + 1) + 1
+      }
+      val entries = ranges.zipWithIndex.map {
+        case ((phaseT, v, lo, hi), rid) =>
+          val keyc = if (phaseT) "__gt" else "__gm"
+          val pred = if (phaseT) s"__gm = CAST($v AS BIGINT)" else "true"
+          struct(lit(rid).as("rid"), expr(
+            s"""CASE WHEN ($pred)
+               |  AND $keyc BETWEEN CAST($lo AS BIGINT)
+               |    AND CAST($hi AS BIGINT)
+               |THEN ($keyc - CAST($lo AS BIGINT)) div ${widths(rid)}
+               |END""".stripMargin).as("cell"))
+      }
+      val hist = work
+        .select(col("__gw"), explode(array(entries: _*)).as("e"))
+        .filter(col("e.cell").isNotNull)
+        .groupBy(col("e.rid").as("rid"), col("e.cell").as("cell"))
+        .agg(sum(col("__gw")).as("w"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (rid, rs) =>
+          rid -> rs.map(r => (r.getLong(1), r.getLong(2)))
+            .sortBy(_._1).toSeq
+        }
+      states = states.map { st =>
+        if (st.done) st
+        else {
+          val rid = ranges.indexOf((st.phaseT, st.v, st.lo, st.hi))
+          val width = widths(rid)
+          var cum = 0L
+          var next: Option[WState] = None
+          val it = hist.getOrElse(rid, Seq.empty).iterator
+          while (it.hasNext && next.isEmpty) {
+            val (cell, w) = it.next()
+            if (cum + w >= st.resid) {
+              val newLo = st.lo + cell * width
+              next = Some(st.copy(lo = newLo,
+                hi = math.min(st.hi, newLo + width - 1),
+                resid = st.resid - cum))
+            } else cum += w
+          }
+          settle(next.getOrElse(throw new IllegalStateException(
+            s"keysAtWeightedRanks: residual ${st.resid} exceeds " +
+              s"weight in [${st.lo},${st.hi}] (phaseT=${st.phaseT})")))
+        }
+      }
+    }
+    (totW, states.map(st => st.t -> (st.v, st.c)).toMap)
+  }
 }

@@ -1190,29 +1190,53 @@ object RelationalQueries {
         expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)" +
           " AS BIGINT)").as("cents"))
       .groupBy("l_partkey").agg(sum("cents").as("rev_cents"))
-    // eager: consumed twice (classed rows + the tot aggregate) — the
-    // lazy form re-ran the post-checkpoint rejoin + running-sum window
-    // per consumer (ADVICE r12; the repo's >1-ref checkpoint rule)
-    val ranked = Ranks.globalRankAndRunningSum(rev, col("rev_cents"),
-      "rnk", "cum", col("rev_cents").desc, col("l_partkey"))
+      // eager: consumed by the boundary search's stats action, each
+      // histogram round, and the final class aggregate (>1-ref rule)
       .localCheckpoint()
-    val classed = ranked
-      .crossJoin(broadcast(ranked.agg(sum("rev_cents").as("tot"))))
-      .withColumn("cum_share_x10k", expr("cum * 10000 div tot"))
-      .withColumn("abc_class",
-        when(col("cum_share_x10k") <= 8000L, "A")
-          .when(col("cum_share_x10k") <= 9500L, "B")
-          .otherwise("C"))
+    // WEIGHTED BOUNDARY SELECTION (r13, guide §2.4): the output is a
+    // 3-row class table, so the per-part global rank and running
+    // revenue the r12 form materialized (range shuffle of the part
+    // dimension + eager checkpoint + offsets rejoin + a second
+    // full-frame pass against the broadcast total) were computed only
+    // to be thrown away. The class boundaries are CUMULATIVE-REVENUE
+    // thresholds — cum·10⁴ div tot ≤ 8000 ⟺ cum ≤ T_A with
+    // T_A = (8001·tot − 1) div 10⁴ (integer-div algebra, engine-exact)
+    // — and the key where the running revenue first EXCEEDS T is the
+    // key at weighted rank T+1 in (rev desc, partkey) order: found by
+    // Ranks.keysAtWeightedRanks' counter-only histogram rounds, no
+    // shuffle or materialization of per-row ranks. Class membership,
+    // counts, revenue sums AND last_rank (= cumulative part count at
+    // the class edge, a running sum over the 3-row class frame) then
+    // come from ONE aggregate over the checkpointed rev frame against
+    // two broadcast boundary literals. Bytes proven unchanged by the
+    // oracle at all three SFs (cum is non-decreasing — rev ≥ 0 — so
+    // the classes are prefix splits and the boundary form is exact;
+    // zero-revenue parts at a boundary fall strictly below the
+    // returned key, which always carries weight, matching the
+    // running-sum form).
+    // t_share = T_share + 1 = the min cumulative revenue ABOVE the
+    // class; BigInt intermediate — (share+1)·tot would overflow Long
+    // at a ~1e15-cent total
+    def tOf(share: Long)(tot: Long): Long =
+      ((BigInt(share + 1L) * BigInt(tot) - 1) / 10000 + 1).toLong
+    val (tot, bounds) = Ranks.keysAtWeightedRanks(rev,
+      -col("rev_cents"), col("l_partkey"), col("rev_cents"),
+      tot => Seq(tOf(8000L)(tot), tOf(9500L)(tot)))
+    val (mA, cA) = bounds(tOf(8000L)(tot))
+    val (mB, cB) = bounds(tOf(9500L)(tot))
+    def below(m: Long, c: Long) =
+      -col("rev_cents") < lit(m) ||
+        (-col("rev_cents") === lit(m) && col("l_partkey") < lit(c))
+    val classed = rev.withColumn("abc_class",
+      when(below(mA, cA), "A").when(below(mB, cB), "B").otherwise("C"))
     classed.groupBy("abc_class")
       .agg(count(lit(1)).as("n_parts"),
-        sum("rev_cents").as("revenue_cents"),
-        max("rnk").as("last_rank"),
-        max("tot").as("tot"))
+        sum("rev_cents").as("revenue_cents"))
       .select(col("abc_class"), col("n_parts"), col("revenue_cents"),
-        expr("revenue_cents * 10000 div tot").as("rev_share_x10k"),
+        expr(s"revenue_cents * 10000 div ${tot}L").as("rev_share_x10k"),
         expr("n_parts * 10000 div sum(n_parts) OVER ()")
           .as("part_share_x10k"),
-        col("last_rank"))
+        expr("sum(n_parts) OVER (ORDER BY abc_class)").as("last_rank"))
       .orderBy("abc_class")
   }
 

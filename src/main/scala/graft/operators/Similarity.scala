@@ -1506,6 +1506,12 @@ object Similarity {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val m = 8
+    // (a repartition(32) spread here was A/B'd in r13 and REVERTED:
+    // ss33/ss18/ss19 measured flat — the probe windows, not the build
+    // passes, dominate — and the changed size estimates flipped AQE's
+    // auto-bucketed-scan decision on the reloaded index tables,
+    // breaking the PlanAudit bucketed-probe contract. The ss34 pool
+    // spread, where the A/B DID win, stands.)
     val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
       .persist() // lazy-ok: cheap norm projection (see 138)
@@ -1690,6 +1696,12 @@ object Similarity {
     */
   val ss34DeltaIndex: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // (a repartition(32) spread of this pool was A/B'd in r13 and
+    // REVERTED like ivfPqBuild's: it changed the PROBE plan's size
+    // estimates enough to flip AQE's auto-bucketed-scan / stage-reuse
+    // decisions on the reloaded segment tables, breaking PlanAudit's
+    // bucketed-probe contract — and the family's measured win came
+    // from the bm25 tokenize spread, not this pool.)
     val all = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .withColumn("norm", l2norm(col("embedding")))
       .persist() // lazy-ok: cheap norm projection over the embedding pool (category A/B'd: eager +0.3 s at the ss18 site)

@@ -556,10 +556,14 @@ object Skew {
         .as("cents"))
       .repartition(32)
       .localCheckpoint()
-    val sk = cents.agg(quantile_sketch(col("cents"), 128, phis).as("qs"))
+    // min/max ride the sketch aggregate — they seed the selection's
+    // search range without their own action (job count is the cost
+    // model, the ntileBoundary lesson)
+    val sk = cents.agg(quantile_sketch(col("cents"), 128, phis).as("qs"),
+      min(col("cents")).as("c_lo"), max(col("cents")).as("c_hi"))
     val est = sk.select(col("qs.n").as("n_rows"), col("qs.err").as("err"),
-        posexplode(col("qs.qs")))
-      .select(col("n_rows"), col("err"),
+        col("c_lo"), col("c_hi"), posexplode(col("qs.qs")))
+      .select(col("n_rows"), col("err"), col("c_lo"), col("c_hi"),
         element_at(typedLit(phis.map(_.toLong)), col("pos") + 1)
           .as("phi"),
         col("col").as("est_q"))
@@ -578,6 +582,19 @@ object Skew {
     //     duplicate mass of the returned value even on a sketch that
     //     behaved as designed — the tie-correct envelope bounds
     //     count(<v̂) above and count(<=v̂) below, each within 2·err.
+    // (r13 A/B, REJECTED: replacing the ranked frame with
+    // histogram-refinement SELECTION of the value at rank t — the
+    // q88/ntileBoundary machinery — removed the range shuffle and cut
+    // stage time 4.4→3.0 s, but measured SLOWER end-to-end in BOTH
+    // cuts tried (2.6-2.7 s ranked vs 4.4-6.0 s at 6 driver actions,
+    // then 3.0-3.3 s at 4 actions with min/max folded into the sketch
+    // aggregate and the final value resolved in-plan from one shared
+    // histogram round): q94 already holds a materialized checkpoint
+    // of the 1-column fact, so the range shuffle it saves is ~3 MB
+    // while every extra driver action costs a full AQE barrier — the
+    // ntileBoundary job-count lesson from the other side. The
+    // selection shape lives on where it does win: q88, whose ranked
+    // form computed per-row ranks only to throw them away.)
     val ranked = graft.operators.Ranks.globalRowNumber(
       cents, "rnk", col("cents"))
     val audited = ranked.crossJoin(broadcast(est))

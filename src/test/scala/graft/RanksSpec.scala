@@ -118,6 +118,29 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("keysAtWeightedRanks equals the running-sum boundary — ties on " +
+      "the metric, zero weights, desc order via negation (q88's shape)") {
+    // metric: 97 distinct values (boundaries land inside equal-metric
+    // groups → the phase-2 tiebreak search); weight: 0..4 with zeros
+    // (the boundary key must still carry weight); -k: descending
+    val df = corpus(1000)
+    val want = df.select(col("id"), (-col("k")).as("m"), col("v"))
+      .withColumn("cum", sum(col("v")).over(Window.orderBy(col("m"),
+        col("id")).rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("m", "id").collect()
+    val totW = want.map(_.getLong(2)).sum
+    val targets = Seq(1L, totW / 5, totW / 2, (totW * 4) / 5, totW)
+    val (gotTot, got) = Ranks.keysAtWeightedRanks(df, -col("k"),
+      col("id"), col("v"), _ => targets)
+    assert(gotTot == totW)
+    targets.foreach { t =>
+      val first = want.find(_.getLong(3) >= t).get
+      assert(got(t) == (first.getLong(1), first.getLong(0)),
+        s"boundary at weighted rank $t: got ${got(t)}, want " +
+          s"(${first.getLong(1)}, ${first.getLong(0)})")
+    }
+  }
+
   test("ntileBoundary rejects null metrics loudly (a null would " +
       "silently vanish from the histograms and shift every rank)") {
     val df = corpus(50).withColumn("k",
