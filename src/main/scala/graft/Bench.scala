@@ -146,14 +146,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // "queries" FIRST, scalars LAST: the driver keeps only the tail of
-    // the output, and with 118 queries the line head falls off — r3 lost
-    // the headline total that way. JSON member order is free, so put the
-    // summary where truncation can't reach it.
+    // MEASUREMENT-BUG FIX (r14): the driver contract is ONE JSON line
+    // shaped {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+    // "sf": ...} — metric FIRST. Since r3 this line led with "queries"
+    // (to keep the headline inside the driver's 2000-char stdout tail),
+    // which broke any '{"metric"'-anchored extraction: every
+    // BENCH_r*.json through r13 records parsed:null and PERF_r13 got
+    // zero per-query bench data (n_common=0). Emit the contract order,
+    // and ALSO repeat the scalar summary at the END of the line so a
+    // tail-only reader still sees the totals (valid JSON — duplicate
+    // keys with identical values, last-wins semantics unchanged; the
+    // full line is what json.loads/grep '{"metric".*' consumes).
     val failedJson =
       if (failed.isEmpty) ""
       else failed.mkString("\"failed\":[\"", "\",\"", "\"],")
-    val line = s"""{"queries":$qs,$failedJson"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+    val scalars =
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir""""
+    val line = s"""{$scalars,"queries":$qs,$failedJson$scalars}"""
     println(line)
     // Drift watch (r9 judge item): compare this sweep against TWO
     // baselines and flag only when BOTH fire (r10: the all-history

@@ -60,11 +60,37 @@ object Tables {
   // driver regenerating a layout, ContractSpec's ts-adaptivity test)
   // invalidates its entry instead of serving a stale file index,
   // which would FAILED_READ_FILE on the replaced parts.
+  //
+  // Bounded LRU, NOT a WeakHashMap (ADVICE r13 medium): the cached
+  // DataFrame values strongly reference their SparkSession
+  // (Dataset.sparkSession), so weak KEYS could never be collected —
+  // the map grew by one SessionState per GraftOps newSession() clone
+  // for the JVM lifetime. An 8-session LRU (access-ordered) bounds
+  // the footprint; evicting a live session only costs a ~30 ms
+  // re-list on its next t() call. Stopped sessions are dropped
+  // eagerly on each access.
+  private val MaxSessions = 8
+  private type ScanMap =
+    scala.collection.mutable.Map[(String, String), (Long, DataFrame)]
   private val scans =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, String), (Long, DataFrame)]]()
+    new java.util.LinkedHashMap[SparkSession, ScanMap](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, ScanMap]): Boolean =
+        size() > MaxSessions
+    }
+
+  private def dropStopped[V](
+      m: java.util.LinkedHashMap[SparkSession, V]): Unit = {
+    val it = m.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
 
   private def dirToken(sfDir: String, name: String): Long = {
+    // Shallow (top-level) listing by design: the driver's fixture
+    // layout is a flat directory of part files. A partitioned layout
+    // whose changes live only in nested subdirectories would bypass
+    // this token — recurse here before ever pointing t() at one
+    // (ADVICE r13).
     val d = new java.io.File(s"$sfDir/$name.parquet")
     val fs = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
     fs.foldLeft(d.lastModified()) { (h, f) =>
@@ -75,6 +101,7 @@ object Tables {
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     synchronized {
+      dropStopped(scans)
       val m = {
         val got = scans.get(spark)
         if (got != null) got

@@ -565,14 +565,15 @@ object Curation {
   }
 
   /** The (token, doc_id, dl, tf) posting rows of a corpus — the full
-    * inverted-index payload tx37/tx38 persist (tf shuffle carries
-    * counters + dl, text never leaves the scan). */
+    * inverted-index payload tx37/tx38 persist. Text shuffles exactly
+    * ONCE, in the spread exchange below (a measured r13 win — the
+    * whole-corpus tokenize otherwise ran in one task); grouped
+    * counters remain the only downstream shuffle (ADVICE r13). */
   private[graft] def bm25Postings(docs: DataFrame): DataFrame = docs
     // spread the 1-partition documents scan before tokenize+explode
     // (r13 Scratch on ss43: the whole corpus tokenized in ONE task —
-    // the dd20 explicit-count rule; grouped counters shuffle, text
-    // never does)
-    .repartition(32)
+    // the dd20 explicit-count rule)
+    .transform(graft.Par.spread)
     .withColumn("toks", split(col("text"), " "))
     .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
       explode(col("toks")).as("token"))
@@ -739,7 +740,7 @@ object Curation {
     val nTokRaw = size(split(col("text"), " ")).cast("bigint")
     // ---- stage 1: fuzzy dedup keep-set (dd22 machinery, portable
     // verify: trigram STRING shingles both for banding and Jaccard)
-    val sh = docs.repartition(32)
+    val sh = docs.transform(graft.Par.spread)
       .withColumn("shingles", array_distinct(
         graft.functions.GraftFunctions.shingle_strings(col("text"))))
       .withColumn("sig", graft.functions.GraftFunctions
@@ -755,10 +756,10 @@ object Curation {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     val edges = cand
-      .repartition(32, col("a"))
+      .transform(graft.Par.spreadBy(col("a")))
       .join(sh.select(col("doc_id").as("a"), col("shingles").as("sh_a")),
         Seq("a"))
-      .repartition(32, col("b"))
+      .transform(graft.Par.spreadBy(col("b")))
       .join(sh.select(col("doc_id").as("b"), col("shingles").as("sh_b")),
         Seq("b"))
       .withColumn("inter",
@@ -818,7 +819,7 @@ object Curation {
     val items = sEmb.select(col("vec_id").as("doc_id"), col("embedding"))
       .join(docs.select("doc_id", "text"), Seq("doc_id"))
       .withColumn("nrm", Similarity.l2norm(col("embedding")))
-      .repartition(32)
+      .transform(graft.Par.spread)
       .localCheckpoint() // refs: grams, vec corpus side, both q frames
     val qIds: Array[Long] = items.select("doc_id").orderBy("doc_id")
       .limit(10).collect().map(_.getLong(0))
@@ -1081,7 +1082,7 @@ object Curation {
     val grams = t(s, d, "documents")
       // spread FIRST (the dd20 rule): the bigram explode + per-gram md5
       // otherwise runs single-task over the 1-split parquet
-      .repartition(32)
+      .transform(graft.Par.spread)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1124,7 +1125,7 @@ object Curation {
       // spread + EAGER materialization (the dd20 rule): the model and
       // scoring consumers each re-ran the bigram explode + two md5s
       // per instance single-task over the 1-split parquet
-      .repartition(32)
+      .transform(graft.Par.spread)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1274,7 +1275,7 @@ object Curation {
       .withColumn("nrm", Similarity.l2norm(col("embedding")))
       .join(t(s, d, "documents").select(col("doc_id"), col("text")),
         Seq("doc_id"))
-      .repartition(32)
+      .transform(graft.Par.spread)
       .localCheckpoint()
     val stats = items.agg(count(lit(1)).cast("bigint").as("n_items"))
     // lexical list: IDF-weighted distinct-trigram overlap, ranked

@@ -101,7 +101,7 @@ object Dedup {
     // EAGER (the dd20/ss20 rule): both verify joins reference this in
     // ONE plan — a lazy persist re-ran the shingle build per reference
     val shingled = shingleTable(s, d)
-      .repartition(32)
+      .transform(graft.Par.spread)
       .localCheckpoint()
     // Banding: 64 lanes → 16 bands × 4 rows. The LSH S-curve threshold is
     // (1/b)^(1/r) = (1/16)^(1/4) = 0.5 — centered exactly on the verify
@@ -113,7 +113,7 @@ object Dedup {
     // pair dedup; at 100 TB this keeps the wide payload off the hot
     // shuffle.
     val banded = recrawl(s, d)
-      .repartition(32)
+      .transform(graft.Par.spread)
       .withColumn("sig", GraftFunctions.minhash_sig(col("text"), 64))
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 15), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))")))
@@ -171,7 +171,7 @@ object Dedup {
     // materialization (the dd20/ss20 rule: a lazy persist re-ran the
     // shingle build per plan reference); longs only — the text never
     // leaves the first projection
-    val shingled = shingleTable(s, d).repartition(32).localCheckpoint()
+    val shingled = shingleTable(s, d).transform(graft.Par.spread).localCheckpoint()
     // 4 blocking lanes: a near-dup is missed only if EVERY lane's min
     // shingle fell in the mutated region — P ≈ (2/n)^4, negligible
     // (2 lanes measurably missed one planted pair in DedupSpec).
@@ -507,7 +507,7 @@ object Dedup {
     // the kernel per reference before the cache filled.
     val sh = corpus.select(col("doc_id"), sort_array(array_distinct(
         GraftFunctions.shingle_hashes64(col("text")))).as("sh"))
-      .repartition(32)
+      .transform(graft.Par.spread)
       .localCheckpoint()
     val base = docs.select(col("doc_id").as("i"))
     val cand = base.select(col("i").as("a"), (col("i") + COPY_OFFSET).as("b"))
@@ -639,7 +639,7 @@ object Dedup {
     * EAGER checkpoint (the dd22/ss20 rule): each signature table feeds
     * the band join AND a shingle rejoin. */
   private[graft] def admissionSig(dfIn: DataFrame): DataFrame = dfIn
-    .repartition(32)
+    .transform(graft.Par.spread)
     .withColumn("shingles",
       array_distinct(GraftFunctions.shingle_strings(col("text"))))
     .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
@@ -1129,7 +1129,7 @@ object Dedup {
       // branch and both truth sides race a lazy persist at the 2-way
       // input parallelism; the 8-lane signature rides the same pass so
       // the two band-join sides don't recompute it
-      .repartition(32)
+      .transform(graft.Par.spread)
       .withColumn("shingles",
         array_distinct(GraftFunctions.shingle_strings(col("text"))))
       .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
@@ -1220,7 +1220,7 @@ object Dedup {
       // per pass vs ~60 ms spread. An EXPLICIT partition count: the
       // kernels' cost is per-row CPU, and AQE's byte-based advisory
       // coalesced a bare repartition() of the ~15 MB text back to 2.
-      .repartition(32)
+      .transform(graft.Par.spread)
       .withColumn("shingles",
         array_distinct(GraftFunctions.shingle_strings(col("text"))))
       .withColumn("hsh", sort_array(array_distinct(
@@ -1253,10 +1253,10 @@ object Dedup {
       // is CPU-bound and the a-join serializes the hash arrays. User
       // repartitions are non-coalescible and each equi-join reuses its
       // exchange — same exchange count, full parallelism.
-      .repartition(32, col("a"))
+      .transform(graft.Par.spreadBy(col("a")))
       .join(sh.select(col("doc_id").as("a"), col("hsh").as("sh_a")),
         Seq("a"))
-      .repartition(32, col("b"))
+      .transform(graft.Par.spreadBy(col("b")))
       .join(sh.select(col("doc_id").as("b"), col("hsh").as("sh_b")),
         Seq("b"))
       .withColumn("inter", GraftFunctions
@@ -1360,7 +1360,7 @@ object Dedup {
 
   private def docToks(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .repartition(32)
+      .transform(graft.Par.spread)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .localCheckpoint() // 2 refs: span build + cleaned-text rebuild
 
@@ -1514,7 +1514,7 @@ object Dedup {
       // spread + EAGER materialization (the dd20 rule): the count and
       // rejoin consumers each re-ran the stride-1 span fingerprinting
       // at the 1-split input parallelism (~600 ms per pass)
-      .repartition(32)
+      .transform(graft.Par.spread)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), posexplode(expr(
@@ -1560,7 +1560,7 @@ object Dedup {
     // per doc) measured 12.3 s at sf0.1; the kernel hashes each token
     // once and majority-votes in a tight loop — same bytes, ~40× less
     recrawl(s, d)
-      .repartition(32)
+      .transform(graft.Par.spread)
       .withColumn("simhash", GraftFunctions.md5_simhash_bits(col("text")))
       .select("doc_id", "simhash")
 
@@ -1672,7 +1672,7 @@ object Dedup {
       // persist and each re-ran the shingle+md5 kernels at the
       // 2-split input parallelism — measured six ~600 ms map stages
       // for a pipeline that costs ~100 ms once, spread
-      .repartition(32)
+      .transform(graft.Par.spread)
       .withColumn("shingles",
         array_distinct(GraftFunctions.shingle_strings(col("text"))))
       .withColumn("sig", GraftFunctions.md5_min_lanes(col("shingles"), 8))
@@ -1715,10 +1715,10 @@ object Dedup {
       // measured 1.9 s + 3 s of the query). User repartitions are
       // non-coalescible and each equi-join reuses its exchange
       // directly — same exchange count, full parallelism.
-      .repartition(32, col("doc_a"))
+      .transform(graft.Par.spreadBy(col("doc_a")))
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
         col("sig").as("sig_a")), Seq("doc_a"))
-      .repartition(32, col("doc_b"))
+      .transform(graft.Par.spreadBy(col("doc_b")))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
         col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("inter",
@@ -1833,7 +1833,7 @@ object Dedup {
     // (ids-only bytes, CPU-bound; the dd20 rule) — and the pin's
     // exchange is reused by the equi-join
     val cand = prefix
-      .repartition(32, col("sh"))
+      .transform(graft.Par.spreadBy(col("sh")))
       .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
       .filter(col("a") =!= col("b"))
       .select("a", "b", "n_contained").distinct()
@@ -1898,7 +1898,7 @@ object Dedup {
     val corpus = docs.unionAll(m1).unionAll(m2)
       .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
       .withColumn("fp", md5(col("text")))
-      .repartition(32)
+      .transform(graft.Par.spread)
       .localCheckpoint() // shingle build + exact rollup + 3 token joins
     val sh = corpus.select(col("doc_id"), sort_array(array_distinct(
         GraftFunctions.shingle_hashes64(col("text")))).as("sh"))
@@ -2004,7 +2004,7 @@ object Dedup {
                |    size(split(ptext, ' '))
                |      - size(split(ptext, ' ')) div 2)))"""
           .stripMargin).as("text"))
-      .repartition(32).localCheckpoint() // 3 refs: pair build + grams + token counts
+      .transform(graft.Par.spread).localCheckpoint() // 3 refs: pair build + grams + token counts
     val pairs = chim.select(col("src_a").as("a"), col("doc_id").as("b"))
       .unionAll(chim.select(col("src_b").as("a"), col("doc_id").as("b")))
       .distinct()
@@ -2034,7 +2034,7 @@ object Dedup {
       // byte-coalesces it to 1 task — A/B'd 3.99 → 3.56 s at sf0.1,
       // the coalesced stage was the 0.6 s single-task one); the
       // window's ClusteredDistribution reuses this exact partitioning
-      .repartition(32, col("a"), col("b"), col("diag"))
+      .transform(graft.Par.spreadBy(col("a"), col("b"), col("diag")))
       .withColumn("grp", col("i") - row_number().over(wDiag))
       .groupBy("a", "b", "diag", "grp").agg(count(lit(1)).as("run"))
       .groupBy("a", "b").agg((max("run") + 3L).as("span"))
@@ -2113,7 +2113,7 @@ object Dedup {
     // spread + EAGER materialization (the dd20 rule): the banding and
     // verify consumers race a lazy persist and each re-ran the bigram
     // + 16-lane md5 pass at the 2-way input parallelism
-    val tu = uni(train.repartition(32)).localCheckpoint()
+    val tu = uni(train.transform(graft.Par.spread)).localCheckpoint()
     def bandify(df: DataFrame, idAs: String): DataFrame =
       df.select(col("doc_id").as(idAs), posexplode(col("sig")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
@@ -2249,7 +2249,7 @@ object Dedup {
     */
   private val dd25BbitMinhash: Q = (s, d) => {
     val sh = recrawl(s, d)
-      .repartition(32)
+      .transform(graft.Par.spread)
       .withColumn("shingles",
         array_distinct(GraftFunctions.shingle_strings(col("text"))))
       // 10 lanes, not 16: the kernel's lane suffix is the single byte
@@ -2415,7 +2415,7 @@ object Dedup {
         .stripMargin).as(s"sh$k")
     }
     val sh = recrawl(s, d)
-      .repartition(32)
+      .transform(graft.Par.spread)
       .withColumn("tk", split(col("text"), " "))
       .select((col("doc_id") +: shCols): _*)
       .localCheckpoint() // one shingle pass, two pair-join consumers

@@ -95,7 +95,7 @@ object Multimodal {
       // split, so the per-row PNG encode — and every decode pipeline
       // downstream of it — would run at parallelism 1 on a 32-core
       // session (mm05 measured two ~1 s single-task stages)
-      .repartition(32)
+      .transform(graft.Par.spread)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -401,7 +401,7 @@ object Multimodal {
     // AQE's byte-based advisory coalesces the small text input to ~2
     // partitions without the explicit repartition
     val hashes = t(s, d, "documents").select(col("doc_id"), col("text"))
-      .repartition(32)
+      .transform(graft.Par.spread)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -470,7 +470,7 @@ object Multimodal {
       // spread FIRST: the documents scan is 1-2 input splits, so the
       // PNG encode→decode→dHash kernel (the priciest per-row work in
       // this file) would run 2-way on a 32-core session
-      .repartition(32)
+      .transform(graft.Par.spread)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -579,7 +579,7 @@ object Multimodal {
     val stats = t(s, d, "documents").select(col("doc_id"), col("text"))
       // spread the decode (AQE coalesces the small text scan to ~2
       // partitions; the PNG pass is CPU-bound over few bytes)
-      .repartition(32)
+      .transform(graft.Par.spread)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -701,7 +701,7 @@ object Multimodal {
   private val mm15LetterboxCrop: Q = (s, d) => {
     import s.implicits._
     t(s, d, "documents").select(col("doc_id"), col("text"))
-      .repartition(32) // the pngTable spread rule
+      .transform(graft.Par.spread) // the pngTable spread rule
       .as[(Long, String)]
       .mapPartitions { it =>
         val pad = Array.fill(48)(' '.toByte)

@@ -402,7 +402,7 @@ object Pipeline {
       // spread + EAGER materialization (the dd20 rule): the sketch agg
       // and both exact-pair sides race a lazy persist, each re-running
       // the shingle + md5 pass single-task over the 1-split parquet
-      .repartition(32)
+      .transform(graft.Par.spread)
       .select(col("source"), explode(array_distinct(
         graft.functions.GraftFunctions.shingle_strings(col("text"))))
         .as("shingle"))

@@ -2078,7 +2078,7 @@ object Similarity {
       // cannot change the result. Explicit count: a bare repartition()
       // is AQE-coalescible by bytes (~15 MB of text folds back to 2
       // partitions — the dd20 lesson); a user-specified 32 is pinned.
-      .repartition(32)
+      .transform(graft.Par.spread)
       .withColumn("nrm", l2norm(col("embedding")))
       .withColumn("sig", signBucket(col("embedding")))
       // EAGER materialization, not lazy persist: the centroid/query
@@ -2740,7 +2740,7 @@ object Similarity {
       .join(t(s, d, "documents")
         .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
       .withColumn("norm", l2norm(col("embedding")))
-      .repartition(32)
+      .transform(graft.Par.spread)
       .localCheckpoint() // consumed by seeds, assignment, truth, probes
     val cents = coarseSeeds(all)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),

@@ -554,16 +554,15 @@ object Skew {
     val cents = t(s, d, "lineitem")
       .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
         .as("cents"))
-      .repartition(32)
+      .transform(graft.Par.spread)
       .localCheckpoint()
-    // min/max ride the sketch aggregate — they seed the selection's
-    // search range without their own action (job count is the cost
-    // model, the ntileBoundary lesson)
-    val sk = cents.agg(quantile_sketch(col("cents"), 128, phis).as("qs"),
-      min(col("cents")).as("c_lo"), max(col("cents")).as("c_hi"))
+    // (c_lo/c_hi min/max once rode this aggregate to seed the
+    // histogram-selection search range; that A/B was REJECTED — see
+    // the note below — so they were dropped with it, ADVICE r13.)
+    val sk = cents.agg(quantile_sketch(col("cents"), 128, phis).as("qs"))
     val est = sk.select(col("qs.n").as("n_rows"), col("qs.err").as("err"),
-        col("c_lo"), col("c_hi"), posexplode(col("qs.qs")))
-      .select(col("n_rows"), col("err"), col("c_lo"), col("c_hi"),
+        posexplode(col("qs.qs")))
+      .select(col("n_rows"), col("err"),
         element_at(typedLit(phis.map(_.toLong)), col("pos") + 1)
           .as("phi"),
         col("col").as("est_q"))

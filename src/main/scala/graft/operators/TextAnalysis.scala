@@ -870,7 +870,7 @@ object TextAnalysis {
       """transform(sequence(0, size(toks) - 3),
         |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""
         .stripMargin)).as("gram"))
-      .repartition(32)
+      .transform(graft.Par.spread)
       .localCheckpoint()
     // derived width: ONE constant-size distinct count at plan-build
     // time (scaladoc above) — the result is a scalar, so inlining it

@@ -167,7 +167,12 @@ class LocalClusterParitySpec extends SparkSpec {
       .getAbsolutePath
     val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     val cp = s"$classes:/opt/spark/jars/*"
+    // the subprocess inherits this group's warehouse so its publish-
+    // family pins never race a concurrently-forked test group's
+    // default ./spark-warehouse (r14 parallel test groups)
     val pb = new ProcessBuilder(javaBin, "-cp", cp, "-Xmx2g",
+      "-Dspark.sql.warehouse.dir=" +
+        spark.conf.get("spark.sql.warehouse.dir"),
       "graft.LocalClusterCheck", sfDir, names.mkString(","))
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     pb.environment().putIfAbsent("SPARK_HOME", "/opt/spark")

@@ -54,7 +54,9 @@ def run_bench(wt, queries, sf, cpus):
     out = sh(["sbt", "-batch", "runMain graft.Bench"], cwd=wt, env=env,
              capture=True).stdout
     for line in out.splitlines():
-        m = re.search(r'\{"queries":.*\}\s*$', line)
+        # r14 lines lead with "metric" (driver contract), pre-r14 with
+        # "queries" — match either, A/B worktrees span both formats.
+        m = re.search(r'\{"(?:queries|metric)":.*\}\s*$', line)
         if m:
             return json.loads(m.group(0))["queries"]
     sys.exit(f"[ab] no bench JSON line in output from {wt}:\n{out[-3000:]}")
