@@ -1437,7 +1437,21 @@ object EventsStreaming {
       }
   }
 
-  /** st21 driver face: window digests + per-window prefix chain fold. */
+  /** st21 driver face: window digests + per-window prefix chain fold.
+    *
+    * The chain is computed by ONE O(W) fold per type over the sorted
+    * digest array (r14 rewrite, guide §1.2/§2.3): the r13 form
+    * self-joined the cell grid on bw <= w and re-folded every prefix
+    * from GENESIS per window — O(W²) prefix structs through the
+    * aggregate exchange (measured: a 46 MB single-task shuffle write,
+    * 1.7 s of st21's 4.1 s at sf0.1, for a ~2000-row cell grid). A
+    * prefix chain is a running fold, so one pass emits every window's
+    * chain; the horizon cut (w < max w per type, the open window) is
+    * exactly "drop the LAST element of the sorted array", which also
+    * retires the max-window aggregate + join. Same bytes: the fold
+    * order (sorted by w, unique per type) and md5 text are identical,
+    * and the DuckDB oracle replays unchanged.
+    */
   private val st21DigestLedger: Q = (s, d) => {
     val cells = graft.Tables.t(s, d, "events")
       .groupBy(col("event_type"),
@@ -1445,28 +1459,32 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"),
         md5(concat_ws(",", sort_array(collect_list(col("event_id")))))
           .as("dg"))
-      // eager (the dd20/ss20 rule): the final plan references the cell
-      // grid 3× (both sides of the prefix join + the horizon scan) — a
-      // lazy persist re-ran the events aggregate per reference
-      .localCheckpoint()
-    val mx = cells.groupBy(col("event_type").as("et"))
-      .agg(max("w").as("mxw"))
     cells
-      .join(cells.select(col("event_type"), col("w").as("bw"),
-        col("dg").as("bdg")), Seq("event_type"))
-      .filter(col("bw") <= col("w"))
-      .groupBy("event_type", "w", "n", "dg")
-      .agg(sort_array(collect_list(struct(col("bw"), col("bdg"))))
-        .as("arr"))
-      .selectExpr("event_type", "w", "n", "dg",
-        "aggregate(arr, 'GENESIS'," +
-          " (acc, x) -> md5(concat(acc, '|', x.bdg))) AS chain")
-      .join(mx, col("event_type") === col("et") && col("w") < col("mxw"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("w"), col("n"),
+        col("dg")))).as("arr"))
+      // fold once, emitting (w, n, dg, chain) per element; slice off
+      // the LAST (= max w) element — the open horizon window the old
+      // form excluded via the mx join
+      .selectExpr("event_type",
+        """explode(slice(
+          |  aggregate(arr,
+          |    named_struct('acc', 'GENESIS',
+          |                 'out', CAST(array() AS
+          |                   ARRAY<STRUCT<w: BIGINT, n: BIGINT,
+          |                                dg: STRING, chain: STRING>>)),
+          |    (st, x) -> named_struct(
+          |      'acc', md5(concat(st.acc, '|', x.dg)),
+          |      'out', array_append(st.out, named_struct(
+          |        'w', x.w, 'n', x.n, 'dg', x.dg,
+          |        'chain', md5(concat(st.acc, '|', x.dg))))),
+          |    st -> st.out),
+          |  1, size(arr) - 1)) AS r""".stripMargin)
       .select(col("event_type"),
-        date_format(expr("timestamp_seconds(w * 3600)"),
+        date_format(expr("timestamp_seconds(r.w * 3600)"),
           "yyyy-MM-dd HH:mm").as("window_start"),
-        col("n").as("n_events"), col("dg").as("window_digest"),
-        col("chain"))
+        col("r.n").as("n_events"), col("r.dg").as("window_digest"),
+        col("r.chain").as("chain"))
       .orderBy("event_type", "window_start")
   }
 
