@@ -289,8 +289,8 @@ object Graph {
     * plan-nesting rule: every loop-carried frame is referenced more
     * than once per round).
     */
-  private[graft] def fwbwScc(nodes0: DataFrame, edges0: DataFrame)
-      : DataFrame = {
+  private[graft] def fwbwScc(nodes0: DataFrame, edges0: DataFrame,
+      dedupedEdgeCount: Option[Long] = None): DataFrame = {
     // (AQE stays ON: an A/B with it disabled ran 2.2× slower — the
     // tiny hop joins degrade from broadcast to sort-merge without
     // runtime stats. The per-stage AQE replan latency is paid down by
@@ -315,18 +315,47 @@ object Graph {
     // below keeps full scan/join parallelism until its checkpoint.
     def npNodes(n: Long): Int =
       math.max(1L, math.min(32L, n / 50000L + 1L)).toInt
-    var remEdges = edges0.select(col("u").cast("bigint").as("u"),
-        col("v").cast("bigint").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .coalesce(npNodes(remaining)).localCheckpoint()
-    val edgeCount = remEdges.count() // one constant-size sizing job
+    // dedupedEdgeCount (r14): gr19/gr20 already hold edges0 DISTINCT,
+    // self-loop-free, COUNTED and eagerly checkpointed for their own
+    // audit/condensation output — the unconditional re-distinct +
+    // coalesce(1) checkpoint + re-spread checkpoint here re-shuffled
+    // the same ~700k-edge frame three times, two of them through ONE
+    // task (measured ~3 s of gr19's ~11 s at sf0.1). With the hint the
+    // loop consumes the caller's checkpoint through a narrow coalesce —
+    // zero additional edge materializations (re-running a coalesce
+    // over cached partitions per reference is free; the multi-ref
+    // eager-checkpoint rule guards expensive BUILDS, not narrow reads
+    // of an already-materialized frame).
+    var (remEdges, edgeCount) = dedupedEdgeCount match {
+      case Some(c) => (edges0, c)
+      case None =>
+        val e = edges0.select(col("u").cast("bigint").as("u"),
+            col("v").cast("bigint").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+          .coalesce(npNodes(remaining)).localCheckpoint()
+        (e, e.count()) // one constant-size sizing job
+    }
     def np(n: Long): Int =
       math.max(1L, math.min(32L,
         math.max(n / 50000L, edgeCount / 100000L) + 1L)).toInt
     // edge-heavy + node-light (the gr19 shape): re-spread the loop-
     // carried edge frame once, or every hop join runs near-serial
-    if (np(remaining) > npNodes(remaining))
-      remEdges = remEdges.repartition(np(remaining)).localCheckpoint()
+    dedupedEdgeCount match {
+      case Some(_) =>
+        // ONE materialization at loop width (vs distinct + coalesce(1)
+        // + re-spread = three): the loop references this frame ~15×
+        // per round, so it must read np cached partitions, not
+        // re-coalesce the caller's 32 every time
+        val parts = remEdges.rdd.getNumPartitions
+        remEdges =
+          (if (np(remaining) < parts) remEdges.coalesce(np(remaining))
+           else if (np(remaining) > parts)
+             remEdges.repartition(np(remaining))
+           else remEdges).localCheckpoint()
+      case None =>
+        if (np(remaining) > npNodes(remaining))
+          remEdges = remEdges.repartition(np(remaining)).localCheckpoint()
+    }
     def ck(df: DataFrame): DataFrame =
       df.coalesce(np(remaining)).localCheckpoint()
     // start from an EMPTY typed frame (not null): an empty node set
@@ -353,18 +382,26 @@ object Graph {
       // can't dedup broadcast semi-joins over checkpoint scans) and the
       // same-session sweep ran gr19 17.1 s vs 10.9, gr18 6.7 vs 4.2:
       // recompute beat the saved barriers. Per-layer checkpoints stay.)
+      // Per-layer job budget (r14): ONE checkpoint (cyclic) + one count
+      // + one edge-peel checkpoint. `trimmed` stays LAZY — it is a
+      // broadcast anti-join of two checkpoint-backed frames, so each of
+      // its three consumers (count, assigned union, edge peel) rebuilds
+      // it for ~free; its former eager checkpoint and the per-layer
+      // checkpoint of the growing `assigned` union were one barrier
+      // each per layer for no recompute saved (assigned is a linear
+      // union of checkpoint-backed legs — plan depth = #layers, no
+      // nesting blowup; the multi-ref rule guards expensive builds).
       var trimmedN = 1L
       while (trimmedN > 0L && remaining > 0L) {
         val cyclic = ck(remNodes
           .join(remEdges.select(col("u").as("id")), Seq("id"), "left_semi")
           .join(remEdges.select(col("v").as("id")), Seq("id"), "left_semi")
           ) // 2 refs: trim anti-join + next remNodes
-        val trimmed = ck(remNodes.join(cyclic, Seq("id"), "left_anti")
+        val trimmed = remNodes.join(cyclic, Seq("id"), "left_anti")
           .select(col("id"), col("id").as("scc_id"))
-          ) // refs: count + assigned union + edge peel
         trimmedN = trimmed.count()
         if (trimmedN > 0L) {
-          assigned = ck(assigned.unionAll(trimmed))
+          assigned = assigned.unionAll(trimmed)
           remNodes = cyclic
           remEdges = ck(remEdges
             .join(trimmed.select(col("id").as("u")), Seq("u"), "left_anti")
@@ -430,7 +467,7 @@ object Graph {
       val newly = ck(color.join(b, Seq("id"))
         .select(col("id"), col("c").as("scc_id"))
         ) // refs: assigned union + node/edge anti-joins
-      assigned = ck(assigned.unionAll(newly))
+      assigned = assigned.unionAll(newly) // lazy: legs are checkpoints
       remaining -= bSize
       if (remaining > 0L) {
         remNodes = ck(remNodes.join(newly.select("id"), Seq("id"),
@@ -549,7 +586,9 @@ object Graph {
     val (nodes, edges0) = sampledEntityGraph(s, d)
     val edges = edges0.filter(col("u") =!= col("v")).distinct()
       .localCheckpoint() // 2 refs: the SCC loop + the condensation map
-    val scc = fwbwScc(nodes, edges)
+    // one cheap count on the materialized frame buys the fwbwScc
+    // deduped-edges fast path (see the gr19 note)
+    val scc = fwbwScc(nodes, edges, Some(edges.count()))
       .localCheckpoint() // 4 refs: two condensation joins + sizing + ids
     val sccIds = scc.select(col("scc_id").as("n")).distinct()
       .localCheckpoint() // 2 refs: the width-sizing count + level seed
@@ -679,7 +718,10 @@ object Graph {
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
     val nEdges = edges.count()
-    val scc = fwbwScc(nodes, edges).filter(col("id") < hubOff)
+    // deduped+counted+checkpointed here → the hint skips fwbwScc's own
+    // edge re-distinct and its two loop-width rematerializations (r14)
+    val scc = fwbwScc(nodes, edges, Some(nEdges))
+      .filter(col("id") < hubOff)
       .localCheckpoint() // 2 consumers: the count agg + the size agg
     val flat = scc.agg(count(lit(1)).as("n_nodes"),
       countDistinct(col("scc_id")).as("n_scc"))
